@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID heuristics, quality scoring, token
+  * counting and document fingerprinting. All pure built-in expressions
+  * (codegen'd, partition-parallel, no driver state) — designed to run over
+  * ~100 TB document corpora unchanged.
+  */
+object TextFunctions {
+
+  /** Lower-cased, whitespace-split tokens; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-ish runs + digits + punctuation marks each
+    * count as one token (a cheap deterministic proxy for a real tokenizer;
+    * the regex is intentionally simple so any engine can replicate it). */
+  def bpeishTokenCount(text: Column): Column =
+    regexpCount(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+
+  /** Count regex matches via regexp_count (Spark 3.5+). */
+  def regexpCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Word n-gram shingles ("a b c" style), distinct. Returns empty array when
+    * the document has fewer than n tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles over the normalized text, distinct. */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = normalized(text)
+    when(length(s) >= n,
+      array_distinct(transform(sequence(lit(0), length(s) - n),
+        i => s.substr(i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical normalization: lower-case, collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text.
+    * Equal fingerprints == exact duplicates modulo case/whitespace. */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** 64-bit rolling-hash content fingerprint (xxhash64 of normalized text) —
+    * cheap join key for exact dedup at scale (8 bytes vs full text shuffle). */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  // --------------------------------------------------------------------------
+  // Language identification — deterministic stopword/script heuristic.
+  // Spelled out so an external oracle can replicate it exactly.
+  // --------------------------------------------------------------------------
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
+
+  /** Number of tokens that are stopwords of the given language. */
+  def stopwordCount(text: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    size(filter(tokens(text), t => t.isInCollection(sw)))
+  }
+
+  /** Count of CJK (U+4E00–U+9FFF) characters. */
+  def cjkCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Heuristic language ID: CJK-dominant → zh, otherwise the language with
+    * the highest stopword count (ties broken en > de > fr > es), 'und' if no
+    * stopwords at all. Deterministic by construction. */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, "en"); val de = stopwordCount(text, "de")
+    val fr = stopwordCount(text, "fr"); val es = stopwordCount(text, "es")
+    when(cjkCharCount(text) * 2 > tokenCount(text), lit("zh"))
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Quality scoring — length / punctuation / stopword-ratio signals.
+  // --------------------------------------------------------------------------
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      regexpCount(text, "[!-/:-@\\[-`{-~]").cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    when(tokenCount(text) > 0,
+      size(filter(tokens(text), t => t.isInCollection(all))).cast("double") /
+        tokenCount(text))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) > 0,
+      aggregate(transform(tokens(text), t => length(t).cast("double")),
+        lit(0.0), (a, x) => a + x) / tokenCount(text))
+      .otherwise(lit(0.0))
+
+  /** Composite [0,1] quality score: rewards reasonable length, low
+    * punctuation density and a sane stopword ratio. Deterministic formula —
+    * documented so the oracle can reproduce it:
+    *   0.4 * min(n_tokens/100, 1) + 0.3 * (1 - min(punct_ratio*5, 1))
+    * + 0.3 * min(stopword_ratio*4, 1)
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(tokenCount(text).cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) +
+      lit(0.3) * least(stopwordRatio(text) * 4.0, lit(1.0))
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector (Array[Double]/Array[Float]) math built entirely from
+  * codegen'd built-in higher-order functions — no UDFs in the hot path, so
+  * whole-stage codegen stays intact and these run unchanged on a cluster.
+  *
+  * Covers the reference's element-wise vector aggregation inputs
+  * (reference: activity/aggregate/window/functions/sum.go:16-27,
+  * average.go:36-71, min.go:22-37) and the similarity-search extensions.
+  */
+object VectorFunctions {
+
+  /** Cast any numeric array to Array[Double] for stable arithmetic. */
+  def asDoubles(a: Column): Column = a.cast("array<double>")
+
+  /** Element-wise sum of two equal-length vectors. */
+  def vecAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Element-wise min / max of two vectors. */
+  def vecMin(a: Column, b: Column): Column = zip_with(a, b, (x, y) => least(x, y))
+  def vecMax(a: Column, b: Column): Column = zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Scale a vector by a scalar column. */
+  def vecScale(a: Column, s: Column): Column = transform(a, x => x * s)
+
+  /** Dot product: fold over zip_with — stays inside codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity between two numeric array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDoubles(a); val bd = asDoubles(b)
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  /** Squared euclidean distance. */
+  def l2DistSq(a: Column, b: Column): Column =
+    aggregate(zip_with(asDoubles(a), asDoubles(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2-normalize a vector (for cosine-as-dot at scale: pre-normalize once,
+    * then every pairwise similarity is a plain dot product). */
+  def l2Normalize(a: Column): Column = {
+    val ad = asDoubles(a)
+    transform(ad, x => x / l2Norm(ad))
+  }
+
+  /** True if every element is zero — the vector form of the reference's
+    * non-zero filter (reference: activity/filter/filters.go:14-31). */
+  def allZero(a: Column): Column = !exists(a, x => x =!= 0.0)
+}

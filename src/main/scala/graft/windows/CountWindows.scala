@@ -1,0 +1,147 @@
+package graft.windows
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Count-based windows — the one window family Spark has no built-in for.
+  *
+  * Semantics mirror the reference exactly:
+  *  - tumbling(count): accumulate `size` samples, emit aggregate on the
+  *    size-th, reset (reference: activity/aggregate/window/windows.go:56-108).
+  *  - sliding(count, resolution): ring buffer of the last `size` raw samples;
+  *    first emission once the buffer fills, then every `resolution`-th new
+  *    sample, aggregating over all `size` buffered samples
+  *    (reference: windows.go:210-275; emission cadence windows.go:252-257).
+  *
+  * Two implementations:
+  *  1. Batch analogs built from window functions — pure Catalyst plans used
+  *     by the correctness gate (hash partition by key + sort within
+  *     partition; scales like any ranked-window query).
+  *  2. Streaming `flatMapGroupsWithState` operators — true incremental
+  *    per-key state; state size is O(1) for tumbling and O(size) for
+  *    sliding per key, independent of stream length, so a 1000-executor
+  *    cluster holds state for billions of keys in the state store.
+  */
+object CountWindows {
+
+  // ---------------------------------------------------------------------
+  // Batch analogs (deterministic given a unique ordering column)
+  // ---------------------------------------------------------------------
+
+  /** Tumbling count window over a batch DataFrame.
+    * Returns one row per COMPLETE window per key: (key, window_id, result).
+    * Incomplete trailing windows emit nothing — that is the reference's
+    * emit-gating/stall semantics (windows.go:94-106: emit only on the
+    * size-th sample).
+    */
+  def tumblingBatch(df: DataFrame, key: String, ord: String, value: String,
+                    size: Int, fn: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+    df.withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("__win", (col("__rn") / size).cast("bigint"))
+      .groupBy(col(key), col("__win").as("window_id"))
+      .agg(AggFunctions.scalar(fn, col(value), col(ord)).as("result"),
+           count(lit(1)).as("n"))
+      .where(col("n") === size)
+      .drop("n")
+  }
+
+  /** Sliding count window batch analog: emits at sample indices
+    * size-1, size-1+resolution, size-1+2*resolution, … per key; each emission
+    * aggregates the last `size` samples. */
+  def slidingBatch(df: DataFrame, key: String, ord: String, value: String,
+                   size: Int, resolution: Int, fn: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+    val frame = w.rowsBetween(-(size - 1), Window.currentRow)
+    val agged = fn match {
+      case "accumulate" => collect_list(col(value)).over(frame) // frame order
+      case "sum"        => sum(col(value)).over(frame)
+      case "avg"        => avg(col(value)).over(frame)
+      case "min"        => min(col(value)).over(frame)
+      case "max"        => max(col(value)).over(frame)
+      case "count"      => count(col(value)).over(frame)
+      case other => throw new IllegalArgumentException(s"unknown agg fn: $other")
+    }
+    df.withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("result", agged)
+      .where(col("__rn") >= size - 1 &&
+        ((col("__rn") - (size - 1)) % resolution) === 0)
+      .withColumn("emit_at", col("__rn"))
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming operators
+  // ---------------------------------------------------------------------
+
+  /** One keyed sample; `seq` must be monotone per key (ingest sequence). */
+  case class KeyedSample(key: String, seq: Long, value: Double)
+
+  /** One window emission. `result` is the scalar aggregate; for
+    * `accumulate` the raw window contents are in `values`. */
+  case class WindowEmit(key: String, emitAtSeq: Long, result: Double,
+                        values: Seq[Double], count: Long)
+
+  private def applyFn(fn: String, values: Seq[Double]): Double = fn match {
+    case "sum"   => values.sum
+    case "avg"   => if (values.isEmpty) 0.0 else values.sum / values.length
+    case "min"   => values.min
+    case "max"   => values.max
+    case "count" => values.length.toDouble
+    case "accumulate" => Double.NaN // caller reads `values`
+  }
+
+  case class TumblingState(buf: Vector[Double], lastSeq: Long)
+
+  /** Streaming tumbling count window. Works identically on batch Datasets
+    * (Spark executes mapGroups-style state over sorted groups). */
+  def tumblingStream(ds: Dataset[KeyedSample], size: Int, fn: String)
+                    (implicit spark: SparkSession): Dataset[WindowEmit] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[TumblingState, WindowEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[TumblingState]) =>
+          var st = state.getOption.getOrElse(TumblingState(Vector.empty, -1L))
+          val out = Vector.newBuilder[WindowEmit]
+          // arrival order within a micro-batch is not guaranteed → sort by seq
+          rows.toSeq.sortBy(_.seq).foreach { s =>
+            val buf = st.buf :+ s.value
+            if (buf.length == size) {
+              out += WindowEmit(key, s.seq, applyFn(fn, buf), buf, size.toLong)
+              st = TumblingState(Vector.empty, s.seq)
+            } else st = TumblingState(buf, s.seq)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class SlidingState(ring: Vector[Double], nSeen: Long)
+
+  /** Streaming sliding count window with resolution (reference cadence:
+    * first emit at the size-th sample, then every `resolution` samples). */
+  def slidingStream(ds: Dataset[KeyedSample], size: Int, resolution: Int,
+                    fn: String)
+                   (implicit spark: SparkSession): Dataset[WindowEmit] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SlidingState, WindowEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[SlidingState]) =>
+          var st = state.getOption.getOrElse(SlidingState(Vector.empty, 0L))
+          val out = Vector.newBuilder[WindowEmit]
+          rows.toSeq.sortBy(_.seq).foreach { s =>
+            val ring = (st.ring :+ s.value).takeRight(size)
+            val n = st.nSeen + 1
+            if (n >= size && (n - size) % resolution == 0)
+              out += WindowEmit(key, s.seq, applyFn(fn, ring), ring, ring.length.toLong)
+            st = SlidingState(ring, n)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}
