@@ -34,7 +34,7 @@ object TextFunctions {
     val t = tokens(text)
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, n)))))
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -46,10 +46,18 @@ object VectorFunctions {
       lit(0.0), (acc, x) => acc + x)
 
   /** L2-normalize a vector (for cosine-as-dot at scale: pre-normalize once,
-    * then every pairwise similarity is a plain dot product). */
-  def l2Normalize(a: Column): Column = {
+    * then every pairwise similarity is a plain dot product).
+    * Zero vectors normalize to themselves (never NaN). Callers that
+    * normalize many vectors should materialize the norm once via the
+    * two-argument overload — e.g. `withColumn("n", l2Norm(v))` then
+    * `l2Normalize(v, col("n"))` — so the O(d) norm isn't re-derived per
+    * element by a non-CSE'd plan. */
+  def l2Normalize(a: Column): Column = l2Normalize(a, l2Norm(asDoubles(a)))
+
+  /** L2-normalize with a precomputed norm column. */
+  def l2Normalize(a: Column, norm: Column): Column = {
     val ad = asDoubles(a)
-    transform(ad, x => x / l2Norm(ad))
+    when(norm > 0.0, transform(ad, x => x / norm)).otherwise(ad)
   }
 
   /** True if every element is zero — the vector form of the reference's

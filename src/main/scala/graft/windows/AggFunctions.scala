@@ -6,8 +6,8 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
 
 /** The reference's six aggregation functions (sum/avg/min/max/count/
-  * accumulate — reference: activity/aggregate/window/functions/*.go,
-  * dispatch at activity/aggregate/aggregators.go:10-86), expressed as
+  * accumulate — reference: the .go files under activity/aggregate/window/
+  * functions/, dispatch at activity/aggregate/aggregators.go:10-86), expressed as
   * Spark aggregation Columns so Catalyst's partial aggregation provides the
   * same add-on-arrival incrementality the reference implements by hand.
   */
@@ -54,6 +54,9 @@ object VectorAggs {
   private def zipOp(a: Array[Double], b: Array[Double],
                     op: (Double, Double) => Double): Array[Double] =
     if (a.isEmpty) b else if (b.isEmpty) a
+    else if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"ragged vector aggregation: ${a.length} vs ${b.length} elements")
     else { val r = new Array[Double](a.length)
       var i = 0; while (i < r.length) { r(i) = op(a(i), b(i)); i += 1 }; r }
 

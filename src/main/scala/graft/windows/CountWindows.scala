@@ -48,11 +48,17 @@ object CountWindows {
       .drop("n")
   }
 
-  /** Sliding count window batch analog: emits at sample indices
-    * size-1, size-1+resolution, size-1+2*resolution, … per key; each emission
-    * aggregates the last `size` samples. */
+  /** Sliding count window batch analog. Emission cadence matches the
+    * reference exactly (windows.go:252-265): `numSamples` counts samples
+    * since the last emission (reset to 0 on emit) and emission requires both
+    * a full ring (`canEmit`, first true at sample `size`) and
+    * `numSamples >= resolution`. Hence the first emission is at 1-based
+    * sample `max(size, resolution)` and subsequent emissions every
+    * `resolution` samples; each emission aggregates the last `size`
+    * samples. */
   def slidingBatch(df: DataFrame, key: String, ord: String, value: String,
                    size: Int, resolution: Int, fn: String): DataFrame = {
+    val firstEmit = math.max(size, resolution)
     val w = Window.partitionBy(col(key)).orderBy(col(ord))
     val frame = w.rowsBetween(-(size - 1), Window.currentRow)
     val agged = fn match {
@@ -66,8 +72,8 @@ object CountWindows {
     }
     df.withColumn("__rn", row_number().over(w) - 1)
       .withColumn("result", agged)
-      .where(col("__rn") >= size - 1 &&
-        ((col("__rn") - (size - 1)) % resolution) === 0)
+      .where(col("__rn") >= firstEmit - 1 &&
+        ((col("__rn") - (firstEmit - 1)) % resolution) === 0)
       .withColumn("emit_at", col("__rn"))
       .drop("__rn")
   }
@@ -76,7 +82,15 @@ object CountWindows {
   // Streaming operators
   // ---------------------------------------------------------------------
 
-  /** One keyed sample; `seq` must be monotone per key (ingest sequence). */
+  /** One keyed sample; `seq` must be monotone per key (ingest sequence).
+    *
+    * Ordering contract: samples for a key must arrive in non-decreasing
+    * `seq` order ACROSS micro-batches (within a micro-batch we sort by
+    * `seq`). This mirrors the reference, whose per-event push model makes
+    * cross-arrival reordering impossible (pipeline/instance.go:50). A
+    * sample whose seq is below the key's high-water mark is a contract
+    * violation and is dropped (counted nowhere — callers needing late-data
+    * semantics should use the time windows, which are event-time based). */
   case class KeyedSample(key: String, seq: Long, value: Double)
 
   /** One window emission. `result` is the scalar aggregate; for
@@ -106,8 +120,10 @@ object CountWindows {
         (key, rows, state: GroupState[TumblingState]) =>
           var st = state.getOption.getOrElse(TumblingState(Vector.empty, -1L))
           val out = Vector.newBuilder[WindowEmit]
-          // arrival order within a micro-batch is not guaranteed → sort by seq
-          rows.toSeq.sortBy(_.seq).foreach { s =>
+          // arrival order within a micro-batch is not guaranteed → sort by
+          // seq; a seq at/below the high-water mark from a PRIOR batch
+          // violates the ordering contract and is dropped (see KeyedSample).
+          rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
             val buf = st.buf :+ s.value
             if (buf.length == size) {
               out += WindowEmit(key, s.seq, applyFn(fn, buf), buf, size.toLong)
@@ -119,10 +135,14 @@ object CountWindows {
       }
   }
 
-  case class SlidingState(ring: Vector[Double], nSeen: Long)
+  /** `sinceEmit` counts samples since the last emission — the reference's
+    * `numSamples`, which is reset to 0 on every emit (windows.go:262). */
+  case class SlidingState(ring: Vector[Double], nSeen: Long, sinceEmit: Long)
 
-  /** Streaming sliding count window with resolution (reference cadence:
-    * first emit at the size-th sample, then every `resolution` samples). */
+  /** Streaming sliding count window with resolution. Cadence matches the
+    * reference (windows.go:252-265): emit requires a full ring
+    * (nSeen >= size) AND sinceEmit >= resolution, so the first emission is
+    * at sample max(size, resolution) and then every `resolution` samples. */
   def slidingStream(ds: Dataset[KeyedSample], size: Int, resolution: Int,
                     fn: String)
                    (implicit spark: SparkSession): Dataset[WindowEmit] = {
@@ -131,14 +151,16 @@ object CountWindows {
       .flatMapGroupsWithState[SlidingState, WindowEmit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[SlidingState]) =>
-          var st = state.getOption.getOrElse(SlidingState(Vector.empty, 0L))
+          var st = state.getOption.getOrElse(SlidingState(Vector.empty, 0L, 0L))
           val out = Vector.newBuilder[WindowEmit]
           rows.toSeq.sortBy(_.seq).foreach { s =>
             val ring = (st.ring :+ s.value).takeRight(size)
             val n = st.nSeen + 1
-            if (n >= size && (n - size) % resolution == 0)
+            val since = st.sinceEmit + 1
+            if (n >= size && since >= resolution) {
               out += WindowEmit(key, s.seq, applyFn(fn, ring), ring, ring.length.toLong)
-            st = SlidingState(ring, n)
+              st = SlidingState(ring, n, 0L)
+            } else st = SlidingState(ring, n, since)
           }
           state.update(st)
           out.result().iterator
