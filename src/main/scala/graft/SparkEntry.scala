@@ -1,13 +1,581 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.windows.{AggFunctions, CountWindows, TimeWindows}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), with a DuckDB-equivalent
+  * `oracleSql` for every SQL-expressible one. Column names and row ordering
+  * are aligned between both sides; every double produced by arithmetic is
+  * rounded identically on both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------------------
+  // helpers
+  // ----------------------------------------------------------------------
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- engine-level: pipeline chain, mappers, expression language ----
+
+    // E1/E2/E3: stage chain = filter -> projection -> aggregate
+    "q_pipeline_chain" -> ((s, d) =>
+      li(s, d)
+        .where(col("l_quantity") > 10)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("rev")), 2).as("revenue"))
+        .orderBy("l_returnflag")),
+
+    // E4: expression language (string + arithmetic mapper)
+    "q_expr_mapper" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          concat(lit("order-"), col("o_orderstatus")).as("tag"),
+          // round to 4: price*0.9 has exactly 3 decimal digits, so 4-decimal
+          // rounding has no ties (2 decimals hits exact half-cents, where
+          // DuckDB's decimal-aware rounding differs from double HALF_UP)
+          round(col("o_totalprice") * 0.9, 4).as("discounted"))
+        .orderBy("o_orderkey")),
+
+    // E4 bonus: JSON field extraction in the mapper
+    "q_expr_json" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // ---- filter activity (P1) ----
+
+    // mapper zeroes out large values, non-zero filter drops them
+    "q_filter_nonzero" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_id"),
+          when(col("value") > 50, lit(0.0)).otherwise(col("value")).as("v"))
+        .where(col("v") =!= 0.0)
+        .orderBy("event_id")),
+
+    // vector form: keep vectors with any non-zero element
+    "q_filter_nonzero_vec" -> ((s, d) =>
+      emb(s, d)
+        .where(!VF.allZero(col("embedding")))
+        .select(col("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- aggregation functions F1-F6 ----
+
+    "q_groupby_agg" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(min("l_quantity"), 4).as("min_qty"),
+          round(max("l_quantity"), 4).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // F6 accumulate: order-preserving collect per key
+    "q_accumulate" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(AggFunctions.scalar("accumulate", col("value"), col("event_id"))
+          .as("vals"))
+        .orderBy("user_id")),
+
+    // W5 keyed variant: per-key aggregation (nameKey=event_type)
+    "q_keyed_agg" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type")),
+
+    // E5 groupBy discriminator: per-key partitioned state
+    "q_groupby_state" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+        .orderBy("user_id")),
+
+    // vector element-wise aggregation (F1/F2 vector forms)
+    "q_vector_agg" -> ((s, d) => {
+      val v = emb(s, d).withColumn("v", col("embedding").cast("array<double>"))
+      v.groupBy("label")
+        .agg(AggFunctions.vector("sum", col("v")).as("vs"),
+          AggFunctions.vector("avg", col("v")).as("va"))
+        .select(col("label"), posexplode(arrays_zip(col("vs"), col("va"))))
+        .select(col("label"), (col("pos") + 1).as("idx"),
+          round(col("col.vs"), 4).as("vsum"), round(col("col.va"), 4).as("vavg"))
+        .orderBy("label", "idx")
+    }),
+
+    // ---- count windows W1/W2 ----
+
+    "q_tumbling_count" -> ((s, d) =>
+      CountWindows.tumblingBatch(ev(s, d), "user_id", "event_id", "value",
+          10, "sum")
+        .select(col("user_id"), col("window_id"),
+          round(col("result"), 4).as("result"))
+        .orderBy("user_id", "window_id")),
+
+    "q_sliding_count" -> ((s, d) =>
+      CountWindows.slidingBatch(ev(s, d), "user_id", "event_id", "value",
+          10, 3, "avg")
+        .select(col("user_id"), col("emit_at"),
+          round(col("result"), 4).as("result"))
+        .orderBy("user_id", "emit_at")),
+
+    // W1 via the streaming flatMapGroupsWithState operator (batch-executed)
+    "q_tumbling_stream" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import s.implicits._
+      val ds = ev(s, d).select(col("user_id").cast("string").as("key"),
+        col("event_id").as("seq"), col("value")).as[CountWindows.KeyedSample]
+      CountWindows.tumblingStream(ds, 7, "sum")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("emitAtSeq").as("emit_seq"), round(col("result"), 4).as("result"))
+        .orderBy("user_id", "emit_seq")
+    }),
+
+    // ---- time windows W3/W4 (E9 timers -> event-time windows) ----
+
+    "q_time_tumbling" -> ((s, d) =>
+      TimeWindows.tumbling(ev(s, d), col("ts"), "1 hour",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("sv")))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n"), col("sv"))
+        .orderBy("ws", "event_type")),
+
+    "q_time_sliding" -> ((s, d) =>
+      TimeWindows.sliding(ev(s, d), col("ts"), "2 hours", "1 hour", Nil,
+          Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("sv")))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("n"), col("sv"))
+        .orderBy("ws")),
+
+    // W5 map-shaped keyed output (reference emits map[key]agg) — no SQL
+    // oracle (map-typed result); rows-only check
+    "q_keyed_map_shape" -> ((s, d) => {
+      val hourly = TimeWindows.tumbling(ev(s, d), col("ts"), "1 hour",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n").cast("double").as("n"))
+      TimeWindows.toMapShape(hourly, "ws", "event_type", "n").orderBy("ws")
+    }),
+
+    // ---- channels (E7): fan-in union of two filtered streams ----
+
+    "q_channel_fanin" -> ((s, d) => {
+      val e = ev(s, d)
+      val a = e.where(col("event_type") === "click")
+        .select(lit("clicks").as("channel"), col("value"))
+      val b = e.where(col("event_type") === "purchase")
+        .select(lit("purchases").as("channel"), col("value"))
+      a.unionAll(b).groupBy("channel")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+        .orderBy("channel")
+    }),
+
+    // ---- joins (Spark-native capabilities; E7 composition target) ----
+
+    "q_join_broadcast" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("acctbal"))
+        .orderBy("r_name", "n_name")),
+
+    "q_join_shuffle" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    "q_topk" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("c_custkey").asc)
+        .limit(10)),
+
+    // ---- text analysis ----
+
+    "q_token_count" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
+          TF.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_quality" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          round(TF.punctRatio(col("text")), 6).as("pr"),
+          round(TF.stopwordRatio(col("text")), 6).as("swr"),
+          round(TF.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- dedup ----
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d), "doc_id", "text")
+        .select(col("fp"), col("keep_id"), col("n_docs"))
+        .orderBy("fp")),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy("d1", "d2")),
+
+    // same contract as q_dedup_jaccard; LSH recall at threshold 0.8 with
+    // 32 bands x 2 rows is ~1-1e-14, so the exact-jaccard oracle applies
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy("d1", "d2")),
+
+    // xxhash64-based — not oracle-expressible; rows-only check + unit tests
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+        .orderBy("d1", "d2")),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id1", "id2")),
+
+    // ---- similarity search ----
+
+    "q_knn_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceKnn(e.where(col("vec_id") < 5), e,
+          "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    }),
+
+    "q_knn_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfKnn(e.where(col("vec_id").between(100, 104)), e,
+          "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // hash-derived hyperplanes — not oracle-expressible; rows-only check
+    "q_knn_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
+          64, 8, 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- multimodal plumbing ----
+
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.payloadMeta(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
+  )
+
+  // ----------------------------------------------------------------------
+  // DuckDB oracles. Tables are the same parquet files; column names and
+  // ORDER BY match the Spark side exactly.
+  // ----------------------------------------------------------------------
+
+  /** Shared SQL fragment: distinct 3-gram shingles per doc. */
+  private val shingleCte =
+    """d AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
+      |                       i -> array_to_string(tk[i+1:i+3], ' '))) sh
+      |  FROM (SELECT doc_id,
+      |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                           x -> x <> '') tk
+      |        FROM documents)),
+      |inv AS (SELECT doc_id, unnest(sh) s FROM d),
+      |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 1000),
+      |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+      |         FROM inv a JOIN rare USING (s) JOIN inv b USING (s)
+      |         WHERE a.doc_id < b.doc_id),
+      |jac AS (SELECT d1, d2,
+      |               len(list_intersect(x.sh, y.sh))::DOUBLE /
+      |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) j
+      |        FROM cand JOIN d x ON x.doc_id = d1 JOIN d y ON y.doc_id = d2)
+      |""".stripMargin
+
+  private val jaccardSql =
+    s"""WITH $shingleCte
+       |SELECT d1, d2, round(j, 4) AS jaccard FROM jac
+       |WHERE j >= 0.8 ORDER BY d1, d2""".stripMargin
+
+  private val swEn = "'the','a','of','and','to','in','is','that','it','for'"
+  private val swDe = "'der','die','das','und','ist','nicht','ein','mit','auf','für'"
+  private val swFr = "'le','la','les','et','est','un','une','dans','que','pour'"
+  private val swEs = "'el','la','los','las','y','es','un','una','que','por'"
+  private val swAll = ((swEn + "," + swDe + "," + swFr + "," + swEs)
+    .split(",").map(_.trim).distinct).mkString(",")
+
+  private val tokCte =
+    """t AS (SELECT doc_id, text,
+      |             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                         x -> x <> '') tk
+      |      FROM documents)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_pipeline_chain" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_expr_mapper" ->
+      """SELECT o_orderkey, concat('order-', o_orderstatus) AS tag,
+        |       round(o_totalprice * 0.9, 4) AS discounted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_expr_json" ->
+      """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1)::INTEGER AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_filter_nonzero" ->
+      """SELECT event_id, v FROM (
+        |  SELECT event_id, CASE WHEN value > 50 THEN 0.0 ELSE value END AS v
+        |  FROM events) WHERE v <> 0.0 ORDER BY event_id""".stripMargin,
+
+    "q_filter_nonzero_vec" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(min(l_quantity), 4) AS min_qty,
+        |       round(max(l_quantity), 4) AS max_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_accumulate" ->
+      """SELECT user_id, list(value ORDER BY event_id) AS vals
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_keyed_agg" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_groupby_state" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_vector_agg" ->
+      """SELECT label, i AS idx, round(sum(x), 4) AS vsum, round(avg(x), 4) AS vavg
+        |FROM (SELECT label, unnest(embedding::DOUBLE[]) x,
+        |             generate_subscripts(embedding, 1) i
+        |      FROM embeddings)
+        |GROUP BY label, i ORDER BY label, idx""".stripMargin,
+
+    "q_tumbling_count" ->
+      """SELECT user_id, window_id, round(sum(value), 4) AS result FROM (
+        |  SELECT user_id, value,
+        |         (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+        |           // 10 AS window_id,
+        |         count(*) OVER (PARTITION BY user_id) AS cnt,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+        |  FROM events)
+        |GROUP BY user_id, window_id HAVING count(*) = 10
+        |ORDER BY user_id, window_id""".stripMargin,
+
+    "q_sliding_count" ->
+      """SELECT user_id, rn AS emit_at, round(a, 4) AS result FROM (
+        |  SELECT user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,
+        |         avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS a
+        |  FROM events)
+        |WHERE rn >= 9 AND (rn - 9) % 3 = 0
+        |ORDER BY user_id, emit_at""".stripMargin,
+
+    "q_tumbling_stream" ->
+      """SELECT user_id, event_id AS emit_seq, round(s, 4) AS result FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |         sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s
+        |  FROM events)
+        |WHERE rn % 7 = 0 ORDER BY user_id, emit_seq""".stripMargin,
+
+    "q_time_tumbling" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sv
+        |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q_time_sliding" ->
+      """SELECT ws, count(*) AS n, round(sum(value), 4) AS sv FROM (
+        |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, value FROM events
+        |  UNION ALL
+        |  SELECT epoch(date_trunc('hour', ts))::BIGINT - 3600 AS ws, value
+        |  FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "q_channel_fanin" ->
+      """SELECT channel, count(*) AS n, round(sum(value), 4) AS sv FROM (
+        |  SELECT 'clicks' AS channel, value FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'purchases' AS channel, value FROM events
+        |  WHERE event_type = 'purchase')
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_topk" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_token_count" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, len(tk) AS n_tokens,
+         |       len(regexp_extract_all(text,
+         |           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id,
+         |  len(list_filter(tk, x -> x IN ($swEn))) en,
+         |  len(list_filter(tk, x -> x IN ($swDe))) de,
+         |  len(list_filter(tk, x -> x IN ($swFr))) fr,
+         |  len(list_filter(tk, x -> x IN ($swEs))) es,
+         |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) cjk,
+         |  len(tk) ntok
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN cjk * 2 > ntok THEN 'zh'
+         |       WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id,
+         |  CASE WHEN length(text) > 0 THEN
+         |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / length(text)
+         |  ELSE 0.0 END AS pr,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, x -> x IN ($swAll)))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS swr,
+         |  len(tk) AS ntok
+         |  FROM t)
+         |SELECT doc_id, round(pr, 6) AS pr, round(swr, 6) AS swr,
+         |  round(0.4 * least(ntok::DOUBLE / 100.0, 1.0)
+         |      + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+         |      + 0.3 * least(swr * 4.0, 1.0), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_dedup_jaccard" -> jaccardSql,
+    "q_dedup_minhash" -> jaccardSql,
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                    b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |                             b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, rank, cid, round(sim, 4) AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
+        |asg AS (SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |q AS (SELECT vec_id qid, v qv, cell FROM asg
+        |      WHERE vec_id BETWEEN 100 AND 104),
+        |s AS (SELECT q.qid, a.vec_id cid, list_cosine_similarity(q.qv, a.v) sim
+        |      FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.qid)
+        |SELECT qid, rank, cid, round(sim, 4) AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |       md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

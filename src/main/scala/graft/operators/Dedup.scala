@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four families, each with a scale story:
+  *  - exact:    hash-groupBy on a 128-bit content fingerprint — one shuffle
+  *              of (16-byte key, id) pairs, never the document bodies.
+  *  - jaccard:  n-gram shingle inverted-index join (explode shingles, equi-
+  *              join on shingle, distinct pairs) — the classic candidate
+  *              generator; candidate count is bounded by shingle document
+  *              frequency, so a `maxShingleDf` cap keeps the join skew-free
+  *              at corpus scale.
+  *  - minhash:  MinHash signatures + banded LSH (band-key equi-join) with
+  *              exact-jaccard verification of candidates — sub-quadratic and
+  *              shuffle-light: only (band-key, id) pairs shuffle.
+  *  - simhash:  64-bit SimHash + pigeonhole banding (4 x 16-bit chunks: any
+  *              pair at hamming distance <= 3 shares at least one chunk)
+  *              with exact hamming verification.
+  *
+  * All computation is built-in expressions (codegen'd) — no UDF in any hot
+  * path; signatures are O(1)-size per doc, so every join is an equi-join on
+  * small keys.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Per-document fingerprint + keep flag (keep = smallest id per
+    * fingerprint group). Output: (id, fp, keep). */
+  def exact(df: DataFrame, id: String, text: String): DataFrame = {
+    val fp = df.withColumn("fp", TextFunctions.fingerprint(col(text)))
+    val keeper = fp.groupBy(col("fp")).agg(min(col(id)).as("__keep_id"))
+    fp.join(keeper, "fp")
+      .withColumn("keep", col(id) === col("__keep_id"))
+      .select(col(id), col("fp"), col("keep"))
+  }
+
+  /** One row per duplicate group: fingerprint, surviving id, group size. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("fp", TextFunctions.fingerprint(col(text)))
+      .groupBy(col("fp"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  // ------------------------------------------------------------------
+  // N-gram Jaccard via shingle inverted-index join
+  // ------------------------------------------------------------------
+
+  /** (id, shingles) with distinct word n-gram shingles. */
+  def withShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id).as("doc"), TextFunctions.wordShingles(col(text), n).as("sh"))
+
+  /** Candidate pairs sharing at least one shingle, with exact Jaccard
+    * computed and filtered at `threshold`. Output: (d1, d2, jaccard).
+    *
+    * `maxShingleDf` drops ubiquitous shingles from candidate generation
+    * (a shingle present in k docs contributes k^2 candidate pairs — the
+    * classic skew bomb at 100 TB). Verification still uses ALL shingles,
+    * so dropped shingles cost recall only for pairs whose sole overlap is
+    * ubiquitous n-grams — which are below any useful threshold anyway. */
+  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+                   threshold: Double, maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = withShingles(df, id, text, n).cache()
+    val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf && col("df") >= 2)
+    val invR = inv.join(rare.select("s"), "s")
+    val cand = invR.as("a").join(invR.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Join candidate (d1, d2) pairs back to shingle sets and keep pairs with
+    * Jaccard >= threshold. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val x = sh.select(col("doc").as("d1"), col("sh").as("sh1"))
+    val y = sh.select(col("doc").as("d2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val uni = (size(col("sh1")) + size(col("sh2"))).cast("double") -
+      size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    cand.join(x, "d1").join(y, "d2")
+      .withColumn("jaccard", inter / uni)
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + banded LSH
+  // ------------------------------------------------------------------
+
+  /** Deterministic permutation constants (a_i odd, b_i) for
+    * h_i(x) = (a_i * x + b_i) mod p with p = 2^31 - 1. Base hash is
+    * xxhash64 truncated to 32 bits so a_i * x + b_i stays well inside a
+    * 64-bit long under ANSI arithmetic (no overflow). */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private[operators] def perms(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)(((rnd.nextInt(Int.MaxValue - 1).toLong | 1L),
+      rnd.nextInt(Int.MaxValue - 1).toLong))
+  }
+
+  /** MinHash signature column: array<bigint> of length `numPerms` over a
+    * distinct-shingle array column. Empty shingle sets get the sentinel
+    * signature of all p (never collides with a real hash). */
+  def minhashSignature(shingles: Column, numPerms: Int): Column = {
+    val h32 = transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xffffffffL)))
+    val sigs = perms(numPerms).map { case (a, b) =>
+      aggregate(h32, lit(MinhashP),
+        (m, h) => least(m, pmod(h * lit(a) + lit(b), lit(MinhashP))))
+    }
+    array(sigs: _*)
+  }
+
+  /** Near-duplicate pairs via banded MinHash LSH, verified with exact
+    * Jaccard. rowsPerBand=2 and numPerms=64 (32 bands) give >99.99% recall
+    * at jaccard 0.8. Output: (d1, d2, jaccard) — identical contract to
+    * [[jaccardPairs]], so the two are cross-checkable. */
+  def minhashPairs(df: DataFrame, id: String, text: String, n: Int,
+                   threshold: Double, numPerms: Int = 64,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val sh = withShingles(df, id, text, n).cache()
+    val sig = sh.where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numPerms))
+    val numBands = numPerms / rowsPerBand
+    // band key: hash of the band's signature slice + band index
+    val bands = sig.select(col("doc"), posexplode(
+      array((0 until numBands).map { bI =>
+        xxhash64(lit(bI) +: (0 until rowsPerBand).map(r =>
+          col("sig").getItem(bI * rowsPerBand + r)): _*)
+      }: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over a token/shingle array column, as bigint.
+    * bit b of the result is 1 iff sum over tokens of (+1 if bit b of
+    * xxhash64(token) else -1) is positive. */
+  def simhash64(tokens: Column): Column = {
+    val hs = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance <= maxHamming (<= 3
+    * with the default 4-chunk pigeonhole banding: any pair within hamming 3
+    * of each other agrees exactly on at least one 16-bit chunk).
+    * Output: (d1, d2, hamming). */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sim = df.select(col(id).as("doc"),
+      simhash64(TextFunctions.tokens(col(text))).as("simhash"))
+    val chunks = sim.select(col("doc"), col("simhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("chunk", "ckey")))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("a.simhash").as("h1"),
+        col("b.doc").as("d2"), col("b.simhash").as("h2"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding near-duplicates
+  // ------------------------------------------------------------------
+
+  /** Pairs of vectors with cosine similarity >= threshold, by brute-force
+    * pairwise comparison. Quadratic — correct baseline at any SF; the scale
+    * path is [[Similarity.cosineLshBuckets]]-style candidate generation. */
+  def embeddingPairs(df: DataFrame, id: String, vec: String,
+                     threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
+    v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
+      .withColumn("cosine", cosine(col("a.v"), col("b.v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}

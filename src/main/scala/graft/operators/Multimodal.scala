@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns travelling next to a typed
+  * metadata struct — the schema pattern a 100 TB training-data pipeline
+  * needs: bodies stay columnar in parquet, metadata is filterable/prunable
+  * without touching bytes, and per-record decode runs partition-parallel
+  * with bounded memory (one batch of records in flight per task).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): [[decodeStub]] derives deterministic fake features from
+  * the bytes. The Spark-side contract — schema, partitioning, typed
+  * mapPartitions batch shape — is real and tested; swap `decodeStub` for a
+  * real codec (or a Pandas-UDF equivalent in PySpark) without touching any
+  * other code.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + typed metadata. */
+  case class MediaRecord(id: Long, payload: Array[Byte], mediaType: String,
+                         width: Int, height: Int)
+
+  /** Extracted features for one record. */
+  case class MediaFeatures(id: Long, nBytes: Long, contentHash: String,
+                           meanByte: Double, frameCount: Int)
+
+  /** Wrap any table into media records, treating a string column as the
+    * opaque payload (UTF-8 bytes) — used by tests/queries since the
+    * testdata has no real media; the schema is what matters. */
+  def asMediaRecords(df: DataFrame, id: String, payloadCol: String)
+                    (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(id).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("payload"),
+        lit("text/plain").as("mediaType"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRecord]
+  }
+
+  /** STUB codec: deterministic fake decode. A real implementation would
+    * decode image/audio bytes here (e.g. via a JNI codec); everything
+    * around it — batching, partition parallelism, output schema — is the
+    * production shape. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+    val mean = if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    // fake "frame sample": one frame per 64 bytes, capped — stands in for
+    // video frame-sampling cadence
+    MediaFeatures(r.id, bytes.length.toLong, hash, mean,
+      math.min(bytes.length / 64 + 1, 32))
+  }
+
+  /** Partition-parallel feature extraction over media records. */
+  def extractFeatures(ds: Dataset[MediaRecord])
+                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Column-only metadata path (no decode, pure codegen): byte length and
+    * md5 of the payload — the cheap pre-filter a pipeline runs BEFORE
+    * paying for decode. */
+  def payloadMeta(df: DataFrame, id: String, payloadCol: String): DataFrame =
+    df.select(col(id),
+      octet_length(col(payloadCol).cast("binary")).cast("bigint").as("n_bytes"),
+      md5(col(payloadCol).cast("binary")).as("content_hash"))
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * - [[bruteForceKnn]]: exact top-k by cosine — the correctness baseline.
+  *   Query side is broadcast (queries << corpus), so the corpus is scanned
+  *   once with no shuffle of the big side; per-partition top-k then a final
+  *   k-merge via window rank.
+  * - [[ivfKnn]]: inverted-file ANN — assign every corpus vector to its
+  *   nearest centroid (broadcast centroids), then search only the query's
+  *   `nProbe` closest cells. At 100 TB the corpus is bucketed/partitioned
+  *   by cell id, so a query touches nProbe partitions instead of all.
+  * - [[cosineLshBuckets]]: random-hyperplane signature for LSH bucketing —
+  *   deterministic planes derived from xxhash64, so signatures are
+  *   reproducible across runs/engines.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * Output: (qid, rank, cid, sim). Ties broken by ascending cid. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"))
+    val c = corpus.select(col(id).as("cid"), asDoubles(col(vec)).as("cv"))
+    val sims = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (ties: lowest
+    * centroid id). Centroids are broadcast. Output: df + (cell, cellSim). */
+  def assignCells(df: DataFrame, id: String, vec: String,
+                  centroids: DataFrame, cid: String, cvec: String): DataFrame = {
+    val c = centroids.select(col(cid).as("__cell"), asDoubles(col(cvec)).as("__cv"))
+    val w = Window.partitionBy(col(id)).orderBy(col("__csim").desc, col("__cell").asc)
+    df.withColumn("__v", asDoubles(col(vec)))
+      .join(broadcast(c), lit(true))
+      .withColumn("__csim", cosine(col("__v"), col("__cv")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__v", "__cv", "__rn")
+      .withColumnRenamed("__cell", "cell")
+      .withColumnRenamed("__csim", "cell_sim")
+  }
+
+  /** IVF ANN: top-k within the query's own cell (nProbe=1) or its nProbe
+    * nearest cells. Output: (qid, rank, cid, sim) — same contract as
+    * [[bruteForceKnn]] but approximate (only vectors sharing a probed cell
+    * are considered). */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+             centroids: DataFrame, centId: String, centVec: String,
+             k: Int, nProbe: Int = 1): DataFrame = {
+    val c = centroids.select(col(centId).as("__cell"),
+      asDoubles(col(centVec)).as("__cv"))
+    // corpus cell assignment (nearest centroid)
+    val corpusCells = assignCells(corpus, id, vec, centroids, centId, centVec)
+      .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))
+    // query probes: its nProbe nearest centroids
+    val qw = Window.partitionBy(col("qid")).orderBy(col("__csim").desc, col("__cell").asc)
+    val probes = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"))
+      .join(broadcast(c), lit(true))
+      .withColumn("__csim", cosine(col("qv"), col("__cv")))
+      .withColumn("__rn", row_number().over(qw))
+      .where(col("__rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("__cell").as("cell"))
+    val sims = corpusCells.join(broadcast(probes), Seq("cell"))
+      .where(col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
+    * with pseudo-random unit-free planes. Plane component j of plane i is
+    * derived from xxhash64(i, j) mapped to [-1, 1] — deterministic, no
+    * stored model. Vectors with high cosine share bucket bits with high
+    * probability. Returns a bigint bucket id. */
+  def cosineLshBuckets(vec: Column, dim: Int, nBits: Int): Column = {
+    val v = asDoubles(vec)
+    val bits = (0 until nBits).map { i =>
+      // dot(v, plane_i) where plane_i(j) = hash01(i, j) * 2 - 1
+      val planeDot = (0 until dim).map { j =>
+        val h = xxhash64(lit(i), lit(j))
+        val u = (pmod(h, lit(1000003L)).cast("double") / lit(1000003.0)) * 2.0 - 1.0
+        element_at(v, j + 1) * u
+      }.reduce(_ + _)
+      when(planeDot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH bucketing: candidates = pairs sharing a bucket, verified
+    * exactly. Output: (qid, rank, cid, sim) limited to bucket-mates. */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+             dim: Int, nBits: Int, k: Int): DataFrame = {
+    val bq = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"),
+      cosineLshBuckets(col(vec), dim, nBits).as("bucket"))
+    val bc = corpus.select(col(id).as("cid"), asDoubles(col(vec)).as("cv"),
+      cosineLshBuckets(col(vec), dim, nBits).as("bucket"))
+    val sims = bc.join(broadcast(bq), Seq("bucket"))
+      .where(col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+  }
+}

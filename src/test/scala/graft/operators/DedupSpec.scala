@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("exact dedup: synthetic duplicates collapse by normalized text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different doc"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dupGroup = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH pairs equal exact-jaccard pairs on the corpus") {
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jac.nonEmpty)
+    assert(mh == jac)
+  }
+
+  test("simhash pairs are verified by driver-side recomputation") {
+    val sims = docs.select(col("doc_id"),
+        Dedup.simhash64(graft.functions.TextFunctions.tokens(col("text")))
+          .as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    // every reported pair must have the reported hamming distance
+    pairs.foreach { case (d1, d2, ham) =>
+      assert(java.lang.Long.bitCount(sims(d1) ^ sims(d2)) == ham)
+      assert(ham <= 3)
+    }
+    // pigeonhole banding is exact for hamming <= 3: no pair may be missed
+    val expected = for {
+      Seq((a, ha), (b, hb)) <- sims.toSeq.sortBy(_._1).combinations(2).toSeq
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected.toSet)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val emb = Tables.embeddings(spark, sf())
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) => assert(a < b); assert(c >= 0.3) }
+  }
+}

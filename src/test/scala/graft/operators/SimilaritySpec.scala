@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+
+  private def cosineRef(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("brute-force knn matches a driver-side reference") {
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = Similarity.bruteForceKnn(
+        emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = (0L until 3L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (c, v) => (c, cosineRef(vecs(q), v)) }
+        .sortBy { case (c, sim) => (-sim, c) }
+        .take(3).zipWithIndex
+        .map { case ((c, _), i) => (q, i + 1, c) }
+    }
+    assert(got.sorted.toSeq == expected.sorted)
+  }
+
+  test("ivf knn only searches the probed cell and ranks correctly") {
+    val cent = emb.where(col("vec_id") < 10)
+    val out = Similarity.ivfKnn(emb.where(col("vec_id").between(50, 54)), emb,
+        "vec_id", "embedding", cent, "vec_id", "embedding", 3)
+      .collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to ranks.length))
+      // sims are non-increasing with rank
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh knn candidates all share the query's bucket") {
+    val out = Similarity.lshKnn(emb.where(col("vec_id") < 5), emb,
+      "vec_id", "embedding", 64, 8, 3)
+    val buckets = emb.select(col("vec_id"),
+        Similarity.cosineLshBuckets(col("embedding"), 64, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2)))
+    rows.foreach { case (q, c) => assert(buckets(q) == buckets(c)) }
+    // signatures must be deterministic across evaluations
+    val again = emb.select(col("vec_id"),
+        Similarity.cosineLshBuckets(col("embedding"), 64, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == buckets)
+  }
+}
