@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up: JIT/codegen paths and file-system caches, so per-query
+    // numbers measure the query, not session startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.engine.Tables.names.foreach { n =>
+      try graft.engine.Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

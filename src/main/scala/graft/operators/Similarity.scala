@@ -26,9 +26,11 @@ object Similarity {
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, id: String,
                     vec: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(id).as("cid"), asDoubles(col(vec)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val sims = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -41,13 +43,16 @@ object Similarity {
   def assignCells(df: DataFrame, id: String, vec: String,
                   centroids: DataFrame, cid: String, cvec: String): DataFrame = {
     val c = centroids.select(col(cid).as("__cell"), asDoubles(col(cvec)).as("__cv"))
+      .withColumn("__cvn", l2Norm(col("__cv")))
     val w = Window.partitionBy(col(id)).orderBy(col("__csim").desc, col("__cell").asc)
     df.withColumn("__v", asDoubles(col(vec)))
+      .withColumn("__vn", l2Norm(col("__v")))
       .join(broadcast(c), lit(true))
-      .withColumn("__csim", cosine(col("__v"), col("__cv")))
+      .withColumn("__csim",
+        dot(col("__v"), col("__cv")) / (col("__vn") * col("__cvn")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .drop("__v", "__cv", "__rn")
+      .drop("__v", "__vn", "__cv", "__cvn", "__rn")
       .withColumnRenamed("__cell", "cell")
       .withColumnRenamed("__csim", "cell_sim")
   }
@@ -60,21 +65,25 @@ object Similarity {
              centroids: DataFrame, centId: String, centVec: String,
              k: Int, nProbe: Int = 1): DataFrame = {
     val c = centroids.select(col(centId).as("__cell"),
-      asDoubles(col(centVec)).as("__cv"))
+        asDoubles(col(centVec)).as("__cv"))
+      .withColumn("__cvn", l2Norm(col("__cv")))
     // corpus cell assignment (nearest centroid)
     val corpusCells = assignCells(corpus, id, vec, centroids, centId, centVec)
       .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))
+      .withColumn("cn", l2Norm(col("cv")))
     // query probes: its nProbe nearest centroids
     val qw = Window.partitionBy(col("qid")).orderBy(col("__csim").desc, col("__cell").asc)
     val probes = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
       .join(broadcast(c), lit(true))
-      .withColumn("__csim", cosine(col("qv"), col("__cv")))
+      .withColumn("__csim",
+        dot(col("qv"), col("__cv")) / (col("qn") * col("__cvn")))
       .withColumn("__rn", row_number().over(qw))
       .where(col("__rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("__cell").as("cell"))
+      .select(col("qid"), col("qv"), col("qn"), col("__cell").as("cell"))
     val sims = corpusCells.join(broadcast(probes), Seq("cell"))
       .where(col("cid") =!= col("qid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -82,20 +91,18 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
-    * with pseudo-random unit-free planes. Plane component j of plane i is
-    * derived from xxhash64(i, j) mapped to [-1, 1] — deterministic, no
-    * stored model. Vectors with high cosine share bucket bits with high
-    * probability. Returns a bigint bucket id. */
+    * with pseudo-random planes. Planes come from a fixed-seed PRNG
+    * (java.util.Random is spec-fixed, so signatures are deterministic
+    * across runs and JVMs) and are embedded as array literals, so each
+    * bit is one codegen'd dot-product loop. Vectors with high cosine
+    * share bucket bits with high probability. Returns a bigint bucket. */
   def cosineLshBuckets(vec: Column, dim: Int, nBits: Int): Column = {
     val v = asDoubles(vec)
+    val rnd = new java.util.Random(42L + dim * 1000L + nBits)
     val bits = (0 until nBits).map { i =>
-      // dot(v, plane_i) where plane_i(j) = hash01(i, j) * 2 - 1
-      val planeDot = (0 until dim).map { j =>
-        val h = xxhash64(lit(i), lit(j))
-        val u = (pmod(h, lit(1000003L)).cast("double") / lit(1000003.0)) * 2.0 - 1.0
-        element_at(v, j + 1) * u
-      }.reduce(_ + _)
-      when(planeDot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val plane = Seq.fill(dim)(rnd.nextDouble() * 2.0 - 1.0)
+      when(dot(v, typedLit(plane)) > 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -105,12 +112,14 @@ object Similarity {
   def lshKnn(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
              dim: Int, nBits: Int, k: Int): DataFrame = {
     val bq = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"),
-      cosineLshBuckets(col(vec), dim, nBits).as("bucket"))
+        cosineLshBuckets(col(vec), dim, nBits).as("bucket"))
+      .withColumn("qn", l2Norm(col("qv")))
     val bc = corpus.select(col(id).as("cid"), asDoubles(col(vec)).as("cv"),
-      cosineLshBuckets(col(vec), dim, nBits).as("bucket"))
+        cosineLshBuckets(col(vec), dim, nBits).as("bucket"))
+      .withColumn("cn", l2Norm(col("cv")))
     val sims = bc.join(broadcast(bq), Seq("bucket"))
       .where(col("cid") =!= col("qid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
