@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{Dsl, Pipelines, Tables}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.windows.{AggFunctions, CountWindows, TimeWindows}
@@ -297,6 +297,68 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- DSL pipelines (the reference's JSON API, E1-E6 end-to-end) ----
+
+    // count tumbling window via DSL: groupBy discriminator + stall/emit
+    "q_dsl_tumbling" -> ((s, d) => {
+      val p = Dsl.parsePipeline("dsl_tumbling",
+        """{
+          |"metadata": {"input": [{"name":"k","type":"string"},
+          |                       {"name":"value","type":"double"}],
+          |             "output": [{"name":"k","type":"string"},
+          |                        {"name":"emit_seq","type":"long"},
+          |                        {"name":"result","type":"double"}]},
+          |"stages": [{"ref":"#aggregate",
+          |            "settings":{"function":"sum","windowType":"tumbling",
+          |                        "windowSize":"10"},
+          |            "input":{"value":"=$.value"},
+          |            "output":{"pipeline.emit_seq":"=$.__seq",
+          |                      "pipeline.result":"=number.round($.result, 4)"}}]
+          |}""".stripMargin).copy(groupBy = Some("k"))
+      val in = ev(s, d).select(col("user_id").cast("string").as("k"),
+        col("value"), col("event_id").as("__seq"))
+      Pipelines.compileBatch(p, in).orderBy("k", "emit_seq")
+    }),
+
+    // expression mapper + non-zero filter via DSL
+    "q_dsl_filter" -> ((s, d) => {
+      val p = Dsl.parsePipeline("dsl_filter",
+        """{
+          |"metadata": {"input": [{"name":"event_id","type":"long"},
+          |                       {"name":"value","type":"double"}],
+          |             "output": [{"name":"event_id","type":"long"},
+          |                        {"name":"v","type":"double"}]},
+          |"stages": [{"ref":"#filter",
+          |            "settings":{"type":"non-zero"},
+          |            "input":{"value":"=if($.value > 50, 0.0d, $.value)"},
+          |            "output":{"pipeline.v":"=$.value"}}]
+          |}""".stripMargin)
+      val in = ev(s, d).select(col("event_id"), col("value"))
+      Pipelines.compileBatch(p, in).orderBy("event_id")
+    }),
+
+    // timeTumbling window via DSL (timer emission = last event of pane)
+    "q_dsl_time_agg" -> ((s, d) => {
+      val p = Dsl.parsePipeline("dsl_time_agg",
+        """{
+          |"metadata": {"input": [{"name":"event_type","type":"string"},
+          |                       {"name":"value","type":"double"}],
+          |             "output": [{"name":"k","type":"string"},
+          |                        {"name":"emit_seq","type":"long"},
+          |                        {"name":"result","type":"double"}]},
+          |"stages": [{"ref":"#aggregate",
+          |            "settings":{"function":"sum","windowType":"timeTumbling",
+          |                        "windowSize":"3600000"},
+          |            "input":{"value":"=$.value"},
+          |            "output":{"pipeline.k":"=$.event_type",
+          |                      "pipeline.emit_seq":"=$.__seq",
+          |                      "pipeline.result":"=number.round($.result, 4)"}}]
+          |}""".stripMargin).copy(groupBy = Some("event_type"))
+      val in = ev(s, d).select(col("event_type"), col("value"),
+        col("event_id").as("__seq"), col("ts").as("__ts"))
+      Pipelines.compileBatch(p, in).orderBy("k", "emit_seq")
+    }),
+
     // ---- multimodal plumbing ----
 
     "q_multimodal_meta" -> ((s, d) =>
@@ -576,6 +638,32 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
         |       md5(text) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dsl_tumbling" ->
+      """SELECT CAST(user_id AS VARCHAR) AS k, event_id AS emit_seq,
+        |       round(s, 4) AS result FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |         sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS s
+        |  FROM events)
+        |WHERE rn % 10 = 0 ORDER BY k, emit_seq""".stripMargin,
+
+    "q_dsl_filter" ->
+      """SELECT event_id, v FROM (
+        |  SELECT event_id, CASE WHEN value > 50 THEN 0.0 ELSE value END AS v
+        |  FROM events) WHERE v <> 0.0 ORDER BY event_id""".stripMargin,
+
+    "q_dsl_time_agg" ->
+      """SELECT k, emit_seq, round(s, 4) AS result FROM (
+        |  SELECT event_type AS k, event_id AS emit_seq,
+        |         row_number() OVER (PARTITION BY event_type,
+        |                            date_trunc('hour', ts)
+        |                            ORDER BY event_id DESC) AS rdesc,
+        |         sum(value) OVER (PARTITION BY event_type,
+        |                          date_trunc('hour', ts)) AS s
+        |  FROM events)
+        |WHERE rdesc = 1 ORDER BY k, emit_seq""".stripMargin
   )
 }

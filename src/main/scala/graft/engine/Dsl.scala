@@ -1,0 +1,155 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** The pipeline DSL: a faithful model of the reference's stream resource
+  * JSON (pipeline/definition.go:12-34, stage.go:68-148, and the JSON files
+  * under examples/), parsed with Jackson (already on the Spark classpath).
+  *
+  * An app declares `resources` (named pipelines); each pipeline has typed
+  * input/output metadata and an ordered list of stages; each stage wraps an
+  * activity ref (#aggregate, #filter, #log) with settings, an input mapper
+  * and an output mapper. Actions bind pipelines to optional `groupBy` and
+  * `outputChannel` settings (action.go:32,107-115).
+  */
+object Dsl {
+
+  case class FieldDef(name: String, typ: String)
+
+  case class StageDef(ref: String,
+                      settings: Map[String, String],
+                      input: Map[String, String],
+                      output: Map[String, String])
+
+  case class PipelineDef(id: String,
+                         inputs: Seq[FieldDef],
+                         outputs: Seq[FieldDef],
+                         stages: Seq[StageDef],
+                         groupBy: Option[String] = None,
+                         outputChannel: Option[String] = None)
+
+  case class AppDef(channels: Seq[String], pipelines: Map[String, PipelineDef])
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse a full app JSON (flogo:app shape). Trigger wiring is runtime
+    * concern (see graft.streaming); here we extract channels, resources
+    * and the action-level settings that affect pipeline compilation. */
+  def parseApp(json: String): AppDef = {
+    val root = mapper.readTree(json)
+    val channels = arr(root, "channels").map(_.asText.split(":")(0))
+    // action id -> (resource id, groupBy, outputChannel)
+    val actions = arr(root, "actions").map { a =>
+      val settings = Option(a.get("settings"))
+      val uri = settings.flatMap(s => Option(s.get("streamURI")))
+        .map(_.asText).getOrElse("")
+      val resId = uri.stripPrefix("res://")
+      (text(a, "id"),
+        resId,
+        settings.flatMap(s => Option(s.get("groupBy"))).map(_.asText),
+        settings.flatMap(s => Option(s.get("outputChannel"))).map(_.asText))
+    }
+    val resources = arr(root, "resources").map { r =>
+      text(r, "id") -> parsePipelineData(text(r, "id"), r.get("data"))
+    }.toMap
+    // pipelines keyed by ACTION id, with action settings applied;
+    // resources not referenced by an action are exposed under their own id
+    val byAction = actions.flatMap { case (aid, resId, gb, oc) =>
+      resources.get(resId).map(p =>
+        aid -> p.copy(groupBy = gb, outputChannel = oc))
+    }.toMap
+    AppDef(channels, resources ++ byAction)
+  }
+
+  /** Parse a bare stream resource (the `data` object of a resource). */
+  def parsePipeline(id: String, json: String): PipelineDef =
+    parsePipelineData(id, mapper.readTree(json))
+
+  private def parsePipelineData(id: String, data: JsonNode): PipelineDef = {
+    val md = Option(data.get("metadata"))
+    def fields(key: String): Seq[FieldDef] =
+      md.map(m => arr(m, key).map(f => FieldDef(text(f, "name"), text(f, "type"))))
+        .getOrElse(Nil)
+    val stages = arr(data, "stages").map { s =>
+      StageDef(text(s, "ref").stripPrefix("#"),
+        objMap(s, "settings"), objMap(s, "input"), objMap(s, "output"))
+    }
+    PipelineDef(id, fields("input"), fields("output"), stages)
+  }
+
+  private def arr(n: JsonNode, key: String): Seq[JsonNode] =
+    Option(n.get(key)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+  private def text(n: JsonNode, key: String): String =
+    Option(n.get(key)).map(_.asText).getOrElse("")
+  private def objMap(n: JsonNode, key: String): Map[String, String] =
+    Option(n.get(key)).map(o =>
+      o.fieldNames.asScala.map(k => k -> o.get(k).asText).toMap)
+      .getOrElse(Map.empty)
+
+  // --------------------------------------------------------------------
+  // Expression language (pipeline/support/mapper.go:21-62; scopes
+  // pipeline/scope.go:10-14, resolve.go:11-16)
+  // --------------------------------------------------------------------
+
+  /** Reserved column-name prefixes for the non-default scopes. */
+  val PipelinePrefix = "__pipeline_"
+  val PassthruPrefix = "__passthru_"
+
+  private val FuncMap: Seq[(String, String)] = Seq(
+    "string.concat("    -> "concat(",
+    "string.length("    -> "length(",
+    "string.upper("     -> "upper(",
+    "string.lower("     -> "lower(",
+    "string.contains("  -> "contains(",
+    "string.startsWith(" -> "startswith(",
+    "string.trim("      -> "trim(",
+    "number.round("     -> "round(",
+    "math.abs("         -> "abs(",
+    "coerce.toString("  -> "string(",
+    "coerce.toInt64("   -> "bigint(",
+    "coerce.toFloat64(" -> "double(")
+
+  /** Translate a mapper value to a Spark SQL expression string.
+    * `=`-prefixed values are expressions (scope refs + flogo function
+    * names mapped to Spark SQL); anything else is a literal
+    * (support/mapper.go:30-41). */
+  def translate(value: String,
+                env: Map[String, String] = Map.empty,
+                props: Map[String, String] = Map.empty): String = {
+    if (value == null) return "NULL"
+    if (!value.startsWith("=")) return literal(value)
+    var e = value.substring(1)
+    FuncMap.foreach { case (from, to) => e = e.replace(from, to) }
+    e = "\\$env\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
+      m => java.util.regex.Matcher.quoteReplacement(
+        literal(env.getOrElse(m.group(1), ""))))
+    e = "\\$property\\.([A-Za-z_][A-Za-z0-9_.]*)".r.replaceAllIn(e,
+      m => java.util.regex.Matcher.quoteReplacement(
+        literal(props.getOrElse(m.group(1), ""))))
+    e = "\\$pipeline\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
+      m => s"`$PipelinePrefix${m.group(1)}`")
+    e = "\\$passthru\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
+      m => s"`$PassthruPrefix${m.group(1)}`")
+    e = "\\$\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
+      m => s"`${m.group(1)}`")
+    e
+  }
+
+  private def literal(v: String): String =
+    if (v.matches("-?[0-9]+") || v.matches("-?[0-9]*\\.[0-9]+") ||
+        v == "true" || v == "false") v
+    else "'" + v.replace("'", "''") + "'"
+
+  /** Reference type name -> Spark SQL type (coerce.ToType at
+    * pipeline/instance.go:282). */
+  def sparkType(t: String): String = t match {
+    case "int" | "integer" => "int"
+    case "long" | "int64"  => "bigint"
+    case "float64" | "double" | "number" => "double"
+    case "string"          => "string"
+    case "bool" | "boolean" => "boolean"
+    case "array"           => "array<double>"
+    case other             => other
+  }
+}

@@ -1,0 +1,272 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Dsl._
+
+/** Pipeline compiler: DSL definition -> declarative DataFrame plan.
+  *
+  * NOT an interpreter port. The reference walks stages per event with a
+  * mutable context (pipeline/instance.go:65-136); here every stage becomes
+  * a row-preserving DataFrame transformation and Catalyst optimizes the
+  * whole chain (projection collapse, filter pushdown, partial aggregation).
+  *
+  * Execution contract for `compileBatch`:
+  *  - input DataFrame columns = pipeline metadata.input names, plus
+  *    `__seq` (long, monotone per key: arrival order) and, for time
+  *    windows, `__ts` (timestamp).
+  *  - The action-level `groupBy` setting (action.go:156-165) names an
+  *    input field whose value partitions all window state.
+  *
+  * Stage semantics:
+  *  - Every stage computes a boolean `report` column; `proceedOnlyOnEmit`
+  *    (default true) filters rows where report=false — the Spark analog of
+  *    the reference's stall (instance.go:116-124): non-emitting events are
+  *    consumed into state and produce nothing downstream. With
+  *    proceedOnlyOnEmit=false rows flow on with report=false
+  *    (activity.go:136).
+  *  - Window emissions carry the scope columns of the event that triggered
+  *    them (the reference resumes the LAST stalled context —
+  *    state.go:233-241), which falls out naturally of the row-preserving
+  *    window-function formulation.
+  */
+object Pipelines {
+
+  /** Compile a pipeline over a batch DataFrame. */
+  def compileBatch(p: PipelineDef, input: DataFrame,
+                   env: Map[String, String] = Map.empty,
+                   props: Map[String, String] = Map.empty): DataFrame = {
+    var df = prologue(p, input)
+    p.stages.foreach { st => df = compileStage(p, st, df, env, props, streaming = false) }
+    epilogue(p, df)
+  }
+
+  /** Compile over a streaming DataFrame. Count windows use the
+    * flatMapGroupsWithState operators; stages after a window stage see the
+    * window result columns (pipeline/passthru scope carrying across a
+    * streaming aggregation is not supported — same information loss as the
+    * reference's consumed contexts). */
+  def compileStream(p: PipelineDef, input: DataFrame,
+                    env: Map[String, String] = Map.empty,
+                    props: Map[String, String] = Map.empty): DataFrame = {
+    var df = prologue(p, input)
+    p.stages.foreach { st => df = compileStage(p, st, df, env, props, streaming = true) }
+    epilogue(p, df)
+  }
+
+  // --------------------------------------------------------------------
+
+  private def prologue(p: PipelineDef, input: DataFrame): DataFrame = {
+    var df = input
+    if (!df.columns.contains("__seq"))
+      // streaming sources must supply __seq themselves (CsvReplay does);
+      // monotonically_increasing_id is batch-only, and row-wise streaming
+      // stages never read the placeholder
+      df = df.withColumn("__seq",
+        if (df.isStreaming) lit(0L) else monotonically_increasing_id())
+    // typed coercion of declared inputs + pipeline-scope copies
+    p.inputs.foreach { f =>
+      df = df.withColumn(f.name, col(f.name).cast(sparkType(f.typ)))
+        .withColumn(PipelinePrefix + f.name, col(f.name))
+    }
+    val group = p.groupBy
+      .map(g => col(g).cast("string"))
+      .getOrElse(lit(""))
+    df.withColumn("__group", group)
+  }
+
+  private def epilogue(p: PipelineDef, df: DataFrame): DataFrame = {
+    if (p.outputs.isEmpty) return df
+    val cols = p.outputs.map { f =>
+      val src = if (df.columns.contains(PipelinePrefix + f.name))
+        col(PipelinePrefix + f.name)
+      else col(f.name)
+      src.cast(sparkType(f.typ)).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  private def compileStage(p: PipelineDef, st: StageDef, df: DataFrame,
+                           env: Map[String, String], props: Map[String, String],
+                           streaming: Boolean): DataFrame = {
+    def in(key: String, default: String): Column =
+      st.input.get(key)
+        .map(v => expr(Dsl.translate(v, env, props)))
+        .getOrElse(expr(default))
+    val out = st.ref match {
+      case "aggregate" => aggregateStage(st, df, in("value", "`value`"), streaming)
+      case "filter"    => filterStage(st, df, in("value", "`value`"))
+      case "log"       =>
+        df.withColumn("message", in("message", "''").cast("string"))
+          .withColumn("report", lit(true))
+      case other =>
+        throw new IllegalArgumentException(s"unknown stage ref: #$other")
+    }
+    applyOutputMapper(st, out, env, props)
+  }
+
+  private def applyOutputMapper(st: StageDef, df: DataFrame,
+                                env: Map[String, String],
+                                props: Map[String, String]): DataFrame = {
+    var out = df
+    st.output.foreach { case (target, v) =>
+      val c = expr(Dsl.translate(v, env, props))
+      target.split("\\.", 2) match {
+        case Array("pipeline", name) =>
+          out = out.withColumn(PipelinePrefix + name, c)
+        case Array("passthru", name) =>
+          out = out.withColumn(PassthruPrefix + name, c)
+        case Array(name) => out = out.withColumn(name, c)
+        case _ => ()
+      }
+    }
+    out
+  }
+
+  private def pooe(st: StageDef): Boolean =
+    st.settings.getOrElse("proceedOnlyOnEmit", "true").toBoolean
+
+  private def gate(df: DataFrame, proceedOnlyOnEmit: Boolean): DataFrame =
+    if (proceedOnlyOnEmit) df.where(col("report")) else df
+
+  // ---- filter activity (activity/filter; only registered type is
+  // non-zero — activity.go:46-50) ----
+
+  private def filterStage(st: StageDef, df: DataFrame, value: Column): DataFrame = {
+    val v = df.withColumn("value", value)
+    val filtered = v.schema("value").dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        !exists(col("value"), x => x =!= 0.0)
+      case _ => col("value") === 0.0
+    }
+    gate(v.withColumn("filtered", filtered)
+      .withColumn("report", !col("filtered")), pooe(st))
+  }
+
+  // ---- aggregate activity ----
+
+  private def aggregateStage(st: StageDef, df: DataFrame, value: Column,
+                             streaming: Boolean): DataFrame = {
+    val fn = st.settings.getOrElse("function", "avg")
+    val windowType = st.settings.getOrElse("windowType", "tumbling")
+    val size = st.settings.getOrElse("windowSize", "5").toInt
+    val resolution = st.settings.getOrElse("resolution", "1").toInt max 1
+    val v = df.withColumn("__agg_value", value)
+    val agged =
+      if (streaming) streamingAggregate(v, fn, windowType, size, resolution)
+      else batchAggregate(v, fn, windowType, size, resolution)
+    gate(agged, pooe(st))
+  }
+
+  /** Batch formulation: window functions partitioned by the group key,
+    * ordered by arrival — row-preserving, so emissions keep the triggering
+    * event's scope columns. */
+  private def batchAggregate(df: DataFrame, fn: String, windowType: String,
+                             size: Int, resolution: Int): DataFrame = {
+    val byKey = Window.partitionBy(col("__group")).orderBy(col("__seq"))
+    windowType match {
+      case "tumbling" =>
+        val rn = row_number().over(byKey) - 1
+        val winId = (col("__rn") - pmod(col("__rn"), lit(size))) / size
+        val winFrame = Window.partitionBy(col("__group"), col("__win"))
+        df.withColumn("__rn", rn)
+          .withColumn("__win", winId)
+          .withColumn("result",
+            windowAgg(fn, col("__agg_value"), col("__seq"),
+              winFrame.orderBy(col("__seq"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("report", pmod(col("__rn"), lit(size)) === size - 1)
+      case "sliding" =>
+        val frame = byKey.rowsBetween(-(size - 1), Window.currentRow)
+        val firstEmit = math.max(size, resolution)
+        df.withColumn("__rn", row_number().over(byKey) - 1)
+          .withColumn("result", windowAgg(fn, col("__agg_value"), col("__seq"), frame))
+          .withColumn("report", col("__rn") >= firstEmit - 1 &&
+            pmod(col("__rn") - (firstEmit - 1), lit(resolution)) === 0)
+      case "timeTumbling" =>
+        // pane = floor(ts / size ms); timer emission == last event in pane
+        // (the ticker consumes the last stalled context, state.go:233-241)
+        val pane = (floor(unix_millis(col("__ts")) / size) * size).cast("bigint")
+        val paneFrame = Window.partitionBy(col("__group"), col("__pane"))
+        df.withColumn("__pane", pane)
+          .withColumn("result",
+            windowAgg(fn, col("__agg_value"), col("__seq"),
+              paneFrame.orderBy(col("__seq"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("report",
+            row_number().over(paneFrame.orderBy(col("__seq").desc)) === 1)
+      case "timeSliding" =>
+        // trailing size-ms range frame; emission on the last event of each
+        // resolution-ms pane once a full window has elapsed for the key
+        val ms = unix_millis(col("__ts"))
+        val byKeyRange = Window.partitionBy(col("__group")).orderBy(ms)
+          .rangeBetween(-(size - 1), Window.currentRow)
+        val pane = (floor(ms / resolution) * resolution).cast("bigint")
+        val paneFrame = Window.partitionBy(col("__group"), col("__pane"))
+        df.withColumn("__pane", pane)
+          .withColumn("result", windowAgg(fn, col("__agg_value"), col("__seq"), byKeyRange))
+          .withColumn("__warm",
+            unix_millis(col("__ts")) - min(unix_millis(col("__ts")))
+              .over(Window.partitionBy(col("__group"))) >= size)
+          .withColumn("report",
+            col("__warm") &&
+              row_number().over(paneFrame.orderBy(col("__seq").desc)) === 1)
+      case other =>
+        throw new IllegalArgumentException(s"unknown windowType: $other")
+    }
+  }
+
+  private def windowAgg(fn: String, value: Column, ord: Column,
+                        frame: org.apache.spark.sql.expressions.WindowSpec): Column =
+    fn match {
+      case "sum"   => sum(value).over(frame)
+      case "avg"   => avg(value).over(frame)
+      case "min"   => min(value).over(frame)
+      case "max"   => max(value).over(frame)
+      case "count" => count(value).over(frame)
+      case "accumulate" => collect_list(value).over(frame)
+      case other => throw new IllegalArgumentException(s"unknown agg fn: $other")
+    }
+
+  /** Streaming formulation: count windows via the stateful operators;
+    * time windows via built-in event-time window aggregation. */
+  private def streamingAggregate(df: DataFrame, fn: String, windowType: String,
+                                 size: Int, resolution: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    windowType match {
+      case "tumbling" | "sliding" =>
+        val ds = df.select(col("__group").as("key"), col("__seq").as("seq"),
+          col("__agg_value").cast("double").as("value"))
+          .as[graft.windows.CountWindows.KeyedSample]
+        val emitted =
+          if (windowType == "tumbling")
+            graft.windows.CountWindows.tumblingStream(ds, size, fn)
+          else
+            graft.windows.CountWindows.slidingStream(ds, size, resolution, fn)
+        val result = if (fn == "accumulate") col("values") else col("result")
+        emitted.toDF()
+          .select(col("key").as("__group"), col("emitAtSeq").as("__seq"),
+            result.as("result"), lit(true).as("report"))
+      case "timeTumbling" =>
+        df.withWatermark("__ts", "0 seconds")
+          .groupBy(window(col("__ts"), s"$size milliseconds"), col("__group"))
+          .agg(graft.windows.AggFunctions
+            .scalar(fn, col("__agg_value"), col("__seq")).as("result"))
+          .select(col("__group"), unix_millis(col("window.end")).as("__seq"),
+            col("result"), lit(true).as("report"))
+      case "timeSliding" =>
+        df.withWatermark("__ts", "0 seconds")
+          .groupBy(window(col("__ts"), s"$size milliseconds",
+            s"$resolution milliseconds"), col("__group"))
+          .agg(graft.windows.AggFunctions
+            .scalar(fn, col("__agg_value"), col("__seq")).as("result"))
+          .select(col("__group"), unix_millis(col("window.end")).as("__seq"),
+            col("result"), lit(true).as("report"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown windowType: $other")
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+/** Rate-limited CSV replay source — parity with the reference's
+  * streamtester trigger (trigger/streamtester/dataset.go:21-117,
+  * emitter.go:89-146, control API tester.go:63-74).
+  *
+  * Semantics mirrored:
+  *  - CSV parse with optional header; each column auto-parsed as float64
+  *    when possible, else string (dataset.go:62).
+  *  - one row emitted every `emitDelayMs` (clamped to >= 10 —
+  *    emitter.go:40-42).
+  *  - `replayData`: loop the dataset forever; `allDataAtOnce`: emit the
+  *    whole dataset as a single batch.
+  *  - control: start / stop / pause / resume / reload (REST in the
+  *    reference; direct methods here, an HTTP shim is a trivial wrapper).
+  *
+  * Rows are fed into a MemoryStream as JSON with `__seq` (arrival index)
+  * and `__ts` (emit wall-clock) attached — exactly the meta columns the
+  * pipeline compiler expects.
+  */
+class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
+                replayData: Boolean = false, allDataAtOnce: Boolean = false)
+               (implicit spark: SparkSession) {
+
+  implicit private val sqlCtx = spark.sqlContext
+  import spark.implicits._
+  private val stream = MemoryStream[String]
+  private val running = new AtomicBoolean(false)
+  private val paused = new AtomicBoolean(false)
+  private val seq = new AtomicLong(0)
+  @volatile private var rows: Vector[Map[String, Any]] = load()
+  @volatile private var thread: Option[Thread] = None
+
+  private def load(): Vector[Map[String, Any]] = {
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+      .filter(_.nonEmpty)
+    if (lines.isEmpty) return Vector.empty
+    val (names, dataLines) =
+      if (header) (lines.head.split(",").map(_.trim).toVector, lines.tail)
+      else (lines.head.split(",").indices.map(i => s"c$i").toVector, lines)
+    dataLines.map { l =>
+      names.zip(l.split(",").map(_.trim)).map { case (n, v) =>
+        // numeric auto-parse, else string (dataset.go:62)
+        n -> scala.util.Try(v.toDouble).getOrElse(v): (String, Any)
+      }.toMap
+    }
+  }
+
+  private def toJson(m: Map[String, Any], s: Long, ts: Long): String = {
+    val fields = m.map {
+      case (k, v: Double) => s""""$k": $v"""
+      case (k, v) => s""""$k": "${v.toString.replace("\"", "\\\"")}""""
+    } ++ Seq(s""""__seq": $s""", s""""__ts_ms": $ts""")
+    fields.mkString("{", ",", "}")
+  }
+
+  /** Streaming DataFrame with the CSV's columns + __seq + __ts. */
+  def toDF(schema: StructType): DataFrame =
+    stream.toDF()
+      .select(from_json(col("value"), schema).as("r"),
+        get_json_object(col("value"), "$.__seq").cast("bigint").as("__seq"),
+        timestamp_millis(get_json_object(col("value"), "$.__ts_ms")
+          .cast("bigint")).as("__ts"))
+      .select(col("r.*"), col("__seq"), col("__ts"))
+
+  def start(): Unit = {
+    if (running.getAndSet(true)) return
+    paused.set(false)
+    val t = new Thread(() => {
+      val delay = math.max(emitDelayMs, 10L) // emitter.go:40-42
+      do {
+        if (allDataAtOnce) {
+          val now = System.currentTimeMillis()
+          stream.addData(rows.map(r => toJson(r, seq.getAndIncrement(), now)))
+        } else {
+          rows.foreach { r =>
+            while (paused.get() && running.get()) Thread.sleep(5)
+            if (!running.get()) return
+            stream.addData(toJson(r, seq.getAndIncrement(),
+              System.currentTimeMillis()))
+            Thread.sleep(delay)
+          }
+        }
+      } while (replayData && running.get())
+      running.set(false)
+    }, s"csv-replay-$path")
+    t.setDaemon(true)
+    thread = Some(t)
+    t.start()
+  }
+
+  def stop(): Unit = { running.set(false); thread.foreach(_.join(2000)) }
+  def pause(): Unit = paused.set(true)
+  def resume(): Unit = paused.set(false)
+  def reload(): Unit = { rows = load() }      // tester.go reload
+  def isRunning: Boolean = running.get()
+
+  /** Synchronous full emission (the tester's allDataAtOnce without the
+    * thread — deterministic for batch-style tests). */
+  def emitAllNow(): Unit = {
+    val now = System.currentTimeMillis()
+    if (rows.nonEmpty)
+      stream.addData(rows.map(r => toJson(r, seq.getAndIncrement(), now)))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end DSL tests replaying the reference's own example apps
+  * (examples/agg-flogo.json, examples/channel-flogo.json). */
+class PipelinesSpec extends SparkSpec {
+
+  private def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+
+  test("expression translation: scopes, literals, functions") {
+    assert(Dsl.translate("=$.input") == "`input`")
+    assert(Dsl.translate("=$pipeline.rinput") == "`__pipeline_rinput`")
+    assert(Dsl.translate("=$passthru.x + 1") == "`__passthru_x` + 1")
+    assert(Dsl.translate("hello") == "'hello'")
+    assert(Dsl.translate("42") == "42")
+    assert(Dsl.translate("=string.concat('a: ', $.b)") == "concat('a: ', `b`)")
+    assert(Dsl.translate("=$env.HOME", env = Map("HOME" -> "/root")) == "'/root'")
+    assert(Dsl.translate("=$property.p", props = Map("p" -> "7")) == "7")
+  }
+
+  test("agg-flogo.json: timeTumbling sum pipeline end-to-end (batch)") {
+    val s = spark
+    import s.implicits._
+    val app = Dsl.parseApp(readFile("/root/reference/examples/agg-flogo.json"))
+    val p = app.pipelines("simple_agg")
+    assert(p.stages.map(_.ref) == Seq("aggregate", "log"))
+    // pane 0 (ts 0..4999): 1+2+3+4+5 = 15; pane 1: 10+15 = 25
+    val input = Seq((1, 0L), (2, 1000L), (3, 2000L), (4, 3000L), (5, 4000L),
+        (10, 5000L), (15, 6000L))
+      .zipWithIndex
+      .map { case ((v, ms), i) => (v, ms, i.toLong) }
+      .toDF("input", "ms", "__seq")
+      .withColumn("__ts", timestamp_millis(col("ms")))
+    val out = Pipelines.compileBatch(p, input)
+    assert(out.columns.toSeq == Seq("result"))
+    assert(out.orderBy("result").collect().map(_.getInt(0)).toSeq == Seq(15, 25))
+  }
+
+  test("channel-flogo.json: filter pipeline + scope writes (batch)") {
+    val s = spark
+    import s.implicits._
+    val app = Dsl.parseApp(readFile("/root/reference/examples/channel-flogo.json"))
+    val filterP = app.pipelines("simple_filter")
+    assert(filterP.outputChannel.contains("test"))
+    val input = Seq(0, 5, 0, 7).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("input", "__seq")
+    val out = Pipelines.compileBatch(filterP, input)
+    // non-zero filter drops zeros; output mapper writes pipeline.out
+    assert(out.columns.toSeq == Seq("out"))
+    assert(out.orderBy("out").collect().map(_.getInt(0)).toSeq == Seq(5, 7))
+
+    val reportP = app.pipelines("simple_report")
+    val rin = Seq(5, 7).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("rinput", "__seq")
+    val msgs = Pipelines.compileBatch(reportP, rin)
+      .select("message").orderBy("message").collect().map(_.getString(0))
+    assert(msgs.toSeq == Seq("fromChannel: 5", "fromChannel: 7"))
+  }
+
+  test("count tumbling DSL pipeline with groupBy discriminator (batch)") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"k","type":"string"},
+        |                       {"name":"v","type":"double"}],
+        |             "output": [{"name":"result","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"tumbling",
+        |                        "windowSize":"3"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin).copy(groupBy = Some("k"))
+    val input = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("a", 3.0),
+        ("b", 20.0), ("b", 30.0), ("a", 4.0))
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("k", "v", "__seq")
+    val out = Pipelines.compileBatch(p, input)
+      .collect().map(_.getDouble(0)).sorted
+    // a: avg(1,2,3)=2 (4 stalls); b: avg(10,20,30)=20
+    assert(out.toSeq == Seq(2.0, 20.0))
+  }
+
+  test("proceedOnlyOnEmit=false leaks running rows with report flag") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"tumbling",
+        |                        "windowSize":"2","proceedOnlyOnEmit":"false"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    val input = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "__seq")
+    val rows = Pipelines.compileBatch(p, input)
+      .orderBy("__seq").select("result", "report")
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    // every event passes through; report only on the 2nd sample
+    assert(rows.length == 3)
+    assert(rows.count(_._2) == 1)
+  }
+}

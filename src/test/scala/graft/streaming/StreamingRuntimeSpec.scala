@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.engine.{Dsl, Pipelines}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's runtime composition: channels (E7), CSV replay source
+  * (S1), telemetry (E10) — driven through real streaming queries. */
+class StreamingRuntimeSpec extends SparkSpec {
+
+  test("channel fan-in: filter pipeline publishes, report pipeline consumes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    Channels.reset()
+    val app = Dsl.parseApp(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/channel-flogo.json"))))
+
+    // upstream: simple_filter over a memory stream of ints
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Int]
+    val filtered = Pipelines.compileStream(app.pipelines("simple_filter"),
+      input.toDF().select(col("value").as("input")))
+    val pub = Channels.publish(app.pipelines("simple_filter")
+      .outputChannel.get, filtered)
+
+    // downstream: simple_report subscribed to the channel
+    val sub = Channels.subscribe("test",
+      StructType(Seq(StructField("out", IntegerType))))
+    val reported = Pipelines.compileStream(app.pipelines("simple_report"),
+      sub.select(col("out").as("rinput")))
+    val q = reported.select("message").writeStream.format("memory")
+      .queryName("channel_msgs").outputMode("append").start()
+    try {
+      input.addData(0, 5, 0, 7)
+      pub.processAllAvailable()
+      q.processAllAvailable()
+      val msgs = s.sql("SELECT message FROM channel_msgs ORDER BY message")
+        .collect().map(_.getString(0))
+      assert(msgs.toSeq == Seq("fromChannel: 5", "fromChannel: 7"))
+    } finally { pub.stop(); q.stop() }
+  }
+
+  test("csv replay source: auto-parse, rate limit, control API") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("replay", ".csv")
+    java.nio.file.Files.writeString(csv.toPath,
+      "name,score\nalice,1.5\nbob,2\ncarol,notanumber\n")
+    val replay = new CsvReplay(csv.getAbsolutePath, header = true,
+      emitDelayMs = 10)
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("score", StringType)))
+    val df = replay.toDF(schema)
+    val q = df.writeStream.format("memory").queryName("csv_rows")
+      .outputMode("append").start()
+    try {
+      replay.emitAllNow()
+      q.processAllAvailable()
+      val rows = s.sql("SELECT name, score, __seq FROM csv_rows ORDER BY __seq")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // numeric auto-parse: 1.5 and 2 became doubles (JSON numbers),
+      // notanumber stayed a string
+      assert(rows.map(_._1).toSeq == Seq("alice", "bob", "carol"))
+      assert(rows.map(_._3).toSeq == Seq(0L, 1L, 2L))
+      assert(rows(0)._2 == "1.5")
+      assert(rows(2)._2 == "notanumber")
+
+      // rate-limited threaded emission with pause/resume/stop
+      replay.start()
+      Thread.sleep(50)
+      replay.pause()
+      val afterPause = { q.processAllAvailable()
+        s.sql("SELECT count(*) FROM csv_rows").collect()(0).getLong(0) }
+      Thread.sleep(50)
+      q.processAllAvailable()
+      val whilePaused = s.sql("SELECT count(*) FROM csv_rows")
+        .collect()(0).getLong(0)
+      assert(whilePaused == afterPause) // paused -> nothing new
+      replay.resume(); replay.stop()
+      assert(!replay.isRunning)
+    } finally q.stop()
+  }
+
+  test("telemetry listener reports pipeline started/progress/finished") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sink = new Telemetry.CollectingSink
+    val listener = Telemetry.attach(s, sink)
+    val input = MemoryStream[Int]
+    val q = input.toDF().writeStream.format("memory")
+      .queryName("telemetry_probe").outputMode("append").start()
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+    } finally { q.stop(); }
+    // listener delivery is async
+    val deadline = System.currentTimeMillis() + 5000
+    while (System.currentTimeMillis() < deadline &&
+      !sink.events.exists(_.isInstanceOf[Telemetry.PipelineFinished]))
+      Thread.sleep(50)
+    s.streams.removeListener(listener)
+    assert(sink.events.exists(_.isInstanceOf[Telemetry.PipelineStarted]))
+    assert(sink.events.exists(_.isInstanceOf[Telemetry.PipelineFinished]))
+  }
+}
