@@ -78,6 +78,37 @@ object Dsl {
     PipelineDef(id, fields("input"), fields("output"), stages)
   }
 
+  // --------------------------------------------------------------------
+  // Definition loading (action.go:80-103, manager.go:55-168,
+  // resource.go:26-46): file:// URIs with gzip sniffing, and the
+  // base64+gzip encoding the reference uses for `flogo-compressed`
+  // HTTP payloads.
+  // --------------------------------------------------------------------
+
+  /** Load an app definition from a URI. Supports `file://` (and bare
+    * paths), transparently un-gzipping when the file starts with the gzip
+    * magic bytes (manager.go's sniffing), and `base64://` payloads
+    * (base64-encoded gzip, the reference's flogo-compressed wire format). */
+  def loadApp(uri: String): AppDef = parseApp(loadJson(uri))
+
+  def loadJson(uri: String): String = {
+    val bytes: Array[Byte] =
+      if (uri.startsWith("base64://"))
+        java.util.Base64.getDecoder.decode(uri.stripPrefix("base64://"))
+      else {
+        val path = uri.stripPrefix("file://")
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      }
+    val data =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      } else bytes
+    new String(data, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   private def arr(n: JsonNode, key: String): Seq[JsonNode] =
     Option(n.get(key)).map(_.elements().asScala.toSeq).getOrElse(Nil)
   private def text(n: JsonNode, key: String): String =

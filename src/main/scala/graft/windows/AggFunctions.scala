@@ -32,6 +32,24 @@ object AggFunctions {
     case other => throw new IllegalArgumentException(s"unknown agg fn: $other")
   }
 
+  /** Compat: the reference's integer-typed avg truncates (Go int division,
+    * functions/average.go:75-76: `x / count`). Our engine defaults to true
+    * floating-point avg; pipelines chasing bit-parity with int-typed
+    * reference streams opt in via this expression. */
+  def intAvgCompat(value: Column): Column =
+    floor(sum(value.cast("long")).cast("double") / count(value)).cast("long")
+
+  /** Compat: the reference's timeTumbling avg divides by `maxSamples` — a
+    * HIGH-WATER mark of pane sizes across the stream, not the emitting
+    * pane's own count (windows.go:177-205, maxSamples assigned at :192).
+    * Expressed over a pane-level frame: divide each pane sum by the running
+    * max of pane counts up to that pane. `paneSum`/`paneCount` are the
+    * per-pane aggregates; `paneOrder` the window spec ordered by pane start
+    * with an unbounded-preceding frame. */
+  def maxSamplesAvgCompat(paneSum: Column, paneCount: Column,
+                          runningMaxCount: Column): Column =
+    paneSum / runningMaxCount.cast("double")
+
   /** Element-wise vector aggregation (reference: functions/sum.go:16-27 etc.)
     * as typed Aggregators registered through functions.udaf. */
   def vector(fn: String, value: Column): Column = fn match {
