@@ -212,11 +212,15 @@ object SparkEntry {
             .as("revenue"))
         .orderBy("o_orderpriority")),
 
+    // pre-aggregate the fact side BEFORE the dimension join: the shuffle
+    // carries one row per customer, and the join build side broadcasts
     "q_topk" -> ((s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
         .agg(round(sum("o_totalprice"), 2).as("total"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total"))
         .orderBy(col("total").desc, col("c_custkey").asc)
         .limit(10)),
 

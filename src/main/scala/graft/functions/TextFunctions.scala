@@ -28,15 +28,13 @@ object TextFunctions {
   def regexpCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))
 
-  /** Word n-gram shingles ("a b c" style), distinct. Returns empty array when
-    * the document has fewer than n tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles ("a b c" style), distinct in first-occurrence
+    * order; empty array when the document has fewer than n tokens.
+    * Implemented as a single-pass codegen kernel
+    * (graft.expressions.WordShingles) — same normalization contract as
+    * [[tokens]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.TextExprs.wordShingles(text, n)
 
   /** Character n-gram shingles over the normalized text, distinct. */
   def charShingles(text: Column, n: Int): Column = {
