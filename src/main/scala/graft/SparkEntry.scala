@@ -118,7 +118,7 @@ object SparkEntry {
         .agg(AggFunctions.vector("sum", col("v")).as("vs"),
           AggFunctions.vector("avg", col("v")).as("va"))
         .select(col("label"), posexplode(arrays_zip(col("vs"), col("va"))))
-        .select(col("label"), (col("pos") + 1).as("idx"),
+        .select(col("label"), (col("pos") + 1).cast("bigint").as("idx"),
           round(col("col.vs"), 4).as("vsum"), round(col("col.va"), 4).as("vavg"))
         .orderBy("label", "idx")
     }),
@@ -135,7 +135,7 @@ object SparkEntry {
     "q_sliding_count" -> ((s, d) =>
       CountWindows.slidingBatch(ev(s, d), "user_id", "event_id", "value",
           10, 3, "avg")
-        .select(col("user_id"), col("emit_at"),
+        .select(col("user_id"), col("emit_at").cast("bigint").as("emit_at"),
           round(col("result"), 4).as("result"))
         .orderBy("user_id", "emit_at")),
 
@@ -228,8 +228,8 @@ object SparkEntry {
 
     "q_token_count" -> ((s, d) =>
       docs(s, d)
-        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
-          TF.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          TF.bpeishTokenCount(col("text")).cast("bigint").as("n_bpeish"))
         .orderBy("doc_id")),
 
     "q_lang_id" -> ((s, d) =>
@@ -249,6 +249,21 @@ object SparkEntry {
       docs(s, d)
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // PII scrubbing: emails/IPs/phone runs -> typed placeholders
+    "q_pii_scrub" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TF.scrubPii(col("text")).as("clean"),
+          TF.piiCount(col("text")).cast("bigint").as("n_pii"))
+        .orderBy("doc_id")),
+
+    // corpus n-gram frequency table (top 100, deterministic tie-break)
+    "q_ngram_freq" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TF.wordShingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(100)),
 
     // ---- dedup ----
 
@@ -594,6 +609,33 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS clean,
+        |  len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(text,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+        |  + len(regexp_extract_all(text,
+        |      '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS n_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_freq" ->
+      """SELECT ngram, count(*) AS n FROM (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(0, greatest(len(tk)-1, 0)),
+        |                   i -> array_to_string(tk[i+1:i+2], ' ')))) AS ngram
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                      x -> x <> '') tk
+        |        FROM documents))
+        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,

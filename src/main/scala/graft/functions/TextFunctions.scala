@@ -118,6 +118,30 @@ object TextFunctions {
         lit(0.0), (a, x) => a + x) / tokenCount(text))
       .otherwise(lit(0.0))
 
+  // --------------------------------------------------------------------------
+  // PII scrubbing — regex patterns kept RE2-compatible (no lookaround/
+  // backrefs) so external engines can replicate them byte-for-byte.
+  // --------------------------------------------------------------------------
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+  val Ipv4Pattern =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Replace emails, phone-like digit runs and IPv4 addresses with typed
+    * placeholders. Order matters (emails first, so the phone pattern never
+    * eats an address's digits). */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "[IP]")
+    regexp_replace(noIp, PhonePattern, "[PHONE]")
+  }
+
+  /** Count of PII matches (pre-scrub signal for filtering). */
+  def piiCount(text: Column): Column =
+    regexpCount(text, EmailPattern) + regexpCount(text, Ipv4Pattern) +
+      regexpCount(text, PhonePattern)
+
   /** Composite [0,1] quality score: rewards reasonable length, low
     * punctuation density and a sane stopword ratio. Deterministic formula —
     * documented so the oracle can reproduce it:
