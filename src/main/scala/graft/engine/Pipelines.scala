@@ -152,11 +152,64 @@ object Pipelines {
     val windowType = st.settings.getOrElse("windowType", "tumbling")
     val size = st.settings.getOrElse("windowSize", "5").toInt
     val resolution = st.settings.getOrElse("resolution", "1").toInt max 1
-    val v = df.withColumn("__agg_value", value)
-    val agged =
-      if (streaming) streamingAggregate(v, fn, windowType, size, resolution)
-      else batchAggregate(v, fn, windowType, size, resolution)
-    gate(agged, pooe(st))
+    // keyed variant (W5): additionalSettings nameKey/valueKey make the
+    // sample a (name, value) pair with per-name accumulators and a
+    // map[name]agg emission (windows.go:425-561). The reference does not
+    // support keyed sliding-count windows (windows.go:216-219); neither
+    // do we.
+    (st.settings.get("nameKey"), st.settings.get("valueKey")) match {
+      case (Some(nameKey), Some(valueKey)) if !streaming =>
+        require(windowType != "sliding",
+          "keyed sliding(count) windows are unsupported (windows.go:216-219)")
+        keyedBatchAggregate(df, fn, windowType, size, resolution,
+          expr(Dsl.translate(nameKey)), expr(Dsl.translate(valueKey)))
+      case _ =>
+        val v = df.withColumn("__agg_value", value)
+        val agged =
+          if (streaming) streamingAggregate(v, fn, windowType, size, resolution)
+          else batchAggregate(v, fn, windowType, size, resolution)
+        gate(agged, pooe(st))
+    }
+  }
+
+  /** Keyed window (batch): window assignment as in the unkeyed forms, but
+    * aggregation is per (group, window, name) and the emission row carries
+    * `result` as a map[name -> agg] (the reference's MapData emission
+    * shape, windows.go:469-479). One row per closed window. */
+  private def keyedBatchAggregate(df: DataFrame, fn: String, windowType: String,
+                                  size: Int, resolution: Int,
+                                  name: Column, value: Column): DataFrame = {
+    val byKey = Window.partitionBy(col("__group")).orderBy(col("__seq"))
+    val withWin = windowType match {
+      case "tumbling" =>
+        val d = df.withColumn("__rn", row_number().over(byKey) - 1)
+          .withColumn("__win",
+            ((col("__rn") - pmod(col("__rn"), lit(size))) / size).cast("bigint"))
+        // only complete windows emit (size-th sample closes the window)
+        d.withColumn("__winN",
+          count(lit(1)).over(Window.partitionBy(col("__group"), col("__win"))))
+          .where(col("__winN") === size).drop("__winN")
+      case "timeTumbling" =>
+        df.withColumn("__win",
+          (floor(unix_millis(col("__ts")) / size) * size).cast("bigint"))
+      case "timeSliding" =>
+        df.withColumn("__win",
+          (floor(unix_millis(col("__ts")) / resolution) * resolution).cast("bigint"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported keyed window: $other")
+    }
+    val perName = withWin
+      .withColumn("__name", name.cast("string"))
+      .withColumn("__value", value)
+      .groupBy(col("__group"), col("__win"), col("__name"))
+      .agg(graft.windows.AggFunctions
+        .scalar(fn, col("__value"), col("__seq")).as("__agg"),
+        max(col("__seq")).as("__name_seq"))
+    perName.groupBy(col("__group"), col("__win"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("__name"), col("__agg"))))).as("result"),
+        max(col("__name_seq")).as("__seq"))
+      .withColumn("report", lit(true))
   }
 
   /** Batch formulation: window functions partitioned by the group key,

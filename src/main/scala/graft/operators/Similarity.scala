@@ -35,7 +35,8 @@ object Similarity {
       .orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
+        round(col("sim"), 4).as("sim"))
   }
 
   /** Assign each vector to its nearest centroid by cosine (ties: lowest
@@ -87,7 +88,8 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
+        round(col("sim"), 4).as("sim"))
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
@@ -123,6 +125,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
+        round(col("sim"), 4).as("sim"))
   }
 }

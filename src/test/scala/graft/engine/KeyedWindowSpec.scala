@@ -1,0 +1,108 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** W5 keyed windows through the DSL (reference MapData semantics,
+  * windows.go:425-561) + streaming time-window DSL coverage. */
+class KeyedWindowSpec extends SparkSpec {
+
+  test("keyed tumbling count window emits map[name -> agg] per window") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"tumbling",
+        |                        "windowSize":"3",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    // window 1: a=1, b=2, a=3 -> {a: 4.0, b: 2.0}; trailing partial ignored
+    val input = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0), ("b", 9.0))
+      .zipWithIndex.map { case ((n, v), i) => (n, v, i.toLong) }
+      .toDF("n", "v", "__seq")
+    val out = Pipelines.compileBatch(p, input).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Map[String, Double]]("result") ==
+      Map("a" -> 4.0, "b" -> 2.0))
+  }
+
+  test("keyed timeTumbling window groups by pane and name") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"timeTumbling",
+        |                        "windowSize":"1000",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    val input = Seq(("a", 2.0, 0L), ("a", 4.0, 500L), ("b", 10.0, 900L),
+        ("a", 7.0, 1500L))
+      .zipWithIndex
+      .map { case ((n, v, ms), i) => (n, v, ms, i.toLong) }
+      .toDF("n", "v", "ms", "__seq")
+      .withColumn("__ts", timestamp_millis(col("ms")))
+    val out = Pipelines.compileBatch(p, input)
+      .orderBy("__win").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Map[String, Double]]("result") ==
+      Map("a" -> 3.0, "b" -> 10.0))
+    assert(out(1).getAs[Map[String, Double]]("result") == Map("a" -> 7.0))
+  }
+
+  test("keyed sliding(count) is rejected like the reference") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"sliding",
+        |                        "windowSize":"3",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    val input = Seq(("a", 1.0, 0L)).toDF("n", "v", "__seq")
+    intercept[IllegalArgumentException] {
+      Pipelines.compileBatch(p, input)
+    }
+  }
+
+  test("streaming DSL timeTumbling window emits closed panes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"timeTumbling",
+        |                        "windowSize":"1000"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    val input = MemoryStream[(Double, Long)]
+    val sdf = input.toDF()
+      .select(col("_1").as("v"), timestamp_millis(col("_2")).as("__ts"),
+        col("_2").as("__seq"))
+    val q = Pipelines.compileStream(p, sdf)
+      .writeStream.format("memory").queryName("dsl_time_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1.0, 0L), (2.0, 500L), (3.0, 1500L))
+      q.processAllAvailable()
+      // advance the watermark far past pane 0 and 1 so both close
+      input.addData((99.0, 10000L))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT result FROM dsl_time_stream ORDER BY result")
+        .collect().map(_.getDouble(0))
+      assert(rows.toSeq == Seq(3.0, 3.0)) // pane0: 1+2, pane1: 3
+    } finally q.stop()
+  }
+}

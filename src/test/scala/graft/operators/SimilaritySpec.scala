@@ -19,7 +19,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val got = Similarity.bruteForceKnn(
         emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
     val expected = (0L until 3L).flatMap { q =>
       vecs.toSeq.filter(_._1 != q)
         .map { case (c, v) => (c, cosineRef(vecs(q), v)) }
@@ -38,10 +38,10 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty)
     val byQ = out.groupBy(_.getLong(0))
     byQ.values.foreach { rows =>
-      val ranks = rows.map(_.getInt(1)).sorted
+      val ranks = rows.map(_.getLong(1).toInt).sorted
       assert(ranks.toSeq == (1 to ranks.length))
       // sims are non-increasing with rank
-      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
