@@ -1,0 +1,49 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft functions callable from SQL after registration") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0), "a b c d"))
+      .toDF("a", "b", "t").createOrReplaceTempView("ext_probe")
+    val row = s.sql(
+      """SELECT graft_dot(a, b) AS d,
+        |       graft_word_shingles(t, 2) AS sh FROM ext_probe""".stripMargin)
+      .collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    // registration is idempotent
+    GraftExtensions.register(s)
+    assert(s.sql("SELECT graft_dot(a, a) FROM ext_probe")
+      .collect()(0).getDouble(0) == 5.0)
+  }
+
+  test("salted aggregation equals direct aggregation on skewed data") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows share one key — the skew shape salting exists for
+    val rows = (1 to 2000).map { i =>
+      val k = if (i % 10 == 0) s"key${i % 7}" else "hot"
+      (k, i.toDouble)
+    }
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = graft.operators.Skew
+      .saltedSumCount(df, col("k"), col("v"), "sv")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+    val avgDirect = df.groupBy("k").agg(avg("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val avgSalted = graft.operators.Skew.saltedAvg(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    avgDirect.foreach { case (k, v) =>
+      assert(math.abs(avgSalted(k) - v) < 1e-9)
+    }
+  }
+}
