@@ -98,6 +98,11 @@ object CountWindows {
   case class WindowEmit(key: String, emitAtSeq: Long, result: Double,
                         values: Seq[Double], count: Long)
 
+  /** Shared by the flatMapGroupsWithState and transformWithState
+    * operators. */
+  private[windows] def applyFnPublic(fn: String, values: Seq[Double]): Double =
+    applyFn(fn, values)
+
   private def applyFn(fn: String, values: Seq[Double]): Double = fn match {
     case "sum"   => values.sum
     case "avg"   => if (values.isEmpty) 0.0 else values.sum / values.length

@@ -18,5 +18,7 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
     .getOrCreate()
 }
