@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Dsl, Pipelines, Tables}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Contamination, Dedup, Multimodal, Similarity}
 import graft.windows.{AggFunctions, CountWindows, TimeWindows}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -314,6 +314,24 @@ object SparkEntry {
       Similarity.lshKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
           64, 8, 3)
         .orderBy("qid", "rank")
+    }),
+
+    // deterministic train/val/test split + sample bucket (repeatable
+    // across engines: md5-based bucketing)
+    "q_sample_split" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          TF.hashBucket(col("doc_id").cast("string"), 100).as("bucket"),
+          TF.splitAssign(col("doc_id").cast("string"), 80, 10).as("split"))
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: docs sharing an 8-gram with the
+    // "benchmark" (doc_id < 10 as a stand-in eval set)
+    "q_decontaminate" -> ((s, d) => {
+      val corpus = docs(s, d)
+      Contamination.flagContaminated(corpus, "doc_id", "text",
+          corpus.where(col("doc_id") < 10), "doc_id", "text", 8)
+        .orderBy("doc")
     }),
 
     // ---- DSL pipelines (the reference's JSON API, E1-E6 end-to-end) ----
@@ -639,6 +657,30 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
+        |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                           x -> x <> '') tk
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id AS doc, unnest(s8) s FROM sh WHERE doc_id >= 10)
+        |SELECT doc, count(DISTINCT s) AS n_shared
+        |FROM corpus JOIN bench USING (s)
+        |GROUP BY doc ORDER BY doc""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -119,6 +119,26 @@ object TextFunctions {
       .otherwise(lit(0.0))
 
   // --------------------------------------------------------------------------
+  // Deterministic hash bucketing — repeatable sampling / split assignment.
+  // Built on md5 hex (not xxhash64) so ANY engine reproduces the exact
+  // assignment: bucket = first-8-hex-digits-of-md5 mod buckets.
+  // --------------------------------------------------------------------------
+
+  /** Stable bucket in [0, buckets) from a string key. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("bigint"),
+      lit(buckets.toLong))
+
+  /** Deterministic train/val/test split assignment by percentage
+    * boundaries over 100 hash buckets (e.g. 80/10/10). */
+  def splitAssign(key: Column, trainPct: Int, valPct: Int): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  // --------------------------------------------------------------------------
   // PII scrubbing — regex patterns kept RE2-compatible (no lookaround/
   // backrefs) so external engines can replicate them byte-for-byte.
   // --------------------------------------------------------------------------
