@@ -13,11 +13,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up: JIT/codegen paths and file-system caches, so per-query
-    // numbers measure the query, not session startup
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    graft.engine.Tables.names.foreach { n =>
-      try graft.engine.Tables.load(spark, sfDir, n).count()
-      catch { case _: Throwable => () }
+    // numbers measure the query, not session startup. Exercises each
+    // execution-path family once (scan, hash agg, window function,
+    // shuffle join, higher-order exprs, custom codegen expression).
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      graft.engine.Tables.names.foreach { n =>
+        try graft.engine.Tables.load(spark, sfDir, n).count()
+        catch { case _: Throwable => () }
+      }
+      try {
+        val w = spark.range(10000)
+          .select(col("id"), pmod(col("id"), lit(7)).as("k"),
+            array(col("id").cast("double"), lit(1.0)).as("v"))
+        w.withColumn("rn",
+            row_number().over(Window.partitionBy("k").orderBy("id")))
+          .groupBy("k")
+          .agg(sum("id"), collect_list("id"),
+            graft.windows.AggFunctions.vector("sum", col("v")))
+          .count()
+        val small = w.limit(500)
+        small.as("a").join(small.as("b"), "k")
+          .select(graft.functions.VectorFunctions
+            .dot(col("a.v"), col("b.v")).as("d"))
+          .filter(col("d").isNotNull).count()
+      } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

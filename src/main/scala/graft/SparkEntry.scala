@@ -396,6 +396,21 @@ object SparkEntry {
       Pipelines.compileBatch(p, in).orderBy("k", "emit_seq")
     }),
 
+    // as-of join: each purchase enriched with the user's latest
+    // preceding click (the time-series operator Spark lacks natively)
+    "q_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+          Map("click_id" -> "event_id", "click_value" -> "value"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- multimodal plumbing ----
 
     "q_multimodal_meta" -> ((s, d) =>
@@ -657,6 +672,17 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id, ts,
+        |                  value AS click_value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_sample_split" ->
       """SELECT doc_id,

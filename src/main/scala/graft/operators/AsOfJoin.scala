@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, attach the most recent right row with
+  * the same key and `rightTs <= leftTs`. The canonical time-series /
+  * event-enrichment operator Spark has no built-in for (DuckDB: ASOF
+  * JOIN; kdb: aj).
+  *
+  * Implementation is the scalable union-and-carry formulation, NOT a
+  * range join: both sides are tagged and unioned, then a single hash
+  * shuffle on the key + one per-partition sort by (ts, side) lets
+  * `last(_, ignoreNulls)` carry the latest right-side attributes forward
+  * onto each left row. Cost: one shuffle of (key, ts, payload), one
+  * sort — same shape as any ranked-window query, no quadratic range
+  * expansion, skew bounded by rows-per-key. Right rows sort BEFORE left
+  * rows at equal timestamps, so ties match (rightTs == leftTs included,
+  * like DuckDB's `ON l.ts >= r.ts`).
+  */
+object AsOfJoin {
+
+  /** Left rows enriched with the as-of right row's picked columns.
+    * `pick` maps output column name -> right-side column. Left rows with
+    * no preceding right row keep nulls. */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           pick: Map[String, String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+      .withColumns(pick.map { case (out, _) => out -> lit(null) })
+    val r = pick.foldLeft(right) { case (df, (out, src)) =>
+      df.withColumn(out, col(src))
+    }.select((Seq(col(key), col(ts), lit(0).as("__side")) ++
+      pick.keys.map(col) ++
+      leftCols.filterNot(c => c == key || c == ts)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val unioned = l.select((Seq(col(key), col(ts), col("__side")) ++
+      pick.keys.map(col) ++
+      leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
+      .unionByName(r)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = pick.keys.foldLeft(unioned) { (df, out) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1).drop("__side")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("as-of join picks the latest right row at or before the left ts") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((10L, "u1", 100L, 1.0), (11L, "u1", 200L, 2.0),
+        (12L, "u1", 300L, 3.0), (13L, "u2", 60L, 4.0))
+      .toDF("rid", "k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t",
+        Map("as_of_rid" -> "rid", "as_of_v" -> "v"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("as_of_rid")).map(_.toLong),
+        Option(r.getAs[java.lang.Double]("as_of_v")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L), Some(1.0)),   // equal ts matches (>= semantics)
+      (2L, Some(11L), Some(2.0)),   // 250 -> latest is 200, not 300
+      (3L, None, None)))            // u2 at 50: no right row yet
+  }
+
+  test("as-of join matches DuckDB-style semantics on real events") {
+    val s = spark
+    val e = graft.engine.Tables.events(s, sf())
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val out = AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+        Map("click_id" -> "event_id", "click_value" -> "value"))
+      .collect()
+    assert(out.nonEmpty)
+    // reference computation on the driver
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val clickRows = clicks.collect()
+      .map(r => (r.getLong(1), micros(r.getTimestamp(2)), r.getLong(0)))
+    val purchaseRows = purchases.collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2))))
+    val expected = purchaseRows.map { case (pid, u, pts) =>
+      val best = clickRows.filter(c => c._1 == u && c._2 <= pts)
+        .sortBy(_._2).lastOption.map(_._3)
+      pid -> best
+    }.toMap
+    out.foreach { r =>
+      val got = Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)
+      assert(got == expected(r.getAs[Long]("event_id")))
+    }
+  }
+}
