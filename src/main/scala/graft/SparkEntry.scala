@@ -250,6 +250,30 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // repetition signal: duplicate 3-gram fraction per document
+    "q_repetition" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          round(TF.repetitionScore(col("text"), 3), 6).as("rep3"))
+        .orderBy("doc_id")),
+
+    // composite training-data pipeline: quality filter -> language
+    // filter -> exact-dedup keep -> deterministic split. The flagship
+    // composition every piece above feeds into.
+    "q_training_pipeline" -> ((s, d) => {
+      val scored = docs(s, d)
+        .withColumn("q", TF.qualityScore(col("text")))
+        .withColumn("lang_pred", TF.langId(col("text")))
+        .where(col("q") >= 0.5 && col("lang_pred") === "en")
+      val deduped = Dedup.exact(scored, "doc_id", "text")
+        .where(col("keep"))
+        .select(col("doc_id"))
+      scored.join(deduped, "doc_id")
+        .select(col("doc_id"), round(col("q"), 6).as("q"),
+          TF.splitAssign(col("doc_id").cast("string"), 80, 10).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing: emails/IPs/phone runs -> typed placeholders
     "q_pii_scrub" -> ((s, d) =>
       docs(s, d)
@@ -642,6 +666,55 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  round(CASE WHEN greatest(len(tk) - 2, 0) > 0 THEN
+         |    1.0 - len(list_distinct(list_transform(
+         |            range(0, greatest(len(tk)-2, 0)),
+         |            i -> array_to_string(tk[i+1:i+3], ' '))))::DOUBLE
+         |        / greatest(len(tk) - 2, 0)::DOUBLE
+         |  ELSE 0.0 END, 6) AS rep3
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_training_pipeline" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, text, tk,
+         |  CASE WHEN length(text) > 0 THEN
+         |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / length(text)
+         |  ELSE 0.0 END AS pr,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, x -> x IN ($swAll)))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS swr,
+         |  len(list_filter(tk, x -> x IN ($swEn))) en,
+         |  len(list_filter(tk, x -> x IN ($swDe))) de,
+         |  len(list_filter(tk, x -> x IN ($swFr))) fr,
+         |  len(list_filter(tk, x -> x IN ($swEs))) es,
+         |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) cjk,
+         |  len(tk) ntok
+         |  FROM t),
+         |scored AS (SELECT doc_id, text,
+         |  0.4 * least(ntok::DOUBLE / 100.0, 1.0)
+         |  + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+         |  + 0.3 * least(swr * 4.0, 1.0) AS q,
+         |  CASE WHEN cjk * 2 > ntok THEN 'zh'
+         |       WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |  FROM m),
+         |filtered AS (SELECT * FROM scored WHERE q >= 0.5 AND lang_pred = 'en'),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM filtered
+         |         GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |SELECT f.doc_id, round(f.q, 6) AS q,
+         |  CASE WHEN ('0x' || substr(md5(f.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+         |       THEN 'train'
+         |       WHEN ('0x' || substr(md5(f.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+         |       THEN 'val' ELSE 'test' END AS split
+         |FROM filtered f JOIN keep USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT doc_id,

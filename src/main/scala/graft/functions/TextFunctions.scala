@@ -111,6 +111,17 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Duplicate n-gram fraction (repetition signal, Gopher-style):
+    * 1 - distinct_ngrams / total_ngrams, 0 for docs shorter than n
+    * tokens. High values indicate boilerplate/repetitive text. */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val total = greatest(tokenCount(text) - (n - 1), lit(0))
+    val distinctN = size(wordShingles(text, n))
+    when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Mean token length in characters. */
   def meanTokenLen(text: Column): Column =
     when(tokenCount(text) > 0,
