@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-regression tests: the physical-plan properties that make these
+  * queries scale are asserted, so a future refactor that silently
+  * introduces a shuffle, loses pushdown, or falls off codegen fails CI
+  * rather than the 100 TB deployment. */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q_pipeline_chain: filter and projection reach the parquet scan") {
+    val p = plan("q_pipeline_chain")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"),
+      s"quantity filter must push to the scan:\n$p")
+    // column pruning: only the 4 needed columns are read
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string"),
+      s"scan must prune to needed columns:\n$p")
+  }
+
+  test("q_groupby_agg: partial aggregation before the exchange") {
+    val p = plan("q_groupby_agg")
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q_join_broadcast: dimensions broadcast, fact never shuffles for the join") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"both dimension joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact shuffle join expected:\n$p")
+  }
+
+  test("q_topk: TakeOrdered instead of a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("q_dedup_embedding: codegen dot product with precomputed norms") {
+    val p = plan("q_dedup_embedding")
+    assert(p.contains("graft_dot"), "native expression missing from plan")
+    // threshold filters inside the join, sub-threshold pairs never materialize
+    assert(p.contains("BroadcastNestedLoopJoin"), s"pair join shape changed:\n$p")
+  }
+
+  test("q_knn_bruteforce: query side broadcasts, corpus scanned once") {
+    val p = plan("q_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+  }
+}
