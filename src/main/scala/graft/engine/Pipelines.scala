@@ -165,8 +165,10 @@ object Pipelines {
           expr(Dsl.translate(nameKey)), expr(Dsl.translate(valueKey)))
       case _ =>
         val v = df.withColumn("__agg_value", value)
+        val watermark = st.settings.getOrElse("watermark", "0 seconds")
         val agged =
-          if (streaming) streamingAggregate(v, fn, windowType, size, resolution)
+          if (streaming) streamingAggregate(v, fn, windowType, size,
+            resolution, watermark)
           else batchAggregate(v, fn, windowType, size, resolution)
         gate(agged, pooe(st))
     }
@@ -283,9 +285,14 @@ object Pipelines {
     }
 
   /** Streaming formulation: count windows via the stateful operators;
-    * time windows via built-in event-time window aggregation. */
+    * time windows via built-in event-time window aggregation.
+    * `watermark` (a stage setting, e.g. "10 seconds") bounds how late an
+    * event may arrive and still join its pane — late-data support the
+    * reference lacks entirely (its clock is wall-time only,
+    * windows.go:419-423). Default "0 seconds" = in-order streams. */
   private def streamingAggregate(df: DataFrame, fn: String, windowType: String,
-                                 size: Int, resolution: Int): DataFrame = {
+                                 size: Int, resolution: Int,
+                                 watermark: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     implicit val ss: org.apache.spark.sql.SparkSession = spark
@@ -304,14 +311,14 @@ object Pipelines {
           .select(col("key").as("__group"), col("emitAtSeq").as("__seq"),
             result.as("result"), lit(true).as("report"))
       case "timeTumbling" =>
-        df.withWatermark("__ts", "0 seconds")
+        df.withWatermark("__ts", watermark)
           .groupBy(window(col("__ts"), s"$size milliseconds"), col("__group"))
           .agg(graft.windows.AggFunctions
             .scalar(fn, col("__agg_value"), col("__seq")).as("result"))
           .select(col("__group"), unix_millis(col("window.end")).as("__seq"),
             col("result"), lit(true).as("report"))
       case "timeSliding" =>
-        df.withWatermark("__ts", "0 seconds")
+        df.withWatermark("__ts", watermark)
           .groupBy(window(col("__ts"), s"$size milliseconds",
             s"$resolution milliseconds"), col("__group"))
           .agg(graft.windows.AggFunctions

@@ -74,6 +74,40 @@ class KeyedWindowSpec extends SparkSpec {
     }
   }
 
+  test("streaming DSL timeSliding window with a watermark setting") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"timeSliding",
+        |                        "windowSize":"2000","resolution":"1000",
+        |                        "watermark":"1 seconds"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    val input = MemoryStream[(Double, Long)]
+    val sdf = input.toDF()
+      .select(col("_1").as("v"), timestamp_millis(col("_2")).as("__ts"),
+        col("_2").as("__seq"))
+    val q = Pipelines.compileStream(p, sdf)
+      .writeStream.format("memory").queryName("dsl_timesliding_stream")
+      .outputMode("append").start()
+    try {
+      // event at 500ms lands in sliding panes starting -1000 and 0
+      input.addData((1.0, 500L), (2.0, 1500L))
+      q.processAllAvailable()
+      input.addData((99.0, 30000L)) // advance watermark, close all panes
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT __seq, result FROM dsl_timesliding_stream ORDER BY __seq")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // pane[-1000,1000): 1.0; pane[0,2000): 3.0; pane[1000,3000): 2.0
+      assert(rows.toSeq == Seq((1000L, 1.0), (2000L, 3.0), (3000L, 2.0)))
+    } finally q.stop()
+  }
+
   test("streaming DSL timeTumbling window emits closed panes") {
     val s = spark
     import s.implicits._

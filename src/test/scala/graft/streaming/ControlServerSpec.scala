@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+class ControlServerSpec extends SparkSpec {
+
+  private def http(port: Int, path: String): (Int, String) = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    val code = conn.getResponseCode
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = new String(stream.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("REST control: start/pause/resume/stop/status per named source") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("ctrl", ".csv")
+    java.nio.file.Files.writeString(csv.toPath, "v\n1\n2\n3\n")
+    val replay = new CsvReplay(csv.getAbsolutePath, header = true,
+      emitDelayMs = 10, replayData = true)
+    val srv = new ControlServer(0)
+    srv.register("t1", replay)
+    val port = srv.start()
+    try {
+      assert(http(port, "/tester/status")._2 ==
+        """{"t1": {"running": false}}""")
+      val (c1, b1) = http(port, "/tester/start?name=t1")
+      assert(c1 == 200 && b1.contains("\"running\": true"))
+      assert(http(port, "/tester/pause")._1 == 200)
+      assert(http(port, "/tester/resume")._1 == 200)
+      assert(http(port, "/tester/stop?name=t1")._1 == 200)
+      val deadline = System.currentTimeMillis() + 3000
+      while (replay.isRunning && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(!replay.isRunning)
+      // error paths mirror the reference's REST surface
+      assert(http(port, "/tester/start?name=nope")._1 == 404)
+      assert(http(port, "/tester/frobnicate")._1 == 404)
+    } finally srv.stop()
+  }
+}
