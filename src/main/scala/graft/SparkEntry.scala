@@ -332,6 +332,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // k-means-trained IVF (MLlib) — model-based, rows-only check
+    "q_knn_ivf_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = Similarity.trainCentroids(e, "embedding", 16)
+      Similarity.ivfKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
+          cent, "cell", "centroid", 3, nProbe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // hash-derived hyperplanes — not oracle-expressible; rows-only check
     "q_knn_lsh" -> ((s, d) => {
       val e = emb(s, d)

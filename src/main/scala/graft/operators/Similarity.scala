@@ -92,6 +92,29 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Train IVF centroids with MLlib k-means (seeded — deterministic).
+    * At 100 TB: train on a sample (k-means|| init is already
+    * sample-friendly), persist the centroids, and bucket the corpus by
+    * [[assignCells]] so queries touch nProbe cells. Returns
+    * (cell: int, centroid: array<double>). */
+  def trainCentroids(corpus: DataFrame, vec: String, k: Int,
+                     seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = corpus.select(
+      array_to_vector(asDoubles(col(vec))).as("features"))
+    val n = train.count()
+    require(n >= k,
+      s"cannot train $k centroids from $n vectors (need at least k)")
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(train)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with pseudo-random planes. Planes come from a fixed-seed PRNG
     * (java.util.Random is spec-fixed, so signatures are deterministic
