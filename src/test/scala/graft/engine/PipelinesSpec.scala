@@ -60,6 +60,31 @@ class PipelinesSpec extends SparkSpec {
     assert(msgs.toSeq == Seq("fromChannel: 5", "fromChannel: 7"))
   }
 
+  test("passthru scope: values stashed by one stage are readable later") {
+    val s = spark
+    import s.implicits._
+    // stage 1 stashes the raw value into passthru; stage 2's mapper sums
+    // the filtered value with the stashed original (scope.go:98-99,
+    // instance.go:290-295)
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}],
+        |             "output": [{"name":"out","type":"double"}]},
+        |"stages": [
+        |  {"ref":"#filter", "settings":{"type":"non-zero"},
+        |   "input":{"value":"=$.v"},
+        |   "output":{"passthru.orig":"=$pipeline.v"}},
+        |  {"ref":"#log",
+        |   "input":{"message":"=$.value"},
+        |   "output":{"pipeline.out":"=$.value + $passthru.orig"}}]
+        |}""".stripMargin)
+    val input = Seq(0.0, 5.0, 7.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "__seq")
+    val out = Pipelines.compileBatch(p, input)
+      .collect().map(_.getDouble(0)).sorted
+    assert(out.toSeq == Seq(10.0, 14.0)) // value + passthru.orig, zeros dropped
+  }
+
   test("count tumbling DSL pipeline with groupBy discriminator (batch)") {
     val s = spark
     import s.implicits._
