@@ -64,6 +64,48 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeStub))
   }
 
+  /** A decoded frame/tile: (record id, frame index, payload slice). */
+  case class MediaFrame(id: Long, frame: Int, bytes: Array[Byte])
+
+  /** STUB resize: a real implementation re-encodes pixels; the stub
+    * deterministically truncates/pads the payload to `targetBytes` so
+    * downstream schema/size behavior is exercised. The partitioning and
+    * batch shape (one record in, one record out, no driver involvement)
+    * are the production contract. */
+  def resizeStub(r: MediaRecord, targetBytes: Int): MediaRecord = {
+    val src = Option(r.payload).getOrElse(Array.emptyByteArray)
+    val out = java.util.Arrays.copyOf(src, targetBytes)
+    r.copy(payload = out)
+  }
+
+  /** STUB frame sampling: emits every `stride`-th 64-byte slice as a
+    * "frame" (a real implementation decodes video and samples frames at
+    * a time cadence). Row-expanding: one record in, N frames out —
+    * the generator shape of the real op. */
+  def frameSampleStub(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
+    val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+    (0 until math.max(bytes.length / 64, 1) by stride).iterator.map { i =>
+      val from = math.min(i * 64, bytes.length)
+      val until = math.min(from + 64, bytes.length)
+      MediaFrame(r.id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+    }
+  }
+
+  /** Resize every record, partition-parallel. */
+  def resizeAll(ds: Dataset[MediaRecord], targetBytes: Int)
+               (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ds.mapPartitions(_.map(resizeStub(_, targetBytes)))
+  }
+
+  /** Sample frames from every record — a flatMap (row-expanding)
+    * partition-parallel stage. */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int)
+                  (implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(frameSampleStub(_, stride)))
+  }
+
   /** Column-only metadata path (no decode, pure codegen): byte length and
     * md5 of the payload — the cheap pre-filter a pipeline runs BEFORE
     * paying for decode. */
