@@ -59,12 +59,12 @@ object Pipelines {
 
   private def prologue(p: PipelineDef, input: DataFrame): DataFrame = {
     var df = input
-    if (!df.columns.contains("__seq"))
-      // streaming sources must supply __seq themselves (CsvReplay does);
-      // monotonically_increasing_id is batch-only, and row-wise streaming
-      // stages never read the placeholder
-      df = df.withColumn("__seq",
-        if (df.isStreaming) lit(0L) else monotonically_increasing_id())
+    if (!df.columns.contains("__seq") && !df.isStreaming)
+      df = df.withColumn("__seq", monotonically_increasing_id())
+    // streaming sources must supply __seq themselves (CsvReplay does);
+    // stages that need it check explicitly — a constant placeholder
+    // would trip the count-window high-water-mark filter and silently
+    // drop every sample after a key's first
     // typed coercion of declared inputs + pipeline-scope copies
     p.inputs.foreach { f =>
       df = df.withColumn(f.name, col(f.name).cast(sparkType(f.typ)))
@@ -158,7 +158,11 @@ object Pipelines {
     // support keyed sliding-count windows (windows.go:216-219); neither
     // do we.
     (st.settings.get("nameKey"), st.settings.get("valueKey")) match {
-      case (Some(nameKey), Some(valueKey)) if !streaming =>
+      case (Some(_), Some(_)) if streaming =>
+        throw new IllegalArgumentException(
+          "keyed (nameKey/valueKey) windows are batch-only for now; " +
+            "model the keys as grouping columns in streaming mode")
+      case (Some(nameKey), Some(valueKey)) =>
         require(windowType != "sliding",
           "keyed sliding(count) windows are unsupported (windows.go:216-219)")
         keyedBatchAggregate(df, fn, windowType, size, resolution,
@@ -177,7 +181,13 @@ object Pipelines {
   /** Keyed window (batch): window assignment as in the unkeyed forms, but
     * aggregation is per (group, window, name) and the emission row carries
     * `result` as a map[name -> agg] (the reference's MapData emission
-    * shape, windows.go:469-479). One row per closed window. */
+    * shape, windows.go:469-479). One row per closed window.
+    *
+    * timeSliding follows the reference's paned BlockMapData design
+    * (windows.go:280-393): per-(resolution-ms pane, name) PARTIALS are
+    * re-aggregated over a trailing `size`-ms range of panes, and panes
+    * only emit once a full window has elapsed since the group's first
+    * event (the canEmit warm-up). */
   private def keyedBatchAggregate(df: DataFrame, fn: String, windowType: String,
                                   size: Int, resolution: Int,
                                   name: Column, value: Column): DataFrame = {
@@ -200,13 +210,56 @@ object Pipelines {
       case other =>
         throw new IllegalArgumentException(s"unsupported keyed window: $other")
     }
-    val perName = withWin
+    val named = withWin
       .withColumn("__name", name.cast("string"))
       .withColumn("__value", value)
-      .groupBy(col("__group"), col("__win"), col("__name"))
-      .agg(graft.windows.AggFunctions
-        .scalar(fn, col("__value"), col("__seq")).as("__agg"),
-        max(col("__seq")).as("__name_seq"))
+    val perName =
+      if (windowType == "timeSliding") {
+        // per-pane partials, then a trailing size-ms pane-range frame
+        val partialCols = Seq(
+          sum(col("__value")).as("__psum"),
+          count(lit(1)).as("__pcount"),
+          min(col("__value")).as("__pmin"),
+          max(col("__value")).as("__pmax"),
+          max(col("__seq")).as("__pseq")) ++
+          (if (fn == "accumulate")
+            Seq(graft.windows.AggFunctions
+              .scalar("accumulate", col("__value"), col("__seq")).as("__plist"))
+          else Nil)
+        val partials = named
+          .groupBy(col("__group"), col("__win"), col("__name"))
+          .agg(partialCols.head, partialCols.tail: _*)
+        val frame = Window.partitionBy(col("__group"), col("__name"))
+          .orderBy(col("__win"))
+          .rangeBetween(-(size - resolution).toLong, Window.currentRow)
+        val agg = fn match {
+          case "sum"   => sum(col("__psum")).over(frame)
+          case "count" => sum(col("__pcount")).over(frame)
+          case "min"   => min(col("__pmin")).over(frame)
+          case "max"   => max(col("__pmax")).over(frame)
+          case "avg"   =>
+            sum(col("__psum")).over(frame) /
+              sum(col("__pcount")).over(frame).cast("double")
+          case "accumulate" => flatten(collect_list(col("__plist")).over(frame))
+          case other =>
+            throw new IllegalArgumentException(s"unknown agg fn: $other")
+        }
+        partials
+          .withColumn("__agg", agg)
+          .withColumn("__name_seq", max(col("__pseq")).over(frame))
+          // canEmit warm-up: a full window must have elapsed for the group
+          .withColumn("__minwin",
+            min(col("__win")).over(Window.partitionBy(col("__group"))))
+          .where(col("__win") >= col("__minwin") + (size - resolution))
+          .select(col("__group"), col("__win"), col("__name"),
+            col("__agg"), col("__name_seq"))
+      } else {
+        named
+          .groupBy(col("__group"), col("__win"), col("__name"))
+          .agg(graft.windows.AggFunctions
+            .scalar(fn, col("__value"), col("__seq")).as("__agg"),
+            max(col("__seq")).as("__name_seq"))
+      }
     perName.groupBy(col("__group"), col("__win"))
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("__name"), col("__agg"))))).as("result"),
@@ -298,6 +351,9 @@ object Pipelines {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     windowType match {
       case "tumbling" | "sliding" =>
+        require(df.columns.contains("__seq"),
+          "streaming count windows need a source-provided __seq column " +
+            "(monotone arrival order per key; CsvReplay supplies one)")
         val ds = df.select(col("__group").as("key"), col("__seq").as("seq"),
           col("__agg_value").cast("double").as("value"))
           .as[graft.windows.CountWindows.KeyedSample]

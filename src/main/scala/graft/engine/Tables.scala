@@ -23,7 +23,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral division: `/` on longs is double division, whose 2^53
+      // mantissa cannot represent epoch nanos exactly (±256 ns ULP) and
+      // can shift a boundary timestamp into the wrong pane
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

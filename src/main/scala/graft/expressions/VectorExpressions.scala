@@ -24,8 +24,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers guarantee array<double> inputs (VectorFunctions.asDoubles)
   override def dataType: DataType = DoubleType
+
+  // Scala callers pass array<double> (VectorFunctions.asDoubles); the
+  // SQL surface (graft_dot via GraftExtensions) can pass anything, so
+  // reject non-double-array inputs at analysis time instead of failing
+  // with a ClassCastException mid-query.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -23,28 +23,37 @@ object AsOfJoin {
 
   /** Left rows enriched with the as-of right row's picked columns.
     * `pick` maps output column name -> right-side column. Left rows with
-    * no preceding right row keep nulls. */
+    * no preceding right row keep nulls.
+    *
+    * The right side's picked columns travel as ONE struct and the carry
+    * is a single `last(struct, ignoreNulls)` — the struct is non-null
+    * whenever a right row exists even if every picked FIELD is null, so
+    * the match is always one coherent right row (a per-column carry
+    * would resurrect stale values for columns that are null in the true
+    * as-of row). */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            pick: Map[String, String]): DataFrame = {
     val leftCols = left.columns
+    val picked = pick.toSeq
+    val rStruct = struct(picked.map { case (out, src) => col(src).as(out) }: _*)
+    val r = right
+      .select(col(key), col(ts), lit(0).as("__side"), rStruct.as("__asof"))
+      .select((Seq(col(key), col(ts), col("__side"), col("__asof")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.withColumn("__side", lit(1))
-      .withColumns(pick.map { case (out, _) => out -> lit(null) })
-    val r = pick.foldLeft(right) { case (df, (out, src)) =>
-      df.withColumn(out, col(src))
-    }.select((Seq(col(key), col(ts), lit(0).as("__side")) ++
-      pick.keys.map(col) ++
-      leftCols.filterNot(c => c == key || c == ts)
-        .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val unioned = l.select((Seq(col(key), col(ts), col("__side")) ++
-      pick.keys.map(col) ++
-      leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
-      .unionByName(r)
+      .withColumn("__asof",
+        lit(null).cast(r.schema("__asof").dataType))
+      .select((Seq(col(key), col(ts), col("__side"), col("__asof")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = pick.keys.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1).drop("__side")
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        picked.map { case (out, _) => col("__asof").getField(out).as(out) }): _*)
   }
 }

@@ -27,7 +27,12 @@ object Bucketing {
     * SortMergeJoin with NO Exchange on either side when bucket counts
     * match. */
   def coLocatedJoin(spark: SparkSession, left: String, right: String,
-                    leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+                    leftKey: String, rightKey: String): DataFrame = {
+    // bind each table once: every spark.table() call analyzes fresh
+    // attribute ids, and a join condition built from third instances
+    // leans on fragile self-join disambiguation
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -73,22 +73,28 @@ object Dedup {
     val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf && col("df") >= 2)
     val invR = inv.join(rare.select("s"), "s")
-    // intersection size straight off the inverted index (one shuffled
-    // count per pair) — the shingle ARRAYS are never shuffled per pair,
-    // unlike an array_intersect-based verify. Exact as long as no shared
-    // shingle exceeds maxShingleDf; beyond the cap the score is a lower
-    // bound (capped shingles count toward the union, not the intersection).
+    // Stage 1 (prefilter): intersection size over CAPPED shingles,
+    // straight off the inverted index — a LOWER BOUND of the true
+    // Jaccard (capped shingles still count toward the union), computed
+    // without ever shuffling shingle arrays per pair. Keep any pair
+    // whose bound reaches threshold/2.
     val inter = invR.as("a").join(invR.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val cand = inter
       .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
       .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .where(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")).cast("double")
+        >= threshold / 2)
+      .select(col("d1"), col("d2"))
+    // Stage 2: exact full-set verification of the surviving pairs — the
+    // reported score is the TRUE Jaccard, identical to minhashPairs'
+    // verification and the DuckDB oracle. Recall caveat: a pair whose
+    // above-cap shingles hide more than half its similarity can be
+    // missed at stage 1; such overlap is boilerplate by definition.
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** Join candidate (d1, d2) pairs back to shingle sets and keep pairs with

@@ -79,12 +79,17 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
           val now = System.currentTimeMillis()
           stream.addData(rows.map(r => toJson(r, seq.getAndIncrement(), now)))
         } else {
-          rows.foreach { r =>
+          // no non-local `return` here: it compiles to a control-flow
+          // exception, which any interposed catch would swallow
+          val it = rows.iterator
+          while (it.hasNext && running.get()) {
+            val r = it.next()
             while (paused.get() && running.get()) Thread.sleep(5)
-            if (!running.get()) return
-            stream.addData(toJson(r, seq.getAndIncrement(),
-              System.currentTimeMillis()))
-            Thread.sleep(delay)
+            if (running.get()) {
+              stream.addData(toJson(r, seq.getAndIncrement(),
+                System.currentTimeMillis()))
+              Thread.sleep(delay)
+            }
           }
         }
       } while (replayData && running.get())

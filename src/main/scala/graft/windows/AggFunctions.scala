@@ -35,9 +35,11 @@ object AggFunctions {
   /** Compat: the reference's integer-typed avg truncates (Go int division,
     * functions/average.go:75-76: `x / count`). Our engine defaults to true
     * floating-point avg; pipelines chasing bit-parity with int-typed
-    * reference streams opt in via this expression. */
+    * reference streams opt in via this expression. Go division truncates
+    * TOWARD ZERO (so -7/2 = -3), hence the double->long cast rather than
+    * floor (which would give -4). */
   def intAvgCompat(value: Column): Column =
-    floor(sum(value.cast("long")).cast("double") / count(value)).cast("long")
+    (sum(value.cast("long")).cast("double") / count(value)).cast("long")
 
   /** Compat: the reference's timeTumbling avg divides by `maxSamples` — a
     * HIGH-WATER mark of pane sizes across the stream, not the emitting

@@ -56,6 +56,32 @@ class KeyedWindowSpec extends SparkSpec {
     assert(out(1).getAs[Map[String, Double]]("result") == Map("a" -> 7.0))
   }
 
+  test("keyed timeSliding aggregates the trailing size-ms of panes") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"timeSliding",
+        |                        "windowSize":"2000","resolution":"1000",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    val input = Seq(("a", 1.0, 900L), ("a", 2.0, 1500L), ("b", 5.0, 1800L))
+      .zipWithIndex
+      .map { case ((n, v, ms), i) => (n, v, ms, i.toLong) }
+      .toDF("n", "v", "ms", "__seq")
+      .withColumn("__ts", timestamp_millis(col("ms")))
+    val out = Pipelines.compileBatch(p, input).orderBy("__win").collect()
+    // pane 0 is inside the warm-up (no full 2000ms elapsed); pane 1000
+    // aggregates the trailing 2000ms: a = 1+2 (panes 0+1000), b = 5
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("__win") == 1000L)
+    assert(out(0).getAs[Map[String, Double]]("result") ==
+      Map("a" -> 3.0, "b" -> 5.0))
+  }
+
   test("keyed sliding(count) is rejected like the reference") {
     val s = spark
     import s.implicits._
