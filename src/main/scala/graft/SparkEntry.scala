@@ -444,6 +444,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // range join: purchases paired with same-user clicks within +-1 hour
+    "q_range_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      operators.RangeJoin.timeRange(purchases, clicks, "user_id", "ts",
+          3600000L, 3600000L)
+        .select(col("event_id"), col("user_id"),
+          col("r_event_id").as("click_id"))
+        .orderBy("event_id", "click_id")
+    }),
+
     // ---- multimodal plumbing ----
 
     "q_multimodal_meta" -> ((s, d) =>
@@ -754,6 +768,17 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.click_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |  AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY p.event_id, c.click_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
