@@ -89,12 +89,18 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // F6 accumulate: order-preserving collect per key
+    // F6 accumulate: order-preserving collect per key. The array is
+    // serialized to a fixed-point CSV string (decimal(18,4) keeps trailing
+    // zeros identically in Spark and DuckDB) because the driver's pandas
+    // compare cannot hash array-typed columns.
     "q_accumulate" -> ((s, d) =>
       ev(s, d)
         .groupBy("user_id")
         .agg(AggFunctions.scalar("accumulate", col("value"), col("event_id"))
-          .as("vals"))
+          .as("vals_arr"))
+        .select(col("user_id"),
+          concat_ws(",", transform(col("vals_arr"),
+            x => round(x, 4).cast("decimal(18,4)").cast("string"))).as("vals"))
         .orderBy("user_id")),
 
     // W5 keyed variant: per-key aggregation (nameKey=event_type)
@@ -167,14 +173,23 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("ws"), col("n"), col("sv"))
         .orderBy("ws")),
 
-    // W5 map-shaped keyed output (reference emits map[key]agg) — no SQL
-    // oracle (map-typed result); rows-only check
+    // W5 map-shaped keyed output (reference emits map[key]agg,
+    // windows.go:469-479). The map column itself is exercised via
+    // toMapShape; for the driver's compare (which cannot hash map columns)
+    // the entries — already key-sorted by toMapShape's array_sort — are
+    // flattened to a deterministic "k=v,..." string on both sides.
     "q_keyed_map_shape" -> ((s, d) => {
       val hourly = TimeWindows.tumbling(ev(s, d), col("ts"), "1 hour",
         Seq(col("event_type")), Seq(count(lit(1)).as("n")))
         .select(unix_timestamp(col("window.start")).as("ws"),
           col("event_type"), col("n").cast("double").as("n"))
-      TimeWindows.toMapShape(hourly, "ws", "event_type", "n").orderBy("ws")
+      TimeWindows.toMapShape(hourly, "ws", "event_type", "n")
+        .select(col("ws"),
+          concat_ws(",", transform(map_entries(col("result")),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("decimal(18,1)").cast("string"))))
+            .as("kv"))
+        .orderBy("ws")
     }),
 
     // ---- channels (E7): fan-in union of two filtered streams ----
@@ -547,8 +562,18 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_accumulate" ->
-      """SELECT user_id, list(value ORDER BY event_id) AS vals
+      """SELECT user_id,
+        |  array_to_string(list(round(value, 4)::DECIMAL(18,4)::VARCHAR
+        |                       ORDER BY event_id), ',') AS vals
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_keyed_map_shape" ->
+      """SELECT ws, string_agg(event_type || '=' || n::DECIMAL(18,1)::VARCHAR,
+        |                      ',' ORDER BY event_type) AS kv
+        |FROM (SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type,
+        |             count(*)::DOUBLE AS n
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
 
     "q_keyed_agg" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
