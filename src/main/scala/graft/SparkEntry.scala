@@ -276,14 +276,20 @@ object SparkEntry {
     // filter -> exact-dedup keep -> deterministic split. The flagship
     // composition every piece above feeds into.
     "q_training_pipeline" -> ((s, d) => {
-      val scored = docs(s, d)
-        .withColumn("q", TF.qualityScore(col("text")))
-        .withColumn("lang_pred", TF.langId(col("text")))
+      // Single scan of documents: score, language-ID and fingerprint in one
+      // projection (codegen CSE evaluates the shared tokenization once),
+      // then dedup-keep via a window min over the fingerprint — the heavy
+      // text columns never survive past the projection, so the one shuffle
+      // carries only (doc_id, q, fp).
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d)
+        .select(col("doc_id"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.langId(col("text")).as("lang_pred"),
+          TF.fingerprint(col("text")).as("fp"))
         .where(col("q") >= 0.5 && col("lang_pred") === "en")
-      val deduped = Dedup.exact(scored, "doc_id", "text")
-        .where(col("keep"))
-        .select(col("doc_id"))
-      scored.join(deduped, "doc_id")
+        .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+        .where(col("doc_id") === col("keep_id"))
         .select(col("doc_id"), round(col("q"), 6).as("q"),
           TF.splitAssign(col("doc_id").cast("string"), 80, 10).as("split"))
         .orderBy("doc_id")

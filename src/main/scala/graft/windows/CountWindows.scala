@@ -141,8 +141,11 @@ object CountWindows {
   }
 
   /** `sinceEmit` counts samples since the last emission — the reference's
-    * `numSamples`, which is reset to 0 on every emit (windows.go:262). */
-  case class SlidingState(ring: Vector[Double], nSeen: Long, sinceEmit: Long)
+    * `numSamples`, which is reset to 0 on every emit (windows.go:262).
+    * `lastSeq` is the per-key high-water mark enforcing the KeyedSample
+    * ordering contract across micro-batches, same as TumblingState. */
+  case class SlidingState(ring: Vector[Double], nSeen: Long, sinceEmit: Long,
+                          lastSeq: Long)
 
   /** Streaming sliding count window with resolution. Cadence matches the
     * reference (windows.go:252-265): emit requires a full ring
@@ -156,16 +159,19 @@ object CountWindows {
       .flatMapGroupsWithState[SlidingState, WindowEmit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[SlidingState]) =>
-          var st = state.getOption.getOrElse(SlidingState(Vector.empty, 0L, 0L))
+          var st = state.getOption.getOrElse(SlidingState(Vector.empty, 0L, 0L, -1L))
           val out = Vector.newBuilder[WindowEmit]
-          rows.toSeq.sortBy(_.seq).foreach { s =>
+          // same contract as tumblingStream: sort within the batch, drop
+          // below-HWM stragglers from prior batches instead of folding them
+          // into the ring out of order.
+          rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
             val ring = (st.ring :+ s.value).takeRight(size)
             val n = st.nSeen + 1
             val since = st.sinceEmit + 1
             if (n >= size && since >= resolution) {
               out += WindowEmit(key, s.seq, applyFn(fn, ring), ring, ring.length.toLong)
-              st = SlidingState(ring, n, 0L)
-            } else st = SlidingState(ring, n, since)
+              st = SlidingState(ring, n, 0L, s.seq)
+            } else st = SlidingState(ring, n, since, s.seq)
           }
           state.update(st)
           out.result().iterator

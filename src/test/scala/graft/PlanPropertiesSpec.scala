@@ -44,6 +44,13 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"pair join shape changed:\n$p")
   }
 
+  test("q_training_pipeline: documents scanned exactly once") {
+    val p = plan("q_training_pipeline")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"composite pipeline must scan documents once:\n$p")
+    assert(!p.contains("Join"), s"window dedup must not reintroduce a join:\n$p")
+  }
+
   test("q_knn_bruteforce: query side broadcasts, corpus scanned once") {
     val p = plan("q_knn_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -84,4 +84,26 @@ class StreamingWindowsSpec extends SparkSpec {
       assert(rows.toSeq == Seq(3.0, 7.0))
     } finally query.stop()
   }
+
+  test("sliding window drops below-high-water-mark samples too") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val ss: org.apache.spark.sql.SparkSession = s
+    val input = MemoryStream[KeyedSample]
+    val query = slidingStream(input.toDS(), 2, 1, "sum")
+      .writeStream.format("memory").queryName("ooo_sliding_mb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(KeyedSample("a", 10, 1.0), KeyedSample("a", 20, 2.0))
+      query.processAllAvailable()
+      // seq 5 is below the key's HWM (20): must be dropped, NOT folded into
+      // the ring — otherwise the next emission would aggregate (2.0, 100.0)
+      input.addData(KeyedSample("a", 5, 100.0), KeyedSample("a", 30, 3.0))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT emitAtSeq, result FROM ooo_sliding_mb ORDER BY emitAtSeq")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((20L, 3.0), (30L, 5.0)))
+    } finally query.stop()
+  }
 }
