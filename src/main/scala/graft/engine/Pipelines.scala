@@ -140,7 +140,11 @@ object Pipelines {
         !exists(col("value"), x => x =!= 0.0)
       case _ => col("value") === 0.0
     }
-    gate(v.withColumn("filtered", filtered)
+    // NULL (unclassifiable) values pass through unfiltered — the reference
+    // only filters values it recognizes as zero (filters.go:33-34 returns
+    // filtered=false for unknown types); without the coalesce a NULL value
+    // would make `report` NULL and the gate would drop the row silently.
+    gate(v.withColumn("filtered", coalesce(filtered, lit(false)))
       .withColumn("report", !col("filtered")), pooe(st))
   }
 

@@ -19,12 +19,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Summation order is ascending index, identical to the lambda-based
   * `aggregate(zip_with(a, b, *), 0.0, +)` it replaces and to DuckDB's
   * sequential list fold — results are bitwise identical, which the
-  * duckdb-oracle hash compare requires.
+  * duckdb-oracle hash compare requires. Mismatched-length inputs yield
+  * NULL (as the lambda form does via zip_with's null padding) rather
+  * than a silently truncated, plausible-but-wrong product.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL is produced for ragged inputs even when both children are
+  // non-nullable, so nullability must not be derived from the children
+  override def nullable: Boolean = true
 
   // Scala callers pass array<double> (VectorFunctions.asDoubles); the
   // SQL surface (graft_dot via GraftExtensions) can pass anything, so
@@ -48,27 +54,31 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toDoubleArray()
     val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(xs.length, ys.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += xs(i) * ys(i); i += 1 }
-    s
+    if (xs.length != ys.length) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < xs.length) { s += xs(i) * ys(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xs = ctx.freshName("xs")
       val ys = ctx.freshName("ys")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
          |double[] $xs = $a.toDoubleArray();
          |double[] $ys = $b.toDoubleArray();
-         |int $n = Math.min($xs.length, $ys.length);
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $xs[$i] * $ys[$i]; }
-         |${ev.value} = $s;
+         |if ($xs.length != $ys.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $xs.length; $i++) { $s += $xs[$i] * $ys[$i]; }
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 

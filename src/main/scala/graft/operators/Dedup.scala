@@ -64,8 +64,15 @@ object Dedup {
     * so dropped shingles cost recall only for pairs whose sole overlap is
     * ubiquitous n-grams — which are below any useful threshold anyway. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-                   threshold: Double, maxShingleDf: Long = 1000L): DataFrame = {
-    val sh = withShingles(df, id, text, n).cache()
+                   threshold: Double, maxShingleDf: Long = 1000L,
+                   persistShingles: Boolean = true): DataFrame = {
+    // The shingle table feeds candidate generation AND verification, so it
+    // is cached by default. The cache outlives the returned (lazy)
+    // DataFrame — a long-lived session issuing many dedup calls should
+    // pass persistShingles=false (recompute; the right call at 100 TB
+    // where the corpus never fits in cache) or clearCache() between runs.
+    val sh0 = withShingles(df, id, text, n)
+    val sh = if (persistShingles) sh0.cache() else sh0
     val sizes = sh.select(col("doc"), size(col("sh")).as("sz"))
     val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
     // a shared shingle has df >= 2 by construction, so the df filter only
@@ -163,8 +170,11 @@ object Dedup {
     * [[jaccardPairs]], so the two are cross-checkable. */
   def minhashPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double, numPerms: Int = 64,
-                   rowsPerBand: Int = 2): DataFrame = {
-    val sh = withShingles(df, id, text, n).cache()
+                   rowsPerBand: Int = 2,
+                   persistShingles: Boolean = true): DataFrame = {
+    // same cache-retention contract as jaccardPairs
+    val sh0 = withShingles(df, id, text, n)
+    val sh = if (persistShingles) sh0.cache() else sh0
     val sig = minhashSignatureTable(sh, numPerms)
     val numBands = numPerms / rowsPerBand
     // band key: hash of the band's signature slice + band index

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Time-range join — pair left rows with right rows of the same key
@@ -32,19 +32,22 @@ object RangeJoin {
     // rows agree with an engine comparing raw timestamps
     val lowerUs = lowerMs * 1000L
     val upperUs = upperMs * 1000L
+    val spanUs = span * 1000L
+    // exact floor division on longs (pmod makes the numerator divisible,
+    // so the quotient is integral and exact) — double-division rounding
+    // could place a near-boundary value in the neighboring bin and
+    // silently drop an in-range pair
+    def binOf(c: Column): Column =
+      ((c - pmod(c, lit(spanUs))) / lit(spanUs)).cast("bigint")
     val l = left
       .withColumn("__lus", unix_micros(col(ts)))
       .withColumn("__bin", explode(array_distinct(array(
-        floor((col("__lus") - lowerUs).cast("double") / (span * 1000L))
-          .cast("bigint"),
-        floor((col("__lus") + upperUs).cast("double") / (span * 1000L))
-          .cast("bigint")))))
+        binOf(col("__lus") - lowerUs), binOf(col("__lus") + upperUs)))))
     val r = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, rightPrefix + c)
     }
       .withColumn("__rus", unix_micros(col(rightPrefix + ts)))
-      .withColumn("__bin",
-        floor(col("__rus").cast("double") / (span * 1000L)).cast("bigint"))
+      .withColumn("__bin", binOf(col("__rus")))
     l.join(r,
         col(key) === col(rightPrefix + key) &&
           l("__bin") === r("__bin") &&

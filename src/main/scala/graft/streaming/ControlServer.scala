@@ -32,7 +32,8 @@ class ControlServer(port: Int) {
     val path = ex.getRequestURI.getPath.stripPrefix("/tester").stripPrefix("/")
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     val name = query.split("&").collectFirst {
-      case kv if kv.startsWith("name=") => kv.stripPrefix("name=")
+      case kv if kv.startsWith("name=") =>
+        java.net.URLDecoder.decode(kv.stripPrefix("name="), "UTF-8")
     }
     val targets = name match {
       case Some(n) => sources.get(n).map(n -> _).toSeq
@@ -40,7 +41,7 @@ class ControlServer(port: Int) {
     }
     val (code, body) = path match {
       case _ if name.isDefined && targets.isEmpty =>
-        (404, s"""{"error": "unknown source: ${name.get}"}""")
+        (404, s"""{"error": "unknown source: ${esc(name.get)}"}""")
       case "start"  => targets.foreach(_._2.start()); ok(targets)
       case "stop"   => targets.foreach(_._2.stop()); ok(targets)
       case "pause"  => targets.foreach(_._2.pause()); ok(targets)
@@ -58,6 +59,14 @@ class ControlServer(port: Int) {
 
   private def ok(targets: Seq[(String, CsvReplay)]): (Int, String) =
     (200, targets.map { case (n, r) =>
-      s""""$n": {"running": ${r.isRunning}}"""
+      s""""${esc(n)}": {"running": ${r.isRunning}}"""
     }.mkString("{", ",", "}"))
+
+  /** JSON string escape for interpolated (possibly user-supplied) names. */
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 }

@@ -52,12 +52,17 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
     }
   }
 
+  // Jackson (bundled with Spark) rather than hand-built interpolation:
+  // backslashes, control characters and non-finite doubles in CSV cells
+  // must serialize to valid JSON, or from_json nulls the whole row.
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def toJson(m: Map[String, Any], s: Long, ts: Long): String = {
-    val fields = m.map {
-      case (k, v: Double) => s""""$k": $v"""
-      case (k, v) => s""""$k": "${v.toString.replace("\"", "\\\"")}""""
-    } ++ Seq(s""""__seq": $s""", s""""__ts_ms": $ts""")
-    fields.mkString("{", ",", "}")
+    val jm = new java.util.LinkedHashMap[String, Any]()
+    m.foreach { case (k, v) => jm.put(k, v) }
+    jm.put("__seq", java.lang.Long.valueOf(s))
+    jm.put("__ts_ms", java.lang.Long.valueOf(ts))
+    jsonMapper.writeValueAsString(jm)
   }
 
   /** Streaming DataFrame with the CSV's columns + __seq + __ts. */

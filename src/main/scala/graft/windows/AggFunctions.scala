@@ -44,12 +44,10 @@ object AggFunctions {
   /** Compat: the reference's timeTumbling avg divides by `maxSamples` — a
     * HIGH-WATER mark of pane sizes across the stream, not the emitting
     * pane's own count (windows.go:177-205, maxSamples assigned at :192).
-    * Expressed over a pane-level frame: divide each pane sum by the running
-    * max of pane counts up to that pane. `paneSum`/`paneCount` are the
-    * per-pane aggregates; `paneOrder` the window spec ordered by pane start
-    * with an unbounded-preceding frame. */
-  def maxSamplesAvgCompat(paneSum: Column, paneCount: Column,
-                          runningMaxCount: Column): Column =
+    * `paneSum` is the per-pane sum; `runningMaxCount` the running max of
+    * pane counts up to that pane (a max() over an unbounded-preceding
+    * frame ordered by pane start). */
+  def maxSamplesAvgCompat(paneSum: Column, runningMaxCount: Column): Column =
     paneSum / runningMaxCount.cast("double")
 
   /** Element-wise vector aggregation (reference: functions/sum.go:16-27 etc.)

@@ -60,6 +60,25 @@ class PipelinesSpec extends SparkSpec {
     assert(msgs.toSeq == Seq("fromChannel: 5", "fromChannel: 7"))
   }
 
+  test("non-zero filter passes NULL values through (filters.go:33-34)") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}],
+        |             "output": [{"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#filter", "settings":{"type":"non-zero"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    val input = Seq[(java.lang.Double, Long)]((0.0, 0L), (5.0, 1L),
+      (null, 2L), (7.0, 3L)).toDF("v", "__seq")
+    // the reference only filters values it can classify as zero; NULL
+    // (unknown) passes through rather than being silently dropped
+    val out = Pipelines.compileBatch(p, input)
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out.toSet == Set(5.0, 7.0, null))
+  }
+
   test("passthru scope: values stashed by one stage are readable later") {
     val s = spark
     import s.implicits._

@@ -23,6 +23,19 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getDouble(0) == 5.0)
   }
 
+  test("graft_dot yields NULL for mismatched vector lengths, in both paths") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .createOrReplaceTempView("ragged_probe")
+    // codegen path
+    assert(s.sql("SELECT graft_dot(a, b) FROM ragged_probe").collect()(0).isNullAt(0))
+    // interpreted (filter-condition) path exercises eval()
+    assert(s.sql("SELECT count(*) FROM ragged_probe WHERE graft_dot(a, b) > 0")
+      .collect()(0).getLong(0) == 0L)
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     val s = spark
     import s.implicits._

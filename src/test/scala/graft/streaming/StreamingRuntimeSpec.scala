@@ -82,6 +82,27 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("csv replay survives backslashes and quotes in cells") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("replay_esc", ".csv")
+    // a cell with a backslash and one with an embedded quote: the JSON
+    // bridge must escape them or from_json nulls the whole row
+    java.nio.file.Files.writeString(csv.toPath,
+      "name,score\npath\\to\\thing,1\nsay \"hi\",2\n")
+    val replay = new CsvReplay(csv.getAbsolutePath, header = true)
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("score", StringType)))
+    val q = replay.toDF(schema).writeStream.format("memory")
+      .queryName("csv_esc").outputMode("append").start()
+    try {
+      replay.emitAllNow()
+      q.processAllAvailable()
+      val rows = s.sql("SELECT name FROM csv_esc ORDER BY __seq")
+        .collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("path\\to\\thing", "say \"hi\""))
+    } finally q.stop()
+  }
+
   test("telemetry listener reports pipeline started/progress/finished") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
