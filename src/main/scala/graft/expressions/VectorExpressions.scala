@@ -87,9 +87,93 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane-LSH band keys in ONE kernel: `numBands` bands of
+  * `bitsPerBand` sign bits each over a fixed plane matrix, emitted as
+  * array<bigint>. Composing this from per-plane DotProduct columns
+  * (bands*bits separate expressions, each with a dim-sized literal)
+  * makes Catalyst analysis/codegen itself the bottleneck — planning a
+  * 484-expression projection took seconds per query. Here the plane
+  * matrix is one flat double[] referenced from generated code and the
+  * whole signature is a single tight loop.
+  *
+  * Plane sequence: java.util.Random(seed), drawn band-major then
+  * bit-major then dim — deterministic across JVMs (Random is
+  * spec-fixed). A vector whose length differs from `dim` gets all-zero
+  * keys (the per-plane dot would be NULL -> bit unset).
+  */
+case class HyperplaneBandKeys(child: Expression, dim: Int, bitsPerBand: Int,
+                              numBands: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_keys"
+
+  // (band * bitsPerBand + bit) * dim + d
+  @transient lazy val planes: Array[Double] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numBands * bitsPerBand * dim)(rnd.nextDouble() * 2.0 - 1.0)
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+  }
+
+  // public: invoked from generated code via the captured reference
+  def compute(v: Array[Double]): Array[Long] = {
+    val out = new Array[Long](numBands)
+    if (v.length != dim) return out
+    var band = 0
+    while (band < numBands) {
+      var key = 0L
+      var bit = 0
+      while (bit < bitsPerBand) {
+        val off = (band * bitsPerBand + bit) * dim
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += planes(off + d) * v(d); d += 1 }
+        if (s > 0) key |= (1L << bit)
+        bit += 1
+      }
+      out(band) = key
+      band += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(compute(a.asInstanceOf[ArrayData].toDoubleArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bandKeysExpr", this,
+      classOf[HyperplaneBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.compute($a.toDoubleArray()));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HyperplaneBandKeys = copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bandKeys(v: Column, dim: Int, bitsPerBand: Int, numBands: Int,
+               seed: Long): Column =
+    ColumnBridge.column(HyperplaneBandKeys(
+      ColumnBridge.expression(v), dim, bitsPerBand, numBands, seed))
 }

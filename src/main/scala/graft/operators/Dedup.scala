@@ -254,10 +254,10 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Pairs of vectors with cosine similarity >= threshold, by brute-force
-    * pairwise comparison. Quadratic — correct baseline at any SF; the scale
-    * path is [[Similarity.cosineLshBuckets]]-style candidate generation. */
-  def embeddingPairs(df: DataFrame, id: String, vec: String,
-                     threshold: Double): DataFrame = {
+    * pairwise comparison. Quadratic — the exactness oracle the LSH path
+    * is verified against in DedupSpec. */
+  def embeddingPairsExact(df: DataFrame, id: String, vec: String,
+                          threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._
     // norms are computed once per vector BEFORE the self-join, so each of
     // the O(n^2) pairs costs exactly one codegen'd dot product
@@ -269,5 +269,46 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
         round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Pairs of vectors with cosine similarity >= threshold via banded
+    * hyperplane LSH: candidates = pairs agreeing on ANY band's sign
+    * bits, then exact cosine verification of candidates only — so every
+    * reported pair carries its TRUE similarity and the only possible
+    * error is a missed pair, bounded by [[Similarity.bandingFor]]'s
+    * target (1e-9 per qualifying pair; deterministic planes make any
+    * given corpus either fully recalled or not, which DedupSpec proves
+    * against the exact baseline).
+    *
+    * Scale shape: the corpus self-join is an EQUI-join on (band, key) —
+    * shuffle-partitionable, no broadcast of the big side, no O(n^2)
+    * nested loop. Pruning power depends on the threshold: at >= 0.8
+    * (near-dup territory) bands are long and candidates are rare; at
+    * near-random thresholds (< 0.5) band OR-ing keeps recall but prunes
+    * little — there the honest cost IS ~all pairs, and this formulation
+    * still wins by distributing the comparisons across the cluster
+    * instead of broadcasting. */
+  def embeddingPairs(df: DataFrame, id: String, vec: String,
+                     threshold: Double, dim: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val d = if (dim > 0) dim
+      else df.select(size(col(vec))).head().getInt(0)
+    val (bits, bands) = Similarity.bandingFor(threshold)
+    val vBase = df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val binned = vBase.select(col("vid"), posexplode(
+      Similarity.cosineLshBandKeys(col("v"), d, bits, bands))
+      .as(Seq("band", "bkey")))
+    val cand = binned.as("a").join(binned.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"))
+      .distinct()
+    val x = vBase.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val y = vBase.select(col("vid").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    cand.join(x, "id1").join(y, "id2")
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }
 }

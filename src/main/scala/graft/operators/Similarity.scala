@@ -40,22 +40,41 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid by cosine (ties: lowest
-    * centroid id). Centroids are broadcast. Output: df + (cell, cellSim). */
+    * centroid id). Output: df + (cell, cell_sim).
+    *
+    * The centroid table is collected to the driver and embedded as an
+    * array literal (centroids are O(k) by definition — the one collect
+    * that is NOT an anti-pattern, same contract as MLlib holding
+    * clusterCenters on the driver), so assignment is a single argmax
+    * projection: no k-times row expansion, no rank shuffle — the corpus
+    * is scanned once and never grows. Folding in ascending cell order
+    * makes a strict `>` keep the lowest cell id on ties, matching the
+    * rank-formulation it replaces. */
   def assignCells(df: DataFrame, id: String, vec: String,
                   centroids: DataFrame, cid: String, cvec: String): DataFrame = {
-    val c = centroids.select(col(cid).as("__cell"), asDoubles(col(cvec)).as("__cv"))
-      .withColumn("__cvn", l2Norm(col("__cv")))
-    val w = Window.partitionBy(col(id)).orderBy(col("__csim").desc, col("__cell").asc)
+    val cents: Seq[(Long, Seq[Double], Double)] = centroids
+      .select(col(cid).cast("bigint"), asDoubles(col(cvec)))
+      .collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignCells requires at least one centroid")
+    val zero = struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("sim"))
     df.withColumn("__v", asDoubles(col(vec)))
       .withColumn("__vn", l2Norm(col("__v")))
-      .join(broadcast(c), lit(true))
-      .withColumn("__csim",
-        dot(col("__v"), col("__cv")) / (col("__vn") * col("__cvn")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__v", "__vn", "__cv", "__cvn", "__rn")
-      .withColumnRenamed("__cell", "cell")
-      .withColumnRenamed("__csim", "cell_sim")
+      .withColumn("__best",
+        aggregate(typedLit(cents), zero, (acc, c) => {
+          val sim = dot(col("__v"), c.getField("_2")) /
+            (col("__vn") * c.getField("_3"))
+          when(sim > acc.getField("sim"),
+            struct(c.getField("_1").as("cell"), sim.as("sim")))
+            .otherwise(acc)
+        }))
+      .withColumn("cell", col("__best").getField("cell"))
+      .withColumn("cell_sim", col("__best").getField("sim"))
+      .drop("__v", "__vn", "__best")
   }
 
   /** IVF ANN: top-k within the query's own cell (nProbe=1) or its nProbe
@@ -130,6 +149,33 @@ object Similarity {
         .otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Per-band LSH bucket keys: `numBands` independent bands of
+    * `bitsPerBand` sign bits each, as array<bigint> (index = band). All
+    * planes come from ONE seeded PRNG stream, so signatures are
+    * deterministic across runs/JVMs; a pair colliding in ANY band is a
+    * candidate (band OR-ing). Collision probability per band for cosine
+    * sim s is (1 - acos(s)/pi)^bitsPerBand — few bits + many bands
+    * buys recall, many bits + few bands buys pruning. */
+  def cosineLshBandKeys(vec: Column, dim: Int, bitsPerBand: Int,
+                        numBands: Int): Column =
+    graft.expressions.VectorExprs.bandKeys(asDoubles(vec), dim, bitsPerBand,
+      numBands, 42L + dim * 1000L + bitsPerBand * 17L + numBands)
+
+  /** Banding parameters for a target per-pair miss probability at the
+    * given cosine threshold: the largest bitsPerBand whose required band
+    * count stays within `maxBands`. Returns (bitsPerBand, numBands). */
+  def bandingFor(threshold: Double, maxBands: Int = 128,
+                 targetMiss: Double = 1e-9): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val candidates = (16 to 1 by -1).iterator.map { b =>
+      val pBand = math.pow(p, b)
+      val l = math.max(1,
+        math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
+      (b, l)
+    }
+    candidates.find(_._2 <= maxBands).getOrElse((1, maxBands))
   }
 
   /** ANN via LSH bucketing: candidates = pairs sharing a bucket, verified

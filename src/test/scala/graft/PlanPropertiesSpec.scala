@@ -37,11 +37,13 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
-  test("q_dedup_embedding: codegen dot product with precomputed norms") {
+  test("q_dedup_embedding: banded equi-join candidates, no quadratic join") {
     val p = plan("q_dedup_embedding")
     assert(p.contains("graft_dot"), "native expression missing from plan")
-    // threshold filters inside the join, sub-threshold pairs never materialize
-    assert(p.contains("BroadcastNestedLoopJoin"), s"pair join shape changed:\n$p")
+    // the scale property: candidate generation is an equi-join on band
+    // keys — never a nested-loop/cartesian pair join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"embedding dedup must not do an all-pairs join:\n$p")
   }
 
   test("q_training_pipeline: documents scanned exactly once") {

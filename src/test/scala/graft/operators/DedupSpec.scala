@@ -59,4 +59,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b, c) => assert(a < b); assert(c >= 0.3) }
   }
+
+  test("LSH-banded embedding pairs equal the exact baseline (recall 1.0)") {
+    val emb = Tables.embeddings(spark, sf())
+    // 0.4 is the gate threshold — near-random separation, the hardest
+    // case for banding; the OR-heavy parameters must still find every
+    // pair the quadratic baseline finds (deterministic planes: equality
+    // here proves the gate query itself is exact on this corpus)
+    for (t <- Seq(0.4, 0.5)) {
+      val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty || t > 0.4)
+      assert(lsh == exact, s"threshold $t: LSH missed ${exact -- lsh}")
+    }
+  }
+
+  test("banding parameters trade pruning for recall with the threshold") {
+    val (bLow, lLow) = Similarity.bandingFor(0.4)
+    val (bHigh, lHigh) = Similarity.bandingFor(0.9)
+    // higher thresholds afford longer bands (pruning-heavy); both stay
+    // within the band budget and meet the 1e-9 per-pair miss target
+    assert(bHigh > bLow, s"expected more bits at 0.9: $bHigh vs $bLow")
+    assert(lLow <= 128 && lHigh <= 128)
+    def miss(t: Double, b: Int, l: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      math.pow(1.0 - math.pow(p, b), l)
+    }
+    assert(miss(0.4, bLow, lLow) <= 1e-9)
+    assert(miss(0.9, bHigh, lHigh) <= 1e-9)
+  }
 }

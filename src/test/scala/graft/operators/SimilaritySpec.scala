@@ -46,6 +46,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignCells: argmax projection matches driver-side nearest centroid") {
+    val cent = emb.where(col("vec_id") < 8)
+    val assigned = Similarity.assignCells(emb.where(col("vec_id") < 200),
+      "vec_id", "embedding", cent, "vec_id", "embedding")
+    // no per-row expansion: the plan must contain neither a join nor a
+    // window — assignment is a single projection over the corpus scan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not rank:\n$plan")
+    val vecs = emb.where(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cvecs = (0L until 8L).map(i => i -> vecs(i)).toMap
+    val got = assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val best = cvecs.toSeq
+        .map { case (c, cv) => (c, cosineRef(v, cv)) }
+        .minBy { case (c, sim) => (-sim, c) }._1
+      assert(got(id) == best, s"vec $id assigned ${got(id)}, expected $best")
+    }
+  }
+
   test("lsh knn candidates all share the query's bucket") {
     val out = Similarity.lshKnn(emb.where(col("vec_id") < 5), emb,
       "vec_id", "embedding", 64, 8, 3)
