@@ -42,6 +42,24 @@ object Pipelines {
     epilogue(p, df)
   }
 
+  /** Compile over a streaming DataFrame and START it, honoring the
+    * definition's `outputChannel`: the pipeline's output rows are
+    * auto-published to the named channel every micro-batch — the
+    * reference publishes an action's output on completion
+    * (action.go:180-182) — and the running StreamingQuery is returned.
+    * Pipelines without an outputChannel should be compiled with
+    * [[compileStream]] and sunk by the caller. */
+  def runStream(p: PipelineDef, input: DataFrame,
+                env: Map[String, String] = Map.empty,
+                props: Map[String, String] = Map.empty)
+               (implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ch = p.outputChannel.getOrElse(throw new IllegalArgumentException(
+      s"pipeline '${p.id}' declares no outputChannel; use compileStream " +
+        "and attach your own sink"))
+    graft.streaming.Channels.publish(ch, compileStream(p, input, env, props))
+  }
+
   /** Compile over a streaming DataFrame. Count windows use the
     * flatMapGroupsWithState operators; stages after a window stage see the
     * window result columns (pipeline/passthru scope carrying across a
@@ -162,10 +180,13 @@ object Pipelines {
     // support keyed sliding-count windows (windows.go:216-219); neither
     // do we.
     (st.settings.get("nameKey"), st.settings.get("valueKey")) match {
-      case (Some(_), Some(_)) if streaming =>
-        throw new IllegalArgumentException(
-          "keyed (nameKey/valueKey) windows are batch-only for now; " +
-            "model the keys as grouping columns in streaming mode")
+      case (Some(nameKey), Some(valueKey)) if streaming =>
+        require(windowType == "tumbling" || windowType == "timeTumbling",
+          s"streaming keyed windows support tumbling/timeTumbling, " +
+            s"not $windowType (keyed timeSliding is batch-only)")
+        val watermark = st.settings.getOrElse("watermark", "0 seconds")
+        gate(keyedStreamingAggregate(df, fn, windowType, size, watermark,
+          expr(Dsl.translate(nameKey)), expr(Dsl.translate(valueKey))), pooe(st))
       case (Some(nameKey), Some(valueKey)) =>
         require(windowType != "sliding",
           "keyed sliding(count) windows are unsupported (windows.go:216-219)")
@@ -340,6 +361,54 @@ object Pipelines {
       case "accumulate" => collect_list(value).over(frame)
       case other => throw new IllegalArgumentException(s"unknown agg fn: $other")
     }
+
+  /** Streaming keyed (nameKey/valueKey) windows — reference
+    * windows.go:425-467 in the streaming engine.
+    *  - tumbling(count): the keyed flatMapGroupsWithState operator.
+    *  - timeTumbling: CHAINED streaming aggregations (Spark 3.4+
+    *    multiple-stateful-operator support): per-(window, group, name)
+    *    aggregate, then per-(window, group) map assembly — both
+    *    incremental, both distributed, emitted when the watermark closes
+    *    the window. */
+  private def keyedStreamingAggregate(df: DataFrame, fn: String,
+                                      windowType: String, size: Int,
+                                      watermark: String,
+                                      name: Column, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    windowType match {
+      case "tumbling" =>
+        require(df.columns.contains("__seq"),
+          "streaming keyed count windows need a source-provided __seq column")
+        val ds = df.select(col("__group").as("key"), col("__seq").as("seq"),
+          name.cast("string").as("name"), value.cast("double").as("value"))
+          .as[graft.windows.CountWindows.KeyedNamedSample]
+        graft.windows.CountWindows.keyedTumblingStream(ds, size, fn).toDF()
+          .select(col("key").as("__group"), col("emitAtSeq").as("__seq"),
+            col("result"), lit(true).as("report"))
+      case "timeTumbling" =>
+        val perName = df
+          .withColumn("__name", name.cast("string"))
+          .withColumn("__kv", value)
+          .withWatermark("__ts", watermark)
+          .groupBy(window(col("__ts"), s"$size milliseconds"),
+            col("__group"), col("__name"))
+          .agg(graft.windows.AggFunctions
+            .scalar(fn, col("__kv"), col("__seq")).as("__agg"),
+            max(col("__seq")).as("__nseq"))
+        perName
+          .groupBy(col("window"), col("__group"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("__name"), col("__agg"))))).as("result"),
+            max(col("__nseq")).as("__seq"))
+          .select(col("__group"), col("__seq"), col("result"),
+            lit(true).as("report"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported streaming keyed window: $other")
+    }
+  }
 
   /** Streaming formulation: count windows via the stateful operators;
     * time windows via built-in event-time window aggregation.

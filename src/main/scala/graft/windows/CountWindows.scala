@@ -140,6 +140,54 @@ object CountWindows {
       }
   }
 
+  /** One keyed-window sample: `name` is the per-sample map key (the
+    * reference's nameKey, windows.go:425-467); window fill counts ALL
+    * samples of the group regardless of name, matching the batch
+    * formulation in Pipelines.keyedBatchAggregate. */
+  case class KeyedNamedSample(key: String, seq: Long, name: String,
+                              value: Double)
+
+  /** One keyed-window emission: map[name -> aggregate] over the closed
+    * window (the reference's MapData emission, windows.go:469-479). */
+  case class KeyedMapEmit(key: String, emitAtSeq: Long,
+                          result: Map[String, Double])
+
+  /** Parallel name/value buffers keep the encoder flat; aggregation by
+    * name happens only at emission. */
+  case class KeyedTumblingState(names: Vector[String], values: Vector[Double],
+                                lastSeq: Long)
+
+  /** Streaming keyed tumbling count window: accumulate `size` samples per
+    * group (names mixed), emit map[name -> fn(values of name)] on the
+    * size-th, reset. `accumulate` is unsupported here (a map of lists is
+    * not a stable streaming sink type); use the batch form for it. */
+  def keyedTumblingStream(ds: Dataset[KeyedNamedSample], size: Int, fn: String)
+                         (implicit spark: SparkSession): Dataset[KeyedMapEmit] = {
+    require(fn != "accumulate",
+      "accumulate is unsupported for streaming keyed windows")
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedTumblingState, KeyedMapEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[KeyedTumblingState]) =>
+          var st = state.getOption.getOrElse(
+            KeyedTumblingState(Vector.empty, Vector.empty, -1L))
+          val out = Vector.newBuilder[KeyedMapEmit]
+          rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
+            val names = st.names :+ s.name
+            val values = st.values :+ s.value
+            if (names.length == size) {
+              val m = names.indices.groupBy(names(_))
+                .map { case (n, idxs) => n -> applyFn(fn, idxs.map(values)) }
+              out += KeyedMapEmit(key, s.seq, m)
+              st = KeyedTumblingState(Vector.empty, Vector.empty, s.seq)
+            } else st = KeyedTumblingState(names, values, s.seq)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** `sinceEmit` counts samples since the last emission — the reference's
     * `numSamples`, which is reset to 0 on every emit (windows.go:262).
     * `lastSeq` is the per-key high-water mark enforcing the KeyedSample

@@ -100,6 +100,82 @@ class KeyedWindowSpec extends SparkSpec {
     }
   }
 
+  test("streaming keyed tumbling window matches the batch keyed result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"tumbling",
+        |                        "windowSize":"3",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    val samples = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0), ("b", 9.0),
+      ("b", 5.0), ("a", 6.0), ("a", 7.0))
+      .zipWithIndex.map { case ((n, v), i) => (n, v, i.toLong) }
+    val input = MemoryStream[(String, Double, Long)]
+    val sdf = input.toDF().select(col("_1").as("n"), col("_2").as("v"),
+      col("_3").as("__seq"))
+    val q = Pipelines.compileStream(p, sdf)
+      .writeStream.format("memory").queryName("keyed_tumbling_stream")
+      .outputMode("append").start()
+    try {
+      // window 1 spans the micro-batch boundary (stall/resume, E6)
+      input.addData(samples.take(2): _*)
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM keyed_tumbling_stream").count() == 0)
+      input.addData(samples.drop(2): _*)
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT __seq, result FROM keyed_tumbling_stream ORDER BY __seq")
+        .collect().map(r => (r.getLong(0), r.getAs[Map[String, Double]](1)))
+      val batch = Pipelines.compileBatch(p,
+          samples.toDF("n", "v", "__seq"))
+        .select("__seq", "result").orderBy("__seq")
+        .collect().map(r => (r.getLong(0), r.getAs[Map[String, Double]](1)))
+      assert(got.toSeq == batch.toSeq)
+      assert(got.toSeq == Seq((2L, Map("a" -> 4.0, "b" -> 2.0)),
+        (5L, Map("a" -> 6.0, "b" -> 14.0))))
+    } finally q.stop()
+  }
+
+  test("streaming keyed timeTumbling window assembles per-name maps") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"timeTumbling",
+        |                        "windowSize":"1000",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    val input = MemoryStream[(String, Double, Long)]
+    val sdf = input.toDF().select(col("_1").as("n"), col("_2").as("v"),
+      timestamp_millis(col("_3")).as("__ts"), col("_3").as("__seq"))
+    val q = Pipelines.compileStream(p, sdf)
+      .writeStream.format("memory").queryName("keyed_time_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 2.0, 0L), ("a", 4.0, 500L), ("b", 10.0, 900L))
+      q.processAllAvailable()
+      input.addData(("a", 7.0, 1500L))
+      q.processAllAvailable()
+      input.addData(("z", 0.0, 30000L)) // advance watermark, close panes
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT result FROM keyed_time_stream ORDER BY __seq")
+        .collect().map(_.getAs[Map[String, Double]](0))
+      assert(rows.take(2).toSeq == Seq(Map("a" -> 3.0, "b" -> 10.0),
+        Map("a" -> 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming DSL timeSliding window with a watermark setting") {
     val s = spark
     import s.implicits._

@@ -42,6 +42,40 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally { pub.stop(); q.stop() }
   }
 
+  test("runStream auto-publishes to the definition's outputChannel (e2e)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    Channels.reset()
+    val app = Dsl.parseApp(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/channel-flogo.json"))))
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Int]
+    // auto-wired: the action settings' outputChannel ("test") is honored
+    // by runStream — no manual Channels.publish (action.go:180-182)
+    val pub = Pipelines.runStream(app.pipelines("simple_filter"),
+      input.toDF().select(col("value").as("input")))
+    val sub = Channels.subscribe("test",
+      StructType(Seq(StructField("out", IntegerType))))
+    // the channel trigger's input mapper: rinput = $.data.out
+    val reported = Pipelines.compileStream(app.pipelines("simple_report"),
+      sub.select(col("out").as("rinput")))
+    val q = reported.select("message").writeStream.format("memory")
+      .queryName("auto_channel_msgs").outputMode("append").start()
+    try {
+      input.addData(0, 3, 0, 9)
+      pub.processAllAvailable()
+      q.processAllAvailable()
+      val msgs = s.sql("SELECT message FROM auto_channel_msgs ORDER BY message")
+        .collect().map(_.getString(0))
+      assert(msgs.toSeq == Seq("fromChannel: 3", "fromChannel: 9"))
+      // a pipeline without an outputChannel refuses to auto-run
+      intercept[IllegalArgumentException] {
+        Pipelines.runStream(app.pipelines("simple_report"),
+          sub.select(col("out").as("rinput")))
+      }
+    } finally { pub.stop(); q.stop() }
+  }
+
   test("csv replay source: auto-parse, rate limit, control API") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val csv = java.io.File.createTempFile("replay", ".csv")
