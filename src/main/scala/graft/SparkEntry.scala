@@ -363,10 +363,11 @@ object SparkEntry {
     }),
 
     // hash-derived hyperplanes — not oracle-expressible; rows-only check
+    // + SimilaritySpec pins recall@3 >= 0.6 against brute force
     "q_knn_lsh" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
-          64, 8, 3)
+          64, 3)
         .orderBy("qid", "rank")
     }),
 

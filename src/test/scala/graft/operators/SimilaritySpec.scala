@@ -69,18 +69,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("lsh knn candidates all share the query's bucket") {
+  test("lsh knn recall@3 vs brute force clears the quality bar") {
+    // the quantitative check behind the rows-only q_knn_lsh gate entry:
+    // bucket-mate candidates must recover most of the true top-3
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshKnn(queries, emb, "vec_id", "embedding",
+        64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // near-random 64-d vectors are LSH's worst case: banded OR-ing must
+    // still recover most of the true top-3 (the single-bucket form this
+    // replaced measured 0.017 here)
+    assert(recall >= 0.6, s"recall@3 $recall below 0.6")
+  }
+
+  test("lsh knn candidates share at least one band with the query") {
     val out = Similarity.lshKnn(emb.where(col("vec_id") < 5), emb,
-      "vec_id", "embedding", 64, 8, 3)
-    val buckets = emb.select(col("vec_id"),
-        Similarity.cosineLshBuckets(col("embedding"), 64, 8).as("b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      "vec_id", "embedding", 64, 3)
+    def keys(): Map[Long, Seq[Long]] = emb.select(col("vec_id"),
+        Similarity.cosineLshBandKeys(col("embedding"), 64, 6, 24).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bands = keys()
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(2)))
-    rows.foreach { case (q, c) => assert(buckets(q) == buckets(c)) }
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, c) =>
+      assert(bands(q).zip(bands(c)).exists { case (a, b) => a == b },
+        s"pair ($q,$c) shares no band")
+    }
     // signatures must be deterministic across evaluations
-    val again = emb.select(col("vec_id"),
-        Similarity.cosineLshBuckets(col("embedding"), 64, 8).as("b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(again == buckets)
+    assert(keys() == bands)
   }
 }
