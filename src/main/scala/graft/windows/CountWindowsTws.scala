@@ -57,4 +57,115 @@ object CountWindowsTws {
       .transformWithState(new TumblingProcessor(size, fn, ttl),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class SlidingTwsState(ring: Vector[Double], nSeen: Long,
+                             sinceEmit: Long, lastSeq: Long)
+
+  private class SlidingProcessor(size: Int, resolution: Int, fn: String,
+                                 ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedSample, WindowEmit] {
+    @transient private var state: ValueState[SlidingTwsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SlidingTwsState]("sliding",
+        Encoders.product[SlidingTwsState], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedSample],
+                                 timerValues: TimerValues): Iterator[WindowEmit] = {
+      var st = if (state.exists()) state.get()
+        else SlidingTwsState(Vector.empty, 0L, 0L, -1L)
+      val out = Vector.newBuilder[WindowEmit]
+      // identical cadence + high-water-mark contract as
+      // CountWindows.slidingStream (windows.go:252-265)
+      rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
+        val ring = (st.ring :+ s.value).takeRight(size)
+        val n = st.nSeen + 1
+        val since = st.sinceEmit + 1
+        if (n >= size && since >= resolution) {
+          out += WindowEmit(key, s.seq,
+            CountWindows.applyFnPublic(fn, ring), ring, ring.length.toLong)
+          st = SlidingTwsState(ring, n, 0L, s.seq)
+        } else st = SlidingTwsState(ring, n, since, s.seq)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Sliding count window (with resolution) via transformWithState —
+    * cadence identical to [[CountWindows.slidingStream]]. */
+  def sliding(ds: Dataset[KeyedSample], size: Int, resolution: Int,
+              fn: String, ttl: TTLConfig = TTLConfig.NONE)
+             (implicit spark: SparkSession): Dataset[WindowEmit] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new SlidingProcessor(size, resolution, fn, ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  case class TickerTwsState(buf: Vector[Double], lastSeq: Long,
+                            timerSet: Boolean)
+
+  private class TickerProcessor(intervalMs: Long, fn: String, ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedSample, WindowEmit] {
+    @transient private var state: ValueState[TickerTwsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TickerTwsState]("ticker",
+        Encoders.product[TickerTwsState], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedSample],
+                                 timerValues: TimerValues): Iterator[WindowEmit] = {
+      var st = if (state.exists()) state.get()
+        else TickerTwsState(Vector.empty, -1L, false)
+      rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
+        st = TickerTwsState(st.buf :+ s.value, s.seq, st.timerSet)
+      }
+      if (!st.timerSet) {
+        getHandle.registerTimer(
+          timerValues.getCurrentProcessingTimeInMs() + intervalMs)
+        st = st.copy(timerSet = true)
+      }
+      state.update(st)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[WindowEmit] = {
+      val st = if (state.exists()) state.get()
+        else TickerTwsState(Vector.empty, -1L, false)
+      val out =
+        if (st.buf.nonEmpty)
+          Iterator.single(WindowEmit(key, st.lastSeq,
+            CountWindows.applyFnPublic(fn, st.buf), st.buf, st.buf.length.toLong))
+        else Iterator.empty
+      // one-shot arming: the NEXT sample re-arms the ticker rather than
+      // the expiry itself. The reference ticks for the life of the window
+      // (windows.go:419-423) but emits nothing when idle — observable
+      // behavior is identical, and an idle stream can actually quiesce
+      // (an unconditional re-register keeps the query permanently busy,
+      // which deadlocks processAllAvailable-style barriers).
+      state.update(TickerTwsState(Vector.empty, st.lastSeq, timerSet = false))
+      out
+    }
+  }
+
+  /** Processing-time ticker window (the reference's E9 wall-clock timer
+    * emission, context.go:284-313): samples accumulate per key; every
+    * `intervalMs` of PROCESSING time a registered timer fires and emits
+    * the aggregate of the samples that arrived since the last tick
+    * (nothing when idle). Built on transformWithState's native timer
+    * facility — the modern analog the fMGWS operators approximate with
+    * event-time panes. Non-deterministic by nature (wall clock), so the
+    * correctness gate uses the event-time forms; this operator exists
+    * for true processing-time deployments. */
+  def processingTimeTicker(ds: Dataset[KeyedSample], intervalMs: Long,
+                           fn: String, ttl: TTLConfig = TTLConfig.NONE)
+                          (implicit spark: SparkSession): Dataset[WindowEmit] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new TickerProcessor(intervalMs, fn, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }
