@@ -86,12 +86,24 @@ object Dsl {
   // --------------------------------------------------------------------
 
   /** Load an app definition from a URI. Supports `file://` (and bare
-    * paths), transparently un-gzipping when the file starts with the gzip
-    * magic bytes (manager.go's sniffing), and `base64://` payloads
-    * (base64-encoded gzip, the reference's flogo-compressed wire format). */
+    * paths), `http(s)://` with an in-process cache and the reference's
+    * `flogo-compressed` response header (manager.go:55-168), transparently
+    * un-gzipping when the payload starts with the gzip magic bytes
+    * (manager.go's sniffing), and `base64://` payloads (base64-encoded
+    * gzip, the reference's flogo-compressed wire format). */
   def loadApp(uri: String): AppDef = parseApp(loadJson(uri))
 
+  // remote definitions are fetched once per URI per process, like the
+  // reference's definition manager cache (manager.go:55-69)
+  private val remoteCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Drop all cached remote definitions (re-fetch on next load). */
+  def clearRemoteCache(): Unit = remoteCache.clear()
+
   def loadJson(uri: String): String = {
+    if (uri.startsWith("http://") || uri.startsWith("https://"))
+      return remoteCache.getOrElseUpdate(uri, fetchRemote(uri))
     val bytes: Array[Byte] =
       if (uri.startsWith("base64://"))
         java.util.Base64.getDecoder.decode(uri.stripPrefix("base64://"))
@@ -99,15 +111,38 @@ object Dsl {
         val path = uri.stripPrefix("file://")
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       }
-    val data =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-          (bytes(1) & 0xff) == 0x8b) {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try in.readAllBytes() finally in.close()
-      } else bytes
-    new String(data, java.nio.charset.StandardCharsets.UTF_8)
+    new String(gunzipIfNeeded(bytes), java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  private def fetchRemote(uri: String): String = {
+    val conn = new java.net.URL(uri).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(15000)
+    try {
+      require(conn.getResponseCode == 200,
+        s"definition fetch failed: HTTP ${conn.getResponseCode} for $uri")
+      val raw = conn.getInputStream.readAllBytes()
+      // flogo-compressed: body is base64(gzip(json)) — manager.go:129-149
+      val compressed = Option(conn.getHeaderField("flogo-compressed"))
+        .exists(_.equalsIgnoreCase("true"))
+      val bytes =
+        if (compressed)
+          java.util.Base64.getDecoder.decode(
+            new String(raw, java.nio.charset.StandardCharsets.US_ASCII).trim)
+        else raw
+      new String(gunzipIfNeeded(bytes), java.nio.charset.StandardCharsets.UTF_8)
+    } finally conn.disconnect()
+  }
+
+  private def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+        (bytes(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    } else bytes
 
   private def arr(n: JsonNode, key: String): Seq[JsonNode] =
     Option(n.get(key)).map(_.elements().asScala.toSeq).getOrElse(Nil)

@@ -33,12 +33,24 @@ import graft.engine.Dsl._
   */
 object Pipelines {
 
-  /** Compile a pipeline over a batch DataFrame. */
+  /** Compile a pipeline over a batch DataFrame. With `instrument`, a
+    * CollectMetrics observation (`graft_stage_<i>_<ref>`: emitted row
+    * count) is attached after every stage — the per-stage telemetry the
+    * reference broadcasts as StageStarted/Finished events
+    * (pipeline/instance.go:171-173), surfaced through
+    * Telemetry.attachBatch / the streaming progress events. Observations
+    * ride the existing accumulator machinery: no extra pass, no codegen
+    * break. */
   def compileBatch(p: PipelineDef, input: DataFrame,
                    env: Map[String, String] = Map.empty,
-                   props: Map[String, String] = Map.empty): DataFrame = {
+                   props: Map[String, String] = Map.empty,
+                   instrument: Boolean = false): DataFrame = {
     var df = prologue(p, input)
-    p.stages.foreach { st => df = compileStage(p, st, df, env, props, streaming = false) }
+    p.stages.zipWithIndex.foreach { case (st, i) =>
+      df = compileStage(p, st, df, env, props, streaming = false)
+      if (instrument)
+        df = df.observe(s"graft_stage_${i}_${st.ref}", count(lit(1)).as("rows"))
+    }
     epilogue(p, df)
   }
 
@@ -67,9 +79,14 @@ object Pipelines {
     * reference's consumed contexts). */
   def compileStream(p: PipelineDef, input: DataFrame,
                     env: Map[String, String] = Map.empty,
-                    props: Map[String, String] = Map.empty): DataFrame = {
+                    props: Map[String, String] = Map.empty,
+                    instrument: Boolean = false): DataFrame = {
     var df = prologue(p, input)
-    p.stages.foreach { st => df = compileStage(p, st, df, env, props, streaming = true) }
+    p.stages.zipWithIndex.foreach { case (st, i) =>
+      df = compileStage(p, st, df, env, props, streaming = true)
+      if (instrument)
+        df = df.observe(s"graft_stage_${i}_${st.ref}", count(lit(1)).as("rows"))
+    }
     epilogue(p, df)
   }
 

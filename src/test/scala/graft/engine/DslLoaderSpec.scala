@@ -35,6 +35,39 @@ class DslLoaderSpec extends SparkSpec {
     assert(Dsl.loadApp("base64://" + b64).pipelines.contains("a"))
   }
 
+  test("http:// loading: plain, flogo-compressed header, and caching") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/plain", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      val b = appJson.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/compressed", (ex: HttpExchange) => {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gzo = new java.util.zip.GZIPOutputStream(bos)
+      gzo.write(appJson.getBytes("UTF-8")); gzo.close()
+      val b = java.util.Base64.getEncoder.encode(bos.toByteArray)
+      ex.getResponseHeaders.set("flogo-compressed", "true")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      Dsl.clearRemoteCache()
+      val base = s"http://127.0.0.1:$port"
+      assert(Dsl.loadApp(s"$base/plain").pipelines.contains("a"))
+      assert(Dsl.loadApp(s"$base/compressed").pipelines.contains("a"))
+      // second load of the same URI must come from the cache
+      assert(Dsl.loadApp(s"$base/plain").pipelines.contains("a"))
+      assert(hits.get() == 1, s"expected 1 fetch, saw ${hits.get()}")
+    } finally { server.stop(0); Dsl.clearRemoteCache() }
+  }
+
   test("int-avg compat truncates like Go integer division") {
     val s = spark
     import s.implicits._

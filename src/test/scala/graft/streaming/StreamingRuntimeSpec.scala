@@ -137,6 +137,60 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("instrumented pipelines emit per-stage row counts (batch + stream)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}],
+        |             "output": [{"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#filter", "settings":{"type":"non-zero"},
+        |            "input":{"value":"=$.v"}},
+        |           {"ref":"#log", "input":{"message":"=$.value"}}]
+        |}""".stripMargin)
+
+    // batch: QueryExecutionListener surfaces the stage observations
+    val sink = new Telemetry.CollectingSink
+    val l = Telemetry.attachBatch(s, sink)
+    try {
+      val input = Seq(0.0, 5.0, 0.0, 7.0, 9.0).zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }.toDF("v", "__seq")
+      Pipelines.compileBatch(p, input, instrument = true).count()
+      val deadline = System.currentTimeMillis() + 15000
+      def stages = sink.events.collect {
+        case e: Telemetry.StageProgress => e.stage -> e.rows }
+      while (stages.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // stage 0 (filter) emits the 3 non-zero rows; stage 1 (log) passes
+      // them through
+      assert(stages.toMap == Map("graft_stage_0_filter" -> 3L,
+        "graft_stage_1_log" -> 3L), s"got $stages")
+    } finally s.listenerManager.unregister(l)
+
+    // streaming: the same observations ride StreamingQueryProgress
+    val ssink = new Telemetry.CollectingSink
+    val sl = Telemetry.attach(s, ssink)
+    val input = MemoryStream[(Double, Long)]
+    val q = Pipelines.compileStream(p,
+        input.toDF().select(col("_1").as("v"), col("_2").as("__seq")),
+        instrument = true)
+      .writeStream.format("memory").queryName("instrumented_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0.0, 0L), (4.0, 1L), (6.0, 2L))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      def stageEvents = ssink.events.collect {
+        case e: Telemetry.StageProgress => e.stage -> e.rows }
+      while (!stageEvents.exists(_._1 == "graft_stage_0_filter") &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(stageEvents.contains("graft_stage_0_filter" -> 2L),
+        s"got $stageEvents")
+    } finally { q.stop(); s.streams.removeListener(sl) }
+  }
+
   test("telemetry listener reports pipeline started/progress/finished") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
