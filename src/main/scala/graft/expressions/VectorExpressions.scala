@@ -166,6 +166,88 @@ case class HyperplaneBandKeys(child: Expression, dim: Int, bitsPerBand: Int,
       : HyperplaneBandKeys = copy(child = newChild)
 }
 
+/** Nearest-centroid argmax in one kernel: cosine against every centroid
+  * of a driver-embedded matrix, returning struct(cell: bigint, sim:
+  * double) for the best match (ties -> lowest cell id; centroids are
+  * scanned in ascending-cell order with a strict >). The matrix lives as
+  * a reference object — a literal array-of-structs expression tree costs
+  * seconds of analysis/codegen at moderate k and evaluates through the
+  * interpreted higher-order-function path. A vector whose length differs
+  * from the centroid dim yields (cell = -1, sim = -Infinity). */
+case class NearestCentroid(child: Expression, cells: Array[Long],
+                           matrix: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val norms: Array[Double] = {
+    val k = cells.length
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val x = matrix(c * dim + d); s += x * x; d += 1 }
+      out(c) = math.sqrt(s)
+      c += 1
+    }
+    out
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+  }
+
+  // public: invoked from generated code via the captured reference
+  def compute(v: Array[Double]): InternalRow = {
+    var bestCell = -1L
+    var bestSim = Double.NegativeInfinity
+    if (v.length == dim) {
+      var vn = 0.0
+      var d = 0
+      while (d < dim) { vn += v(d) * v(d); d += 1 }
+      vn = math.sqrt(vn)
+      var c = 0
+      while (c < cells.length) {
+        var s = 0.0
+        val off = c * dim
+        d = 0
+        while (d < dim) { s += matrix(off + d) * v(d); d += 1 }
+        val sim = s / (vn * norms(c))
+        if (sim > bestSim) { bestSim = sim; bestCell = cells(c) }
+        c += 1
+      }
+    }
+    InternalRow(bestCell, bestSim)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroidExpr", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = $self.compute($a.toDoubleArray());"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCentroid = copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
@@ -176,4 +258,9 @@ object VectorExprs {
                seed: Long): Column =
     ColumnBridge.column(HyperplaneBandKeys(
       ColumnBridge.expression(v), dim, bitsPerBand, numBands, seed))
+
+  def nearestCentroid(v: Column, cells: Array[Long], matrix: Array[Double],
+                      dim: Int): Column =
+    ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expression(v), cells, matrix, dim))
 }

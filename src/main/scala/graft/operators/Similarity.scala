@@ -52,29 +52,20 @@ object Similarity {
     * rank-formulation it replaces. */
   def assignCells(df: DataFrame, id: String, vec: String,
                   centroids: DataFrame, cid: String, cvec: String): DataFrame = {
-    val cents: Seq[(Long, Seq[Double], Double)] = centroids
+    val cents: Seq[(Long, Seq[Double])] = centroids
       .select(col(cid).cast("bigint"), asDoubles(col(cvec)))
       .collect().toSeq
-      .map { r =>
-        val v = r.getSeq[Double](1)
-        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
-      }
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "assignCells requires at least one centroid")
-    val zero = struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("sim"))
-    df.withColumn("__v", asDoubles(col(vec)))
-      .withColumn("__vn", l2Norm(col("__v")))
-      .withColumn("__best",
-        aggregate(typedLit(cents), zero, (acc, c) => {
-          val sim = dot(col("__v"), c.getField("_2")) /
-            (col("__vn") * c.getField("_3"))
-          when(sim > acc.getField("sim"),
-            struct(c.getField("_1").as("cell"), sim.as("sim")))
-            .otherwise(acc)
-        }))
+    val dim = cents.head._2.length
+    val cells = cents.map(_._1).toArray
+    val matrix = cents.flatMap(_._2).toArray
+    df.withColumn("__best", graft.expressions.VectorExprs
+        .nearestCentroid(asDoubles(col(vec)), cells, matrix, dim))
       .withColumn("cell", col("__best").getField("cell"))
       .withColumn("cell_sim", col("__best").getField("sim"))
-      .drop("__v", "__vn", "__best")
+      .drop("__best")
   }
 
   /** IVF ANN: top-k within the query's own cell (nProbe=1) or its nProbe
