@@ -55,7 +55,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    // a run with ANY failed query has no meaningful total: summing only
+    // the survivors would report a LOWER total when an expensive query
+    // breaks — the run must read as invalid, not as a speedup
+    val total =
+      if (results.values.exists(_ < 0)) -1.0
+      else results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -302,12 +302,20 @@ object Pipelines {
             .scalar(fn, col("__value"), col("__seq")).as("__agg"),
             max(col("__seq")).as("__name_seq"))
       }
-    perName.groupBy(col("__group"), col("__win"))
+    assembleKeyedMap(perName, Seq(col("__group"), col("__win")))
+  }
+
+  /** Per-window map[name -> agg] emission shape shared by the batch and
+    * streaming keyed paths (the reference's MapData emission,
+    * windows.go:469-479). Expects (__name, __agg, __name_seq) columns
+    * plus the grouping columns. */
+  private def assembleKeyedMap(perName: DataFrame,
+                               groupCols: Seq[Column]): DataFrame =
+    perName.groupBy(groupCols: _*)
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("__name"), col("__agg"))))).as("result"),
         max(col("__name_seq")).as("__seq"))
       .withColumn("report", lit(true))
-  }
 
   /** Batch formulation: window functions partitioned by the group key,
     * ordered by arrival — row-preserving, so emissions keep the triggering
@@ -413,14 +421,9 @@ object Pipelines {
             col("__group"), col("__name"))
           .agg(graft.windows.AggFunctions
             .scalar(fn, col("__kv"), col("__seq")).as("__agg"),
-            max(col("__seq")).as("__nseq"))
-        perName
-          .groupBy(col("window"), col("__group"))
-          .agg(map_from_entries(array_sort(
-            collect_list(struct(col("__name"), col("__agg"))))).as("result"),
-            max(col("__nseq")).as("__seq"))
-          .select(col("__group"), col("__seq"), col("result"),
-            lit(true).as("report"))
+            max(col("__seq")).as("__name_seq"))
+        assembleKeyedMap(perName, Seq(col("window"), col("__group")))
+          .select(col("__group"), col("__seq"), col("result"), col("report"))
       case other =>
         throw new IllegalArgumentException(
           s"unsupported streaming keyed window: $other")

@@ -291,8 +291,17 @@ object Dedup {
   def embeddingPairs(df: DataFrame, id: String, vec: String,
                      threshold: Double, dim: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
+    // dim inference needs one row (pass `dim` to stay fully lazy); an
+    // empty / all-null-vector input has no pairs at all
     val d = if (dim > 0) dim
-      else df.select(size(col(vec))).head().getInt(0)
+      else df.select(size(col(vec)).as("n")).where(col(vec).isNotNull)
+        .limit(1).collect() match {
+          case Array(r) => r.getInt(0)
+          case _ =>
+            return df.sparkSession.emptyDataFrame
+              .select(lit(0L).as("id1"), lit(0L).as("id2"),
+                lit(0.0).as("cosine")).limit(0)
+        }
     val (bits, bands) = Similarity.bandingFor(threshold)
     val vBase = df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))

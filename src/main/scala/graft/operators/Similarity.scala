@@ -50,6 +50,10 @@ object Similarity {
     * is scanned once and never grows. Folding in ascending cell order
     * makes a strict `>` keep the lowest cell id on ties, matching the
     * rank-formulation it replaces. */
+  /** Contract note: a vector whose length differs from the centroid dim
+    * gets `cell = -1` / `sim = -Infinity` (it matches no probe and is
+    * excluded from ANN search); filter `cell === -1` to audit such rows.
+    * A zero vector's sims are all NaN and also lands on cell -1. */
   def assignCells(df: DataFrame, id: String, vec: String,
                   centroids: DataFrame, cid: String, cvec: String): DataFrame = {
     val cents: Seq[(Long, Seq[Double])] = centroids
@@ -59,6 +63,9 @@ object Similarity {
       .sortBy(_._1)
     require(cents.nonEmpty, "assignCells requires at least one centroid")
     val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"ragged centroid vectors: expected uniform dim $dim, got " +
+        cents.map(_._2.length).distinct.mkString("/"))
     val cells = cents.map(_._1).toArray
     val matrix = cents.flatMap(_._2).toArray
     df.withColumn("__best", graft.expressions.VectorExprs
@@ -193,6 +200,10 @@ object Similarity {
       .select(col("qid"), col("cid")).distinct()
     val sims = cand.join(cv, "cid").join(broadcast(qv), "qid")
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // a wrong-dim vector's all-zero band keys can collide with a
+      // legitimate all-negative-signs key; its dot (and sim) is NULL —
+      // drop it rather than letting a NULL-sim row take a top-k slot
+      .where(col("sim").isNotNull)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

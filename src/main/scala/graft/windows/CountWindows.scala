@@ -195,6 +195,29 @@ object CountWindows {
   case class SlidingState(ring: Vector[Double], nSeen: Long, sinceEmit: Long,
                           lastSeq: Long)
 
+  /** One micro-batch of the sliding fold — sort within the batch, drop
+    * below-HWM stragglers, ring/cadence update, emissions. Shared by the
+    * flatMapGroupsWithState and transformWithState operators so a
+    * cadence/contract fix can never diverge the two (the HWM fix
+    * originally had to land in both copies). */
+  private[windows] def slidingFold(key: String, rows: Seq[KeyedSample],
+                                   st0: SlidingState, size: Int,
+                                   resolution: Int, fn: String)
+      : (SlidingState, Vector[WindowEmit]) = {
+    var st = st0
+    val out = Vector.newBuilder[WindowEmit]
+    rows.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
+      val ring = (st.ring :+ s.value).takeRight(size)
+      val n = st.nSeen + 1
+      val since = st.sinceEmit + 1
+      if (n >= size && since >= resolution) {
+        out += WindowEmit(key, s.seq, applyFn(fn, ring), ring, ring.length.toLong)
+        st = SlidingState(ring, n, 0L, s.seq)
+      } else st = SlidingState(ring, n, since, s.seq)
+    }
+    (st, out.result())
+  }
+
   /** Streaming sliding count window with resolution. Cadence matches the
     * reference (windows.go:252-265): emit requires a full ring
     * (nSeen >= size) AND sinceEmit >= resolution, so the first emission is
@@ -207,22 +230,10 @@ object CountWindows {
       .flatMapGroupsWithState[SlidingState, WindowEmit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[SlidingState]) =>
-          var st = state.getOption.getOrElse(SlidingState(Vector.empty, 0L, 0L, -1L))
-          val out = Vector.newBuilder[WindowEmit]
-          // same contract as tumblingStream: sort within the batch, drop
-          // below-HWM stragglers from prior batches instead of folding them
-          // into the ring out of order.
-          rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
-            val ring = (st.ring :+ s.value).takeRight(size)
-            val n = st.nSeen + 1
-            val since = st.sinceEmit + 1
-            if (n >= size && since >= resolution) {
-              out += WindowEmit(key, s.seq, applyFn(fn, ring), ring, ring.length.toLong)
-              st = SlidingState(ring, n, 0L, s.seq)
-            } else st = SlidingState(ring, n, since, s.seq)
-          }
+          val st0 = state.getOption.getOrElse(SlidingState(Vector.empty, 0L, 0L, -1L))
+          val (st, out) = slidingFold(key, rows.toSeq, st0, size, resolution, fn)
           state.update(st)
-          out.result().iterator
+          out.iterator
       }
   }
 }

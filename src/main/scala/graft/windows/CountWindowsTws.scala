@@ -58,37 +58,26 @@ object CountWindowsTws {
         TimeMode.None(), OutputMode.Append())
   }
 
-  case class SlidingTwsState(ring: Vector[Double], nSeen: Long,
-                             sinceEmit: Long, lastSeq: Long)
-
   private class SlidingProcessor(size: Int, resolution: Int, fn: String,
                                  ttl: TTLConfig)
       extends StatefulProcessor[String, KeyedSample, WindowEmit] {
-    @transient private var state: ValueState[SlidingTwsState] = _
+    import CountWindows.SlidingState
+    @transient private var state: ValueState[SlidingState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[SlidingTwsState]("sliding",
-        Encoders.product[SlidingTwsState], ttl)
+      state = getHandle.getValueState[SlidingState]("sliding",
+        Encoders.product[SlidingState], ttl)
 
     override def handleInputRows(key: String, rows: Iterator[KeyedSample],
                                  timerValues: TimerValues): Iterator[WindowEmit] = {
-      var st = if (state.exists()) state.get()
-        else SlidingTwsState(Vector.empty, 0L, 0L, -1L)
-      val out = Vector.newBuilder[WindowEmit]
-      // identical cadence + high-water-mark contract as
-      // CountWindows.slidingStream (windows.go:252-265)
-      rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
-        val ring = (st.ring :+ s.value).takeRight(size)
-        val n = st.nSeen + 1
-        val since = st.sinceEmit + 1
-        if (n >= size && since >= resolution) {
-          out += WindowEmit(key, s.seq,
-            CountWindows.applyFnPublic(fn, ring), ring, ring.length.toLong)
-          st = SlidingTwsState(ring, n, 0L, s.seq)
-        } else st = SlidingTwsState(ring, n, since, s.seq)
-      }
+      val st0 = if (state.exists()) state.get()
+        else SlidingState(Vector.empty, 0L, 0L, -1L)
+      // identical cadence + high-water-mark contract as slidingStream:
+      // both delegate to CountWindows.slidingFold
+      val (st, out) =
+        CountWindows.slidingFold(key, rows.toSeq, st0, size, resolution, fn)
       state.update(st)
-      out.result().iterator
+      out.iterator
     }
   }
 
