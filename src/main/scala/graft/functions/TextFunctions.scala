@@ -50,8 +50,12 @@ object TextFunctions {
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Deterministic document fingerprint: md5 of the normalized text.
-    * Equal fingerprints == exact duplicates modulo case/whitespace. */
-  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+    * Equal fingerprints == exact duplicates modulo case/whitespace.
+    * Single-pass codegen kernel (graft.expressions.Md5Kernel) —
+    * byte-identical to `md5(normalized(text) as binary)` without the
+    * regex walk over every body. */
+  def fingerprint(text: Column): Column =
+    graft.expressions.TextExprs.normalizedMd5(text)
 
   /** 64-bit rolling-hash content fingerprint (xxhash64 of normalized text) —
     * cheap join key for exact dedup at scale (8 bytes vs full text shuffle). */

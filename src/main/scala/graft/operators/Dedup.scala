@@ -208,23 +208,17 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash per document via explode + groupBy (codegen'd hash aggregate
-    * with 64 conditional-sum columns; bitwise-identical to [[simhash64]]).
-    * Documents with zero tokens are absent from the output. */
+  /** SimHash per document via the single-pass kernel
+    * (graft.expressions.SimHashKernel — Spark's own XXH64, so hashes are
+    * bit-identical to [[simhash64]] and the xxhash64 SQL function): a
+    * pure projection, no row expansion, no shuffle. Documents with zero
+    * tokens are absent from the output (parity with the previous
+    * explode+groupBy formulation). */
   def simhashTable(df: DataFrame, id: String, text: String): DataFrame = {
-    val hashed = df
+    val toks = TextFunctions.tokens(col(text))
+    df.where(size(toks) > 0)
       .select(col(id).as("doc"),
-        explode(TextFunctions.tokens(col(text))).as("t"))
-      .select(col("doc"), xxhash64(col("t")).as("h"))
-    val voteCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$b")
-    }
-    val withVotes = hashed.groupBy("doc").agg(voteCols.head, voteCols.tail: _*)
-    val simhash = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    withVotes.select(col("doc"), simhash.as("simhash"))
+        graft.expressions.TextExprs.simhash64(toks).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming (<= 3

@@ -57,4 +57,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0).matches("[0-9a-f]{32}"))
   }
+
+  test("md5 kernel is byte-identical to the composed builtin form") {
+    val s = spark
+    import s.implicits._
+    // the recipe the DuckDB oracle replicates — the kernel must match it
+    // byte-for-byte, including Unicode lowercase, mixed whitespace,
+    // leading/trailing runs, empty strings and NULLs
+    def composed = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      .cast("binary"))
+    val edge = Seq("", " ", "  \t\n ", "Hello  World", "ÜBER  Straße",
+      "ΑΛΦΑ βήτα", "tab\there\r\nnewline", "mixedvtab", "日本語 テスト",
+      null.asInstanceOf[String]).toDF("text")
+    val rows = edge.select(fingerprint(col("text")).as("k"),
+        composed.as("c")).collect()
+    rows.foreach { r => assert(r.get(0) == r.get(1), s"mismatch: $r") }
+    // and over the real corpus
+    val docs = graft.engine.Tables.documents(s, sf())
+    val bad = docs.select(fingerprint(col("text")).as("k"), composed.as("c"))
+      .where(col("k") =!= col("c")).count()
+    assert(bad == 0L)
+  }
 }

@@ -76,6 +76,45 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally { pub.stop(); q.stop() }
   }
 
+  test("rest trigger source: HTTP requests become pipeline events") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val ingest = new RestIngest(0)
+    val port = ingest.start()
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"input","type":"int"}],
+        |             "output": [{"name":"out","type":"int"}]},
+        |"stages": [{"ref":"#filter", "settings":{"type":"non-zero"},
+        |            "input":{"value":"=$.input"},
+        |            "output":{"pipeline.out":"=$.value"}}]
+        |}""".stripMargin)
+    val schema = StructType(Seq(StructField("input", IntegerType)))
+    val q = Pipelines.compileStream(p, ingest.toDF(schema))
+      .writeStream.format("memory").queryName("rest_rows")
+      .outputMode("append").start()
+    def post(json: String): Int = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/ingest")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(json.getBytes("UTF-8"))
+      val code = conn.getResponseCode; conn.disconnect(); code
+    }
+    try {
+      assert(post("""{"input": 0}""") == 200)
+      assert(post("""{"input": 5}""") == 200)
+      assert(post("not json") == 400)
+      // GET with query params maps them to fields
+      val g = new java.net.URL(s"http://127.0.0.1:$port/ingest?input=7")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(g.getResponseCode == 200); g.disconnect()
+      q.processAllAvailable()
+      val rows = s.sql("SELECT out FROM rest_rows ORDER BY out")
+        .collect().map(_.getInt(0))
+      assert(rows.toSeq == Seq(5, 7)) // zero filtered, bad request rejected
+    } finally { q.stop(); ingest.stop() }
+  }
+
   test("csv replay source: auto-parse, rate limit, control API") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val csv = java.io.File.createTempFile("replay", ".csv")
