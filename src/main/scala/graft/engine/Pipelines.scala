@@ -215,7 +215,8 @@ object Pipelines {
         val agged =
           if (streaming) streamingAggregate(v, fn, windowType, size,
             resolution, watermark)
-          else batchAggregate(v, fn, windowType, size, resolution)
+          else batchAggregate(v, fn, windowType, size, resolution,
+            st.settings.get("avgCompat"))
         gate(agged, pooe(st))
     }
   }
@@ -321,9 +322,27 @@ object Pipelines {
     * ordered by arrival — row-preserving, so emissions keep the triggering
     * event's scope columns. */
   private def batchAggregate(df: DataFrame, fn: String, windowType: String,
-                             size: Int, resolution: Int): DataFrame = {
+                             size: Int, resolution: Int,
+                             avgCompat: Option[String] = None): DataFrame = {
     val byKey = Window.partitionBy(col("__group")).orderBy(col("__seq"))
     windowType match {
+      // opt-in reference quirk (settings avgCompat=maxSamples): the
+      // reference's timeTumbling avg divides by the HIGH-WATER mark of
+      // pane sizes seen so far, not the emitting pane's own count
+      // (windows.go:177-205, maxSamples at :192)
+      case "timeTumbling" if fn == "avg" && avgCompat.contains("maxSamples") =>
+        val pane = (floor(unix_millis(col("__ts")) / size) * size).cast("bigint")
+        val paneFrame = Window.partitionBy(col("__group"), col("__pane"))
+        val runMax = Window.partitionBy(col("__group")).orderBy(col("__pane"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__pane", pane)
+          .withColumn("__psum", sum(col("__agg_value")).over(paneFrame))
+          .withColumn("__pcnt", count(col("__agg_value")).over(paneFrame))
+          .withColumn("__runmax", max(col("__pcnt")).over(runMax))
+          .withColumn("result", graft.windows.AggFunctions
+            .maxSamplesAvgCompat(col("__psum"), col("__runmax")))
+          .withColumn("report",
+            row_number().over(paneFrame.orderBy(col("__seq").desc)) === 1)
       case "tumbling" =>
         val rn = row_number().over(byKey) - 1
         val winId = (col("__rn") - pmod(col("__rn"), lit(size))) / size

@@ -60,6 +60,31 @@ class PipelinesSpec extends SparkSpec {
     assert(msgs.toSeq == Seq("fromChannel: 5", "fromChannel: 7"))
   }
 
+  test("avgCompat=maxSamples divides by the pane-size high-water mark") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}],
+        |             "output": [{"name":"result","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"timeTumbling",
+        |                        "windowSize":"1000",
+        |                        "avgCompat":"maxSamples"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    // pane 0: 3 samples (sum 6); pane 1: 2 samples (sum 10). The compat
+    // quirk divides pane 1 by max(3, 2) = 3, not its own count 2.
+    val input = Seq((1.0, 0L), (2.0, 100L), (3.0, 200L),
+        (4.0, 1100L), (6.0, 1200L))
+      .zipWithIndex.map { case ((v, ms), i) => (v, ms, i.toLong) }
+      .toDF("v", "ms", "__seq")
+      .withColumn("__ts", timestamp_millis(col("ms")))
+    val out = Pipelines.compileBatch(p, input)
+      .orderBy("result").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(2.0, 10.0 / 3.0))
+  }
+
   test("non-zero filter passes NULL values through (filters.go:33-34)") {
     val s = spark
     import s.implicits._

@@ -230,6 +230,49 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally { q.stop(); s.streams.removeListener(sl) }
   }
 
+  test("composed app e2e: REST ingest -> pipeline -> channel -> subscriber") {
+    // the reference's full runtime story in one flow: an HTTP trigger
+    // feeds the filter pipeline, whose outputChannel fans into a second
+    // pipeline (channel-flogo.json topology), with telemetry attached
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    Channels.reset()
+    val app = Dsl.parseApp(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/channel-flogo.json"))))
+    val sink = new Telemetry.CollectingSink
+    val listener = Telemetry.attach(s, sink)
+    val ingest = new RestIngest(0)
+    val port = ingest.start()
+    val schema = StructType(Seq(StructField("input", IntegerType)))
+    val pub = Pipelines.runStream(app.pipelines("simple_filter"),
+      ingest.toDF(schema))
+    val sub = Channels.subscribe("test",
+      StructType(Seq(StructField("out", IntegerType))))
+    val q = Pipelines.compileStream(app.pipelines("simple_report"),
+        sub.select(col("out").as("rinput")))
+      .select("message").writeStream.format("memory")
+      .queryName("composed_msgs").outputMode("append").start()
+    def get(v: Int): Unit = {
+      val c = new java.net.URL(s"http://127.0.0.1:$port/ingest?input=$v")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(c.getResponseCode == 200); c.disconnect()
+    }
+    try {
+      Seq(0, 11, 0, 22).foreach(get)
+      pub.processAllAvailable()
+      q.processAllAvailable()
+      val msgs = s.sql("SELECT message FROM composed_msgs ORDER BY message")
+        .collect().map(_.getString(0))
+      assert(msgs.toSeq == Seq("fromChannel: 11", "fromChannel: 22"))
+      // telemetry saw both running queries start and make progress
+      val started = sink.events.collect {
+        case e: Telemetry.PipelineStarted => e.queryId }.distinct
+      assert(started.size >= 2, s"expected both queries in telemetry: $started")
+    } finally {
+      pub.stop(); q.stop(); ingest.stop(); s.streams.removeListener(listener)
+    }
+  }
+
   test("telemetry listener reports pipeline started/progress/finished") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
