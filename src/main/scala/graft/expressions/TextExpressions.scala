@@ -190,9 +190,121 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All text-quality counts in one pass, backing qualityScore/langId:
+  * token count, ASCII-punctuation count, char (code point) count,
+  * per-language and any-language stopword hits, CJK code points.
+  * Each count is defined to equal its composed-builtin counterpart
+  * exactly (TextFunctionsSpec proves equality over the corpus):
+  *  - tokens: trim (ASCII spaces, like Spark `trim`) -> lowercase
+  *    (UTF8String.toLowerCase, like Spark `lower`) -> split on JAVA
+  *    \s+ = [ \t\n\x0B\f\r]+, drop empties — TextFunctions.tokens;
+  *  - npunct: chars in [!-/:-@\[-`{-~] over the RAW text;
+  *  - cjk: code points in U+4E00..U+9FFF over the raw text;
+  *  - nchar: code points of the raw text (Spark `length`).
+  */
+object TextStatsKernel {
+  import graft.functions.TextFunctions.stopwords
+
+  private val langs = Seq("en", "de", "fr", "es")
+  private val langSets: Array[java.util.HashSet[String]] = langs.map { l =>
+    val s = new java.util.HashSet[String]()
+    stopwords(l).foreach(s.add)
+    s
+  }.toArray
+  private val allSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.values.flatten.foreach(s.add)
+    s
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+
+  private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  /** Returns [ntok, npunct, nchar, en, de, fr, es, nswAll, cjk]. */
+  def stats(s: UTF8String): InternalRowLike = {
+    val raw = s.toString
+    var npunct = 0L
+    var cjk = 0L
+    var nchar = 0L
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      nchar += 1
+      if (cp < 128 && isPunct(cp.toChar)) npunct += 1
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      i += Character.charCount(cp)
+    }
+    // trim ASCII spaces first (Spark trim), then lowercase (Spark lower)
+    val lowered = s.trim().toLowerCase.toString
+    var ntok = 0L
+    val perLang = new Array[Long](langSets.length)
+    var nswAll = 0L
+    var start = 0
+    var j = 0
+    def consume(tok: String): Unit = {
+      ntok += 1
+      var l = 0
+      while (l < langSets.length) {
+        if (langSets(l).contains(tok)) perLang(l) += 1
+        l += 1
+      }
+      if (allSet.contains(tok)) nswAll += 1
+    }
+    while (j <= lowered.length) {
+      if (j == lowered.length || isWs(lowered.charAt(j))) {
+        if (j > start) consume(lowered.substring(start, j))
+        start = j + 1
+      }
+      j += 1
+    }
+    InternalRowLike(ntok, npunct, nchar, perLang(0), perLang(1), perLang(2),
+      perLang(3), nswAll, cjk)
+  }
+
+  case class InternalRowLike(ntok: Long, npunct: Long, nchar: Long, en: Long,
+                             de: Long, fr: Long, es: Long, nswAll: Long,
+                             cjk: Long)
+}
+
+case class TextStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(
+    Seq("ntok", "npunct", "nchar", "en", "de", "fr", "es", "nswall", "cjk")
+      .map(StructField(_, LongType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+
+  // public: invoked from generated code via the captured reference
+  def compute(s: UTF8String): InternalRow = {
+    val r = TextStatsKernel.stats(s)
+    InternalRow(r.ntok, r.npunct, r.nchar, r.en, r.de, r.fr, r.es, r.nswAll,
+      r.cjk)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("textStatsExpr", this,
+      classOf[TextStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def textStats(text: Column): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
 
   def normalizedMd5(text: Column): Column =
     ColumnBridge.column(NormalizedMd5(ColumnBridge.expression(text)))

@@ -15,8 +15,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** All quality/language counts in one single-pass kernel call
+    * (graft.expressions.TextStats): struct(ntok, npunct, nchar, en, de,
+    * fr, es, nswall, cjk). The derived functions below reference it
+    * repeatedly — codegen subexpression elimination evaluates it once
+    * per row, replacing ~8 independent regex/split walks. */
+  def textStats(text: Column): Column =
+    graft.expressions.TextExprs.textStats(text)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column =
+    textStats(text).getField("ntok").cast("int")
 
   /** BPE-ish subword count: word-ish runs + digits + punctuation marks each
     * count as one token (a cheap deterministic proxy for a real tokenizer;
@@ -84,11 +93,13 @@ object TextFunctions {
 
   /** Heuristic language ID: CJK-dominant → zh, otherwise the language with
     * the highest stopword count (ties broken en > de > fr > es), 'und' if no
-    * stopwords at all. Deterministic by construction. */
+    * stopwords at all. Deterministic by construction; all counts come
+    * from the single-pass [[textStats]] kernel. */
   def langId(text: Column): Column = {
-    val en = stopwordCount(text, "en"); val de = stopwordCount(text, "de")
-    val fr = stopwordCount(text, "fr"); val es = stopwordCount(text, "es")
-    when(cjkCharCount(text) * 2 > tokenCount(text), lit("zh"))
+    val st = textStats(text)
+    val en = st.getField("en"); val de = st.getField("de")
+    val fr = st.getField("fr"); val es = st.getField("es")
+    when(st.getField("cjk") * 2 > st.getField("ntok"), lit("zh"))
       .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
       .when(en >= de && en >= fr && en >= es, lit("en"))
       .when(de >= fr && de >= es, lit("de"))
@@ -101,17 +112,18 @@ object TextFunctions {
   // --------------------------------------------------------------------------
 
   /** Fraction of characters that are ASCII punctuation. */
-  def punctRatio(text: Column): Column =
-    when(length(text) > 0,
-      regexpCount(text, "[!-/:-@\\[-`{-~]").cast("double") / length(text))
+  def punctRatio(text: Column): Column = {
+    val st = textStats(text)
+    when(st.getField("nchar") > 0,
+      st.getField("npunct").cast("double") / st.getField("nchar"))
       .otherwise(lit(0.0))
+  }
 
   /** Fraction of tokens that are (any-language) stopwords. */
   def stopwordRatio(text: Column): Column = {
-    val all = stopwords.values.flatten.toSeq.distinct
-    when(tokenCount(text) > 0,
-      size(filter(tokens(text), t => t.isInCollection(all))).cast("double") /
-        tokenCount(text))
+    val st = textStats(text)
+    when(st.getField("ntok") > 0,
+      st.getField("nswall").cast("double") / st.getField("ntok"))
       .otherwise(lit(0.0))
   }
 

@@ -58,6 +58,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0).matches("[0-9a-f]{32}"))
   }
 
+  test("text-stats kernel matches the composed builtin formulations") {
+    val s = spark
+    import s.implicits._
+    // the pre-kernel formulas, spelled out with builtins — the kernel
+    // must reproduce every count bit-for-bit (these are also what the
+    // DuckDB oracle replicates)
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    def composedNtok(c: org.apache.spark.sql.Column) = size(toks(c))
+    def composedPunct(c: org.apache.spark.sql.Column) =
+      regexp_count(c, lit("[!-/:-@\\[-`{-~]"))
+    def composedCjk(c: org.apache.spark.sql.Column) =
+      length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val sw = stopwords.values.flatten.toSeq.distinct
+    def composedSw(c: org.apache.spark.sql.Column) =
+      size(filter(toks(c), t => t.isInCollection(sw)))
+    val edge = Seq("", " ", "The  quick\tBROWN fox!?", "der die und 42",
+      "日本語のテキスト 漢字", "\t\n le la ", "a.b,c;d", "ÜBER grüßen",
+      "punct!!! ... ???").toDF("text")
+    val docs = graft.engine.Tables.documents(s, sf()).select("text")
+    for (df <- Seq(edge, docs)) {
+      val st = textStats(col("text"))
+      val bad = df.select(
+          st.getField("ntok").as("k_ntok"), composedNtok(col("text")).as("c_ntok"),
+          st.getField("npunct").as("k_p"), composedPunct(col("text")).as("c_p"),
+          st.getField("cjk").as("k_c"), composedCjk(col("text")).as("c_c"),
+          st.getField("nswall").as("k_s"), composedSw(col("text")).as("c_s"),
+          st.getField("nchar").as("k_n"), length(col("text")).as("c_n"))
+        .where(col("k_ntok") =!= col("c_ntok") || col("k_p") =!= col("c_p") ||
+          col("k_c") =!= col("c_c") || col("k_s") =!= col("c_s") ||
+          col("k_n") =!= col("c_n"))
+      assert(bad.count() == 0, s"kernel/builtin mismatch:\n" +
+        bad.collect().take(3).mkString("\n"))
+    }
+  }
+
   test("md5 kernel is byte-identical to the composed builtin form") {
     val s = spark
     import s.implicits._

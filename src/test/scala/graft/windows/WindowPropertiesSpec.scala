@@ -58,6 +58,37 @@ class WindowPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: keyed tumbling stream == driver-side per-name chunk agg") {
+    val s = spark
+    import s.implicits._
+    implicit val ss: org.apache.spark.sql.SparkSession = s
+    cases(5) { r =>
+      val names = Seq("a", "b", "c")
+      (List.fill(2 + r.nextInt(25))(
+        (names(r.nextInt(names.length)), r.nextDouble() * 100)),
+        1 + r.nextInt(5))
+    } { case (samples, size) =>
+      val ds = samples.zipWithIndex.map { case ((n, v), i) =>
+        CountWindows.KeyedNamedSample("k", i + 1L, n, v) }.toDS()
+      val got = CountWindows.keyedTumblingStream(ds, size, "sum")
+        .collect().map(e => (e.emitAtSeq, e.result)).sortBy(_._1).toSeq
+      // reference semantics: window closes on the size-th sample of the
+      // GROUP (names mixed); emission = per-name sums of that chunk
+      val expected = samples.grouped(size).zipWithIndex
+        .filter(_._1.length == size)
+        .map { case (chunk, w) =>
+          ((w + 1L) * size,
+            chunk.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).sum })
+        }.toSeq
+      assert(got.length == expected.length)
+      got.zip(expected).foreach { case ((s1, m1), (s2, m2)) =>
+        assert(s1 == s2)
+        assert(m1.keySet == m2.keySet)
+        m1.foreach { case (k, v) => assert(math.abs(v - m2(k)) < 1e-9) }
+      }
+    }
+  }
+
   test("property: streaming tumbling operator == reference chunk avg") {
     val s = spark
     import s.implicits._
