@@ -37,14 +37,42 @@ object GraftExtensions {
         info(classOf[WordShingles].getName, "graft_word_shingles"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_word_shingles takes (text, n)")
-          val n = args(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-              v.toString.toInt
-            case other => throw new IllegalArgumentException(
-              s"graft_word_shingles n must be a literal, got $other")
-          }
-          WordShingles(args.head, n)
+          WordShingles(args.head, litInt(args(1), "graft_word_shingles n"))
+        }),
+      ("graft_normalized_md5",
+        info(classOf[NormalizedMd5].getName, "graft_normalized_md5"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_normalized_md5 takes (text)")
+          NormalizedMd5(args.head)
+        }),
+      ("graft_simhash64",
+        info(classOf[SimHash64Expr].getName, "graft_simhash64"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_simhash64 takes (tokens)")
+          SimHash64Expr(args.head)
+        }),
+      ("graft_text_stats",
+        info(classOf[TextStats].getName, "graft_text_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_text_stats takes (text)")
+          TextStats(args.head)
+        }),
+      ("graft_band_keys",
+        info(classOf[HyperplaneBandKeys].getName, "graft_band_keys"),
+        (args: Seq[Expression]) => {
+          require(args.length == 5,
+            "graft_band_keys takes (vec, dim, bitsPerBand, numBands, seed)")
+          HyperplaneBandKeys(args.head,
+            litInt(args(1), "dim"), litInt(args(2), "bitsPerBand"),
+            litInt(args(3), "numBands"), litInt(args(4), "seed").toLong)
         }))
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -23,6 +23,23 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getDouble(0) == 5.0)
   }
 
+  test("kernel expressions callable from SQL") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    Seq(("Hello  World", Seq("the", "cat"), Seq(1.0, -2.0)))
+      .toDF("t", "toks", "v").createOrReplaceTempView("kernel_probe")
+    val row = s.sql(
+      """SELECT graft_normalized_md5(t) AS fp,
+        |       graft_simhash64(toks) AS sh,
+        |       graft_text_stats(t).ntok AS n,
+        |       graft_band_keys(v, 2, 4, 3, 42)[0] AS bk
+        |FROM kernel_probe""".stripMargin).collect()(0)
+    assert(row.getString(0).matches("[0-9a-f]{32}"))
+    assert(row.getLong(2) == 2L)
+    assert(row.getLong(3) >= 0L && row.getLong(3) < 16L)
+  }
+
   test("graft_dot yields NULL for mismatched vector lengths, in both paths") {
     val s = spark
     import s.implicits._
