@@ -198,11 +198,11 @@ object Pipelines {
     // do we.
     (st.settings.get("nameKey"), st.settings.get("valueKey")) match {
       case (Some(nameKey), Some(valueKey)) if streaming =>
-        require(windowType == "tumbling" || windowType == "timeTumbling",
-          s"streaming keyed windows support tumbling/timeTumbling, " +
-            s"not $windowType (keyed timeSliding is batch-only)")
+        require(windowType != "sliding",
+          "keyed sliding(count) windows are unsupported (windows.go:216-219)")
         val watermark = st.settings.getOrElse("watermark", "0 seconds")
-        gate(keyedStreamingAggregate(df, fn, windowType, size, watermark,
+        gate(keyedStreamingAggregate(df, fn, windowType, size, resolution,
+          watermark,
           expr(Dsl.translate(nameKey)), expr(Dsl.translate(valueKey))), pooe(st))
       case (Some(nameKey), Some(valueKey)) =>
         require(windowType != "sliding",
@@ -409,14 +409,16 @@ object Pipelines {
   /** Streaming keyed (nameKey/valueKey) windows — reference
     * windows.go:425-467 in the streaming engine.
     *  - tumbling(count): the keyed flatMapGroupsWithState operator.
-    *  - timeTumbling: CHAINED streaming aggregations (Spark 3.4+
-    *    multiple-stateful-operator support): per-(window, group, name)
-    *    aggregate, then per-(window, group) map assembly — both
-    *    incremental, both distributed, emitted when the watermark closes
-    *    the window. */
+    *  - timeTumbling / timeSliding: CHAINED streaming aggregations
+    *    (Spark 3.4+ multiple-stateful-operator support): per-(window,
+    *    group, name) aggregate, then per-(window, group) map assembly —
+    *    both incremental, both distributed, emitted when the watermark
+    *    closes the window. Sliding uses the built-in paned
+    *    window(size, slide), like the unkeyed streaming path (no
+    *    warm-up gating — that batch-only nuance is documented there). */
   private def keyedStreamingAggregate(df: DataFrame, fn: String,
                                       windowType: String, size: Int,
-                                      watermark: String,
+                                      resolution: Int, watermark: String,
                                       name: Column, value: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -431,13 +433,17 @@ object Pipelines {
         graft.windows.CountWindows.keyedTumblingStream(ds, size, fn).toDF()
           .select(col("key").as("__group"), col("emitAtSeq").as("__seq"),
             col("result"), lit(true).as("report"))
-      case "timeTumbling" =>
+      case "timeTumbling" | "timeSliding" =>
+        val win =
+          if (windowType == "timeTumbling")
+            window(col("__ts"), s"$size milliseconds")
+          else window(col("__ts"), s"$size milliseconds",
+            s"$resolution milliseconds")
         val perName = df
           .withColumn("__name", name.cast("string"))
           .withColumn("__kv", value)
           .withWatermark("__ts", watermark)
-          .groupBy(window(col("__ts"), s"$size milliseconds"),
-            col("__group"), col("__name"))
+          .groupBy(win, col("__group"), col("__name"))
           .agg(graft.windows.AggFunctions
             .scalar(fn, col("__kv"), col("__seq")).as("__agg"),
             max(col("__seq")).as("__name_seq"))

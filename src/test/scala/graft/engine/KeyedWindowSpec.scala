@@ -176,6 +176,42 @@ class KeyedWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming keyed timeSliding window emits paned per-name maps") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"timeSliding",
+        |                        "windowSize":"2000","resolution":"1000",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    val input = MemoryStream[(String, Double, Long)]
+    val sdf = input.toDF().select(col("_1").as("n"), col("_2").as("v"),
+      timestamp_millis(col("_3")).as("__ts"), col("_3").as("__seq"))
+    val q = Pipelines.compileStream(p, sdf)
+      .writeStream.format("memory").queryName("keyed_timesliding_stream")
+      .outputMode("append").start()
+    try {
+      // a@500 lands in panes [-1000,1000) and [0,2000);
+      // b@1500 in [0,2000) and [1000,3000)
+      input.addData(("a", 1.0, 500L), ("b", 5.0, 1500L))
+      q.processAllAvailable()
+      input.addData(("z", 0.0, 30000L)) // close all panes
+      q.processAllAvailable()
+      // panes [0,2000) and [1000,3000) share the same max __seq (1500),
+      // so compare the emitted pane maps as a set
+      val rows = s.sql(
+        "SELECT result FROM keyed_timesliding_stream WHERE __seq < 30000")
+        .collect().map(_.getAs[Map[String, Double]](0))
+      assert(rows.toSet == Set(Map("a" -> 1.0),
+        Map("a" -> 1.0, "b" -> 5.0), Map("b" -> 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming DSL timeSliding window with a watermark setting") {
     val s = spark
     import s.implicits._
