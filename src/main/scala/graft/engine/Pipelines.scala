@@ -44,10 +44,17 @@ object Pipelines {
   def compileBatch(p: PipelineDef, input: DataFrame,
                    env: Map[String, String] = Map.empty,
                    props: Map[String, String] = Map.empty,
-                   instrument: Boolean = false): DataFrame = {
+                   instrument: Boolean = false): DataFrame =
+    compile(p, input, env, props, streaming = false, instrument)
+
+  /** Shared stage loop for both execution modes — the observe naming
+    * and per-stage wiring must never drift between batch and stream. */
+  private def compile(p: PipelineDef, input: DataFrame,
+                      env: Map[String, String], props: Map[String, String],
+                      streaming: Boolean, instrument: Boolean): DataFrame = {
     var df = prologue(p, input)
     p.stages.zipWithIndex.foreach { case (st, i) =>
-      df = compileStage(p, st, df, env, props, streaming = false)
+      df = compileStage(p, st, df, env, props, streaming)
       if (instrument)
         df = df.observe(s"graft_stage_${i}_${st.ref}", count(lit(1)).as("rows"))
     }
@@ -80,15 +87,8 @@ object Pipelines {
   def compileStream(p: PipelineDef, input: DataFrame,
                     env: Map[String, String] = Map.empty,
                     props: Map[String, String] = Map.empty,
-                    instrument: Boolean = false): DataFrame = {
-    var df = prologue(p, input)
-    p.stages.zipWithIndex.foreach { case (st, i) =>
-      df = compileStage(p, st, df, env, props, streaming = true)
-      if (instrument)
-        df = df.observe(s"graft_stage_${i}_${st.ref}", count(lit(1)).as("rows"))
-    }
-    epilogue(p, df)
-  }
+                    instrument: Boolean = false): DataFrame =
+    compile(p, input, env, props, streaming = true, instrument)
 
   // --------------------------------------------------------------------
 
@@ -212,6 +212,13 @@ object Pipelines {
       case _ =>
         val v = df.withColumn("__agg_value", value)
         val watermark = st.settings.getOrElse("watermark", "0 seconds")
+        // the maxSamples divisor needs a running max across ALL panes of
+        // a group — cross-window state the chained streaming aggregation
+        // cannot express; reject loudly rather than silently computing a
+        // plain avg that diverges from the batch result
+        require(!streaming || st.settings.get("avgCompat").isEmpty,
+          "avgCompat is batch-only (cross-pane running max is not " +
+            "expressible in a streaming window aggregation)")
         val agged =
           if (streaming) streamingAggregate(v, fn, windowType, size,
             resolution, watermark)

@@ -64,12 +64,19 @@ object GraftExtensions {
             "graft_band_keys takes (vec, dim, bitsPerBand, numBands, seed)")
           HyperplaneBandKeys(args.head,
             litInt(args(1), "dim"), litInt(args(2), "bitsPerBand"),
-            litInt(args(3), "numBands"), litInt(args(4), "seed").toLong)
+            litInt(args(3), "numBands"), litLong(args(4), "seed"))
         }))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
       v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be a literal, got $other")
   }

@@ -122,6 +122,16 @@ case class NormalizedMd5(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_normalized_md5"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+  }
+
   override protected def nullSafeEval(input: Any): Any =
     Md5Kernel.normalizedMd5(input.asInstanceOf[UTF8String])
 
@@ -148,12 +158,20 @@ object SimHashKernel {
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-        t.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (t == null) {
+        // the composed form it replaced folded a NULL hash through
+        // when/otherwise into a -1 vote on every bit — keep that
+        // behavior rather than NPE on null array elements
+        var b = 0
+        while (b < 64) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+          t.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -273,6 +291,16 @@ object TextStatsKernel {
 case class TextStats(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.types.{LongType, StructField, StructType}
   import org.apache.spark.sql.catalyst.InternalRow
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+  }
 
   override def dataType: DataType = StructType(
     Seq("ntok", "npunct", "nchar", "en", "de", "fr", "es", "nswall", "cjk")

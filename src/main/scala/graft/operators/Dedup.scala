@@ -292,9 +292,11 @@ object Dedup {
         .limit(1).collect() match {
           case Array(r) => r.getInt(0)
           case _ =>
-            return df.sparkSession.emptyDataFrame
-              .select(lit(0L).as("id1"), lit(0L).as("id2"),
-                lit(0.0).as("cosine")).limit(0)
+            // empty result with the SAME schema as the normal path (id
+            // columns inherit the input id type) so unions across shards
+            // never hit a schema mismatch on the empty case
+            return df.select(col(id).as("id1"), col(id).as("id2"),
+              lit(0.0).as("cosine")).limit(0)
         }
     val (bits, bands) = Similarity.bandingFor(threshold)
     val vBase = df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))

@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
+/** Shared ingress auto-parse: numeric text becomes float64, everything
+  * else stays a string — the reference's single coercion rule
+  * (trigger/streamtester/dataset.go:62, strconv.ParseFloat). Both
+  * untyped ingresses (CSV replay and the REST trigger) use this ONE
+  * rule so the same logical value gets the same JSON type regardless of
+  * which door it came in through; declared pipeline metadata then casts
+  * at the boundary (Pipelines.prologue). */
+private[streaming] object AutoParse {
+  def apply(v: String): Any =
+    scala.util.Try(v.toDouble).getOrElse(v): Any
+}
+
 /** Rate-limited CSV replay source — parity with the reference's
   * streamtester trigger (trigger/streamtester/dataset.go:21-117,
   * emitter.go:89-146, control API tester.go:63-74).
@@ -46,8 +58,7 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
       else (lines.head.split(",").indices.map(i => s"c$i").toVector, lines)
     dataLines.map { l =>
       names.zip(l.split(",").map(_.trim)).map { case (n, v) =>
-        // numeric auto-parse, else string (dataset.go:62)
-        n -> scala.util.Try(v.toDouble).getOrElse(v): (String, Any)
+        n -> AutoParse(v)
       }.toMap
     }
   }

@@ -72,16 +72,13 @@ class RestIngest(port: Int)(implicit spark: SparkSession) {
                 .filter(_.contains("=")).foreach { kv =>
                   val Array(k, v) = kv.split("=", 2)
                   val key = java.net.URLDecoder.decode(k, "UTF-8")
-                  val value = java.net.URLDecoder.decode(v, "UTF-8")
-                  // numeric auto-parse, like the CSV tester (dataset.go:62)
-                  // — query params are untyped text, but from_json will
-                  // not coerce a JSON string into a numeric field
-                  scala.util.Try(value.toLong).toOption match {
-                    case Some(l) => o.put(key, l)
-                    case None => scala.util.Try(value.toDouble).toOption match {
-                      case Some(d) => o.put(key, d)
-                      case None    => o.put(key, value)
-                    }
+                  // query params are untyped text and from_json will not
+                  // coerce a JSON string into a numeric field — apply the
+                  // SAME auto-parse rule as the CSV tester (AutoParse,
+                  // dataset.go:62) so both ingresses type values alike
+                  AutoParse(java.net.URLDecoder.decode(v, "UTF-8")) match {
+                    case d: Double => o.put(key, d)
+                    case s: String => o.put(key, s)
                   }
                 }
               o

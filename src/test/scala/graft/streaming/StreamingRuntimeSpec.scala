@@ -89,7 +89,9 @@ class StreamingRuntimeSpec extends SparkSpec {
         |            "input":{"value":"=$.input"},
         |            "output":{"pipeline.out":"=$.value"}}]
         |}""".stripMargin)
-    val schema = StructType(Seq(StructField("input", IntegerType)))
+    // ingress values are float64 by the shared auto-parse rule; the
+    // pipeline's declared `input: int` metadata casts at the boundary
+    val schema = StructType(Seq(StructField("input", DoubleType)))
     val q = Pipelines.compileStream(p, ingest.toDF(schema))
       .writeStream.format("memory").queryName("rest_rows")
       .outputMode("append").start()
@@ -243,7 +245,7 @@ class StreamingRuntimeSpec extends SparkSpec {
     val listener = Telemetry.attach(s, sink)
     val ingest = new RestIngest(0)
     val port = ingest.start()
-    val schema = StructType(Seq(StructField("input", IntegerType)))
+    val schema = StructType(Seq(StructField("input", DoubleType)))
     val pub = Pipelines.runStream(app.pipelines("simple_filter"),
       ingest.toDF(schema))
     val sub = Channels.subscribe("test",
