@@ -20,6 +20,19 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exact dedup per-document keep flags agree with the group view") {
+    val flags = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    flags.foreach { case (id, fp, keep) =>
+      assert(keep == (groups(fp) == id),
+        s"doc $id keep=$keep disagrees with group keeper ${groups(fp)}")
+    }
+    // exactly one keeper per fingerprint group
+    assert(flags.count(_._3) == groups.size)
+  }
+
   test("minhash LSH pairs equal exact-jaccard pairs on the corpus") {
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("d1", "d2", "jaccard").collect()
