@@ -480,6 +480,15 @@ object SparkEntry {
         .orderBy("event_id", "click_id")
     }),
 
+    // skew-mitigated aggregation: two-phase salted shuffle, same answer
+    // as the direct groupBy (the oracle), hot keys fanned over 32 salts
+    "q_skew_salted" -> ((s, d) =>
+      operators.Skew.saltedSumCount(ev(s, d), col("user_id"), col("value"),
+          "sv_raw")
+        .select(col("key").as("user_id"), round(col("sv_raw"), 4).as("sv"),
+          col("n"))
+        .orderBy("user_id")),
+
     // ---- multimodal plumbing ----
 
     "q_multimodal_meta" -> ((s, d) =>
@@ -887,6 +896,10 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cid) AS rank
         |  FROM s)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT user_id, round(sum(value), 4) AS sv, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
