@@ -58,4 +58,19 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query side must broadcast:\n$p")
   }
+
+  test("q_dedup_minhash: banded candidates via equi-join, partial agg for signatures") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"minhash candidates must come from an equi-join:\n$p")
+    assert(p.contains("partial_min"),
+      s"signature min() must combine map-side:\n$p")
+  }
+
+  test("q_skew_salted: two shuffles, partial aggregation on both phases") {
+    val p = plan("q_skew_salted")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"salted aggregation is exactly two hash exchanges:\n$p")
+    assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
+  }
 }

@@ -157,6 +157,42 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("csv replay drives a DSL tumbling-window pipeline (streamtester demo)") {
+    // the reference's canonical demo: the stream tester replays a CSV
+    // into an aggregate pipeline (trigger/streamtester + agg-flogo)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("demo", ".csv")
+    java.nio.file.Files.writeString(csv.toPath,
+      "value\n1\n2\n3\n4\n5\n6\n7\n")
+    val replay = new CsvReplay(csv.getAbsolutePath, header = true)
+    val p = Dsl.parsePipeline("demo",
+      """{
+        |"metadata": {"input": [{"name":"value","type":"double"}],
+        |             "output": [{"name":"emit_seq","type":"long"},
+        |                        {"name":"result","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"tumbling",
+        |                        "windowSize":"3"},
+        |            "input":{"value":"=$.value"},
+        |            "output":{"pipeline.emit_seq":"=$.__seq",
+        |                      "pipeline.result":"=$.result"}}]
+        |}""".stripMargin)
+    val schema = StructType(Seq(StructField("value", DoubleType)))
+    val q = Pipelines.compileStream(p, replay.toDF(schema))
+      .writeStream.format("memory").queryName("demo_windows")
+      .outputMode("append").start()
+    try {
+      replay.emitAllNow()
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT emit_seq, result FROM demo_windows ORDER BY emit_seq")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // windows of 3: (1,2,3)->6 at seq 2, (4,5,6)->15 at seq 5;
+      // the trailing 7 stalls (incomplete window emits nothing)
+      assert(rows.toSeq == Seq((2L, 6.0), (5L, 15.0)))
+    } finally q.stop()
+  }
+
   test("csv replay survives backslashes and quotes in cells") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val csv = java.io.File.createTempFile("replay_esc", ".csv")
