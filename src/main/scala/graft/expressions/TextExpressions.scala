@@ -327,9 +327,85 @@ case class TextStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature over a shingle array in one kernel call: for each
+  * shingle, Spark's own XXH64 (seed 42) truncated to 32 bits, then
+  * min over pmod(h*a_i + b_i, 2^31-1) per permutation — bit-identical
+  * to the explode + 64-column min() aggregate it replaces (a_i < 2^31
+  * and h < 2^32 keep h*a_i inside a positive long). The permutation
+  * constants come from the caller (Dedup.perms — fixed seed). Null
+  * shingle elements hash like the xxhash64 builtin would... they never
+  * occur from WordShingles, and are skipped here (a NULL hash folded
+  * to NULL partials in the aggregate form, leaving the min unchanged).
+  */
+object MinHashKernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  val P: Long = 2147483647L // 2^31 - 1
+
+  def signature(shingles: ArrayData, a: Array[Long],
+                b: Array[Long]): Array[Long] = {
+    val k = a.length
+    val out = Array.fill(k)(P)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val t = shingles.getUTF8String(i)
+      if (t != null) {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+          t.numBytes, 42L) & 0xffffffffL
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Math.floorMod(h * a(j) + b(j), P)
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  // public: invoked from generated code via the captured reference
+  def compute(shingles: ArrayData): GenericArrayData =
+    new GenericArrayData(MinHashKernel.signature(shingles, a, b))
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSigExpr", this,
+      classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def minhashSig(shingles: Column, a: Array[Long], b: Array[Long]): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), a, b))
 
   def textStats(text: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text)))

@@ -146,22 +146,18 @@ object Dedup {
     array(sigs: _*)
   }
 
-  /** MinHash signatures via explode + groupBy: one codegen'd hash
-    * aggregate with `numPerms` min() columns instead of `numPerms`
-    * interpreted lambda folds per document (~10x on the bench corpus).
-    * Bitwise-identical signatures to [[minhashSignature]]. */
+  /** MinHash signatures via the single-pass kernel
+    * (graft.expressions.MinHashKernel — Spark's own XXH64, so hashes are
+    * bit-identical to [[minhashSignature]] and the previous explode +
+    * numPerms-column min() aggregate): a pure projection over the
+    * shingle array, no row expansion, no shuffle. Empty-shingle docs are
+    * excluded (parity with the aggregate formulation). */
   def minhashSignatureTable(sh: DataFrame, numPerms: Int): DataFrame = {
-    val hashed = sh.where(size(col("sh")) > 0)
-      .select(col("doc"),
-        explode(col("sh")).as("s"))
-      .select(col("doc"),
-        xxhash64(col("s")).bitwiseAND(lit(0xffffffffL)).as("h"))
-    val minCols = perms(numPerms).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"m$i")
-    }
-    hashed.groupBy("doc").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc"),
-        array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+    val ps = perms(numPerms)
+    sh.where(size(col("sh")) > 0)
+      .select(col("doc"), graft.expressions.TextExprs
+        .minhashSig(col("sh"), ps.map(_._1).toArray, ps.map(_._2).toArray)
+        .as("sig"))
   }
 
   /** Near-duplicate pairs via banded MinHash LSH, verified with exact

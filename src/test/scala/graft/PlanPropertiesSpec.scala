@@ -59,12 +59,13 @@ class PlanPropertiesSpec extends SparkSpec {
       s"query side must broadcast:\n$p")
   }
 
-  test("q_dedup_minhash: banded candidates via equi-join, partial agg for signatures") {
+  test("q_dedup_minhash: banded candidates via equi-join, kernel signatures") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"minhash candidates must come from an equi-join:\n$p")
-    assert(p.contains("partial_min"),
-      s"signature min() must combine map-side:\n$p")
+    // signatures are a single projection kernel — no explode+aggregate
+    assert(p.contains("graft_minhash_sig"),
+      s"signature kernel missing from plan:\n$p")
   }
 
   test("q_skew_salted: two shuffles, partial aggregation on both phases") {

@@ -44,6 +44,17 @@ class DedupSpec extends SparkSpec {
     assert(mh == jac)
   }
 
+  test("minhash kernel signatures equal the lambda formulation") {
+    val sh = Dedup.withShingles(docs.limit(50), "doc_id", "text", 3)
+    val kernel = Dedup.minhashSignatureTable(sh, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val lambda = sh.where(size(col("sh")) > 0)
+      .select(col("doc"), Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel.nonEmpty)
+    assert(kernel == lambda)
+  }
+
   test("simhash pairs are verified by driver-side recomputation") {
     val sims = docs.select(col("doc_id"),
         Dedup.simhash64(graft.functions.TextFunctions.tokens(col("text")))
