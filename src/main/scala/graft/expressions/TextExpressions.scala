@@ -332,15 +332,18 @@ case class TextStats(child: Expression) extends UnaryExpression {
   * min over pmod(h*a_i + b_i, 2^31-1) per permutation — bit-identical
   * to the explode + 64-column min() aggregate it replaces (a_i < 2^31
   * and h < 2^32 keep h*a_i inside a positive long). The permutation
-  * constants come from the caller (Dedup.perms — fixed seed). Null
-  * shingle elements hash like the xxhash64 builtin would... they never
-  * occur from WordShingles, and are skipped here (a NULL hash folded
-  * to NULL partials in the aggregate form, leaving the min unchanged).
+  * constants come from the caller (Dedup.perms — fixed seed). A null
+  * shingle element hashes to the seed (42) exactly like Spark's
+  * xxhash64 builtin does for NULL, keeping the bit-parity claim true
+  * even for null-containing arrays (WordShingles never produces them,
+  * but the SQL-facing Column API accepts containsNull=true arrays).
   */
 object MinHashKernel {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  val P: Long = 2147483647L // 2^31 - 1
+  /** The MinHash modulus (2^31 - 1) — the ONE canonical constant; the
+    * permutation generator and sentinel in Dedup reference it. */
+  val P: Long = 2147483647L
 
   def signature(shingles: ArrayData, a: Array[Long],
                 b: Array[Long]): Array[Long] = {
@@ -350,15 +353,15 @@ object MinHashKernel {
     var i = 0
     while (i < n) {
       val t = shingles.getUTF8String(i)
-      if (t != null) {
-        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+      val h =
+        if (t == null) 42L // xxhash64(NULL) = the seed
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
           t.numBytes, 42L) & 0xffffffffL
-        var j = 0
-        while (j < k) {
-          val v = java.lang.Math.floorMod(h * a(j) + b(j), P)
-          if (v < out(j)) out(j) = v
-          j += 1
-        }
+      var j = 0
+      while (j < k) {
+        val v = java.lang.Math.floorMod(h * a(j) + b(j), P)
+        if (v < out(j)) out(j) = v
+        j += 1
       }
       i += 1
     }

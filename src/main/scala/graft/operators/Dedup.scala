@@ -127,7 +127,9 @@ object Dedup {
     * h_i(x) = (a_i * x + b_i) mod p with p = 2^31 - 1. Base hash is
     * xxhash64 truncated to 32 bits so a_i * x + b_i stays well inside a
     * 64-bit long under ANSI arithmetic (no overflow). */
-  private val MinhashP = 2147483647L // 2^31 - 1
+  // the canonical modulus lives next to the kernel so the (perms,
+  // modulus) pair can never desynchronize across modules
+  private val MinhashP = graft.expressions.MinHashKernel.P
   private[operators] def perms(n: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(n)(((rnd.nextInt(Int.MaxValue - 1).toLong | 1L),

@@ -45,7 +45,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash kernel signatures equal the lambda formulation") {
-    val sh = Dedup.withShingles(docs.limit(50), "doc_id", "text", 3)
+    // orderBy before limit: a bare limit is not a deterministic row set,
+    // and the kernel/lambda plans would each re-sample independently
+    val sh = Dedup.withShingles(docs.orderBy("doc_id").limit(50),
+      "doc_id", "text", 3)
     val kernel = Dedup.minhashSignatureTable(sh, 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val lambda = sh.where(size(col("sh")) > 0)
