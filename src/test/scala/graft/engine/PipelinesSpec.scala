@@ -60,6 +60,39 @@ class PipelinesSpec extends SparkSpec {
     assert(msgs.toSeq == Seq("fromChannel: 5", "fromChannel: 7"))
   }
 
+  test("every window type compiles and returns zero rows on empty input") {
+    val s = spark
+    import s.implicits._
+    for (wt <- Seq("tumbling", "sliding", "timeTumbling", "timeSliding")) {
+      val p = Dsl.parsePipeline("p",
+        s"""{
+           |"metadata": {"input": [{"name":"v","type":"double"}],
+           |             "output": [{"name":"result","type":"double"}]},
+           |"stages": [{"ref":"#aggregate",
+           |            "settings":{"function":"sum","windowType":"$wt",
+           |                        "windowSize":"${if (wt.startsWith("time")) 1000 else 3}",
+           |                        "resolution":"${if (wt == "timeSliding") 500 else 1}"},
+           |            "input":{"value":"=$$.v"}}]
+           |}""".stripMargin)
+      val empty = Seq.empty[(Double, Long, java.sql.Timestamp)]
+        .toDF("v", "__seq", "__ts")
+      assert(Pipelines.compileBatch(p, empty).count() == 0L,
+        s"windowType=$wt must yield no rows on empty input")
+    }
+    // empty input through the keyed path too
+    val keyed = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"n","type":"string"},
+        |                       {"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"tumbling",
+        |                        "windowSize":"3",
+        |                        "nameKey":"=$.n","valueKey":"=$.v"}}]
+        |}""".stripMargin)
+    val emptyKeyed = Seq.empty[(String, Double, Long)].toDF("n", "v", "__seq")
+    assert(Pipelines.compileBatch(keyed, emptyKeyed).count() == 0L)
+  }
+
   test("avgCompat=maxSamples divides by the pane-size high-water mark") {
     val s = spark
     import s.implicits._
