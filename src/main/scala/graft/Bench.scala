@@ -39,6 +39,17 @@ object Bench {
           .select(graft.functions.VectorFunctions
             .dot(col("a.v"), col("b.v")).as("d"))
           .filter(col("d").isNotNull).count()
+        // kernel-expression family (text stats / fingerprint / sketches /
+        // band keys) — one tiny pass compiles their codegen templates
+        spark.range(100)
+          .select(concat(lit("warm up text "), col("id")).as("t"),
+            array(col("id").cast("double"), lit(1.0)).as("v"))
+          .select(graft.functions.TextFunctions.textStats(col("t")),
+            graft.functions.TextFunctions.fingerprint(col("t")),
+            graft.expressions.TextExprs.simhash64(
+              graft.functions.TextFunctions.tokens(col("t"))),
+            graft.operators.Similarity.cosineLshBandKeys(col("v"), 2, 2, 2))
+          .count()
       } catch { case _: Throwable => () }
     }
     // A failed query records -1 (an explicit error marker) rather than its
