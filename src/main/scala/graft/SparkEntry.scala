@@ -327,9 +327,12 @@ object SparkEntry {
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", 3, 0.8)
         .orderBy("d1", "d2")),
 
-    // xxhash64-based — not oracle-expressible; rows-only check + unit tests
+    // portable token hash (md5-derived 64-bit, identical in DuckDB) so
+    // the full simhash pipeline is oracle-checked; the xxhash64 kernel
+    // stays the fast default for library callers
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3, portable = true)
+        .select(col("d1"), col("d2"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("d1", "d2")),
 
     "q_dedup_embedding" -> ((s, d) =>
@@ -809,6 +812,36 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+
+    // Brute-force all-pairs hamming (the banding in simhashPairs is
+    // provably COMPLETE for hamming <= 3 — 4x16-bit pigeonhole — and its
+    // verification exact, so the semantics equal all-pairs). Token hash =
+    // first 64 bits of md5, the portable hash Dedup computes with
+    // portable=true; bit/shift arithmetic stays in UBIGINT to keep the
+    // bit pattern identical to the JVM's unsigned-long treatment.
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> x <> '') tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t WHERE len(tk) > 0),
+        |th AS (SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT
+        |             ELSE 0 END)::UBIGINT AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -116,6 +116,22 @@ object Md5Kernel {
     }
     UTF8String.fromString(new String(hex))
   }
+
+  /** First 8 bytes of md5(utf-8 bytes of `s`), big-endian, as a signed
+    * long — the identical bit pattern DuckDB derives with
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT`. This is the portable
+    * token hash that makes the SimHash pipeline oracle-expressible
+    * cross-engine (DuckDB has no xxhash64). */
+  def md5Hash64(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    md.update(s.getBytes)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
 }
 
 case class NormalizedMd5(child: Expression) extends UnaryExpression {
@@ -152,7 +168,16 @@ case class NormalizedMd5(child: Expression) extends UnaryExpression {
 object SimHashKernel {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  def simhash(tokens: ArrayData): Long = {
+  /** Default (fast) token hash: Spark's own XXH64 at seed 42. */
+  def simhash(tokens: ArrayData): Long = simhashImpl(tokens, portable = false)
+
+  /** Portable variant: token hash = [[Md5Kernel.md5Hash64]] (first 64
+    * bits of md5), computable identically in DuckDB — the gate query
+    * uses this so the full SimHash dedup pipeline has a SQL oracle.
+    * Slower than XXH64 (full md5 per token) but still one projection. */
+  def simhashMd5(tokens: ArrayData): Long = simhashImpl(tokens, portable = true)
+
+  private def simhashImpl(tokens: ArrayData, portable: Boolean): Long = {
     val n = tokens.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -165,8 +190,10 @@ object SimHashKernel {
         var b = 0
         while (b < 64) { votes(b) -= 1; b += 1 }
       } else {
-        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-          t.numBytes, 42L)
+        val h =
+          if (portable) Md5Kernel.md5Hash64(t)
+          else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+            t.numBytes, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -182,7 +209,8 @@ object SimHashKernel {
   }
 }
 
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression, portable: Boolean = false)
+    extends UnaryExpression {
   import org.apache.spark.sql.types.LongType
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
@@ -198,11 +226,14 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHashKernel.simhash(input.asInstanceOf[ArrayData])
+    if (portable) SimHashKernel.simhashMd5(input.asInstanceOf[ArrayData])
+    else SimHashKernel.simhash(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "simhashMd5" else "simhash"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.SimHashKernel.simhash($c);")
+      s"${ev.value} = graft.expressions.SimHashKernel.$fn($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
@@ -416,6 +447,6 @@ object TextExprs {
   def normalizedMd5(text: Column): Column =
     ColumnBridge.column(NormalizedMd5(ColumnBridge.expression(text)))
 
-  def simhash64(tokens: Column): Column =
-    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens), portable))
 }

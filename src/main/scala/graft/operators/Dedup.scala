@@ -207,16 +207,21 @@ object Dedup {
   }
 
   /** SimHash per document via the single-pass kernel
-    * (graft.expressions.SimHashKernel — Spark's own XXH64, so hashes are
-    * bit-identical to [[simhash64]] and the xxhash64 SQL function): a
-    * pure projection, no row expansion, no shuffle. Documents with zero
-    * tokens are absent from the output (parity with the previous
-    * explode+groupBy formulation). */
-  def simhashTable(df: DataFrame, id: String, text: String): DataFrame = {
+    * (graft.expressions.SimHashKernel): a pure projection, no row
+    * expansion, no shuffle. Documents with zero tokens are absent from
+    * the output (parity with the previous explode+groupBy formulation).
+    *
+    * Token hash: by default Spark's own XXH64 (bit-identical to
+    * [[simhash64]] and the xxhash64 SQL function); with
+    * `portable = true` the first 64 bits of md5 — computable identically
+    * in DuckDB (`('0x' || substr(md5(t), 1, 16))::UBIGINT`), which makes
+    * the whole SimHash dedup pipeline SQL-oracle-expressible. */
+  def simhashTable(df: DataFrame, id: String, text: String,
+                   portable: Boolean = false): DataFrame = {
     val toks = TextFunctions.tokens(col(text))
     df.where(size(toks) > 0)
       .select(col(id).as("doc"),
-        graft.expressions.TextExprs.simhash64(toks).as("simhash"))
+        graft.expressions.TextExprs.simhash64(toks, portable).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming (<= 3
@@ -224,8 +229,8 @@ object Dedup {
     * of each other agrees exactly on at least one 16-bit chunk).
     * Output: (d1, d2, hamming). */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sim = simhashTable(df, id, text)
+                   maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+    val sim = simhashTable(df, id, text, portable)
     val chunks = sim.select(col("doc"), col("simhash"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))

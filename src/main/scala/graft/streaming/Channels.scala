@@ -6,57 +6,121 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import scala.collection.concurrent.TrieMap
 
-/** Named in-memory pub/sub channels — the reference's composition
-  * primitive (action.go:107-115,180-182; channel trigger
+/** Named pub/sub channels — the reference's composition primitive
+  * (action.go:107-115,180-182; channel trigger
   * examples/channel-flogo.json:39-55). A pipeline publishes its output
   * rows to a channel; any number of other pipelines subscribe.
   *
-  * Rows travel as JSON strings over a MemoryStream, so channels are
-  * schema-flexible like the reference's map rows; subscribers decode with
-  * an explicit schema. In a multi-node deployment the same API maps to a
-  * Kafka topic (swap the MemoryStream for readStream.format("kafka")) —
-  * the JSON envelope is already the portable part.
+  * Rows travel as JSON strings so channels are schema-flexible like the
+  * reference's map rows; subscribers decode with an explicit schema.
+  *
+  * Two transports behind one API:
+  *  - '''memory''' (default): a MemoryStream per channel — faithful to the
+  *    reference's in-process channels and what tests use. Inherently
+  *    driver-side: every published batch is collected to feed the stream.
+  *  - '''file''' ([[useFileBackend]]): a per-channel append directory.
+  *    publish = distributed `batch.write.mode("append")` from the
+  *    executors (NO driver collect anywhere on the data path); subscribe =
+  *    a file-source stream over the same directory. This is the transport
+  *    shape that survives channels carrying real volume — on a cluster the
+  *    directory lives on the shared filesystem (or swap in a Kafka topic:
+  *    the JSON envelope is already the portable part).
   */
 object Channels {
 
-  private case class Channel(stream: MemoryStream[String])
-  private val channels = TrieMap.empty[String, Channel]
+  private sealed trait Backend
+  private final case class Mem(stream: MemoryStream[String]) extends Backend
+  private final case class FileCh(dataDir: java.nio.file.Path,
+                                  ckptRoot: java.nio.file.Path) extends Backend
 
-  private def channel(name: String)(implicit spark: SparkSession): Channel =
-    channels.getOrElseUpdate(name, {
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      Channel(MemoryStream[String])
+  @volatile private var fileRoot: Option[java.nio.file.Path] = None
+  private val channels = TrieMap.empty[String, Backend]
+  private val pubSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Route channels created from now on through per-channel append
+    * directories under `root` (distributed data plane). Clears existing
+    * channels. */
+  def useFileBackend(root: String): Unit = {
+    reset()
+    fileRoot = Some(java.nio.file.Paths.get(root))
+  }
+
+  /** Back to in-process MemoryStream channels (default; test/dev). */
+  def useMemoryBackend(): Unit = {
+    reset()
+    fileRoot = None
+  }
+
+  private def channel(name: String)(implicit spark: SparkSession): Backend =
+    channels.getOrElseUpdate(name, fileRoot match {
+      case Some(root) =>
+        val data = root.resolve(name).resolve("data")
+        java.nio.file.Files.createDirectories(data)
+        FileCh(data, root.resolve(name).resolve("ckpt"))
+      case None =>
+        implicit val sqlCtx = spark.sqlContext
+        import spark.implicits._
+        Mem(MemoryStream[String])
     })
 
   /** Streaming DataFrame of a channel's traffic, decoded with `schema`. */
   def subscribe(name: String, schema: StructType)
-               (implicit spark: SparkSession): DataFrame =
-    channel(name).stream.toDF()
-      .select(from_json(col("value"), schema).as("r"))
+               (implicit spark: SparkSession): DataFrame = {
+    val raw = channel(name) match {
+      case Mem(st)          => st.toDF()
+      case FileCh(data, _)  => spark.readStream.format("text").load(data.toString)
+    }
+    raw.select(from_json(col("value"), schema).as("r"))
       .select(col("r.*"))
+  }
 
   /** Publish every micro-batch of `df` to the channel (exactly the
     * reference's publish-on-completion — instance.go:215-217). Returns the
     * StreamingQuery so callers control lifecycle. */
   def publish(name: String, df: DataFrame)
              (implicit spark: SparkSession) = {
-    val ch = channel(name)
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect().map(_.getString(0))
-        if (rows.nonEmpty) ch.stream.addData(rows.toSeq)
-        ()
-      }
-      .start()
+    val payload = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    channel(name) match {
+      case Mem(st) =>
+        // in-process transport: the collect IS the transport (rows must
+        // reach the driver-held MemoryStream). Dev/test only by contract.
+        payload.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val rows = batch.collect().map(_.getString(0))
+            if (rows.nonEmpty) st.addData(rows.toSeq)
+            ()
+          }
+          .start()
+      case FileCh(data, ckpt) =>
+        val dir = data.toString
+        payload.writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            ckpt.resolve(s"pub-${pubSeq.getAndIncrement()}").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // executors append part files directly — the data plane never
+            // touches the driver (at-least-once on micro-batch retry, the
+            // same delivery class as the reference's fire-and-forget
+            // channel publish)
+            batch.write.mode("append").text(dir)
+            ()
+          }
+          .start()
+    }
   }
 
   /** Synchronously push rows into a channel (test/driver-side ingest). */
   def push(name: String, jsonRows: Seq[String])
           (implicit spark: SparkSession): Unit =
-    channel(name).stream.addData(jsonRows)
+    channel(name) match {
+      case Mem(st) => st.addData(jsonRows)
+      case FileCh(data, _) =>
+        val f = data.resolve(s"push-${pubSeq.getAndIncrement()}-" +
+          s"${java.util.UUID.randomUUID()}.txt")
+        java.nio.file.Files.write(f,
+          (jsonRows.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
 
   /** Drop all channels (test isolation). */
   def reset(): Unit = channels.clear()

@@ -79,6 +79,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == expected.toSet)
   }
 
+  test("portable simhash matches an independent md5-based recomputation") {
+    // independent reimplementation: BigInt md5 prefix + per-bit votes
+    def md5h64(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseUnsignedLong(
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def simhashRef(tokens: Seq[String]): Long = {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = md5h64(t)
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val rows = Dedup.simhashTable(docs, "doc_id", "text", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, h) =>
+      val toks = texts(id).toLowerCase(java.util.Locale.ROOT)
+        .trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(h == simhashRef(toks), s"doc $id")
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, sf())
     val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3)

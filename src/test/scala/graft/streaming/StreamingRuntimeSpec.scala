@@ -42,6 +42,51 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally { pub.stop(); q.stop() }
   }
 
+  test("file-backed channel fan-in: distributed transport, no driver collect") {
+    // same topology as the memory-backed fan-in test, but over the
+    // file-backed transport: publish appends part files from the
+    // executors, the subscriber is a file-source stream
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_channels")
+    Channels.useFileBackend(root.toString)
+    try {
+      val app = Dsl.parseApp(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/examples/channel-flogo.json"))))
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[Int]
+      val filtered = Pipelines.compileStream(app.pipelines("simple_filter"),
+        input.toDF().select(col("value").as("input")))
+      val pub = Channels.publish(app.pipelines("simple_filter")
+        .outputChannel.get, filtered)
+      val sub = Channels.subscribe("test",
+        StructType(Seq(StructField("out", IntegerType))))
+      val reported = Pipelines.compileStream(app.pipelines("simple_report"),
+        sub.select(col("out").as("rinput")))
+      val q = reported.select("message").writeStream.format("memory")
+        .queryName("file_channel_msgs").outputMode("append").start()
+      try {
+        input.addData(0, 5, 0, 7)
+        pub.processAllAvailable()
+        q.processAllAvailable()
+        val msgs = s.sql("SELECT message FROM file_channel_msgs ORDER BY message")
+          .collect().map(_.getString(0))
+        assert(msgs.toSeq == Seq("fromChannel: 5", "fromChannel: 7"))
+        // push (driver-side ingest) rides the same directory
+        Channels.push("test", Seq("""{"out": 9}"""))
+        q.processAllAvailable()
+        val msgs2 = s.sql("SELECT message FROM file_channel_msgs ORDER BY message")
+          .collect().map(_.getString(0))
+        assert(msgs2.toSeq ==
+          Seq("fromChannel: 5", "fromChannel: 7", "fromChannel: 9"))
+        // the channel's data really is on disk as executor-written files
+        val dataFiles = java.nio.file.Files.list(root.resolve("test")
+          .resolve("data")).toArray.length
+        assert(dataFiles > 0)
+      } finally { pub.stop(); q.stop() }
+    } finally Channels.useMemoryBackend()
+  }
+
   test("runStream auto-publishes to the definition's outputChannel (e2e)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
