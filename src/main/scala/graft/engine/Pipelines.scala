@@ -440,22 +440,57 @@ object Pipelines {
         graft.windows.CountWindows.keyedTumblingStream(ds, size, fn).toDF()
           .select(col("key").as("__group"), col("emitAtSeq").as("__seq"),
             col("result"), lit(true).as("report"))
-      case "timeTumbling" | "timeSliding" =>
-        val win =
-          if (windowType == "timeTumbling")
-            window(col("__ts"), s"$size milliseconds")
-          else window(col("__ts"), s"$size milliseconds",
-            s"$resolution milliseconds")
+      case "timeTumbling" =>
         val perName = df
           .withColumn("__name", name.cast("string"))
           .withColumn("__kv", value)
           .withWatermark("__ts", watermark)
-          .groupBy(win, col("__group"), col("__name"))
+          .groupBy(window(col("__ts"), s"$size milliseconds"),
+            col("__group"), col("__name"))
           .agg(graft.windows.AggFunctions
             .scalar(fn, col("__kv"), col("__seq")).as("__agg"),
             max(col("__seq")).as("__name_seq"))
         assembleKeyedMap(perName, Seq(col("window"), col("__group")))
           .select(col("__group"), col("__seq"), col("result"), col("report"))
+      case "timeSliding" =>
+        // paned per-name aggregate -> per-window map assembly -> warm-up
+        // gate (same canEmit contract as the unkeyed streaming path; the
+        // keyed batch path enforces it with its global window)
+        val perName = df
+          .withColumn("__name", name.cast("string"))
+          .withColumn("__kv", value)
+          .withWatermark("__ts", watermark)
+          .groupBy(window(col("__ts"), s"$size milliseconds",
+            s"$resolution milliseconds"), col("__group"), col("__name"))
+          .agg(graft.windows.AggFunctions
+            .scalar(fn, col("__kv"), col("__seq")).as("__agg"),
+            max(col("__seq")).as("__name_seq"),
+            min(unix_millis(col("__ts"))).as("__nmin"),
+            max(unix_millis(col("__ts"))).as("__nmax"))
+        val assembled = perName.groupBy(col("window"), col("__group"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("__name"), col("__agg"))))).as("__map"),
+            max(col("__name_seq")).as("__seq"),
+            min(col("__nmin")).as("__tmin"), max(col("__nmax")).as("__tmax"))
+        val wrapped =
+          if (fn == "accumulate")
+            transform_values(col("__map"),
+              (_, v) => transform(v, x => x.cast("double")))
+          else transform_values(col("__map"),
+            (_, v) => array(v.cast("double")))
+        val panes = assembled.select(col("__group").as("group"),
+          unix_millis(col("window.start")).as("winStart"),
+          unix_millis(col("window.end")).as("winEnd"),
+          col("__tmin").as("minTs"), col("__tmax").as("maxTs"),
+          col("__seq").as("seq"), wrapped.as("result"))
+          .as[graft.windows.PaneGate.Pane]
+        val gated = graft.windows.PaneGate
+          .warmGate(panes, size, resolution).toDF()
+        val unwrapped =
+          if (fn == "accumulate") col("result")
+          else transform_values(col("result"), (_, v) => element_at(v, 1))
+        gated.select(col("group").as("__group"), col("seq").as("__seq"),
+          unwrapped.as("result"), lit(true).as("report"))
       case other =>
         throw new IllegalArgumentException(
           s"unsupported streaming keyed window: $other")
@@ -499,13 +534,34 @@ object Pipelines {
           .select(col("__group"), unix_millis(col("window.end")).as("__seq"),
             col("result"), lit(true).as("report"))
       case "timeSliding" =>
-        df.withWatermark("__ts", watermark)
+        // paned aggregation, then the stateful warm-up gate: the
+        // reference's canEmit (windows.go:362-371) suppresses all panes
+        // until a full window has elapsed for the group — the same
+        // emission set as the batch formulation's `ts - min(ts) >= size`
+        val agg = df.withWatermark("__ts", watermark)
           .groupBy(window(col("__ts"), s"$size milliseconds",
             s"$resolution milliseconds"), col("__group"))
           .agg(graft.windows.AggFunctions
-            .scalar(fn, col("__agg_value"), col("__seq")).as("result"))
-          .select(col("__group"), unix_millis(col("window.end")).as("__seq"),
-            col("result"), lit(true).as("report"))
+            .scalar(fn, col("__agg_value"), col("__seq")).as("__r"),
+            min(unix_millis(col("__ts"))).as("__tmin"),
+            max(unix_millis(col("__ts"))).as("__tmax"))
+        val wrapped =
+          if (fn == "accumulate")
+            map(lit(""), transform(col("__r"), v => v.cast("double")))
+          else map(lit(""), array(col("__r").cast("double")))
+        val panes = agg.select(col("__group").as("group"),
+          unix_millis(col("window.start")).as("winStart"),
+          unix_millis(col("window.end")).as("winEnd"),
+          col("__tmin").as("minTs"), col("__tmax").as("maxTs"),
+          unix_millis(col("window.end")).as("seq"),
+          wrapped.as("result")).as[graft.windows.PaneGate.Pane]
+        val gated = graft.windows.PaneGate
+          .warmGate(panes, size, resolution).toDF()
+        val res =
+          if (fn == "accumulate") element_at(col("result"), lit(""))
+          else element_at(element_at(col("result"), lit("")), 1)
+        gated.select(col("group").as("__group"), col("seq").as("__seq"),
+          res.as("result"), lit(true).as("report"))
       case other =>
         throw new IllegalArgumentException(s"unknown windowType: $other")
     }

@@ -176,10 +176,12 @@ class KeyedWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming keyed timeSliding window emits paned per-name maps") {
+  test("streaming keyed timeSliding window gates warm-up panes") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val p = Dsl.parsePipeline("p",
       """{
         |"metadata": {"input": [{"name":"n","type":"string"},
@@ -196,20 +198,23 @@ class KeyedWindowSpec extends SparkSpec {
       .writeStream.format("memory").queryName("keyed_timesliding_stream")
       .outputMode("append").start()
     try {
-      // a@500 lands in panes [-1000,1000) and [0,2000);
-      // b@1500 in [0,2000) and [1000,3000)
+      // a@500 and b@1500 land inside the warm-up window (< first + size):
+      // the canEmit gate must suppress all their panes, exactly as the
+      // keyed BATCH path does with its ts - min(ts) >= size predicate
       input.addData(("a", 1.0, 500L), ("b", 5.0, 1500L))
       q.processAllAvailable()
-      input.addData(("z", 0.0, 30000L)) // close all panes
+      input.addData(("z", 7.0, 30000L)) // warm + pane-anchored
       q.processAllAvailable()
-      // panes [0,2000) and [1000,3000) share the same max __seq (1500),
-      // so compare the emitted pane maps as a set
-      val rows = s.sql(
-        "SELECT result FROM keyed_timesliding_stream WHERE __seq < 30000")
+      input.addData(("zz", 0.0, 999999L)) // close z's panes
+      q.processAllAvailable()
+      val rows = s.sql("SELECT result FROM keyed_timesliding_stream")
         .collect().map(_.getAs[Map[String, Double]](0))
-      assert(rows.toSet == Set(Map("a" -> 1.0),
-        Map("a" -> 1.0, "b" -> 5.0), Map("b" -> 5.0)))
-    } finally q.stop()
+      // one emission: z's trailing pane [29000,31000); a/b panes gated
+      assert(rows.toSeq == Seq(Map("z" -> 7.0)))
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("streaming DSL timeSliding window with a watermark setting") {
@@ -229,21 +234,34 @@ class KeyedWindowSpec extends SparkSpec {
     val sdf = input.toDF()
       .select(col("_1").as("v"), timestamp_millis(col("_2")).as("__ts"),
         col("_2").as("__seq"))
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = Pipelines.compileStream(p, sdf)
       .writeStream.format("memory").queryName("dsl_timesliding_stream")
       .outputMode("append").start()
     try {
-      // event at 500ms lands in sliding panes starting -1000 and 0
+      // 1.0@500 and 2.0@1500 are inside the warm-up window — every pane
+      // they anchor is gated (matching the batch path's emission set)
       input.addData((1.0, 500L), (2.0, 1500L))
       q.processAllAvailable()
-      input.addData((99.0, 30000L)) // advance watermark, close all panes
+      input.addData((99.0, 30000L)) // warm + anchored; watermark lags 1s
+      q.processAllAvailable()
+      // the 1-second watermark delays closing 99's pane until a later
+      // event advances event time past 31000 + 1000
+      val before = s.sql("SELECT count(*) FROM dsl_timesliding_stream")
+        .collect()(0).getLong(0)
+      assert(before == 0L, s"watermark must still hold the pane: $before")
+      input.addData((0.0, 999999L))
       q.processAllAvailable()
       val rows = s.sql(
         "SELECT __seq, result FROM dsl_timesliding_stream ORDER BY __seq")
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
-      // pane[-1000,1000): 1.0; pane[0,2000): 3.0; pane[1000,3000): 2.0
-      assert(rows.toSeq == Seq((1000L, 1.0), (2000L, 3.0), (3000L, 2.0)))
-    } finally q.stop()
+      // one emission: 99's trailing pane [29000,31000)
+      assert(rows.toSeq == Seq((31000L, 99.0)))
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("streaming DSL timeTumbling window emits closed panes") {

@@ -106,4 +106,77 @@ class StreamingWindowsSpec extends SparkSpec {
       assert(rows.toSeq == Seq((20L, 3.0), (30L, 5.0)))
     } finally query.stop()
   }
+
+  test("streaming timeSliding warm-up gate equals batch emission set " +
+      "(windows_test.go:153-184 vector)") {
+    // the reference's SlidingTimeWindow vector: size=30, resolution=10,
+    // panes of samples (1,2,3,4,5 | 5,5 | 4,1 | 10,20) — canEmit
+    // suppresses every pane until a full window of panes has elapsed
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val p = graft.engine.Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"sum","windowType":"timeSliding",
+        |                        "windowSize":"30","resolution":"10"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    val events = Seq( // (value, ts-ms) — the reference vector
+      (1.0, 0L), (2.0, 2L), (3.0, 4L), (4.0, 6L), (5.0, 8L),
+      (5.0, 10L), (5.0, 15L),
+      (4.0, 20L), (1.0, 25L),
+      (10.0, 30L), (20.0, 35L))
+    val closing = (0.0, 10000L) // advances the watermark past the vector
+
+    // batch: one emission — the pane holding (10, 20), anchored at ts=35
+    // (every earlier pane is pre-warm-up: ts - min(ts) < 30)
+    val batchIn = (events :+ closing).zipWithIndex
+      .map { case ((v, ms), i) => (v, ms, i.toLong) }
+      .toDF("v", "ms", "__seq")
+      .withColumn("__ts", org.apache.spark.sql.functions
+        .timestamp_millis(org.apache.spark.sql.functions.col("ms")))
+    val batchOut = graft.engine.Pipelines.compileBatch(p, batchIn)
+      .select("result").collect().map(_.getDouble(0)).sorted.toSeq
+
+    // streaming: the warm-up gate must produce the same emission set —
+    // one window for the vector (ending at the same pane, 40), plus the
+    // closing event's own
+    val input = MemoryStream[(Double, Long)]
+    val sdf = input.toDF()
+      .select(org.apache.spark.sql.functions.col("_1").as("v"),
+        org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("_2")).as("__ts"),
+        org.apache.spark.sql.functions.col("_2").as("__seq"))
+    val q = graft.engine.Pipelines.compileStream(p, sdf)
+      .writeStream.format("memory").queryName("warmgate_vector")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(closing)
+      q.processAllAvailable()
+      input.addData((0.0, 20000L)) // close the closing event's pane too
+      q.processAllAvailable()
+      val streamRows = s.sql(
+        "SELECT __seq, result FROM warmgate_vector ORDER BY __seq")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // emission SET parity: same count, same anchoring panes as batch
+      // (one vector emission + the closing event's pane)
+      assert(streamRows.length == batchOut.length,
+        s"stream=$streamRows batch=$batchOut")
+      // the vector emission is the window [10, 40) — the trailing full
+      // window of the pane holding ts=30/35, value 5+5+4+1+10+20 = 45
+      // (pane-aligned: exactly the reference's block ring at its second
+      // tick; batch reports the event-anchored trailing range, 54)
+      assert(streamRows.head == (40L, 45.0), s"got ${streamRows.head}")
+      assert(batchOut.contains(54.0), s"got $batchOut")
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
