@@ -268,6 +268,82 @@ object Dedup {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Pairs of vectors with cosine similarity >= threshold. Picks the
+    * candidate-generation strategy analytically from the banding math:
+    *
+    *  - High thresholds (banding prunes): banded hyperplane LSH
+    *    ([[embeddingPairsLsh]]) — candidates from a (band, key)
+    *    equi-join, then exact verification; miss probability bounded
+    *    at 1e-9 per qualifying pair.
+    *  - Low thresholds (banding cannot prune): [[Similarity.bandingFor]]'s own
+    *    collision model says how often two UNCORRELATED vectors would
+    *    collide in some band — `1 - (1 - 0.5^bits)^bands`. Once that
+    *    exceeds 1/2, LSH generates most of the n^2/2 pairs as
+    *    candidates anyway (at the gate threshold 0.4 it is 99.96%),
+    *    and every stage of it — band explosion, pair-instance
+    *    `distinct`, candidate re-lookup joins — is pure overhead over
+    *    just evaluating the pairs. There the blocked exact path
+    *    ([[embeddingPairsBlocked]]) is strictly cheaper: the same
+    *    equi-join shuffle shape, zero misses, one dot product per
+    *    pair, no distinct.
+    *
+    * The dispatch is data-independent (pure function of the threshold),
+    * so the plan is deterministic and both branches remain individually
+    * testable. Both produce the identical contract: (id1, id2, cosine),
+    * id1 < id2, cosine = TRUE similarity rounded to 4. */
+  def embeddingPairs(df: DataFrame, id: String, vec: String,
+                     threshold: Double, dim: Int = 0,
+                     numBlocks: Int = 16): DataFrame = {
+    val (bits, bands) = Similarity.bandingFor(threshold)
+    val pRandomCollide = 1.0 - math.pow(1.0 - math.pow(0.5, bits), bands)
+    if (pRandomCollide > 0.5) embeddingPairsBlocked(df, id, vec, threshold, numBlocks)
+    else embeddingPairsLsh(df, id, vec, threshold, dim)
+  }
+
+  /** Exact all-pairs cosine via a triangle block equi-join: vectors are
+    * hashed into `numBlocks` blocks, each unordered block pair (i, j),
+    * i <= j, becomes one join key, and each vector is replicated to the
+    * block-pair keys it participates in (left: (blk, j >= blk); right:
+    * (i <= blk, blk)) — so every vector pair meets at EXACTLY one key
+    * (cross-block pairs once by construction; same-block pairs deduped
+    * by id order) and the dot product is evaluated straight off the
+    * join output: no candidate `distinct`, no re-lookup joins.
+    *
+    * Scale shape: one shuffle of ~numBlocks/2 replicas per vector (the
+    * only data movement), then the inherent O(n^2) dot products stream
+    * through whole-stage codegen, partitioned across the cluster by
+    * the numBlocks*(numBlocks+1)/2 keys. Size numBlocks so that block
+    * pairs >= total cores (replication grows linearly with numBlocks,
+    * compute is constant), e.g. 64 for a 1000-core cluster. This is
+    * the honest formulation when the threshold is too low for LSH to
+    * prune — the quadratic work exists either way; this pays it with
+    * no amplification. */
+  def embeddingPairsBlocked(df: DataFrame, id: String, vec: String,
+                            threshold: Double, numBlocks: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    val v = df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(numBlocks)).cast("int"))
+    val blockIds = sequence(lit(0), lit(numBlocks - 1))
+    val left = v.withColumn("k2", explode(filter(blockIds, j => j >= col("blk"))))
+      .withColumnRenamed("blk", "k1")
+    val right = v.withColumn("k1", explode(filter(blockIds, i => i <= col("blk"))))
+      .withColumnRenamed("blk", "k2")
+    left.as("a").join(right.as("b"),
+        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
+          // same-block pairs appear in both orientations; keep one.
+          // cross-block pairs appear exactly once (in whichever id order
+          // the blocks dictate), hence least/greatest below.
+          (col("a.k1") =!= col("a.k2") || col("a.vid") < col("b.vid")))
+      .withColumn("cosine",
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .where(col("cosine") >= threshold)
+      .select(least(col("a.vid"), col("b.vid")).as("id1"),
+        greatest(col("a.vid"), col("b.vid")).as("id2"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Pairs of vectors with cosine similarity >= threshold via banded
     * hyperplane LSH: candidates = pairs agreeing on ANY band's sign
     * bits, then exact cosine verification of candidates only — so every
@@ -281,12 +357,11 @@ object Dedup {
     * shuffle-partitionable, no broadcast of the big side, no O(n^2)
     * nested loop. Pruning power depends on the threshold: at >= 0.8
     * (near-dup territory) bands are long and candidates are rare; at
-    * near-random thresholds (< 0.5) band OR-ing keeps recall but prunes
-    * little — there the honest cost IS ~all pairs, and this formulation
-    * still wins by distributing the comparisons across the cluster
-    * instead of broadcasting. */
-  def embeddingPairs(df: DataFrame, id: String, vec: String,
-                     threshold: Double, dim: Int = 0): DataFrame = {
+    * near-random thresholds the banding admits ~all pairs and
+    * [[embeddingPairs]] dispatches to [[embeddingPairsBlocked]]
+    * instead. */
+  def embeddingPairsLsh(df: DataFrame, id: String, vec: String,
+                        threshold: Double, dim: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
     // dim inference needs one row (pass `dim` to stay fully lazy); an
     // empty / all-null-vector input has no pairs at all

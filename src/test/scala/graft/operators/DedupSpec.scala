@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.engine.Tables
+import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -127,11 +128,41 @@ class DedupSpec extends SparkSpec {
     for (t <- Seq(0.4, 0.5)) {
       val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding", t)
+      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(exact.nonEmpty || t > 0.4)
       assert(lsh == exact, s"threshold $t: LSH missed ${exact -- lsh}")
     }
+  }
+
+  test("blocked all-pairs equals the exact baseline (zero misses)") {
+    val emb = Tables.embeddings(spark, sf())
+    for (nb <- Seq(1, 3, 16)) {
+      val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val blocked = Dedup
+        .embeddingPairsBlocked(emb, "vec_id", "embedding", 0.4, numBlocks = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked == exact,
+        s"numBlocks=$nb: missing ${exact -- blocked}, extra ${blocked -- exact}")
+    }
+  }
+
+  test("embeddingPairs dispatches by the banding's random-collision rate") {
+    def pRand(t: Double): Double = {
+      val (b, l) = Similarity.bandingFor(t)
+      1.0 - math.pow(1.0 - math.pow(0.5, b), l)
+    }
+    // the gate threshold (0.4) admits ~every random pair -> blocked exact;
+    // near-dup territory (0.9) prunes hard -> LSH
+    assert(pRand(0.4) > 0.5, s"0.4 should dispatch blocked: ${pRand(0.4)}")
+    assert(pRand(0.9) < 0.5, s"0.9 should dispatch LSH: ${pRand(0.9)}")
+    val emb = Tables.embeddings(spark, sf())
+    val autoPlan = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    // the blocked path has no posexplode of band keys
+    assert(!autoPlan.contains("graft_band_keys"),
+      s"0.4 must take the blocked path, not LSH:\n$autoPlan")
   }
 
   test("banding parameters trade pruning for recall with the threshold") {
