@@ -356,10 +356,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    // k-means-trained IVF (MLlib) — model-based, rows-only check
+    // k-means-trained IVF (MLlib) — model-based, rows-only check.
+    // Trains on a seeded half-sample with random init (the faiss-style
+    // coarse-quantizer recipe): the 100 TB contract is that centroids
+    // need a sample, not the corpus. IvfTrainedSpec pins the recall
+    // floor for exactly this configuration.
     "q_knn_ivf_trained" -> ((s, d) => {
       val e = emb(s, d)
-      val cent = Similarity.trainCentroids(e, "embedding", 16)
+      val cent = Similarity.trainCentroids(e, "embedding", 16,
+        maxIter = 10, sampleFraction = 0.5, initMode = "random")
       Similarity.ivfKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
           cent, "cell", "centroid", 3, nProbe = 4)
         .orderBy("qid", "rank")

@@ -110,22 +110,49 @@ object Similarity {
   }
 
   /** Train IVF centroids with MLlib k-means (seeded — deterministic).
-    * At 100 TB: train on a sample (k-means|| init is already
-    * sample-friendly), persist the centroids, and bucket the corpus by
+    *
+    * `sampleFraction` < 1 trains on a seeded Bernoulli sample of the
+    * corpus — THE 100 TB contract: k-means needs only enough points to
+    * estimate k cluster centers (thousands per centroid, not the
+    * corpus), every iteration is a full pass over the training set, and
+    * centroid quality saturates long before the sample does. Train on
+    * the sample, persist the centroids, bucket the corpus once with
     * [[assignCells]] so queries touch nProbe cells. Returns
-    * (cell: int, centroid: array<double>). */
+    * (cell: int, centroid: array<double>).
+    *
+    * `initMode` passes through to MLlib: `k-means||` (default) buys
+    * init quality with several extra distributed passes; `random` is
+    * the faiss-style choice for IVF coarse quantizers, where Lloyd
+    * iterations on a decent sample dominate final quality anyway. */
   def trainCentroids(corpus: DataFrame, vec: String, k: Int,
-                     seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+                     seed: Long = 42L, maxIter: Int = 20,
+                     sampleFraction: Double = 1.0,
+                     initMode: String = "k-means||"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val train = corpus.select(
+    val base = corpus.select(
       array_to_vector(asDoubles(col(vec))).as("features"))
-    val n = train.count()
+    val sampled = if (sampleFraction < 1.0)
+      base.sample(withReplacement = false, sampleFraction, seed) else base
+    val n = sampled.count()
     require(n >= k,
-      s"cannot train $k centroids from $n vectors (need at least k)")
+      s"cannot train $k centroids from $n vectors (need at least k; " +
+        s"raise sampleFraction=$sampleFraction)")
+    // Right-size partitions to the training set: k-means|| init and every
+    // one of the maxIter passes is a separate job, so per-task scheduling
+    // overhead dominates once the sample is much smaller than the corpus
+    // it was scanned from. ~100k vectors per partition keeps big samples
+    // parallel and collapses small ones to a handful of tasks.
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+    val train = if (sampled.rdd.getNumPartitions > parts)
+      sampled.coalesce(parts) else sampled
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .fit(train)
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }

@@ -12,7 +12,11 @@ class IvfTrainedSpec extends SparkSpec {
   test("k-means IVF achieves reasonable top-3 recall with nProbe=4") {
     val s = spark
     val emb = Tables.embeddings(s, sf())
-    val cent = Similarity.trainCentroids(emb, "embedding", 16)
+    // the gate configuration: centroids trained on a seeded half-sample
+    // with random init (the 100 TB contract — k-means needs a sample,
+    // not the corpus; random init is the faiss-style quantizer recipe)
+    val cent = Similarity.trainCentroids(emb, "embedding", 16,
+      maxIter = 10, sampleFraction = 0.5, initMode = "random")
     assert(cent.count() == 16)
     val queries = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3)
@@ -24,8 +28,9 @@ class IvfTrainedSpec extends SparkSpec {
     // random 64-d embeddings are a worst case for clustering; probing
     // 4 of 16 cells must still beat the 25% random-cell floor clearly
     assert(recall >= 0.4, s"recall $recall too low")
-    // determinism: same seed -> same centroids
-    val cent2 = Similarity.trainCentroids(emb, "embedding", 16)
+    // determinism: same seed -> same sample -> same centroids
+    val cent2 = Similarity.trainCentroids(emb, "embedding", 16,
+      maxIter = 10, sampleFraction = 0.5, initMode = "random")
     val a = cent.orderBy("cell").collect().map(_.getSeq[Double](1))
     val b = cent2.orderBy("cell").collect().map(_.getSeq[Double](1))
     assert(a.zip(b).forall { case (x, y) => x == y })
