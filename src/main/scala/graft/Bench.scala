@@ -48,13 +48,26 @@ object Bench {
             graft.functions.TextFunctions.fingerprint(col("t")),
             graft.expressions.TextExprs.simhash64(
               graft.functions.TextFunctions.tokens(col("t"))),
+            // the portable (md5-token-hash) variant is a distinct codegen
+            // class — warm it too or the gate query pays the Janino+JIT
+            // cost on its first (timed) invocation
+            graft.expressions.TextExprs.simhash64(
+              graft.functions.TextFunctions.tokens(col("t")), portable = true),
             graft.operators.Similarity.cosineLshBandKeys(col("v"), 2, 2, 2))
           .count()
       } catch { case _: Throwable => () }
     }
+    // Optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_ONLY=q_a,q_b); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     // A failed query records -1 (an explicit error marker) rather than its
     // partial elapsed time, so a broken query can never flatter the total.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -420,6 +420,29 @@ object SparkEntry {
       Pipelines.compileBatch(p, in).orderBy("k", "emit_seq")
     }),
 
+    // int-avg compat (divergence #1): avg over an int stream truncates
+    // like Go integer division (average.go:75-76), opted in via the
+    // avgCompat=int pipeline setting
+    "q_dsl_avg_int" -> ((s, d) => {
+      val p = Dsl.parsePipeline("dsl_avg_int",
+        """{
+          |"metadata": {"input": [{"name":"k","type":"string"},
+          |                       {"name":"value","type":"long"}],
+          |             "output": [{"name":"k","type":"string"},
+          |                        {"name":"emit_seq","type":"long"},
+          |                        {"name":"result","type":"long"}]},
+          |"stages": [{"ref":"#aggregate",
+          |            "settings":{"function":"avg","windowType":"tumbling",
+          |                        "windowSize":"10","avgCompat":"int"},
+          |            "input":{"value":"=$.value"},
+          |            "output":{"pipeline.emit_seq":"=$.__seq",
+          |                      "pipeline.result":"=$.result"}}]
+          |}""".stripMargin).copy(groupBy = Some("k"))
+      val in = ev(s, d).select(col("user_id").cast("string").as("k"),
+        col("value").cast("long").as("value"), col("event_id").as("__seq"))
+      Pipelines.compileBatch(p, in).orderBy("k", "emit_seq")
+    }),
+
     // expression mapper + non-zero filter via DSL
     "q_dsl_filter" -> ((s, d) => {
       val p = Dsl.parsePipeline("dsl_filter",
@@ -501,7 +524,39 @@ object SparkEntry {
 
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(docs(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Full decode path through the typed mapPartitions stage. The stub
+    // codec derives its features deterministically from the payload bytes
+    // (length / md5 / byte mean / frame cadence), and the testdata text is
+    // ASCII, so the whole pipeline — including the mapPartitions hop — is
+    // SQL-oracle-expressible: the byte mean is a single IEEE division of
+    // two exact integers, bit-identical in both engines (no rounding).
+    "q_multimodal_decode" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      Multimodal.extractFeatures(
+          Multimodal.asMediaRecords(docs(s, d), "doc_id", "text"))
+        .toDF()
+        .select(col("id"), col("nBytes").as("n_bytes"),
+          col("contentHash").as("content_hash"),
+          col("meanByte").as("mean_byte"),
+          col("frameCount").cast("bigint").as("frame_count"))
+        .orderBy("id")
+    }),
+
+    // Row-expanding frame-sample path (the generator shape of real video
+    // frame sampling): every 2nd 64-byte slice, hashed — one record in,
+    // N frames out, partition-parallel.
+    "q_multimodal_frames" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      Multimodal.sampleFrames(
+          Multimodal.asMediaRecords(docs(s, d), "doc_id", "text"), 2)
+        .toDF()
+        .select(col("id"), col("frame").cast("bigint").as("frame"),
+          octet_length(col("bytes")).cast("bigint").as("n_bytes"),
+          md5(col("bytes")).as("frame_hash"))
+        .orderBy("id", "frame")
+    })
   )
 
   // ----------------------------------------------------------------------
@@ -944,6 +999,25 @@ object SparkEntry {
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |ch AS (SELECT doc_id, ord(substr(text, i, 1)) AS o
+        |       FROM d, unnest(range(1, n + 1)) AS t(i)),
+        |m AS (SELECT doc_id, sum(o)::DOUBLE / count(*)::DOUBLE AS mean_byte
+        |      FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id AS id, d.n::BIGINT AS n_bytes,
+        |       md5(d.text) AS content_hash, m.mean_byte AS mean_byte,
+        |       least(d.n // 64 + 1, 32)::BIGINT AS frame_count
+        |FROM d JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |f AS (SELECT doc_id, i AS frame, substr(text, i*64 + 1, 64) AS fb
+        |      FROM d, unnest(range(0, greatest(n // 64, 1), 2)) AS t(i))
+        |SELECT doc_id AS id, frame::BIGINT AS frame,
+        |       strlen(fb)::BIGINT AS n_bytes, md5(fb) AS frame_hash
+        |FROM f ORDER BY id, frame""".stripMargin,
+
     "q_dsl_tumbling" ->
       """SELECT CAST(user_id AS VARCHAR) AS k, event_id AS emit_seq,
         |       round(s, 4) AS result FROM (
@@ -951,6 +1025,18 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
         |         sum(value) OVER (PARTITION BY user_id ORDER BY event_id
         |                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS s
+        |  FROM events)
+        |WHERE rn % 10 = 0 ORDER BY k, emit_seq""".stripMargin,
+
+    "q_dsl_avg_int" ->
+      """SELECT CAST(user_id AS VARCHAR) AS k, event_id AS emit_seq,
+        |       (s // 10)::BIGINT AS result FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id) AS rn,
+        |         sum(trunc(value)::BIGINT) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS s
         |  FROM events)
         |WHERE rn % 10 = 0 ORDER BY k, emit_seq""".stripMargin,
 

@@ -331,6 +331,12 @@ object Pipelines {
   private def batchAggregate(df: DataFrame, fn: String, windowType: String,
                              size: Int, resolution: Int,
                              avgCompat: Option[String] = None): DataFrame = {
+    require(avgCompat.forall(c => c == "int" || c == "maxSamples"),
+      s"unknown avgCompat setting: ${avgCompat.orNull} (expected int|maxSamples)")
+    // opt-in reference quirk (settings avgCompat=int): avg over an int
+    // stream truncates like Go integer division (average.go:75-76) —
+    // applies to every batch window type
+    val effFn = if (fn == "avg" && avgCompat.contains("int")) "avgInt" else fn
     val byKey = Window.partitionBy(col("__group")).orderBy(col("__seq"))
     windowType match {
       // opt-in reference quirk (settings avgCompat=maxSamples): the
@@ -357,7 +363,7 @@ object Pipelines {
         df.withColumn("__rn", rn)
           .withColumn("__win", winId)
           .withColumn("result",
-            windowAgg(fn, col("__agg_value"), col("__seq"),
+            windowAgg(effFn, col("__agg_value"), col("__seq"),
               winFrame.orderBy(col("__seq"))
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("report", pmod(col("__rn"), lit(size)) === size - 1)
@@ -365,7 +371,7 @@ object Pipelines {
         val frame = byKey.rowsBetween(-(size - 1), Window.currentRow)
         val firstEmit = math.max(size, resolution)
         df.withColumn("__rn", row_number().over(byKey) - 1)
-          .withColumn("result", windowAgg(fn, col("__agg_value"), col("__seq"), frame))
+          .withColumn("result", windowAgg(effFn, col("__agg_value"), col("__seq"), frame))
           .withColumn("report", col("__rn") >= firstEmit - 1 &&
             pmod(col("__rn") - (firstEmit - 1), lit(resolution)) === 0)
       case "timeTumbling" =>
@@ -375,7 +381,7 @@ object Pipelines {
         val paneFrame = Window.partitionBy(col("__group"), col("__pane"))
         df.withColumn("__pane", pane)
           .withColumn("result",
-            windowAgg(fn, col("__agg_value"), col("__seq"),
+            windowAgg(effFn, col("__agg_value"), col("__seq"),
               paneFrame.orderBy(col("__seq"))
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("report",
@@ -389,7 +395,7 @@ object Pipelines {
         val pane = (floor(ms / resolution) * resolution).cast("bigint")
         val paneFrame = Window.partitionBy(col("__group"), col("__pane"))
         df.withColumn("__pane", pane)
-          .withColumn("result", windowAgg(fn, col("__agg_value"), col("__seq"), byKeyRange))
+          .withColumn("result", windowAgg(effFn, col("__agg_value"), col("__seq"), byKeyRange))
           .withColumn("__warm",
             unix_millis(col("__ts")) - min(unix_millis(col("__ts")))
               .over(Window.partitionBy(col("__group"))) >= size)
@@ -406,6 +412,11 @@ object Pipelines {
     fn match {
       case "sum"   => sum(value).over(frame)
       case "avg"   => avg(value).over(frame)
+      // Go int-division avg (average.go:75-76): truncates TOWARD ZERO,
+      // hence double-quotient + long cast rather than floor
+      case "avgInt" =>
+        (sum(value.cast("long")).over(frame).cast("double") /
+          count(value).over(frame)).cast("long")
       case "min"   => min(value).over(frame)
       case "max"   => max(value).over(frame)
       case "count" => count(value).over(frame)

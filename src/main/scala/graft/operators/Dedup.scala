@@ -27,6 +27,15 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Cache a DataFrame unless its plan is already in the session cache —
+    * repeated dedup calls over the same input (the bench, a long-lived
+    * session) would otherwise re-register the same plan every time and
+    * spam "Asked to cache already cached data" while holding the blocks
+    * anyway. `storageLevel` consults the session CacheManager by plan. */
+  private def cachedIdempotent(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    else df
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -72,7 +81,7 @@ object Dedup {
     // pass persistShingles=false (recompute; the right call at 100 TB
     // where the corpus never fits in cache) or clearCache() between runs.
     val sh0 = withShingles(df, id, text, n)
-    val sh = if (persistShingles) sh0.cache() else sh0
+    val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
     val sizes = sh.select(col("doc"), size(col("sh")).as("sz"))
     val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
     // a shared shingle has df >= 2 by construction, so the df filter only
@@ -172,7 +181,7 @@ object Dedup {
                    persistShingles: Boolean = true): DataFrame = {
     // same cache-retention contract as jaccardPairs
     val sh0 = withShingles(df, id, text, n)
-    val sh = if (persistShingles) sh0.cache() else sh0
+    val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
     val sig = minhashSignatureTable(sh, numPerms)
     val numBands = numPerms / rowsPerBand
     // band key: hash of the band's signature slice + band index

@@ -118,6 +118,46 @@ class PipelinesSpec extends SparkSpec {
     assert(out.toSeq == Seq(2.0, 10.0 / 3.0))
   }
 
+  test("avgCompat=int truncates toward zero like Go int division") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"long"}],
+        |             "output": [{"name":"result","type":"long"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"tumbling",
+        |                        "windowSize":"2","avgCompat":"int"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    // window (1,2): avg = 3/2 = 1 in Go int division (not 1.5, not 2);
+    // window (-7,0): avg = -7/2 = -3 toward zero (floor would give -4)
+    val input = Seq(1L, 2L, -7L, 0L).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "__seq")
+    val out = Pipelines.compileBatch(p, input)
+      .orderBy("result").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(-3L, 1L))
+  }
+
+  test("unknown avgCompat value is rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"long"}],
+        |             "output": [{"name":"result","type":"long"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"tumbling",
+        |                        "windowSize":"2","avgCompat":"bogus"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    val input = Seq((1L, 0L)).toDF("v", "__seq")
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.compileBatch(p, input)
+    }
+    assert(e.getMessage.contains("avgCompat"))
+  }
+
   test("non-zero filter passes NULL values through (filters.go:33-34)") {
     val s = spark
     import s.implicits._
