@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -67,11 +68,22 @@ object Dedup {
   /** Candidate pairs sharing at least one shingle, with exact Jaccard
     * computed and filtered at `threshold`. Output: (d1, d2, jaccard).
     *
+    * Candidate generation is PREFIX-FILTERED (the AllPairs/PPJoin family,
+    * Chaudhuri et al. / Xiao et al. — public literature): order each
+    * doc's shingles by global rarity (df asc, shingle asc) and index only
+    * the first `|d| - ceil(t*|d|) + 1` of them. The prefix lemma makes
+    * this EXACT: jaccard(x,y) >= t implies |x∩y| >= ceil(t*|x|), and any
+    * pair with overlap o must collide within each side's first
+    * `|d| - o + 1` shingles under a shared total order. At t=0.8 only
+    * ~20% of each doc's shingles are indexed, so the self-join produces
+    * ~25x fewer pair instances than a full inverted index — the term
+    * that dominates at corpus scale.
+    *
     * `maxShingleDf` drops ubiquitous shingles from candidate generation
     * (a shingle present in k docs contributes k^2 candidate pairs — the
     * classic skew bomb at 100 TB). Verification still uses ALL shingles,
-    * so dropped shingles cost recall only for pairs whose sole overlap is
-    * ubiquitous n-grams — which are below any useful threshold anyway. */
+    * so capped shingles cost recall only for pairs whose similarity
+    * hides in ubiquitous n-grams — boilerplate by definition. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double, maxShingleDf: Long = 1000L,
                    persistShingles: Boolean = true): DataFrame = {
@@ -82,34 +94,31 @@ object Dedup {
     // where the corpus never fits in cache) or clearCache() between runs.
     val sh0 = withShingles(df, id, text, n)
     val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
-    val sizes = sh.select(col("doc"), size(col("sh")).as("sz"))
-    val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
-    // a shared shingle has df >= 2 by construction, so the df filter only
-    // enforces the skew cap
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val inv = sh.select(col("doc"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    // global document frequency; a shared shingle has df >= 2 by
+    // construction, so the df filter only enforces the skew cap
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf && col("df") >= 2)
-    val invR = inv.join(rare.select("s"), "s")
-    // Stage 1 (prefilter): intersection size over CAPPED shingles,
-    // straight off the inverted index — a LOWER BOUND of the true
-    // Jaccard (capped shingles still count toward the union), computed
-    // without ever shuffling shingle arrays per pair. Keep any pair
-    // whose bound reaches threshold/2.
-    val inter = invR.as("a").join(invR.as("b"),
+    val invR = inv.join(dfs, "s")
+    // prefix index: each doc's rarest shingles, enough that any pair
+    // with capped-set jaccard >= t must collide inside both prefixes
+    val byRarity = Window.partitionBy(col("doc"))
+      .orderBy(col("df").asc, col("s").asc)
+    val prefix = invR
+      .withColumn("__rn", row_number().over(byRarity))
+      // round before ceil: 0.8*35 = 28.000000000000004 in doubles, and
+      // ceil'ing the epsilon would illegally shorten the prefix by one
+      .where(col("__rn") <=
+        col("sz") - ceil(round(lit(threshold) * col("sz"), 6)) + 1)
+      .select(col("doc"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val cand = inter
-      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
-      .where(col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")).cast("double")
-        >= threshold / 2)
-      .select(col("d1"), col("d2"))
-    // Stage 2: exact full-set verification of the surviving pairs — the
-    // reported score is the TRUE Jaccard, identical to minhashPairs'
-    // verification and the DuckDB oracle. Recall caveat: a pair whose
-    // above-cap shingles hide more than half its similarity can be
-    // missed at stage 1; such overlap is boilerplate by definition.
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    // Exact full-set verification of the surviving pairs — the reported
+    // score is the TRUE Jaccard, identical to minhashPairs' verification
+    // and the DuckDB oracle.
     verifyJaccard(cand, sh, threshold)
   }
 
@@ -239,7 +248,11 @@ object Dedup {
     * Output: (d1, d2, hamming). */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
-    val sim = simhashTable(df, id, text, portable)
+    // Both sides of the banded self-join would otherwise recompute the
+    // full tokenize+hash pass; the signature table is O(16 bytes)/doc, so
+    // cache it (same retention contract as the shingle tables above — at
+    // 100 TB you'd materialize signatures to storage instead).
+    val sim = cachedIdempotent(simhashTable(df, id, text, portable))
     val chunks = sim.select(col("doc"), col("simhash"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
