@@ -68,6 +68,16 @@ class PlanPropertiesSpec extends SparkSpec {
       s"signature kernel missing from plan:\n$p")
   }
 
+  test("q_dedup_jaccard: prefix-filtered candidates via equi-join") {
+    val p = plan("q_dedup_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"jaccard candidates must come from an equi-join on shingles:\n$p")
+    // the prefix filter is a rank bound over the per-doc rarity window —
+    // if it disappears, candidate volume regresses to the full index
+    assert(p.contains("row_number"),
+      s"prefix rank filter missing from candidate generation:\n$p")
+  }
+
   test("q_skew_salted: two shuffles, partial aggregation on both phases") {
     val p = plan("q_skew_salted")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
