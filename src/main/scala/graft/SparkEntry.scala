@@ -1006,9 +1006,10 @@ object SparkEntry {
         |m AS (SELECT doc_id, sum(o)::DOUBLE / count(*)::DOUBLE AS mean_byte
         |      FROM ch GROUP BY doc_id)
         |SELECT d.doc_id AS id, d.n::BIGINT AS n_bytes,
-        |       md5(d.text) AS content_hash, m.mean_byte AS mean_byte,
+        |       md5(d.text) AS content_hash,
+        |       coalesce(m.mean_byte, 0.0) AS mean_byte,
         |       least(d.n // 64 + 1, 32)::BIGINT AS frame_count
-        |FROM d JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+        |FROM d LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),

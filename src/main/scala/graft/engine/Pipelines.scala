@@ -200,6 +200,8 @@ object Pipelines {
       case (Some(nameKey), Some(valueKey)) if streaming =>
         require(windowType != "sliding",
           "keyed sliding(count) windows are unsupported (windows.go:216-219)")
+        require(st.settings.get("avgCompat").isEmpty,
+          "avgCompat is not supported for keyed (nameKey/valueKey) windows")
         val watermark = st.settings.getOrElse("watermark", "0 seconds")
         gate(keyedStreamingAggregate(df, fn, windowType, size, resolution,
           watermark,
@@ -207,6 +209,8 @@ object Pipelines {
       case (Some(nameKey), Some(valueKey)) =>
         require(windowType != "sliding",
           "keyed sliding(count) windows are unsupported (windows.go:216-219)")
+        require(st.settings.get("avgCompat").isEmpty,
+          "avgCompat is not supported for keyed (nameKey/valueKey) windows")
         keyedBatchAggregate(df, fn, windowType, size, resolution,
           expr(Dsl.translate(nameKey)), expr(Dsl.translate(valueKey)))
       case _ =>
@@ -412,11 +416,16 @@ object Pipelines {
     fn match {
       case "sum"   => sum(value).over(frame)
       case "avg"   => avg(value).over(frame)
-      // Go int-division avg (average.go:75-76): truncates TOWARD ZERO,
-      // hence double-quotient + long cast rather than floor
+      // Go int-division avg (average.go:75-76): truncates TOWARD ZERO.
+      // Catalyst's IntegralDivide is Java long division (exact for the
+      // full long range — a double quotient would lose sums >= 2^53)
       case "avgInt" =>
-        (sum(value.cast("long")).over(frame).cast("double") /
-          count(value).over(frame)).cast("long")
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              sum(value.cast("long")).over(frame)),
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              count(value).over(frame))))
       case "min"   => min(value).over(frame)
       case "max"   => max(value).over(frame)
       case "count" => count(value).over(frame)

@@ -120,7 +120,8 @@ object Similarity {
     * [[assignCells]] so queries touch nProbe cells. Returns
     * (cell: int, centroid: array<double>).
     *
-    * Samples up to `localTrainThreshold` vectors train with an
+    * Samples up to `localTrainDoubles` total values (rows x dim, so the
+    * bound is BYTES, not row count — 4M doubles = 32 MB) train with an
     * in-memory Lloyd's loop on the driver — the faiss IVF contract
     * (coarse quantizers train in-memory on a bounded sample; a sensible
     * budget is ~256*k points, far under the threshold), and ~10x faster
@@ -138,7 +139,7 @@ object Similarity {
                      seed: Long = 42L, maxIter: Int = 20,
                      sampleFraction: Double = 1.0,
                      initMode: String = "k-means||",
-                     localTrainThreshold: Long = 100000L): DataFrame = {
+                     localTrainDoubles: Long = 4000000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
@@ -153,7 +154,13 @@ object Similarity {
     require(n >= k,
       s"cannot train $k centroids from $n vectors (need at least k; " +
         s"raise sampleFraction=$sampleFraction)")
-    if (n <= localTrainThreshold) {
+    // dim sniff (one-row job) so the local-vs-distributed decision is a
+    // memory bound (rows x dim), not a row count that would collect
+    // hundreds of MB for high-dim embeddings
+    val dim = sampled.limit(1).collect()
+      .headOption.map(_.getAs[org.apache.spark.ml.linalg.Vector](0).size)
+      .getOrElse(0)
+    if (n * math.max(dim, 1) <= localTrainDoubles) {
       val pts = sampled.collect().map(
         _.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
       localLloyd(pts, k, seed, maxIter).zipWithIndex
@@ -180,9 +187,9 @@ object Similarity {
 
   /** Seeded in-memory Lloyd's: random init (distinct points), then
     * assign/recenter until `maxIter` or no assignment changes. An empty
-    * cluster re-seeds from the point farthest from its centroid (the
-    * standard split-the-worst repair). Deterministic for a given
-    * (points, k, seed). */
+    * cluster re-seeds from a seeded-random point (cheap repair; fine for
+    * coarse quantizers where nearby Lloyd iterations re-balance).
+    * Deterministic for a given (points, k, seed). */
   private def localLloyd(pts: Array[Array[Double]], k: Int, seed: Long,
                          maxIter: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

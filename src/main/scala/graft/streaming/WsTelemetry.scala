@@ -6,6 +6,7 @@ import java.net.{InetAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 import java.util.Base64
+import java.util.concurrent.ArrayBlockingQueue
 import scala.collection.concurrent.TrieMap
 import scala.util.control.NonFatal
 
@@ -19,13 +20,35 @@ import scala.util.control.NonFatal
   * unmasked), so it plugs into the same `Telemetry.attach`/`attachBatch`
   * wiring as the console and collecting sinks — no extra dependencies.
   * Inbound frames are not read (the reference's service is also
-  * broadcast-only); a client that hangs up is dropped on its next write,
-  * exactly like the reference's delete-on-write-error.
+  * broadcast-only).
+  *
+  * Isolation guarantees (emit is called from Spark listener threads, so
+  * nothing here may block them):
+  *  - each handshake runs on its own daemon thread — a client that
+  *    connects and sends nothing can never stall the accept loop, and a
+  *    failed/timed-out handshake closes its socket;
+  *  - each client gets a bounded queue drained by its own writer thread;
+  *    `emit` only enqueues. A slow consumer fills its queue and is
+  *    DROPPED (queue-full eviction), the broadcast analog of the
+  *    reference's delete-on-write-error (service.go:219-226).
   */
-class WsTelemetrySink(port: Int = 0) extends Telemetry.Sink {
+class WsTelemetrySink(port: Int = 0, queueCapacity: Int = 256)
+    extends Telemetry.Sink {
 
   private val mapper = new ObjectMapper()
-  private val clients = TrieMap.empty[Socket, OutputStream]
+
+  private final class Client(val sock: Socket, out: OutputStream) {
+    val queue = new ArrayBlockingQueue[Array[Byte]](queueCapacity)
+    val writer = new Thread(() => {
+      try {
+        while (true) { val b = queue.take(); out.write(b); out.flush() }
+      } catch { case _: Throwable => () } // interrupted or peer hung up
+      finally drop(this)
+    }, s"ws-telemetry-writer-${sock.getPort}")
+    writer.setDaemon(true)
+  }
+
+  private val clients = TrieMap.empty[Socket, Client]
   @volatile private var running = true
   private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
 
@@ -33,8 +56,20 @@ class WsTelemetrySink(port: Int = 0) extends Telemetry.Sink {
     while (running) {
       try {
         val sock = server.accept()
-        if (handshake(sock)) clients.put(sock, sock.getOutputStream)
-        else sock.close()
+        // handshake off-thread: a silent client must not stall accepts
+        val t = new Thread(() => {
+          try {
+            if (handshake(sock)) {
+              val c = new Client(sock, sock.getOutputStream)
+              clients.put(sock, c)
+              c.writer.start()
+            } else sock.close()
+          } catch { case NonFatal(_) =>
+            try sock.close() catch { case NonFatal(_) => () }
+          }
+        }, s"ws-telemetry-handshake-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
       } catch { case NonFatal(_) => () /* closed during accept */ }
     }
   }, s"ws-telemetry-${server.getLocalPort}")
@@ -45,6 +80,11 @@ class WsTelemetrySink(port: Int = 0) extends Telemetry.Sink {
   def boundPort: Int = server.getLocalPort
 
   def clientCount: Int = clients.size
+
+  private def drop(c: Client): Unit = {
+    clients.remove(c.sock)
+    try c.sock.close() catch { case NonFatal(_) => () }
+  }
 
   /** HTTP upgrade: read headers, answer 101 with the RFC 6455 accept key
     * (SHA-1 of key + fixed GUID, base64). */
@@ -107,23 +147,19 @@ class WsTelemetrySink(port: Int = 0) extends Telemetry.Sink {
     mapper.writeValueAsString(node)
   }
 
-  /** Broadcast to every connected client; a failed write drops that
-    * client (service.go:219-226). */
+  /** Enqueue to every connected client; never blocks the caller. A client
+    * whose queue is full is a slow consumer and is dropped, as is one
+    * whose writer already failed. */
   override def emit(e: Telemetry.Event): Unit = {
     val bytes = frame(toJson(e).getBytes(UTF_8))
-    clients.foreach { case (sock, out) =>
-      try { out.synchronized { out.write(bytes); out.flush() } }
-      catch { case NonFatal(_) =>
-        clients.remove(sock)
-        try sock.close() catch { case NonFatal(_) => () }
-      }
+    clients.values.foreach { c =>
+      if (!c.queue.offer(bytes)) { c.writer.interrupt(); drop(c) }
     }
   }
 
   def close(): Unit = {
     running = false
     try server.close() catch { case NonFatal(_) => () }
-    clients.keys.foreach(s => try s.close() catch { case NonFatal(_) => () })
-    clients.clear()
+    clients.values.foreach { c => c.writer.interrupt(); drop(c) }
   }
 }
