@@ -196,21 +196,18 @@ object Pipelines {
     // map[name]agg emission (windows.go:425-561). The reference does not
     // support keyed sliding-count windows (windows.go:216-219); neither
     // do we.
+    val keyed = st.settings.contains("nameKey") && st.settings.contains("valueKey")
+    require(!keyed || st.settings.get("avgCompat").isEmpty,
+      "avgCompat is not supported for keyed (nameKey/valueKey) windows")
+    require(!keyed || windowType != "sliding",
+      "keyed sliding(count) windows are unsupported (windows.go:216-219)")
     (st.settings.get("nameKey"), st.settings.get("valueKey")) match {
       case (Some(nameKey), Some(valueKey)) if streaming =>
-        require(windowType != "sliding",
-          "keyed sliding(count) windows are unsupported (windows.go:216-219)")
-        require(st.settings.get("avgCompat").isEmpty,
-          "avgCompat is not supported for keyed (nameKey/valueKey) windows")
         val watermark = st.settings.getOrElse("watermark", "0 seconds")
         gate(keyedStreamingAggregate(df, fn, windowType, size, resolution,
           watermark,
           expr(Dsl.translate(nameKey)), expr(Dsl.translate(valueKey))), pooe(st))
       case (Some(nameKey), Some(valueKey)) =>
-        require(windowType != "sliding",
-          "keyed sliding(count) windows are unsupported (windows.go:216-219)")
-        require(st.settings.get("avgCompat").isEmpty,
-          "avgCompat is not supported for keyed (nameKey/valueKey) windows")
         keyedBatchAggregate(df, fn, windowType, size, resolution,
           expr(Dsl.translate(nameKey)), expr(Dsl.translate(valueKey)))
       case _ =>

@@ -120,8 +120,8 @@ object Similarity {
     * [[assignCells]] so queries touch nProbe cells. Returns
     * (cell: int, centroid: array<double>).
     *
-    * Samples up to `localTrainDoubles` total values (rows x dim, so the
-    * bound is BYTES, not row count — 4M doubles = 32 MB) train with an
+    * Samples up to `localTrainDoubles` total double VALUES (rows x dim;
+    * memory is 8 bytes each, so the 4M default caps ~32 MB) train with an
     * in-memory Lloyd's loop on the driver — the faiss IVF contract
     * (coarse quantizers train in-memory on a bounded sample; a sensible
     * budget is ~256*k points, far under the threshold), and ~10x faster
@@ -150,16 +150,18 @@ object Similarity {
       array_to_vector(asDoubles(col(vec))).as("features"))
     val sampled = if (sampleFraction < 1.0)
       base.sample(withReplacement = false, sampleFraction, seed) else base
-    val n = sampled.count()
+    // one job for count + dim sniff: the local-vs-distributed decision is
+    // a memory bound (rows x dim), not a row count that would collect
+    // hundreds of MB for high-dim embeddings
+    val head = sampled
+      .agg(count(lit(1)), first(col("features"))).collect()(0)
+    val n = head.getLong(0)
     require(n >= k,
       s"cannot train $k centroids from $n vectors (need at least k; " +
         s"raise sampleFraction=$sampleFraction)")
-    // dim sniff (one-row job) so the local-vs-distributed decision is a
-    // memory bound (rows x dim), not a row count that would collect
-    // hundreds of MB for high-dim embeddings
-    val dim = sampled.limit(1).collect()
-      .headOption.map(_.getAs[org.apache.spark.ml.linalg.Vector](0).size)
-      .getOrElse(0)
+    val dim =
+      if (head.isNullAt(1)) 0
+      else head.getAs[org.apache.spark.ml.linalg.Vector](1).size
     if (n * math.max(dim, 1) <= localTrainDoubles) {
       val pts = sampled.collect().map(
         _.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)

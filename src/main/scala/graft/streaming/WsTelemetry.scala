@@ -63,6 +63,10 @@ class WsTelemetrySink(port: Int = 0, queueCapacity: Int = 256)
               val c = new Client(sock, sock.getOutputStream)
               clients.put(sock, c)
               c.writer.start()
+              // close() may have run while this handshake was in flight
+              // (it only saw the clients registered at that instant) —
+              // re-check so a late registration can't outlive the sink
+              if (!running) { c.writer.interrupt(); drop(c) }
             } else sock.close()
           } catch { case NonFatal(_) =>
             try sock.close() catch { case NonFatal(_) => () }

@@ -36,10 +36,16 @@ object AggFunctions {
     * functions/average.go:75-76: `x / count`). Our engine defaults to true
     * floating-point avg; pipelines chasing bit-parity with int-typed
     * reference streams opt in via this expression. Go division truncates
-    * TOWARD ZERO (so -7/2 = -3), hence the double->long cast rather than
-    * floor (which would give -4). */
+    * TOWARD ZERO (so -7/2 = -3) — exactly Java long division, so Catalyst
+    * IntegralDivide matches for the full long range (a double quotient
+    * would lose sums >= 2^53, and floor would give -4). Same construction
+    * as the DSL avgCompat=int window path (Pipelines.windowAgg). */
   def intAvgCompat(value: Column): Column =
-    (sum(value.cast("long")).cast("double") / count(value)).cast("long")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          sum(value.cast("long"))),
+        org.apache.spark.sql.graft.ColumnBridge.expression(count(value))))
 
   /** Compat: the reference's timeTumbling avg divides by `maxSamples` — a
     * HIGH-WATER mark of pane sizes across the stream, not the emitting
