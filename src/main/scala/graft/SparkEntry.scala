@@ -229,6 +229,30 @@ object SparkEntry {
 
     // pre-aggregate the fact side BEFORE the dimension join: the shuffle
     // carries one row per customer, and the join build side broadcasts
+    // TPC-H Q5-style 5-way join: dims (customer->nation->region) reduce
+    // to a broadcastable (custkey, nation) map; the only shuffle is the
+    // orders-lineitem fact join, with the date filter pushed to the
+    // orders scan — the join-depth plan shape a warehouse query needs
+    "q_star_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val dim = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"))
+      li(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     "q_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
@@ -734,6 +758,19 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
+        |  AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_topk" ->
       """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total

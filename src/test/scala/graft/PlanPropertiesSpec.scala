@@ -78,6 +78,18 @@ class PlanPropertiesSpec extends SparkSpec {
       s"prefix rank filter missing from candidate generation:\n$p")
   }
 
+  test("q_star_join: one fact shuffle, dims broadcast, date pushdown") {
+    val p = plan("q_star_join")
+    // the only sort-merge/shuffle join permitted is orders-lineitem;
+    // customer/nation/region must reach the fact side as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension joins must broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"only the fact-fact join may shuffle:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter must push to the orders scan:\n$p")
+  }
+
   test("q_skew_salted: two shuffles, partial aggregation on both phases") {
     val p = plan("q_skew_salted")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
