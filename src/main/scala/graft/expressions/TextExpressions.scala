@@ -121,16 +121,79 @@ object Md5Kernel {
     * long — the identical bit pattern DuckDB derives with
     * `('0x' || substr(md5(t), 1, 16))::UBIGINT`. This is the portable
     * token hash that makes the SimHash pipeline oracle-expressible
-    * cross-engine (DuckDB has no xxhash64). */
+    * cross-engine (DuckDB has no xxhash64).
+    *
+    * Inputs of <= 55 bytes (virtually every token) take a hand-rolled
+    * single-block MD5 round function (RFC 1321 — public algorithm):
+    * no MessageDigest state machine, no digest-array allocation, just
+    * the 64 rounds over one padded block. Bit-identical to the library
+    * digest (property-pinned in TextExpressionsSpec); longer inputs
+    * fall back to MessageDigest. */
   def md5Hash64(s: UTF8String): Long = {
-    val md = md5.get()
-    md.reset()
-    md.update(s.getBytes)
-    val d = md.digest()
-    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    val bytes = s.getBytes
+    if (bytes.length <= 55) md5Half64SingleBlock(bytes)
+    else {
+      val md = md5.get()
+      md.reset()
+      md.update(bytes)
+      val d = md.digest()
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    }
+  }
+
+  // RFC 1321 constants: K(i) = floor(abs(sin(i+1)) * 2^32), per-round
+  // left-rotation amounts
+  private val K: Array[Int] = Array.tabulate(64)(i =>
+    (math.abs(math.sin(i + 1.0)) * 4294967296.0).toLong.toInt)
+  private val S: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  /** Single-block MD5 (message <= 55 bytes, so padding + the 64-bit
+    * length fit one 512-bit block), returning the first 8 digest bytes
+    * big-endian as a long (= big-endian of little-endian A then B). */
+  private def md5Half64SingleBlock(bytes: Array[Byte]): Long = {
+    val m = new Array[Int](16)
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      m(i >> 2) |= (bytes(i) & 0xff) << ((i & 3) << 3)
+      i += 1
+    }
+    m(n >> 2) |= 0x80 << ((n & 3) << 3)
+    m(14) = n << 3 // bit length, little-endian low word; high word 0
+    var a = 0x67452301
+    var b = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    var r = 0
+    while (r < 64) {
+      var f = 0
+      var g = 0
+      if (r < 16) { f = (b & c) | (~b & d); g = r }
+      else if (r < 32) { f = (d & b) | (~d & c); g = (5 * r + 1) & 15 }
+      else if (r < 48) { f = b ^ c ^ d; g = (3 * r + 5) & 15 }
+      else { f = c ^ (b | ~d); g = (7 * r) & 15 }
+      val tmp = d
+      d = c
+      c = b
+      val x = a + f + K(r) + m(g)
+      b = b + Integer.rotateLeft(x, S(r))
+      a = tmp
+      r += 1
+    }
+    val ha = a + 0x67452301
+    val hb = b + 0xefcdab89
+    // digest bytes 0..7 are LE(ha) then LE(hb); assemble them big-endian
+    ((ha & 0xffL) << 56) | ((ha >>> 8 & 0xffL) << 48) |
+      ((ha >>> 16 & 0xffL) << 40) | ((ha >>> 24 & 0xffL) << 32) |
+      ((hb & 0xffL) << 24) | ((hb >>> 8 & 0xffL) << 16) |
+      ((hb >>> 16 & 0xffL) << 8) | (hb >>> 24 & 0xffL)
   }
 }
 
