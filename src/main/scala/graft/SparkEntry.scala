@@ -253,6 +253,44 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // anti-join: customers with no order in the window — the left_anti
+    // shape (one shuffle on the key; the probe side reduces to distinct
+    // keys before the join)
+    "q_anti_join" -> ((s, d) => {
+      val active = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // rollup: hierarchical totals in one pass (grouping sets expand
+    // map-side — no extra scan per level). The GROUP BY ROLLUP itself
+    // goes through spark.sql: Dataset.rollup + agg(sum) trips Spark
+    // 4.1's ambiguous-self-join check on the Expand-duplicated
+    // grouping attributes, while the SQL-parsed form of the same plan
+    // analyzes cleanly.
+    "q_rollup" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rg"), col("n_name").as("nt"),
+          col("c_acctbal"))
+        .createOrReplaceTempView("q_rollup_in")
+      s.sql(
+        """SELECT coalesce(rg, 'ALL') AS region,
+          |       coalesce(nt, 'ALL') AS nation,
+          |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+          |FROM q_rollup_in GROUP BY ROLLUP (rg, nt)
+          |ORDER BY region, nation""".stripMargin)
+    }),
+
     "q_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
@@ -758,6 +796,23 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= '1996-01-01'
+        |                    AND o_orderdate < '1997-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*)::BIGINT AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
 
     "q_star_join" ->
       """SELECT n_name,
