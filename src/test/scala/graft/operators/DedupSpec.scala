@@ -45,6 +45,41 @@ class DedupSpec extends SparkSpec {
     assert(mh == jac)
   }
 
+  test("prefix-filtered jaccard equals brute-force exact pairs (lossless lemma)") {
+    val s = spark
+    import s.implicits._
+    // random corpora with heavy shared vocabulary so near-duplicates,
+    // borderline pairs, and exact ceil(t*|d|) boundaries all occur
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    val base = Seq.tabulate(30)(_ =>
+      Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    // append mutated near-copies: drop/replace a token
+    val docsSeq = (base ++ base.take(15).map { t =>
+      val ws = t.split(" ").toBuffer
+      ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.length))
+      ws.mkString(" ")
+    }).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docsSeq.toDF("doc_id", "text")
+    Seq(0.5, 0.7, 0.8, 0.9).foreach { t =>
+      val fast = Dedup.jaccardPairs(df, "doc_id", "text", 2, t,
+          persistShingles = false)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force: exact jaccard over all pairs of shingle sets
+      val sh = Dedup.withShingles(df, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val exact = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        inter = (sh(a) & sh(b)).size
+        uni = (sh(a) | sh(b)).size
+        if uni > 0 && inter.toDouble / uni >= t
+      } yield (a, b)).toSet
+      assert(fast == exact,
+        s"t=$t: prefix filter missed ${exact -- fast} / extra ${fast -- exact}")
+    }
+  }
+
   test("minhash kernel signatures equal the lambda formulation") {
     // orderBy before limit: a bare limit is not a deterministic row set,
     // and the kernel/lambda plans would each re-sample independently
