@@ -90,6 +90,23 @@ class PlanPropertiesSpec extends SparkSpec {
       s"date filter must push to the orders scan:\n$p")
   }
 
+  test("q_anti_join: broadcast left-anti with pruned probe scan") {
+    val p = plan("q_anti_join")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastExchange"),
+      s"anti join must broadcast the filtered key set:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      s"customer scan must prune to the two needed columns:\n$p")
+  }
+
+  test("q_rollup: single-pass Expand, no join shuffle") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), s"rollup must expand grouping sets:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension joins must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one aggregation exchange expected:\n$p")
+  }
+
   test("q_skew_salted: two shuffles, partial aggregation on both phases") {
     val p = plan("q_skew_salted")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
