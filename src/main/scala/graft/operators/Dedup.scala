@@ -105,13 +105,17 @@ object Dedup {
     // with capped-set jaccard >= t must collide inside both prefixes
     val byRarity = Window.partitionBy(col("doc"))
       .orderBy(col("df").asc, col("s").asc)
-    val prefix = invR
+    val prefix0 = invR
       .withColumn("__rn", row_number().over(byRarity))
       // round before ceil: 0.8*35 = 28.000000000000004 in doubles, and
       // ceil'ing the epsilon would illegally shorten the prefix by one
       .where(col("__rn") <=
         col("sz") - ceil(round(lit(threshold) * col("sz"), 6)) + 1)
       .select(col("doc"), col("s"))
+    // both sides of the self-join consume the prefix index — cache it
+    // (it is ~20% of the inverted index; at 100 TB you'd materialize it
+    // to storage the same way)
+    val prefix = if (persistShingles) cachedIdempotent(prefix0) else prefix0
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
