@@ -213,18 +213,24 @@ object Pipelines {
       case _ =>
         val v = df.withColumn("__agg_value", value)
         val watermark = st.settings.getOrElse("watermark", "0 seconds")
+        // totalCountModifier > 0 resets maxSamples after every emission
+        // (windows.go:198-202), so the divisor degenerates to each pane's
+        // own count — exactly the default per-pane avg
+        val avgCompat = st.settings.get("avgCompat").filterNot(c =>
+          c == "maxSamples" &&
+            st.settings.get("totalCountModifier").exists(_.toInt > 0))
         // the maxSamples divisor needs a running max across ALL panes of
         // a group — cross-window state the chained streaming aggregation
         // cannot express; reject loudly rather than silently computing a
-        // plain avg that diverges from the batch result
-        require(!streaming || st.settings.get("avgCompat").isEmpty,
+        // plain avg that diverges from the batch result (with a
+        // totalCountModifier the quirk degenerates away, so it streams)
+        require(!streaming || avgCompat.isEmpty,
           "avgCompat is batch-only (cross-pane running max is not " +
             "expressible in a streaming window aggregation)")
         val agged =
           if (streaming) streamingAggregate(v, fn, windowType, size,
             resolution, watermark)
-          else batchAggregate(v, fn, windowType, size, resolution,
-            st.settings.get("avgCompat"))
+          else batchAggregate(v, fn, windowType, size, resolution, avgCompat)
         gate(agged, pooe(st))
     }
   }

@@ -118,6 +118,33 @@ class PipelinesSpec extends SparkSpec {
     assert(out.toSeq == Seq(2.0, 10.0 / 3.0))
   }
 
+  test("totalCountModifier resets maxSamples: divisor is the pane's own count") {
+    val s = spark
+    import s.implicits._
+    // same vector as the maxSamples test, but totalCountModifier > 0
+    // resets the high-water mark after every emission
+    // (windows.go:198-202), so pane 1 divides by its own count 2
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}],
+        |             "output": [{"name":"result","type":"double"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"timeTumbling",
+        |                        "windowSize":"1000",
+        |                        "avgCompat":"maxSamples",
+        |                        "totalCountModifier":"1"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    val input = Seq((1.0, 0L), (2.0, 100L), (3.0, 200L),
+        (4.0, 1100L), (6.0, 1200L))
+      .zipWithIndex.map { case ((v, ms), i) => (v, ms, i.toLong) }
+      .toDF("v", "ms", "__seq")
+      .withColumn("__ts", timestamp_millis(col("ms")))
+    val out = Pipelines.compileBatch(p, input)
+      .orderBy("result").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(2.0, 5.0))
+  }
+
   test("avgCompat=int truncates toward zero like Go int division") {
     val s = spark
     import s.implicits._
