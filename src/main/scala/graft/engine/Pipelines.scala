@@ -219,16 +219,21 @@ object Pipelines {
         val avgCompat = st.settings.get("avgCompat").filterNot(c =>
           c == "maxSamples" &&
             st.settings.get("totalCountModifier").exists(_.toInt > 0))
-        // the maxSamples divisor needs a running max across ALL panes of
-        // a group — cross-window state the chained streaming aggregation
-        // cannot express; reject loudly rather than silently computing a
-        // plain avg that diverges from the batch result (with a
-        // totalCountModifier the quirk degenerates away, so it streams)
-        require(!streaming || avgCompat.isEmpty,
-          "avgCompat is batch-only (cross-pane running max is not " +
-            "expressible in a streaming window aggregation)")
+        // streaming compat support: int-avg is an incremental sum+count,
+        // so it streams over time windows; maxSamples needs a cross-pane
+        // running max no streaming window aggregation can express (with a
+        // totalCountModifier the quirk degenerates away, so it streams),
+        // and the count-window rings are double-typed — reject those
+        // loudly rather than silently computing a diverging plain avg
+        require(!streaming || avgCompat.isEmpty ||
+          (avgCompat.contains("int") &&
+            (windowType == "timeTumbling" || windowType == "timeSliding")),
+          "streaming avgCompat: only int over time windows is supported " +
+            "(maxSamples needs a cross-pane running max)")
+        val streamFn =
+          if (fn == "avg" && avgCompat.contains("int")) "avgInt" else fn
         val agged =
-          if (streaming) streamingAggregate(v, fn, windowType, size,
+          if (streaming) streamingAggregate(v, streamFn, windowType, size,
             resolution, watermark)
           else batchAggregate(v, fn, windowType, size, resolution, avgCompat)
         gate(agged, pooe(st))

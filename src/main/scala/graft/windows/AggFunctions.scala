@@ -29,6 +29,9 @@ object AggFunctions {
     case "accumulate" =>
       transform(array_sort(collect_list(struct(ord.as("o"), value.as("v")))),
         e => e.getField("v"))
+    // Go int-division avg ([[intAvgCompat]]); fully incremental
+    // (sum + count), so it works in streaming aggregations too
+    case "avgInt" => intAvgCompat(value)
     case other => throw new IllegalArgumentException(s"unknown agg fn: $other")
   }
 

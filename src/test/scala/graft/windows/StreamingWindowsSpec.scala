@@ -107,6 +107,41 @@ class StreamingWindowsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming timeTumbling avgCompat=int equals the batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = graft.engine.Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"long"}]},
+        |"stages": [{"ref":"#aggregate",
+        |            "settings":{"function":"avg","windowType":"timeTumbling",
+        |                        "windowSize":"1000","avgCompat":"int"},
+        |            "input":{"value":"=$.v"}}]
+        |}""".stripMargin)
+    // pane 0: (1,2) -> 3/2 = 1; pane 1: (4,5,7) -> 16/3 = 5
+    val events = Seq((1L, 0L), (2L, 100L), (4L, 1100L), (5L, 1200L),
+      (7L, 1300L))
+    val input = MemoryStream[(Long, Long)]
+    val sdf = input.toDF()
+      .select(org.apache.spark.sql.functions.col("_1").as("v"),
+        org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("_2")).as("__ts"),
+        org.apache.spark.sql.functions.col("_2").as("__seq"))
+    val q = graft.engine.Pipelines.compileStream(p, sdf)
+      .writeStream.format("memory").queryName("avgint_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData((0L, 100000L)) // advance the watermark past both panes
+      q.processAllAvailable()
+      val got = s.sql("SELECT result FROM avgint_stream ORDER BY result")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 5L), s"streaming int-avg: $got")
+    } finally q.stop()
+  }
+
   test("streaming timeSliding warm-up gate equals batch emission set " +
       "(windows_test.go:153-184 vector)") {
     // the reference's SlidingTimeWindow vector: size=30, resolution=10,
