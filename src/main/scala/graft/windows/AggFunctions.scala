@@ -66,6 +66,10 @@ object AggFunctions {
     case "min" => udaf(VectorAggs.minAgg).apply(value)
     case "max" => udaf(VectorAggs.maxAgg).apply(value)
     case "avg" => udaf(VectorAggs.avgAgg).apply(value)
+    // compat: the reference truncates []int element-wise (Go int
+    // division, AggregateSingleAvg average.go:78-85); value must be
+    // array<long>
+    case "avgInt" => udaf(VectorAggs.intAvgAgg).apply(value)
     case "count" => count(value)
     case other => throw new IllegalArgumentException(s"unknown vector agg: $other")
   }
@@ -121,6 +125,32 @@ object VectorAggs {
       def bufferEncoder: Encoder[VecAvgBuf] = Encoders.product[VecAvgBuf]
       def outputEncoder: Encoder[Seq[Double]] = ExprEncoders.doubleSeq
     }
+
+  case class VecIntAvgBuf(sums: Array[Long], n: Long)
+
+  /** []int avg compat (AggregateSingleAvg, average.go:78-85): exact long
+    * element sums, then Go int division — truncation toward zero, exact
+    * for the full long range (no double round-trip). */
+  val intAvgAgg: Aggregator[Seq[Long], VecIntAvgBuf, Seq[Long]] =
+    new Aggregator[Seq[Long], VecIntAvgBuf, Seq[Long]] {
+      private def zipAdd(a: Array[Long], b: Array[Long]): Array[Long] =
+        if (a.isEmpty) b else if (b.isEmpty) a
+        else if (a.length != b.length)
+          throw new IllegalArgumentException(
+            s"ragged vector aggregation: ${a.length} vs ${b.length} elements")
+        else { val r = new Array[Long](a.length)
+          var i = 0; while (i < r.length) { r(i) = a(i) + b(i); i += 1 }; r }
+      def zero: VecIntAvgBuf = VecIntAvgBuf(Array.empty, 0L)
+      def reduce(b: VecIntAvgBuf, a: Seq[Long]): VecIntAvgBuf =
+        VecIntAvgBuf(zipAdd(b.sums, if (a == null) Array.empty else a.toArray),
+          b.n + (if (a == null) 0 else 1))
+      def merge(b1: VecIntAvgBuf, b2: VecIntAvgBuf): VecIntAvgBuf =
+        VecIntAvgBuf(zipAdd(b1.sums, b2.sums), b1.n + b2.n)
+      def finish(r: VecIntAvgBuf): Seq[Long] =
+        if (r.n == 0) Seq.empty else r.sums.map(_ / r.n).toSeq
+      def bufferEncoder: Encoder[VecIntAvgBuf] = Encoders.product[VecIntAvgBuf]
+      def outputEncoder: Encoder[Seq[Long]] = ExprEncoders.longSeq
+    }
 }
 
 /** Session-free encoders for aggregator buffers/outputs. */
@@ -130,4 +160,5 @@ object ExprEncoders {
   private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
   val doubleArray: Encoder[Array[Double]] = enc[Array[Double]]
   val doubleSeq: Encoder[Seq[Double]] = enc[Seq[Double]]
+  val longSeq: Encoder[Seq[Long]] = enc[Seq[Long]]
 }

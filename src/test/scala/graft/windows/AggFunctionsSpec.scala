@@ -43,6 +43,20 @@ class AggFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vector int-avg truncates element-wise like Go int division") {
+    val s = spark
+    import s.implicits._
+    // AggregateSingleAvg []int case (average.go:78-85): each element sum
+    // divided by the sample count in Go int division (toward zero)
+    val df = Seq(("k", Seq(1L, -7L, 10L)), ("k", Seq(2L, 0L, 5L)))
+      .toDF("key", "v")
+    val out = df.groupBy("key")
+      .agg(AggFunctions.vector("avgInt", col("v")).as("va"))
+      .collect()(0).getSeq[Long](1)
+    // sums (3, -7, 15) / 2 -> (1, -3, 7): 3/2=1, -7/2=-3 (not -4), 15/2=7
+    assert(out == Seq(1L, -3L, 7L))
+  }
+
   test("scalar dispatch covers all six reference functions") {
     val s = spark
     import s.implicits._
