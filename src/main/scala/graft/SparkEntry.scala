@@ -227,8 +227,6 @@ object SparkEntry {
             .as("revenue"))
         .orderBy("o_orderpriority")),
 
-    // pre-aggregate the fact side BEFORE the dimension join: the shuffle
-    // carries one row per customer, and the join build side broadcasts
     // TPC-H Q5-style 5-way join: dims (customer->nation->region) reduce
     // to a broadcastable (custkey, nation) map; the only shuffle is the
     // orders-lineitem fact join, with the date filter pushed to the
@@ -254,13 +252,14 @@ object SparkEntry {
     }),
 
     // anti-join: customers with no order in the window — the left_anti
-    // shape (one shuffle on the key; the probe side reduces to distinct
-    // keys before the join)
+    // shape; the build side is the DISTINCT active keys, so the
+    // broadcast carries one row per customer, not one per order
     "q_anti_join" -> ((s, d) => {
       val active = Tables.orders(s, d)
         .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
           col("o_orderdate") < to_timestamp(lit("1997-01-01")))
         .select(col("o_custkey"))
+        .distinct()
       Tables.customer(s, d)
         .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
@@ -291,6 +290,8 @@ object SparkEntry {
           |ORDER BY region, nation""".stripMargin)
     }),
 
+    // pre-aggregate the fact side BEFORE the dimension join: the shuffle
+    // carries one row per customer, and the join build side broadcasts
     "q_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")

@@ -216,20 +216,27 @@ object Pipelines {
         // totalCountModifier > 0 resets maxSamples after every emission
         // (windows.go:198-202), so the divisor degenerates to each pane's
         // own count — exactly the default per-pane avg
+        val tcm = st.settings.get("totalCountModifier").map { v =>
+          v.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"totalCountModifier must be an integer, got '$v'"))
+        }
         val avgCompat = st.settings.get("avgCompat").filterNot(c =>
-          c == "maxSamples" &&
-            st.settings.get("totalCountModifier").exists(_.toInt > 0))
+          c == "maxSamples" && tcm.exists(_ > 0))
         // streaming compat support: int-avg is an incremental sum+count,
-        // so it streams over time windows; maxSamples needs a cross-pane
-        // running max no streaming window aggregation can express (with a
+        // so it streams over timeTumbling, where the quotient flows as a
+        // long end to end. Rejected loudly elsewhere rather than silently
+        // diverging: maxSamples needs a cross-pane running max no
+        // streaming window aggregation can express (with a
         // totalCountModifier the quirk degenerates away, so it streams),
-        // and the count-window rings are double-typed — reject those
-        // loudly rather than silently computing a diverging plain avg
+        // count-window rings are double-typed, and the streaming
+        // timeSliding pane wrapper routes values through doubles — a
+        // round-trip that would betray the exact-division contract for
+        // |avg| >= 2^53.
         require(!streaming || avgCompat.isEmpty ||
-          (avgCompat.contains("int") &&
-            (windowType == "timeTumbling" || windowType == "timeSliding")),
-          "streaming avgCompat: only int over time windows is supported " +
-            "(maxSamples needs a cross-pane running max)")
+          (avgCompat.contains("int") && windowType == "timeTumbling"),
+          "streaming avgCompat: only int over timeTumbling is supported " +
+            "(maxSamples needs a cross-pane running max; other window " +
+            "types route values through doubles)")
         val streamFn =
           if (fn == "avg" && avgCompat.contains("int")) "avgInt" else fn
         val agged =
