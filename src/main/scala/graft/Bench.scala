@@ -55,6 +55,31 @@ object Bench {
               graft.functions.TextFunctions.tokens(col("t")), portable = true),
             graft.operators.Similarity.cosineLshBandKeys(col("v"), 2, 2, 2))
           .count()
+        // whole-plan warm-up for the join-shaped dedup/ANN families: each
+        // compiles several large codegen classes (inverted-index join,
+        // banded self-joins, verify stages) whose first-invocation
+        // Janino+JIT cost would otherwise land inside one timed query.
+        // A 50-row in-memory input means none of the timed queries' data
+        // or caches are touched — this warms code paths, not data.
+        val tinyDocs = spark.range(50)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 12).map(i =>
+              concat(lit(s"w$i"), pmod(col("id") + i, lit(7)))): _*).as("text"))
+        graft.operators.Dedup.jaccardPairs(tinyDocs, "doc_id", "text", 3, 0.8,
+          persistShingles = false).count()
+        graft.operators.Dedup.minhashPairs(tinyDocs, "doc_id", "text", 3, 0.8,
+          persistShingles = false).count()
+        graft.operators.Dedup.simhashPairs(tinyDocs, "doc_id", "text", 3,
+          portable = true).count()
+        val tinyVecs = spark.range(50)
+          .select(col("id").as("vec_id"),
+            array((0 until 4).map(i =>
+              pmod(col("id") + i, lit(11)).cast("double")): _*).as("embedding"))
+        graft.operators.Dedup.embeddingPairs(tinyVecs, "vec_id", "embedding",
+          0.4).count()
+        graft.operators.Similarity.bruteForceKnn(
+          tinyVecs.where(col("vec_id") < 2), tinyVecs,
+          "vec_id", "embedding", 2).count()
       } catch { case _: Throwable => () }
     }
     // Optional comma-separated query filter for local iteration
