@@ -125,7 +125,8 @@ object SparkEntry {
           AggFunctions.vector("avg", col("v")).as("va"))
         .select(col("label"), posexplode(arrays_zip(col("vs"), col("va"))))
         .select(col("label"), (col("pos") + 1).cast("bigint").as("idx"),
-          round(col("col.vs"), 4).as("vsum"), round(col("col.va"), 4).as("vavg"))
+          (round(col("col.vs"), 4) + lit(0.0)).as("vsum"),
+          (round(col("col.va"), 4) + lit(0.0)).as("vavg"))
         .orderBy("label", "idx")
     }),
 
@@ -726,7 +727,7 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_vector_agg" ->
-      """SELECT label, i AS idx, round(sum(x), 4) AS vsum, round(avg(x), 4) AS vavg
+      """SELECT label, i AS idx, round(sum(x), 4) + 0.0 AS vsum, round(avg(x), 4) + 0.0 AS vavg
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) x,
         |             generate_subscripts(embedding, 1) i
         |      FROM embeddings)
@@ -1057,7 +1058,7 @@ object SparkEntry {
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
         |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
-        |SELECT qid, rank, cid, round(sim, 4) AS sim FROM (
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
         |  SELECT qid, cid, sim,
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY sim DESC, cid) AS rank
@@ -1076,7 +1077,7 @@ object SparkEntry {
         |      WHERE vec_id BETWEEN 100 AND 104),
         |s AS (SELECT q.qid, a.vec_id cid, list_cosine_similarity(q.qv, a.v) sim
         |      FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.qid)
-        |SELECT qid, rank, cid, round(sim, 4) AS sim FROM (
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
         |  SELECT qid, cid, sim,
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY sim DESC, cid) AS rank

@@ -36,7 +36,7 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
-        round(col("sim"), 4).as("sim"))
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
   /** Assign each vector to its nearest centroid by cosine (ties: lowest
@@ -106,7 +106,7 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
-        round(col("sim"), 4).as("sim"))
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
   /** Train IVF centroids with seeded k-means (deterministic).
@@ -321,6 +321,6 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
-        round(col("sim"), 4).as("sim"))
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 }
