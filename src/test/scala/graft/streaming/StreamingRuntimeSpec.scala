@@ -121,6 +121,41 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally { pub.stop(); q.stop() }
   }
 
+  test("filter-flogo.json replays end-to-end: rest trigger -> filter -> log") {
+    // the reference's third example app, loaded from its actual JSON:
+    // GET /test/:val -> non-zero filter (proceedOnlyOnEmit) -> log
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val app = Dsl.parseApp(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/filter-flogo.json"))))
+    // keyed by ACTION id ("simple_agg" — the example reuses agg-flogo's
+    // action name for its filter pipeline)
+    val p = app.pipelines("simple_agg")
+    assert(p.stages.map(_.ref) == Seq("filter", "log"))
+    val ingest = new RestIngest(0)
+    val port = ingest.start()
+    val schema = StructType(Seq(StructField("input", DoubleType)))
+    val q = Pipelines.compileStream(p, ingest.toDF(schema))
+      .writeStream.format("memory").queryName("filter_flogo_rows")
+      .outputMode("append").start()
+    def get(v: Int): Unit = {
+      val c = new java.net.URL(s"http://127.0.0.1:$port/ingest?input=$v")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(c.getResponseCode == 200); c.disconnect()
+    }
+    try {
+      Seq(0, 5, 0, 7).foreach(get)
+      q.processAllAvailable()
+      val msgs = s.sql(
+        "SELECT message FROM filter_flogo_rows ORDER BY message")
+        .collect().map(_.getString(0)).toSeq
+      // zeros are stalled by the filter (proceedOnlyOnEmit=true); the log
+      // stage sees only the surviving values
+      assert(msgs.length == 2 && msgs.forall(m => m.contains("5") || m.contains("7")),
+        s"unexpected log messages: $msgs")
+    } finally { q.stop(); ingest.stop() }
+  }
+
   test("rest trigger source: HTTP requests become pipeline events") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
