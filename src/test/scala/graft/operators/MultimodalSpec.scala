@@ -48,6 +48,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("true binary payloads (PNG-shaped, full byte range incl. NUL) survive the pipeline") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // deterministic pseudo-PNG payloads: real 8-byte PNG signature +
+    // pseudo-random body covering the full 0..255 byte range — the
+    // plumbing must be binary-safe (no string round-trip, no NUL or
+    // high-bit mangling), which text-derived payloads cannot prove
+    def pngish(seed: Int, n: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val rnd = new scala.util.Random(seed)
+      sig ++ Array.fill(n - sig.length)(rnd.nextInt(256).toByte)
+    }
+    val payloads = (0 until 20).map(i =>
+      Multimodal.MediaRecord(i.toLong, pngish(i, 64 + 97 * i),
+        "image/png", 16 + i, 16 + i))
+    val ds = s.createDataset(payloads).repartition(4)
+    val feats = Multimodal.extractFeatures(ds).collect().map(f => f.id -> f).toMap
+    payloads.foreach { p =>
+      val f = feats(p.id)
+      assert(f.nBytes == p.payload.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(p.payload).map("%02x".format(_)).mkString
+      assert(f.contentHash == md, s"binary payload ${p.id} hash mangled")
+      assert(f.meanByte ==
+        p.payload.map(_ & 0xff).sum.toDouble / p.payload.length)
+    }
+    // frame sampling slices the raw bytes, bit-exact
+    val frames = Multimodal.sampleFrames(ds, 1).collect()
+    frames.foreach { fr =>
+      val src = payloads(fr.id.toInt).payload
+      val expected = java.util.Arrays.copyOfRange(src,
+        math.min(fr.frame * 64, src.length),
+        math.min(fr.frame * 64 + 64, src.length))
+      assert(java.util.Arrays.equals(fr.bytes, expected),
+        s"frame ${fr.id}/${fr.frame} bytes mangled")
+    }
+    // resize pads with zero bytes beyond the source, preserving a prefix
+    val resized = Multimodal.resizeAll(ds, 256).collect()
+    resized.foreach { r =>
+      val src = payloads(r.id.toInt).payload
+      assert(r.payload.length == 256)
+      assert(java.util.Arrays.equals(r.payload.take(math.min(src.length, 256)),
+        src.take(256)))
+    }
+  }
+
   test("columnar metadata path agrees with the typed decode path") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Tables.documents(s, sf()).limit(20)
