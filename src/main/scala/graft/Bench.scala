@@ -55,32 +55,52 @@ object Bench {
               graft.functions.TextFunctions.tokens(col("t")), portable = true),
             graft.operators.Similarity.cosineLshBandKeys(col("v"), 2, 2, 2))
           .count()
-        // whole-plan warm-up for the join-shaped dedup/ANN families: each
-        // compiles several large codegen classes (inverted-index join,
-        // banded self-joins, verify stages) whose first-invocation
-        // Janino+JIT cost would otherwise land inside one timed query.
-        // A 50-row in-memory input means none of the timed queries' data
-        // or caches are touched — this warms code paths, not data.
+      } catch { case _: Throwable => () }
+      // Whole-plan warm-up for the join-shaped dedup/ANN families: each
+      // compiles several large codegen classes (inverted-index join,
+      // banded self-joins, verify stages, argmax/probe joins) whose
+      // first-invocation Janino+JIT cost would otherwise land inside one
+      // timed query. 50-row in-memory inputs mean none of the timed
+      // queries' data or caches are touched — this warms code paths, not
+      // data. Per-family try blocks: one failing warm-up must not skip
+      // the rest. persistShingles stays at its default so the cached
+      // InMemoryRelation stages the timed queries execute are compiled.
+      def warm(f: => Any): Unit =
+        try { f; () } catch { case _: Throwable => () }
+      locally {
+        import org.apache.spark.sql.functions._
         val tinyDocs = spark.range(50)
           .select(col("id").as("doc_id"),
             concat_ws(" ", (0 until 12).map(i =>
               concat(lit(s"w$i"), pmod(col("id") + i, lit(7)))): _*).as("text"))
-        graft.operators.Dedup.jaccardPairs(tinyDocs, "doc_id", "text", 3, 0.8,
-          persistShingles = false).count()
-        graft.operators.Dedup.minhashPairs(tinyDocs, "doc_id", "text", 3, 0.8,
-          persistShingles = false).count()
-        graft.operators.Dedup.simhashPairs(tinyDocs, "doc_id", "text", 3,
-          portable = true).count()
+        warm(graft.operators.Dedup
+          .jaccardPairs(tinyDocs, "doc_id", "text", 3, 0.8).count())
+        warm(graft.operators.Dedup
+          .minhashPairs(tinyDocs, "doc_id", "text", 3, 0.8).count())
+        warm(graft.operators.Dedup
+          .simhashPairs(tinyDocs, "doc_id", "text", 3, portable = true).count())
         val tinyVecs = spark.range(50)
           .select(col("id").as("vec_id"),
             array((0 until 4).map(i =>
               pmod(col("id") + i, lit(11)).cast("double")): _*).as("embedding"))
-        graft.operators.Dedup.embeddingPairs(tinyVecs, "vec_id", "embedding",
-          0.4).count()
-        graft.operators.Similarity.bruteForceKnn(
+        warm(graft.operators.Dedup
+          .embeddingPairs(tinyVecs, "vec_id", "embedding", 0.4).count())
+        warm(graft.operators.Similarity.bruteForceKnn(
           tinyVecs.where(col("vec_id") < 2), tinyVecs,
-          "vec_id", "embedding", 2).count()
-      } catch { case _: Throwable => () }
+          "vec_id", "embedding", 2).count())
+        warm {
+          val cents = graft.operators.Similarity
+            .trainCentroids(tinyVecs, "embedding", 4, maxIter = 2,
+              initMode = "random")
+          graft.operators.Similarity.ivfKnn(
+            tinyVecs.where(col("vec_id") < 2), tinyVecs,
+            "vec_id", "embedding", cents, "cell", "centroid", 2,
+            nProbe = 2).count()
+        }
+        warm(graft.operators.Similarity.lshKnn(
+          tinyVecs.where(col("vec_id") < 2), tinyVecs,
+          "vec_id", "embedding", dim = 4, k = 2).count())
+      }
     }
     // Optional comma-separated query filter for local iteration
     // (SPARK_GRAFT_ONLY=q_a,q_b); the driver never sets it.

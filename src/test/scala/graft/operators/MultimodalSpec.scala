@@ -92,6 +92,12 @@ class MultimodalSpec extends SparkSpec {
       assert(r.payload.length == 256)
       assert(java.util.Arrays.equals(r.payload.take(math.min(src.length, 256)),
         src.take(256)))
+      // the padding itself must be zero bytes — garbage padding (e.g. a
+      // charset replacement-char round-trip) is exactly the non-binary-
+      // safe behavior this test exists to rule out
+      if (src.length < 256)
+        assert(r.payload.drop(src.length).forall(_ == 0),
+          s"record ${r.id}: non-zero resize padding")
     }
   }
 

@@ -150,8 +150,9 @@ class StreamingRuntimeSpec extends SparkSpec {
         "SELECT message FROM filter_flogo_rows ORDER BY message")
         .collect().map(_.getString(0)).toSeq
       // zeros are stalled by the filter (proceedOnlyOnEmit=true); the log
-      // stage sees only the surviving values
-      assert(msgs.length == 2 && msgs.forall(m => m.contains("5") || m.contains("7")),
+      // stage sees BOTH surviving values exactly once
+      assert(msgs.length == 2 &&
+        msgs.exists(_.contains("5")) && msgs.exists(_.contains("7")),
         s"unexpected log messages: $msgs")
     } finally { q.stop(); ingest.stop() }
   }
