@@ -40,7 +40,7 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
                 replayData: Boolean = false, allDataAtOnce: Boolean = false)
                (implicit spark: SparkSession) {
 
-  implicit private val sqlCtx = spark.sqlContext
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   import spark.implicits._
   private val stream = MemoryStream[String]
   private val running = new AtomicBoolean(false)

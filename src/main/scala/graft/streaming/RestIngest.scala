@@ -25,7 +25,7 @@ import java.util.concurrent.atomic.AtomicLong
   */
 class RestIngest(port: Int)(implicit spark: SparkSession) {
 
-  implicit private val sqlCtx = spark.sqlContext
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   import spark.implicits._
   private val stream = MemoryStream[String]
   private val seq = new AtomicLong(0)
