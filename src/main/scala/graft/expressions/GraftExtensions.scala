@@ -48,8 +48,17 @@ object GraftExtensions {
       ("graft_simhash64",
         info(classOf[SimHash64Expr].getName, "graft_simhash64"),
         (args: Seq[Expression]) => {
-          require(args.length == 1, "graft_simhash64 takes (tokens)")
-          SimHash64Expr(args.head)
+          require(args.length == 1 || args.length == 2,
+            "graft_simhash64 takes (tokens[, portable])")
+          // portable=true switches the token hash to the md5-derived
+          // 64-bit form DuckDB can replicate (oracle-checkable pipelines)
+          val portable = args.length == 2 && (args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean,
+                org.apache.spark.sql.types.BooleanType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_simhash64 portable flag must be a boolean literal, got $other")
+          })
+          SimHash64Expr(args.head, portable)
         }),
       ("graft_text_stats",
         info(classOf[TextStats].getName, "graft_text_stats"),

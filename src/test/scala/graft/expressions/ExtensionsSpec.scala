@@ -38,6 +38,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getString(0).matches("[0-9a-f]{32}"))
     assert(row.getLong(2) == 2L)
     assert(row.getLong(3) >= 0L && row.getLong(3) < 16L)
+    // the portable (md5 token hash) variant is a distinct hash family —
+    // same tokens, different signature — and matches the Scala API form
+    val sh = s.sql(
+      """SELECT graft_simhash64(toks) AS sh,
+        |       graft_simhash64(toks, true) AS shp FROM kernel_probe"""
+        .stripMargin).collect()(0)
+    assert(sh.getLong(0) != sh.getLong(1))
+    val api = Seq(Seq("the", "cat")).toDF("toks")
+      .select(graft.expressions.TextExprs
+        .simhash64(col("toks"), portable = true)).collect()(0).getLong(0)
+    assert(sh.getLong(1) == api)
+    val e = intercept[Exception] {
+      s.sql("SELECT graft_simhash64(toks, 1) FROM kernel_probe").collect()
+    }
+    assert(e.getMessage.contains("boolean literal"))
   }
 
   test("graft_dot yields NULL for mismatched vector lengths, in both paths") {
