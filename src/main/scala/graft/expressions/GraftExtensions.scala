@@ -74,7 +74,22 @@ object GraftExtensions {
           HyperplaneBandKeys(args.head,
             litInt(args(1), "dim"), litInt(args(2), "bitsPerBand"),
             litInt(args(3), "numBands"), litLong(args(4), "seed"))
+        }),
+      // the canonical seeded permutation family (same constants the
+      // Dedup.minhashPairs pipeline uses), so SQL signatures join
+      // against Scala-side ones
+      ("graft_minhash_sig",
+        info(classOf[MinHashSig].getName, "graft_minhash_sig"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "graft_minhash_sig takes (tokens, numPerms)")
+          val n = litInt(args(1), "numPerms")
+          val ps = graft.operators.Dedup.perms(n)
+          MinHashSig(args.head, ps.map(_._1).toArray, ps.map(_._2).toArray)
         }))
+  // NearestCentroid is deliberately NOT SQL-registered: its centroid
+  // matrix is a runtime-collected reference object, not a literal a SQL
+  // call site could express — use Similarity.assignCells.
 
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>

@@ -152,7 +152,7 @@ object Dedup {
   // the canonical modulus lives next to the kernel so the (perms,
   // modulus) pair can never desynchronize across modules
   private val MinhashP = graft.expressions.MinHashKernel.P
-  private[operators] def perms(n: Int): Seq[(Long, Long)] = {
+  private[graft] def perms(n: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(n)(((rnd.nextInt(Int.MaxValue - 1).toLong | 1L),
       rnd.nextInt(Int.MaxValue - 1).toLong))

@@ -53,6 +53,15 @@ class ExtensionsSpec extends SparkSpec {
       s.sql("SELECT graft_simhash64(toks, 1) FROM kernel_probe").collect()
     }
     assert(e.getMessage.contains("boolean literal"))
+    // SQL minhash signatures use the same seeded permutation family as
+    // the Scala pipeline — identical signature values
+    val sqlSig = s.sql(
+      "SELECT graft_minhash_sig(toks, 16) FROM kernel_probe")
+      .collect()(0).getSeq[Long](0)
+    val apiSig = Seq(Seq("the", "cat")).toDF("toks")
+      .select(graft.operators.Dedup.minhashSignature(col("toks"), 16))
+      .collect()(0).getSeq[Long](0)
+    assert(sqlSig.length == 16 && sqlSig == apiSig)
   }
 
   test("graft_dot yields NULL for mismatched vector lengths, in both paths") {
