@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -131,11 +132,17 @@ object Md5Kernel {
     * fall back to MessageDigest. */
   def md5Hash64(s: UTF8String): Long = {
     val bytes = s.getBytes
-    if (bytes.length <= 55) md5Half64SingleBlock(bytes)
+    md5Hash64Range(bytes, 0, bytes.length)
+  }
+
+  /** Range form of [[md5Hash64]] — hashes `bytes[from, from+len)` with
+    * no subarray copy on the single-block path. */
+  def md5Hash64Range(bytes: Array[Byte], from: Int, len: Int): Long = {
+    if (len <= 55) md5Half64SingleBlock(bytes, from, len)
     else {
       val md = md5.get()
       md.reset()
-      md.update(bytes)
+      md.update(bytes, from, len)
       val d = md.digest()
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
         ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
@@ -157,12 +164,12 @@ object Md5Kernel {
   /** Single-block MD5 (message <= 55 bytes, so padding + the 64-bit
     * length fit one 512-bit block), returning the first 8 digest bytes
     * big-endian as a long (= big-endian of little-endian A then B). */
-  private def md5Half64SingleBlock(bytes: Array[Byte]): Long = {
+  private def md5Half64SingleBlock(bytes: Array[Byte], from: Int,
+                                   n: Int): Long = {
     val m = new Array[Int](16)
-    val n = bytes.length
     var i = 0
     while (i < n) {
-      m(i >> 2) |= (bytes(i) & 0xff) << ((i & 3) << 3)
+      m(i >> 2) |= (bytes(from + i) & 0xff) << ((i & 3) << 3)
       i += 1
     }
     m(n >> 2) |= 0x80 << ((n & 3) << 3)
@@ -240,6 +247,52 @@ object SimHashKernel {
     * Slower than XXH64 (full md5 per token) but still one projection. */
   def simhashMd5(tokens: ArrayData): Long = simhashImpl(tokens, portable = true)
 
+  /** Fused tokenize+hash form: lowercases the raw text and scans token
+    * spans (maximal runs of bytes outside Java-regex `\s` =
+    * [ \t\n\x0B\f\r]; multi-byte UTF-8 units are all >= 0x80 so the
+    * byte-level scan is UTF-8-safe), voting each span's hash directly —
+    * bit-identical to `simhash(tokens(text))` under the shared
+    * tokenization contract, with no intermediate token array, no regex,
+    * and no per-token UTF8String allocation. Returns null (boxed) for a
+    * text with zero tokens — the caller filters, mirroring the composed
+    * form's `size(tokens) > 0` guard. */
+  def simhashText(s: UTF8String, portable: Boolean): java.lang.Long = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val votes = new Array[Int](64)
+    var any = false
+    var i = 0
+    while (i < n) {
+      // skip separators
+      while (i < n && isSep(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSep(bytes(i))) i += 1
+      if (i > start) {
+        any = true
+        val h =
+          if (portable) Md5Kernel.md5Hash64Range(bytes, start, i - start)
+          else XXH64.hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    if (!any) null
+    else {
+      var r = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) r |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(r)
+    }
+  }
+
+  private def isSep(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
   private def simhashImpl(tokens: ArrayData, portable: Boolean): Long = {
     val n = tokens.numElements()
     val votes = new Array[Int](64)
@@ -299,6 +352,55 @@ case class SimHash64Expr(child: Expression, portable: Boolean = false)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Fused tokenize + SimHash over the RAW text column — the hot-path
+  * form [[graft.operators.Dedup.simhashTable]] uses. Bit-identical to
+  * `SimHash64Expr(tokens(text))` (spec-pinned over the corpus); null
+  * for a zero-token text, so callers filter `isNotNull` instead of
+  * pre-computing `size(tokens) > 0`. */
+case class SimHashFromText(child: Expression, portable: Boolean = false)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null input OR zero tokens
+  override def prettyName: String = "graft_simhash_text"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SimHashKernel.simhashText(v.asInstanceOf[UTF8String], portable)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("simhashBoxed")
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${c.isNull}) {
+          java.lang.Long $boxed =
+            graft.expressions.SimHashKernel.simhashText(${c.value}, $portable);
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromText =
     copy(child = newChild)
 }
 
@@ -512,4 +614,7 @@ object TextExprs {
 
   def simhash64(tokens: Column, portable: Boolean = false): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens), portable))
+
+  def simhashText(text: Column, portable: Boolean = false): Column =
+    ColumnBridge.column(SimHashFromText(ColumnBridge.expression(text), portable))
 }

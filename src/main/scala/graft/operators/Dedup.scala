@@ -239,12 +239,14 @@ object Dedup {
     * in DuckDB (`('0x' || substr(md5(t), 1, 16))::UBIGINT`), which makes
     * the whole SimHash dedup pipeline SQL-oracle-expressible. */
   def simhashTable(df: DataFrame, id: String, text: String,
-                   portable: Boolean = false): DataFrame = {
-    val toks = TextFunctions.tokens(col(text))
-    df.where(size(toks) > 0)
-      .select(col(id).as("doc"),
-        graft.expressions.TextExprs.simhash64(toks, portable).as("simhash"))
-  }
+                   portable: Boolean = false): DataFrame =
+    // fused tokenize+hash kernel: one pass over the raw text, no token
+    // array materialized; null = zero tokens (the composed form's
+    // `size(tokens) > 0` pre-filter, folded into the kernel)
+    df.select(col(id).as("doc"),
+        graft.expressions.TextExprs.simhashText(col(text), portable)
+          .as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming (<= 3
     * with the default 4-chunk pigeonhole banding: any pair within hamming 3
