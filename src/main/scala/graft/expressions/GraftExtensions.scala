@@ -75,6 +75,19 @@ object GraftExtensions {
             litInt(args(1), "dim"), litInt(args(2), "bitsPerBand"),
             litInt(args(3), "numBands"), litLong(args(4), "seed"))
         }),
+      ("graft_simhash_text",
+        info(classOf[SimHashFromText].getName, "graft_simhash_text"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            "graft_simhash_text takes (text[, portable])")
+          val portable = args.length == 2 && (args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean,
+                org.apache.spark.sql.types.BooleanType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_simhash_text portable flag must be a boolean literal, got $other")
+          })
+          SimHashFromText(args.head, portable)
+        }),
       // the canonical seeded permutation family (same constants the
       // Dedup.minhashPairs pipeline uses), so SQL signatures join
       // against Scala-side ones

@@ -55,6 +55,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("boolean literal"))
     // SQL minhash signatures use the same seeded permutation family as
     // the Scala pipeline — identical signature values
+    // fused text-form simhash from SQL == token-form on the same text
+    val fusedRow = s.sql(
+      """SELECT graft_simhash_text('the cat', true) AS f,
+        |       graft_simhash_text('   ') AS z FROM kernel_probe"""
+        .stripMargin).collect()(0)
+    assert(fusedRow.getLong(0) == sh.getLong(1)) // same tokens as toks
+    assert(fusedRow.isNullAt(1)) // zero tokens -> null
     val sqlSig = s.sql(
       "SELECT graft_minhash_sig(toks, 16) FROM kernel_probe")
       .collect()(0).getSeq[Long](0)
