@@ -94,8 +94,14 @@ object Dedup {
     // where the corpus never fits in cache) or clearCache() between runs.
     val sh0 = withShingles(df, id, text, n)
     val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
+    // Candidate generation works on HASHED shingles (8-byte keys instead
+    // of n-gram strings): a shared shingle always hashes equal on both
+    // sides, so no candidate is ever lost, and a collision can only ADD
+    // a candidate that exact verification then discards — exactness is
+    // unconditional, while the inverted index, df table, and self-join
+    // all shuffle narrow longs.
     val inv = sh.select(col("doc"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
     // global document frequency; a shared shingle has df >= 2 by
     // construction, so the df filter only enforces the skew cap
     val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
