@@ -85,6 +85,11 @@ object Bench {
               pmod(col("id") + i, lit(11)).cast("double")): _*).as("embedding"))
         warm(graft.operators.Dedup
           .embeddingPairs(tinyVecs, "vec_id", "embedding", 0.4).count())
+        // the 0.85 threshold dispatches to the banded-LSH branch — a
+        // separate plan family (band-key self-join + verify re-lookup)
+        warm(graft.operators.Dedup
+          .embeddingPairs(tinyVecs, "vec_id", "embedding", 0.85, dim = 4)
+          .count())
         warm(graft.operators.Similarity.bruteForceKnn(
           tinyVecs.where(col("vec_id") < 2), tinyVecs,
           "vec_id", "embedding", 2).count())
@@ -110,27 +115,72 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // A failed query records -1 (an explicit error marker) rather than its
-    // partial elapsed time, so a broken query can never flatter the total.
+    // Per-task executor-run and JVM-GC time, accumulated across the whole
+    // session; snapshotted around each run so a stalled run's nature shows
+    // up in the stderr log: wall >> task time = driver-side (planning /
+    // codegen / scheduling / external CPU contention), task time ~ wall *
+    // cores = genuine compute. Listener-bus delivery is async, so the
+    // attribution is approximate — fine for forensics, never in the JSON.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) {
+            taskMs.addAndGet(te.taskMetrics.executorRunTime)
+            gcMs.addAndGet(te.taskMetrics.jvmGCTime)
+            ()
+          }
+      })
+    // Each query runs `reps` times and reports the MEDIAN: two driver
+    // rounds in a row had one query's single-shot time blow up 5-10x over
+    // its local/adjacent-round time (r4 simhash 18.3 s, r5 embedding
+    // 12.0 s), and a one-off stall in a single-shot harness is
+    // indistinguishable from a real regression. The per-run times stay
+    // visible in "runs" so a stall is still reported, just not graded.
+    // A failed query records -1 (an explicit error marker) rather than a
+    // partial time, so a broken query can never flatter the total.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = Vector.newBuilder[Double]
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val (task0, gc0) = (taskMs.get(), gcMs.get())
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times += dt
+          System.err.println(f"[bench] $name run${r + 1} wall=$dt%.2fs " +
+            f"task=${(taskMs.get() - task0) / 1e3}%.2fs " +
+            f"gc=${(gcMs.get() - gc0) / 1e3}%.2fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed = true
+        }
+        r += 1
+      }
+      val ts = times.result()
+      val median =
+        if (failed) -1.0 else ts.sorted.apply((ts.length - 1) / 2)
+      name -> (median, ts)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val runs = results.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (m, _)) if m < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // a run with ANY failed query has no meaningful total: summing only
     // the survivors would report a LOWER total when an expensive query
     // breaks — the run must read as invalid, not as a speedup
     val total =
-      if (results.values.exists(_ < 0)) -1.0
-      else results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      if (results.values.exists(_._1 < 0)) -1.0
+      else results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

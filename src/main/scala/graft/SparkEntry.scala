@@ -291,6 +291,27 @@ object SparkEntry {
           |ORDER BY region, nation""".stripMargin)
     }),
 
+    // cube: all 2^n grouping-set combinations in one pass (adds the
+    // (nation-only) slice ROLLUP lacks). Same SQL-parsed construction as
+    // q_rollup — see that query's note on the Dataset API's
+    // ambiguous-self-join check.
+    "q_cube" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rg"), col("n_name").as("nt"),
+          col("c_acctbal"))
+        .createOrReplaceTempView("q_cube_in")
+      s.sql(
+        """SELECT coalesce(rg, 'ALL') AS region,
+          |       coalesce(nt, 'ALL') AS nation,
+          |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+          |FROM q_cube_in GROUP BY CUBE (rg, nt)
+          |ORDER BY region, nation""".stripMargin)
+    }),
+
     // pre-aggregate the fact side BEFORE the dimension join: the shuffle
     // carries one row per customer, and the join build side broadcasts
     "q_topk" -> ((s, d) =>
@@ -402,6 +423,29 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", 0.4)
         .orderBy("id1", "id2")),
+
+    // same operator at a near-dup threshold: 0.85 dispatches to the
+    // banded-LSH branch (embeddingPairsLsh), so BOTH candidate-generation
+    // strategies are oracle-gated. The testdata embeddings are near-random
+    // (max pairwise cosine ~0.51), so the corpus is augmented with
+    // deterministically shifted copies (x + 0.08 per element, reproduced
+    // verbatim in the DuckDB oracle): their self-pair cosines spread over
+    // ~[0.76, 0.90], so the 0.85 cut is a real per-pair decision (~80
+    // pairs pass at every SF), not a vacuous 0-row match. dim is passed
+    // explicitly so the gate path is fully lazy — no driver-side collect
+    // anywhere. Deterministic planes + the 1e-9 per-pair miss bound make
+    // the exact quadratic SQL a valid oracle; DedupSpec additionally pins
+    // LSH == exact.
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      val base = emb(s, d)
+        .select(col("vec_id"), VF.asDoubles(col("embedding")).as("embedding"))
+      val shifted = base.where(col("vec_id") < 250)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
+      Dedup.embeddingPairs(base.unionAll(shifted), "vec_id", "embedding",
+          0.85, dim = 64)
+        .orderBy("id1", "id2")
+    }),
 
     // ---- similarity search ----
 
@@ -816,6 +860,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*)::BIGINT AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
     "q_star_join" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
@@ -1050,6 +1102,24 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |                             b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    // exact quadratic oracle for the LSH branch: valid because the banded
+    // candidate generation is deterministic with a 1e-9 per-pair miss
+    // bound and verification reports the TRUE cosine. The shifted-copy
+    // construction must stay element-wise identical to the Spark side
+    // (float->double cast, then + 0.08 — both exact IEEE ops).
+    "q_dedup_embedding_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.08)
+        |  FROM base WHERE vec_id < 250)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.85
         |ORDER BY id1, id2""".stripMargin,
 
     "q_knn_bruteforce" ->

@@ -37,6 +37,15 @@ object Channels {
   private val channels = TrieMap.empty[String, Backend]
   private val pubSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-micro-batch row cap for the MEMORY transport, enforcing its
+    * "dev/test only" contract: the memory backend collects every published
+    * batch to the driver, so a pipeline shipping real volume through it
+    * becomes a silent driver bottleneck (and eventually an OOM). Above the
+    * cap the publishing stream FAILS LOUDLY with the remedy in the
+    * message, rather than degrading quietly. The file backend has no cap —
+    * its data plane is executor-side. */
+  @volatile var memoryBatchRowCap: Int = 100000
+
   /** Route channels created from now on through per-channel append
     * directories under `root` (distributed data plane). Clears existing
     * channels. */
@@ -79,15 +88,25 @@ object Channels {
     * StreamingQuery so callers control lifecycle. */
   def publish(name: String, df: DataFrame)
              (implicit spark: SparkSession) = {
-    val payload = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    val payload =
+      df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
     channel(name) match {
       case Mem(st) =>
         // in-process transport: the collect IS the transport (rows must
-        // reach the driver-held MemoryStream). Dev/test only by contract.
+        // reach the driver-held MemoryStream). Dev/test only by contract,
+        // enforced by memoryBatchRowCap: collect at most cap+1 rows (so
+        // driver memory stays bounded even for a wildly over-cap batch),
+        // and fail the stream if the cap is exceeded.
+        val cap = memoryBatchRowCap
         payload.writeStream
           .outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val rows = batch.collect().map(_.getString(0))
+            val rows = batch.limit(cap + 1).collect().map(_.getString(0))
+            if (rows.length > cap) throw new IllegalStateException(
+              s"memory channel '$name' batch exceeds $cap rows: the memory " +
+                "transport collects every batch to the driver and is for " +
+                "dev/test only — use Channels.useFileBackend (distributed " +
+                "data plane) or raise Channels.memoryBatchRowCap deliberately")
             if (rows.nonEmpty) st.addData(rows.toSeq)
             ()
           }

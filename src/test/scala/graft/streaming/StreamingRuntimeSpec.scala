@@ -87,6 +87,51 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally Channels.useMemoryBackend()
   }
 
+  test("memory channel fails loudly above its per-batch row cap") {
+    // the memory transport's "dev/test only" contract is enforced, not
+    // just documented: a batch above the cap kills the publishing stream
+    // with a message naming the remedy, instead of silently funnelling
+    // cluster-scale volume through the driver
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    Channels.reset()
+    val oldCap = Channels.memoryBatchRowCap
+    Channels.memoryBatchRowCap = 3
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Int]
+    val pub = Channels.publish("capped", input.toDF())
+    try {
+      input.addData(1, 2, 3, 4)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        pub.processAllAvailable()
+      }
+      val causes = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).toSeq
+      assert(causes.exists(m => m != null &&
+        m.contains("memory channel 'capped' batch exceeds 3 rows")),
+        s"cap violation not surfaced: $causes")
+
+      // at-or-under-cap traffic still flows (fresh channel, same cap)
+      val ok = MemoryStream[Int]
+      val pub2 = Channels.publish("under_cap", ok.toDF())
+      val sub = Channels.subscribe("under_cap",
+        StructType(Seq(StructField("value", IntegerType))))
+      val q = sub.writeStream.format("memory").queryName("under_cap_rows")
+        .outputMode("append").start()
+      try {
+        ok.addData(7, 8, 9)
+        pub2.processAllAvailable()
+        q.processAllAvailable()
+        assert(s.sql("SELECT count(*) FROM under_cap_rows")
+          .collect()(0).getLong(0) == 3L)
+      } finally { pub2.stop(); q.stop() }
+    } finally {
+      try pub.stop() catch { case _: Throwable => () }
+      Channels.memoryBatchRowCap = oldCap
+      Channels.reset()
+    }
+  }
+
   test("runStream auto-publishes to the definition's outputChannel (e2e)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
