@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale validation: replicate the sf0.1 tables k-fold
+  * IN MEMORY (no writes outside the repo) and time the heavy operators
+  * at 1x / 4x / 10x, so SCALE.md's "would this survive 100x" claims are
+  * measured growth exponents, not prose.
+  *
+  * Replication must create DECORRELATED data, or the measurement lies:
+  * identical copies make every original near-dup pair appear k^2/2
+  * times (output — and candidate work — would grow quadratically with a
+  * corpus that is really just "the same data again"). Instead:
+  *  - documents: copy i rewrites every token w -> w_i. Token renaming is
+  *    a bijection per copy, so WITHIN a copy the shingle-set structure
+  *    (and thus every jaccard/minhash/simhash relation) is preserved
+  *    exactly, while across copies no shingle collides — k-fold more
+  *    distinct documents, the same per-document statistics. n_chars
+  *    grows slightly; ids are offset per copy.
+  *  - embeddings: copy i flips the sign of a per-(copy, dim) hash-chosen
+  *    half of the dimensions. Sign patterns are fixed per copy, so
+  *    within-copy cosines are EXACTLY preserved (x.y == sx.sy for the
+  *    same sign vector s), while cross-copy cosines are decorrelated
+  *    (expected overlap of two random half-flips ~ 0).
+  *  - lineitem: ids offset per copy; measure aggregation both on keys
+  *    whose cardinality grows with data (orderkey) and on constant-
+  *    cardinality keys (returnflag/linestatus — the map-side-combine
+  *    regime).
+  *
+  * Scales, reps and the query list are env-tunable; caches are cleared
+  * between scales so each scale is measured cold on its own data.
+  * Output: one JSON line per scale {"scale":k,"times":{...}}; the
+  * growth-exponent table lives in SCALE.md.
+  */
+object ScaleProbe {
+
+  private def replicateDocs(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) base
+      else base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$i")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+  private def replicateEmb(base: DataFrame, k: Int): DataFrame = {
+    val asD = graft.functions.VectorFunctions.asDoubles(col("embedding"))
+    (0 until k).map { i =>
+      if (i == 0) base.select(col("vec_id"), asD.as("embedding"), col("label"))
+      else base.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(asD, (x, j) =>
+          x * (lit(1.0) - lit(2.0) *
+            pmod(xxhash64(j + lit(i * 131L)), lit(2)).cast("double")))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def replicateLineitem(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) base
+      else base.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.operators.{Dedup, Similarity}
+
+    // one tiny pass per plan family so scale-1 doesn't pay codegen/JIT
+    locally {
+      val d0 = replicateDocs(engine.Tables.documents(spark, sfDir), 2)
+        .where(col("doc_id") % 100 === 0)
+      val e0 = replicateEmb(engine.Tables.embeddings(spark, sfDir), 2)
+        .where(col("vec_id") % 100 === 0)
+      Dedup.jaccardPairs(d0, "doc_id", "text", 3, 0.8,
+        persistShingles = false).count()
+      Dedup.minhashPairs(d0, "doc_id", "text", 3, 0.8,
+        persistShingles = false).count()
+      Dedup.simhashPairs(d0, "doc_id", "text", 3).count()
+      Dedup.exactGroups(d0, "doc_id", "text").count()
+      Dedup.embeddingPairs(e0, "vec_id", "embedding", 0.85, dim = 64).count()
+      Dedup.embeddingPairs(e0, "vec_id", "embedding", 0.4).count()
+      Similarity.bruteForceKnn(e0.limit(5), e0, "vec_id", "embedding", 10)
+        .count()
+      spark.catalog.clearCache()
+    }
+
+    scales.foreach { k =>
+      val docs = replicateDocs(engine.Tables.documents(spark, sfDir), k)
+      val emb = replicateEmb(engine.Tables.embeddings(spark, sfDir), k)
+      val li = replicateLineitem(engine.Tables.lineitem(spark, sfDir), k)
+
+      val queries: Seq[(String, () => Long)] = Seq(
+        "dedup_exact" -> (() =>
+          Dedup.exactGroups(docs, "doc_id", "text").count()),
+        "dedup_jaccard" -> (() =>
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+            persistShingles = false).count()),
+        "dedup_minhash" -> (() =>
+          Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8,
+            persistShingles = false).count()),
+        "dedup_simhash" -> (() =>
+          Dedup.simhashPairs(docs, "doc_id", "text", 3).count()),
+        "dedup_emb_lsh_085" -> (() =>
+          Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.85, dim = 64)
+            .count()),
+        // exact quadratic branch: expected exponent ~2, kept here so the
+        // probe DOCUMENTS the inherent O(n^2) rather than hiding it
+        "dedup_emb_blocked_04" -> (() =>
+          Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4).count()),
+        "knn_bruteforce" -> (() =>
+          Similarity.bruteForceKnn(
+            emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+            .count()),
+        "agg_constant_groups" -> (() =>
+          li.groupBy("l_returnflag", "l_linestatus")
+            .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+            .count()),
+        "agg_growing_groups" -> (() =>
+          li.groupBy("l_orderkey").agg(sum("l_quantity")).count())
+      )
+
+      val times = queries.map { case (name, run) =>
+        val t0 = System.nanoTime()
+        val n = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[probe] scale=$k $name%-22s $dt%7.2fs rows=$n")
+        s""""$name":${"%.3f".format(dt)}"""
+      }
+      spark.catalog.clearCache()
+      println(s"""{"scale":$k,"times":{${times.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}

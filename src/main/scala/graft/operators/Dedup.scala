@@ -416,7 +416,13 @@ object Dedup {
     val binned = vBase.select(col("vid"), posexplode(
       Similarity.cosineLshBandKeys(col("v"), d, bits, bands))
       .as(Seq("band", "bkey")))
-    val cand = binned.as("a").join(binned.as("b"),
+    // the exploded band table is `bands`x the source rows, but Catalyst
+    // sizes it from the parquet scan and happily BROADCASTS it (a 1M-row
+    // single-threaded HashedRelation build at sf0.1; at corpus scale the
+    // driver would OOM). Force the shuffle hash join the scaladoc
+    // promises: partition by (band, bkey), build per-partition maps.
+    val cand = binned.hint("shuffle_hash").as("a")
+      .join(binned.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"))

@@ -269,11 +269,23 @@ object Similarity {
 
   /** Banding parameters for a target per-pair miss probability at the
     * given cosine threshold: the largest bitsPerBand whose required band
-    * count stays within `maxBands`. Returns (bitsPerBand, numBands). */
-  def bandingFor(threshold: Double, maxBands: Int = 128,
+    * count stays within `maxBands`. Returns (bitsPerBand, numBands).
+    *
+    * Maximizing bits first is what makes the self-join scale: the
+    * expected RANDOM-pair candidate count is ~ pairs * numBands *
+    * 0.5^bits, so each extra bit halves the quadratic term while the
+    * band count (linear hashing + shuffle cost) grows only ~1/p per
+    * bit. An undersized band budget is a scale trap — at maxBands=128
+    * a 0.85 threshold got 9-bit keys (512 buckets/band), and a 10x
+    * corpus saturated the key space: candidates grew ~n^2/5 and the
+    * probe clocked 29x wall at 10x data. At 512 bands the same
+    * threshold gets 16-bit keys, a 27x smaller collision factor, and
+    * near-linear growth; the cost is bands*n small (id, key) shuffle
+    * rows — linear, and the only alternative to quadratic candidates. */
+  def bandingFor(threshold: Double, maxBands: Int = 512,
                  targetMiss: Double = 1e-9): (Int, Int) = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val candidates = (16 to 1 by -1).iterator.map { b =>
+    val candidates = (32 to 1 by -1).iterator.map { b =>
       val pBand = math.pow(p, b)
       val l = math.max(1,
         math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)

@@ -206,7 +206,7 @@ class DedupSpec extends SparkSpec {
     // higher thresholds afford longer bands (pruning-heavy); both stay
     // within the band budget and meet the 1e-9 per-pair miss target
     assert(bHigh > bLow, s"expected more bits at 0.9: $bHigh vs $bLow")
-    assert(lLow <= 128 && lHigh <= 128)
+    assert(lLow <= 512 && lHigh <= 512)
     def miss(t: Double, b: Int, l: Int): Double = {
       val p = 1.0 - math.acos(t) / math.Pi
       math.pow(1.0 - math.pow(p, b), l)
