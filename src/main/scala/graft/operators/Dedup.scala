@@ -106,7 +106,13 @@ object Dedup {
     // construction, so the df filter only enforces the skew cap
     val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf && col("df") >= 2)
-    val invR = inv.join(dfs, "s")
+    // every join below is corpus x corpus — both sides grow with the
+    // data, so none may ever broadcast. Catalyst's size estimate under
+    // an explode comes from the scan BENEATH it (bytes / multiplier
+    // blind), so at mid scale the exploded side looks broadcastable and
+    // the driver builds a multi-GB HashedRelation. Pin the shuffle hash
+    // join: partition by the join key, build per-partition maps.
+    val invR = inv.hint("shuffle_hash").join(dfs.hint("shuffle_hash"), "s")
     // prefix index: each doc's rarest shingles, enough that any pair
     // with capped-set jaccard >= t must collide inside both prefixes
     val byRarity = Window.partitionBy(col("doc"))
@@ -122,7 +128,8 @@ object Dedup {
     // (it is ~20% of the inverted index; at 100 TB you'd materialize it
     // to storage the same way)
     val prefix = if (persistShingles) cachedIdempotent(prefix0) else prefix0
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val cand = prefix.hint("shuffle_hash").as("a")
+      .join(prefix.hint("shuffle_hash").as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
@@ -136,8 +143,10 @@ object Dedup {
     * Jaccard >= threshold. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
-    val x = sh.select(col("doc").as("d1"), col("sh").as("sh1"))
-    val y = sh.select(col("doc").as("d2"), col("sh").as("sh2"))
+    // shingle-set lookups are corpus-sized (full arrays) — never
+    // broadcast them; shuffle on the candidate ids instead
+    val x = sh.select(col("doc").as("d1"), col("sh").as("sh1")).hint("shuffle_hash")
+    val y = sh.select(col("doc").as("d2"), col("sh").as("sh2")).hint("shuffle_hash")
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val uni = (size(col("sh1")) + size(col("sh2"))).cast("double") -
       size(array_intersect(col("sh1"), col("sh2"))).cast("double")
@@ -209,7 +218,9 @@ object Dedup {
         xxhash64(lit(bI) +: (0 until rowsPerBand).map(r =>
           col("sig").getItem(bI * rowsPerBand + r)): _*)
       }: _*)).as(Seq("band", "bkey")))
-    val cand = bands.as("a").join(bands.as("b"),
+    // corpus x corpus band join: see the jaccard note — pin shuffle hash
+    val cand = bands.hint("shuffle_hash").as("a")
+      .join(bands.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
@@ -269,7 +280,9 @@ object Dedup {
       array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
       .as(Seq("chunk", "ckey")))
-    val cand = chunks.as("a").join(chunks.as("b"),
+    // corpus x corpus chunk join: see the jaccard note — pin shuffle hash
+    val cand = chunks.hint("shuffle_hash").as("a")
+      .join(chunks.hint("shuffle_hash").as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("a.simhash").as("h1"),
@@ -364,7 +377,8 @@ object Dedup {
       .withColumnRenamed("blk", "k1")
     val right = v.withColumn("k1", explode(filter(blockIds, i => i <= col("blk"))))
       .withColumnRenamed("blk", "k2")
-    left.as("a").join(right.as("b"),
+    left.hint("shuffle_hash").as("a")
+      .join(right.hint("shuffle_hash").as("b"),
         col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
           // same-block pairs appear in both orientations; keep one.
           // cross-block pairs appear exactly once (in whichever id order
@@ -427,8 +441,12 @@ object Dedup {
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"))
       .distinct()
+    // vector lookups are corpus-sized (full embeddings) — never
+    // broadcast; shuffle on the candidate ids
     val x = vBase.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      .hint("shuffle_hash")
     val y = vBase.select(col("vid").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      .hint("shuffle_hash")
     cand.join(x, "id1").join(y, "id2")
       .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .where(col("cosine") >= threshold)
