@@ -107,6 +107,34 @@ class PlanPropertiesSpec extends SparkSpec {
       s"one aggregation exchange expected:\n$p")
   }
 
+  test("dedup corpus-by-corpus joins never broadcast (shuffle-hash pinned)") {
+    // Catalyst sizes an exploded table from the scan beneath it, so every
+    // corpus-derived join side in the dedup family looks broadcastable at
+    // small SF and becomes a driver OOM at scale. The operators pin
+    // shuffle_hash; this guard fails if a refactor (or a Spark upgrade
+    // changing hint resolution) lets a broadcast back in.
+    for (q <- Seq("q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+                  "q_dedup_embedding", "q_dedup_embedding_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastHashJoin") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not broadcast a corpus-derived side:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q candidate generation must be a shuffled equi-join:\n$p")
+    }
+  }
+
+  test("q_decontaminate: benchmark side broadcasts, corpus side streams") {
+    // the inverse contract: decontamination's benchmark set is bounded,
+    // so broadcasting it (and ONLY it) is the right plan — the corpus
+    // never shuffles on document bodies
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastExchange"),
+      s"benchmark n-gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for the contamination join:\n$p")
+  }
+
   test("q_skew_salted: two shuffles, partial aggregation on both phases") {
     val p = plan("q_skew_salted")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
