@@ -312,6 +312,27 @@ object SparkEntry {
           |ORDER BY region, nation""".stripMargin)
     }),
 
+    // explicit GROUPING SETS: hand-picked slices ((region), (nation)) in
+    // ONE Expand pass — the shape neither ROLLUP nor CUBE expresses
+    // (two independent single-dimension aggregations, no grand total,
+    // no cross product). Same SQL-parsed construction as q_rollup.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rg"), col("n_name").as("nt"),
+          col("c_acctbal"))
+        .createOrReplaceTempView("q_gsets_in")
+      s.sql(
+        """SELECT coalesce(rg, 'ALL') AS region,
+          |       coalesce(nt, 'ALL') AS nation,
+          |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+          |FROM q_gsets_in GROUP BY GROUPING SETS ((rg), (nt))
+          |ORDER BY region, nation""".stripMargin)
+    }),
+
     // pre-aggregate the fact side BEFORE the dimension join: the shuffle
     // carries one row per customer, and the join build side broadcasts
     "q_topk" -> ((s, d) =>
@@ -867,6 +888,15 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*)::BIGINT AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))
+        |ORDER BY region, nation""".stripMargin,
 
     "q_star_join" ->
       """SELECT n_name,
