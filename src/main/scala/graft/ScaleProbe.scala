@@ -66,6 +66,16 @@ object ScaleProbe {
       else base.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
     }.reduce(_ unionAll _)
 
+  /** New users per copy: per-user event streams keep their exact shape,
+    * so keyed time joins grow linearly in users — real corpus growth. */
+  private def replicateEvents(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,6 +115,7 @@ object ScaleProbe {
       val docs = replicateDocs(engine.Tables.documents(spark, sfDir), k)
       val emb = replicateEmb(engine.Tables.embeddings(spark, sfDir), k)
       val li = replicateLineitem(engine.Tables.lineitem(spark, sfDir), k)
+      val events = replicateEvents(engine.Tables.events(spark, sfDir), k)
 
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
@@ -133,7 +144,36 @@ object ScaleProbe {
             .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
             .count()),
         "agg_growing_groups" -> (() =>
-          li.groupBy("l_orderkey").agg(sum("l_quantity")).count())
+          li.groupBy("l_orderkey").agg(sum("l_quantity")).count()),
+        // benchmark side FIXED (copy-0 docs) while the corpus grows:
+        // the broadcast-semi-join shape must stay linear in the corpus
+        "decontaminate" -> (() =>
+          operators.Contamination.flagContaminated(
+            docs, "doc_id", "text",
+            engine.Tables.documents(spark, sfDir).where(col("doc_id") < 50),
+            "doc_id", "text", 8).count()),
+        "asof_join" -> (() => {
+          val purchases = events.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"))
+          val clicks = events.where(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+            Map("click_id" -> "event_id", "click_value" -> "value")).count()
+        }),
+        "range_join" -> (() => {
+          val purchases = events.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"))
+          val clicks = events.where(col("event_type") === "click")
+            .select(col("event_id").as("c_id"), col("user_id"), col("ts"))
+          operators.RangeJoin.timeRange(purchases, clicks, "user_id", "ts",
+            3600000L, 3600000L).count()
+        }),
+        "text_analysis" -> (() =>
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.textStats(col("text")).as("st"),
+            graft.functions.TextFunctions.langId(col("text")).as("lang"),
+            graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+            .where(col("lang").isNotNull).count())
       )
 
       val times = queries.map { case (name, run) =>
