@@ -214,4 +214,25 @@ class DedupSpec extends SparkSpec {
     assert(miss(0.4, bLow, lLow) <= 1e-9)
     assert(miss(0.9, bHigh, lHigh) <= 1e-9)
   }
+
+  test("banding collision factor stays sub-quadratic at dedup thresholds") {
+    // The scale property behind the round-6 fix: expected RANDOM-pair
+    // candidates ~ pairs * bands * 0.5^bits. An undersized band budget
+    // once yielded 9-bit keys at 0.85 (factor 0.19 — candidates ~ n^2/5,
+    // key space saturated at ~10k vectors). Pin the factor low at every
+    // threshold the auto-dispatch sends to LSH, so a bandingFor tweak
+    // that silently re-fattens the quadratic term fails here.
+    // the bound tightens with the threshold because LSH's fundamental
+    // n^(1+rho) trade does: at 0.8 the 1e-9 miss target under a 512-band
+    // budget can only buy 14-bit keys (factor ~0.03), while at >= 0.85
+    // anything above 0.01 means the budget regressed
+    for ((t, bound) <- Seq(0.8 -> 0.05, 0.85 -> 0.01, 0.9 -> 0.001,
+                           0.95 -> 0.0001)) {
+      val (b, l) = Similarity.bandingFor(t)
+      val factor = l * math.pow(0.5, b)
+      assert(factor <= bound,
+        f"threshold $t: bits=$b bands=$l collision factor $factor%.4f " +
+          f"allows ~quadratic random candidates (bound $bound)")
+    }
+  }
 }
