@@ -176,7 +176,13 @@ object ScaleProbe {
             .where(col("lang").isNotNull).count())
       )
 
-      val times = queries.map { case (name, run) =>
+      // SPARK_GRAFT_PROBE_ONLY=a,b limits the probe (e.g. skip the
+      // by-design-quadratic blocked branch when probing extra decades)
+      val selected = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+        .map(names => queries.filter(q => names(q._1)))
+        .getOrElse(queries)
+      val times = selected.map { case (name, run) =>
         val t0 = System.nanoTime()
         val n = run()
         val dt = (System.nanoTime() - t0) / 1e9
