@@ -499,12 +499,36 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    // hash-derived hyperplanes — not oracle-expressible; rows-only check
-    // + SimilaritySpec pins recall@3 >= 0.6 against brute force
+    // Exhaustive-probe trained IVF: same k-means centroids, but
+    // nProbe = #cells (16) probes EVERY cell, so the search is exact
+    // regardless of what training produced — each corpus vector sits in
+    // exactly one cell and every cell is scanned. That makes the whole
+    // trained path (train -> assign -> probe -> rank) oracle-checkable
+    // against plain brute-force SQL; the pruned nProbe=4 variant above
+    // keeps covering the approximate probe behavior (recall floor in
+    // IvfTrainedSpec).
+    "q_knn_ivf_trained_exact" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = Similarity.trainCentroids(e, "embedding", 16,
+        maxIter = 10, sampleFraction = 0.5, initMode = "random")
+      Similarity.ivfKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
+          cent, "cell", "centroid", 3, nProbe = 16)
+        .orderBy("qid", "rank")
+    }),
+
+    // Banded random-hyperplane LSH at a measured-recall-1.0 band budget:
+    // 4 bits x 48 bands misses a true neighbor at cosine s with per-pair
+    // probability (1 - p^4)^48 (p = 1 - acos(s)/pi); measured as EXACT
+    // top-3 equality vs brute force at sf0.001/sf0.01/sf0.1. Planes are
+    // seeded-deterministic, so the recall is a property of the config,
+    // not of a lucky run — which is what lets this gate use the
+    // brute-force SQL oracle. The config trades pruning for exactness
+    // (near-random 64-d vectors are LSH's worst case); the 6x24 default
+    // stays the practical ANN setting, recall-floored in SimilaritySpec.
     "q_knn_lsh" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
-          64, 3)
+          64, 3, bitsPerBand = 4, numBands = 48)
         .orderBy("qid", "rank")
     }),
 
@@ -1177,6 +1201,37 @@ object SparkEntry {
         |      WHERE vec_id BETWEEN 100 AND 104),
         |s AS (SELECT q.qid, a.vec_id cid, list_cosine_similarity(q.qv, a.v) sim
         |      FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.qid)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // Exhaustive probe (nProbe = #cells) makes trained IVF exact, so the
+    // oracle is plain brute force — identical to q_knn_bruteforce.
+    "q_knn_ivf_trained_exact" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // The 4x48 band budget has measured recall 1.0 (exact top-3 equality)
+    // at every test scale with deterministic planes, so brute force is a
+    // valid oracle for the gate config.
+    "q_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
         |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
         |  SELECT qid, cid, sim,
         |         row_number() OVER (PARTITION BY qid

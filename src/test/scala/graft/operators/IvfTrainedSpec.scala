@@ -35,4 +35,25 @@ class IvfTrainedSpec extends SparkSpec {
     val b = cent2.orderBy("cell").collect().map(_.getSeq[Double](1))
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("exhaustive probe (nProbe = #cells) makes trained IVF exact") {
+    // the q_knn_ivf_trained_exact gate: probing every cell scans every
+    // corpus vector exactly once (each sits in one cell), so the result
+    // must equal brute force whatever k-means produced — which is what
+    // licenses the gate's brute-force SQL oracle
+    val s = spark
+    val emb = Tables.embeddings(s, sf())
+    val cent = Similarity.trainCentroids(emb, "embedding", 16,
+      maxIter = 10, sampleFraction = 0.5, initMode = "random")
+    val queries = emb.where(col("vec_id") < 20)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val exact = tuples(
+      Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3))
+    val exhaustive = tuples(Similarity.ivfKnn(queries, emb, "vec_id",
+      "embedding", cent, "cell", "centroid", 3, nProbe = 16))
+    assert(exhaustive == exact)
+  }
 }

@@ -85,6 +85,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@3 $recall below 0.6")
   }
 
+  test("lsh knn at the gate band budget (4x48) equals brute force exactly") {
+    // the q_knn_lsh gate config: deterministic planes make recall a
+    // property of the config, and at 4 bits x 48 bands the measured
+    // recall is 1.0 — so the whole (qid, rank, cid, sim) tuple must
+    // match brute force, which is what licenses its SQL oracle row
+    val queries = emb.where(col("vec_id") < 20)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val exact = tuples(
+      Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3))
+    val gated = tuples(Similarity.lshKnn(queries, emb, "vec_id", "embedding",
+      64, 3, bitsPerBand = 4, numBands = 48))
+    assert(gated == exact)
+  }
+
   test("lsh knn candidates share at least one band with the query") {
     val out = Similarity.lshKnn(emb.where(col("vec_id") < 5), emb,
       "vec_id", "embedding", 64, 3)
