@@ -174,6 +174,26 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("ws"), col("n"), col("sv"))
         .orderBy("ws")),
 
+    // Watermark late-data gate: REAL Structured Streaming execution.
+    // Events are replayed as 4 arrival micro-batches (md5-hash chunks, so
+    // every chunk spans the whole month and chunks 2-4 carry genuinely
+    // late rows), with a 45-minute watermark over 1-hour windows. A late
+    // row (window end <= watermark at its arrival batch) is dropped; a
+    // window emits (append mode) only once the watermark passes its end.
+    // Both rules are pure functions of the data under this deterministic
+    // replay, so DuckDB SQL can oracle-check actual streaming semantics —
+    // the CORRECTNESS row behind the "watermarks bound streaming state"
+    // scale claim (SCALE.md W3/W4).
+    "q_watermark_late" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      graft.streaming.Watermarks.lateDataReplay(ev(s, d), "ts", "value",
+          TF.hashBucket(col("event_id").cast("string"), 4), 4,
+          "45 minutes", "1 hour")
+        .select(unix_timestamp(col("window.start")).as("ws"), col("n"),
+          round(col("sv"), 4).as("sv"))
+        .orderBy("ws")
+    }),
+
     // W5 map-shaped keyed output (reference emits map[key]agg,
     // windows.go:469-479). The map column itself is exercised via
     // toMapShape; for the driver's compare (which cannot hash map columns)
@@ -863,6 +883,35 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT epoch(date_trunc('hour', ts))::BIGINT - 3600 AS ws, value
         |  FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    // Deterministic replay makes streaming watermark semantics batch-SQL
+    // expressible: the watermark in force while chunk k loads is
+    // max(event time over chunks < k) - 45 min (ms-floored, as Spark
+    // floors event-time stats to milliseconds); a row is dropped iff its
+    // window end <= that watermark, and a window is emitted iff its end
+    // <= the final watermark.
+    "q_watermark_late" ->
+      """WITH c AS (
+        |  SELECT ts, value,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 4
+        |           AS chunk
+        |  FROM events),
+        |mx AS (SELECT chunk, max(ts) AS mxts FROM c GROUP BY chunk),
+        |wm AS (SELECT k.chunk,
+        |         (SELECT epoch_ms(max(mxts)) - 2700000 FROM mx
+        |          WHERE mx.chunk < k.chunk) AS wm_ms
+        |       FROM (SELECT DISTINCT chunk FROM c) k),
+        |kept AS (
+        |  SELECT c.ts, c.value FROM c JOIN wm USING (chunk)
+        |  WHERE wm.wm_ms IS NULL
+        |     OR epoch_ms(date_trunc('hour', c.ts) + INTERVAL 1 HOUR)
+        |          > wm.wm_ms),
+        |fin AS (SELECT epoch_ms(max(ts)) - 2700000 AS wm_ms FROM c)
+        |SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, count(*) AS n,
+        |       round(sum(value), 4) AS sv
+        |FROM kept, fin
+        |WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= fin.wm_ms
         |GROUP BY ws ORDER BY ws""".stripMargin,
 
     "q_channel_fanin" ->

@@ -107,6 +107,79 @@ class StreamingWindowsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark drops late rows and gates append-mode emission") {
+    // hand vector for Watermarks.tumblingAgg (1-hour windows, 1-hour
+    // delay): a row whose window end <= the watermark set by earlier
+    // batches must be DROPPED, and a window emits only once the
+    // watermark passes its end
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def h(x: Double): Long = 1704067200000L + (x * 3600000L).toLong // 2024-01-01 + x hours (ms)
+    val input = MemoryStream[(Long, Double)]
+    val sdf = input.toDF()
+      .select(org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("_1")).as("ts"),
+        org.apache.spark.sql.functions.col("_2").as("v"))
+    val q = graft.streaming.Watermarks.tumblingAgg(sdf, "ts", "v",
+        "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wm_vector")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: windows 0 and 3 open; watermark after = 03:00 - 1h = 02:00
+      input.addData((h(0.17), 1.0), (h(3.0), 2.0))
+      q.processAllAvailable()
+      // batch 2: 00:20 is late (window end 01:00 <= 02:00) -> dropped;
+      // 02:30 is in-time (window end 03:00 > 02:00) -> kept
+      input.addData((h(0.33), 100.0), (h(2.5), 3.0))
+      q.processAllAvailable()
+      // nothing may emit yet: no window end <= 02:00 holds state... the
+      // 00:00 window does (end 01:00 <= 02:00) — it emits on the batch
+      // AFTER the watermark passed it; everything later is still open
+      // batch 3: advance the watermark to 09:00 -> emits windows 0, 2, 3;
+      // the 10:00 row's own window stays withheld
+      input.addData((h(10.0), 0.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT unix_timestamp(window.start), n, sv FROM wm_vector ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(
+        (h(0.0) / 1000, 1L, 1.0),   // late 100.0 NOT folded in
+        (h(2.0) / 1000, 1L, 3.0),
+        (h(3.0) / 1000, 1L, 2.0)))  // the 10:00 window is withheld
+    } finally q.stop()
+  }
+
+  test("lateDataReplay: file-source replay reproduces the hand vector") {
+    // same vector through the REAL replay harness (parquet chunks with
+    // ordered mod-times + maxFilesPerTrigger=1) — pins that chunk k runs
+    // as micro-batch k, which is what the q_watermark_late oracle assumes
+    val s = spark
+    import s.implicits._
+    implicit val ss: org.apache.spark.sql.SparkSession = s
+    def h(x: Double): Long = 1704067200000L + (x * 3600000L).toLong
+    val events = Seq(
+      (h(0.17), 1.0, 0), (h(3.0), 2.0, 0),
+      (h(0.33), 100.0, 1), (h(2.5), 3.0, 1),
+      (h(10.0), 0.0, 2)).toDF("ms", "value", "chunk")
+      .select(org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("ms")).as("ts"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("chunk"))
+    val out = graft.streaming.Watermarks.lateDataReplay(events, "ts", "value",
+        org.apache.spark.sql.functions.col("chunk"), 3, "1 hour", "1 hour")
+      .select(org.apache.spark.sql.functions
+          .unix_timestamp(org.apache.spark.sql.functions.col("window.start")),
+        org.apache.spark.sql.functions.col("n"),
+        org.apache.spark.sql.functions.col("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (h(0.0) / 1000, 1L, 1.0),
+      (h(2.0) / 1000, 1L, 3.0),
+      (h(3.0) / 1000, 1L, 2.0)))
+  }
+
   test("streaming timeTumbling avgCompat=int equals the batch result") {
     val s = spark
     import s.implicits._
