@@ -32,10 +32,32 @@ object Dedup {
     * repeated dedup calls over the same input (the bench, a long-lived
     * session) would otherwise re-register the same plan every time and
     * spam "Asked to cache already cached data" while holding the blocks
-    * anyway. `storageLevel` consults the session CacheManager by plan. */
+    * anyway. `storageLevel` consults the session CacheManager by plan.
+    * Every frame cached here is tracked so [[clearCaches]] can release
+    * it — the retention is deliberate (shared across the bench's dedup
+    * queries) but must not be a one-way door for a long-lived session. */
+  private val retained = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   private def cachedIdempotent(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-    else df
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val c = df.cache()
+      retained.add(c)
+      c
+    } else df
+
+  /** Release every shingle/prefix-index/simhash block the dedup family
+    * has retained in this session. Call between corpora in a long-lived
+    * multi-tenant session — the caches exist to be shared across the
+    * dedup queries of ONE corpus pass, not to accrete for the session's
+    * lifetime. Safe to call while nothing is running; subsequent dedup
+    * calls simply re-fill. */
+  def clearCaches(): Unit = {
+    var df = retained.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = retained.poll()
+    }
+  }
 
   // ------------------------------------------------------------------
   // Exact dedup
@@ -91,7 +113,8 @@ object Dedup {
     // is cached by default. The cache outlives the returned (lazy)
     // DataFrame — a long-lived session issuing many dedup calls should
     // pass persistShingles=false (recompute; the right call at 100 TB
-    // where the corpus never fits in cache) or clearCache() between runs.
+    // where the corpus never fits in cache) or Dedup.clearCaches()
+    // between corpora.
     val sh0 = withShingles(df, id, text, n)
     val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
     // Candidate generation works on HASHED shingles (8-byte keys instead

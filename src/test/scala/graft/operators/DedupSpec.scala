@@ -235,4 +235,30 @@ class DedupSpec extends SparkSpec {
           f"allows ~quadratic random candidates (bound $bound)")
     }
   }
+
+  test("clearCaches releases every retained dedup cache block") {
+    // the shared shingle/prefix/simhash caches are a deliberate
+    // retention (shared across one corpus pass) but must be releasable:
+    // a long-lived multi-tenant session would otherwise accrete them
+    // with no API to let go
+    spark.catalog.clearCache()
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count()
+    Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8).count()
+    Dedup.simhashPairs(docs, "doc_id", "text", 3, portable = true).count()
+    // the shingle table is retained (storageLevel consults the session
+    // CacheManager by plan equality)
+    val sh = Dedup.withShingles(docs, "doc_id", "text", 3)
+    assert(sh.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "expected the shingle table to be cache-retained after dedup runs")
+    Dedup.clearCaches()
+    assert(sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clearCaches left the shingle table cached")
+    // nothing at all stays registered: the dedup blocks were the only
+    // caches alive, so the session CacheManager must be empty again
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearCaches left entries in the session CacheManager")
+    // and the family still works after release (caches simply re-fill)
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count() >= 0)
+    Dedup.clearCaches()
+  }
 }
