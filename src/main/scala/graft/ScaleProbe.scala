@@ -38,12 +38,23 @@ object ScaleProbe {
   private def replicateDocs(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       if (i == 0) base
-      else base.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        concat_ws(" ",
+      else {
+        // the copy marker is joined with U+0001 — a control byte that
+        // cannot occur inside a whitespace-delimited token of real text
+        // — so a renamed token can never equal a base-corpus token (a
+        // plain "_i" suffix collides with base tokens that already end
+        // in "_<i>": base "foo_1" == copy-1's renamed "foo")
+        val renamed = concat_ws(" ",
           transform(split(col("text"), " "),
-            w => concat(w, lit(s"_$i")))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+            w => concat(w, lit("\u0001" + i))))
+        base.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          renamed.as("text"),
+          col("lang"), col("source"),
+          // text grew by the marker bytes — recompute instead of
+          // carrying the stale base value
+          length(renamed).cast("bigint").as("n_chars"))
+      }
     }.reduce(_ unionAll _)
 
   private def replicateEmb(base: DataFrame, k: Int): DataFrame = {
