@@ -226,6 +226,54 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // The same fan-in topology over the DISTRIBUTED channel transport:
+    // two real streaming producers publish into one file-backed channel
+    // (publish = executor-side part-file appends, never a driver
+    // collect; Channels file backend), a subscriber stream aggregates.
+    // This is the transport that survives channels carrying volume at
+    // cluster scale — the memory transport stays the dev/test plane.
+    "q_channel_file_fanin" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      implicit val ss: SparkSession = s
+      val root = java.nio.file.Files.createTempDirectory("graft-chanfile-")
+      graft.streaming.Channels.useFileBackend(root.toString)
+      try {
+        // Spark's file stream source watches a DIRECTORY; the testdata
+        // table is one parquet file, so stage it (distributed write) —
+        // on a cluster this is the object-store drop zone the producers
+        // would already be reading.
+        val srcDir = root.resolve("src").toString
+        ev(s, d).select(col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(srcDir)
+        val srcSchema = StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val src = s.readStream.schema(srcSchema).parquet(srcDir)
+        val pa = graft.streaming.Channels.publish("mix",
+          src.where(col("event_type") === "click")
+            .select(lit("clicks").as("channel"), col("value")))
+        val pb = graft.streaming.Channels.publish("mix",
+          src.where(col("event_type") === "purchase")
+            .select(lit("purchases").as("channel"), col("value")))
+        val agg = graft.streaming.Channels.subscribe("mix",
+            StructType(Seq(StructField("channel", StringType),
+              StructField("value", DoubleType))))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        val name = "graft_chan_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try {
+          pa.processAllAvailable(); pb.processAllAvailable()
+          q.processAllAvailable()
+        } finally { pa.stop(); pb.stop(); q.stop() }
+        s.table(name)
+          .select(col("channel"), col("n"), round(col("sv"), 4).as("sv"))
+          .orderBy("channel")
+      } finally graft.streaming.Channels.useMemoryBackend()
+    }),
+
     // ---- joins (Spark-native capabilities; E7 composition target) ----
 
     "q_join_broadcast" -> ((s, d) =>
@@ -915,6 +963,17 @@ object SparkEntry {
         |GROUP BY ws ORDER BY ws""".stripMargin,
 
     "q_channel_fanin" ->
+      """SELECT channel, count(*) AS n, round(sum(value), 4) AS sv FROM (
+        |  SELECT 'clicks' AS channel, value FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'purchases' AS channel, value FROM events
+        |  WHERE event_type = 'purchase')
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // the file-transport variant computes the same fan-in aggregate; the
+    // JSON envelope round-trips doubles losslessly, so the oracle is
+    // identical
+    "q_channel_file_fanin" ->
       """SELECT channel, count(*) AS n, round(sum(value), 4) AS sv FROM (
         |  SELECT 'clicks' AS channel, value FROM events WHERE event_type = 'click'
         |  UNION ALL

@@ -112,17 +112,29 @@ object Channels {
           }
           .start()
       case FileCh(data, ckpt) =>
-        val dir = data.toString
+        val pubId = pubSeq.getAndIncrement()
         payload.writeStream
           .outputMode("append")
-          .option("checkpointLocation",
-            ckpt.resolve(s"pub-${pubSeq.getAndIncrement()}").toString)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // executors append part files directly — the data plane never
-            // touches the driver (at-least-once on micro-batch retry, the
-            // same delivery class as the reference's fire-and-forget
-            // channel publish)
-            batch.write.mode("append").text(dir)
+          .option("checkpointLocation", ckpt.resolve(s"pub-$pubId").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // executors write part files to a PER-PUBLISHER-PER-BATCH
+            // staging dir (concurrent publishers to one channel must not
+            // share a commit dir — Hadoop's FileOutputCommitter keys its
+            // _temporary workspace by output path, so two writers
+            // appending to the same directory race on it), then the
+            // committed parts are renamed into the channel dir: file
+            // HANDLING on the driver, never rows (at-least-once on
+            // micro-batch retry, the same delivery class as the
+            // reference's fire-and-forget channel publish)
+            val stage = data.resolveSibling(s"stage-$pubId-$batchId")
+            batch.write.mode("overwrite").text(stage.toString)
+            java.nio.file.Files.list(stage).toArray
+              .map(_.asInstanceOf[java.nio.file.Path])
+              .filter(_.getFileName.toString.endsWith(".txt"))
+              .foreach { p =>
+                java.nio.file.Files.move(p,
+                  data.resolve(s"pub$pubId-b$batchId-${p.getFileName}"))
+              }
             ()
           }
           .start()

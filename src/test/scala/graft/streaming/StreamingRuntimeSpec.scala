@@ -87,6 +87,40 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally Channels.useMemoryBackend()
   }
 
+  test("file-backed channel: concurrent publishers do not race on commit") {
+    // two producers publishing into ONE channel concurrently: each batch
+    // must commit through its own staging dir — writers sharing an output
+    // path race on Hadoop's _temporary workspace (one committer deletes
+    // it while the other is mid-write), which is exactly the multi-writer
+    // shape a fan-in channel has on a cluster
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_chan_race")
+    Channels.useFileBackend(root.toString)
+    try {
+      implicit val sqlCtx = s.sqlContext
+      val inA = MemoryStream[Int]
+      val inB = MemoryStream[Int]
+      val pa = Channels.publish("fanin", inA.toDF())
+      val pb = Channels.publish("fanin", inB.toDF())
+      val sub = Channels.subscribe("fanin",
+        StructType(Seq(StructField("value", IntegerType))))
+      val q = sub.writeStream.format("memory").queryName("race_rows")
+        .outputMode("append").start()
+      try {
+        // fire both producers' batches without draining in between so
+        // the foreachBatch writers can overlap
+        inA.addData(1 to 50: _*)
+        inB.addData(51 to 100: _*)
+        pa.processAllAvailable(); pb.processAllAvailable()
+        q.processAllAvailable()
+        val got = s.sql("SELECT value FROM race_rows")
+          .collect().map(_.getInt(0)).sorted
+        assert(got.toSeq == (1 to 100), s"lost/duplicated rows: n=${got.length}")
+      } finally { pa.stop(); pb.stop(); q.stop() }
+    } finally Channels.useMemoryBackend()
+  }
+
   test("memory channel fails loudly above its per-batch row cap") {
     // the memory transport's "dev/test only" contract is enforced, not
     // just documented: a batch above the cap kills the publishing stream
