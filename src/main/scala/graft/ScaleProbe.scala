@@ -87,6 +87,74 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i * 10000000L))
     }.reduce(_ unionAll _)
 
+  /** Keyed streaming-state probe: tumbling(16) count windows through
+    * CountWindowsTws (transformWithState) on the RocksDB state store,
+    * with the user population growing with scale. Replays the events in
+    * per-user-ordered chunks through a real file-source stream and reads
+    * the query's own StateOperatorProgress, so the SCALE.md claim
+    * "per-key state is O(window size), independent of stream length" is
+    * a measured number: state rows must track the user count (one
+    * ValueState row per user) and bytes/key must stay flat while total
+    * data grows k-fold. Returns a JSON fragment for the scale line. */
+  private def streamingStateProbe(spark: SparkSession, events: DataFrame,
+                                  nChunks: Int = 4): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft-stateprobe-")
+    val streamDir = root.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    val staged = root.resolve("staged")
+    // chunk by per-user rank so every user's samples arrive in seq order
+    // across triggers (the operators' stale-seq replay guard would
+    // otherwise drop out-of-order deliveries and shrink later batches)
+    val byUser = Window.partitionBy("key").orderBy("seq")
+    events.select(col("user_id").cast("string").as("key"),
+        col("event_id").cast("long").as("seq"),
+        col("value").cast("double").as("value"))
+      .withColumn("__chunk", least(floor(percent_rank().over(byUser)
+        * nChunks), lit(nChunks - 1)).cast("int"))
+      .repartition(nChunks, col("__chunk"))
+      .write.partitionBy("__chunk").mode("overwrite").parquet(staged.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    implicit val ss: SparkSession = spark
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .as[graft.windows.CountWindows.KeyedSample]
+    val q = graft.windows.CountWindowsTws.tumbling(stream, 16, "sum")
+      .writeStream.format("noop")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      (0 until nChunks).foreach { c =>
+        val dir = staged.resolve(s"__chunk=$c")
+        if (java.nio.file.Files.isDirectory(dir))
+          java.nio.file.Files.list(dir).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
+            .foreach { case (p, i) => java.nio.file.Files.move(p,
+              streamDir.resolve(f"c$c%02d-$i%03d.parquet")) }
+        q.processAllAvailable()
+      }
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val batchMs = progs.map(_.durationMs.get("triggerExecution").toLong)
+      val st = progs.last.stateOperators(0)
+      val sstBytes = Option(st.customMetrics.get("rocksdbSstFileSize"))
+        .map(_.longValue).getOrElse(0L)
+      s""""streaming_state":{"input_rows":${progs.map(_.numInputRows).sum},""" +
+        s""""state_rows":${st.numRowsTotal},""" +
+        s""""state_mem_bytes":${st.memoryUsedBytes},""" +
+        s""""sst_bytes":$sstBytes,""" +
+        s""""batch_ms":[${batchMs.mkString(",")}]}"""
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -200,8 +268,18 @@ object ScaleProbe {
         System.err.println(f"[probe] scale=$k $name%-22s $dt%7.2fs rows=$n")
         s""""$name":${"%.3f".format(dt)}"""
       }
+      // streaming-state branch rides the same name filter
+      val streamingJson =
+        if (sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+            .forall(_.split(",").map(_.trim).contains("streaming_state"))) {
+          val t0 = System.nanoTime()
+          val j = streamingStateProbe(spark, events)
+          System.err.println(
+            f"[probe] scale=$k streaming_state ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+          "," + j
+        } else ""
       spark.catalog.clearCache()
-      println(s"""{"scale":$k,"times":{${times.mkString(",")}}}""")
+      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson}""")
     }
     spark.stop()
   }

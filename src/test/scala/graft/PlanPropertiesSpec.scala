@@ -141,4 +141,49 @@ class PlanPropertiesSpec extends SparkSpec {
       s"salted aggregation is exactly two hash exchanges:\n$p")
     assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
   }
+
+  test("skewed JOIN: AQE splits the hot partition at runtime (no salting needed)") {
+    // the division of labor SCALE.md documents: for shuffle JOINS, AQE's
+    // OptimizeSkewedJoin splits an oversized partition into subpartitions
+    // at runtime — reach for Skew.salted* only for AGGREGATIONS, which
+    // AQE does not split. This pins the join half of that claim: a
+    // hot-key join, thresholds scaled to test data, must come back with
+    // the SMJ marked skew=true in the adaptive final plan.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the skew detector to test-sized data (defaults are 256 MB
+      // / 5x median; the mechanism, not the constants, is under test)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      // force a shuffle join: broadcast would hide the skew entirely
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k =>
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key (~90% of rows) among 100 cold ones, bulked by a
+      // payload column so the hot shuffle partition crosses the threshold
+      val left = spark.range(120000).select(
+        when(col("id") < 108000, 0L).otherwise(col("id") % 100).as("key"),
+        concat(lit("x"), lpad(col("id").cast("string"), 96, "0")).as("payload"))
+      val right = spark.range(100).select(col("id").as("key"),
+        (col("id") * 7).as("dim"))
+      val joined = left.join(right, "key")
+      // run THIS dataset's own QueryExecution (count()/write would plan
+      // separately — count even prunes the payload, deflating the hot
+      // partition below the threshold); AQE decides from the runtime
+      // shuffle statistics
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot-partition SMJ as skew-split:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
