@@ -146,14 +146,38 @@ object Dedup {
       // ceil'ing the epsilon would illegally shorten the prefix by one
       .where(col("__rn") <=
         col("sz") - ceil(round(lit(threshold) * col("sz"), 6)) + 1)
-      .select(col("doc"), col("s"))
+      // rn/sz ride along for the positional filter below (ints — the
+      // prefix index stays narrow)
+      .select(col("doc"), col("s"), col("__rn").as("rn"), col("sz"))
     // both sides of the self-join consume the prefix index — cache it
     // (it is ~20% of the inverted index; at 100 TB you'd materialize it
     // to storage the same way)
     val prefix = if (persistShingles) cachedIdempotent(prefix0) else prefix0
+    // PPJoin-style instance filters (Xiao et al. — public literature),
+    // applied BEFORE the distinct so the dominant cost term (candidate
+    // pair instances carried into the dedup) shrinks. Both are lossless:
+    //  - length filter: jaccard >= t forces t*|x| <= |y| <= |x|/t;
+    //  - positional filter: a colliding shingle at rank i of x / j of y
+    //    bounds the overlap by 1 + min(|x|-i, |y|-j) (every LATER common
+    //    shingle lies in both tails; for the FIRST common shingle no
+    //    earlier common one exists, so the bound is valid there — and a
+    //    similar pair's first common shingle is inside both prefixes by
+    //    the prefix lemma, so at least that instance passes). Required
+    //    overlap: jaccard >= t  <=>  o >= t/(1+t) * (|x|+|y|). Ranks are
+    //    positions in the df-filtered rarity order while sz is the FULL
+    //    set size, which only widens the bound (dropped shingles inflate
+    //    the tail term but also count toward o only when common, and
+    //    then inflate BOTH tails) — still lossless, marginally weaker.
+    val minOverlap =
+      ceil(round(lit(threshold) / (lit(1.0) + lit(threshold))
+        * (col("a.sz") + col("b.sz")), 6))
     val cand = prefix.hint("shuffle_hash").as("a")
       .join(prefix.hint("shuffle_hash").as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .where(least(col("a.sz"), col("b.sz")) >=
+        ceil(round(lit(threshold) * greatest(col("a.sz"), col("b.sz")), 6)))
+      .where(lit(1) + least(col("a.sz") - col("a.rn"),
+        col("b.sz") - col("b.rn")) >= minOverlap)
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
     // Exact full-set verification of the surviving pairs — the reported
