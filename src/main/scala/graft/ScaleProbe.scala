@@ -196,9 +196,20 @@ object ScaleProbe {
       val li = replicateLineitem(engine.Tables.lineitem(spark, sfDir), k)
       val events = replicateEvents(engine.Tables.events(spark, sfDir), k)
 
+      // pairs for the clustering probe are materialized OUTSIDE its
+      // timing (lazy: only forced when the entry is selected) so the
+      // measured growth is the closure's own, not minhash's
+      lazy val ccPairs = {
+        val p = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8,
+          persistShingles = false).persist()
+        p.count(); p
+      }
+
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
           Dedup.exactGroups(docs, "doc_id", "text").count()),
+        "dedup_clusters" -> (() =>
+          operators.Clustering.dedupVerdicts(ccPairs, "d1", "d2").count()),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Dsl, Pipelines, Tables}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Contamination, Dedup, Multimodal, Similarity}
+import graft.operators.{Clustering, Contamination, Dedup, Multimodal, Similarity}
 import graft.windows.{AggFunctions, CountWindows, TimeWindows}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -494,6 +494,16 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)
         .orderBy("d1", "d2")),
+
+    // pairs → transitive closure → survivor per duplicate cluster: the
+    // verdict table a training-data filter actually joins against.
+    // Large-star/small-star connected components; oracle = the same
+    // jaccard pairs closed with a DuckDB recursive CTE.
+    "q_dedup_clusters" -> ((s, d) =>
+      Clustering.dedupVerdicts(
+          Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8),
+          "d1", "d2")
+        .orderBy("id")),
 
     // same contract as q_dedup_jaccard; LSH recall at threshold 0.8 with
     // 32 bands x 2 rows is ~1-1e-14, so the exact-jaccard oracle applies
@@ -1180,6 +1190,21 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+
+    // transitive closure of the jaccard pair graph via recursive CTE;
+    // component = min reachable id, keep = "I am my component's min"
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (SELECT d1, d2 FROM jac WHERE j >= 0.8),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM p
+         |          UNION SELECT d2, d1 FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS id, least(min(v), u) AS component,
+         |       least(min(v), u) = u AS keep
+         |FROM reach GROUP BY u ORDER BY id""".stripMargin,
 
     // Brute-force all-pairs hamming (the banding in simhashPairs is
     // provably COMPLETE for hamming <= 3 — 4x16-bit pigeonhole — and its

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  /** Driver-side union-find oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-label canonicalization
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = ids.groupBy(find)
+    byRoot.flatMap { case (_, member) =>
+      val m = member.min; member.map(_ -> m)
+    }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Clustering.connectedComponents(edges.toDF("d1", "d2"), "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("components match union-find on adversarial graph shapes") {
+    // chain (worst case for label propagation), star, cycle, two merged
+    // blobs, self-loop, singleton pair, non-contiguous ids
+    val chain = (0L until 60L).map(i => (i * 1000 + 7, (i + 1) * 1000 + 7))
+    val star = (1L to 20L).map(i => (500000L, 500000L + i))
+    val cycle = (0L until 9L).map(i => (900000L + i, 900000L + (i + 1) % 9))
+    val blobs = Seq((70L, 71L), (71L, 72L), (80L, 81L), (81L, 82L), (72L, 80L))
+    val selfLoop = Seq((999L, 999L))
+    val single = Seq((123456789L, 123456790L))
+    for (edges <- Seq(chain, star, cycle, blobs, selfLoop, single,
+                      chain ++ star ++ cycle ++ blobs ++ selfLoop ++ single)) {
+      val got = run(edges)
+      val want0 = unionFind(edges.filter(e => e._1 != e._2))
+      // self-loop-only nodes are their own component
+      val loopOnly = edges.filter(e => e._1 == e._2).map(_._1)
+        .filterNot(want0.contains).map(i => i -> i).toMap
+      assert(got == want0 ++ loopOnly, s"edges=$edges")
+    }
+  }
+
+  test("components match union-find on random graphs (seeded)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 5) {
+      val n = 50 + trial * 30
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong * 31, rnd.nextInt(40).toLong * 31)
+      }.filter(e => e._1 != e._2)
+      assert(run(edges) == unionFind(edges), s"trial=$trial")
+    }
+  }
+
+  test("dedupVerdicts keeps exactly one doc per component") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((3L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2")
+    val v = Clustering.dedupVerdicts(pairs, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(v == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("convergence failure is loud, not a half-contracted result") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Clustering.connectedComponents(chain, "d1", "d2", maxIter = 1)
+    }
+  }
+}
