@@ -112,6 +112,9 @@ object Bench {
         warm("lsh-knn plan")(graft.operators.Similarity.lshKnn(
           tinyVecs.where(col("vec_id") < 2), tinyVecs,
           "vec_id", "embedding", dim = 4, k = 2).count())
+        warm("clustering plan")(graft.operators.Clustering.dedupVerdicts(
+          tinyDocs.select(col("doc_id").as("d1"),
+            ((col("doc_id") + 1) % 50).as("d2")), "d1", "d2").count())
       }
       // Data warm-up for the SHARED dedup caches (shingle table, prefix
       // index, simhash table): these persist across queries by design, so

@@ -208,8 +208,11 @@ object ScaleProbe {
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
           Dedup.exactGroups(docs, "doc_id", "text").count()),
+        // driverEdgeCap=0 forces the DISTRIBUTED star path — the probe
+        // measures the scale branch, not the driver union-find shortcut
         "dedup_clusters" -> (() =>
-          operators.Clustering.dedupVerdicts(ccPairs, "d1", "d2").count()),
+          operators.Clustering.dedupVerdicts(ccPairs, "d1", "d2",
+            driverEdgeCap = 0L).count()),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),

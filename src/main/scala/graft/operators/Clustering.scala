@@ -46,13 +46,46 @@ object Clustering {
     * component = the smallest id reachable from `id` (so a component's
     * min labels itself). Ids must be castable to long.
     *
+    * Analytic dispatch (the same pattern as `Dedup.embeddingPairs`):
+    * the pair graph is measured once, and at or below `driverEdgeCap`
+    * edges the closure runs as driver-side union-find — one bounded
+    * collect (16 bytes/edge; the default cap is ~32 MB, matching the
+    * Lloyd's-sample contract in Similarity) and near-zero latency.
+    * This is the production-typical case: only docs WITH a near-dup
+    * appear in the pair graph, so even a 100 TB corpus usually yields
+    * a driver-sized edge list. Above the cap, the distributed star
+    * iteration runs; `driverEdgeCap = 0` forces it (the specs pin both
+    * paths against each other and against union-find).
+    *
     * `maxIter` bounds the star rounds; the algorithm needs O(log n) and
     * the default allows components of ~2^40 nodes — exceeding it throws
     * rather than returning a half-contracted graph. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-                          maxIter: Int = 40): DataFrame = {
+                          maxIter: Int = 40,
+                          driverEdgeCap: Long = 2000000L): DataFrame = {
+    val sp = pairs.sparkSession
     val init = pairs.select(col(a).cast("long").as("u"),
-      col(b).cast("long").as("v"))
+      col(b).cast("long").as("v")).localCheckpoint(true)
+    val nEdges = init.count()
+    if (nEdges <= driverEdgeCap) {
+      // driver union-find, attaching larger roots under smaller so the
+      // root IS the component minimum
+      val es = init.collect().map(r => (r.getLong(0), r.getLong(1)))
+      init.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        val px = parent.getOrElseUpdate(x, x)
+        if (px == x) x else { val r = find(px); parent(x) = r; r }
+      }
+      es.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      import sp.implicits._
+      return ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
+    }
     val nodes = init.select(col("u").as("id"))
       .unionAll(init.select(col("v").as("id"))).distinct()
 
@@ -84,18 +117,48 @@ object Clustering {
         .unionAll(mins.select(col("u"), col("m").as("v")))
     }
 
+    // convergence check = (count, two independent order-invariant hash
+    // folds) in ONE aggregation job over the freshly checkpointed blocks
+    // — an `except` would be a whole extra shuffle per round. bit_xor,
+    // not sum: XOR cannot overflow under ANSI arithmetic, and both sides
+    // are DISTINCT sets so no cancellation is possible; equal counts +
+    // equal folds of two independent hashes pin set equality up to a
+    // ~2^-128 double-collision (the union-find property tests cover the
+    // algorithm itself)
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(v, u, 7))")).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var cur = canon(init).localCheckpoint(true)
-    var nCur = cur.count()
+    var curSum = checksum(cur)
     var it = 0
     var stable = false
-    while (!stable && it < maxIter) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
-      val nNext = next.count()
-      // exact set equality (both sides distinct): same size + empty diff
-      stable = nNext == nCur && next.except(cur).isEmpty
-      cur.unpersist()
-      cur = next; nCur = nNext; it += 1
-    }
+    // Size the iteration's shuffles from the MEASURED edge count: each
+    // round is ~6 tiny shuffles, and paying the session's full shuffle
+    // parallelism per round dominates wall time when the pair graph is
+    // small (the usual case — only near-dup docs appear in it). ~2M
+    // edges per partition, capped at the session setting so cluster
+    // parallelism is never exceeded. Same save/restore pattern as
+    // Watermarks.lateDataReplay; restored before returning, and the
+    // already-checkpointed inputs are partition-count agnostic.
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val p = math.max(1L, math.min(prevShuffle.toLong,
+      curSum._1 / 2000000L + 1L)).toString
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      while (!stable && it < maxIter) {
+        val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+        val nextSum = checksum(next)
+        stable = nextSum == curSum
+        cur.unpersist()
+        cur = next; curSum = nextSum; it += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     if (!stable)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds")
@@ -112,7 +175,8 @@ object Clustering {
     * keep = (id == component min). Exactly the shape a training-data
     * filter joins against the corpus. */
   def dedupVerdicts(pairs: DataFrame, a: String, b: String,
-                    maxIter: Int = 40): DataFrame =
-    connectedComponents(pairs, a, b, maxIter)
+                    maxIter: Int = 40,
+                    driverEdgeCap: Long = 2000000L): DataFrame =
+    connectedComponents(pairs, a, b, maxIter, driverEdgeCap)
       .withColumn("keep", col("id") === col("component"))
 }

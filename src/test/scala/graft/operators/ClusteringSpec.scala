@@ -24,10 +24,14 @@ class ClusteringSpec extends SparkSpec {
     }.toMap
   }
 
+  /** driverEdgeCap=0 forces the distributed star path — comparing the
+    * default (driver union-find) against the spec's own union-find
+    * would be circular. */
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
     import s.implicits._
-    Clustering.connectedComponents(edges.toDF("d1", "d2"), "d1", "d2")
+    Clustering.connectedComponents(edges.toDF("d1", "d2"), "d1", "d2",
+        driverEdgeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -62,6 +66,23 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find path and distributed star path agree") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (Seq.fill(120)((rnd.nextInt(60).toLong * 13,
+        rnd.nextInt(60).toLong * 13)) ++
+      (0L until 30L).map(i => (i * 7 + 100000, (i + 1) * 7 + 100000)))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("d1", "d2")
+    val viaDriver = Clustering.connectedComponents(df, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Clustering.connectedComponents(df, "d1", "d2",
+        driverEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaStars)
+  }
+
   test("dedupVerdicts keeps exactly one doc per component") {
     val s = spark
     import s.implicits._
@@ -77,7 +98,8 @@ class ClusteringSpec extends SparkSpec {
     import s.implicits._
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("d1", "d2")
     intercept[IllegalStateException] {
-      Clustering.connectedComponents(chain, "d1", "d2", maxIter = 1)
+      Clustering.connectedComponents(chain, "d1", "d2", maxIter = 1,
+        driverEdgeCap = 0L)
     }
   }
 }
