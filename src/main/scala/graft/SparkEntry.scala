@@ -619,6 +619,19 @@ object SparkEntry {
           TF.splitAssign(col("doc_id").cast("string"), 80, 10).as("split"))
         .orderBy("doc_id")),
 
+    // corpus mixing: per-source token budgets drawn by salted-hash order
+    // — deterministic, append-stable, engine-portable (same md5 recipe
+    // as splitAssign, so DuckDB replicates the draw byte-for-byte)
+    "q_corpus_mix" -> ((s, d) =>
+      graft.operators.Sampling.byTokenBudget(
+          docs(s, d).select(col("doc_id"), col("source"),
+            TF.tokenCount(col("text")).cast("bigint").as("n_tok")),
+          "doc_id", "source",
+          "n_tok", Map("src0" -> 2000L, "src1" -> 500L, "src2" -> 100000L),
+          salt = "mix1")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("__cum"))
+        .orderBy("doc_id")),
+
     // benchmark decontamination: docs sharing an 8-gram with the
     // "benchmark" (doc_id < 10 as a stand-in eval set)
     "q_decontaminate" -> ((s, d) => {
@@ -1257,6 +1270,23 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // same tokenization CTE as q_token_count; the draw order is the
+    // salted portable hash, ties broken by doc_id; strict budget cut
+    "q_corpus_mix" ->
+      s"""WITH $tokCte,
+         |tt AS (SELECT doc_id, source, len(tk)::BIGINT AS n_tok,
+         |              ('0x' || substr(md5('mix1' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+         |       FROM t JOIN documents USING (doc_id)),
+         |b(source, budget) AS (VALUES ('src0', 2000), ('src1', 500),
+         |                            ('src2', 100000)),
+         |c AS (SELECT tt.*, budget,
+         |             (sum(n_tok) OVER (PARTITION BY tt.source
+         |                               ORDER BY h, doc_id
+         |                               ROWS UNBOUNDED PRECEDING))::BIGINT AS __cum
+         |      FROM tt JOIN b USING (source))
+         |SELECT doc_id, source, n_tok, __cum FROM c
+         |WHERE __cum <= budget ORDER BY doc_id""".stripMargin,
 
     "q_sample_split" ->
       """SELECT doc_id,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "source", "n_tok")
+  }
+
+  private def draw(df: org.apache.spark.sql.DataFrame,
+                   budgets: Map[String, Long], salt: String = "s1") =
+    Sampling.byTokenBudget(df, "doc_id", "source", "n_tok", budgets, salt)
+      .select("doc_id", "source", "__cum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  private val rnd = new scala.util.Random(7)
+  private val corpus = (0L until 200L).map(i =>
+    (i * 13 + 5, s"src${i % 3}", 10L + rnd.nextInt(90)))
+
+  test("budget respected, draw maximal, deterministic, portable-hash ordered") {
+    val budgets = Map("src0" -> 800L, "src1" -> 1500L)
+    val df = mkDocs(corpus)
+    val got = draw(df, budgets)
+    // determinism
+    assert(got.toSeq == draw(df, budgets).toSeq)
+    // reference: driver-side salted-md5 order + strict prefix sum
+    def md5h(salt: String, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id.toString).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val want = corpus.filter(c => budgets.contains(c._2))
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (md5h("s1", d._1), d._1)).flatMap { d =>
+          cum += d._3
+          if (cum <= budgets(src)) Some((d._1, src, cum)) else None
+        }
+      }.toSet
+    assert(got.toSet == want)
+    // budget respected per stratum and nothing from unbudgeted strata
+    val bySrc = got.groupBy(_._2)
+    assert(!bySrc.contains("src2"))
+    bySrc.foreach { case (src, ds) =>
+      assert(ds.map(_._3).max <= budgets(src))
+    }
+  }
+
+  test("appends only advance the frontier: kept(C∪D) ∩ C ⊆ kept(C)") {
+    val budgets = Map("src0" -> 600L, "src1" -> 900L, "src2" -> 400L)
+    val appended = (1000L until 1060L).map(i =>
+      (i * 7 + 3, s"src${i % 3}", 10L + rnd.nextInt(90)))
+    val keptC = draw(mkDocs(corpus), budgets).map(_._1).toSet
+    val keptCD = draw(mkDocs(corpus ++ appended), budgets).map(_._1).toSet
+    val cIds = corpus.map(_._1).toSet
+    assert((keptCD & cIds).subsetOf(keptC))
+    // and the append did change the frontier somewhere (non-vacuous)
+    assert(keptCD != keptC)
+  }
+
+  test("different salts draw different prefixes") {
+    val budgets = Map("src0" -> 500L)
+    val a = draw(mkDocs(corpus), budgets, "saltA").map(_._1).toSet
+    val b = draw(mkDocs(corpus), budgets, "saltB").map(_._1).toSet
+    assert(a != b)
+  }
+}
