@@ -142,6 +142,19 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
   }
 
+  test("q_corpus_mix: one stratum shuffle feeds the window prefix sum") {
+    val p = plan("q_corpus_mix")
+    // the budget table broadcasts; the corpus shuffles ONCE (by stratum,
+    // for the window) — a second hash exchange would mean the join
+    // re-partitioned the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"budget table must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one corpus shuffle (stratum window) expected:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"window prefix sum missing:\n$p")
+  }
+
   test("skewed JOIN: AQE splits the hot partition at runtime (no salting needed)") {
     // the division of labor SCALE.md documents: for shuffle JOINS, AQE's
     // OptimizeSkewedJoin splits an oversized partition into subpartitions
