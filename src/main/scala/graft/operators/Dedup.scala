@@ -73,6 +73,25 @@ object Dedup {
       .select(col(id), col("fp"), col("keep"))
   }
 
+  /** Streaming exact dedup at ingest: fingerprint each document and keep
+    * the FIRST arrival per fingerprint within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — Spark's bounded-state streaming
+    * dedup). State is one row per distinct fingerprint seen inside the
+    * horizon and is EVICTED once the watermark passes, so an unbounded
+    * stream holds O(distinct docs per horizon) state, not O(stream
+    * history) — the same watermark-bounds-state contract as the windowed
+    * aggregations (SCALE.md W3/W4). Rows behind the watermark are
+    * dropped as late BEFORE dedup sees them; a non-late duplicate
+    * arriving after its original's fingerprint was evicted passes
+    * again. Horizon-scoped dedup is the deliberate trade that keeps
+    * state finite; full-history exact dedup is the batch operator
+    * ([[exact]]/[[exactGroups]]) run over the accumulated corpus. */
+  def streamingExact(stream: DataFrame, textCol: String, tsCol: String,
+                     delay: String): DataFrame =
+    stream.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** One row per duplicate group: fingerprint, surviving id, group size. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.withColumn("fp", TextFunctions.fingerprint(col(text)))

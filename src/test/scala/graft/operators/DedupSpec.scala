@@ -261,4 +261,41 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count() >= 0)
     Dedup.clearCaches()
   }
+
+  test("streaming exact dedup: first arrival wins inside the watermark horizon") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Long)] // (text, event seconds)
+    val stream = input.toDF()
+      .select(col("_1").as("text"),
+        timestamp_seconds(col("_2")).as("ts"))
+    val q = Dedup.streamingExact(stream, "text", "ts", "10 seconds")
+      .select(col("text"), unix_timestamp(col("ts")).as("sec"))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: duplicate inside the batch — one survivor
+      input.addData(("alpha", 100L), ("alpha", 101L), ("beta", 102L))
+      q.processAllAvailable()
+      // batch 2: duplicate across batches, still inside the horizon —
+      // dropped; watermark advances to 120-10=110
+      input.addData(("alpha", 105L), ("gamma", 120L))
+      q.processAllAvailable()
+      // batch 3: advance watermark (to 490) far past alpha's state,
+      // which was evicted once the watermark passed 100+delay; batch 4:
+      // alpha re-arrives at 495 — NOT late (>= watermark), and its old
+      // fingerprint state is gone, so horizon-scoped dedup admits it
+      input.addData(("delta", 500L))
+      q.processAllAvailable()
+      input.addData(("alpha", 495L))
+      q.processAllAvailable()
+      val got = s.sql("SELECT text, sec FROM stream_dedup ORDER BY sec")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == Seq(("alpha", 100L), ("beta", 102L),
+        ("gamma", 120L), ("alpha", 495L), ("delta", 500L)),
+        s"got ${got.toSeq}")
+    } finally q.stop()
+  }
 }
