@@ -406,11 +406,12 @@ object Dedup {
     * id1 < id2, cosine = TRUE similarity rounded to 4. */
   def embeddingPairs(df: DataFrame, id: String, vec: String,
                      threshold: Double, dim: Int = 0,
-                     numBlocks: Int = 16): DataFrame = {
-    val (bits, bands) = Similarity.bandingFor(threshold)
+                     numBlocks: Int = 16,
+                     maxBands: Int = 512): DataFrame = {
+    val (bits, bands) = Similarity.bandingFor(threshold, maxBands)
     val pRandomCollide = 1.0 - math.pow(1.0 - math.pow(0.5, bits), bands)
     if (pRandomCollide > 0.5) embeddingPairsBlocked(df, id, vec, threshold, numBlocks)
-    else embeddingPairsLsh(df, id, vec, threshold, dim)
+    else embeddingPairsLsh(df, id, vec, threshold, dim, maxBands)
   }
 
   /** Exact all-pairs cosine via a triangle block equi-join: vectors are
@@ -473,9 +474,17 @@ object Dedup {
     * (near-dup territory) bands are long and candidates are rare; at
     * near-random thresholds the banding admits ~all pairs and
     * [[embeddingPairs]] dispatches to [[embeddingPairsBlocked]]
-    * instead. */
+    * instead.
+    *
+    * `maxBands` is the collision-vs-linear-work dial (SCALE.md "cost
+    * anatomy"): the default 512 fits corpora to ~100k vectors per
+    * shard; beyond that, raising it buys proportionally more bits per
+    * band — each extra bit HALVES the quadratic false-candidate term
+    * for ~1/p more linear band rows — which is the correct trade
+    * exactly when the quadratic term dominates. */
   def embeddingPairsLsh(df: DataFrame, id: String, vec: String,
-                        threshold: Double, dim: Int = 0): DataFrame = {
+                        threshold: Double, dim: Int = 0,
+                        maxBands: Int = 512): DataFrame = {
     import graft.functions.VectorFunctions._
     // dim inference needs one row (pass `dim` to stay fully lazy); an
     // empty / all-null-vector input has no pairs at all
@@ -490,7 +499,7 @@ object Dedup {
             return df.select(col(id).as("id1"), col(id).as("id2"),
               lit(0.0).as("cosine")).limit(0)
         }
-    val (bits, bands) = Similarity.bandingFor(threshold)
+    val (bits, bands) = Similarity.bandingFor(threshold, maxBands)
     val vBase = df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val binned = vBase.select(col("vid"), posexplode(

@@ -236,6 +236,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("maxBands dial: a bigger budget buys more bits and fewer collisions") {
+    // the scale dial documented in SCALE.md's cost anatomy: raising the
+    // band budget must monotonically shrink the quadratic collision
+    // factor (more bits per band) while still meeting the miss target —
+    // and the LSH result itself is banding-independent (exactness comes
+    // from the verify stage)
+    val (b512, l512) = Similarity.bandingFor(0.85, 512)
+    val (b2048, l2048) = Similarity.bandingFor(0.85, 2048)
+    assert(b2048 > b512 && l2048 <= 2048)
+    assert(l2048 * math.pow(0.5, b2048) < l512 * math.pow(0.5, b512))
+    // shifted-copy corpus (the gate construction) so true pairs EXIST —
+    // equality on the base corpus alone would be vacuous (0 == 0)
+    val base = Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDoubles(col("embedding"))
+          .as("embedding"))
+    val shifted = base.where(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
+    val corpus = base.unionAll(shifted)
+    val at512 = Dedup.embeddingPairsLsh(corpus, "vec_id", "embedding", 0.85,
+        dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at2048 = Dedup.embeddingPairsLsh(corpus, "vec_id", "embedding", 0.85,
+        dim = 64, maxBands = 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at512.nonEmpty && at512 == at2048)
+  }
+
   test("clearCaches releases every retained dedup cache block") {
     // the shared shingle/prefix/simhash caches are a deliberate
     // retention (shared across one corpus pass) but must be releasable:
