@@ -100,7 +100,13 @@ object ScaleProbe {
                                   nChunks: Int = 4): String = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // session-wide conf: save and restore (same pattern as Watermarks/
+    // Clustering) so later streaming work in this session keeps its own
+    // provider choice
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = scala.util.Try(Option(spark.conf.get(providerKey)))
+      .toOption.flatten
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val root = java.nio.file.Files.createTempDirectory("graft-stateprobe-")
     val streamDir = root.resolve("stream")
@@ -133,13 +139,10 @@ object ScaleProbe {
       .outputMode("append").start()
     try {
       (0 until nChunks).foreach { c =>
-        val dir = staged.resolve(s"__chunk=$c")
-        if (java.nio.file.Files.isDirectory(dir))
-          java.nio.file.Files.list(dir).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
-            .foreach { case (p, i) => java.nio.file.Files.move(p,
-              streamDir.resolve(f"c$c%02d-$i%03d.parquet")) }
+        graft.util.FsUtil.listFiles(staged.resolve(s"__chunk=$c"), ".parquet")
+          .zipWithIndex
+          .foreach { case (p, i) => java.nio.file.Files.move(p,
+            streamDir.resolve(f"c$c%02d-$i%03d.parquet")) }
         q.processAllAvailable()
       }
       val progs = q.recentProgress.filter(_.numInputRows > 0)
@@ -152,7 +155,16 @@ object ScaleProbe {
         s""""state_mem_bytes":${st.memoryUsedBytes},""" +
         s""""sst_bytes":$sstBytes,""" +
         s""""batch_ms":[${batchMs.mkString(",")}]}"""
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      // the staged replica (the k-fold events copy — the largest temp
+      // artifact in the probe) is spent once the metrics are read
+      graft.util.FsUtil.deleteRecursively(root)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -271,7 +271,12 @@ object SparkEntry {
         s.table(name)
           .select(col("channel"), col("n"), round(col("sv"), 4).as("sv"))
           .orderBy("channel")
-      } finally graft.streaming.Channels.useMemoryBackend()
+      } finally {
+        graft.streaming.Channels.useMemoryBackend()
+        // the memory sink holds the result; the staged source copy and
+        // channel files are spent
+        graft.util.FsUtil.deleteRecursively(root)
+      }
     }),
 
     // ---- joins (Spark-native capabilities; E7 composition target) ----

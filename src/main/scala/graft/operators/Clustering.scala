@@ -73,9 +73,17 @@ object Clustering {
       val es = init.collect().map(r => (r.getLong(0), r.getLong(1)))
       init.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
+      // iterative find + path compression: edge arrival order can build
+      // parent chains as deep as the component (e.g. a chain component
+      // delivered end-first), and the cap admits 2M edges — recursion
+      // here would overflow the driver thread's stack
       def find(x: Long): Long = {
-        val px = parent.getOrElseUpdate(x, x)
-        if (px == x) x else { val r = find(px); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root)
+          root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       es.foreach { case (x, y) =>
         val (rx, ry) = (find(x), find(y))

@@ -128,13 +128,14 @@ object Channels {
             // reference's fire-and-forget channel publish)
             val stage = data.resolveSibling(s"stage-$pubId-$batchId")
             batch.write.mode("overwrite").text(stage.toString)
-            java.nio.file.Files.list(stage).toArray
-              .map(_.asInstanceOf[java.nio.file.Path])
-              .filter(_.getFileName.toString.endsWith(".txt"))
-              .foreach { p =>
-                java.nio.file.Files.move(p,
-                  data.resolve(s"pub$pubId-b$batchId-${p.getFileName}"))
-              }
+            graft.util.FsUtil.listFiles(stage, ".txt").foreach { p =>
+              java.nio.file.Files.move(p,
+                data.resolve(s"pub$pubId-b$batchId-${p.getFileName}"))
+            }
+            // remove the spent staging dir (incl. _SUCCESS) — it would
+            // otherwise accumulate one dir per micro-batch for the life
+            // of the channel
+            graft.util.FsUtil.deleteRecursively(stage)
             ()
           }
           .start()

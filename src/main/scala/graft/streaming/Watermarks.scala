@@ -77,13 +77,8 @@ object Watermarks {
         col(valCol).cast("double").as("value"), chunk.as("__chunk"))
       .repartition(nChunks, col("__chunk"))
       .write.partitionBy("__chunk").mode("overwrite").parquet(staged.toString)
-    def chunkParts(k: Int): Seq[java.nio.file.Path] = {
-      val dir = staged.resolve(s"__chunk=$k")
-      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
-      else java.nio.file.Files.list(dir).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    }
+    def chunkParts(k: Int): Seq[java.nio.file.Path] =
+      graft.util.FsUtil.listFiles(staged.resolve(s"__chunk=$k"), ".parquet")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType),
@@ -112,7 +107,13 @@ object Watermarks {
           streamDir.resolve(f"chunk$k%02d-$i%02d.parquet"))
       }
       query.processAllAvailable()
-    } finally query.stop()
+    } finally {
+      query.stop()
+      // the memory sink holds the result; the staged corpus copy,
+      // stream dir, and checkpoint are spent — repeated gate runs would
+      // otherwise each leave a full events copy in the temp dir
+      graft.util.FsUtil.deleteRecursively(root)
+    }
     spark.table(name)
   }
 }

@@ -1,0 +1,30 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+/** Close-safe local-filesystem helpers for the replay/staging harnesses
+  * (Channels file transport, Watermarks replay, ScaleProbe staging).
+  * `Files.list`/`Files.walk` return streams holding an open directory
+  * fd until closed — forgetting the close leaks one fd per call (per
+  * MICRO-BATCH on the channel publish path) until GC. */
+object FsUtil {
+
+  /** Files directly in `dir` whose name ends with `suffix` (empty if
+    * `dir` is not a directory), with the listing stream closed. */
+  def listFiles(dir: Path, suffix: String): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.endsWith(suffix)).toSeq
+    finally s.close()
+  }
+
+  /** Best-effort recursive delete (children first). */
+  def deleteRecursively(root: Path): Unit = {
+    if (!Files.exists(root)) return
+    val s = Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach { p => Files.deleteIfExists(p); () }
+    finally s.close()
+  }
+}

@@ -93,6 +93,21 @@ class ClusteringSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("driver path survives a deep chain delivered worst-case-order") {
+    // a chain component whose edges arrive end-first builds a parent
+    // chain as deep as the component in the driver union-find; the
+    // iterative find must handle it (a recursive one overflows the
+    // stack around ~10-20k frames, well under the 2M-edge cap)
+    val s = spark
+    import s.implicits._
+    val n = 30000L
+    val edges = (n - 1 to 0L by -1).map(k => (k, k + 1))
+    val got = Clustering.connectedComponents(edges.toDF("d1", "d2"),
+        "d1", "d2")
+      .agg(countDistinct(col("component")), count(lit(1))).collect()(0)
+    assert(got.getLong(0) == 1L && got.getLong(1) == n + 1)
+  }
+
   test("convergence failure is loud, not a half-contracted result") {
     val s = spark
     import s.implicits._

@@ -151,9 +151,11 @@ class StreamingWindowsSpec extends SparkSpec {
   }
 
   test("lateDataReplay: file-source replay reproduces the hand vector") {
-    // same vector through the REAL replay harness (parquet chunks with
-    // ordered mod-times + maxFilesPerTrigger=1) — pins that chunk k runs
-    // as micro-batch k, which is what the q_watermark_late oracle assumes
+    // same vector through the REAL replay harness (chunks staged up
+    // front, then moved into the watched dir one chunk at a time with a
+    // drain between moves — NOT maxFilesPerTrigger, which would lag the
+    // late filter a batch behind) — pins that chunk k runs as
+    // micro-batch k, which is what the q_watermark_late oracle assumes
     val s = spark
     import s.implicits._
     implicit val ss: org.apache.spark.sql.SparkSession = s
