@@ -1425,13 +1425,13 @@ object SparkEntry {
         |SELECT d.doc_id AS id, d.n::BIGINT AS n_bytes,
         |       md5(d.text) AS content_hash,
         |       coalesce(m.mean_byte, 0.0) AS mean_byte,
-        |       least(d.n // 64 + 1, 32)::BIGINT AS frame_count
+        |       least(greatest((d.n + 63) // 64, 1), 32)::BIGINT AS frame_count
         |FROM d LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
         |f AS (SELECT doc_id, i AS frame, substr(text, i*64 + 1, 64) AS fb
-        |      FROM d, unnest(range(0, greatest(n // 64, 1), 2)) AS t(i))
+        |      FROM d, unnest(range(0, greatest((n + 63) // 64, 1), 2)) AS t(i))
         |SELECT doc_id AS id, frame::BIGINT AS frame,
         |       strlen(fb)::BIGINT AS n_bytes, md5(fb) AS frame_hash
         |FROM f ORDER BY id, frame""".stripMargin,

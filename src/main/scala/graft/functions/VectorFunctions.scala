@@ -37,10 +37,20 @@ object VectorFunctions {
     * fold over x*x). */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity between two numeric array columns. */
+  /** Cosine from a precomputed dot and norms, guarded for zero-norm
+    * vectors: NULL (cosine is undefined there) instead of a division
+    * that THROWS [DIVIDE_BY_ZERO] under Spark 4's default ANSI mode —
+    * one all-zero embedding (a failed-encoder row) must fall out of
+    * similarity results, not kill the corpus-wide job. A null `d`
+    * (wrong-dim vector) stays null through the `when`. */
+  def cosineFrom(d: Column, n1: Column, n2: Column): Column =
+    when(n1 > lit(0.0) && n2 > lit(0.0), d / (n1 * n2))
+
+  /** Cosine similarity between two numeric array columns (zero-norm
+    * guarded — see [[cosineFrom]]). */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDoubles(a); val bd = asDoubles(b)
-    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+    cosineFrom(dot(ad, bd), l2Norm(ad), l2Norm(bd))
   }
 
   /** Squared euclidean distance. */

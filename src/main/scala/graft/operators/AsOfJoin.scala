@@ -36,7 +36,14 @@ object AsOfJoin {
     val leftCols = left.columns
     val picked = pick.toSeq
     val rStruct = struct(picked.map { case (out, src) => col(src).as(out) }: _*)
+    // SQL as-of semantics (DuckDB `ON l.key = r.key AND l.ts >= r.ts`):
+    // a right row with a null key or null ts matches NOTHING. Without
+    // this filter, null-ts rows sort NULLS FIRST in the carry window and
+    // would become the "as-of" match for left rows preceding every real
+    // right row, and null keys would match null-key left rows through
+    // the partitionBy grouping.
     val r = right
+      .where(col(key).isNotNull && col(ts).isNotNull)
       .select(col(key), col(ts), lit(0).as("__side"), rStruct.as("__asof"))
       .select((Seq(col(key), col(ts), col("__side"), col("__asof")) ++
         leftCols.filterNot(c => c == key || c == ts)

@@ -64,12 +64,19 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Per-document fingerprint + keep flag (keep = smallest id per
-    * fingerprint group). Output: (id, fp, keep). */
+    * fingerprint group). Output: (id, fp, keep).
+    *
+    * Computed with a window min rather than a groupBy+self-join: one
+    * shuffle instead of two sides of a join, and — load-bearing — a
+    * window PARTITION groups null fingerprints together while an
+    * equi-join on fp would silently drop every null-text doc from the
+    * verdict set (null != null in join predicates). Null-text docs
+    * therefore get verdicts like any other group, matching
+    * [[exactGroups]], which has always emitted the null-fp group. */
   def exact(df: DataFrame, id: String, text: String): DataFrame = {
-    val fp = df.withColumn("fp", TextFunctions.fingerprint(col(text)))
-    val keeper = fp.groupBy(col("fp")).agg(min(col(id)).as("__keep_id"))
-    fp.join(keeper, "fp")
-      .withColumn("keep", col(id) === col("__keep_id"))
+    val w = Window.partitionBy(col("fp"))
+    df.withColumn("fp", TextFunctions.fingerprint(col(text)))
+      .withColumn("keep", col(id) === min(col(id)).over(w))
       .select(col(id), col("fp"), col("keep"))
   }
 
@@ -375,7 +382,7 @@ object Dedup {
       .withColumn("nrm", l2Norm(col("v")))
     v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
       .withColumn("cosine",
-        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+        cosineFrom(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
       .where(col("cosine") >= threshold)
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
         round(col("cosine"), 4).as("cosine"))
@@ -452,7 +459,7 @@ object Dedup {
           // the blocks dictate), hence least/greatest below.
           (col("a.k1") =!= col("a.k2") || col("a.vid") < col("b.vid")))
       .withColumn("cosine",
-        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+        cosineFrom(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
       .where(col("cosine") >= threshold)
       .select(least(col("a.vid"), col("b.vid")).as("id1"),
         greatest(col("a.vid"), col("b.vid")).as("id2"),
@@ -523,7 +530,7 @@ object Dedup {
     val y = vBase.select(col("vid").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
       .hint("shuffle_hash")
     cand.join(x, "id1").join(y, "id2")
-      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .withColumn("cosine", cosineFrom(dot(col("v1"), col("v2")), col("n1"), col("n2")))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }

@@ -53,8 +53,12 @@ object Multimodal {
       .digest(bytes).map("%02x".format(_)).mkString
     // fake "frame sample": one frame per 64 bytes, capped — stands in for
     // video frame-sampling cadence
+    // frame count = ceil(len/64) with a floor of 1 — the SAME slicing
+    // frameSampleStub walks, so count and emitted frames agree (the old
+    // len/64+1 over-counted exact multiples while the sampler dropped
+    // partial tails)
     MediaFeatures(r.id, bytes.length.toLong, hash, mean,
-      math.min(bytes.length / 64 + 1, 32))
+      math.min(math.max((bytes.length + 63) / 64, 1), 32))
   }
 
   /** Partition-parallel feature extraction over media records. */
@@ -84,7 +88,11 @@ object Multimodal {
     * the generator shape of the real op. */
   def frameSampleStub(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
     val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
-    (0 until math.max(bytes.length / 64, 1) by stride).iterator.map { i =>
+    // ceil(len/64) frames (floor 1): the partial tail slice IS a frame —
+    // a 100-byte payload emits bytes 0-64 and 64-100, not just the
+    // full slice (the old len/64 dropped tails only for payloads over
+    // one frame, inconsistent with sub-frame payloads and decodeStub)
+    (0 until math.max((bytes.length + 63) / 64, 1) by stride).iterator.map { i =>
       val from = math.min(i * 64, bytes.length)
       val until = math.min(from + 64, bytes.length)
       MediaFrame(r.id, i, java.util.Arrays.copyOfRange(bytes, from, until))

@@ -33,12 +33,13 @@ object RangeJoin {
     val lowerUs = lowerMs * 1000L
     val upperUs = upperMs * 1000L
     val spanUs = span * 1000L
-    // exact floor division on longs (pmod makes the numerator divisible,
-    // so the quotient is integral and exact) — double-division rounding
-    // could place a near-boundary value in the neighboring bin and
-    // silently drop an in-range pair
-    def binOf(c: Column): Column =
-      ((c - pmod(c, lit(spanUs))) / lit(spanUs)).cast("bigint")
+    // the bin id is only ever compared for EQUALITY, so the bin's
+    // span-aligned start value (c - pmod(c, span)) IS the id — pure long
+    // arithmetic, no division at all. (The previous `x / spanUs` was
+    // Catalyst's double division: exact only while |x| < 2^53, after
+    // which rounding could land a row in the neighboring bin and
+    // silently drop an in-range pair.)
+    def binOf(c: Column): Column = c - pmod(c, lit(spanUs))
     val l = left
       .withColumn("__lus", unix_micros(col(ts)))
       .withColumn("__bin", explode(array_distinct(array(

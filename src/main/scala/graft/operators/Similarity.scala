@@ -30,7 +30,10 @@ object Similarity {
     val c = corpus.select(col(id).as("cid"), asDoubles(col(vec)).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val sims = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      // zero-norm vectors have NULL (undefined) sim — drop rather than
+      // letting a NULL row occupy a top-k slot
+      .where(col("sim").isNotNull)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -95,13 +98,14 @@ object Similarity {
       .withColumn("qn", l2Norm(col("qv")))
       .join(broadcast(c), lit(true))
       .withColumn("__csim",
-        dot(col("qv"), col("__cv")) / (col("qn") * col("__cvn")))
+        cosineFrom(dot(col("qv"), col("__cv")), col("qn"), col("__cvn")))
       .withColumn("__rn", row_number().over(qw))
       .where(col("__rn") <= nProbe)
       .select(col("qid"), col("qv"), col("qn"), col("__cell").as("cell"))
     val sims = corpusCells.join(broadcast(probes), Seq("cell"))
       .where(col("cid") =!= col("qid"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .where(col("sim").isNotNull) // zero-norm guard, as in bruteForceKnn
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -146,8 +150,13 @@ object Similarity {
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // null embeddings (failed-encoder rows) carry no training signal and
+    // would poison both paths: a null in the sniff row yields dim=0
+    // (mis-sizing the local-vs-distributed decision) and the local
+    // collect would NPE on .toArray
     val base = corpus.select(
-      array_to_vector(asDoubles(col(vec))).as("features"))
+        array_to_vector(asDoubles(col(vec))).as("features"))
+      .where(col("features").isNotNull)
     val sampled = if (sampleFraction < 1.0)
       base.sample(withReplacement = false, sampleFraction, seed) else base
     // one job for count + dim sniff: the local-vs-distributed decision is
@@ -324,7 +333,7 @@ object Similarity {
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid")).distinct()
     val sims = cand.join(cv, "cid").join(broadcast(qv), "qid")
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       // a wrong-dim vector's all-zero band keys can collide with a
       // legitimate all-negative-signs key; its dot (and sim) is NULL —
       // drop it rather than letting a NULL-sim row take a top-k slot

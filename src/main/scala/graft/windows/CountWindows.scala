@@ -114,6 +114,29 @@ object CountWindows {
 
   case class TumblingState(buf: Vector[Double], lastSeq: Long)
 
+  /** Shared tumbling fold — the fMGWS operator AND the
+    * transformWithState processor both delegate here, for the same
+    * reason [[slidingFold]] exists: a cadence or high-water-mark fix
+    * must land once, not in two copies that can silently diverge.
+    * Arrival order within a micro-batch is not guaranteed → sort by
+    * seq; a seq at/below the high-water mark from a PRIOR batch
+    * violates the ordering contract and is dropped (see KeyedSample). */
+  private[windows] def tumblingFold(key: String, rows: Seq[KeyedSample],
+                                    st0: TumblingState, size: Int,
+                                    fn: String)
+      : (TumblingState, Vector[WindowEmit]) = {
+    var st = st0
+    val out = Vector.newBuilder[WindowEmit]
+    rows.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
+      val buf = st.buf :+ s.value
+      if (buf.length == size) {
+        out += WindowEmit(key, s.seq, applyFn(fn, buf), buf, size.toLong)
+        st = TumblingState(Vector.empty, s.seq)
+      } else st = TumblingState(buf, s.seq)
+    }
+    (st, out.result())
+  }
+
   /** Streaming tumbling count window. Works identically on batch Datasets
     * (Spark executes mapGroups-style state over sorted groups). */
   def tumblingStream(ds: Dataset[KeyedSample], size: Int, fn: String)
@@ -123,20 +146,10 @@ object CountWindows {
       .flatMapGroupsWithState[TumblingState, WindowEmit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[TumblingState]) =>
-          var st = state.getOption.getOrElse(TumblingState(Vector.empty, -1L))
-          val out = Vector.newBuilder[WindowEmit]
-          // arrival order within a micro-batch is not guaranteed → sort by
-          // seq; a seq at/below the high-water mark from a PRIOR batch
-          // violates the ordering contract and is dropped (see KeyedSample).
-          rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
-            val buf = st.buf :+ s.value
-            if (buf.length == size) {
-              out += WindowEmit(key, s.seq, applyFn(fn, buf), buf, size.toLong)
-              st = TumblingState(Vector.empty, s.seq)
-            } else st = TumblingState(buf, s.seq)
-          }
+          val st0 = state.getOption.getOrElse(TumblingState(Vector.empty, -1L))
+          val (st, out) = tumblingFold(key, rows.toSeq, st0, size, fn)
           state.update(st)
-          out.result().iterator
+          out.iterator
       }
   }
 

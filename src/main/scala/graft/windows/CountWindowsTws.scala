@@ -19,31 +19,25 @@ import graft.windows.CountWindows.{KeyedSample, WindowEmit}
   */
 object CountWindowsTws {
 
-  case class TumblingTwsState(buf: Vector[Double], lastSeq: Long)
-
   private class TumblingProcessor(size: Int, fn: String, ttl: TTLConfig)
       extends StatefulProcessor[String, KeyedSample, WindowEmit] {
-    @transient private var state: ValueState[TumblingTwsState] = _
+    import CountWindows.TumblingState
+    @transient private var state: ValueState[TumblingState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[TumblingTwsState]("tumbling",
-        Encoders.product[TumblingTwsState], ttl)
+      state = getHandle.getValueState[TumblingState]("tumbling",
+        Encoders.product[TumblingState], ttl)
 
     override def handleInputRows(key: String, rows: Iterator[KeyedSample],
                                  timerValues: TimerValues): Iterator[WindowEmit] = {
-      var st = if (state.exists()) state.get()
-        else TumblingTwsState(Vector.empty, -1L)
-      val out = Vector.newBuilder[WindowEmit]
-      rows.toSeq.sortBy(_.seq).iterator.filter(_.seq > st.lastSeq).foreach { s =>
-        val buf = st.buf :+ s.value
-        if (buf.length == size) {
-          out += WindowEmit(key, s.seq,
-            CountWindows.applyFnPublic(fn, buf), buf, size.toLong)
-          st = TumblingTwsState(Vector.empty, s.seq)
-        } else st = TumblingTwsState(buf, s.seq)
-      }
+      val st0 = if (state.exists()) state.get()
+        else TumblingState(Vector.empty, -1L)
+      // identical cadence + high-water-mark contract as tumblingStream:
+      // both delegate to CountWindows.tumblingFold
+      val (st, out) =
+        CountWindows.tumblingFold(key, rows.toSeq, st0, size, fn)
       state.update(st)
-      out.result().iterator
+      out.iterator
     }
   }
 

@@ -106,5 +106,24 @@ class ExtensionsSpec extends SparkSpec {
     avgDirect.foreach { case (k, v) =>
       assert(math.abs(avgSalted(k) - v) < 1e-9)
     }
+
+    // null values: avg must divide by the NON-NULL count exactly as
+    // Spark's avg does (sum skips nulls; dividing by the row count
+    // would silently deflate the average)
+    val withNulls = rows.toDF("k", "v")
+      .withColumn("v", when(col("v") % 3 === 0, col("v")))
+    val nd = withNulls.groupBy("k").agg(avg("v")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    val ns = graft.operators.Skew.saltedAvg(withNulls, col("k"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    nd.foreach { case (k, v) =>
+      (v, ns(k)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"key $k")
+        case (a, b)             => assert(a == b, s"key $k")
+      }
+    }
   }
 }

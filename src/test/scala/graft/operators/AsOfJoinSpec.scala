@@ -26,6 +26,26 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, None, None)))            // u2 at 50: no right row yet
   }
 
+  test("null right keys/timestamps match nothing (SQL semantics)") {
+    // DuckDB ASOF (`l.k = r.k AND l.ts >= r.ts`): a null never satisfies
+    // either predicate. Without the guard, a null-ts right row sorts
+    // NULLS FIRST in the carry window and becomes the "match" for left
+    // rows preceding every real right row.
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "u1", 100L)).toDF("event_id", "k", "t")
+    val right = Seq(
+        (10L, Option("u1"), Option.empty[Long], 99.0), // null ts
+        (11L, Option.empty[String], Option(50L), 88.0), // null key
+        (12L, Option("u1"), Option(200L), 77.0))        // after left ts
+      .toDF("rid", "k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t",
+        Map("as_of_rid" -> "rid"))
+      .collect().map(r =>
+        Option(r.getAs[java.lang.Long]("as_of_rid")).map(_.toLong))
+    assert(out.toSeq == Seq(None), s"got ${out.toSeq}")
+  }
+
   test("as-of join matches DuckDB-style semantics on real events") {
     val s = spark
     val e = graft.engine.Tables.events(s, sf())

@@ -291,6 +291,50 @@ class DedupSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("zero-norm and null vectors fall out of similarity, not crash it") {
+    // Spark 4 runs ANSI mode by default, where a raw dot/(n1*n2) with a
+    // zero-norm vector THROWS [DIVIDE_BY_ZERO] and kills the job; the
+    // guarded cosine must instead exclude the undefined rows
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)), // zero-norm: cosine undefined
+      (4L, Seq(0.9, 0.1, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val withNull = vecs.unionAll(
+      Seq(5L).toDF("vec_id").withColumn("embedding",
+        lit(null).cast("array<double>")))
+    for (t <- Seq(0.4, 0.85)) { // blocked branch and LSH branch
+      val pairs = Dedup.embeddingPairs(withNull, "vec_id", "embedding", t,
+          dim = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((1L, 2L)), s"t=$t: true pair lost")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"t=$t: zero-norm vector matched something")
+      assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+        s"t=$t: null vector matched something")
+    }
+    val knn = Similarity.bruteForceKnn(withNull.where(col("vec_id") === 1),
+        withNull, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(2))
+    assert(knn.toSet == Set(2L, 4L)) // zero-norm + null corpus rows excluded
+  }
+
+  test("exact dedup gives null-text docs verdicts too") {
+    // an equi-join on fp would silently drop null-fingerprint rows
+    // (null != null); the window formulation groups them like any
+    // other fingerprint group
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null))
+      .toDF("doc_id", "text")
+    val v = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(v == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("streaming exact dedup: first arrival wins inside the watermark horizon") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._

@@ -21,7 +21,8 @@ class MultimodalSpec extends SparkSpec {
       assert(f.nBytes == bytes.length)
       assert(f.meanByte ==
         bytes.map(_ & 0xff).sum.toDouble / bytes.length)
-      assert(f.frameCount == math.min(bytes.length / 64 + 1, 32))
+      assert(f.frameCount ==
+        math.min(math.max((bytes.length + 63) / 64, 1), 32))
       assert(f.contentHash.matches("[0-9a-f]{32}"))
     }
   }
@@ -42,7 +43,8 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     byId.foreach { case (id, fs) =>
       val nBytes = raw(id).getBytes("UTF-8").length
-      val expected = (0 until math.max(nBytes / 64, 1) by 2).size
+      // ceil(len/64) frames incl. the partial tail (floor 1)
+      val expected = (0 until math.max((nBytes + 63) / 64, 1) by 2).size
       assert(fs.length == expected)
       fs.foreach(f => assert(f.bytes.length <= 64))
     }
@@ -84,6 +86,16 @@ class MultimodalSpec extends SparkSpec {
         math.min(fr.frame * 64 + 64, src.length))
       assert(java.util.Arrays.equals(fr.bytes, expected),
         s"frame ${fr.id}/${fr.frame} bytes mangled")
+    }
+    // frame count and emitted frames AGREE (incl. partial tails — a
+    // 100-byte payload is 2 frames, the tail slice included) under the
+    // shared ceil(len/64) convention, up to the 32-frame count cap
+    val framesById = frames.groupBy(_.id).view.mapValues(_.length)
+    payloads.foreach { p =>
+      if (feats(p.id).frameCount < 32)
+        assert(framesById(p.id) == feats(p.id).frameCount,
+          s"payload ${p.id}: ${framesById(p.id)} frames emitted but " +
+            s"frameCount=${feats(p.id).frameCount}")
     }
     // resize pads with zero bytes beyond the source, preserving a prefix
     val resized = Multimodal.resizeAll(ds, 256).collect()
