@@ -176,6 +176,24 @@ object Dsl {
     "coerce.toInt64("   -> "bigint(",
     "coerce.toFloat64(" -> "double(")
 
+  private val FuncTargets: Map[String, String] =
+    FuncMap.map { case (from, to) => from.dropRight(1) -> to.dropRight(1) }
+      .toMap
+  // one pass matching EITHER a single-quoted literal (kept verbatim — a
+  // blind String.replace would rewrite function names inside string
+  // literals) OR a flogo function call at an identifier boundary (the
+  // lookbehind stops `mynumber.round(` from matching `number.round(`)
+  private val FuncRe =
+    ("('(?:[^'\\\\]|\\\\.)*')|(?<![A-Za-z0-9_.$])(" +
+      FuncTargets.keys.map(java.util.regex.Pattern.quote).mkString("|") +
+      ")\\(").r
+
+  private def mapFuncs(e: String): String =
+    FuncRe.replaceAllIn(e, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.group(1) != null) m.group(1)
+        else FuncTargets(m.group(2)) + "("))
+
   /** Translate a mapper value to a Spark SQL expression string.
     * `=`-prefixed values are expressions (scope refs + flogo function
     * names mapped to Spark SQL); anything else is a literal
@@ -186,7 +204,7 @@ object Dsl {
     if (value == null) return "NULL"
     if (!value.startsWith("=")) return literal(value)
     var e = value.substring(1)
-    FuncMap.foreach { case (from, to) => e = e.replace(from, to) }
+    e = mapFuncs(e)
     e = "\\$env\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
       m => java.util.regex.Matcher.quoteReplacement(
         literal(env.getOrElse(m.group(1), ""))))

@@ -153,7 +153,13 @@ object Pipelines {
         case Array("passthru", name) =>
           out = out.withColumn(PassthruPrefix + name, c)
         case Array(name) => out = out.withColumn(name, c)
-        case _ => ()
+        case other =>
+          // an unknown scope prefix silently dropping the mapping would
+          // lose data with no signal — fail at compile time instead
+          throw new IllegalArgumentException(
+            s"unsupported output mapping target '$target' " +
+              s"(scope '${other.headOption.getOrElse("")}'; expected " +
+              "pipeline.<name>, passthru.<name>, or a bare column name)")
       }
     }
     out
@@ -169,16 +175,23 @@ object Pipelines {
   // non-zero — activity.go:46-50) ----
 
   private def filterStage(st: StageDef, df: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, NumericType}
     val v = df.withColumn("value", value)
+    // type dispatch at COMPILE time: only values the reference recognizes
+    // as numeric are testable for zero; any other type passes through
+    // unfiltered (filters.go:33-34 returns filtered=false for unknown
+    // types). A blanket `value === 0.0` would insert a cast that THROWS
+    // under Spark 4's default ANSI mode for string/bool inputs, killing
+    // the job the reference would wave through.
     val filtered = v.schema("value").dataType match {
-      case _: org.apache.spark.sql.types.ArrayType =>
+      case ArrayType(_: NumericType, _) =>
         !exists(col("value"), x => x =!= 0.0)
-      case _ => col("value") === 0.0
+      case _: NumericType => col("value") === 0.0
+      case _ => lit(false)
     }
-    // NULL (unclassifiable) values pass through unfiltered — the reference
-    // only filters values it recognizes as zero (filters.go:33-34 returns
-    // filtered=false for unknown types); without the coalesce a NULL value
-    // would make `report` NULL and the gate would drop the row silently.
+    // NULL (unclassifiable) values pass through unfiltered — without the
+    // coalesce a NULL value would make `report` NULL and the gate would
+    // drop the row silently.
     gate(v.withColumn("filtered", coalesce(filtered, lit(false)))
       .withColumn("report", !col("filtered")), pooe(st))
   }
@@ -280,7 +293,7 @@ object Pipelines {
         throw new IllegalArgumentException(s"unsupported keyed window: $other")
     }
     val named = withWin
-      .withColumn("__name", name.cast("string"))
+      .withColumn("__name", coalesce(name.cast("string"), lit(""))) // null name -> Go zero-value "" key, never a NULL_MAP_KEY crash
       .withColumn("__value", value)
     val perName =
       if (windowType == "timeSliding") {
@@ -477,7 +490,7 @@ object Pipelines {
             col("result"), lit(true).as("report"))
       case "timeTumbling" =>
         val perName = df
-          .withColumn("__name", name.cast("string"))
+          .withColumn("__name", coalesce(name.cast("string"), lit(""))) // null name -> Go zero-value "" key, never a NULL_MAP_KEY crash
           .withColumn("__kv", value)
           .withWatermark("__ts", watermark)
           .groupBy(window(col("__ts"), s"$size milliseconds"),
@@ -492,7 +505,7 @@ object Pipelines {
         // gate (same canEmit contract as the unkeyed streaming path; the
         // keyed batch path enforces it with its global window)
         val perName = df
-          .withColumn("__name", name.cast("string"))
+          .withColumn("__name", coalesce(name.cast("string"), lit(""))) // null name -> Go zero-value "" key, never a NULL_MAP_KEY crash
           .withColumn("__kv", value)
           .withWatermark("__ts", watermark)
           .groupBy(window(col("__ts"), s"$size milliseconds",

@@ -145,7 +145,11 @@ object Channels {
   /** Synchronously push rows into a channel (test/driver-side ingest). */
   def push(name: String, jsonRows: Seq[String])
           (implicit spark: SparkSession): Unit =
-    channel(name) match {
+    // empty push must be a no-op on BOTH transports: the file branch
+    // would otherwise write a lone newline, which the text source reads
+    // as one empty row and from_json turns into an all-null row for
+    // every subscriber (the memory branch's addData(Nil) is harmless)
+    if (jsonRows.isEmpty) () else channel(name) match {
       case Mem(st) => st.addData(jsonRows)
       case FileCh(data, _) =>
         val f = data.resolve(s"push-${pubSeq.getAndIncrement()}-" +

@@ -49,15 +49,49 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
   @volatile private var rows: Vector[Map[String, Any]] = load()
   @volatile private var thread: Option[Thread] = None
 
+  /** RFC-4180-style field split: quoted fields may contain commas and
+    * doubled quotes; trailing empty fields are preserved (Java's
+    * split(",") drops them, misaligning names.zip). The reference uses
+    * Go's encoding/csv, which handles both. */
+  private[streaming] def splitCsvLine(l: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < l.length && l.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += c
+      } else c match {
+        // a quote OPENS a quoted field only at field start; a bare quote
+        // mid-field stays literal (Go encoding/csv LazyQuotes behavior —
+        // the spec pins `say "hi"` surviving as-is)
+        case '"' if cur.isEmpty => inQuotes = true
+        case ',' => out += cur.result().trim; cur.clear()
+        case ch  => cur += ch
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.result()
+  }
+
   private def load(): Vector[Map[String, Any]] = {
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
-      .filter(_.nonEmpty)
+    // close the Source: each load/reload would otherwise hold an fd
+    // until GC (the control API's reload makes this a repeating leak)
+    val src = scala.io.Source.fromFile(path)
+    val lines =
+      try src.getLines().toVector.filter(_.nonEmpty)
+      finally src.close()
     if (lines.isEmpty) return Vector.empty
     val (names, dataLines) =
-      if (header) (lines.head.split(",").map(_.trim).toVector, lines.tail)
-      else (lines.head.split(",").indices.map(i => s"c$i").toVector, lines)
+      if (header) (splitCsvLine(lines.head), lines.tail)
+      else (splitCsvLine(lines.head).indices.map(i => s"c$i").toVector, lines)
     dataLines.map { l =>
-      names.zip(l.split(",").map(_.trim)).map { case (n, v) =>
+      names.zip(splitCsvLine(l)).map { case (n, v) =>
         n -> AutoParse(v)
       }.toMap
     }
@@ -94,6 +128,13 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
         if (allDataAtOnce) {
           val now = System.currentTimeMillis()
           stream.addData(rows.map(r => toJson(r, seq.getAndIncrement(), now)))
+          // replayData + allDataAtOnce must still pace at the emit delay
+          // (an unthrottled loop re-adds the whole dataset thousands of
+          // times per second into the driver-held MemoryStream), and an
+          // empty dataset must not busy-spin a core
+          if (replayData && running.get()) Thread.sleep(delay)
+        } else if (rows.isEmpty) {
+          if (replayData && running.get()) Thread.sleep(delay)
         } else {
           // no non-local `return` here: it compiles to a control-flow
           // exception, which any interposed catch would swallow

@@ -77,6 +77,19 @@ object Watermarks {
         col(valCol).cast("double").as("value"), chunk.as("__chunk"))
       .repartition(nChunks, col("__chunk"))
       .write.partitionBy("__chunk").mode("overwrite").parquet(staged.toString)
+    // a chunk value outside 0..nChunks-1 (e.g. a 1-based chunk column)
+    // would stage into a directory the replay loop never visits — its
+    // events would silently vanish from the result, corrupting the gate
+    // comparison with no failure signal
+    locally {
+      val dirs = graft.util.FsUtil.listDirs(staged, "__chunk=")
+        .map(_.getFileName.toString.stripPrefix("__chunk="))
+      val bad = dirs.filterNot(d =>
+        scala.util.Try(d.toInt).toOption.exists(k => k >= 0 && k < nChunks))
+      require(bad.isEmpty,
+        s"chunk values outside 0..${nChunks - 1} would be silently " +
+          s"skipped by the replay: ${bad.mkString(", ")}")
+    }
     def chunkParts(k: Int): Seq[java.nio.file.Path] =
       graft.util.FsUtil.listFiles(staged.resolve(s"__chunk=$k"), ".parquet")
     val schema = org.apache.spark.sql.types.StructType(Seq(

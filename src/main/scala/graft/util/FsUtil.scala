@@ -19,6 +19,17 @@ object FsUtil {
     finally s.close()
   }
 
+  /** Subdirectories of `dir` whose name starts with `prefix` (empty if
+    * `dir` is not a directory), with the listing stream closed. */
+  def listDirs(dir: Path, prefix: String): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path])
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix)).toSeq
+    finally s.close()
+  }
+
   /** Best-effort recursive delete (children first). */
   def deleteRecursively(root: Path): Unit = {
     if (!Files.exists(root)) return

@@ -17,6 +17,12 @@ class PipelinesSpec extends SparkSpec {
     assert(Dsl.translate("hello") == "'hello'")
     assert(Dsl.translate("42") == "42")
     assert(Dsl.translate("=string.concat('a: ', $.b)") == "concat('a: ', `b`)")
+    // function mapping must not rewrite inside string literals, and
+    // must not suffix-match longer identifiers (`mynumber.round` is a
+    // different function, not `number.round`)
+    assert(Dsl.translate("=string.concat('use math.abs(x) here', $.b)") ==
+      "concat('use math.abs(x) here', `b`)")
+    assert(Dsl.translate("=mynumber.round($.b)") == "mynumber.round(`b`)")
     assert(Dsl.translate("=$env.HOME", env = Map("HOME" -> "/root")) == "'/root'")
     assert(Dsl.translate("=$property.p", props = Map("p" -> "7")) == "7")
   }
@@ -202,6 +208,47 @@ class PipelinesSpec extends SparkSpec {
     val out = Pipelines.compileBatch(p, input)
       .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
     assert(out.toSet == Set(5.0, 7.0, null))
+  }
+
+  test("non-zero filter passes NON-NUMERIC values through (unknown type)") {
+    // the reference filters only values it classifies as numeric zero
+    // (filters.go:33-34 — unknown types come back filtered=false); a
+    // blanket ==0.0 comparison would CAST_INVALID_INPUT-crash under
+    // Spark 4's default ANSI mode on string inputs
+    val s = spark
+    import s.implicits._
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"st","type":"string"}],
+        |             "output": [{"name":"out","type":"string"}]},
+        |"stages": [{"ref":"#filter", "settings":{"type":"non-zero"},
+        |            "input":{"value":"=$.st"},
+        |            "output":{"pipeline.out":"=$.value"}}]
+        |}""".stripMargin)
+    val input = Seq(("up", 0L), ("down", 1L), ("0", 2L))
+      .toDF("st", "__seq")
+    val out = Pipelines.compileBatch(p, input)
+      .select("out").collect().map(_.getString(0)).sorted
+    // ALL strings pass — including "0", which is not numeric typed
+    assert(out.toSeq == Seq("0", "down", "up"))
+  }
+
+  test("output mapper rejects unknown scope prefixes loudly") {
+    val p = Dsl.parsePipeline("p",
+      """{
+        |"metadata": {"input": [{"name":"v","type":"double"}],
+        |             "output": [{"name":"out","type":"double"}]},
+        |"stages": [{"ref":"#filter", "settings":{"type":"non-zero"},
+        |            "input":{"value":"=$.v"},
+        |            "output":{"doc.field":"=$.value"}}]
+        |}""".stripMargin)
+    val s = spark
+    import s.implicits._
+    val input = Seq((1.0, 0L)).toDF("v", "__seq")
+    val ex = intercept[IllegalArgumentException] {
+      Pipelines.compileBatch(p, input).collect()
+    }
+    assert(ex.getMessage.contains("doc.field"))
   }
 
   test("passthru scope: values stashed by one stage are readable later") {

@@ -374,6 +374,37 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("csv replay handles quoted commas, doubled quotes, trailing empties") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("replay_q", ".csv")
+    // a quoted field with a comma, a doubled quote inside quotes, and a
+    // row whose trailing fields are empty (Java split(",") drops them
+    // and misaligns names.zip — the silent-corruption case)
+    java.nio.file.Files.writeString(csv.toPath,
+      "name,score,note\n\"hello, world\",5,\"say \"\"hi\"\"\"\nplain,,\n")
+    val replay = new CsvReplay(csv.getAbsolutePath, header = true)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    val q = replay.toDF(schema).writeStream.format("memory")
+      .queryName("csv_quoted").outputMode("append").start()
+    try {
+      replay.emitAllNow()
+      q.processAllAvailable()
+      val rows = s.sql("SELECT name, score, note FROM csv_quoted ORDER BY __seq")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      // "5" auto-parses to float64 (the shared ingress rule), so the
+      // string cast reads back "5.0"
+      assert(rows.toSeq == Seq(
+        ("hello, world", "5.0", "say \"hi\""),
+        ("plain", "", "")), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("instrumented pipelines emit per-stage row counts (batch + stream)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
