@@ -144,6 +144,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // a typo'd filter selecting nothing would otherwise emit a
+    // success-shaped {"value":0.0,"errors":[]} line — the run must read
+    // as invalid, not as a 0-second bench
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY matched no queries: ${only.get.mkString(", ")}")
     // Per-task executor-run and JVM-GC time, accumulated across the whole
     // session; snapshotted around each run so a stalled run's nature shows
     // up in the stderr log: wall >> task time = driver-side (planning /
@@ -171,6 +176,7 @@ object Bench {
     // A failed query records -1 (an explicit error marker) rather than a
     // partial time, so a broken query can never flatter the total.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val results = selected.map { case (name, fn) =>
       val times = Vector.newBuilder[Double]
       var failed = false
@@ -192,8 +198,15 @@ object Bench {
         r += 1
       }
       val ts = times.result()
+      // true median: even rep counts average the two middles (the bare
+      // lower-middle would flatter every even-reps run low)
       val median =
-        if (failed) -1.0 else ts.sorted.apply((ts.length - 1) / 2)
+        if (failed) -1.0
+        else {
+          val s = ts.sorted
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        }
       name -> (median, ts)
     }
     val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }

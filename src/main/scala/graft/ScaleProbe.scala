@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   *    cardinality keys (returnflag/linestatus — the map-side-combine
   *    regime).
   *
-  * Scales, reps and the query list are env-tunable; caches are cleared
-  * between scales so each scale is measured cold on its own data.
+  * Env-tunable: SPARK_GRAFT_SCALES (replication factors),
+  * SPARK_GRAFT_PROBE_ONLY (query subset), SPARK_GRAFT_PROBE_REPS
+  * (median-of-n per query; default 1). Caches are cleared between
+  * scales so each scale is measured cold on its own data.
   * Output: one JSON line per scale {"scale":k,"times":{...}}; the
   * growth-exponent table lives in SCALE.md.
   */
@@ -44,8 +46,14 @@ object ScaleProbe {
         // — so a renamed token can never equal a base-corpus token (a
         // plain "_i" suffix collides with base tokens that already end
         // in "_<i>": base "foo_1" == copy-1's renamed "foo")
+        // Tokenize on \\s+ with empty-token filtering — EXACTLY the
+        // operators' tokenization: a plain split(" ") would leave a
+        // tab/newline-joined chunk as ONE "token" whose pieces the
+        // operators then split apart UNRENAMED (cross-copy collisions —
+        // the correlated growth this decorrelation exists to prevent)
         val renamed = concat_ws(" ",
-          transform(split(col("text"), " "),
+          transform(
+            filter(split(col("text"), "\\s+"), w => w =!= ""),
             w => concat(w, lit("\u0001" + i))))
         base.select(
           (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
@@ -108,51 +116,47 @@ object ScaleProbe {
       .toOption.flatten
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val root = java.nio.file.Files.createTempDirectory("graft-stateprobe-")
-    val streamDir = root.resolve("stream")
-    java.nio.file.Files.createDirectories(streamDir)
-    val staged = root.resolve("staged")
     // chunk by per-user rank so every user's samples arrive in seq order
     // across triggers (the operators' stale-seq replay guard would
-    // otherwise drop out-of-order deliveries and shrink later batches)
+    // otherwise drop out-of-order deliveries and shrink later batches);
+    // the stage/move/drain mechanics are ChunkedReplay's (shared with
+    // Watermarks.lateDataReplay)
+    val keyed = events.select(col("user_id").cast("string").as("key"),
+      col("event_id").cast("long").as("seq"),
+      col("value").cast("double").as("value"))
     val byUser = Window.partitionBy("key").orderBy("seq")
-    events.select(col("user_id").cast("string").as("key"),
-        col("event_id").cast("long").as("seq"),
-        col("value").cast("double").as("value"))
-      .withColumn("__chunk", least(floor(percent_rank().over(byUser)
-        * nChunks), lit(nChunks - 1)).cast("int"))
-      .repartition(nChunks, col("__chunk"))
-      .write.partitionBy("__chunk").mode("overwrite").parquet(staged.toString)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("key",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("seq",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType)))
+    val replay = new graft.streaming.ChunkedReplay(keyed,
+      Seq(col("key"), col("seq"), col("value")),
+      least(floor(percent_rank().over(byUser) * nChunks),
+        lit(nChunks - 1)).cast("int"),
+      nChunks)
     implicit val ss: SparkSession = spark
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = spark.readStream.schema(replay.schema)
+      .parquet(replay.streamDir.toString)
       .as[graft.windows.CountWindows.KeyedSample]
     val q = graft.windows.CountWindowsTws.tumbling(stream, 16, "sum")
       .writeStream.format("noop")
-      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .option("checkpointLocation", replay.root.resolve("ckpt").toString)
       .outputMode("append").start()
     try {
-      (0 until nChunks).foreach { c =>
-        graft.util.FsUtil.listFiles(staged.resolve(s"__chunk=$c"), ".parquet")
-          .zipWithIndex
-          .foreach { case (p, i) => java.nio.file.Files.move(p,
-            streamDir.resolve(f"c$c%02d-$i%03d.parquet")) }
-        q.processAllAvailable()
-      }
+      replay.run(() => q.processAllAvailable())
       val progs = q.recentProgress.filter(_.numInputRows > 0)
-      val batchMs = progs.map(_.durationMs.get("triggerExecution").toLong)
-      val st = progs.last.stateOperators(0)
-      val sstBytes = Option(st.customMetrics.get("rocksdbSstFileSize"))
-        .map(_.longValue).getOrElse(0L)
+      // an empty input (or a filter leaving zero rows) must report
+      // zeros, not crash on progs.last after the staging/stream cost
+      // was already paid; durationMs keys are also not guaranteed
+      val batchMs = progs.map(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+          .getOrElse(0L))
+      val (stateRows, stateMem, sstBytes) =
+        progs.lastOption.flatMap(_.stateOperators.headOption) match {
+          case Some(st) => (st.numRowsTotal, st.memoryUsedBytes,
+            Option(st.customMetrics.get("rocksdbSstFileSize"))
+              .map(_.longValue).getOrElse(0L))
+          case None => (0L, 0L, 0L)
+        }
       s""""streaming_state":{"input_rows":${progs.map(_.numInputRows).sum},""" +
-        s""""state_rows":${st.numRowsTotal},""" +
-        s""""state_mem_bytes":${st.memoryUsedBytes},""" +
+        s""""state_rows":$stateRows,""" +
+        s""""state_mem_bytes":$stateMem,""" +
         s""""sst_bytes":$sstBytes,""" +
         s""""batch_ms":[${batchMs.mkString(",")}]}"""
     } finally {
@@ -163,7 +167,7 @@ object ScaleProbe {
       }
       // the staged replica (the k-fold events copy — the largest temp
       // artifact in the probe) is spent once the metrics are read
-      graft.util.FsUtil.deleteRecursively(root)
+      replay.cleanup()
     }
   }
 
@@ -208,14 +212,24 @@ object ScaleProbe {
       val li = replicateLineitem(engine.Tables.lineitem(spark, sfDir), k)
       val events = replicateEvents(engine.Tables.events(spark, sfDir), k)
 
-      // pairs for the clustering probe are materialized OUTSIDE its
-      // timing (lazy: only forced when the entry is selected) so the
-      // measured growth is the closure's own, not minhash's
-      lazy val ccPairs = {
-        val p = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8,
-          persistShingles = false).persist()
-        p.count(); p
-      }
+      // SPARK_GRAFT_PROBE_ONLY=a,b limits the probe (e.g. skip the
+      // by-design-quadratic blocked branch when probing extra decades);
+      // parsed ONCE — the query filter and the streaming-state branch
+      // must never read the env differently
+      val onlyNames = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      def wanted(name: String): Boolean = onlyNames.forall(_.contains(name))
+
+      // pairs for the clustering probe are materialized BEFORE the timed
+      // loop (a lazy val would be first forced INSIDE dedup_clusters'
+      // timing window, silently folding minhash generation into the
+      // published closure exponent); only computed when selected
+      val ccPairs =
+        if (wanted("dedup_clusters")) {
+          val p = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8,
+            persistShingles = false).persist()
+          p.count(); p
+        } else null
 
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
@@ -281,23 +295,27 @@ object ScaleProbe {
             .where(col("lang").isNotNull).count())
       )
 
-      // SPARK_GRAFT_PROBE_ONLY=a,b limits the probe (e.g. skip the
-      // by-design-quadratic blocked branch when probing extra decades)
-      val selected = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
-        .map(_.split(",").map(_.trim).toSet)
-        .map(names => queries.filter(q => names(q._1)))
-        .getOrElse(queries)
+      val selected = queries.filter(q => wanted(q._1))
+      // SPARK_GRAFT_PROBE_REPS=n: median of n runs per query (default 1
+      // — single-shot keeps the multi-decade sweep cheap, but a
+      // contention-suspect run can be re-probed with reps=3 the same
+      // way Bench defuses host stalls with its median-of-3)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt
+        .max(1)
       val times = selected.map { case (name, run) =>
-        val t0 = System.nanoTime()
-        val n = run()
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[probe] scale=$k $name%-22s $dt%7.2fs rows=$n")
+        val (dts, ns) = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val n = run()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }.unzip
+        val dt = dts.sorted.apply((reps - 1) / 2)
+        System.err.println(
+          f"[probe] scale=$k $name%-22s $dt%7.2fs rows=${ns.head}")
         s""""$name":${"%.3f".format(dt)}"""
       }
       // streaming-state branch rides the same name filter
       val streamingJson =
-        if (sys.env.get("SPARK_GRAFT_PROBE_ONLY")
-            .forall(_.split(",").map(_.trim).contains("streaming_state"))) {
+        if (wanted("streaming_state")) {
           val t0 = System.nanoTime()
           val j = streamingStateProbe(spark, events)
           System.err.println(

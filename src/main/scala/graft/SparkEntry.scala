@@ -268,13 +268,19 @@ object SparkEntry {
           pa.processAllAvailable(); pb.processAllAvailable()
           q.processAllAvailable()
         } finally { pa.stop(); pb.stop(); q.stop() }
-        s.table(name)
+        // materialize (2 rows) and drop the per-invocation memory-sink
+        // view so repeated runs don't accumulate registered tables
+        val sink = s.table(name)
           .select(col("channel"), col("n"), round(col("sv"), 4).as("sv"))
           .orderBy("channel")
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+        s.catalog.dropTempView(name)
+        out
       } finally {
         graft.streaming.Channels.useMemoryBackend()
-        // the memory sink holds the result; the staged source copy and
-        // channel files are spent
+        // the memory sink held the result until materialization; the
+        // staged source copy and channel files are spent
         graft.util.FsUtil.deleteRecursively(root)
       }
     }),

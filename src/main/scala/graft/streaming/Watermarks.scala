@@ -66,38 +66,13 @@ object Watermarks {
                      chunk: Column, nChunks: Int, delay: String,
                      size: String, statePartitions: Int = 4)
                     (implicit spark: SparkSession): DataFrame = {
-    require(nChunks > 0, s"nChunks must be positive, got $nChunks")
-    val root = java.nio.file.Files.createTempDirectory("graft-wm-")
-    val streamDir = root.resolve("stream")
-    java.nio.file.Files.createDirectories(streamDir)
-    // one pass stages every chunk: repartition by chunk value sends each
-    // chunk to one task, partitionBy splits the output by directory
-    val staged = root.resolve("staged")
-    events.select(col(tsCol).as("ts"),
-        col(valCol).cast("double").as("value"), chunk.as("__chunk"))
-      .repartition(nChunks, col("__chunk"))
-      .write.partitionBy("__chunk").mode("overwrite").parquet(staged.toString)
-    // a chunk value outside 0..nChunks-1 (e.g. a 1-based chunk column)
-    // would stage into a directory the replay loop never visits — its
-    // events would silently vanish from the result, corrupting the gate
-    // comparison with no failure signal
-    locally {
-      val dirs = graft.util.FsUtil.listDirs(staged, "__chunk=")
-        .map(_.getFileName.toString.stripPrefix("__chunk="))
-      val bad = dirs.filterNot(d =>
-        scala.util.Try(d.toInt).toOption.exists(k => k >= 0 && k < nChunks))
-      require(bad.isEmpty,
-        s"chunk values outside 0..${nChunks - 1} would be silently " +
-          s"skipped by the replay: ${bad.mkString(", ")}")
-    }
-    def chunkParts(k: Int): Seq[java.nio.file.Path] =
-      graft.util.FsUtil.listFiles(staged.resolve(s"__chunk=$k"), ".parquet")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType)))
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    // stage-by-chunk / move / drain-per-trigger mechanics live in
+    // ChunkedReplay (shared with ScaleProbe's streaming-state branch)
+    val replay = new ChunkedReplay(events,
+      Seq(col(tsCol).as("ts"), col(valCol).cast("double").as("value")),
+      chunk, nChunks)
+    val stream = spark.readStream.schema(replay.schema)
+      .parquet(replay.streamDir.toString)
     val name = "graft_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // micro-batch cost scales with state-store partition count, not data:
     // pin a small shuffle-partition count for THIS query (the streaming
@@ -111,22 +86,25 @@ object Watermarks {
         tumblingAgg(stream, "ts", "value", delay, size)
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
-          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .option("checkpointLocation", replay.root.resolve("ckpt").toString)
           .start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try (0 until nChunks).foreach { k =>
-      chunkParts(k).zipWithIndex.foreach { case (part, i) =>
-        java.nio.file.Files.move(part,
-          streamDir.resolve(f"chunk$k%02d-$i%02d.parquet"))
-      }
-      query.processAllAvailable()
-    } finally {
+    try replay.run(() => query.processAllAvailable())
+    finally {
       query.stop()
       // the memory sink holds the result; the staged corpus copy,
       // stream dir, and checkpoint are spent — repeated gate runs would
       // otherwise each leave a full events copy in the temp dir
-      graft.util.FsUtil.deleteRecursively(root)
+      replay.cleanup()
     }
-    spark.table(name)
+    // materialize the (one-row-per-window) result and DROP the memory
+    // sink's temp view — each invocation registers a uniquely-named
+    // table, and a long-lived session re-running the gate would
+    // accumulate them (and their retained rows) without bound
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 }
