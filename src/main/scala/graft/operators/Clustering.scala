@@ -49,8 +49,10 @@ object Clustering {
     * Analytic dispatch (the same pattern as `Dedup.embeddingPairs`):
     * the pair graph is measured once, and at or below `driverEdgeCap`
     * edges the closure runs as driver-side union-find — one bounded
-    * collect (16 bytes/edge; the default cap is ~32 MB, matching the
-    * Lloyd's-sample contract in Similarity) and near-zero latency.
+    * typed collect (specialized (Long,Long) tuples, ~32 bytes/edge
+    * with headers; the default cap is ~64 MB of transient driver heap,
+    * the same order as the Lloyd's-sample contract in Similarity) and
+    * near-zero latency.
     * This is the production-typical case: only docs WITH a near-dup
     * appear in the pair graph, so even a 100 TB corpus usually yields
     * a driver-sized edge list. Above the cap, the distributed star
@@ -64,13 +66,17 @@ object Clustering {
                           maxIter: Int = 40,
                           driverEdgeCap: Long = 2000000L): DataFrame = {
     val sp = pairs.sparkSession
+    import sp.implicits._
     val init = pairs.select(col(a).cast("long").as("u"),
       col(b).cast("long").as("v")).localCheckpoint(true)
     val nEdges = init.count()
     if (nEdges <= driverEdgeCap) {
       // driver union-find, attaching larger roots under smaller so the
-      // root IS the component minimum
-      val es = init.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // root IS the component minimum. Typed collect: Dataset[(Long,
+      // Long)] deserializes straight to primitive-backed tuples —
+      // collecting Rows instead would transiently hold one GenericRow +
+      // boxed fields per edge (several hundred MB at the 2M cap)
+      val es = init.as[(Long, Long)].collect()
       init.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       // iterative find + path compression: edge arrival order can build
@@ -91,12 +97,8 @@ object Clustering {
       }
       val ids = es.iterator.flatMap(e => Iterator(e._1, e._2))
         .toArray.distinct
-      import sp.implicits._
       return ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
     }
-    val nodes = init.select(col("u").as("id"))
-      .unionAll(init.select(col("v").as("id"))).distinct()
-
     // canonical form: larger endpoint first, self-loops dropped, distinct
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"),
@@ -141,42 +143,46 @@ object Clustering {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var cur = canon(init).localCheckpoint(true)
-    var curSum = checksum(cur)
-    var it = 0
-    var stable = false
     // Size the iteration's shuffles from the MEASURED edge count: each
     // round is ~6 tiny shuffles, and paying the session's full shuffle
     // parallelism per round dominates wall time when the pair graph is
     // small (the usual case — only near-dup docs appear in it). ~2M
     // edges per partition, capped at the session setting so cluster
-    // parallelism is never exceeded. Same save/restore pattern as
-    // Watermarks.lateDataReplay; restored before returning, and the
-    // already-checkpointed inputs are partition-count agnostic.
-    val spark = pairs.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val p = math.max(1L, math.min(prevShuffle.toLong,
-      curSum._1 / 2000000L + 1L)).toString
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", p)
-      while (!stable && it < maxIter) {
-        val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
-        val nextSum = checksum(next)
-        stable = nextSum == curSum
-        cur.unpersist()
-        cur = next; curSum = nextSum; it += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // parallelism is never exceeded. The override lives in a CLONED
+    // session (newSession: same SparkContext, cache and checkpointed
+    // blocks; separate SQLConf) so a query planned concurrently on the
+    // caller's session can never inherit the tiny partition count.
+    val scoped = sp.newSession()
+    val scopedInit = scoped.createDataFrame(init.rdd, init.schema)
+    var cur = canon(scopedInit).localCheckpoint(true)
+    var curSum = checksum(cur)
+    var it = 0
+    var stable = false
+    val p = math.max(1L,
+      math.min(sp.conf.get("spark.sql.shuffle.partitions").toLong,
+        curSum._1 / 2000000L + 1L)).toString
+    scoped.conf.set("spark.sql.shuffle.partitions", p)
+    while (!stable && it < maxIter) {
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val nextSum = checksum(next)
+      stable = nextSum == curSum
+      cur.unpersist()
+      cur = next; curSum = nextSum; it += 1
+    }
     if (!stable)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds")
     // fixpoint is a star forest: every edge is (member, component-min);
-    // roots and isolated nodes label themselves
+    // roots and isolated nodes label themselves. The join runs in the
+    // scoped session (right-sized partitions); the RESULT is rebound to
+    // the caller's session so downstream planning uses the caller's conf.
     val compOf = cur.select(col("u").as("id"), col("v").as("component"))
-    val out = nodes.join(compOf, Seq("id"), "left")
+    val scopedNodes = scopedInit.select(col("u").as("id"))
+      .unionAll(scopedInit.select(col("v").as("id"))).distinct()
+    val out = scopedNodes.join(compOf, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
-    out
+    sp.createDataFrame(out.rdd, out.schema)
   }
 
   /** Pairs → per-document keep/drop verdict: (id, component, keep) with

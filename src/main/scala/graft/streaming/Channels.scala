@@ -128,9 +128,15 @@ object Channels {
             // reference's fire-and-forget channel publish)
             val stage = data.resolveSibling(s"stage-$pubId-$batchId")
             batch.write.mode("overwrite").text(stage.toString)
+            // REPLACE_EXISTING makes the rename idempotent across
+            // micro-batch retries: a retry that re-executes after a
+            // partial move re-stages identical content, so overwriting
+            // a half-moved predecessor is safe — without it the retry
+            // would depend on Spark generating fresh part-file UUIDs
             graft.util.FsUtil.listFiles(stage, ".txt").foreach { p =>
               java.nio.file.Files.move(p,
-                data.resolve(s"pub$pubId-b$batchId-${p.getFileName}"))
+                data.resolve(s"pub$pubId-b$batchId-${p.getFileName}"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             }
             // remove the spent staging dir (incl. _SUCCESS) — it would
             // otherwise accumulate one dir per micro-batch for the life

@@ -52,11 +52,20 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
   /** RFC-4180-style field split: quoted fields may contain commas and
     * doubled quotes; trailing empty fields are preserved (Java's
     * split(",") drops them, misaligning names.zip). The reference uses
-    * Go's encoding/csv, which handles both. */
+    * Go's encoding/csv, which handles both. Divergences from
+    * encoding/csv, both inherent to line-at-a-time replay: embedded
+    * newlines inside quoted fields are NOT supported (the file is
+    * pre-split into lines), and only UNQUOTED fields are trimmed —
+    * quoting is the user's explicit way to keep significant spaces. */
   private[streaming] def splitCsvLine(l: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inQuotes = false
+    var wasQuoted = false
+    def emit(): Unit = {
+      out += (if (wasQuoted) cur.result() else cur.result().trim)
+      cur.clear(); wasQuoted = false
+    }
     var i = 0
     while (i < l.length) {
       val c = l.charAt(i)
@@ -69,13 +78,13 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
         // a quote OPENS a quoted field only at field start; a bare quote
         // mid-field stays literal (Go encoding/csv LazyQuotes behavior —
         // the spec pins `say "hi"` surviving as-is)
-        case '"' if cur.isEmpty => inQuotes = true
-        case ',' => out += cur.result().trim; cur.clear()
+        case '"' if cur.isEmpty => inQuotes = true; wasQuoted = true
+        case ',' => emit()
         case ch  => cur += ch
       }
       i += 1
     }
-    out += cur.result().trim
+    emit()
     out.result()
   }
 

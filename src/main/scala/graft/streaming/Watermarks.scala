@@ -71,24 +71,23 @@ object Watermarks {
     val replay = new ChunkedReplay(events,
       Seq(col(tsCol).as("ts"), col(valCol).cast("double").as("value")),
       chunk, nChunks)
-    val stream = spark.readStream.schema(replay.schema)
+    // micro-batch cost scales with state-store partition count, not
+    // data: pin a small shuffle-partition count for THIS query by
+    // running it in a CLONED session (newSession: same SparkContext,
+    // separate SQLConf) — ~720 hourly windows need nowhere near the
+    // session's bench-sized setting, and the scoped conf can never be
+    // observed by queries planned concurrently on the caller's session
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = scoped.readStream.schema(replay.schema)
       .parquet(replay.streamDir.toString)
     val name = "graft_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // micro-batch cost scales with state-store partition count, not data:
-    // pin a small shuffle-partition count for THIS query (the streaming
-    // query clones the session conf at start(), so restoring right after
-    // does not affect it; ~720 hourly windows need nowhere near the
-    // session's bench-sized setting)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val query =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-        tumblingAgg(stream, "ts", "value", delay, size)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .option("checkpointLocation", replay.root.resolve("ckpt").toString)
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      tumblingAgg(stream, "ts", "value", delay, size)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", replay.root.resolve("ckpt").toString)
+        .start()
     try replay.run(() => query.processAllAvailable())
     finally {
       query.stop()
@@ -100,11 +99,13 @@ object Watermarks {
     // materialize the (one-row-per-window) result and DROP the memory
     // sink's temp view — each invocation registers a uniquely-named
     // table, and a long-lived session re-running the gate would
-    // accumulate them (and their retained rows) without bound
-    val sink = spark.table(name)
+    // accumulate them (and their retained rows) without bound. The
+    // result is rebound to the CALLER's session (the sink lives in the
+    // scoped one).
+    val sink = scoped.table(name)
     val out = spark.createDataFrame(
       java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    spark.catalog.dropTempView(name)
+    scoped.catalog.dropTempView(name)
     out
   }
 }

@@ -30,12 +30,27 @@ object FsUtil {
     finally s.close()
   }
 
-  /** Best-effort recursive delete (children first). */
+  /** Best-effort recursive delete (children first). Genuinely
+    * best-effort: a path that vanishes mid-walk, a directory made
+    * non-empty by a concurrent writer, or any other per-path
+    * IOException degrades to a leaked temp entry — never a throw.
+    * This runs inside the channel-publish foreachBatch, where a
+    * propagated exception would fail the whole streaming query over
+    * what is only cleanup. */
   def deleteRecursively(root: Path): Unit = {
     if (!Files.exists(root)) return
-    val s = Files.walk(root)
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .forEach { p => Files.deleteIfExists(p); () }
-    finally s.close()
+    try {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach { p =>
+          try { Files.deleteIfExists(p); () }
+          catch { case _: java.io.IOException => () }
+        }
+      finally s.close()
+    } catch {
+      // Files.walk streams throw lazily (wrapped in UncheckedIOException)
+      // when the snapshot races a concurrent writer/deleter
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+    }
   }
 }
