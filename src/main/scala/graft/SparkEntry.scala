@@ -574,17 +574,32 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    // k-means-trained IVF (MLlib) — model-based, rows-only check.
+    // k-means-trained IVF (MLlib) with an in-query recall certificate.
     // Trains on a seeded half-sample with random init (the faiss-style
     // coarse-quantizer recipe): the 100 TB contract is that centroids
-    // need a sample, not the corpus. IvfTrainedSpec pins the recall
-    // floor for exactly this configuration.
+    // need a sample, not the corpus. The output rows are the
+    // exhaustive-probe (nProbe = #cells = exact) top-k — hashable
+    // against plain brute-force SQL — cross-joined with a one-row
+    // certificate that the pruned nProbe=4 probe over the SAME trained
+    // centroids recalls >= 0.3 of those exact pairs. Recall is
+    // deterministic (seeded sample + seeded init + Lloyd), measured
+    // 5/15 at sf0.001, 7/15 at sf0.01, 10/15 at sf0.1; per-qid recall
+    // ranges 0..1 (qid 0 recalls 0/3 at sf0.01), which is why the
+    // certificate is aggregate, not per-query. If a regression drops
+    // recall below the floor, recall_ok flips false on every row and
+    // the hash compare fails loudly. IvfTrainedSpec additionally pins
+    // the 20-query recall floor (0.4) for this configuration.
     "q_knn_ivf_trained" -> ((s, d) => {
       val e = emb(s, d)
       val cent = Similarity.trainCentroids(e, "embedding", 16,
         maxIter = 10, sampleFraction = 0.5, initMode = "random")
-      Similarity.ivfKnn(e.where(col("vec_id") < 5), e, "vec_id", "embedding",
-          cent, "cell", "centroid", 3, nProbe = 4)
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.ivfKnn(q, e, "vec_id", "embedding",
+        cent, "cell", "centroid", 3, nProbe = 16)
+      val approx = Similarity.ivfKnn(q, e, "vec_id", "embedding",
+        cent, "cell", "centroid", 3, nProbe = 4)
+      exact.crossJoin(
+          broadcast(Similarity.recallCertificate(exact, approx, 0.3)))
         .orderBy("qid", "rank")
     }),
 
@@ -1376,6 +1391,24 @@ object SparkEntry {
         |s AS (SELECT q.qid, a.vec_id cid, list_cosine_similarity(q.qv, a.v) sim
         |      FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.qid)
         |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // The trained-IVF gate emits exhaustive-probe (= exact) rows plus a
+    // deterministic recall certificate for the pruned nProbe=4 probe, so
+    // the oracle is brute force + TRUE: if recall ever drops below the
+    // 0.3 floor, Spark emits false and the hash compare fails.
+    "q_knn_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim,
+        |       TRUE AS recall_ok FROM (
         |  SELECT qid, cid, sim,
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY sim DESC, cid) AS rank

@@ -276,6 +276,27 @@ object Similarity {
     graft.expressions.VectorExprs.bandKeys(asDoubles(vec), dim, bitsPerBand,
       numBands, 42L + dim * 1000L + bitsPerBand * 17L + numBands)
 
+  /** One-row recall certificate: does `approx` find at least `floor` of
+    * `exact`'s (qid, cid) neighbor pairs? Output: a single row
+    * `(recall_ok: boolean)` suitable for cross-joining onto an exact
+    * result so an approximate path becomes oracle-checkable — the exact
+    * rows hash against plain SQL, and the certificate flips to `false`
+    * (failing the hash compare loudly) if the ANN configuration's recall
+    * ever drops below the floor.
+    *
+    * Computed as one left-outer join + one aggregate over the exact
+    * pairs — the exact plan is evaluated once here (not once per side of
+    * a hits/total split). Zero hits certify as `false`, not null. */
+  def recallCertificate(exact: DataFrame, approx: DataFrame,
+                        floor: Double): DataFrame = {
+    val hits = approx.select(col("qid"), col("cid"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("qid"), col("cid"))
+      .join(hits, Seq("qid", "cid"), "left_outer")
+      .agg((coalesce(sum(col("__hit")), lit(0L)) / count(lit(1))
+        >= lit(floor)).as("recall_ok"))
+  }
+
   /** Banding parameters for a target per-pair miss probability at the
     * given cosine threshold: the largest bitsPerBand whose required band
     * count stays within `maxBands`. Returns (bitsPerBand, numBands).

@@ -56,4 +56,30 @@ class IvfTrainedSpec extends SparkSpec {
       "embedding", cent, "cell", "centroid", 3, nProbe = 16))
     assert(exhaustive == exact)
   }
+
+  test("recall certificate certifies the gate config and fails loudly") {
+    // the q_knn_ivf_trained gate: exhaustive-probe rows + a one-row
+    // certificate that the pruned probe recalls >= floor of them
+    val s = spark
+    val emb = Tables.embeddings(s, sf())
+    val cent = Similarity.trainCentroids(emb, "embedding", 16,
+      maxIter = 10, sampleFraction = 0.5, initMode = "random")
+    val q = emb.where(col("vec_id") < 5)
+    val exact = Similarity.ivfKnn(q, emb, "vec_id", "embedding",
+      cent, "cell", "centroid", 3, nProbe = 16)
+    val approx = Similarity.ivfKnn(q, emb, "vec_id", "embedding",
+      cent, "cell", "centroid", 3, nProbe = 4)
+    def ok(cert: org.apache.spark.sql.DataFrame): Boolean = {
+      val rows = cert.collect()
+      assert(rows.length == 1 && cert.columns.toSeq == Seq("recall_ok"))
+      rows(0).getBoolean(0)
+    }
+    // gate floor holds at every test sf (measured 5/15 at sf0.001)
+    assert(ok(Similarity.recallCertificate(exact, approx, 0.3)))
+    // an unattainable floor flips it false (loud hash-compare failure)
+    assert(!ok(Similarity.recallCertificate(exact, approx, 1.01)))
+    // zero hits certify false, not null
+    val disjoint = approx.withColumn("cid", col("cid") + lit(1000000L))
+    assert(!ok(Similarity.recallCertificate(exact, disjoint, 0.01)))
+  }
 }
