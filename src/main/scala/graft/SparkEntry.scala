@@ -522,6 +522,24 @@ object SparkEntry {
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", 3, 0.8)
         .orderBy("d1", "d2")),
 
+    // incremental dedup against a persisted bucketed signature index:
+    // corpus = doc_id % 4 != 3 is indexed once (bucketed band-key +
+    // shingle tables), delta = doc_id % 4 == 3 dedups against it —
+    // the emitted pairs are exactly the batch pairs touching the delta
+    // (union-equivalence, IncrementalDedupSpec), which is what the
+    // oracle's `d1 % 4 = 3 OR d2 % 4 = 3` filter expresses. The index
+    // side of the candidate join reads its buckets Exchange-free.
+    "q_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft-inc-idx-" +
+        s.sparkContext.applicationId
+      val idx = Dedup.buildIndex(all.where(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", "graft_inc_idx", path)
+      Dedup.pairsAgainstIndex(all.where(col("doc_id") % 4 === 3),
+          "doc_id", "text", idx, 0.8)
+        .orderBy("d1", "d2")
+    }),
+
     // portable token hash (md5-derived 64-bit, identical in DuckDB) so
     // the full simhash pipeline is oracle-checked; the xxhash64 kernel
     // stays the fast default for library callers
@@ -1229,6 +1247,14 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+
+    // the incremental result is the batch pair set restricted to pairs
+    // touching the delta partition (union-equivalence)
+    "q_dedup_incremental" ->
+      s"""WITH $shingleCte
+         |SELECT d1, d2, round(j, 4) AS jaccard FROM jac
+         |WHERE j >= 0.8 AND (d1 % 4 = 3 OR d2 % 4 = 3)
+         |ORDER BY d1, d2""".stripMargin,
 
     // transitive closure of the jaccard pair graph via recursive CTE;
     // component = min reachable id, keep = "I am my component's min"

@@ -1,9 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+
+/** Handle to a persisted MinHash dedup index (see [[Dedup.buildIndex]]):
+  * two external bucketed parquet tables under `path` — band keys
+  * bucketed+sorted by `bkey`, shingle sets bucketed+sorted by `doc` —
+  * plus the signature parameters they were built with, so
+  * [[Dedup.pairsAgainstIndex]] can never probe with mismatched
+  * signatures. */
+case class DedupIndex(name: String, path: String, n: Int, numPerms: Int,
+                      rowsPerBand: Int, numBuckets: Int) {
+  def bandsTable: String = s"${name}_bands"
+  def shinglesTable: String = s"${name}_sh"
+}
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -283,22 +295,134 @@ object Dedup {
     // same cache-retention contract as jaccardPairs
     val sh0 = withShingles(df, id, text, n)
     val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
-    val sig = minhashSignatureTable(sh, numPerms)
-    val numBands = numPerms / rowsPerBand
-    // band key: hash of the band's signature slice + band index
-    val bands = sig.select(col("doc"), posexplode(
-      array((0 until numBands).map { bI =>
-        xxhash64(lit(bI) +: (0 until rowsPerBand).map(r =>
-          col("sig").getItem(bI * rowsPerBand + r)): _*)
-      }: _*)).as(Seq("band", "bkey")))
+    val bands = bandKeyTable(minhashSignatureTable(sh, numPerms),
+      numPerms, rowsPerBand)
     // corpus x corpus band join: see the jaccard note — pin shuffle hash
     val cand = bands.hint("shuffle_hash").as("a")
       .join(bands.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc") < col("b.doc"))
+        col("a.bkey") === col("b.bkey") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Banded LSH keys from a MinHash signature table: (doc, bkey), one
+    * row per band. The band INDEX is folded into the key hash, so a
+    * single-column equi-join on `bkey` is equivalent to the
+    * (band, bkey) join it replaces: a cross-band xxhash64 collision can
+    * only ADD a candidate, which exact verification then discards —
+    * and one join key instead of two is what lets the persisted index
+    * bucket on `bkey` alone. */
+  private[graft] def bandKeyTable(sig: DataFrame, numPerms: Int,
+                                  rowsPerBand: Int): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    sig.select(col("doc"), explode(
+      array((0 until numBands).map { bI =>
+        xxhash64(lit(bI) +: (0 until rowsPerBand).map(r =>
+          col("sig").getItem(bI * rowsPerBand + r)): _*)
+      }: _*)).as("bkey"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental persisted index
+  // ------------------------------------------------------------------
+
+  /** Build a persisted MinHash dedup index over `df`: the banded LSH
+    * key table bucketed+sorted by `bkey` and the shingle table
+    * bucketed+sorted by `doc`, both written as external parquet tables
+    * under `path`. This is the 100 TB dedup contract: signatures over
+    * the accumulated corpus are computed ONCE at write time, and every
+    * subsequent delta dedups against the index with
+    * [[pairsAgainstIndex]] — the index side of the candidate join reads
+    * its buckets Exchange-free (bucket partitioning satisfies the join
+    * distribution), so per-delta cost is O(delta), not O(corpus).
+    *
+    * The input is scanned twice (band keys + shingles) — at index scale
+    * that beats caching the shingle table, which would have to fit in
+    * cluster memory. */
+  def buildIndex(df: DataFrame, id: String, text: String, name: String,
+                 path: String, n: Int = 3, numPerms: Int = 64,
+                 rowsPerBand: Int = 2, numBuckets: Int = 32): DedupIndex = {
+    val idx = DedupIndex(name, path, n, numPerms, rowsPerBand, numBuckets)
+    writeIndexSlice(withShingles(df, id, text, n), idx, append = false)
+    idx
+  }
+
+  /** Fold a processed delta into the index (bucketed append with the
+    * index's own spec): after [[pairsAgainstIndex]] has emitted the
+    * delta's pairs, extending makes the next delta dedup against
+    * corpus + this one. Caller contract (as for pairsAgainstIndex):
+    * delta ids are disjoint from ids already indexed. */
+  def extendIndex(delta: DataFrame, id: String, text: String,
+                  idx: DedupIndex): Unit =
+    writeIndexSlice(withShingles(delta, id, text, idx.n), idx, append = true)
+
+  private def writeIndexSlice(sh: DataFrame, idx: DedupIndex,
+                              append: Boolean): Unit = {
+    val bands = bandKeyTable(minhashSignatureTable(sh, idx.numPerms),
+      idx.numPerms, idx.rowsPerBand)
+    def write(df: DataFrame, table: String, key: String): Unit = {
+      val w = df.write
+        .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+        .bucketBy(idx.numBuckets, key)
+        .sortBy(key)
+        .format("parquet")
+      // the location is fixed at creation; append inherits it
+      (if (append) w else w.option("path", s"${idx.path}/$table"))
+        .saveAsTable(table)
+    }
+    write(bands, idx.bandsTable, "bkey")
+    write(sh, idx.shinglesTable, "doc")
+  }
+
+  /** Near-duplicate pairs between `delta` and the indexed corpus, plus
+    * pairs within `delta` itself — exactly the NEW pairs that appear
+    * when the delta joins the corpus, so
+    * `minhashPairs(corpus) ∪ pairsAgainstIndex(delta, idx)` equals
+    * `minhashPairs(corpus ∪ delta)` (union-equivalence; spec-pinned).
+    * Output: (d1, d2, jaccard), d1 < d2, same contract as
+    * [[minhashPairs]].
+    *
+    * Plan shape, and why it scales: the index bands table is bucketed
+    * on `bkey`, so the hinted shuffle-hash candidate join shuffles ONLY
+    * the delta's band keys — the corpus side streams straight out of
+    * its buckets with no Exchange and no Sort. Verification never
+    * touches corpus shingles wholesale either: a broadcast semi-join
+    * prunes the bucketed shingle table to candidate doc ids (O(pairs),
+    * small by the banding argument) before the exact-Jaccard join.
+    * Caller contract: delta ids are disjoint from indexed ids. */
+  def pairsAgainstIndex(delta: DataFrame, id: String, text: String,
+                        idx: DedupIndex, threshold: Double,
+                        persistShingles: Boolean = true): DataFrame = {
+    val spark = delta.sparkSession
+    val dSh0 = withShingles(delta, id, text, idx.n)
+    val dSh = if (persistShingles) cachedIdempotent(dSh0) else dSh0
+    val dBands = bandKeyTable(minhashSignatureTable(dSh, idx.numPerms),
+      idx.numPerms, idx.rowsPerBand)
+      .select(col("bkey"), col("doc").as("dd"))
+    val iBands = spark.table(idx.bandsTable)
+      .select(col("bkey"), col("doc").as("di"))
+    // delta x corpus: hint the DELTA side — SHJ builds its hash map from
+    // the delta partition while the bucketed index side streams
+    val cross = iBands.join(dBands.hint("shuffle_hash"), "bkey")
+      .where(col("di") =!= col("dd"))
+      .select(least(col("di"), col("dd")).as("d1"),
+        greatest(col("di"), col("dd")).as("d2"))
+    // delta x delta: the delta is corpus-shaped (grows with ingest), so
+    // the same no-broadcast discipline applies
+    val dd = dBands.hint("shuffle_hash").as("a")
+      .join(dBands.hint("shuffle_hash").as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.dd") < col("b.dd"))
+      .select(col("a.dd").as("d1"), col("b.dd").as("d2"))
+    val cand = cross.union(dd).distinct()
+    // prune the bucketed shingle table to candidate ids WITHOUT
+    // shuffling it: candidate ids are O(emitted pairs) by the banding
+    // argument, so they broadcast
+    val candIds = cand.select(col("d1").as("doc"))
+      .union(cand.select(col("d2").as("doc"))).distinct()
+    val iSh = spark.table(idx.shinglesTable)
+      .join(broadcast(candIds), Seq("doc"), "left_semi")
+    verifyJaccard(cand, iSh.union(dSh), threshold)
   }
 
   // ------------------------------------------------------------------

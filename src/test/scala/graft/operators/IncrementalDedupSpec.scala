@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental persisted dedup index: a delta dedups against bucketed
+  * signature tables instead of recomputing corpus signatures — the
+  * production shape at 100 TB. Pins (1) union-equivalence with the
+  * batch operator, (2) the plan property that the index side of the
+  * candidate join reads its buckets with no Exchange, (3) extendIndex
+  * folding a delta in for the next round. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def tmpPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-idx-spec").toString
+
+  test("index + delta pairs equal the batch operator on corpus + delta") {
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val corpus = all.where(col("doc_id") % 4 =!= 3)
+    val delta = all.where(col("doc_id") % 4 === 3)
+    val idx = Dedup.buildIndex(corpus, "doc_id", "text", "inc_spec_a",
+      tmpPath())
+    try {
+      val batch = pairSet(Dedup.minhashPairs(all, "doc_id", "text", 3, 0.8))
+      val corpusOnly = pairSet(
+        Dedup.minhashPairs(corpus, "doc_id", "text", 3, 0.8))
+      val incr = pairSet(
+        Dedup.pairsAgainstIndex(delta, "doc_id", "text", idx, 0.8))
+      // every incremental pair touches the delta — none was already known
+      assert(incr.forall(p => p._1 % 4 == 3 || p._2 % 4 == 3))
+      assert((corpusOnly ++ incr) == batch,
+        s"union-equivalence broken: missing=${batch -- corpusOnly -- incr} " +
+          s"extra=${(corpusOnly ++ incr) -- batch}")
+      // the split actually exercises the cross path at this sf
+      assert(incr.exists(p => p._1 % 4 != 3 || p._2 % 4 != 3),
+        "no corpus x delta pair in the vector — split is vacuous")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    }
+  }
+
+  test("candidate join reads the index buckets without an Exchange") {
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val idx = Dedup.buildIndex(all.where(col("doc_id") % 4 =!= 3),
+      "doc_id", "text", "inc_spec_b", tmpPath())
+    try {
+      val pairs = Dedup.pairsAgainstIndex(
+        all.where(col("doc_id") % 4 === 3), "doc_id", "text", idx, 0.8)
+      val plan = pairs.queryExecution.executedPlan.toString
+      // the candidate join is a shuffle-hash join...
+      assert(plan.contains("ShuffledHashJoin"), s"expected SHJ:\n$plan")
+      // ...and the bands-table scan feeds it directly: no Exchange (and
+      // no Sort) between the bucketed scan and the join
+      val scanToJoin = plan.linesIterator
+        .dropWhile(l => !l.contains(idx.bandsTable)).toSeq
+      assert(scanToJoin.nonEmpty, s"no ${idx.bandsTable} scan in:\n$plan")
+      val above = plan.linesIterator
+        .takeWhile(l => !l.contains(idx.bandsTable)).toSeq.reverse
+        .takeWhile(l => !l.contains("Join")).mkString("\n")
+      assert(!above.contains("Exchange"),
+        s"Exchange above the index scan:\n$plan")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    }
+  }
+
+  test("extendIndex folds a delta in for the next round") {
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val corpus = all.where(col("doc_id") % 4 < 2)
+    val d1 = all.where(col("doc_id") % 4 === 2)
+    val d2 = all.where(col("doc_id") % 4 === 3)
+    val idx = Dedup.buildIndex(corpus, "doc_id", "text", "inc_spec_c",
+      tmpPath())
+    try {
+      Dedup.extendIndex(d1, "doc_id", "text", idx)
+      // after the fold, d2 dedups against corpus+d1: its pairs plus the
+      // batch pairs over corpus+d1 must reconstruct the full batch set
+      val incr2 = pairSet(
+        Dedup.pairsAgainstIndex(d2, "doc_id", "text", idx, 0.8))
+      val upTo1 = pairSet(Dedup.minhashPairs(
+        all.where(col("doc_id") % 4 < 3), "doc_id", "text", 3, 0.8))
+      val batch = pairSet(Dedup.minhashPairs(all, "doc_id", "text", 3, 0.8))
+      assert((upTo1 ++ incr2) == batch,
+        s"extend broken: missing=${batch -- upTo1 -- incr2}")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    }
+  }
+}
