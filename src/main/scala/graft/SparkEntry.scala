@@ -60,6 +60,22 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // E4 breadth: the extended flogo function surface routed through
+    // Dsl.translate itself (not hand-built columns), pinning the
+    // argument-convention adaptations — 0-based substring, literal
+    // (non-regex) split, 0-based/-1-absent indexOf — against DuckDB
+    "q_expr_functions" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        Dsl.translate("=$.doc_id") + " AS doc_id",
+        Dsl.translate("=string.substring($.text, 0, 10)") + " AS head10",
+        Dsl.translate("=string.indexOf($.text, 'the')") + " AS idx_the",
+        Dsl.translate("=string.endsWith($.source, '1')") + " AS src1",
+        Dsl.translate("=array.length(string.split($.text, ' '))")
+          + " AS n_parts",
+        Dsl.translate("=math.ceil(number.round($.doc_id / 7.0, 1))")
+          + " AS bucket7")
+        .orderBy("doc_id")),
+
     // ---- filter activity (P1) ----
 
     // mapper zeroes out large values, non-zero filter drops them
@@ -907,6 +923,18 @@ object SparkEntry {
     "q_expr_json" ->
       """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1)::INTEGER AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // flogo conventions, DuckDB-side: 1-based substring shift, strpos-1
+    // for 0-based indexOf, literal string_split, ceil cast to BIGINT
+    // (Spark's ceil(double) is integral)
+    "q_expr_functions" ->
+      """SELECT doc_id,
+        |       substring(text, 1, 10) AS head10,
+        |       strpos(text, 'the') - 1 AS idx_the,
+        |       ends_with(source, '1') AS src1,
+        |       len(string_split(text, ' ')) AS n_parts,
+        |       ceil(round(doc_id / 7.0, 1))::BIGINT AS bucket7
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_filter_nonzero" ->
       """SELECT event_id, v FROM (

@@ -162,49 +162,180 @@ object Dsl {
   val PipelinePrefix = "__pipeline_"
   val PassthruPrefix = "__passthru_"
 
-  private val FuncMap: Seq[(String, String)] = Seq(
-    "string.concat("    -> "concat(",
-    "string.length("    -> "length(",
-    "string.upper("     -> "upper(",
-    "string.lower("     -> "lower(",
-    "string.contains("  -> "contains(",
-    "string.startsWith(" -> "startswith(",
-    "string.trim("      -> "trim(",
-    "number.round("     -> "round(",
-    "math.abs("         -> "abs(",
-    "coerce.toString("  -> "string(",
-    "coerce.toInt64("   -> "bigint(",
-    "coerce.toFloat64(" -> "double(")
+  /** flogo functions that are a pure rename of a Spark SQL builtin with
+    * identical argument conventions. */
+  private val Renames: Map[String, String] = Map(
+    "string.concat"     -> "concat",
+    "string.length"     -> "length",
+    "string.upper"      -> "upper",
+    "string.lower"      -> "lower",
+    "string.contains"   -> "contains",
+    "string.startsWith" -> "startswith",
+    "string.endsWith"   -> "endswith",
+    "string.trim"       -> "trim",
+    "string.trimLeft"   -> "ltrim",
+    "string.trimRight"  -> "rtrim",
+    // Spark's replace() replaces every occurrence, matching flogo's
+    // strings.Replace(-1) behavior
+    "string.replace"    -> "replace",
+    "string.repeat"     -> "repeat",
+    "number.round"      -> "round",
+    "math.abs"          -> "abs",
+    "math.ceil"         -> "ceil",
+    "math.floor"        -> "floor",
+    "array.contains"    -> "array_contains",
+    "array.length"      -> "size",
+    "array.count"       -> "size",
+    "coerce.toString"   -> "string",
+    "coerce.toInt64"    -> "bigint",
+    "coerce.toFloat64"  -> "double")
 
-  private val FuncTargets: Map[String, String] =
-    FuncMap.map { case (from, to) => from.dropRight(1) -> to.dropRight(1) }
-      .toMap
+  /** flogo functions whose argument (or result) conventions differ from
+    * the Spark builtin, rewritten argument-wise. Every template fails
+    * loudly on wrong arity — silently dropping arguments would corrupt
+    * the pipeline, not flag the bug. */
+  private def template(name: String, args: Seq[String],
+                       now: Option[Long]): Option[String] = {
+    def arity(n: Int, sig: String): Unit = require(args.length == n,
+      s"$name takes $sig, got ${args.length} argument(s)")
+    name match {
+      case "string.substring" =>
+        // flogo substring(str, start, length) is 0-based (Go slicing);
+        // Spark's substring is 1-based
+        arity(3, "(str, start, length)")
+        Some(s"substring(${args(0)}, (${args(1)}) + 1, ${args(2)})")
+      case "string.split" =>
+        // flogo splits on a LITERAL separator; Spark's split takes a
+        // Java regex — \Q...\E quotes the separator verbatim (a
+        // separator containing \E is the one unrepresentable case)
+        arity(2, "(str, separator)")
+        Some(s"split(${args(0)}, concat('\\\\Q', ${args(1)}, '\\\\E'))")
+      case "string.indexOf" =>
+        // flogo is 0-based with -1 for absent; instr is 1-based with 0
+        // for absent — one shift covers both
+        arity(2, "(str, substr)")
+        Some(s"(instr(${args(0)}, ${args(1)}) - 1)")
+      case "string.equals" =>
+        arity(2, "(a, b)")
+        Some(s"(${args(0)} = ${args(1)})")
+      case "string.equalsIgnoreCase" =>
+        arity(2, "(a, b)")
+        Some(s"(lower(${args(0)}) = lower(${args(1)}))")
+      case "datetime.now" =>
+        // deterministic injection: a caller-supplied epoch-millis pin
+        // makes pipelines replayable; without one, current_timestamp()
+        // is flogo-faithful AND constant across the rows of one batch
+        // (Spark evaluates it at query start)
+        arity(0, "()")
+        Some(now.map(ms => s"timestamp_millis(${ms}L)")
+          .getOrElse("current_timestamp()"))
+      case _ => None
+    }
+  }
+
+  private val TemplateNames = Seq("string.substring", "string.split",
+    "string.indexOf", "string.equals", "string.equalsIgnoreCase",
+    "datetime.now")
+
   // one pass matching EITHER a single-quoted literal (kept verbatim — a
   // blind String.replace would rewrite function names inside string
   // literals) OR a flogo function call at an identifier boundary (the
   // lookbehind stops `mynumber.round(` from matching `number.round(`)
   private val FuncRe =
     ("('(?:[^'\\\\]|\\\\.)*')|(?<![A-Za-z0-9_.$])(" +
-      FuncTargets.keys.map(java.util.regex.Pattern.quote).mkString("|") +
+      (Renames.keys ++ TemplateNames)
+        .map(java.util.regex.Pattern.quote).mkString("|") +
       ")\\(").r
 
-  private def mapFuncs(e: String): String =
-    FuncRe.replaceAllIn(e, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        if (m.group(1) != null) m.group(1)
-        else FuncTargets(m.group(2)) + "("))
+  /** Index of the ')' matching the '(' just before `from`, honoring
+    * nesting and quoted literals. Loud failure on imbalance — a
+    * truncated expression must not silently translate. */
+  private def matchClose(e: String, from: Int): Int = {
+    var i = from; var depth = 1
+    while (i < e.length) {
+      e.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < e.length && e.charAt(i) != '\'') {
+            if (e.charAt(i) == '\\') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced parentheses in expression: $e")
+  }
+
+  /** Split an argument list at top-level commas (outside parens and
+    * quotes). */
+  private def splitTop(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') {
+            if (s.charAt(i) == '\\') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.result()
+  }
+
+  private def mapFuncs(e: String, now: Option[Long]): String = {
+    val sb = new StringBuilder
+    var rest = e
+    while (rest.nonEmpty) {
+      FuncRe.findFirstMatchIn(rest) match {
+        case None =>
+          sb.append(rest); rest = ""
+        case Some(m) if m.group(1) != null => // quoted literal: verbatim
+          sb.append(rest.substring(0, m.end)); rest = rest.substring(m.end)
+        case Some(m) =>
+          val name = m.group(2)
+          val close = matchClose(rest, m.end)
+          // rewrite nested flogo calls inside the argument list first
+          val args = splitTop(mapFuncs(rest.substring(m.end, close), now))
+          val rendered = template(name, args, now).getOrElse(
+            s"${Renames(name)}(${args.mkString(", ")})")
+          sb.append(rest.substring(0, m.start)).append(rendered)
+          rest = rest.substring(close + 1)
+      }
+    }
+    sb.toString
+  }
 
   /** Translate a mapper value to a Spark SQL expression string.
     * `=`-prefixed values are expressions (scope refs + flogo function
     * names mapped to Spark SQL); anything else is a literal
-    * (support/mapper.go:30-41). */
+    * (support/mapper.go:30-41). `now` pins datetime.now() to an epoch
+    * millisecond for deterministic replay; unset, it maps to
+    * current_timestamp() (constant within one batch). Unmapped
+    * flogo-style function names pass through untranslated and fail
+    * loudly at Spark's SQL parser/analyzer with the unmapped name in
+    * the error. */
   def translate(value: String,
                 env: Map[String, String] = Map.empty,
-                props: Map[String, String] = Map.empty): String = {
+                props: Map[String, String] = Map.empty,
+                now: Option[Long] = None): String = {
     if (value == null) return "NULL"
     if (!value.startsWith("=")) return literal(value)
     var e = value.substring(1)
-    e = mapFuncs(e)
+    e = mapFuncs(e, now)
     e = "\\$env\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
       m => java.util.regex.Matcher.quoteReplacement(
         literal(env.getOrElse(m.group(1), ""))))

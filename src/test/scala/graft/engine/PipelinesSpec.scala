@@ -27,6 +27,64 @@ class PipelinesSpec extends SparkSpec {
     assert(Dsl.translate("=$property.p", props = Map("p" -> "7")) == "7")
   }
 
+  test("expression translation: extended flogo function breadth") {
+    // renames
+    assert(Dsl.translate("=string.endsWith($.a, 'x')") == "endswith(`a`, 'x')")
+    assert(Dsl.translate("=string.replace($.a, 'x', 'y')") ==
+      "replace(`a`, 'x', 'y')")
+    assert(Dsl.translate("=math.ceil($.v)") == "ceil(`v`)")
+    assert(Dsl.translate("=math.floor($.v)") == "floor(`v`)")
+    assert(Dsl.translate("=array.length($.xs)") == "size(`xs`)")
+    assert(Dsl.translate("=array.contains($.xs, 3)") ==
+      "array_contains(`xs`, 3)")
+    // argument-convention templates
+    assert(Dsl.translate("=string.substring($.a, 1, 2)") ==
+      "substring(`a`, (1) + 1, 2)")
+    assert(Dsl.translate("=string.indexOf($.a, 'b')") ==
+      "(instr(`a`, 'b') - 1)")
+    assert(Dsl.translate("=string.equalsIgnoreCase($.a, 'B')") ==
+      "(lower(`a`) = lower('B'))")
+    // nested flogo calls rewrite inside argument lists
+    assert(Dsl.translate("=string.substring(string.upper($.a), 0, 2)") ==
+      "substring(upper(`a`), (0) + 1, 2)")
+    // deterministic datetime injection
+    assert(Dsl.translate("=datetime.now()", now = Some(86400000L)) ==
+      "timestamp_millis(86400000L)")
+    assert(Dsl.translate("=datetime.now()") == "current_timestamp()")
+    // loud failures: wrong arity, unbalanced parens
+    intercept[IllegalArgumentException] {
+      Dsl.translate("=string.substring($.a, 1)")
+    }
+    intercept[IllegalArgumentException] {
+      Dsl.translate("=string.upper($.a")
+    }
+  }
+
+  test("extended functions evaluate with flogo conventions in Spark") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("hello world", Seq(1, 2, 3))).toDF("a", "xs")
+    def eval(e: String): Any =
+      df.selectExpr(Dsl.translate(e)).collect()(0).get(0)
+    // flogo substring is 0-based
+    assert(eval("=string.substring($.a, 0, 5)") == "hello")
+    assert(eval("=string.substring($.a, 6, 5)") == "world")
+    // flogo split is a LITERAL separator — '.' must not be a regex
+    assert(eval("=string.split('a.b.c', '.')") == Seq("a", "b", "c"))
+    // flogo indexOf is 0-based, -1 when absent
+    assert(eval("=string.indexOf($.a, 'world')") == 6)
+    assert(eval("=string.indexOf($.a, 'zzz')") == -1)
+    assert(eval("=string.endsWith($.a, 'rld')") == true)
+    assert(eval("=string.equalsIgnoreCase($.a, 'HELLO WORLD')") == true)
+    assert(eval("=array.length($.xs)") == 3)
+    assert(eval("=array.contains($.xs, 2)") == true)
+    assert(eval("=math.ceil(1.2)").toString == "2")
+    // pinned now() replays deterministically
+    val pinned = df.selectExpr(Dsl.translate("=datetime.now()",
+      now = Some(86400000L))).collect()(0).get(0)
+    assert(pinned.toString.startsWith("1970-01-02"))
+  }
+
   test("agg-flogo.json: timeTumbling sum pipeline end-to-end (batch)") {
     val s = spark
     import s.implicits._
