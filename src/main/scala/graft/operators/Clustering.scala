@@ -69,7 +69,20 @@ object Clustering {
     import sp.implicits._
     val init = pairs.select(col(a).cast("long").as("u"),
       col(b).cast("long").as("v")).localCheckpoint(true)
-    val nEdges = init.count()
+    // count + null audit in ONE job: a non-numeric id casts to NULL,
+    // which would silently drop edges in the star rounds and used to
+    // surface as an opaque "Null value appeared in non-nullable field"
+    // in the driver collect — fail fast naming the offending columns
+    val cnt = init.agg(count(lit(1)),
+      count(col("u")), count(col("v"))).collect()(0)
+    val nEdges = cnt.getLong(0)
+    val nullU = nEdges - cnt.getLong(1)
+    val nullV = nEdges - cnt.getLong(2)
+    if (nullU > 0 || nullV > 0)
+      throw new IllegalArgumentException(
+        s"connectedComponents: $nullU '$a' and $nullV '$b' endpoints are " +
+          "NULL after cast to long — a non-numeric id column casts to " +
+          "NULL; clean or re-key the input")
     if (nEdges <= driverEdgeCap) {
       // driver union-find, attaching larger roots under smaller so the
       // root IS the component minimum. Typed collect: Dataset[(Long,
@@ -99,17 +112,34 @@ object Clustering {
         .toArray.distinct
       return ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
     }
+    // Size the iteration's shuffles from the MEASURED edge count: each
+    // round is a handful of tiny shuffles, and paying the session's
+    // full shuffle parallelism per round dominates wall time when the
+    // pair graph is small (the usual case — only near-dup docs appear
+    // in it). ~2M edges per partition, capped at the session setting so
+    // cluster parallelism is never exceeded. The sizing is an EXPLICIT
+    // repartition-by-key on each round's input: the groupBy and join
+    // that follow are clustered on the same key, so they reuse the
+    // repartitioned distribution with no further Exchange — and the
+    // caller's session conf is never touched (no cloned session to
+    // drop runtime confs, no RDD round-trip to rebind the result).
+    val p = math.max(1L, math.min(
+      sp.conf.get("spark.sql.shuffle.partitions").toLong,
+      nEdges / 2000000L + 1L)).toInt
+
     // canonical form: larger endpoint first, self-loops dropped, distinct
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
+        .repartition(p, col("u"), col("v")).distinct()
 
     // large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u}).
     // Formulated as agg + join: mins has one row per node, the join
     // streams the symmetric edge list past it.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(p, col("u"))
       val mins = sym.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("__mn"), col("u")).as("m"))
       sym.join(mins, "u").where(col("v") > col("u"))
@@ -120,7 +150,8 @@ object Clustering {
     // (and u itself) re-points to the minimum smaller neighbor.
     def smallStar(e: DataFrame): DataFrame = {
       val or = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
+          least(col("u"), col("v")).as("v"))
+        .repartition(p, col("u"))
       val mins = or.groupBy("u").agg(min("v").as("m"))
       or.join(mins, "u").where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -143,25 +174,10 @@ object Clustering {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    // Size the iteration's shuffles from the MEASURED edge count: each
-    // round is ~6 tiny shuffles, and paying the session's full shuffle
-    // parallelism per round dominates wall time when the pair graph is
-    // small (the usual case — only near-dup docs appear in it). ~2M
-    // edges per partition, capped at the session setting so cluster
-    // parallelism is never exceeded. The override lives in a CLONED
-    // session (newSession: same SparkContext, cache and checkpointed
-    // blocks; separate SQLConf) so a query planned concurrently on the
-    // caller's session can never inherit the tiny partition count.
-    val scoped = sp.newSession()
-    val scopedInit = scoped.createDataFrame(init.rdd, init.schema)
-    var cur = canon(scopedInit).localCheckpoint(true)
+    var cur = canon(init).localCheckpoint(true)
     var curSum = checksum(cur)
     var it = 0
     var stable = false
-    val p = math.max(1L,
-      math.min(sp.conf.get("spark.sql.shuffle.partitions").toLong,
-        curSum._1 / 2000000L + 1L)).toString
-    scoped.conf.set("spark.sql.shuffle.partitions", p)
     while (!stable && it < maxIter) {
       val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
       val nextSum = checksum(next)
@@ -173,16 +189,15 @@ object Clustering {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds")
     // fixpoint is a star forest: every edge is (member, component-min);
-    // roots and isolated nodes label themselves. The join runs in the
-    // scoped session (right-sized partitions); the RESULT is rebound to
-    // the caller's session so downstream planning uses the caller's conf.
+    // roots and isolated nodes label themselves. Node extraction and
+    // the labeling join reuse the same explicit p-partitioning.
     val compOf = cur.select(col("u").as("id"), col("v").as("component"))
-    val scopedNodes = scopedInit.select(col("u").as("id"))
-      .unionAll(scopedInit.select(col("v").as("id"))).distinct()
-    val out = scopedNodes.join(compOf, Seq("id"), "left")
+    val nodes = init.select(col("u").as("id"))
+      .unionAll(init.select(col("v").as("id")))
+      .repartition(p, col("id")).distinct()
+    nodes.join(compOf, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
-    sp.createDataFrame(out.rdd, out.schema)
   }
 
   /** Pairs → per-document keep/drop verdict: (id, component, keep) with

@@ -128,11 +128,20 @@ object Channels {
             // reference's fire-and-forget channel publish)
             val stage = data.resolveSibling(s"stage-$pubId-$batchId")
             batch.write.mode("overwrite").text(stage.toString)
-            // REPLACE_EXISTING makes the rename idempotent across
-            // micro-batch retries: a retry that re-executes after a
-            // partial move re-stages identical content, so overwriting
-            // a half-moved predecessor is safe — without it the retry
-            // would depend on Spark generating fresh part-file UUIDs
+            // Retry idempotency needs TWO pieces: a retry re-stages
+            // under fresh per-job part-file UUIDs, so (1) sweep any
+            // files a half-moved prior attempt already published for
+            // this (publisher, batch) — their names essentially never
+            // collide with the fresh ones — then (2) move with
+            // REPLACE_EXISTING for the rare same-name collision. The
+            // sweep-then-move window can briefly expose the batch
+            // partially; subscribers already tolerate that (the text
+            // source reads files atomically per file, and delivery is
+            // at-least-once on retry by contract).
+            graft.util.FsUtil.listFiles(data, "")
+              .filter(_.getFileName.toString
+                .startsWith(s"pub$pubId-b$batchId-"))
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
             graft.util.FsUtil.listFiles(stage, ".txt").foreach { p =>
               java.nio.file.Files.move(p,
                 data.resolve(s"pub$pubId-b$batchId-${p.getFileName}"),

@@ -72,12 +72,20 @@ object Watermarks {
       Seq(col(tsCol).as("ts"), col(valCol).cast("double").as("value")),
       chunk, nChunks)
     // micro-batch cost scales with state-store partition count, not
-    // data: pin a small shuffle-partition count for THIS query by
-    // running it in a CLONED session (newSession: same SparkContext,
-    // separate SQLConf) — ~720 hourly windows need nowhere near the
-    // session's bench-sized setting, and the scoped conf can never be
-    // observed by queries planned concurrently on the caller's session
+    // data: pin a small shuffle-partition count for THIS query in a
+    // scoped session (newSession: same SparkContext, separate SQLConf)
+    // — ~720 hourly windows need nowhere near the session's bench-sized
+    // setting, and the scoped conf can never be observed by queries
+    // planned concurrently on the caller's session. newSession() is NOT
+    // a clone: it rebuilds SQLConf from the builder options, dropping
+    // confs the caller set at runtime (state-store provider, session
+    // timezone, ...) — so replay the caller's modifiable conf delta
+    // first, then apply the one deliberate override.
     val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!scoped.conf.getOption(k).contains(v) && scoped.conf.isModifiable(k))
+        scoped.conf.set(k, v)
+    }
     scoped.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = scoped.readStream.schema(replay.schema)
       .parquet(replay.streamDir.toString)
