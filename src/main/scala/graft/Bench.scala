@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // queries that persist bucketed index tables must never drop a
+      // spark-warehouse/ dir into the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-bench-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A failed warm-up must be VISIBLE (as forensics on stderr, never in
@@ -200,22 +204,68 @@ object Bench {
       val ts = times.result()
       // true median: even rep counts average the two middles (the bare
       // lower-middle would flatter every even-reps run low)
-      val median =
-        if (failed) -1.0
-        else {
-          val s = ts.sorted
-          if (s.length % 2 == 1) s(s.length / 2)
-          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-        }
-      name -> (median, ts)
+      def med(xs: Vector[Double]): Double = {
+        val s = xs.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }
+      val median = if (failed) -1.0 else med(ts)
+      // median absolute deviation: the per-query spread measure that a
+      // one-off stall cannot inflate (unlike stddev)
+      val mad = if (failed) -1.0 else med(ts.map(t => math.abs(t - median)))
+      name -> (median, mad, ts)
     }
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, (m, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, (_, ts)) =>
+    val mads = results.map { case (k, (_, d, _)) => s"\"" + k + "\":" + d }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, (_, _, ts)) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (m, _)) if m < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val errs = results.collect { case (k, (m, _, _)) if m < 0 =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
+    // ---- delta vs the RECORDED per-query baseline ---------------------
+    // BENCH_BASELINE.json (committed; re-recordable with
+    // SPARK_GRAFT_RECORD_BASELINE=1) holds {query: {median, mad}} from a
+    // reference run on this host. Each run emits per-query deltas and a
+    // mechanical noise-vs-regression verdict: a query regresses when its
+    // median exceeds the recorded one by more than
+    // max(5 x the larger MAD, 10% of the recorded median, 50 ms) — MAD
+    // scales the gate to each query's own measured variance, so a
+    // multi-trigger streaming gate with seconds of scheduling jitter
+    // needs a much larger swing to flag than a stable 100 ms query.
+    val basePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json"))
+    val baseline: Map[String, (Double, Double)] =
+      if (java.nio.file.Files.isReadable(basePath)) {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(basePath))
+        import scala.jdk.CollectionConverters._
+        root.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("median").asDouble(),
+            e.getValue.get("mad").asDouble())
+        }.toMap
+      } else Map.empty
+    val deltas = results.collect {
+      case (k, (m, _, _)) if m >= 0 && baseline.contains(k) =>
+        val (bm, _) = baseline(k)
+        k -> (if (bm > 0) (m - bm) / bm * 100.0 else 0.0)
+    }
+    val deltaJson = deltas
+      .map { case (k, d) => "\"" + k + f"""\":$d%.1f""" }
+      .mkString("{", ",", "}")
+    val regressions = results.collect {
+      case (k, (m, d, _)) if m >= 0 && baseline.contains(k) &&
+        m > baseline(k)._1 + math.max(5 * math.max(baseline(k)._2, d),
+          math.max(0.10 * baseline(k)._1, 0.05)) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    if (sys.env.contains("SPARK_GRAFT_RECORD_BASELINE")) {
+      val body = results.collect { case (k, (m, d, _)) if m >= 0 =>
+        s"""  "$k": {"median": $m, "mad": $d}""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(basePath, body)
+      System.err.println(s"[bench] recorded baseline -> $basePath")
+    }
     // a run with ANY failed query has no meaningful total: summing only
     // the survivors would report a LOWER total when an expensive query
     // breaks — the run must read as invalid, not as a speedup
@@ -226,7 +276,7 @@ object Bench {
     // medians — so a tail-truncated capture still keeps every number
     // that is graded; the per-run times are stderr forensics (they are
     // also echoed per-run above as they happen)
-    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"baseline_delta_pct":$deltaJson,"regressions":$regressions}""")
     System.err.println(s"""[bench] runs: $runs""")
     spark.stop()
   }

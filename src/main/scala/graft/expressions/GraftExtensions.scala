@@ -98,7 +98,7 @@ object GraftExtensions {
             "graft_minhash_sig takes (tokens, numPerms)")
           val n = litInt(args(1), "numPerms")
           val ps = graft.operators.Dedup.perms(n)
-          MinHashSig(args.head, ps.map(_._1).toArray, ps.map(_._2).toArray)
+          MinHashSig(args.head, ps.map(_._1).toIndexedSeq, ps.map(_._2).toIndexedSeq)
         }))
   // NearestCentroid is deliberately NOT SQL-registered: its centroid
   // matrix is a runtime-collected reference object, not a literal a SQL

@@ -565,9 +565,19 @@ object MinHashKernel {
   }
 }
 
-case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+// Permutation constants are Seqs, NOT Arrays: case-class equality over
+// an Array field is reference equality, which would make two
+// structurally identical plans never compare equal — breaking cache
+// reuse (every dedup call would register a fresh, never-hit cache
+// entry) and semantic plan equality generally. The hot loop still runs
+// on arrays via the transient lazy copies below.
+case class MinHashSig(child: Expression, a: IndexedSeq[Long],
+                      b: IndexedSeq[Long])
     extends UnaryExpression {
   import org.apache.spark.sql.types.LongType
+
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
@@ -584,7 +594,7 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
 
   // public: invoked from generated code via the captured reference
   def compute(shingles: ArrayData): GenericArrayData =
-    new GenericArrayData(MinHashKernel.signature(shingles, a, b))
+    new GenericArrayData(MinHashKernel.signature(shingles, aArr, bArr))
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
@@ -603,7 +613,8 @@ object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
-  def minhashSig(shingles: Column, a: Array[Long], b: Array[Long]): Column =
+  def minhashSig(shingles: Column, a: IndexedSeq[Long],
+                 b: IndexedSeq[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), a, b))
 
   def textStats(text: Column): Column =

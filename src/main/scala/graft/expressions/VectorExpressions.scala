@@ -174,11 +174,17 @@ case class HyperplaneBandKeys(child: Expression, dim: Int, bitsPerBand: Int,
   * seconds of analysis/codegen at moderate k and evaluates through the
   * interpreted higher-order-function path. A vector whose length differs
   * from the centroid dim yields (cell = -1, sim = -Infinity). */
-case class NearestCentroid(child: Expression, cells: Array[Long],
-                           matrix: Array[Double], dim: Int)
+// Seq params (not Arrays) for value-based case-class equality — see the
+// MinHashSig note: Array fields would break plan-cache matching and
+// semantic equality. The kernel loops run on the transient lazy copies.
+case class NearestCentroid(child: Expression, cells: IndexedSeq[Long],
+                           matrix: IndexedSeq[Double], dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.{LongType, StructField, StructType}
   import org.apache.spark.sql.catalyst.InternalRow
+
+  @transient private lazy val cellsArr: Array[Long] = cells.toArray
+  @transient private lazy val matrixArr: Array[Double] = matrix.toArray
 
   override def dataType: DataType = StructType(Seq(
     StructField("cell", LongType, nullable = false),
@@ -186,13 +192,13 @@ case class NearestCentroid(child: Expression, cells: Array[Long],
   override def prettyName: String = "graft_nearest_centroid"
 
   @transient private lazy val norms: Array[Double] = {
-    val k = cells.length
+    val k = cellsArr.length
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
       var s = 0.0
       var d = 0
-      while (d < dim) { val x = matrix(c * dim + d); s += x * x; d += 1 }
+      while (d < dim) { val x = matrixArr(c * dim + d); s += x * x; d += 1 }
       out(c) = math.sqrt(s)
       c += 1
     }
@@ -220,13 +226,13 @@ case class NearestCentroid(child: Expression, cells: Array[Long],
       while (d < dim) { vn += v(d) * v(d); d += 1 }
       vn = math.sqrt(vn)
       var c = 0
-      while (c < cells.length) {
+      while (c < cellsArr.length) {
         var s = 0.0
         val off = c * dim
         d = 0
-        while (d < dim) { s += matrix(off + d) * v(d); d += 1 }
+        while (d < dim) { s += matrixArr(off + d) * v(d); d += 1 }
         val sim = s / (vn * norms(c))
-        if (sim > bestSim) { bestSim = sim; bestCell = cells(c) }
+        if (sim > bestSim) { bestSim = sim; bestCell = cellsArr(c) }
         c += 1
       }
     }
@@ -259,7 +265,7 @@ object VectorExprs {
     ColumnBridge.column(HyperplaneBandKeys(
       ColumnBridge.expression(v), dim, bitsPerBand, numBands, seed))
 
-  def nearestCentroid(v: Column, cells: Array[Long], matrix: Array[Double],
+  def nearestCentroid(v: Column, cells: IndexedSeq[Long], matrix: IndexedSeq[Double],
                       dim: Int): Column =
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(v), cells, matrix, dim))

@@ -280,7 +280,8 @@ object Dedup {
     val ps = perms(numPerms)
     sh.where(size(col("sh")) > 0)
       .select(col("doc"), graft.expressions.TextExprs
-        .minhashSig(col("sh"), ps.map(_._1).toArray, ps.map(_._2).toArray)
+        .minhashSig(col("sh"), ps.map(_._1).toIndexedSeq,
+          ps.map(_._2).toIndexedSeq)
         .as("sig"))
   }
 
@@ -397,9 +398,12 @@ object Dedup {
     val spark = delta.sparkSession
     val dSh0 = withShingles(delta, id, text, idx.n)
     val dSh = if (persistShingles) cachedIdempotent(dSh0) else dSh0
-    val dBands = bandKeyTable(minhashSignatureTable(dSh, idx.numPerms),
+    val dBands0 = bandKeyTable(minhashSignatureTable(dSh, idx.numPerms),
       idx.numPerms, idx.rowsPerBand)
       .select(col("bkey"), col("doc").as("dd"))
+    // the delta band table feeds both the cross join and the delta
+    // self-join — same retention contract as the shingle table
+    val dBands = if (persistShingles) cachedIdempotent(dBands0) else dBands0
     val iBands = spark.table(idx.bandsTable)
       .select(col("bkey"), col("doc").as("di"))
     // delta x corpus: hint the DELTA side — SHJ builds its hash map from
@@ -414,7 +418,13 @@ object Dedup {
       .join(dBands.hint("shuffle_hash").as("b"),
         col("a.bkey") === col("b.bkey") && col("a.dd") < col("b.dd"))
       .select(col("a.dd").as("d1"), col("b.dd").as("d2"))
-    val cand = cross.union(dd).distinct()
+    // The candidate set is referenced FOUR times downstream (the id
+    // broadcast, both verify-side shingle prunes, and the verify join
+    // itself) — uncached, the whole band-join subtree would re-execute
+    // per reference. It is O(emitted pairs) small by the banding
+    // argument, so it is always cached regardless of persistShingles
+    // (which exists because corpus-sized SHINGLE tables may not fit).
+    val cand = cachedIdempotent(cross.union(dd).distinct())
     // prune the bucketed shingle table to candidate ids WITHOUT
     // shuffling it: candidate ids are O(emitted pairs) by the banding
     // argument, so they broadcast
@@ -422,7 +432,10 @@ object Dedup {
       .union(cand.select(col("d2").as("doc"))).distinct()
     val iSh = spark.table(idx.shinglesTable)
       .join(broadcast(candIds), Seq("doc"), "left_semi")
-    verifyJaccard(cand, iSh.union(dSh), threshold)
+    // verification reads the lookup once per candidate SIDE — cache the
+    // pruned union (O(candidates) + O(delta), never corpus-sized) so the
+    // bucketed shingle scan and semi-join run once, not per side
+    verifyJaccard(cand, cachedIdempotent(iSh.union(dSh)), threshold)
   }
 
   // ------------------------------------------------------------------

@@ -69,8 +69,8 @@ object Similarity {
     require(cents.forall(_._2.length == dim),
       s"ragged centroid vectors: expected uniform dim $dim, got " +
         cents.map(_._2.length).distinct.mkString("/"))
-    val cells = cents.map(_._1).toArray
-    val matrix = cents.flatMap(_._2).toArray
+    val cells = cents.map(_._1).toIndexedSeq
+    val matrix = cents.flatMap(_._2).toIndexedSeq
     df.withColumn("__best", graft.expressions.VectorExprs
         .nearestCentroid(asDoubles(col(vec)), cells, matrix, dim))
       .withColumn("cell", col("__best").getField("cell"))
