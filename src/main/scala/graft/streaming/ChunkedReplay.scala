@@ -58,18 +58,21 @@ final class ChunkedReplay(source: DataFrame, payload: Seq[Column],
         s"skipped by the replay: ${bad.mkString(", ")}")
   }
 
+  /** Move chunk k's staged files into the watched dir (no drain) — the
+    * unit step `run` composes; public so a recovery test can kill and
+    * restart the consuming query at a chosen chunk boundary. */
+  def moveChunk(k: Int): Unit =
+    graft.util.FsUtil.listFiles(staged.resolve(s"__chunk=$k"), ".parquet")
+      .zipWithIndex
+      .foreach { case (p, i) =>
+        java.nio.file.Files.move(p,
+          streamDir.resolve(f"chunk$k%02d-$i%03d.parquet"))
+      }
+
   /** Move chunk k's files into the watched dir, call `drain()`, repeat
     * for k = 0..nChunks-1 in order. */
   def run(drain: () => Unit): Unit =
-    (0 until nChunks).foreach { k =>
-      graft.util.FsUtil.listFiles(staged.resolve(s"__chunk=$k"), ".parquet")
-        .zipWithIndex
-        .foreach { case (p, i) =>
-          java.nio.file.Files.move(p,
-            streamDir.resolve(f"chunk$k%02d-$i%03d.parquet"))
-        }
-      drain()
-    }
+    (0 until nChunks).foreach { k => moveChunk(k); drain() }
 
   /** Delete the staged copy, stream dir, and anything else under the
     * replay root (e.g. a checkpoint the caller placed there). */
