@@ -231,6 +231,19 @@ object ScaleProbe {
           p.count(); p
         } else null
 
+      // incremental-index probe: the index over the k-fold corpus is
+      // built UNTIMED (it is a once-per-corpus write by contract); the
+      // timed query probes a FIXED delta (copy-0 docs, re-keyed to
+      // disjoint ids so they near-dup-match their copy-0 originals)
+      // against it — the measurement that pins per-delta cost as the
+      // indexed corpus grows
+      val incIdx =
+        if (wanted("dedup_incremental")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-idx-$k").toString
+          Dedup.buildIndex(docs, "doc_id", "text", s"probe_inc_idx_$k", path)
+        } else null
+
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
           Dedup.exactGroups(docs, "doc_id", "text").count()),
@@ -239,6 +252,13 @@ object ScaleProbe {
         "dedup_clusters" -> (() =>
           operators.Clustering.dedupVerdicts(ccPairs, "d1", "d2",
             driverEdgeCap = 0L).count()),
+        "dedup_incremental" -> (() =>
+          Dedup.pairsAgainstIndex(
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 250)
+              .withColumn("doc_id", col("doc_id") + lit(1000000000L)),
+            "doc_id", "text", incIdx, 0.8,
+            persistShingles = false).count()),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),
@@ -323,6 +343,15 @@ object ScaleProbe {
           "," + j
         } else ""
       spark.catalog.clearCache()
+      // the per-scale index is corpus-sized on disk — drop it before
+      // the next decade (a 50x sweep would otherwise accrete ~85x the
+      // corpus in /tmp)
+      if (incIdx != null) {
+        spark.sql(s"DROP TABLE IF EXISTS ${incIdx.bandsTable}")
+        spark.sql(s"DROP TABLE IF EXISTS ${incIdx.shinglesTable}")
+        graft.util.FsUtil.deleteRecursively(
+          java.nio.file.Paths.get(incIdx.path))
+      }
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson}""")
     }
     spark.stop()

@@ -188,6 +188,12 @@ object Clustering {
     if (!stable)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds")
+    // stderr forensics (same style as Bench's per-run lines): round
+    // count is the O(log n) claim made measurable — ScaleProbe decades
+    // and production runs read it straight from the driver log
+    System.err.println(
+      s"[graft] connectedComponents converged in $it star rounds " +
+        s"($nEdges input edges, $p shuffle partitions)")
     // fixpoint is a star forest: every edge is (member, component-min);
     // roots and isolated nodes label themselves. Node extraction and
     // the labeling join reuse the same explicit p-partitioning.

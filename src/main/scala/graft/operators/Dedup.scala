@@ -150,9 +150,11 @@ object Dedup {
     // The shingle table feeds candidate generation AND verification, so it
     // is cached by default. The cache outlives the returned (lazy)
     // DataFrame — a long-lived session issuing many dedup calls should
-    // pass persistShingles=false (recompute; the right call at 100 TB
-    // where the corpus never fits in cache) or Dedup.clearCaches()
-    // between corpora.
+    // pass persistShingles=false (recompute) or Dedup.clearCaches()
+    // between corpora. At true 100 TB neither cache-and-share nor
+    // recompute is right: materialize signatures to storage once and
+    // read them bucketed — buildIndex + minhashPairsFromIndex /
+    // pairsAgainstIndex is that path.
     val sh0 = withShingles(df, id, text, n)
     val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
     // Candidate generation works on HASHED shingles (8-byte keys instead
@@ -293,7 +295,9 @@ object Dedup {
                    threshold: Double, numPerms: Int = 64,
                    rowsPerBand: Int = 2,
                    persistShingles: Boolean = true): DataFrame = {
-    // same cache-retention contract as jaccardPairs
+    // same cache-retention contract as jaccardPairs; at corpus scales
+    // where neither caching nor recompute fits, use the materialized
+    // path (buildIndex + minhashPairsFromIndex) instead
     val sh0 = withShingles(df, id, text, n)
     val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
     val bands = bandKeyTable(minhashSignatureTable(sh, numPerms),
@@ -374,6 +378,36 @@ object Dedup {
     }
     write(bands, idx.bandsTable, "bkey")
     write(sh, idx.shinglesTable, "doc")
+  }
+
+  /** Batch MinHash dedup over MATERIALIZED signatures: the whole-corpus
+    * analogue of [[pairsAgainstIndex]], and the 100 TB answer to
+    * `persistShingles` — instead of caching shingle/signature tables in
+    * cluster memory (the in-session default, sized for corpora that
+    * fit), signatures are computed ONCE into the bucketed index tables
+    * and the banded self-join reads them with NO Exchange on EITHER
+    * side (both sides stream out of the same buckets). Verification
+    * prunes the bucketed shingle table to candidate ids via broadcast
+    * semi-join, so document bodies never shuffle. Output contract
+    * identical to [[minhashPairs]].
+    *
+    * Build the index once with [[buildIndex]]; pass `threshold` per
+    * query. Equivalence with the in-memory operator and the plan shape
+    * are spec-pinned (IncrementalDedupSpec). */
+  def minhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            idx: DedupIndex, threshold: Double): DataFrame = {
+    val bands = spark.table(idx.bandsTable)
+    val cand = cachedIdempotent(
+      bands.hint("shuffle_hash").as("a")
+        .join(bands.hint("shuffle_hash").as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+        .distinct())
+    val candIds = cand.select(col("d1").as("doc"))
+      .union(cand.select(col("d2").as("doc"))).distinct()
+    val sh = spark.table(idx.shinglesTable)
+      .join(broadcast(candIds), Seq("doc"), "left_semi")
+    verifyJaccard(cand, cachedIdempotent(sh), threshold)
   }
 
   /** Near-duplicate pairs between `delta` and the indexed corpus, plus

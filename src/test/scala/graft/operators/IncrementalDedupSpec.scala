@@ -73,6 +73,35 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("materialized-signature batch dedup equals the in-memory operator") {
+    // the 100 TB persistShingles answer: signatures read from the
+    // bucketed index, banded self-join Exchange-free on BOTH sides
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val idx = Dedup.buildIndex(all, "doc_id", "text", "inc_spec_m",
+      tmpPath())
+    try {
+      val fromIndex = Dedup.minhashPairsFromIndex(s, idx, 0.8)
+      assert(pairSet(fromIndex) ==
+        pairSet(Dedup.minhashPairs(all, "doc_id", "text", 3, 0.8)))
+      // plan property the operator relies on, pinned on the exact join
+      // shape it builds (the operator's own candidate frame is cached,
+      // so its executed plan prints as an InMemoryTableScan): a banded
+      // self-join of the bucketed table shuffles NEITHER side
+      val bands = s.table(idx.bandsTable)
+      val selfJoin = bands.hint("shuffle_hash").as("a")
+        .join(bands.hint("shuffle_hash").as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc") < col("b.doc"))
+      val plan = selfJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"expected SHJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed banded self-join should be Exchange-free:\n$plan")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+    }
+  }
+
   test("extendIndex folds a delta in for the next round") {
     val s = spark
     val all = Tables.documents(s, sf())
