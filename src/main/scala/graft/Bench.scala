@@ -260,7 +260,14 @@ object Bench {
           math.max(0.10 * baseline(k)._1, 0.05)) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     if (sys.env.contains("SPARK_GRAFT_RECORD_BASELINE")) {
-      val body = results.collect { case (k, (m, d, _)) if m >= 0 =>
+      // a partial baseline would permanently exempt the failed queries
+      // from regression gating (the delta gate requires a recorded
+      // entry) — refuse rather than silently losing coverage
+      val failedQs = results.collect { case (k, (m, _, _)) if m < 0 => k }
+      require(failedQs.isEmpty,
+        s"refusing to record a baseline with failed queries: " +
+          failedQs.mkString(", "))
+      val body = results.map { case (k, (m, d, _)) =>
         s"""  "$k": {"median": $m, "mad": $d}""" }
         .mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.writeString(basePath, body)

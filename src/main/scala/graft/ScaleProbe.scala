@@ -182,6 +182,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the dedup_incremental branch persists bucketed index tables —
+      // same rule as Bench/Verify: never drop spark-warehouse/ into
+      // the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-probe-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -555,14 +555,18 @@ object SparkEntry {
     // computed at write time, deltas probe a persisted artifact);
     // rebuilding an immutable index on every call would measure the
     // harness, not the operator. The first invocation pays the build.
+    // The table NAME and path carry the same (session, sf-dir) key as
+    // the cache entry: a shared name would let a second sf-dir in the
+    // same session overwrite the tables behind the first dir's cached
+    // handle — silently wrong pairs, no error.
     "q_dedup_incremental" -> ((s, d) => {
       val all = docs(s, d)
-      val idx = incIdxCache.computeIfAbsent(
-        s.sparkContext.applicationId + "|" + d, _ =>
-          Dedup.buildIndex(all.where(col("doc_id") % 4 =!= 3),
-            "doc_id", "text", "graft_inc_idx",
-            s"${sys.props("java.io.tmpdir")}/graft-inc-idx-" +
-              s.sparkContext.applicationId))
+      val tag = (s.sparkContext.applicationId + "_" + d)
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val idx = incIdxCache.computeIfAbsent(tag, _ =>
+        Dedup.buildIndex(all.where(col("doc_id") % 4 =!= 3),
+          "doc_id", "text", s"graft_inc_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-inc-idx-$tag"))
       Dedup.pairsAgainstIndex(all.where(col("doc_id") % 4 === 3),
           "doc_id", "text", idx, 0.8)
         .orderBy("d1", "d2")
@@ -640,8 +644,15 @@ object SparkEntry {
       val cent = Similarity.trainCentroids(e, "embedding", 16,
         maxIter = 10, sampleFraction = 0.5, initMode = "random")
       val q = e.where(col("vec_id") < 5)
-      val exact = Similarity.ivfKnn(q, e, "vec_id", "embedding",
+      // the exact subtree feeds the output rows AND the certificate —
+      // cache it (idempotently: deterministic training + Seq-equality
+      // expressions make repeat invocations' plans identical) so the
+      // corpus cell-assignment runs once, not twice per action
+      val exact0 = Similarity.ivfKnn(q, e, "vec_id", "embedding",
         cent, "cell", "centroid", 3, nProbe = 16)
+      val exact = if (exact0.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) exact0.cache()
+        else exact0
       val approx = Similarity.ivfKnn(q, e, "vec_id", "embedding",
         cent, "cell", "centroid", 3, nProbe = 4)
       exact.crossJoin(

@@ -128,20 +128,18 @@ object Channels {
             // reference's fire-and-forget channel publish)
             val stage = data.resolveSibling(s"stage-$pubId-$batchId")
             batch.write.mode("overwrite").text(stage.toString)
-            // Retry idempotency needs TWO pieces: a retry re-stages
-            // under fresh per-job part-file UUIDs, so (1) sweep any
-            // files a half-moved prior attempt already published for
-            // this (publisher, batch) — their names essentially never
-            // collide with the fresh ones — then (2) move with
-            // REPLACE_EXISTING for the rare same-name collision. The
-            // sweep-then-move window can briefly expose the batch
-            // partially; subscribers already tolerate that (the text
-            // source reads files atomically per file, and delivery is
-            // at-least-once on retry by contract).
-            graft.util.FsUtil.listFiles(data, "")
-              .filter(_.getFileName.toString
-                .startsWith(s"pub$pubId-b$batchId-"))
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            // Retry delivery contract, honestly: a retry re-stages
+            // under FRESH per-job part-file UUIDs, so its names
+            // essentially never collide with a half-moved prior
+            // attempt's — REPLACE_EXISTING covers only the rare
+            // same-name case, and the prior attempt's already-moved
+            // files REMAIN as duplicate rows. That is at-least-once,
+            // the same class as the reference's fire-and-forget
+            // publish. Deliberately NOT swept: a subscriber's file
+            // source may have offset-logged the prior files already,
+            // and deleting a listed-but-unread file crashes its query
+            // (FileNotFoundException) — duplicates are recoverable
+            // downstream, a killed subscriber is not.
             graft.util.FsUtil.listFiles(stage, ".txt").foreach { p =>
               java.nio.file.Files.move(p,
                 data.resolve(s"pub$pubId-b$batchId-${p.getFileName}"),
