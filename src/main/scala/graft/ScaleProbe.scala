@@ -249,6 +249,23 @@ object ScaleProbe {
           Dedup.buildIndex(docs, "doc_id", "text", s"probe_inc_idx_$k", path)
         } else null
 
+      // IVF-index probe: cells assigned over the k-fold corpus at build
+      // (untimed, once per corpus); the timed probe reads ONLY the
+      // probed cells' partitions. The inline twin re-assigns the whole
+      // corpus per query — the pair measures what the persisted layout
+      // buys as the corpus grows.
+      val ivfCents = engine.Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") < 10)
+      val ivfQueries = engine.Tables.embeddings(spark, sfDir)
+        .where(col("vec_id").between(100, 104))
+      val ivfIdx =
+        if (wanted("knn_ivf_indexed")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-ivf-$k").toString
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+            ivfCents, "vec_id", "embedding", s"probe_ivf_idx_$k", path)
+        } else null
+
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
           Dedup.exactGroups(docs, "doc_id", "text").count()),
@@ -283,6 +300,12 @@ object ScaleProbe {
           Similarity.bruteForceKnn(
             emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
             .count()),
+        "knn_ivf_inline" -> (() =>
+          Similarity.ivfKnn(ivfQueries, emb, "vec_id", "embedding",
+            ivfCents, "vec_id", "embedding", 3).count()),
+        "knn_ivf_indexed" -> (() =>
+          Similarity.ivfKnnFromIndex(spark, ivfQueries, "vec_id",
+            "embedding", ivfIdx, 3).count()),
         "agg_constant_groups" -> (() =>
           li.groupBy("l_returnflag", "l_linestatus")
             .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
@@ -356,6 +379,12 @@ object ScaleProbe {
         spark.sql(s"DROP TABLE IF EXISTS ${incIdx.shinglesTable}")
         graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(incIdx.path))
+      }
+      if (ivfIdx != null) {
+        spark.sql(s"DROP TABLE IF EXISTS ${ivfIdx.corpusTable}")
+        spark.sql(s"DROP TABLE IF EXISTS ${ivfIdx.centroidsTable}")
+        graft.util.FsUtil.deleteRecursively(
+          java.nio.file.Paths.get(ivfIdx.path))
       }
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson}""")
     }

@@ -28,10 +28,13 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
-  // one persisted dedup index per (session, sf-dir) — see
-  // q_dedup_incremental's comment
+  // one persisted dedup / IVF index per (session, sf-dir) — see
+  // q_dedup_incremental's comment; table names and paths carry the same
+  // key so a second sf-dir can never overwrite a cached handle's tables
   private val incIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.DedupIndex]()
+  private val ivfIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -624,6 +627,27 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // same query through the PERSISTED cell-partitioned index: cell
+    // assignment (the full-corpus argmax scan) happened once at build,
+    // and the probe reads only the probed cells' partitions (partition
+    // pruning pinned by IvfIndexSpec). Same oracle as q_knn_ivf —
+    // results are identical by construction. Index memoized per
+    // (session, sf-dir) like the dedup index.
+    "q_knn_ivf_indexed" -> ((s, d) => {
+      val e = emb(s, d)
+      val tag = (s.sparkContext.applicationId + "_" + d)
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val idx = ivfIdxCache.computeIfAbsent(tag, _ =>
+        Similarity.buildIvfIndex(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding",
+          s"graft_ivf_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-$tag"))
+      Similarity.ivfKnnFromIndex(s,
+          e.where(col("vec_id").between(100, 104)),
+          "vec_id", "embedding", idx, 3)
+        .orderBy("qid", "rank")
+    }),
+
     // k-means-trained IVF (MLlib) with an in-query recall certificate.
     // Trains on a seeded half-sample with random init (the faiss-style
     // coarse-quantizer recipe): the 100 TB contract is that centroids
@@ -911,6 +935,25 @@ object SparkEntry {
       |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) j
       |        FROM cand JOIN d x ON x.doc_id = d1 JOIN d y ON y.doc_id = d2)
       |""".stripMargin
+
+  private val ivfSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
+      |asg AS (SELECT vec_id, v, cell FROM (
+      |  SELECT e.vec_id, e.v, c.cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) rn
+      |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |q AS (SELECT vec_id qid, v qv, cell FROM asg
+      |      WHERE vec_id BETWEEN 100 AND 104),
+      |s AS (SELECT q.qid, a.vec_id cid, list_cosine_similarity(q.qv, a.v) sim
+      |      FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.qid)
+      |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
+      |  SELECT qid, cid, sim,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY sim DESC, cid) AS rank
+      |  FROM s)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   private val jaccardSql =
     s"""WITH $shingleCte
@@ -1455,24 +1498,10 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
-    "q_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
-        |asg AS (SELECT vec_id, v, cell FROM (
-        |  SELECT e.vec_id, e.v, c.cell,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) rn
-        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
-        |q AS (SELECT vec_id qid, v qv, cell FROM asg
-        |      WHERE vec_id BETWEEN 100 AND 104),
-        |s AS (SELECT q.qid, a.vec_id cid, list_cosine_similarity(q.qv, a.v) sim
-        |      FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.qid)
-        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
-        |  SELECT qid, cid, sim,
-        |         row_number() OVER (PARTITION BY qid
-        |                            ORDER BY sim DESC, cid) AS rank
-        |  FROM s)
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_knn_ivf" -> ivfSql,
+
+    // identical semantics through the persisted cell-partitioned index
+    "q_knn_ivf_indexed" -> ivfSql,
 
     // The trained-IVF gate emits exhaustive-probe (= exact) rows plus a
     // deterministic recall certificate for the pruned nProbe=4 probe, so

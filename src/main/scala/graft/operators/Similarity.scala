@@ -1,9 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+
+/** Handle to a persisted IVF index (see [[Similarity.buildIvfIndex]]):
+  * the corpus with assigned cells as an external parquet table
+  * PARTITIONED by `cell` (one directory per cell, so a probe's
+  * `cell IN (...)` predicate prunes to exactly the probed partitions)
+  * plus the centroid table the cells were assigned against. */
+case class IvfIndex(name: String, path: String) {
+  def corpusTable: String = s"${name}_cells"
+  def centroidsTable: String = s"${name}_cents"
+}
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
   *
@@ -78,23 +88,17 @@ object Similarity {
       .drop("__best")
   }
 
-  /** IVF ANN: top-k within the query's own cell (nProbe=1) or its nProbe
-    * nearest cells. Output: (qid, rank, cid, sim) — same contract as
-    * [[bruteForceKnn]] but approximate (only vectors sharing a probed cell
-    * are considered). */
-  def ivfKnn(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-             centroids: DataFrame, centId: String, centVec: String,
-             k: Int, nProbe: Int = 1): DataFrame = {
+  /** Each query's nProbe nearest centroids (broadcast centroid table).
+    * Output: (qid, qv, qn, cell). */
+  private def queryProbes(queries: DataFrame, id: String, vec: String,
+                          centroids: DataFrame, centId: String,
+                          centVec: String, nProbe: Int): DataFrame = {
     val c = centroids.select(col(centId).as("__cell"),
         asDoubles(col(centVec)).as("__cv"))
       .withColumn("__cvn", l2Norm(col("__cv")))
-    // corpus cell assignment (nearest centroid)
-    val corpusCells = assignCells(corpus, id, vec, centroids, centId, centVec)
-      .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))
-      .withColumn("cn", l2Norm(col("cv")))
-    // query probes: its nProbe nearest centroids
-    val qw = Window.partitionBy(col("qid")).orderBy(col("__csim").desc, col("__cell").asc)
-    val probes = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"))
+    val qw = Window.partitionBy(col("qid"))
+      .orderBy(col("__csim").desc, col("__cell").asc)
+    queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .join(broadcast(c), lit(true))
       .withColumn("__csim",
@@ -102,6 +106,12 @@ object Similarity {
       .withColumn("__rn", row_number().over(qw))
       .where(col("__rn") <= nProbe)
       .select(col("qid"), col("qv"), col("qn"), col("__cell").as("cell"))
+  }
+
+  /** Join probes to the cell-assigned corpus and rank to top-k.
+    * corpusCells: (cid, cv, cn, cell). Output: (qid, rank, cid, sim). */
+  private def probeAndRank(corpusCells: DataFrame, probes: DataFrame,
+                           k: Int): DataFrame = {
     val sims = corpusCells.join(broadcast(probes), Seq("cell"))
       .where(col("cid") =!= col("qid"))
       .withColumn("sim", cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
@@ -111,6 +121,67 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
+  /** IVF ANN: top-k within the query's own cell (nProbe=1) or its nProbe
+    * nearest cells. Output: (qid, rank, cid, sim) — same contract as
+    * [[bruteForceKnn]] but approximate (only vectors sharing a probed cell
+    * are considered). Assigns corpus cells inline — use
+    * [[buildIvfIndex]] + [[ivfKnnFromIndex]] to pay assignment once. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+             centroids: DataFrame, centId: String, centVec: String,
+             k: Int, nProbe: Int = 1): DataFrame = {
+    val corpusCells = assignCells(corpus, id, vec, centroids, centId, centVec)
+      .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))
+      .withColumn("cn", l2Norm(col("cv")))
+    probeAndRank(corpusCells,
+      queryProbes(queries, id, vec, centroids, centId, centVec, nProbe), k)
+  }
+
+  /** Persist the IVF layout the scaladoc above promises: the corpus with
+    * assigned cells (plus precomputed norms) written as an external
+    * parquet table PARTITIONED by cell, and the centroid table beside
+    * it. Cell assignment — a full-corpus argmax scan — happens exactly
+    * once, at write time; every subsequent [[ivfKnnFromIndex]] query
+    * reads only its probed cells' directories. */
+  def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
+                    centroids: DataFrame, centId: String, centVec: String,
+                    name: String, path: String): IvfIndex = {
+    val idx = IvfIndex(name, path)
+    centroids
+      .select(col(centId).cast("bigint").as("cell"),
+        asDoubles(col(centVec)).as("centroid"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/${idx.centroidsTable}")
+      .format("parquet").saveAsTable(idx.centroidsTable)
+    assignCells(corpus, id, vec, centroids, centId, centVec)
+      .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .option("path", s"$path/${idx.corpusTable}")
+      .format("parquet").saveAsTable(idx.corpusTable)
+    idx
+  }
+
+  /** IVF ANN against a persisted index: identical results to [[ivfKnn]]
+    * over the same centroids (spec-pinned), but the corpus scan is
+    * PARTITION-PRUNED to the probed cells — the query batch's probe
+    * cells form a static `cell IN (...)` predicate (queries are few by
+    * contract; collecting their probe cells is O(queries x nProbe)), so
+    * a 16-cell index probed at nProbe=1 reads 1/16th of the corpus and
+    * never re-runs cell assignment. */
+  def ivfKnnFromIndex(spark: SparkSession, queries: DataFrame, id: String,
+                      vec: String, idx: IvfIndex, k: Int,
+                      nProbe: Int = 1): DataFrame = {
+    val cents = spark.table(idx.centroidsTable)
+    val probes = queryProbes(queries, id, vec, cents, "cell", "centroid",
+      nProbe)
+    val cells = probes.select(col("cell").cast("bigint")).distinct()
+      .collect().map(_.getLong(0))
+    val corpus = spark.table(idx.corpusTable)
+      .where(col("cell").isInCollection(cells))
+    probeAndRank(corpus, probes, k)
   }
 
   /** Train IVF centroids with seeded k-means (deterministic).

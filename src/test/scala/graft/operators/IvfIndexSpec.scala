@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: cell assignment paid once at write time, probes
+  * partition-pruned to the probed cells. Pins (1) result parity with
+  * the inline operator, (2) the plan property that the corpus scan
+  * carries a cell partition filter. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("indexed probe equals the inline operator and prunes partitions") {
+    val s = spark
+    val emb = Tables.embeddings(s, sf())
+    val cents = emb.where(col("vec_id") < 10)
+    val queries = emb.where(col("vec_id").between(100, 104))
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", "ivf_spec_a",
+      java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString)
+    try {
+      for (nProbe <- Seq(1, 4)) {
+        val inline = rows(Similarity.ivfKnn(queries, emb, "vec_id",
+          "embedding", cents, "vec_id", "embedding", 3, nProbe))
+        val indexed = rows(Similarity.ivfKnnFromIndex(s, queries, "vec_id",
+          "embedding", idx, 3, nProbe))
+        assert(indexed == inline, s"nProbe=$nProbe mismatch")
+      }
+      // plan property: the corpus scan is partition-pruned by cell —
+      // the probed-cell predicate must appear as a PartitionFilter on
+      // the file scan, not a post-scan Filter over all partitions
+      val probed = Similarity.ivfKnnFromIndex(s, queries, "vec_id",
+        "embedding", idx, 3, nProbe = 1)
+      val scanLines = probed.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PartitionFilters")).toSeq
+      assert(scanLines.exists(l => l.contains("cell") && l.contains("IN")),
+        s"no cell IN partition filter on the index scan:\n" +
+          scanLines.mkString("\n"))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.corpusTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.centroidsTable}")
+    }
+  }
+}
