@@ -35,6 +35,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.DedupIndex]()
   private val ivfIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex]()
+  private val embIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.EmbeddingIndex]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -607,6 +609,28 @@ object SparkEntry {
           transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
       Dedup.embeddingPairs(base.unionAll(shifted), "vec_id", "embedding",
           0.85, dim = 64)
+        .orderBy("id1", "id2")
+    }),
+
+    // embedding delta vs a persisted banded-LSH index: base corpus
+    // signed once into bucketed tables (memoized per session/sf-dir
+    // like the text index), the shifted near-copies probe it as the
+    // delta. Oracle = the batch pair set restricted to pairs touching
+    // the delta ids — union-equivalence, same as q_dedup_incremental.
+    "q_dedup_embedding_incr" -> ((s, d) => {
+      val base = emb(s, d)
+        .select(col("vec_id"), VF.asDoubles(col("embedding")).as("embedding"))
+      val shifted = base.where(col("vec_id") < 250)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
+      val tag = (s.sparkContext.applicationId + "_" + d)
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val idx = embIdxCache.computeIfAbsent(tag, _ =>
+        Dedup.buildEmbeddingIndex(base, "vec_id", "embedding",
+          s"graft_emb_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-emb-idx-$tag",
+          0.85, dim = 64))
+      Dedup.embeddingPairsAgainstIndex(shifted, "vec_id", "embedding", idx)
         .orderBy("id1", "id2")
     }),
 
@@ -1483,6 +1507,22 @@ object SparkEntry {
         |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.85
+        |ORDER BY id1, id2""".stripMargin,
+
+    // incremental = the same batch pair set restricted to pairs with at
+    // least one delta (shifted-copy) side
+    "q_dedup_embedding_incr" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.08)
+        |  FROM base WHERE vec_id < 250)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.85
+        |  AND (a.vec_id >= 100000 OR b.vec_id >= 100000)
         |ORDER BY id1, id2""".stripMargin,
 
     "q_knn_bruteforce" ->

@@ -17,6 +17,19 @@ case class DedupIndex(name: String, path: String, n: Int, numPerms: Int,
   def shinglesTable: String = s"${name}_sh"
 }
 
+/** Handle to a persisted embedding near-dup index (see
+  * [[Dedup.buildEmbeddingIndex]]): hyperplane-LSH band keys
+  * bucketed+sorted by `bkey` and the vectors (with precomputed norms)
+  * bucketed by `vid`, plus the banding parameters — derived from
+  * `threshold` at build time and baked into the persisted signatures,
+  * so probes can never band differently than the index. */
+case class EmbeddingIndex(name: String, path: String, dim: Int,
+                          bitsPerBand: Int, numBands: Int,
+                          threshold: Double, numBuckets: Int) {
+  def bandsTable: String = s"${name}_bands"
+  def vectorsTable: String = s"${name}_vec"
+}
+
 /** Document deduplication for large-scale training-data pipelines.
   *
   * Four families, each with a scale story:
@@ -660,6 +673,99 @@ object Dedup {
     * band — each extra bit HALVES the quadratic false-candidate term
     * for ~1/p more linear band rows — which is the correct trade
     * exactly when the quadratic term dominates. */
+  /** (vid, bkey) banded LSH keys with the band index folded into the
+    * key hash — single-column join/bucketing, same argument as
+    * [[bandKeyTable]] (a cross-band collision only adds a candidate
+    * that exact cosine verification discards). */
+  private def embBandTable(df: DataFrame, id: String, vec: String,
+                           dim: Int, bits: Int, bands: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    df.select(col(id).as("vid"), posexplode(
+        Similarity.cosineLshBandKeys(asDoubles(col(vec)), dim, bits, bands))
+        .as(Seq("band", "bkey")))
+      .select(col("vid"), xxhash64(col("band"), col("bkey")).as("bkey"))
+  }
+
+  /** Persist an embedding near-dup index: banded hyperplane-LSH keys
+    * (bucketed+sorted by key) and the vectors with precomputed norms
+    * (bucketed by id), banding derived from `threshold` exactly as in
+    * [[embeddingPairsLsh]]. The corpus is signed ONCE at write time;
+    * deltas then dedup against it with [[embeddingPairsAgainstIndex]]
+    * — same contract as the text-side [[buildIndex]]. */
+  def buildEmbeddingIndex(df: DataFrame, id: String, vec: String,
+                          name: String, path: String, threshold: Double,
+                          dim: Int, maxBands: Int = 512,
+                          numBuckets: Int = 32): EmbeddingIndex = {
+    import graft.functions.VectorFunctions._
+    require(dim > 0, "buildEmbeddingIndex requires an explicit dim")
+    val (bits, bands) = Similarity.bandingFor(threshold, maxBands)
+    val idx = EmbeddingIndex(name, path, dim, bits, bands, threshold,
+      numBuckets)
+    def write(d: DataFrame, table: String, key: String): Unit =
+      d.write.mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, key).sortBy(key)
+        .option("path", s"$path/$table")
+        .format("parquet").saveAsTable(table)
+    write(embBandTable(df, id, vec, dim, bits, bands), idx.bandsTable,
+      "bkey")
+    write(df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
+        .withColumn("nrm", l2Norm(col("v"))),
+      idx.vectorsTable, "vid")
+    idx
+  }
+
+  /** Near-dup pairs between `delta` and the indexed corpus plus pairs
+    * within `delta`, at cosine >= `threshold` (>= the index's build
+    * threshold — the banding's recall guarantee only covers pairs at
+    * or above it). Same plan shape as [[pairsAgainstIndex]]: only the
+    * delta's band keys shuffle, the index streams out of its buckets,
+    * and verification prunes the bucketed vector table to candidate
+    * ids via broadcast semi-join. Output: (id1, id2, cosine), same
+    * contract as [[embeddingPairsLsh]]. Caller contract: delta ids
+    * disjoint from indexed ids. */
+  def embeddingPairsAgainstIndex(delta: DataFrame, id: String,
+                                 vec: String, idx: EmbeddingIndex,
+                                 threshold: Double = -1.0): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val t = if (threshold < 0) idx.threshold else threshold
+    require(t >= idx.threshold,
+      s"probe threshold $t is below the index's build threshold " +
+        s"${idx.threshold}: banded recall is only guaranteed at or " +
+        "above the threshold the signatures were built for")
+    val spark = delta.sparkSession
+    val dBands = cachedIdempotent(
+      embBandTable(delta, id, vec, idx.dim, idx.bitsPerBand, idx.numBands)
+        .select(col("bkey"), col("vid").as("dd")))
+    val iBands = spark.table(idx.bandsTable)
+      .select(col("bkey"), col("vid").as("di"))
+    val cross = iBands.join(dBands.hint("shuffle_hash"), "bkey")
+      .where(col("di") =!= col("dd"))
+      .select(least(col("di"), col("dd")).as("id1"),
+        greatest(col("di"), col("dd")).as("id2"))
+    val dd = dBands.hint("shuffle_hash").as("a")
+      .join(dBands.hint("shuffle_hash").as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.dd") < col("b.dd"))
+      .select(col("a.dd").as("id1"), col("b.dd").as("id2"))
+    val cand = cachedIdempotent(cross.union(dd).distinct())
+    val candIds = cand.select(col("id1").as("vid"))
+      .union(cand.select(col("id2").as("vid"))).distinct()
+    val dVec = delta.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val lookup = cachedIdempotent(
+      spark.table(idx.vectorsTable)
+        .join(broadcast(candIds), Seq("vid"), "left_semi")
+        .union(dVec))
+    val x = lookup.select(col("vid").as("id1"), col("v").as("v1"),
+      col("nrm").as("n1")).hint("shuffle_hash")
+    val y = lookup.select(col("vid").as("id2"), col("v").as("v2"),
+      col("nrm").as("n2")).hint("shuffle_hash")
+    cand.join(x, "id1").join(y, "id2")
+      .withColumn("cosine",
+        cosineFrom(dot(col("v1"), col("v2")), col("n1"), col("n2")))
+      .where(col("cosine") >= t)
+      .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+  }
+
   def embeddingPairsLsh(df: DataFrame, id: String, vec: String,
                         threshold: Double, dim: Int = 0,
                         maxBands: Int = 512): DataFrame = {

@@ -102,6 +102,43 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding delta vs index equals the batch LSH operator") {
+    // shifted near-copies (the q_dedup_embedding_lsh corpus recipe)
+    // guarantee true pairs at 0.85 — the base corpus alone has none,
+    // so set-equality here is never vacuous
+    val s = spark
+    import graft.functions.VectorFunctions.asDoubles
+    val base = Tables.embeddings(s, sf())
+      .select(col("vec_id"), asDoubles(col("embedding")).as("embedding"))
+    val shifted = base.where(col("vec_id") < 100)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
+    val idx = Dedup.buildEmbeddingIndex(base, "vec_id", "embedding",
+      "inc_spec_e", tmpPath(), 0.85, dim = 64)
+    try {
+      def eset(df: DataFrame): Set[(Long, Long, Double)] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val incr = eset(Dedup.embeddingPairsAgainstIndex(
+        shifted, "vec_id", "embedding", idx))
+      val batch = eset(Dedup.embeddingPairsLsh(
+        base.unionAll(shifted), "vec_id", "embedding", 0.85, dim = 64))
+      val batchBase = eset(Dedup.embeddingPairsLsh(
+        base, "vec_id", "embedding", 0.85, dim = 64))
+      assert(incr.nonEmpty, "vector is vacuous — no shifted pairs found")
+      assert((batchBase ++ incr) == batch,
+        s"union-equivalence broken: missing=${batch -- batchBase -- incr}")
+      // a sub-build-threshold probe must be refused loudly
+      intercept[IllegalArgumentException] {
+        Dedup.embeddingPairsAgainstIndex(shifted, "vec_id", "embedding",
+          idx, threshold = 0.5)
+      }
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.vectorsTable}")
+    }
+  }
+
   test("extendIndex folds a delta in for the next round") {
     val s = spark
     val all = Tables.documents(s, sf())
