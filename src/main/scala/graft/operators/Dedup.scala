@@ -714,6 +714,25 @@ object Dedup {
     idx
   }
 
+  /** Fold a processed delta into the embedding index (bucketed append
+    * with the index's own banding) — same contract as [[extendIndex]]:
+    * after [[embeddingPairsAgainstIndex]] has emitted the delta's
+    * pairs, the next delta dedups against corpus + this one. Caller
+    * contract: delta ids disjoint from ids already indexed. */
+  def extendEmbeddingIndex(delta: DataFrame, id: String, vec: String,
+                           idx: EmbeddingIndex): Unit = {
+    import graft.functions.VectorFunctions._
+    def append(d: DataFrame, table: String, key: String): Unit =
+      d.write.mode(SaveMode.Append)
+        .bucketBy(idx.numBuckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+    append(embBandTable(delta, id, vec, idx.dim, idx.bitsPerBand,
+      idx.numBands), idx.bandsTable, "bkey")
+    append(delta.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
+        .withColumn("nrm", l2Norm(col("v"))),
+      idx.vectorsTable, "vid")
+  }
+
   /** Near-dup pairs between `delta` and the indexed corpus plus pairs
     * within `delta`, at cosine >= `threshold` (>= the index's build
     * threshold — the banding's recall guarantee only covers pairs at

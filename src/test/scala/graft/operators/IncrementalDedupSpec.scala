@@ -133,6 +133,19 @@ class IncrementalDedupSpec extends SparkSpec {
         Dedup.embeddingPairsAgainstIndex(shifted, "vec_id", "embedding",
           idx, threshold = 0.5)
       }
+      // extend folds the delta in: a second shifted batch then finds
+      // its pairs against base AND the first delta
+      val shifted2 = base.where(col("vec_id") < 100)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
+      Dedup.extendEmbeddingIndex(shifted, "vec_id", "embedding", idx)
+      val incr2 = eset(Dedup.embeddingPairsAgainstIndex(
+        shifted2, "vec_id", "embedding", idx))
+      // shifted2(v+0.08) vs shifted(v+0.08) are IDENTICAL vectors —
+      // every id < 100100 pair at cosine 1.0 must appear
+      assert(incr2.exists { case (a, b, c) =>
+        a >= 100000 && b >= 200000 && c == 1.0 },
+        s"extend missed first-delta pairs: ${incr2.take(5)}")
     } finally {
       s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
       s.sql(s"DROP TABLE IF EXISTS ${idx.vectorsTable}")
