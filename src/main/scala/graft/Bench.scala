@@ -230,10 +230,16 @@ object Bench {
     // reference run on this host. Each run emits per-query deltas and a
     // mechanical noise-vs-regression verdict: a query regresses when its
     // median exceeds the recorded one by more than
-    // max(5 x the larger MAD, 10% of the recorded median, 50 ms) — MAD
+    // max(5 x the larger MAD, 15% of the recorded median, 50 ms) — MAD
     // scales the gate to each query's own measured variance, so a
     // multi-trigger streaming gate with seconds of scheduling jitter
     // needs a much larger swing to flag than a stable 100 ms query.
+    // The 15% relative floor is the measured CROSS-run host envelope
+    // (within-run MADs are 1-3%, but back-to-back full-suite runs on
+    // this host swing individual sub-second queries ±15% with totals
+    // ±10% — five same-code runs measured 26.9/29.7/28.9/30.6/34.2 s);
+    // a floor below that flags a couple of random small queries every
+    // run, which is noise laundered as signal.
     val basePath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json"))
     val baseline: Map[String, (Double, Double)] =
@@ -257,7 +263,7 @@ object Bench {
     val regressions = results.collect {
       case (k, (m, d, _)) if m >= 0 && baseline.contains(k) &&
         m > baseline(k)._1 + math.max(5 * math.max(baseline(k)._2, d),
-          math.max(0.10 * baseline(k)._1, 0.05)) => "\"" + k + "\""
+          math.max(0.15 * baseline(k)._1, 0.05)) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     if (sys.env.contains("SPARK_GRAFT_RECORD_BASELINE")) {
       // a partial baseline would permanently exempt the failed queries

@@ -37,6 +37,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex]()
   private val embIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.EmbeddingIndex]()
+  private val exactIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ExactIndex]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -527,6 +529,29 @@ object SparkEntry {
       Dedup.exactGroups(docs(s, d), "doc_id", "text")
         .select(col("fp"), col("keep_id"), col("n_docs"))
         .orderBy("fp")),
+
+    // exact dedup of a delta against the persisted fingerprint index
+    // (16-byte keys, no bodies) — same corpus/delta split and memo
+    // pattern as q_dedup_incremental. The documents table has no exact
+    // dups, so the delta also carries re-keyed verbatim COPIES of
+    // corpus docs (+500000): those must come back keep=false, making
+    // the seen-fingerprint branch non-vacuous in the gate.
+    "q_dedup_exact_incr" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.where(col("doc_id") % 4 =!= 3)
+      val delta = all.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+        .unionAll(corpus.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val tag = (s.sparkContext.applicationId + "_" + d)
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val idx = exactIdxCache.computeIfAbsent(tag, _ =>
+        Dedup.buildExactIndex(corpus, "doc_id", "text",
+          s"graft_fp_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-fp-idx-$tag"))
+      Dedup.exactAgainstIndex(delta, "doc_id", "text", idx)
+        .orderBy("doc_id")
+    }),
 
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)
@@ -1286,6 +1311,23 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // delta verdict = fp unseen in the corpus partition AND smallest
+    // delta id carrying it
+    "q_dedup_exact_incr" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 <> 3),
+        |delta AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 3
+        |          UNION ALL
+        |          SELECT doc_id + 500000, fp FROM f
+        |          WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0)
+        |SELECT doc_id, fp, (NOT seen AND doc_id = mn) AS keep FROM (
+        |  SELECT d.doc_id, d.fp, c.fp IS NOT NULL AS seen,
+        |         min(d.doc_id) OVER (PARTITION BY d.fp) AS mn
+        |  FROM delta d LEFT JOIN corpus c USING (fp))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $tokCte

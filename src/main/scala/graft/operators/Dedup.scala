@@ -17,6 +17,15 @@ case class DedupIndex(name: String, path: String, n: Int, numPerms: Int,
   def shinglesTable: String = s"${name}_sh"
 }
 
+/** Handle to a persisted exact-dedup fingerprint index (see
+  * [[Dedup.buildExactIndex]]): one row per distinct corpus fingerprint
+  * (fp, keep_id), bucketed+sorted by fp — the one-row-per-fp invariant
+  * is load-bearing for the probe's outer join and is preserved by
+  * [[Dedup.extendExactIndex]]'s anti-join append. */
+case class ExactIndex(name: String, path: String, numBuckets: Int) {
+  def fpTable: String = s"${name}_fp"
+}
+
 /** Handle to a persisted embedding near-dup index (see
   * [[Dedup.buildEmbeddingIndex]]): hyperplane-LSH band keys
   * bucketed+sorted by `bkey` and the vectors (with precomputed norms)
@@ -129,6 +138,59 @@ object Dedup {
     df.withColumn("fp", TextFunctions.fingerprint(col(text)))
       .groupBy(col("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Persist the exact-dedup fingerprint index: the corpus reduced to
+    * one (fp, keep_id) row per distinct content fingerprint, bucketed
+    * by fp. At 100 TB this is the smallest possible dedup artifact —
+    * 16-byte keys, no bodies — and the incremental exact-dedup
+    * counterpart of [[buildIndex]]. */
+  def buildExactIndex(df: DataFrame, id: String, text: String,
+                      name: String, path: String,
+                      numBuckets: Int = 32): ExactIndex = {
+    val idx = ExactIndex(name, path, numBuckets)
+    exactGroups(df, id, text).select(col("fp"), col("keep_id"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .option("path", s"$path/${idx.fpTable}")
+      .format("parquet").saveAsTable(idx.fpTable)
+    idx
+  }
+
+  /** Fold a processed delta's fingerprints in: only fps NOT already
+    * indexed are appended (anti-join), preserving the one-row-per-fp
+    * invariant. Single-writer contract, as for the other indexes. */
+  def extendExactIndex(delta: DataFrame, id: String, text: String,
+                       idx: ExactIndex): Unit = {
+    val spark = delta.sparkSession
+    exactGroups(delta, id, text).select(col("fp"), col("keep_id"))
+      .join(spark.table(idx.fpTable).hint("shuffle_hash"),
+        Seq("fp"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .bucketBy(idx.numBuckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(idx.fpTable)
+  }
+
+  /** Exact-dedup verdicts for a delta against the indexed corpus:
+    * (id, fp, keep) for every delta row, keep = the fingerprint is
+    * unseen in the corpus AND this is the smallest delta id carrying
+    * it — so `corpusVerdicts ∪ these` equals [[exact]] over
+    * corpus ∪ delta restricted to delta rows (spec-pinned). The delta
+    * shuffles ONCE on fp (the window partitioning is reused by the
+    * join); the index side streams out of its buckets and is never
+    * broadcast (corpus-sized by definition). Caller contract: delta
+    * ids disjoint from indexed ids. */
+  def exactAgainstIndex(delta: DataFrame, id: String, text: String,
+                        idx: ExactIndex): DataFrame = {
+    val spark = delta.sparkSession
+    val seen = spark.table(idx.fpTable)
+      .select(col("fp"), lit(true).as("__seen")).hint("shuffle_hash")
+    val w = Window.partitionBy(col("fp"))
+    delta.select(col(id), TextFunctions.fingerprint(col(text)).as("fp"))
+      .withColumn("__mn", min(col(id)).over(w))
+      .join(seen, Seq("fp"), "left_outer")
+      .select(col(id), col("fp"),
+        (col("__seen").isNull && col(id) === col("__mn")).as("keep"))
+  }
 
   // ------------------------------------------------------------------
   // N-gram Jaccard via shingle inverted-index join

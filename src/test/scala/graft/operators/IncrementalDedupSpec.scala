@@ -152,6 +152,37 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("exact fingerprint index: delta verdicts match the batch operator") {
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val corpus = all.where(col("doc_id") % 4 =!= 3)
+    val delta = all.where(col("doc_id") % 4 === 3)
+    val idx = Dedup.buildExactIndex(corpus, "doc_id", "text",
+      "inc_spec_fp", tmpPath())
+    try {
+      def vset(df: DataFrame): Set[(Long, Boolean)] =
+        df.select(col("doc_id"), col("keep")).collect()
+          .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      val incr = vset(Dedup.exactAgainstIndex(delta, "doc_id", "text", idx)
+        .withColumnRenamed("doc_id", "doc_id"))
+      // batch over corpus+delta, restricted to delta rows
+      val batch = vset(Dedup.exact(all, "doc_id", "text")
+        .where(col("doc_id") % 4 === 3))
+      assert(incr == batch,
+        s"verdict mismatch: ${(incr -- batch).take(5)} vs ${(batch -- incr).take(5)}")
+      // a duplicated delta doc (same text, new id) flips to keep=false
+      // after the original's fp is folded in via extend
+      Dedup.extendExactIndex(delta, "doc_id", "text", idx)
+      val dup = delta.limit(1)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val v2 = Dedup.exactAgainstIndex(dup, "doc_id", "text", idx).collect()
+      assert(v2.length == 1 && !v2(0).getBoolean(2),
+        s"folded fp should mark the duplicate keep=false: ${v2.toSeq}")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.fpTable}")
+    }
+  }
+
   test("extendIndex folds a delta in for the next round") {
     val s = spark
     val all = Tables.documents(s, sf())
