@@ -40,6 +40,11 @@ object SparkEntry {
   private val exactIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ExactIndex]()
 
+  // the sanitation rule is load-bearing for table-name collision safety
+  // — one definition, used by every index-backed gate
+  private def idxTag(s: SparkSession, d: String): String =
+    (s.sparkContext.applicationId + "_" + d).replaceAll("[^A-Za-z0-9]", "_")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- engine-level: pipeline chain, mappers, expression language ----
@@ -543,8 +548,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .unionAll(corpus.where(col("doc_id") % 8 === 0)
           .select((col("doc_id") + 500000).as("doc_id"), col("text")))
-      val tag = (s.sparkContext.applicationId + "_" + d)
-        .replaceAll("[^A-Za-z0-9]", "_")
+      val tag = idxTag(s, d)
       val idx = exactIdxCache.computeIfAbsent(tag, _ =>
         Dedup.buildExactIndex(corpus, "doc_id", "text",
           s"graft_fp_idx_$tag",
@@ -591,8 +595,7 @@ object SparkEntry {
     // handle — silently wrong pairs, no error.
     "q_dedup_incremental" -> ((s, d) => {
       val all = docs(s, d)
-      val tag = (s.sparkContext.applicationId + "_" + d)
-        .replaceAll("[^A-Za-z0-9]", "_")
+      val tag = idxTag(s, d)
       val idx = incIdxCache.computeIfAbsent(tag, _ =>
         Dedup.buildIndex(all.where(col("doc_id") % 4 =!= 3),
           "doc_id", "text", s"graft_inc_idx_$tag",
@@ -648,8 +651,7 @@ object SparkEntry {
       val shifted = base.where(col("vec_id") < 250)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
-      val tag = (s.sparkContext.applicationId + "_" + d)
-        .replaceAll("[^A-Za-z0-9]", "_")
+      val tag = idxTag(s, d)
       val idx = embIdxCache.computeIfAbsent(tag, _ =>
         Dedup.buildEmbeddingIndex(base, "vec_id", "embedding",
           s"graft_emb_idx_$tag",
@@ -684,8 +686,7 @@ object SparkEntry {
     // (session, sf-dir) like the dedup index.
     "q_knn_ivf_indexed" -> ((s, d) => {
       val e = emb(s, d)
-      val tag = (s.sparkContext.applicationId + "_" + d)
-        .replaceAll("[^A-Za-z0-9]", "_")
+      val tag = idxTag(s, d)
       val idx = ivfIdxCache.computeIfAbsent(tag, _ =>
         Similarity.buildIvfIndex(e, "vec_id", "embedding",
           e.where(col("vec_id") < 10), "vec_id", "embedding",

@@ -157,14 +157,17 @@ object Dedup {
   }
 
   /** Fold a processed delta's fingerprints in: only fps NOT already
-    * indexed are appended (anti-join), preserving the one-row-per-fp
+    * indexed are appended (NULL-SAFE anti-join — the null-fp group of
+    * null-text docs must match its indexed row like any other, or every
+    * extend would re-append it), preserving the one-row-per-fp
     * invariant. Single-writer contract, as for the other indexes. */
   def extendExactIndex(delta: DataFrame, id: String, text: String,
                        idx: ExactIndex): Unit = {
     val spark = delta.sparkSession
+    val existing = spark.table(idx.fpTable)
+      .select(col("fp").as("__ifp")).hint("shuffle_hash")
     exactGroups(delta, id, text).select(col("fp"), col("keep_id"))
-      .join(spark.table(idx.fpTable).hint("shuffle_hash"),
-        Seq("fp"), "left_anti")
+      .join(existing, col("fp") <=> col("__ifp"), "left_anti")
       .write.mode(SaveMode.Append)
       .bucketBy(idx.numBuckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(idx.fpTable)
@@ -173,21 +176,31 @@ object Dedup {
   /** Exact-dedup verdicts for a delta against the indexed corpus:
     * (id, fp, keep) for every delta row, keep = the fingerprint is
     * unseen in the corpus AND this is the smallest delta id carrying
-    * it — so `corpusVerdicts ∪ these` equals [[exact]] over
-    * corpus ∪ delta restricted to delta rows (spec-pinned). The delta
-    * shuffles ONCE on fp (the window partitioning is reused by the
-    * join); the index side streams out of its buckets and is never
-    * broadcast (corpus-sized by definition). Caller contract: delta
-    * ids disjoint from indexed ids. */
+    * it. The join is NULL-SAFE (`<=>`): a null-text delta doc matches
+    * the corpus's null-fp row — the same null-group semantics
+    * [[exact]]'s window formulation guarantees, which a plain equi-join
+    * would silently break. Verdict convention is CORPUS-WINS: a seen
+    * fingerprint is keep=false regardless of id ordering (the index's
+    * keep_id stays the survivor), so `corpusVerdicts ∪ these` equals
+    * [[exact]] over corpus ∪ delta restricted to delta rows exactly
+    * when delta ids are larger than indexed ids — the append-only
+    * ingest case (spec-pinned); with out-of-order ids the incremental
+    * verdict deliberately keeps the already-indexed survivor rather
+    * than re-litigating history. The delta shuffles ONCE on fp (the
+    * window partitioning is reused by the join); the index side
+    * streams out of its buckets and is never broadcast (corpus-sized
+    * by definition). Caller contract: delta ids disjoint from indexed
+    * ids. */
   def exactAgainstIndex(delta: DataFrame, id: String, text: String,
                         idx: ExactIndex): DataFrame = {
     val spark = delta.sparkSession
     val seen = spark.table(idx.fpTable)
-      .select(col("fp"), lit(true).as("__seen")).hint("shuffle_hash")
+      .select(col("fp").as("__ifp"), lit(true).as("__seen"))
+      .hint("shuffle_hash")
     val w = Window.partitionBy(col("fp"))
     delta.select(col(id), TextFunctions.fingerprint(col(text)).as("fp"))
       .withColumn("__mn", min(col(id)).over(w))
-      .join(seen, Seq("fp"), "left_outer")
+      .join(seen, col("fp") <=> col("__ifp"), "left_outer")
       .select(col(id), col("fp"),
         (col("__seen").isNull && col(id) === col("__mn")).as("keep"))
   }

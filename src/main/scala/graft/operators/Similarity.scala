@@ -175,13 +175,19 @@ object Similarity {
                       vec: String, idx: IvfIndex, k: Int,
                       nProbe: Int = 1): DataFrame = {
     val cents = spark.table(idx.centroidsTable)
+    // collect the probe rows ONCE (O(queries x nProbe) by the few-
+    // queries contract) and rebuild the probe frame from them — lazily
+    // reusing the plan would re-run the centroid join + window twice,
+    // once for the cell collect and again inside the ranking join
     val probes = queryProbes(queries, id, vec, cents, "cell", "centroid",
       nProbe)
-    val cells = probes.select(col("cell").cast("bigint")).distinct()
-      .collect().map(_.getLong(0))
+    val probeRows = probes.collect()
+    val cells = probeRows.map(_.getAs[Long]("cell")).distinct.toSeq
+    val probesDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val corpus = spark.table(idx.corpusTable)
       .where(col("cell").isInCollection(cells))
-    probeAndRank(corpus, probes, k)
+    probeAndRank(corpus, probesDf, k)
   }
 
   /** Train IVF centroids with seeded k-means (deterministic).

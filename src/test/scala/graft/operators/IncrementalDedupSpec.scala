@@ -163,13 +163,26 @@ class IncrementalDedupSpec extends SparkSpec {
       def vset(df: DataFrame): Set[(Long, Boolean)] =
         df.select(col("doc_id"), col("keep")).collect()
           .map(r => (r.getLong(0), r.getBoolean(1))).toSet
-      val incr = vset(Dedup.exactAgainstIndex(delta, "doc_id", "text", idx)
-        .withColumnRenamed("doc_id", "doc_id"))
+      val incr = vset(Dedup.exactAgainstIndex(delta, "doc_id", "text", idx))
       // batch over corpus+delta, restricted to delta rows
       val batch = vset(Dedup.exact(all, "doc_id", "text")
         .where(col("doc_id") % 4 === 3))
       assert(incr == batch,
         s"verdict mismatch: ${(incr -- batch).take(5)} vs ${(batch -- incr).take(5)}")
+      // within-delta duplicates (BEFORE extend, so the fp is corpus-
+      // unseen): the smallest delta id carrying a shared fp keeps, the
+      // larger copy does not — pinning the min-id window branch
+      // non-vacuously (no two natural delta docs share a fingerprint)
+      val first = delta.orderBy("doc_id").limit(1)
+        .select(col("doc_id"), col("text")).collect()(0)
+      val withDup = delta.select(col("doc_id"), col("text"))
+        .unionAll(delta.orderBy("doc_id").limit(1)
+          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
+      val dd = Dedup.exactAgainstIndex(withDup, "doc_id", "text", idx)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(dd(first.getLong(0)), "original should keep")
+      assert(!dd(first.getLong(0) + 950000),
+        "larger within-delta duplicate should not keep")
       // a duplicated delta doc (same text, new id) flips to keep=false
       // after the original's fp is folded in via extend
       Dedup.extendExactIndex(delta, "doc_id", "text", idx)
@@ -178,6 +191,33 @@ class IncrementalDedupSpec extends SparkSpec {
       val v2 = Dedup.exactAgainstIndex(dup, "doc_id", "text", idx).collect()
       assert(v2.length == 1 && !v2(0).getBoolean(2),
         s"folded fp should mark the duplicate keep=false: ${v2.toSeq}")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.fpTable}")
+    }
+  }
+
+  test("exact fingerprint index joins the null-fp group null-safely") {
+    // null-text docs fingerprint to NULL; the probe's <=> join must
+    // match them against the corpus's null-fp row (a plain equi-join
+    // would mark every null-text doc keep=true), and extend must not
+    // re-append the null-fp row
+    val s = spark
+    import s.implicits._
+    val nCorpus = Seq((1L, "some text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nDelta = Seq((10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(nCorpus, "doc_id", "text",
+      "inc_spec_fpn", tmpPath())
+    try {
+      val v = Dedup.exactAgainstIndex(nDelta, "doc_id", "text", idx)
+        .collect()
+      assert(v.length == 2 && v.forall(!_.getBoolean(2)),
+        s"null-text delta docs are dups of the corpus null-fp group: " +
+          v.mkString(", "))
+      Dedup.extendExactIndex(nDelta, "doc_id", "text", idx)
+      assert(s.table(idx.fpTable).where(col("fp").isNull).count() == 1,
+        "extend must preserve the one-row-per-fp invariant for null fp")
     } finally {
       s.sql(s"DROP TABLE IF EXISTS ${idx.fpTable}")
     }
