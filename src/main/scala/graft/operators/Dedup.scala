@@ -133,6 +133,27 @@ object Dedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming exact dedup against FULL history: [[streamingExact]]'s
+    * watermark-bounded in-stream dedup composed with a stream-static
+    * NULL-SAFE anti-join against the persisted fingerprint index, so a
+    * document that duplicates ANYTHING ever folded into the index is
+    * dropped — no matter how long ago its original arrived. This fixes
+    * the horizon limitation the streamingExact scaladoc documents:
+    * in-stream state stays watermark-bounded (finite), while history
+    * lives in the bucketed index table on storage, not in the state
+    * store. The static side is re-read per micro-batch, so a
+    * concurrent [[extendExactIndex]] (e.g. a nightly fold-in of the
+    * accepted stream output) is picked up without restarting the
+    * query. */
+  def streamingExactWithHistory(stream: DataFrame, textCol: String,
+                                tsCol: String, delay: String,
+                                idx: ExactIndex): DataFrame = {
+    val spark = stream.sparkSession
+    val seen = spark.table(idx.fpTable).select(col("fp").as("__ifp"))
+    streamingExact(stream, textCol, tsCol, delay)
+      .join(seen, col("fp") <=> col("__ifp"), "left_anti")
+  }
+
   /** One row per duplicate group: fingerprint, surviving id, group size. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.withColumn("fp", TextFunctions.fingerprint(col(text)))

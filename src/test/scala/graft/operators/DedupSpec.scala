@@ -371,4 +371,43 @@ class DedupSpec extends SparkSpec {
         s"got ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming dedup with history drops duplicates of indexed docs") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // history: 'old' was ingested long ago and folded into the index;
+    // a null-text doc too (the null-fp group must match null-safely)
+    val history = Seq((1L, "old"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(history, "doc_id", "text",
+      "hist_fp_idx", java.nio.file.Files
+        .createTempDirectory("graft-hist-idx").toString)
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF()
+      .select(when(col("_1") === "NULL", lit(null)).otherwise(col("_1"))
+          .as("text"),
+        timestamp_seconds(col("_2")).as("ts"))
+    val q = Dedup.streamingExactWithHistory(stream, "text", "ts",
+        "10 seconds", idx)
+      .select(col("text"), unix_timestamp(col("ts")).as("sec"))
+      .writeStream.format("memory").queryName("stream_hist_dedup")
+      .outputMode("append").start()
+    try {
+      // 'old' duplicates history (dropped by the index anti-join even
+      // though it's a first arrival IN-STREAM); 'fresh' passes; the
+      // in-stream duplicate of 'fresh' is dropped by the watermark
+      // dedup; a null-text row duplicates history's null-fp group
+      input.addData(("old", 100L), ("fresh", 101L), ("fresh", 102L),
+        ("NULL", 103L))
+      q.processAllAvailable()
+      val got = s.sql("SELECT text, sec FROM stream_hist_dedup ORDER BY sec")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == Seq(("fresh", 101L)), s"got ${got.toSeq}")
+    } finally {
+      q.stop()
+      s.sql(s"DROP TABLE IF EXISTS ${idx.fpTable}")
+    }
+  }
 }
