@@ -74,6 +74,38 @@ class StreamingRuntimeSpec extends SparkSpec {
     } finally replay.cleanup()
   }
 
+  test("file channel subscriber recovers from its checkpoint exactly once") {
+    // the channel half of the fault-tolerance story: a file-channel
+    // subscriber with its own checkpoint + transactional sink is
+    // stopped, rows keep arriving while it is down, and a restarted
+    // incarnation must deliver old + missed rows exactly once (the
+    // file source's offset log survives the restart; committed batches
+    // are not re-emitted)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val root = java.nio.file.Files.createTempDirectory("graft_chan_rec")
+    Channels.useFileBackend(root.toString)
+    try {
+      val schema = StructType(Seq(StructField("n", IntegerType)))
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("sub-ckpt").toString
+      def start() = Channels.subscribe("rec", schema)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      Channels.push("rec", Seq("""{"n": 1}""", """{"n": 2}"""))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // the kill
+      // rows arriving while the subscriber is down
+      Channels.push("rec", Seq("""{"n": 3}""", """{"n": 4}"""))
+      val q2 = start() // restart from checkpoint alone
+      q2.processAllAvailable()
+      q2.stop()
+      val got = s.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq
+      assert(got == Seq(1, 2, 3, 4), s"expected exactly-once 1..4, got $got")
+    } finally Channels.useMemoryBackend()
+  }
+
   test("channel fan-in: filter pipeline publishes, report pipeline consumes") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
