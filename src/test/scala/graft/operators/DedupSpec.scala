@@ -405,6 +405,19 @@ class DedupSpec extends SparkSpec {
       val got = s.sql("SELECT text, sec FROM stream_hist_dedup ORDER BY sec")
         .collect().map(r => (r.getString(0), r.getLong(1)))
       assert(got.toSeq == Seq(("fresh", 101L)), s"got ${got.toSeq}")
+      // LIVE fold-in: extend the index while the query runs — the
+      // static side is re-read per micro-batch, so a duplicate of the
+      // newly folded doc is dropped WITHOUT restarting the query (the
+      // scaladoc's claim, pinned here against engine changes)
+      Dedup.extendExactIndex(
+        Seq((3L, "folded live")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      input.addData(("folded live", 110L))
+      q.processAllAvailable()
+      val got2 = s.sql("SELECT text, sec FROM stream_hist_dedup ORDER BY sec")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got2.toSeq == Seq(("fresh", 101L)),
+        s"live-folded duplicate should be dropped: ${got2.toSeq}")
     } finally {
       q.stop()
       s.sql(s"DROP TABLE IF EXISTS ${idx.fpTable}")
