@@ -881,6 +881,45 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Per-document keep/drop verdicts for a delta from its incremental
+    * pair set — the row an ingest pipeline actually filters on.
+    * `pairs` is [[pairsAgainstIndex]] (or the embedding analogue)
+    * output over `delta`; a delta doc DROPS when any pair partners it
+    * with an indexed doc (corpus-wins, same convention as
+    * [[exactAgainstIndex]] — id order between corpus and delta is
+    * irrelevant) or with a smaller delta id. Output: (id, keep), one
+    * row per delta doc.
+    *
+    * Verdicts are pair-partner greedy, not transitive: within-delta
+    * chains (a~b, b~c, a!~c) keep only the smallest id, matching the
+    * batch [[graft.operators.Clustering.dedupVerdicts]] for chains
+    * whose pairs all exist; for full closure semantics over a large
+    * delta, run Clustering.dedupVerdicts on the pair set instead. */
+  def verdictsFromIncrementalPairs(delta: DataFrame, id: String,
+                                   pairs: DataFrame,
+                                   d1: String = "d1",
+                                   d2: String = "d2"): DataFrame = {
+    val ids = delta.select(col(id).cast("long").as("__did"))
+    // mark which side of each pair is a delta doc (the other is indexed)
+    val marked = pairs
+      .select(col(d1).cast("long").as("a"), col(d2).cast("long").as("b"))
+      .join(ids.select(col("__did").as("a"), lit(true).as("__la")),
+        Seq("a"), "left_outer")
+      .join(ids.select(col("__did").as("b"), lit(true).as("__lb")),
+        Seq("b"), "left_outer")
+    val drops = marked.select(explode(array(
+        // delta side of a cross pair always drops (corpus wins)
+        when(col("__la").isNotNull && col("__lb").isNull, col("a")),
+        when(col("__lb").isNotNull && col("__la").isNull, col("b")),
+        // within-delta pair: the larger id drops (d1 < d2 by contract)
+        when(col("__la").isNotNull && col("__lb").isNotNull, col("b"))))
+        .as("__drop"))
+      .where(col("__drop").isNotNull).distinct()
+    ids.join(drops.select(col("__drop").as("__did"), lit(true).as("__d")),
+        Seq("__did"), "left_outer")
+      .select(col("__did").as(id), col("__d").isNull.as("keep"))
+  }
+
   def embeddingPairsLsh(df: DataFrame, id: String, vec: String,
                         threshold: Double, dim: Int = 0,
                         maxBands: Int = 512): DataFrame = {

@@ -46,6 +46,21 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental pair verdicts: corpus wins, smaller delta id wins") {
+    val s = spark
+    import s.implicits._
+    // delta ids 10,11,12,13; pairs: (5,10) cross — 10 drops regardless
+    // of order; (11,20) cross with larger indexed id — 11 still drops
+    // (corpus wins); (12,13) within delta — 13 drops; 12 has no
+    // dropping pair and keeps
+    val delta = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val pairs = Seq((5L, 10L, 0.9), (11L, 20L, 0.9), (12L, 13L, 0.9))
+      .toDF("d1", "d2", "jaccard")
+    val v = Dedup.verdictsFromIncrementalPairs(delta, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v == Map(10L -> false, 11L -> false, 12L -> true, 13L -> false))
+  }
+
   test("candidate join reads the index buckets without an Exchange") {
     val s = spark
     val all = Tables.documents(s, sf())
