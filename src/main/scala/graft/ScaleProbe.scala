@@ -249,6 +249,25 @@ object ScaleProbe {
           Dedup.buildIndex(docs, "doc_id", "text", s"probe_inc_idx_$k", path)
         } else null
 
+      // embedding-index probe: same contract as dedup_incremental — the
+      // k-fold corpus is signed into the bucketed index untimed, a
+      // FIXED shifted-copy delta (near-dups of copy-0 vectors) probes it
+      val embIncIdx =
+        if (wanted("dedup_emb_incremental")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-embidx-$k").toString
+          Dedup.buildEmbeddingIndex(emb, "vec_id", "embedding",
+            s"probe_emb_idx_$k", path, 0.85, dim = 64)
+        } else null
+      val embIncDelta = {
+        import graft.functions.VectorFunctions.asDoubles
+        engine.Tables.embeddings(spark, sfDir)
+          .where(col("vec_id") < 250)
+          .select((col("vec_id") + 900000000L).as("vec_id"),
+            transform(asDoubles(col("embedding")), x => x + lit(0.08))
+              .as("embedding"))
+      }
+
       // IVF-index probe: cells assigned over the k-fold corpus at build
       // (untimed, once per corpus); the timed probe reads ONLY the
       // probed cells' partitions. The inline twin re-assigns the whole
@@ -281,6 +300,9 @@ object ScaleProbe {
               .withColumn("doc_id", col("doc_id") + lit(1000000000L)),
             "doc_id", "text", incIdx, 0.8,
             persistShingles = false).count()),
+        "dedup_emb_incremental" -> (() =>
+          Dedup.embeddingPairsAgainstIndex(embIncDelta, "vec_id",
+            "embedding", embIncIdx).count()),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),
@@ -385,6 +407,12 @@ object ScaleProbe {
         spark.sql(s"DROP TABLE IF EXISTS ${ivfIdx.centroidsTable}")
         graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(ivfIdx.path))
+      }
+      if (embIncIdx != null) {
+        spark.sql(s"DROP TABLE IF EXISTS ${embIncIdx.bandsTable}")
+        spark.sql(s"DROP TABLE IF EXISTS ${embIncIdx.vectorsTable}")
+        graft.util.FsUtil.deleteRecursively(
+          java.nio.file.Paths.get(embIncIdx.path))
       }
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson}""")
     }
