@@ -528,12 +528,52 @@ object SparkEntry {
         .orderBy(col("n").desc, col("ngram").asc)
         .limit(100)),
 
+    // exact corpus heavy hitters (bigrams with share >= 0.15%) via the
+    // two-pass Misra-Gries + recount shape: the bigram stream is scanned
+    // twice but NEVER shuffled — only O(partitions/minShare) candidates
+    // leave the executors. Exact threshold recount makes the result
+    // partition-invariant (CorpusStatsSpec pins this).
+    "q_heavy_hitters" -> ((s, d) =>
+      operators.CorpusStats.heavyHitters(
+        docs(s, d).select(explode(TF.wordNgramsAll(col("text"), 2)).as("item")),
+        "item", minShare = 0.0015)
+        .orderBy("item")),
+
+    // per-source vocabulary cardinality: exact distinct count + an
+    // in-query certificate that the HLL++ sketch (the only affordable
+    // form at 100 TB — fixed-size registers, map-side mergeable, item
+    // stream never shuffles) lands within 5%. Oracle emits the exact
+    // count and TRUE.
+    "q_approx_distinct" -> ((s, d) =>
+      operators.CorpusStats.distinctCertificate(
+        docs(s, d).select(col("source"),
+          explode(TF.wordNgramsAll(col("text"), 2)).as("item")),
+        "source", "item")
+        .orderBy("source")),
+
+    // per-source length quantiles: exact interpolated p50/p90 (matching
+    // quantile_cont, oracle-comparable) + rank certificates that the
+    // quantile SKETCH's picks land within +-10% rank. Same certificate
+    // pattern as q_knn_ivf_trained's recall column.
+    "q_approx_quantiles" -> ((s, d) =>
+      operators.CorpusStats.quantileCertificate(docs(s, d), "source", "n_chars")
+        .orderBy("source")),
+
     // ---- dedup ----
 
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d), "doc_id", "text")
         .select(col("fp"), col("keep_id"), col("n_docs"))
         .orderBy("fp")),
+
+    // sub-document dedup: fixed-width (8-token) passages repeated across
+    // >= 2 distinct docs are dropped keep-first and each doc reassembled
+    // from its surviving spans. Passage TEXT never crosses a shuffle —
+    // hashes decide, chunk indexes travel back, the doc's own token
+    // array re-slices locally (see Dedup.passageDedup).
+    "q_dedup_passage" -> ((s, d) =>
+      Dedup.passageDedup(docs(s, d), "doc_id", "text", width = 8, minDocs = 2)
+        .orderBy("doc_id")),
 
     // exact dedup of a delta against the persisted fingerprint index
     // (16-byte keys, no bodies) — same corpus/delta split and memo
@@ -1405,6 +1445,84 @@ object SparkEntry {
         |                      x -> x <> '') tk
         |        FROM documents))
         |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+
+    // exact threshold over ALL bigram occurrences (non-distinct, unlike
+    // q_ngram_freq) — the MG candidate pass is invisible to the result
+    "q_heavy_hitters" ->
+      """WITH base AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
+        |                i -> array_to_string(tk[i+1:i+2], ' '))) AS item
+        |  FROM base
+        |), tot AS (SELECT count(*) AS t FROM bg)
+        |SELECT item, count(*) AS n,
+        |       round(count(*) / (SELECT t FROM tot), 6) AS share
+        |FROM bg GROUP BY item
+        |HAVING count(*) >= ceil(0.0015 * (SELECT t FROM tot))
+        |ORDER BY item""".stripMargin,
+
+    // the sketch column is certified in-query (rsd 0.01 vs 5% tolerance);
+    // the oracle checks the exact count and expects the certificate TRUE
+    "q_approx_distinct" ->
+      """WITH base AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents
+        |), bg AS (
+        |  SELECT source,
+        |         unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
+        |                i -> array_to_string(tk[i+1:i+2], ' '))) AS item
+        |  FROM base
+        |)
+        |SELECT source, count(DISTINCT item) AS exact_distinct,
+        |       TRUE AS approx_ok
+        |FROM bg GROUP BY source ORDER BY source""".stripMargin,
+
+    // quantile_cont matches Spark's exact `percentile` interpolation;
+    // the sketch's rank certificates must come back TRUE
+    "q_approx_quantiles" ->
+      """SELECT source, count(*) AS n,
+        |       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |       TRUE AS ok_p50, TRUE AS ok_p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // passage-level keep-first span dedup, reassembled text compared
+    // verbatim
+    "q_dedup_passage" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, g.cidx AS cidx,
+        |         array_to_string(toks[cidx*8+1:cidx*8+8], ' ') AS passage
+        |  FROM base,
+        |       UNNEST(generate_series(0,
+        |         CAST(ceil(len(toks)/8.0) AS BIGINT)-1)) AS g(cidx)
+        |), freq AS (
+        |  SELECT passage, count(DISTINCT doc_id) AS ndocs,
+        |         min(doc_id) AS first_doc
+        |  FROM chunks GROUP BY passage
+        |), kept AS (
+        |  SELECT c.doc_id, c.cidx, c.passage
+        |  FROM chunks c JOIN freq f USING (passage)
+        |  WHERE f.ndocs < 2 OR c.doc_id = f.first_doc
+        |)
+        |SELECT b.doc_id,
+        |       coalesce(k.kept_text, '') AS kept_text,
+        |       CAST(ceil(len(b.toks)/8.0) AS BIGINT) AS n_chunks,
+        |       coalesce(k.n_kept, 0) AS n_kept
+        |FROM base b LEFT JOIN (
+        |  SELECT doc_id, string_agg(passage, ' ' ORDER BY cidx) AS kept_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,

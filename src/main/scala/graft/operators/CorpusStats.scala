@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level frequency and cardinality statistics for training-data
+  * curation at scale: exact heavy hitters without shuffling the full item
+  * stream, and sketch-vs-exact certificates for the approximate
+  * aggregates (HLL++ distinct counts, quantile sketches) a 100 TB
+  * pipeline runs where exact computation is unaffordable.
+  *
+  * Reference scope: the reference engine's aggregation surface is
+  * min/max/sum/avg/count/accumulate over windows
+  * (/root/reference/functions, one file per agg); corpus-frequency
+  * statistics are part
+  * of this library's training-data extension, alongside
+  * [[Dedup]]/[[Similarity]].
+  */
+object CorpusStats {
+
+  /** Exact heavy hitters over `itemCol`: every item whose occurrence
+    * count is at least `ceil(minShare * total)`, with its exact count and
+    * share — computed WITHOUT shuffling the full item stream.
+    *
+    * Two-pass Misra–Gries + recount, the standard exact-at-scale shape:
+    *
+    *  1. '''Candidate pass''': each partition runs a Misra–Gries summary
+    *     with `k = ceil(1/minShare) + 1` counters over its local items
+    *     and emits only its surviving candidate items plus its local row
+    *     count. MG guarantees every item with local count
+    *     `> n_p / (k+1)` survives; an item with global share >= minShare
+    *     must (pigeonhole over `sum n_p`) reach local share >= minShare
+    *     in at least one partition, and `minShare > 1/(k+1)` by choice of
+    *     k — so the union of per-partition candidates is a SUPERSET of
+    *     every true heavy hitter. Only `<= k` items per partition leave
+    *     the executors.
+    *  2. '''Recount pass''': exact `groupBy(item).count` restricted to
+    *     the candidate set via a broadcast semi-join, then filter by the
+    *     exact threshold. False candidates die here, so the final result
+    *     is exact and independent of the partition layout
+    *     (CorpusStatsSpec pins invariance under repartition).
+    *
+    * At 100 TB this is the difference between shuffling one row per
+    * distinct n-gram per partition (vocabulary ~ corpus size for n-grams,
+    * URLs, hashes) and shuffling `O(partitions / minShare)` candidate
+    * rows: the full stream is scanned twice but never shuffled. The two
+    * scans are the deliberate trade — persist the exploded items only if
+    * the upstream explode is more expensive than a re-scan.
+    *
+    * Returns `(item, n, share)` for items meeting the threshold; ordering
+    * is the caller's. Null items are ignored.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String,
+                   minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must be in (0,1), got $minShare")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val k = math.ceil(1.0 / minShare).toInt + 1
+
+    val base = items.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+
+    // Pass 1: per-partition MG summaries. Each partition emits one
+    // null-item row carrying its total row count plus one row per
+    // surviving counter, so both the candidate set and the global total
+    // come out of the single scan. <= k+1 rows per partition.
+    val summaries = base.as[String].mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]
+      var n = 0L
+      while (it.hasNext) {
+        val x = it.next()
+        n += 1
+        counters.get(x) match {
+          case Some(c) => counters.update(x, c + 1L)
+          case None =>
+            if (counters.size < k) counters.update(x, 1L)
+            else {
+              // decrement-all step: amortized O(1) per item — each
+              // decrement cancels one prior increment
+              val dead = List.newBuilder[String]
+              counters.foreach { case (key, c) =>
+                if (c == 1L) dead += key else counters.update(key, c - 1L)
+              }
+              dead.result().foreach(counters.remove)
+            }
+        }
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single((n, null: String)) ++
+        counters.keysIterator.map(item => (0L, item))
+    }.toDF("part_total", "item")
+
+    // Both derived frames are O(partitions * k); cache so the single MG
+    // scan is not re-run for the total and the candidate set.
+    summaries.persist()
+    val totalRow = summaries.where(col("item").isNull)
+      .agg(sum(col("part_total"))).as[Option[Long]].head()
+    val total = totalRow.getOrElse(0L)
+    if (total == 0L) {
+      summaries.unpersist()
+      return base.limit(0)
+        .select(col("item"), lit(0L).as("n"), lit(0.0).as("share"))
+    }
+    val threshold = math.ceil(minShare * total).toLong
+    // eager localCheckpoint: materializes the O(partitions * k) candidate
+    // set so the MG scan's cache can be released before returning (the
+    // returned plan must not pin it)
+    val candidates = summaries.select(col("item"))
+      .where(col("item").isNotNull).distinct()
+      .localCheckpoint(true)
+    summaries.unpersist()
+
+    // Pass 2: exact recount of candidates only. The broadcast semi-join
+    // prunes before the groupBy, so the shuffle carries at most the
+    // candidate vocabulary (map-side partial counts make it one row per
+    // candidate per partition).
+    val out = base
+      .join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+      .select(col("item"), col("n"),
+        round(col("n") / lit(total.toDouble), 6).as("share"))
+    out
+  }
+
+  /** Distinct-count certificate: per group, the EXACT distinct count of
+    * `itemCol` alongside a boolean asserting the HLL++ estimate
+    * (`approx_count_distinct` at relative standard deviation `rsd`)
+    * lands within `relTol` of it.
+    *
+    * The exact count exists to certify the sketch at test scale; at
+    * 100 TB you run only the sketch column — HLL registers are fixed-size
+    * (~`1.04/rsd²` bytes per group), merge associatively in the map-side
+    * partial, and never shuffle the item stream, while `countDistinct`
+    * shuffles every distinct item. The estimate is deterministic for a
+    * given multiset (xxhash64-based registers, order-independent max
+    * merge), so the certificate is stable across runs and partitionings.
+    */
+  def distinctCertificate(df: DataFrame, groupCol: String, itemCol: String,
+                          rsd: Double = 0.01,
+                          relTol: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(itemCol)).as("exact_distinct"),
+        approx_count_distinct(col(itemCol), rsd).as("approx"))
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")) <=
+          col("exact_distinct") * relTol).as("approx_ok"))
+
+  /** Quantile certificate: per group, the EXACT interpolated p50/p90 of
+    * `valCol` (matching `quantile_cont` semantics, so an external SQL
+    * oracle can reproduce them bit-for-bit after rounding) alongside
+    * booleans asserting the quantile SKETCH (`percentile_approx`, a
+    * KLL/GK-style summary with rank error <= 1/accuracy) returns a value
+    * of rank within `rankTol * n` of the target.
+    *
+    * The rank check is sketch-agnostic: it recounts `rows <= approx` /
+    * `rows < approx` per group in a second pass and accepts when the
+    * target rank falls in (or within `rankTol` of) that interval — no
+    * assumption about which element the sketch picks among ties. Exact
+    * percentiles certify at test scale; at 100 TB only the sketch runs
+    * (fixed-size summary, map-side mergeable — `percentile` shuffles and
+    * sorts every value per group).
+    */
+  def quantileCertificate(df: DataFrame, groupCol: String, valCol: String,
+                          accuracy: Int = 1000,
+                          rankTol: Double = 0.1): DataFrame = {
+    val v = col(valCol).cast("double")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      percentile_approx(v, array(lit(0.5), lit(0.9)), lit(accuracy))
+        .as("ap"),
+      expr(s"percentile(cast($valCol as double), array(0.5D, 0.9D))")
+        .as("ex"))
+      .select(col(groupCol), col("n"),
+        col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap90"),
+        col("ex").getItem(0).as("p50"), col("ex").getItem(1).as("p90"))
+
+    // second pass: rank positions of the sketch's picks within each group
+    val ranks = df.select(col(groupCol), v.as("_v"))
+      .join(agg.select(col(groupCol), col("ap50"), col("ap90")), groupCol)
+      .groupBy(col(groupCol)).agg(
+        sum(when(col("_v") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("_v") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("_v") <= col("ap90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("_v") < col("ap90"), 1L).otherwise(0L)).as("lt90"))
+
+    def rankOk(le: String, lt: String, p: Double) = {
+      val n = col("n").cast("double")
+      (col(le) >= (lit(p) - lit(rankTol)) * n) &&
+        (col(lt) <= (lit(p) + lit(rankTol)) * n)
+    }
+
+    agg.join(ranks, groupCol)
+      .select(col(groupCol), col("n"),
+        round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+        rankOk("le50", "lt50", 0.5).as("ok_p50"),
+        rankOk("le90", "lt90", 0.9).as("ok_p90"))
+  }
+}

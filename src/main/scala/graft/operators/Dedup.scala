@@ -965,4 +965,73 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Passage-level (sub-document) dedup: chunk each document's token
+    * stream into consecutive passages of `width` tokens, drop every
+    * passage whose text occurs in >= `minDocs` DISTINCT documents —
+    * keeping the single copy in the lowest doc id that contains it — and
+    * reassemble each document from its surviving passages in order.
+    *
+    * This is span-level dedup at fixed granularity (boilerplate headers,
+    * license blocks, templated paragraphs repeat across documents that
+    * are NOT near-duplicates as wholes, so document-level dedup never
+    * sees them); keep-first preserves exactly one copy of every repeated
+    * span in the corpus.
+    *
+    * Scale shape: passage TEXT never crosses a shuffle. Chunks are
+    * reduced to `(doc_id, cidx, xxhash64(passage))` before the global
+    * frequency groupBy, the keep/drop decision travels back as a list of
+    * surviving chunk indexes per document, and the reassembly join on
+    * doc_id re-slices the passages locally from the document's own token
+    * array — so the only full-text shuffle is the one doc_id-keyed
+    * exchange of the reassembly join (zero if the corpus is already
+    * bucketed by doc id). 64-bit passage hashing: a false collision
+    * needs ~2^32 DISTINCT passages in one hash bucket's corpus
+    * (birthday bound) — switch to the 128-bit md5 pair at that scale.
+    *
+    * Returns one row per input document:
+    * `(doc_id, kept_text, n_chunks, n_kept)`.
+    */
+  def passageDedup(docs: DataFrame, id: String, text: String,
+                   width: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(id).cast("long").as("doc_id"),
+      TextFunctions.tokens(col(text)).as("toks"))
+    // consecutive fixed-width passages; ceil(n/width) chunks, last ragged
+    val withP = base.select(col("doc_id"),
+      when(size(col("toks")) > 0,
+        transform(
+          sequence(lit(0),
+            floor((size(col("toks")) + lit(width - 1)) / lit(width))
+              .cast("int") - 1),
+          i => array_join(slice(col("toks"), i * lit(width) + 1,
+            lit(width)), " ")))
+        .otherwise(array().cast("array<string>")).as("passages"))
+    // hash-only chunk stream: text dropped BEFORE any exchange
+    val chunks = withP
+      .select(col("doc_id"), posexplode(col("passages")).as(Seq("cidx", "passage")))
+      .select(col("doc_id"), col("cidx"), xxhash64(col("passage")).as("pfp"))
+    val freq = chunks.groupBy("pfp")
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        min(col("doc_id")).as("first_doc"))
+    // surviving chunk indexes per doc (ints, tiny). Both joins here are
+    // corpus-by-corpus — pin shuffle-hash so a stats misestimate can
+    // never try to broadcast a corpus-sized side (freq reuses its agg's
+    // pfp partitioning, so only the chunk stream exchanges)
+    val keptIdx = chunks.join(freq.hint("shuffle_hash"), "pfp")
+      .where(col("ndocs") < minDocs || col("doc_id") === col("first_doc"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("cidx"))).as("keep"))
+    // reassemble locally from the doc's own passages; docs that lost
+    // every chunk survive as empty text
+    withP.join(keptIdx.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(
+          array_join(transform(col("keep"),
+            i => element_at(col("passages"), i + 1)), " "),
+          lit("")).as("kept_text"),
+        size(col("passages")).cast("long").as("n_chunks"),
+        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"))
+  }
 }

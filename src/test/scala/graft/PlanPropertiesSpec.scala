@@ -124,6 +124,71 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  private def physical(q: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+
+  test("q_dedup_passage: text never crosses a content-keyed shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val exec = physical("q_dedup_passage")
+    val p = exec.toString
+    // corpus-by-corpus joins must not broadcast (freq and keptIdx sides
+    // are both corpus-sized at scale)
+    assert(!p.contains("BroadcastHashJoin") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"passage dedup must not broadcast a corpus-derived side:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"passage joins must be shuffled equi-joins:\n$p")
+    // the load-bearing property: every pfp-keyed (content) exchange
+    // carries only ids / hashes / chunk indexes. The ONE exchange allowed
+    // to carry text is the doc_id-keyed reassembly join input (each doc's
+    // own passages travel to their doc's reducer — zero if the corpus is
+    // bucketed by doc id); the final range exchange serves the gate's
+    // orderBy only.
+    val hashExchanges = exec.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        (e.outputPartitioning.asInstanceOf[HashPartitioning], e.output)
+    }
+    assert(hashExchanges.nonEmpty, s"expected hash exchanges in:\n$p")
+    val (contentKeyed, docKeyed) = hashExchanges.partition {
+      case (hp, _) => hp.expressions.flatMap(_.references.toSeq)
+        .exists(_.name == "pfp")
+    }
+    assert(contentKeyed.nonEmpty, s"expected pfp-keyed exchanges in:\n$p")
+    for ((_, out) <- contentKeyed; a <- out)
+      assert(!a.dataType.simpleString.contains("string"),
+        s"text-typed column ${a.name} crosses a content-keyed shuffle:\n$p")
+    val textCarrying = docKeyed.count {
+      case (_, out) => out.exists(_.dataType.simpleString.contains("string"))
+    }
+    assert(textCarrying <= 1,
+      s"only the reassembly exchange may carry text:\n$p")
+  }
+
+  test("q_heavy_hitters: candidates broadcast, full stream never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val exec = physical("q_heavy_hitters")
+    val p = exec.toString
+    // pass 2's candidate pruning is a broadcast semi-join BEFORE any
+    // exchange: the only hash shuffle is the bounded candidate recount
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate set must broadcast-semi-join:\n$p")
+    val hashExchanges = exec.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 1,
+      s"exactly one hash exchange (candidate recount) expected:\n$p")
+    assert(p.contains("partial_count"),
+      s"map-side combine missing on the recount:\n$p")
+  }
+
   test("q_decontaminate: benchmark side broadcasts, corpus side streams") {
     // the inverse contract: decontamination's benchmark set is bounded,
     // so broadcasting it (and ONLY it) is the right plan — the corpus

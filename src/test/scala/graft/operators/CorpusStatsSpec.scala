@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+
+  // skewed synthetic item stream: item "h<i>" appears 200-50*i times for
+  // i in 0..3 (heavy), plus a long uniform tail of singletons
+  private def mkItems(parts: Int) = {
+    val s = spark
+    import s.implicits._
+    val heavy = (0 until 4).flatMap(i => Seq.fill(200 - 50 * i)(s"h$i"))
+    val tail = (0 until 400).map(i => s"t$i")
+    val all = new scala.util.Random(11).shuffle(heavy ++ tail)
+    all.toDF("item").repartition(parts)
+  }
+
+  private def brute(minShare: Double, parts: Int) = {
+    val df = mkItems(parts)
+    val total = df.count()
+    val thr = math.ceil(minShare * total).toLong
+    df.groupBy("item").agg(count(lit(1)).as("n")).where(col("n") >= thr)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+  }
+
+  private def hh(minShare: Double, parts: Int) =
+    CorpusStats.heavyHitters(mkItems(parts), "item", minShare)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("heavy hitters equal the exact brute-force threshold set") {
+    // total = 500 heavy + 400 tail = 900; share 0.1 -> thr 90 -> h0, h1, h2
+    assert(hh(0.1, 8) == brute(0.1, 8))
+    assert(hh(0.1, 8).map(_._1) == Set("h0", "h1", "h2"))
+    // share 0.05 -> thr 45 -> h3 (50) joins
+    assert(hh(0.05, 8) == brute(0.05, 8))
+    assert(hh(0.05, 8).map(_._1) == Set("h0", "h1", "h2", "h3"))
+  }
+
+  test("result is invariant under partition layout (MG is only a filter)") {
+    val want = brute(0.05, 4)
+    for (p <- Seq(1, 3, 7, 32)) assert(hh(0.05, p) == want, s"parts=$p")
+  }
+
+  test("share column is the exact global share") {
+    val rows = CorpusStats.heavyHitters(mkItems(6), "item", 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, share) =>
+      assert(math.abs(share - n / 900.0) < 1e-6)
+    }
+  }
+
+  test("empty input and all-null input yield empty results") {
+    val s = spark
+    import s.implicits._
+    assert(CorpusStats.heavyHitters(
+      Seq.empty[String].toDF("item"), "item", 0.1).count() == 0)
+    assert(CorpusStats.heavyHitters(
+      Seq[Option[String]](None, None).toDF("item"), "item", 0.1).count() == 0)
+  }
+
+  test("distinct certificate: exact counts match and sketch certifies") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 3000).map(i => (s"g${i % 3}", s"v${i % (50 * (i % 3 + 1))}"))
+      .toDF("g", "item")
+    val got = CorpusStats.distinctCertificate(df, "g", "item")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val want = df.groupBy("g").agg(countDistinct("item").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    assert(got.values.forall(_._2), s"sketch outside tolerance: $got")
+  }
+
+  test("quantile certificate: exact interpolated percentiles + rank ok") {
+    val s = spark
+    import s.implicits._
+    // group g0: 1..101 (p50=51, p90=91); g1: even numbers 2..50
+    val df = ((1 to 101).map(("g0", _)) ++ (1 to 25).map(i => ("g1", i * 2)))
+      .toDF("g", "v")
+    val got = CorpusStats.quantileCertificate(df, "g", "v")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got("g0") == ((101L, 51.0, 91.0, true, true)))
+    // g1: p50 = 2*(1 + 0.5*24) = 26; p90 = interpolate(24*0.9=21.6):
+    // 2*(22) + 0.6*2 = 45.2
+    assert(got("g1") == ((25L, 26.0, 45.2, true, true)))
+  }
+}

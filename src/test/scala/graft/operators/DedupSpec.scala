@@ -372,6 +372,39 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("passage dedup: repeated spans dropped keep-first, docs reassembled") {
+    val s = spark
+    import s.implicits._
+    // width=2 passages: doc 1 = [a b][c d][e f]; doc 2 repeats [a b][c d]
+    // then diverges; doc 3 is built ENTIRELY of doc 1/2's passages
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "a b x y")).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(df, "doc_id", "text", width = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      // doc 1 is first owner of "a b" and "c d"; "e f" is unique
+      (1L, "a b c d e f", 3L, 3L),
+      // doc 2 loses both repeated spans, keeps first copy of "x y"
+      (2L, "x y", 3L, 1L),
+      // doc 3's spans all live elsewhere first -> empty survivor
+      (3L, "", 2L, 0L)))
+  }
+
+  test("passage dedup: ragged tail chunk + below-threshold spans survive") {
+    val s = spark
+    import s.implicits._
+    // width=3: doc 10 = [p q r][s] (ragged last); doc 11 shares no FULL
+    // 3-token passage with doc 10 even though tokens overlap
+    val df = Seq((10L, "p q r s"), (11L, "q r s")).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(df, "doc_id", "text", width = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((10L, "p q r s", 2L, 2L), (11L, "q r s", 1L, 1L)))
+  }
+
   test("streaming dedup with history drops duplicates of indexed docs") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
