@@ -791,6 +791,27 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // SQ8 retrieve-then-refine: the corpus is scanned as 1-byte-per-dim
+    // codes (asymmetric distance against the full-precision query), the
+    // top k*4 candidates re-ranked exactly. Emits the exact top-k rows
+    // plus an in-query certificate that the quantized path's recall
+    // stays >= 0.9 (measured 1.0 at sf0.001/0.01/0.1 — codebook and
+    // scoring are deterministic functions of the corpus).
+    "q_knn_sq8" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Similarity.trainSq(e, "embedding")
+      val q = e.where(col("vec_id") < 5)
+      val exact0 = Similarity.bruteForceKnn(q, e, "vec_id", "embedding", 3)
+      val exact = if (exact0.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) exact0.cache()
+        else exact0
+      val approx = Similarity.sqKnn(q, e, "vec_id", "embedding", 3, cb,
+        refine = 4)
+      exact.crossJoin(
+          broadcast(Similarity.recallCertificate(exact, approx, 0.9)))
+        .orderBy("qid", "rank")
+    }),
+
     // Banded random-hyperplane LSH at a measured-recall-1.0 band budget:
     // 4 bits x 48 bands misses a true neighbor at cosine s with per-pair
     // probability (1 - p^4)^48 (p = 1 - acos(s)/pi); measured as EXACT
@@ -1731,6 +1752,22 @@ object SparkEntry {
         |             list_cosine_similarity(q.v, c.v) sim
         |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
         |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // SQ8 gate: exact rows + deterministic recall certificate (same
+    // contract as q_knn_ivf_trained) — oracle is brute force + TRUE
+    "q_knn_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim,
+        |       TRUE AS recall_ok FROM (
         |  SELECT qid, cid, sim,
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY sim DESC, cid) AS rank

@@ -254,6 +254,142 @@ case class NearestCentroid(child: Expression, cells: IndexedSeq[Long],
       : NearestCentroid = copy(child = newChild)
 }
 
+/** Per-dimension affine scalar quantization (SQ8) of an `array<double>`
+  * vector into one unsigned byte per dimension, plus the DEQUANTIZED
+  * l2 norm in the same pass: struct(code: binary, dnorm: double). The
+  * norm is computed from the reconstructed values (not the originals) so
+  * asymmetric-distance scoring with [[SqDot]] is internally consistent.
+  * A vector whose length differs from the codebook dim yields null.
+  * Constant dimensions (scale 0) encode as 0 and reconstruct to min. */
+// Seq params (not Arrays) for value-based case-class equality — Array
+// fields break plan canonicalization and plan-cache matching; kernels
+// loop over the transient lazy copies.
+case class SqEncode(child: Expression, mins: IndexedSeq[Double],
+                    scales: IndexedSeq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  @transient private lazy val minsArr: Array[Double] = mins.toArray
+  @transient private lazy val scalesArr: Array[Double] = scales.toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", BinaryType, nullable = false),
+    StructField("dnorm", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sq_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+  }
+
+  // public: invoked from generated code via the captured reference
+  def compute(v: Array[Double]): InternalRow = {
+    val dim = minsArr.length
+    if (v.length != dim) return null
+    val code = new Array[Byte](dim)
+    var nsq = 0.0
+    var j = 0
+    while (j < dim) {
+      val sc = scalesArr(j)
+      val c =
+        if (sc <= 0.0) 0
+        else {
+          val q = math.round((v(j) - minsArr(j)) / sc).toInt
+          if (q < 0) 0 else if (q > 255) 255 else q
+        }
+      code(j) = c.toByte
+      val dq = minsArr(j) + sc * c
+      nsq += dq * dq
+      j += 1
+    }
+    InternalRow(code, math.sqrt(nsq))
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sqEncodeExpr", this,
+      classOf[SqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  $self.compute($a.toDoubleArray());
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SqEncode = copy(child = newChild)
+}
+
+/** Asymmetric-distance dot product: full-precision query
+  * (`array<double>`) against an SQ8 code (`binary`), reconstructing each
+  * corpus dimension as `min_j + scale_j * byte_j` inside the loop — the
+  * query is never quantized, so the only error is the corpus side's
+  * rounding. Null on dim mismatch. */
+case class SqDot(left: Expression, right: Expression,
+                 mins: IndexedSeq[Double], scales: IndexedSeq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  @transient private lazy val minsArr: Array[Double] = mins.toArray
+  @transient private lazy val scalesArr: Array[Double] = scales.toArray
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sq_dot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, BinaryType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, binary), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  }
+
+  // public: invoked from generated code via the captured reference
+  def compute(q: Array[Double], code: Array[Byte]): Any = {
+    val dim = minsArr.length
+    if (q.length != dim || code.length != dim) return null
+    var s = 0.0
+    var j = 0
+    while (j < dim) {
+      s += q(j) * (minsArr(j) + scalesArr(j) * (code(j) & 0xFF))
+      j += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sqDotExpr", this, classOf[SqDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""Object r = $self.compute($a.toDoubleArray(), $b);
+         |${ev.isNull} = (r == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : ((Double) r).doubleValue();""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
@@ -269,4 +405,13 @@ object VectorExprs {
                       dim: Int): Column =
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(v), cells, matrix, dim))
+
+  def sqEncode(v: Column, mins: IndexedSeq[Double],
+               scales: IndexedSeq[Double]): Column =
+    ColumnBridge.column(SqEncode(ColumnBridge.expression(v), mins, scales))
+
+  def sqDot(q: Column, code: Column, mins: IndexedSeq[Double],
+            scales: IndexedSeq[Double]): Column =
+    ColumnBridge.column(SqDot(ColumnBridge.expression(q),
+      ColumnBridge.expression(code), mins, scales))
 }

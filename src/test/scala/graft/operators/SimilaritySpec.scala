@@ -102,6 +102,43 @@ class SimilaritySpec extends SparkSpec {
     assert(gated == exact)
   }
 
+  test("sq8 codebook reconstructs within half a quantization step") {
+    val cb = Similarity.trainSq(emb, "embedding")
+    assert(cb.dim == 64)
+    // encode + decode a handful of vectors driver-side and bound the
+    // per-dimension error by scale/2 (+ eps for the round trip)
+    val vecs = emb.limit(5).select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    for (v <- vecs; j <- v.indices) {
+      val sc = cb.scales(j)
+      val code = if (sc <= 0) 0
+        else math.max(0, math.min(255, math.round((v(j) - cb.mins(j)) / sc).toInt))
+      val dq = cb.mins(j) + sc * code
+      assert(math.abs(dq - v(j)) <= sc / 2 + 1e-12,
+        s"dim $j: |$dq - ${v(j)}| > ${sc / 2}")
+    }
+  }
+
+  test("sq8 knn with refine=4 equals brute force exactly on the corpus") {
+    val cb = Similarity.trainSq(emb, "embedding")
+    val q = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val got = Similarity.sqKnn(q, emb, "vec_id", "embedding", 3, cb, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == exact.toSeq)
+  }
+
+  test("sq8 expressions canonicalize equal across invocations (plan cache)") {
+    // the Seq-param contract: two structurally identical sqKnn plans must
+    // be semantically equal, or every call would leak a plan-cache entry
+    val cb = Similarity.trainSq(emb, "embedding")
+    val q = emb.where(col("vec_id") < 2)
+    def plan() = Similarity.sqKnn(q, emb, "vec_id", "embedding", 2, cb)
+      .queryExecution.analyzed.canonicalized
+    assert(plan() == plan())
+  }
+
   test("lsh knn candidates share at least one band with the query") {
     val out = Similarity.lshKnn(emb.where(col("vec_id") < 5), emb,
       "vec_id", "embedding", 64, 3)
