@@ -208,6 +208,15 @@ object ScaleProbe {
       Dedup.embeddingPairs(e0, "vec_id", "embedding", 0.4).count()
       Similarity.bruteForceKnn(e0.limit(5), e0, "vec_id", "embedding", 10)
         .count()
+      operators.CorpusStats.heavyHitters(
+        d0.select(explode(graft.functions.TextFunctions
+          .wordNgramsAll(col("text"), 2)).as("item")), "item", 0.01).count()
+      Dedup.passageDedup(d0, "doc_id", "text", 8, 2).count()
+      locally {
+        val cb0 = Similarity.trainSq(e0, "embedding")
+        Similarity.sqKnn(e0.limit(3), e0, "vec_id", "embedding", 5, cb0)
+          .count()
+      }
       spark.catalog.clearCache()
     }
 
@@ -277,6 +286,12 @@ object ScaleProbe {
         .where(col("vec_id") < 10)
       val ivfQueries = engine.Tables.embeddings(spark, sfDir)
         .where(col("vec_id").between(100, 104))
+      // SQ8 codebook over the k-fold corpus, trained untimed (a
+      // once-per-corpus scan by contract, like the index builds)
+      val sqCb =
+        if (wanted("knn_sq8")) Similarity.trainSq(emb, "embedding")
+        else null
+
       val ivfIdx =
         if (wanted("knn_ivf_indexed")) {
           val path = java.nio.file.Files
@@ -362,7 +377,26 @@ object ScaleProbe {
             graft.functions.TextFunctions.textStats(col("text")).as("st"),
             graft.functions.TextFunctions.langId(col("text")).as("lang"),
             graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
-            .where(col("lang").isNotNull).count())
+            .where(col("lang").isNotNull).count()),
+        // MG candidates + exact recount: replication keeps shares ~flat,
+        // so the measurement is pure per-row scan cost — the exponent
+        // must stay ~1 (the whole point of never shuffling the stream)
+        "heavy_hitters" -> (() =>
+          operators.CorpusStats.heavyHitters(
+            docs.select(explode(graft.functions.TextFunctions
+              .wordNgramsAll(col("text"), 2)).as("item")),
+            "item", 0.0015).count()),
+        // hash-only content shuffle + doc-keyed reassembly: both scale
+        // with corpus rows, not passage-pair combinations
+        "dedup_passage" -> (() =>
+          Dedup.passageDedup(docs, "doc_id", "text", 8, 2).count()),
+        // codebook trained untimed (once-per-corpus by contract); the
+        // timed probe is the byte-code scan + top-R refine
+        "knn_sq8" -> (() =>
+          Similarity.sqKnn(
+            engine.Tables.embeddings(spark, sfDir)
+              .where(col("vec_id") < 5),
+            emb, "vec_id", "embedding", 10, sqCb).count())
       )
 
       val selected = queries.filter(q => wanted(q._1))

@@ -47,6 +47,30 @@ object TextKernels {
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Non-distinct variant: every n-gram occurrence in position order
+    * (backs [[WordNgramsAll]]); same tokenization as [[wordShingles]]. */
+  def wordNgramsAll(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return null
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -61,6 +85,28 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.expressions.TextKernels.wordShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Non-distinct n-gram OCCURRENCE kernel backing
+  * TextFunctions.wordNgramsAll: one entry per starting position, in
+  * order. Same tokenization contract as [[WordShingles]]. The composed
+  * higher-order-function form it replaces re-evaluated the tokenize
+  * (lower/trim/split/filter) subtree once PER POSITION inside the
+  * transform lambda — O(len^2) per document and the dominant cost of
+  * the heavy-hitters scan; this kernel tokenizes once. */
+case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgramsAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.wordNgramsAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsAll =
     copy(child = newChild)
 }
 
@@ -612,6 +658,9 @@ case class MinHashSig(child: Expression, a: IndexedSeq[Long],
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def wordNgramsAll(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsAll(ColumnBridge.expression(text), n))
 
   def minhashSig(shingles: Column, a: IndexedSeq[Long],
                  b: IndexedSeq[Long]): Column =

@@ -48,14 +48,12 @@ object TextFunctions {
   /** All word n-gram OCCURRENCES in position order (NOT distinct — one
     * entry per starting position, unlike [[wordShingles]]); empty array
     * when the document has fewer than n tokens. The occurrence stream is
-    * what frequency statistics ([[graft.operators.CorpusStats]]) count. */
-  def wordNgramsAll(text: Column, n: Int): Column = {
-    val tk = tokens(text)
-    when(size(tk) >= n,
-      transform(sequence(lit(0), size(tk) - n),
-        i => array_join(slice(tk, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * what frequency statistics ([[graft.operators.CorpusStats]]) count.
+    * Single-pass codegen kernel (graft.expressions.WordNgramsAll) — the
+    * composed transform-lambda form re-tokenized the document once per
+    * position (O(len^2) per doc). */
+  def wordNgramsAll(text: Column, n: Int): Column =
+    graft.expressions.TextExprs.wordNgramsAll(text, n)
 
   /** Character n-gram shingles over the normalized text, distinct. */
   def charShingles(text: Column, n: Int): Column = {
