@@ -959,6 +959,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // gap-based sessionization: a 12 h inactivity gap splits a user's
+    // event stream; one summary row per session (single-shuffle plan,
+    // boundary rule pinned to session_window in SessionizeSpec)
+    "q_sessionize" -> ((s, d) =>
+      operators.Sessionize.summarize(ev(s, d), "user_id", "ts", 43200L,
+          "value", Seq("event_id"))
+        .orderBy("user_id", "session_idx")),
+
     // range join: purchases paired with same-user clicks within +-1 hour
     "q_range_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -1622,6 +1630,26 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // same break rule as Sessionize.assign: ms-precision gap >= 12 h
+    // starts a new session; first event's null lag falls to ELSE 0
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= 43200000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx::BIGINT AS session_idx,
+        |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, s.session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     // same tokenization CTE as q_token_count; the draw order is the
     // salted portable hash, ties broken by doc_id; strict budget cut
