@@ -850,6 +850,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tok"), col("__cum"))
         .orderBy("doc_id")),
 
+    // weighted corpus upsampling: mixing weight 2.25 = two copies of
+    // every src0 doc + a deterministic 25% third copy; 0.5 thins src1;
+    // zero-shuffle broadcast + map-side explode
+    "q_corpus_upsample" -> ((s, d) =>
+      graft.operators.Sampling.byWeight(
+          docs(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 0.0),
+          salt = "up1")
+        .select(col("doc_id"), col("source"), col("__rep"))
+        .orderBy("doc_id", "__rep")),
+
     // benchmark decontamination: docs sharing an 8-gram with the
     // "benchmark" (doc_id < 10 as a stand-in eval set)
     "q_decontaminate" -> ((s, d) => {
@@ -1676,6 +1688,22 @@ object SparkEntry {
         |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
         |       THEN 'val' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-stratum (n_base, thresh=round(frac(w)*1e6)) literals mirror
+    // byWeight's driver-side decomposition of 2.25/0.5/1.0/0.0
+    "q_corpus_upsample" ->
+      """WITH w(source, n_base, thresh) AS (VALUES ('src0', 2, 250000),
+        |                                          ('src1', 0, 500000),
+        |                                          ('src2', 1, 0),
+        |                                          ('src3', 0, 0)),
+        |d AS (SELECT doc_id, source,
+        |        n_base + CASE WHEN (('0x' || substr(md5('up1' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |                            % 1000000) < thresh
+        |                 THEN 1 ELSE 0 END AS n_copies
+        |      FROM documents JOIN w USING (source))
+        |SELECT doc_id, source, unnest(range(n_copies))::BIGINT AS __rep
+        |FROM d WHERE n_copies > 0
+        |ORDER BY doc_id, __rep""".stripMargin,
 
     "q_decontaminate" ->
       """WITH sh AS (

@@ -36,6 +36,49 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), id.cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("bigint")
 
+  /** Deterministic weighted up/down-sampling by stratum — the "epochs"
+    * side of corpus mixing: a mixing weight of 2.25 means every doc of
+    * the stratum appears twice and a deterministic 25% of docs appear a
+    * third time. Fractional copies are drawn by the same engine-portable
+    * md5 hash as [[byTokenBudget]]'s order (mod 1e6 against a per-stratum
+    * threshold of `round(frac(w) * 1e6)`), so the draw is reproducible
+    * across reruns, engines, and corpus appends: a doc's copy count is a
+    * pure function of (id, weight, salt). The 32-bit hash mod 1e6 has a
+    * ~1e-4 relative bias toward the low residues — irrelevant for mixing
+    * and the price of a draw an external SQL engine replicates exactly.
+    *
+    * Output: input columns + `__rep` (0-based copy ordinal). Strata
+    * absent from `weights` are dropped — the mix is an explicit
+    * contract, as in [[byTokenBudget]]. Weights below 1 Bernoulli-thin
+    * the stratum; weight 0 drops it.
+    *
+    * Scale shape: ZERO shuffles — a broadcast join against the weight
+    * table and a map-side `explode(sequence)`. The explode multiplies
+    * bytes, not shuffle traffic; downstream consumers decide their own
+    * partitioning.
+    */
+  def byWeight(df: DataFrame, idCol: String, stratumCol: String,
+               weights: Map[String, Double],
+               salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "byWeight needs at least one stratum weight")
+    require(weights.valuesIterator.forall(w => w >= 0.0 && !w.isNaN),
+      s"weights must be >= 0, got $weights")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val rows = weights.toSeq.map { case (stratum, w) =>
+      val base = math.floor(w).toLong
+      (stratum, base, math.round((w - base) * 1000000L))
+    }
+    val wdf = broadcast(rows.toDF(stratumCol, "__base", "__thresh"))
+    df.join(wdf, stratumCol)
+      .withColumn("__n", col("__base") +
+        when(pmod(orderHash(col(idCol), salt), lit(1000000L)) < col("__thresh"),
+          lit(1L)).otherwise(lit(0L)))
+      .where(col("__n") > 0L)
+      .withColumn("__rep", explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__base", "__thresh", "__n")
+  }
+
   /** Keep, per stratum, the hash-ordered prefix of documents whose
     * running token total stays within that stratum's budget (strict:
     * the doc that would cross the budget is dropped). Strata absent

@@ -68,4 +68,66 @@ class SamplingSpec extends SparkSpec {
     val b = draw(mkDocs(corpus), budgets, "saltB").map(_._1).toSet
     assert(a != b)
   }
+
+  // ---- byWeight (deterministic fractional upsampling) ----
+
+  private def md5h(salt: String, id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + id.toString).getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  private def copies(df: org.apache.spark.sql.DataFrame,
+                     weights: Map[String, Double], salt: String = "w1") =
+    Sampling.byWeight(df, "doc_id", "source", weights, salt)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("byWeight copy counts match the driver-side hash reference exactly") {
+    val weights = Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0)
+    val got = copies(mkDocs(corpus), weights)
+    val want = corpus.flatMap { case (id, src, _) =>
+      weights.get(src).map { w =>
+        val base = math.floor(w).toLong
+        val extra =
+          if (md5h("w1", id) % 1000000L < math.round((w - base) * 1000000L)) 1L
+          else 0L
+        id -> (base + extra)
+      }
+    }.filter(_._2 > 0L).toMap
+    assert(got == want)
+    // the fractional draw is non-degenerate at both margins
+    val src0 = corpus.filter(_._2 == "src0").map(_._1)
+    assert(src0.exists(id => got(id) == 2L) && src0.exists(id => got(id) == 3L))
+  }
+
+  test("byWeight: every __rep ordinal 0..n-1 is present exactly once") {
+    val out = Sampling.byWeight(mkDocs(corpus), "doc_id", "source",
+        Map("src0" -> 3.0), "w1")
+      .select("doc_id", "__rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(byDoc.values.forall(_ == Seq(0L, 1L, 2L)))
+  }
+
+  test("byWeight is invariant under partition layout and corpus appends") {
+    val weights = Map("src0" -> 1.75, "src1" -> 0.4)
+    val base = copies(mkDocs(corpus), weights)
+    assert(copies(mkDocs(corpus).repartition(7), weights) == base)
+    // appending docs never changes an existing doc's copy count
+    val appended = (1000L until 1030L).map(i =>
+      (i * 7 + 3, s"src${i % 3}", 10L))
+    val grown = copies(mkDocs(corpus ++ appended), weights)
+    assert(base.forall { case (id, n) => grown.get(id).contains(n) })
+  }
+
+  test("byWeight: weight 0 and absent strata drop; sub-1 weights thin") {
+    val got = Sampling.byWeight(mkDocs(corpus), "doc_id", "source",
+        Map("src0" -> 0.0, "src1" -> 0.5), "w1")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(got == Set("src1"))
+    val n1 = copies(mkDocs(corpus), Map("src1" -> 0.5)).size
+    val total1 = corpus.count(_._2 == "src1")
+    assert(n1 > 0 && n1 < total1)
+  }
 }
