@@ -520,6 +520,15 @@ object SparkEntry {
           TF.piiCount(col("text")).cast("bigint").as("n_pii"))
         .orderBy("doc_id")),
 
+    // TF-IDF scores: per-doc term frequencies against the FULL corpus's
+    // document frequencies (the doc_id < 15 cut filters the tf side only
+    // — Catalyst pushes it below the join but not into the df aggregate)
+    "q_tfidf" -> ((s, d) =>
+      graft.operators.CorpusStats.tfidf(docs(s, d), "doc_id", "text")
+        .where(col("doc") < 15)
+        .select(col("doc").as("doc_id"), col("term"), col("tf"), col("score"))
+        .orderBy("doc_id", "term")),
+
     // corpus n-gram frequency table (top 100, deterministic tie-break)
     "q_ngram_freq" -> ((s, d) =>
       docs(s, d)
@@ -1347,6 +1356,21 @@ object SparkEntry {
          |       len(regexp_extract_all(text,
          |           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // df over the full corpus, tf cut to doc_id < 15 after the join;
+    // smoothed idf = ln((N+1)/(df+1)) + 1, same tokenization CTE
+    "q_tfidf" ->
+      s"""WITH $tokCte,
+         |tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |        FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+         |        GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         |SELECT doc_id, term, tf,
+         |       round(tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1), 4) AS score
+         |FROM tfc JOIN dfreq USING (term) CROSS JOIN n
+         |WHERE doc_id < 15
+         |ORDER BY doc_id, term""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH $tokCte,

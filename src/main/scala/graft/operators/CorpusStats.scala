@@ -124,6 +124,44 @@ object CorpusStats {
     out
   }
 
+  /** TF-IDF scoring over a document corpus: one row per (doc, term) with
+    * the raw term frequency and `tf * (ln((N+1)/(df+1)) + 1)` — the
+    * smoothed-idf formulation (df never zeroes the log, every term keeps
+    * a positive weight), the same one scikit-learn's TfidfTransformer
+    * documents. Tokenization is [[graft.functions.TextFunctions.tokens]]
+    * (lower-cased whitespace split), the corpus-wide contract shared
+    * with tokenCount and the DuckDB oracle.
+    *
+    * Plan shape: explode + groupBy(doc, term) is the one big shuffle
+    * (map-side partial counts collapse duplicate tokens per partition
+    * first); document frequency is a vocabulary-sized aggregate OF that
+    * tf frame (one row per (doc, term) already, so a plain count), and
+    * the corpus size joins in as a broadcast one-row aggregate — the
+    * document bodies are never shuffled. With `persistTf` the tf frame
+    * is cached across its two consumers (score rows + df aggregate);
+    * left false, the explode pipeline runs twice — the standard
+    * scan-twice vs. materialize trade, same dial as Dedup's
+    * persistShingles.
+    *
+    * Output: (doc, term, tf, score), score rounded to 4 decimals.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            persistTf: Boolean = false): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val tfc = if (persistTf) tf.persist() else tf
+    val dfreq = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    tfc.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc"), col("term"), col("tf"),
+        round(col("tf") *
+          (log((col("__n") + lit(1)) / (col("df") + lit(1))) + lit(1)), 4)
+          .as("score"))
+  }
+
   /** Distinct-count certificate: per group, the EXACT distinct count of
     * `itemCol` alongside a boolean asserting the HLL++ estimate
     * (`approx_count_distinct` at relative standard deviation `rsd`)

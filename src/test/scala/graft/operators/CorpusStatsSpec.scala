@@ -90,4 +90,44 @@ class CorpusStatsSpec extends SparkSpec {
     // 2*(22) + 0.6*2 = 45.2
     assert(got("g1") == ((25L, 26.0, 45.2, true, true)))
   }
+
+  private def tfidfOf(persist: Boolean) = {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x y Y"), (2L, "y  z")).toDF("doc_id", "text")
+    CorpusStats.tfidf(docs, "doc_id", "text", persistTf = persist)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+  }
+
+  test("tfidf matches the smoothed-idf formula on a hand vector") {
+    // N=2; df: x 1, y 2, z 1; idf(x)=idf(z)=ln(3/2)+1, idf(y)=ln(1)+1=1
+    val w = BigDecimal(math.log(1.5) + 1).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (persist <- Seq(false, true)) {
+      val got = tfidfOf(persist)
+      assert(got == Map(
+        (1L, "x") -> ((1L, w)), (1L, "y") -> ((2L, 2.0)),
+        (2L, "y") -> ((1L, 1.0)), (2L, "z") -> ((1L, w))),
+        s"persistTf=$persist")
+    }
+  }
+
+  test("tfidf: a downstream doc filter must not change df (global idf)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x y Y"), (2L, "y  z")).toDF("doc_id", "text")
+    // filter AFTER tfidf: Catalyst may push doc=1 below the join, but it
+    // must never reach the df aggregate or the corpus count — x keeps
+    // its corpus-wide score ln(3/2)+1 ≈ 1.4055 and y keeps df=2's
+    // 2*(ln(3/3)+1) = 2.0 (a filtered recompute would give x 1.0 for
+    // N=1/df=1 and a different y)
+    val cut = CorpusStats.tfidf(docs, "doc_id", "text")
+      .where(col("doc") === 1L)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val w = BigDecimal(math.log(1.5) + 1).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(cut == Map("x" -> w, "y" -> 2.0))
+  }
 }
