@@ -880,6 +880,17 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    // same result as q_decontaminate via the large-benchmark plan: a
+    // Bloom sketch of bench shingles prunes the corpus map-side, the
+    // exact join verifies only survivors (ContaminationSpec pins
+    // exactness even with a deliberately undersized sketch)
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val corpus = docs(s, d)
+      Contamination.flagContaminatedBloom(corpus, "doc_id", "text",
+          corpus.where(col("doc_id") < 10), "doc_id", "text", 8)
+        .orderBy("doc")
+    }),
+
     // ---- DSL pipelines (the reference's JSON API, E1-E6 end-to-end) ----
 
     // count tumbling window via DSL: groupBy discriminator + stall/emit
@@ -1112,6 +1123,21 @@ object SparkEntry {
       |             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
       |                         x -> x <> '') tk
       |      FROM documents)""".stripMargin
+
+  private val decontaminateSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
+      |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
+      |  FROM (SELECT doc_id,
+      |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                           x -> x <> '') tk
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
+      |corpus AS (SELECT doc_id AS doc, unnest(s8) s FROM sh WHERE doc_id >= 10)
+      |SELECT doc, count(DISTINCT s) AS n_shared
+      |FROM corpus JOIN bench USING (s)
+      |GROUP BY doc ORDER BY doc""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1729,20 +1755,11 @@ object SparkEntry {
         |FROM d WHERE n_copies > 0
         |ORDER BY doc_id, __rep""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
-        |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
-        |  FROM (SELECT doc_id,
-        |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                           x -> x <> '') tk
-        |        FROM documents)),
-        |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
-        |corpus AS (SELECT doc_id AS doc, unnest(s8) s FROM sh WHERE doc_id >= 10)
-        |SELECT doc, count(DISTINCT s) AS n_shared
-        |FROM corpus JOIN bench USING (s)
-        |GROUP BY doc ORDER BY doc""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+
+    // the bloom-pruned plan is result-identical to the exact one, so it
+    // shares the oracle verbatim
+    "q_decontaminate_bloom" -> decontaminateSql,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

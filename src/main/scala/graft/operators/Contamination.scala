@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 import graft.functions.TextFunctions
 
 /** Benchmark decontamination — flag training documents that share long
@@ -9,12 +12,33 @@ import graft.functions.TextFunctions
   * step: an 8-gram (or longer) overlap between a training document and a
   * benchmark item is strong evidence of contamination.
   *
-  * Plan shape at 100 TB: the benchmark side is tiny (thousands of items)
-  * — its exploded shingle set broadcasts; the corpus explodes its
-  * shingles map-side and the flagging is a broadcast semi-join + count,
-  * so the corpus is scanned once and never shuffled on document bodies.
+  * Two plan shapes, same exact result:
+  *
+  *  - [[flagContaminated]]: the benchmark's exploded shingle set
+  *    broadcasts; the corpus explodes its shingles map-side and the
+  *    flagging is a broadcast semi-join + count. Right when the bench
+  *    shingle set fits the broadcast budget (thousands of items).
+  *  - [[flagContaminatedBloom]]: when the eval suite is itself large
+  *    (millions of items — full benchmark batteries), its shingle set
+  *    no longer broadcasts. A fixed-size Bloom sketch of the bench
+  *    shingles (built distributed, collected as one ~MB binary) prunes
+  *    the corpus shingle stream map-side via Spark's codegen'd
+  *    `might_contain`; only the surviving sliver reaches the exact
+  *    verification join, which then needs no broadcast of the bench
+  *    side at all. False positives die in the verify join, so the
+  *    result equals the exact operator bit-for-bit (spec-pinned even
+  *    with a deliberately undersized sketch).
+  *
+  * In both shapes the corpus is scanned once and its shingle stream is
+  * never shuffled in full — at 100 TB the only corpus-sized cost is the
+  * map-side explode+filter.
   */
 object Contamination {
+
+  private def shingles(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
 
   /** Documents sharing >= 1 n-gram with the benchmark, with the count of
     * distinct shared n-grams. Output: (doc, n_shared), benchmark docs
@@ -22,15 +46,65 @@ object Contamination {
   def flagContaminated(corpus: DataFrame, id: String, text: String,
                        benchmark: DataFrame, benchId: String,
                        benchText: String, n: Int): DataFrame = {
-    val corpusShingles = corpus
-      .select(col(id).as("doc"),
-        explode(TextFunctions.wordShingles(col(text), n)).as("s"))
-    val benchShingles = benchmark
-      .select(explode(TextFunctions.wordShingles(col(benchText), n)).as("s"))
-      .distinct()
+    val corpusShingles = shingles(corpus, id, text, n)
+    val benchShingles = shingles(benchmark, benchId, benchText, n)
+      .select(col("s")).distinct()
     val benchIds = benchmark.select(col(benchId).as("doc"))
     corpusShingles
       .join(broadcast(benchShingles), "s")
+      .join(broadcast(benchIds), Seq("doc"), "left_anti")
+      .groupBy("doc")
+      .agg(countDistinct(col("s")).as("n_shared"))
+  }
+
+  /** Same contract and output as [[flagContaminated]], scale path for a
+    * LARGE benchmark side: a Bloom sketch over `xxhash64(shingle)` is
+    * built with Spark's native `BloomFilterAggregate` (distributed
+    * build, merged map-side), collected to the driver as one binary of
+    * at most `maxNumBits/8` bytes (the explicit driver-memory cap), and
+    * embedded as a literal so the corpus-side prune is a codegen'd
+    * scalar filter BEFORE any join. Survivors — true overlaps plus an
+    * `fpp` fraction of false positives — then verify against the bench
+    * shingles in an ordinary shuffled equi-join sized by the sliver,
+    * not the corpus.
+    */
+  def flagContaminatedBloom(corpus: DataFrame, id: String, text: String,
+                            benchmark: DataFrame, benchId: String,
+                            benchText: String, n: Int,
+                            expectedItems: Long = 4000000L,
+                            fpp: Double = 0.01,
+                            maxNumBits: Long = 256L * 1024 * 1024): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val benchShingles = shingles(benchmark, benchId, benchText, n)
+      .select(col("s")).distinct()
+    // optimal bit count for the target fpp, capped to bound the binary
+    // the driver holds (cap/8 bytes); past the cap the sketch degrades
+    // to a higher fpp, never to incorrectness
+    val numBits = math.min(maxNumBits, math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong))
+    val buildHash = ColumnBridge.expression(xxhash64(col("s")))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(buildHash, Literal(expectedItems),
+        Literal(numBits)).toAggregateExpression())
+    val bin = benchShingles.select(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val corpusShingles = shingles(corpus, id, text, n)
+    val out =
+      if (bin == null) {
+        // empty benchmark: nothing can overlap
+        corpusShingles.limit(0)
+      } else {
+        val mightContain = ColumnBridge.column(BloomFilterMightContain(
+          ColumnBridge.expression(lit(bin)),
+          ColumnBridge.expression(xxhash64(col("s")))))
+        corpusShingles
+          .where(mightContain)
+          .join(benchShingles, "s")
+      }
+    val benchIds = benchmark.select(col(benchId).as("doc"))
+    out
       .join(broadcast(benchIds), Seq("doc"), "left_anti")
       .groupBy("doc")
       .agg(countDistinct(col("s")).as("n_shared"))
