@@ -999,6 +999,22 @@ object SparkEntry {
           "value", Seq("event_id"))
         .orderBy("user_id", "session_idx")),
 
+    // STREAMING sessionization through a real file-source replay:
+    // session_window + 1 h watermark over 6 ts-ordered arrival chunks —
+    // append mode emits exactly the sessions whose end (last event +
+    // 12 h gap) the final watermark passed; a pure function of the data,
+    // so batch SQL oracles real streaming semantics
+    "q_sessionize_stream" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      graft.streaming.StreamingSessions.sessionReplay(ev(s, d), "user_id",
+          "ts", "value",
+          floor((dayofmonth(col("ts")) - 1) / 5).cast("int"), 6,
+          "1 hour", "12 hours")
+        .select(col("k").as("user_id"), col("start_ms"), col("n_events"),
+          col("total_value"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     // range join: purchases paired with same-user clicks within +-1 hour
     "q_range_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -1712,6 +1728,30 @@ object SparkEntry {
         |       count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, s.session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // batch sessions + the append-mode flush rule: a session emits iff
+    // its end (last event + 12 h gap) <= final watermark (max ts - 1 h)
+    "q_sessionize_stream" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= 43200000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        |         epoch_ms(max(ts)) AS end_ms,
+        |         count(*) AS n_events, round(sum(value), 4) AS total_value
+        |  FROM s GROUP BY user_id, sid),
+        |fin AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
+        |SELECT user_id, start_ms, n_events, total_value
+        |FROM sess, fin WHERE end_ms + 43200000 <= wm_ms
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     // same tokenization CTE as q_token_count; the draw order is the
     // salted portable hash, ties broken by doc_id; strict budget cut
