@@ -396,7 +396,32 @@ object ScaleProbe {
           Similarity.sqKnn(
             engine.Tables.embeddings(spark, sfDir)
               .where(col("vec_id") < 5),
-            emb, "vec_id", "embedding", 10, sqCb).count())
+            emb, "vec_id", "embedding", 10, sqCb).count()),
+        // user population grows with scale, per-user history is constant
+        // — one shuffle + per-key sorts, so wall must grow ~linearly
+        "sessionize" -> (() =>
+          operators.Sessionize.summarize(events, "user_id", "ts", 43200L,
+            "value", Seq("event_id")).count()),
+        // decorrelated copies rename tokens, so the VOCABULARY grows
+        // k-fold with the corpus — the df aggregate and tf join are the
+        // probe, document bodies never shuffle
+        "tfidf" -> (() =>
+          operators.CorpusStats.tfidf(docs, "doc_id", "text").count()),
+        // bench side GROWS with scale (50 docs per copy): the broadcast
+        // path must ship a k-fold shingle set to every task, the bloom
+        // path a fixed-size sketch — this pair measures the crossover
+        // the bloom variant exists for (overlap work itself grows ~k
+        // because renamed tokens only match within a copy)
+        "decontam_bcast_growing" -> (() =>
+          operators.Contamination.flagContaminated(
+            docs, "doc_id", "text",
+            docs.where(pmod(col("doc_id"), lit(10000000L)) < 50),
+            "doc_id", "text", 8).count()),
+        "decontam_bloom_growing" -> (() =>
+          operators.Contamination.flagContaminatedBloom(
+            docs, "doc_id", "text",
+            docs.where(pmod(col("doc_id"), lit(10000000L)) < 50),
+            "doc_id", "text", 8).count())
       )
 
       val selected = queries.filter(q => wanted(q._1))
