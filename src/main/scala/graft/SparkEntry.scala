@@ -1015,6 +1015,20 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // strictly-ordered first-touch funnel: users reaching each stage of
+    // view -> click -> purchase (each stage strictly after the key's
+    // earliest completion of the previous one)
+    "q_funnel" -> ((s, d) =>
+      operators.EventAnalytics.funnel(ev(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
+
+    // weekly cohort retention: distinct users per (first-event week,
+    // week offset) — pure epoch math over Monday-truncated weeks
+    "q_retention" -> ((s, d) =>
+      operators.EventAnalytics.retention(ev(s, d), "user_id", "ts")
+        .orderBy("cohort_ms", "week_offset")),
+
     // range join: purchases paired with same-user clicks within +-1 hour
     "q_range_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -1728,6 +1742,30 @@ object SparkEntry {
         |       count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, s.session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |         (SELECT count(*) FROM s1) AS n_keys
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) cw
+        |           FROM events GROUP BY 1)
+        |SELECT epoch_ms(cw) AS cohort_ms,
+        |       ((epoch(date_trunc('week', e.ts))::BIGINT
+        |         - epoch(cw)::BIGINT) // 604800)::BIGINT AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_keys
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // batch sessions + the append-mode flush rule: a session emits iff
     // its end (last event + 12 h gap) <= final watermark (max ts - 1 h)

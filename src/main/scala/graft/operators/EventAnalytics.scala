@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over event streams —
+  * the two standard questions a product/interaction log answers
+  * ("how far do users get through this sequence?", "how many of each
+  * week's new users come back k weeks later?"), and for training-data
+  * curation the same shapes measure multi-turn conversation depth and
+  * corpus-freshness cohorts. The reference engine has no event-analytics
+  * surface (its aggregations are per-window scalars); this extends the
+  * LLM-pipeline layer like [[Sessionize]].
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered funnel: a key reaches stage i+1 when it has an
+    * event of that stage's type strictly after its EARLIEST completion
+    * of stage i (the standard first-touch funnel; re-orderings like
+    * purchase-before-view do not count). Returns one row per stage:
+    * (stage_idx 1-based, stage, n_keys reaching it).
+    *
+    * Plan shape: each stage is a filtered `groupBy(key).min(ts)` joined
+    * to the previous stage's reach frame — per-stage shuffles carry
+    * (key, ts) pairs only, and the reach frame shrinks monotonically
+    * (AQE broadcasts it once it fits). The stage list is small by
+    * contract; total work is one filtered scan + one keyed aggregate
+    * per stage. Stage frames chain, so ask for the counts in ONE
+    * returned frame (a union of single-row aggregates) and Spark
+    * evaluates the whole cascade in one job.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"stage types must be distinct, got $stages")
+    val perStage = stages.zipWithIndex.scanLeft(null: DataFrame) {
+      case (prev, (stage, i)) =>
+        val evs = events.where(col(typeCol) === stage)
+          .select(col(keyCol).as("k"), col(tsCol).as("t"))
+        if (i == 0) evs.groupBy("k").agg(min(col("t")).as("t"))
+        else evs.join(prev.withColumnRenamed("t", "prev_t"), "k")
+          .where(col("t") > col("prev_t"))
+          .groupBy("k").agg(min(col("t")).as("t"))
+    }.drop(1)
+    perStage.zip(stages.zipWithIndex).map { case (df, (stage, i)) =>
+      df.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i + 1).cast("int").as("stage_idx"),
+          lit(stage).as("stage"), col("n_keys"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of a
+    * key's first event; one row per (cohort, week offset) with the
+    * distinct keys active that week. Week arithmetic is pure epoch
+    * math over `date_trunc("week")`, so an external SQL engine
+    * reproduces it exactly (UTC sessions; weeks have no DST).
+    * Output: (cohort_ms, week_offset, n_keys).
+    *
+    * Plan shape: one keyed aggregate for first-touch, one key-hash join
+    * of the event stream against the (one-row-per-key) cohort frame,
+    * one (cohort, offset) aggregate — events never carry more than
+    * (key, truncated week) across an exchange.
+    */
+  def retention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val first = events.groupBy(col(keyCol).as("k"))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort"))
+    events.select(col(keyCol).as("k"), col(tsCol).as("t"))
+      .join(first, "k")
+      .select(col("k"), unix_millis(col("cohort")).as("cohort_ms"),
+        floor((unix_timestamp(date_trunc("week", col("t"))) -
+          unix_timestamp(col("cohort"))) / 604800L).as("week_offset"))
+      .groupBy("cohort_ms", "week_offset")
+      .agg(countDistinct(col("k")).as("n_keys"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  // (user, ts seconds, type)
+  private def mk(rows: Seq[(String, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("u", "sec", "et")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+  }
+
+  private def funnelCounts(rows: Seq[(String, Long, String)]) =
+    EventAnalytics.funnel(mk(rows), "u", "ts", "et",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  test("funnel counts only strictly-ordered stage completions") {
+    val got = funnelCounts(Seq(
+      // u1: full ordered funnel
+      ("u1", 10L, "view"), ("u1", 20L, "click"), ("u1", 30L, "purchase"),
+      // u2: purchase BEFORE its click -> reaches stage 2 only
+      ("u2", 10L, "view"), ("u2", 30L, "click"), ("u2", 20L, "purchase"),
+      // u3: view only
+      ("u3", 10L, "view"),
+      // u4: click/purchase but never a view -> reaches nothing
+      ("u4", 10L, "click"), ("u4", 20L, "purchase")))
+    assert(got == Set((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel anchors on the EARLIEST completion of the prior stage") {
+    // u1's first view is at 10; the click at 5 predates it and must not
+    // count, but the re-click at 50 does — first-touch semantics
+    val got = funnelCounts(Seq(
+      ("u1", 5L, "click"), ("u1", 10L, "view"), ("u1", 50L, "click"),
+      ("u1", 60L, "purchase")))
+    assert(got == Set((1, "view", 1L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: equal timestamps do not satisfy the strict order") {
+    val got = funnelCounts(Seq(("u1", 10L, "view"), ("u1", 10L, "click")))
+    assert(got == Set((1, "view", 1L), (2, "click", 0L), (3, "purchase", 0L)))
+  }
+
+  test("retention buckets distinct keys by first-event week offset") {
+    // epoch 0 = Thu 1970-01-01; Monday of that week = -345600 s (Dec 29
+    // 1969). Use ts well into 1970 to stay positive: week starting
+    // Mon Jan 5 1970 = 345600 s.
+    val w0 = 345600L
+    val got = EventAnalytics.retention(mk(Seq(
+        ("u1", w0 + 10L, "view"), ("u1", w0 + 604800L + 5L, "click"),
+        ("u1", w0 + 3 * 604800L, "view"),
+        ("u2", w0 + 604800L, "view"), ("u2", w0 + 604800L + 60L, "click"))),
+      "u", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (w0 * 1000, 0L, 1L),               // u1 week 0
+      (w0 * 1000, 1L, 1L),               // u1 back in week 1
+      (w0 * 1000, 3L, 1L),               // u1 back in week 3
+      ((w0 + 604800L) * 1000, 0L, 1L)))  // u2 cohort week 1, offset 0
+  }
+}
