@@ -859,6 +859,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tok"), col("__cum"))
         .orderBy("doc_id")),
 
+    // per-source z-score of a quality signal: groupBy moments + hash
+    // join back, no window sort; zero-variance groups normalize to 0
+    "q_zscore" -> ((s, d) =>
+      graft.operators.Features.zscore(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", Seq("n_chars"))
+        .orderBy("doc_id")),
+
+    // keep docs at/above their source's exact interpolated p75 length —
+    // the per-stratum threshold filter quality pipelines run
+    "q_quantile_filter" -> ((s, d) =>
+      graft.operators.Features.quantileFilter(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", 0.75)
+        .orderBy("doc_id")),
+
     // weighted corpus upsampling: mixing weight 2.25 = two copies of
     // every src0 doc + a deterministic 25% third copy; 0.5 thins src1;
     // zero-shuffle broadcast + map-side explode
@@ -1816,6 +1832,25 @@ object SparkEntry {
         |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
         |       THEN 'val' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_zscore" ->
+      """WITH m AS (SELECT source, avg(n_chars) mu, stddev_pop(n_chars) sd
+        |           FROM documents GROUP BY 1)
+        |SELECT doc_id, source, n_chars,
+        |       CASE WHEN sd = 0 THEN 0.0
+        |            ELSE round((n_chars - mu) / sd, 4) END AS n_chars_z
+        |FROM documents JOIN m USING (source)
+        |ORDER BY doc_id""".stripMargin,
+
+    // percentile() in Spark == quantile_cont in DuckDB (interpolated);
+    // CorpusStats.quantileCertificate is the sketch-swap certificate
+    "q_quantile_filter" ->
+      """WITH t AS (SELECT source, quantile_cont(n_chars::DOUBLE, 0.75) thr
+        |           FROM documents GROUP BY 1)
+        |SELECT doc_id, source, n_chars
+        |FROM documents JOIN t USING (source)
+        |WHERE n_chars::DOUBLE >= thr
+        |ORDER BY doc_id""".stripMargin,
 
     // per-stratum (n_base, thresh=round(frac(w)*1e6)) literals mirror
     // byWeight's driver-side decomposition of 2.25/0.5/1.0/0.0

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FeaturesSpec extends SparkSpec {
+
+  private def mk(rows: Seq[(Long, String, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "g", "v")
+  }
+
+  test("zscore normalizes within each group; zero variance gives 0.0") {
+    // g1: 1,2,3 -> mu 2, sd_pop sqrt(2/3); g2: constant
+    val got = Features.zscore(mk(Seq(
+        (1L, "g1", 1.0), (2L, "g1", 2.0), (3L, "g1", 3.0),
+        (4L, "g2", 5.0), (5L, "g2", 5.0))), "g", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val z = BigDecimal(1.0 / math.sqrt(2.0 / 3.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(1L -> -z, 2L -> 0.0, 3L -> z, 4L -> 0.0, 5L -> 0.0))
+  }
+
+  test("zscore keeps input columns and appends one _z per requested col") {
+    val out = Features.zscore(mk(Seq((1L, "g1", 1.0), (2L, "g1", 3.0))),
+      "g", Seq("v"))
+    assert(out.columns.toSeq == Seq("id", "g", "v", "v_z"))
+  }
+
+  test("quantileFilter keeps the interpolated top (and bottom) slice") {
+    val df = mk(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "b", 10.0)))
+    // a: p50 = 2.5 -> keep 3,4; b: single row is its own quantile
+    val top = Features.quantileFilter(df, "g", "v", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(3L, 4L, 5L))
+    val bottom = Features.quantileFilter(df, "g", "v", 0.5, keepTop = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(bottom == Set(1L, 2L, 5L))
+    // a: p75 = 3.25 -> only 4 survives
+    val p75 = Features.quantileFilter(df, "g", "v", 0.75)
+      .collect().map(_.getLong(0)).toSet
+    assert(p75 == Set(4L, 5L))
+  }
+
+  test("zscore plans no window sort (moments join, not a window)") {
+    val df = mk((1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)))
+    val p = Features.zscore(df, "g", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"expected no window operator in:\n$p")
+  }
+}
