@@ -529,6 +529,13 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("term"), col("tf"), col("score"))
         .orderBy("doc_id", "term")),
 
+    // corpus-as-its-own-LM bigram scoring: mean ln P(w2|w1) per doc —
+    // the perplexity-filter signal, computed from exact corpus counts
+    "q_bigram_lm" -> ((s, d) =>
+      graft.operators.CorpusStats.bigramLogProb(docs(s, d), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_bigrams"), col("avg_lp"))
+        .orderBy("doc_id")),
+
     // corpus n-gram frequency table (top 100, deterministic tie-break)
     "q_ngram_freq" -> ((s, d) =>
       docs(s, d)
@@ -1571,6 +1578,23 @@ object SparkEntry {
         |  + len(regexp_extract_all(text,
         |      '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS n_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // non-distinct bigram occurrences (unlike q_ngram_freq's per-doc
+    // distinct sets); P(w2|w1) = c2/c1 MLE, natural log, mean per doc
+    "q_bigram_lm" ->
+      s"""WITH $tokCte,
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
+         |                i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
+         |       FROM t),
+         |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bg GROUP BY 1),
+         |ug AS (SELECT w, count(*)::BIGINT AS c1
+         |       FROM (SELECT unnest(tk) w FROM t) GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(avg(ln(c2.c2 / ug.c1)), 4) AS avg_lp
+         |FROM bg JOIN c2 USING (bg)
+         |        JOIN ug ON split_part(bg.bg, ' ', 1) = ug.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_freq" ->
       """SELECT ngram, count(*) AS n FROM (

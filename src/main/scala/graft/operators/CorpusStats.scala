@@ -162,6 +162,44 @@ object CorpusStats {
           .as("score"))
   }
 
+  /** Count-based bigram log-probability scoring — perplexity-style
+    * quality filtering WITHOUT an external language model: the corpus
+    * is its own model. Per document, the mean `ln P(w2 | w1)` over its
+    * bigram occurrences, with `P(w2|w1) = C(w1 w2) / C(w1)` (MLE;
+    * self-scoring guarantees every observed bigram has nonzero count,
+    * so no smoothing term is needed). Low scores flag documents whose
+    * word transitions are rare in the corpus — gibberish, boilerplate
+    * with unusual joins, wrong-language fragments — the same signal
+    * perplexity filters use, reproducible by any SQL engine.
+    *
+    * Plan shape: the bigram-occurrence stream shuffles twice by n-gram
+    * key (its own count join, then the first-word unigram join) and
+    * once by doc for the final mean — all three carry (doc, short
+    * string, count) rows, never document bodies. `persistBigrams`
+    * caches the exploded stream across its two consumers, the same
+    * dial as [[tfidf]]'s persistTf.
+    *
+    * Output: (doc, n_bigrams, avg_lp rounded to 4); documents with
+    * fewer than two tokens have no bigrams and drop out.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    persistBigrams: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions
+    val bg0 = docs.select(col(idCol).as("doc"),
+      explode(TextFunctions.wordNgramsAll(col(textCol), 2)).as("bg"))
+    val bg = if (persistBigrams) bg0.persist() else bg0
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val ug = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    bg.join(c2, "bg")
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(ug, "w")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2") / col("c1"))), 4).as("avg_lp"))
+  }
+
   /** Distinct-count certificate: per group, the EXACT distinct count of
     * `itemCol` alongside a boolean asserting the HLL++ estimate
     * (`approx_count_distinct` at relative standard deviation `rsd`)

@@ -114,6 +114,35 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb matches hand-computed MLE transition probabilities") {
+    val s = spark
+    import s.implicits._
+    // unigrams: a 3, b 2, c 1; bigrams: "a b" x2, "b a", "a c"
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (persist <- Seq(false, true)) {
+      val got = CorpusStats.bigramLogProb(docs, "doc_id", "text",
+          persistBigrams = persist)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      // d1: [ln(2/3), ln(1/2), ln(2/3)] mean; d2: [ln(1/3)]
+      val d1 = r4((2 * math.log(2.0 / 3.0) + math.log(0.5)) / 3.0)
+      assert(got == Map(1L -> ((3L, d1)), 2L -> ((1L, r4(math.log(1.0 / 3.0))))),
+        s"persistBigrams=$persist")
+    }
+  }
+
+  test("bigramLogProb drops docs with fewer than two tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "only"), (2L, ""), (3L, "two words"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L))
+  }
+
   test("tfidf: a downstream doc filter must not change df (global idf)") {
     val s = spark
     import s.implicits._
