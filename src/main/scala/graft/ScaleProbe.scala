@@ -421,7 +421,21 @@ object ScaleProbe {
           operators.Contamination.flagContaminatedBloom(
             docs, "doc_id", "text",
             docs.where(pmod(col("doc_id"), lit(10000000L)) < 50),
-            "doc_id", "text", 8).count())
+            "doc_id", "text", 8).count()),
+        // stage cascade: per-stage keyed min-ts aggregates over a user
+        // population growing with scale — reach frames stay 1 row/user
+        "funnel" -> (() =>
+          operators.EventAnalytics.funnel(events, "user_id", "ts",
+            "event_type", Seq("view", "click", "purchase"))
+            .agg(sum(col("n_keys"))).head.getLong(0)),
+        "retention" -> (() =>
+          operators.EventAnalytics.retention(events, "user_id", "ts")
+            .count()),
+        // like tfidf, the n-gram vocabulary grows k-fold by replica
+        // construction — worst case for the two n-gram-keyed joins
+        "bigram_lm" -> (() =>
+          operators.CorpusStats.bigramLogProb(docs, "doc_id", "text")
+            .count())
       )
 
       val selected = queries.filter(q => wanted(q._1))
