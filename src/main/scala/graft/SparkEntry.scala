@@ -1763,14 +1763,14 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
 
-    // same break rule as Sessionize.assign: ms-precision gap >= 12 h
+    // same break rule as Sessionize.assign: µs-precision gap >= 12 h
     // starts a new session; first event's null lag falls to ELSE 0
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= 43200000 THEN 1 ELSE 0 END AS brk
+        |              >= 43200000000 THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
         |  SELECT user_id, ts, value,
@@ -1808,13 +1808,14 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // batch sessions + the append-mode flush rule: a session emits iff
-    // its end (last event + 12 h gap) <= final watermark (max ts - 1 h)
+    // its end (last event + 12 h gap) <= final watermark (max ts - 1 h);
+    // gap AND emission compare at µs — Spark's full timestamp precision
     "q_sessionize_stream" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= 43200000 THEN 1 ELSE 0 END AS brk
+        |              >= 43200000000 THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
         |  SELECT user_id, ts, value,
@@ -1823,12 +1824,12 @@ object SparkEntry {
         |  FROM g),
         |sess AS (
         |  SELECT user_id, epoch_ms(min(ts)) AS start_ms,
-        |         epoch_ms(max(ts)) AS end_ms,
+        |         epoch_us(max(ts)) AS end_us,
         |         count(*) AS n_events, round(sum(value), 4) AS total_value
         |  FROM s GROUP BY user_id, sid),
-        |fin AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
+        |fin AS (SELECT epoch_us(max(ts)) - 3600000000 AS wm_us FROM events)
         |SELECT user_id, start_ms, n_events, total_value
-        |FROM sess, fin WHERE end_ms + 43200000 <= wm_ms
+        |FROM sess, fin WHERE end_us + 43200000000 <= wm_us
         |ORDER BY user_id, start_ms""".stripMargin,
 
     // same tokenization CTE as q_token_count; the draw order is the

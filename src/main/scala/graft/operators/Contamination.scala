@@ -75,8 +75,15 @@ object Contamination {
                             fpp: Double = 0.01,
                             maxNumBits: Long = 256L * 1024 * 1024): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
-    val benchShingles = shingles(benchmark, benchId, benchText, n)
-      .select(col("s")).distinct()
+    // the sketch builds from the RAW (non-distinct) shingle stream:
+    // bloom insertion is idempotent and BloomFilterAggregate merges
+    // fixed-size partial sketches map-side, so skipping distinct()
+    // avoids hash-shuffling the whole bench shingle stream — the very
+    // bench-side shuffle this path exists to avoid; distinct() is kept
+    // only for the verify join, where it bounds join multiplicity
+    val benchShinglesRaw = shingles(benchmark, benchId, benchText, n)
+      .select(col("s"))
+    val benchShingles = benchShinglesRaw.distinct()
     // optimal bit count for the target fpp, capped to bound the binary
     // the driver holds (cap/8 bytes); past the cap the sketch degrades
     // to a higher fpp, never to incorrectness
@@ -87,8 +94,28 @@ object Contamination {
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(buildHash, Literal(expectedItems),
         Literal(numBits)).toAggregateExpression())
-    val bin = benchShingles.select(bloomAgg.as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate SILENTLY clamps its arguments to the session
+    // confs runtime.bloomFilter.maxNumItems (default 4e6) and
+    // .maxNumBits (default 64 Mi) — left alone, a caller sizing for a
+    // larger benchmark would get a sketch whose fpp quietly explodes
+    // and a prune that passes the whole corpus. Raise the caps to OUR
+    // requested sizes for the build, restore the caller's values after.
+    val sp = benchmark.sparkSession
+    val confKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        expectedItems.toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        numBits.toString)
+    val saved = confKeys.map { case (k, _) => k -> sp.conf.getOption(k) }
+    val bin =
+      try {
+        confKeys.foreach { case (k, v) => sp.conf.set(k, v) }
+        benchShinglesRaw.select(bloomAgg.as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally saved.foreach {
+        case (k, Some(v)) => sp.conf.set(k, v)
+        case (k, None)    => sp.conf.unset(k)
+      }
 
     val corpusShingles = shingles(corpus, id, text, n)
     val out =

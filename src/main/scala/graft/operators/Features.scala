@@ -29,8 +29,11 @@ object Features {
     val aggs = cols.flatMap { c =>
       Seq(avg(col(c)).as(s"__mu_$c"), stddev_pop(col(c)).as(s"__sd_$c"))
     }
-    val moments = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-    val joined = df.join(moments, groupCol)
+    // null-safe join: groupBy keeps a null-group row, and a plain
+    // equi-join would silently DROP every null-group input row (null
+    // never equals null) — a null stratum is its own group instead
+    val moments = df.groupBy(col(groupCol).as("__g")).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(moments, col(groupCol) <=> col("__g")).drop("__g")
     val outCols: Seq[Column] =
       df.columns.map(col).toSeq ++ cols.map { c =>
         when(col(s"__sd_$c") === 0.0, lit(0.0))
@@ -53,9 +56,11 @@ object Features {
   def quantileFilter(df: DataFrame, groupCol: String, valCol: String,
                      q: Double, keepTop: Boolean = true): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
-    val thr = df.groupBy(col(groupCol))
+    // null-safe join for the same reason as zscore: a null-group row
+    // must be filtered against its own group's threshold, not dropped
+    val thr = df.groupBy(col(groupCol).as("__g"))
       .agg(expr(s"percentile(cast($valCol as double), ${q}D)").as("__thr"))
-    val joined = df.join(thr, groupCol)
+    val joined = df.join(thr, col(groupCol) <=> col("__g")).drop("__g")
     val cond =
       if (keepTop) col(valCol).cast("double") >= col("__thr")
       else col(valCol).cast("double") <= col("__thr")

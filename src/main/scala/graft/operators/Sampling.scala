@@ -61,8 +61,12 @@ object Sampling {
                weights: Map[String, Double],
                salt: String = "graft"): DataFrame = {
     require(weights.nonEmpty, "byWeight needs at least one stratum weight")
-    require(weights.valuesIterator.forall(w => w >= 0.0 && !w.isNaN),
-      s"weights must be >= 0, got $weights")
+    // finite + bounded: Infinity would overflow the per-row copy count
+    // into a silent drop, and even a "legitimate" 1e9 would explode a
+    // billion rows per input row — both are caller bugs to fail on
+    require(weights.valuesIterator.forall(w =>
+      w >= 0.0 && !w.isNaN && w <= 1000000.0),
+      s"weights must be finite, >= 0 and <= 1e6, got $weights")
     val sp = df.sparkSession
     import sp.implicits._
     val rows = weights.toSeq.map { case (stratum, w) =>

@@ -31,8 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Millisecond event time — the precision contract for gap comparison
-    * (an external SQL engine reproduces it with `epoch_ms(ts)`). */
+  /** Microsecond event time for the GAP comparison — Spark timestamps
+    * are µs-precision, and `session_window`'s range-overlap rule
+    * compares at full precision, so a millisecond-truncated gap would
+    * split sub-ms-close boundary pairs that session_window merges (a
+    * one-directional, data-dependent divergence). An external SQL
+    * engine reproduces this with `epoch_us(ts)`. */
+  private def us(tsCol: String): Column = unix_micros(col(tsCol))
+
+  /** Millisecond event time for OUTPUT columns (truncation on output
+    * only — never used in a comparison). */
   private def ms(tsCol: String): Column = unix_millis(col(tsCol))
 
   /** Event-level session assignment: input columns + `session_idx`, the
@@ -48,7 +56,7 @@ object Sessionize {
     // first event per key: lag is null, null-comparison falls to
     // otherwise(0) — session_idx starts at 0 without a special case
     val break = when(
-      ms(tsCol) - lag(ms(tsCol), 1).over(w) >= gapSeconds * 1000L,
+      us(tsCol) - lag(us(tsCol), 1).over(w) >= gapSeconds * 1000000L,
       lit(1L)).otherwise(lit(0L))
     events.withColumn("session_idx",
       sum(break).over(

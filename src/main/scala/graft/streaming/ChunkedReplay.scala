@@ -78,3 +78,58 @@ final class ChunkedReplay(source: DataFrame, payload: Seq[Column],
     * replay root (e.g. a checkpoint the caller placed there). */
   def cleanup(): Unit = graft.util.FsUtil.deleteRecursively(root)
 }
+
+/** Shared replay-to-batch plumbing for gates that drive a streaming
+  * aggregation through a [[ChunkedReplay]] and return its append-mode
+  * emission set as a batch frame bound to the CALLER's session —
+  * [[Watermarks.lateDataReplay]] and
+  * [[StreamingSessions.sessionReplay]] differ only in the aggregation
+  * they plug in. One definition so the scoped-session conf-replay
+  * subtleties are fixed in one place. */
+private[streaming] object ReplayHarness {
+
+  /** Stage `events` by `chunk`, run `agg(fileStream)` in a scoped
+    * session (caller's runtime conf replayed, then shuffle partitions
+    * pinned to `statePartitions` — micro-batch cost scales with
+    * state-store partition count, and the scoped conf can never be
+    * observed by queries planned concurrently on the caller's
+    * session; newSession() is NOT a clone, so the caller's modifiable
+    * conf delta is copied first), drain per chunk in order, and
+    * return the memory sink's rows. The sink's uniquely-named temp
+    * view is dropped after materialization (a long-lived session
+    * re-running a gate would otherwise accumulate sinks without
+    * bound), and the result is rebound to the caller's session. */
+  def replayToBatch(spark: org.apache.spark.sql.SparkSession,
+                    events: DataFrame, payload: Seq[Column], chunk: Column,
+                    nChunks: Int, statePartitions: Int, namePrefix: String)
+                   (agg: DataFrame => DataFrame): DataFrame = {
+    val replay = new ChunkedReplay(events, payload, chunk, nChunks)
+    val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!scoped.conf.getOption(k).contains(v) && scoped.conf.isModifiable(k))
+        scoped.conf.set(k, v)
+    }
+    scoped.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = scoped.readStream.schema(replay.schema)
+      .parquet(replay.streamDir.toString)
+    val name = namePrefix +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", replay.root.resolve("ckpt").toString)
+      .start()
+    try replay.run(() => query.processAllAvailable())
+    finally {
+      query.stop()
+      // the memory sink holds the result; the staged corpus copy,
+      // stream dir, and checkpoint are spent
+      replay.cleanup()
+    }
+    val sink = scoped.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    scoped.catalog.dropTempView(name)
+    out
+  }
+}

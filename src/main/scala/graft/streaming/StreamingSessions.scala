@@ -46,37 +46,10 @@ object StreamingSessions {
   def sessionReplay(events: DataFrame, keyCol: String, tsCol: String,
                     valCol: String, chunk: Column, nChunks: Int,
                     delay: String, gap: String, statePartitions: Int = 4)
-                   (implicit spark: SparkSession): DataFrame = {
-    val replay = new ChunkedReplay(events,
+                   (implicit spark: SparkSession): DataFrame =
+    ReplayHarness.replayToBatch(spark, events,
       Seq(col(keyCol).as("k"), col(tsCol).as("ts"),
         col(valCol).cast("double").as("value")),
-      chunk, nChunks)
-    val scoped = spark.newSession()
-    spark.conf.getAll.foreach { case (kk, v) =>
-      if (!scoped.conf.getOption(kk).contains(v) && scoped.conf.isModifiable(kk))
-        scoped.conf.set(kk, v)
-    }
-    scoped.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val stream = scoped.readStream.schema(replay.schema)
-      .parquet(replay.streamDir.toString)
-    val name = "graft_sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query =
-      sessionAgg(stream, "k", "ts", "value", delay, gap)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", replay.root.resolve("ckpt").toString)
-        .start()
-    try replay.run(() => query.processAllAvailable())
-    finally {
-      query.stop()
-      replay.cleanup()
-    }
-    // rebind the (one-row-per-closed-session) result to the caller's
-    // session and drop the scoped memory sink (see lateDataReplay)
-    val sink = scoped.table(name)
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    scoped.catalog.dropTempView(name)
-    out
-  }
+      chunk, nChunks, statePartitions, "graft_sw_")(
+      stream => sessionAgg(stream, "k", "ts", "value", delay, gap))
 }

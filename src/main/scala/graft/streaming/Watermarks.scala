@@ -65,55 +65,12 @@ object Watermarks {
   def lateDataReplay(events: DataFrame, tsCol: String, valCol: String,
                      chunk: Column, nChunks: Int, delay: String,
                      size: String, statePartitions: Int = 4)
-                    (implicit spark: SparkSession): DataFrame = {
-    // stage-by-chunk / move / drain-per-trigger mechanics live in
-    // ChunkedReplay (shared with ScaleProbe's streaming-state branch)
-    val replay = new ChunkedReplay(events,
+                    (implicit spark: SparkSession): DataFrame =
+    // stage/move/drain mechanics and the scoped-session memory-sink
+    // plumbing live in ChunkedReplay / ReplayHarness (shared with
+    // StreamingSessions.sessionReplay and ScaleProbe)
+    ReplayHarness.replayToBatch(spark, events,
       Seq(col(tsCol).as("ts"), col(valCol).cast("double").as("value")),
-      chunk, nChunks)
-    // micro-batch cost scales with state-store partition count, not
-    // data: pin a small shuffle-partition count for THIS query in a
-    // scoped session (newSession: same SparkContext, separate SQLConf)
-    // — ~720 hourly windows need nowhere near the session's bench-sized
-    // setting, and the scoped conf can never be observed by queries
-    // planned concurrently on the caller's session. newSession() is NOT
-    // a clone: it rebuilds SQLConf from the builder options, dropping
-    // confs the caller set at runtime (state-store provider, session
-    // timezone, ...) — so replay the caller's modifiable conf delta
-    // first, then apply the one deliberate override.
-    val scoped = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      if (!scoped.conf.getOption(k).contains(v) && scoped.conf.isModifiable(k))
-        scoped.conf.set(k, v)
-    }
-    scoped.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val stream = scoped.readStream.schema(replay.schema)
-      .parquet(replay.streamDir.toString)
-    val name = "graft_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query =
-      tumblingAgg(stream, "ts", "value", delay, size)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", replay.root.resolve("ckpt").toString)
-        .start()
-    try replay.run(() => query.processAllAvailable())
-    finally {
-      query.stop()
-      // the memory sink holds the result; the staged corpus copy,
-      // stream dir, and checkpoint are spent — repeated gate runs would
-      // otherwise each leave a full events copy in the temp dir
-      replay.cleanup()
-    }
-    // materialize the (one-row-per-window) result and DROP the memory
-    // sink's temp view — each invocation registers a uniquely-named
-    // table, and a long-lived session re-running the gate would
-    // accumulate them (and their retained rows) without bound. The
-    // result is rebound to the CALLER's session (the sink lives in the
-    // scoped one).
-    val sink = scoped.table(name)
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    scoped.catalog.dropTempView(name)
-    out
-  }
+      chunk, nChunks, statePartitions, "graft_wm_")(
+      stream => tumblingAgg(stream, "ts", "value", delay, size))
 }

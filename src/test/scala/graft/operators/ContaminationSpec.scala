@@ -42,6 +42,27 @@ class ContaminationSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("sketch sizing honors expectedItems past Spark's silent conf caps") {
+    // Spark's BloomFilterAggregate clamps to
+    // runtime.bloomFilter.maxNumItems/maxNumBits (4e6 items / 64 Mi
+    // bits = 8 MiB) — the operator must raise the caps for its build so
+    // a large-benchmark sizing is honored, then restore the caller's
+    // values. 8e6 items at fpp 0.01 needs ~76.7 M bits > the 8 MiB cap.
+    val corpus = Tables.documents(spark, sf())
+    val bench = corpus.where(col("doc_id") < 10)
+    val before = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val out = Contamination.flagContaminatedBloom(corpus, "doc_id", "text",
+      bench, "doc_id", "text", 8, expectedItems = 8000000L, fpp = 0.01)
+    // force the bloom build + full plan
+    assert(out.count() ==
+      Contamination.flagContaminated(corpus, "doc_id", "text",
+        bench, "doc_id", "text", 8).count())
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits") == before,
+      "caller conf must be restored after the sketch build")
+  }
+
   test("corpus side is pruned by might_contain BEFORE the verify join") {
     val corpus = Tables.documents(spark, sf())
     val bench = corpus.where(col("doc_id") < 10)

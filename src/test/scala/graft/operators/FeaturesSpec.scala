@@ -44,6 +44,21 @@ class FeaturesSpec extends SparkSpec {
     assert(p75 == Set(4L, 5L))
   }
 
+  test("null group is its own stratum, never dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("g1"), 1.0), (2L, Some("g1"), 3.0),
+      (3L, None, 5.0), (4L, None, 7.0)).toDF("id", "g", "v")
+    val z = Features.zscore(df, "g", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // null stratum: mu 6, sd 1 -> +-1.0; and the rows SURVIVE the join
+    assert(z == Map(1L -> -1.0, 2L -> 1.0, 3L -> -1.0, 4L -> 1.0))
+    val kept = Features.quantileFilter(df, "g", "v", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // p50: g1 -> 2.0 keeps id 2; null group -> 6.0 keeps id 4
+    assert(kept == Set(2L, 4L))
+  }
+
   test("zscore plans no window sort (moments join, not a window)") {
     val df = mk((1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)))
     val p = Features.zscore(df, "g", Seq("v"))

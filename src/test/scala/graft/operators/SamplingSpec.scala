@@ -121,6 +121,14 @@ class SamplingSpec extends SparkSpec {
     assert(base.forall { case (id, n) => grown.get(id).contains(n) })
   }
 
+  test("byWeight rejects non-finite and absurd weights loudly") {
+    val df = mkDocs(corpus)
+    for (bad <- Seq(Double.PositiveInfinity, Double.NaN, -0.5, 1e7))
+      intercept[IllegalArgumentException] {
+        Sampling.byWeight(df, "doc_id", "source", Map("src0" -> bad))
+      }
+  }
+
   test("byWeight: weight 0 and absent strata drop; sub-1 weights thin") {
     val got = Sampling.byWeight(mkDocs(corpus), "doc_id", "source",
         Map("src0" -> 0.0, "src1" -> 0.5), "w1")
