@@ -171,6 +171,51 @@ object ScaleProbe {
     }
   }
 
+  /** Session-window state probe: the SCALE.md claim "streaming
+    * sessionization holds state ∝ concurrently-OPEN sessions, not
+    * history" as a measured number. Replays the events through
+    * session_window + watermark in ts-ordered chunks and reads the
+    * final StateOperatorProgress: input rows grow k-fold with scale,
+    * state rows at the end must track only sessions not yet closed by
+    * the final watermark. */
+  private def sessionStateProbe(spark: SparkSession,
+                                events: DataFrame): String = {
+    val nChunks = 6
+    val replay = new graft.streaming.ChunkedReplay(
+      events.select(col("user_id").cast("string").as("k"), col("ts"),
+        col("value").cast("double").as("value")),
+      Seq(col("k"), col("ts"), col("value")),
+      least(floor((dayofmonth(col("ts")) - 1) / 5), lit(nChunks - 1))
+        .cast("int"),
+      nChunks)
+    val stream = spark.readStream.schema(replay.schema)
+      .parquet(replay.streamDir.toString)
+    val q = graft.streaming.StreamingSessions
+      .sessionAgg(stream, "k", "ts", "value", "1 hour", "12 hours")
+      .writeStream.format("noop")
+      .option("checkpointLocation", replay.root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      replay.run(() => q.processAllAvailable())
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val batchMs = progs.map(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+          .getOrElse(0L))
+      val (stateRows, stateMem) =
+        progs.lastOption.flatMap(_.stateOperators.headOption) match {
+          case Some(st) => (st.numRowsTotal, st.memoryUsedBytes)
+          case None => (0L, 0L)
+        }
+      s""""streaming_sessions":{"input_rows":${progs.map(_.numInputRows).sum},""" +
+        s""""open_state_rows":$stateRows,""" +
+        s""""state_mem_bytes":$stateMem,""" +
+        s""""batch_ms":[${batchMs.mkString(",")}]}"""
+    } finally {
+      q.stop()
+      replay.cleanup()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -465,6 +510,14 @@ object ScaleProbe {
             f"[probe] scale=$k streaming_state ${(System.nanoTime() - t0) / 1e9}%7.2fs")
           "," + j
         } else ""
+      val sessionsJson =
+        if (wanted("streaming_sessions")) {
+          val t0 = System.nanoTime()
+          val j = sessionStateProbe(spark, events)
+          System.err.println(
+            f"[probe] scale=$k streaming_sessions ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+          "," + j
+        } else ""
       spark.catalog.clearCache()
       // the per-scale index is corpus-sized on disk — drop it before
       // the next decade (a 50x sweep would otherwise accrete ~85x the
@@ -487,7 +540,7 @@ object ScaleProbe {
         graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(embIncIdx.path))
       }
-      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson}""")
+      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$sessionsJson}""")
     }
     spark.stop()
   }
