@@ -894,6 +894,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("__rep"))
         .orderBy("doc_id", "__rep")),
 
+    // sequence packing: concat-then-chunk into 2048-token training
+    // sequences per source, deterministic salted-hash order — emits each
+    // doc's token offset and starting sequence ordinal
+    "q_pack_sequences" -> ((s, d) =>
+      graft.operators.Sampling.packSequences(
+          docs(s, d).select(col("doc_id"), col("source"),
+            TF.tokenCount(col("text")).cast("bigint").as("n_tok")),
+          "doc_id", "source", "n_tok", 2048L, salt = "pack1")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("__offset"), col("__seq"))
+        .orderBy("doc_id")),
+
     // benchmark decontamination: docs sharing an 8-gram with the
     // "benchmark" (doc_id < 10 as a stand-in eval set)
     "q_decontaminate" -> ((s, d) => {
@@ -1892,6 +1904,23 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(range(n_copies))::BIGINT AS __rep
         |FROM d WHERE n_copies > 0
         |ORDER BY doc_id, __rep""".stripMargin,
+
+    // same tokenization + hash-order CTE shape as q_corpus_mix; offset =
+    // prefix sum minus own tokens, seq = integer-div by the 2048 budget
+    "q_pack_sequences" ->
+      s"""WITH $tokCte,
+         |tt AS (SELECT doc_id, source, len(tk)::BIGINT AS n_tok,
+         |              ('0x' || substr(md5('pack1' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+         |       FROM t JOIN documents USING (doc_id)),
+         |c AS (SELECT tt.*,
+         |             ((sum(n_tok) OVER (PARTITION BY source
+         |                                ORDER BY h, doc_id
+         |                                ROWS UNBOUNDED PRECEDING))
+         |              - n_tok)::BIGINT AS __offset
+         |      FROM tt)
+         |SELECT doc_id, source, n_tok, __offset,
+         |       (__offset // 2048)::BIGINT AS __seq
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
 

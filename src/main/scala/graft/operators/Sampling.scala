@@ -83,6 +83,45 @@ object Sampling {
       .drop("__base", "__thresh", "__n")
   }
 
+  /** Sequence packing — the concat-then-chunk step that turns a curated
+    * corpus into fixed-token-budget training sequences: documents are
+    * laid end-to-end in a deterministic order and the token stream is
+    * cut every `budget` tokens. Per document this emits its starting
+    * token offset within its stratum's stream and the id of the
+    * sequence its FIRST token lands in (`floor(offset / budget)`) —
+    * enough for a writer to materialize shards, and for boundary docs
+    * (those spanning a cut) to be identified as
+    * `(offset + n_tok - 1) / budget > __seq`.
+    *
+    * The order is the same salted engine-portable hash as
+    * [[byTokenBudget]] (ties by id), so packing is a pure function of
+    * (ids, token counts, salt): appends to OTHER strata never move a
+    * doc, and reruns/engines agree byte-for-byte.
+    *
+    * Scale shape: identical to byTokenBudget — one hash shuffle by
+    * stratum + a per-stratum window prefix sum. Packing is per-stratum
+    * by design (pretraining shards are built per source/mixture
+    * component); a global single-stream packing would serialize on one
+    * ordering and is the degenerate single-stratum call.
+    *
+    * Output: input columns + `__offset` (starting token offset, 0-based)
+    * and `__seq` (sequence ordinal). Docs longer than `budget` span
+    * multiple sequences; `__seq` is where they start.
+    */
+  def packSequences(df: DataFrame, idCol: String, stratumCol: String,
+                    tokensCol: String, budget: Long,
+                    salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", orderHash(col(idCol), salt))
+      .withColumn("__offset",
+        sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("__seq", floor(col("__offset") / lit(budget)))
+      .drop("__h")
+  }
+
   /** Keep, per stratum, the hash-ordered prefix of documents whose
     * running token total stays within that stratum's budget (strict:
     * the doc that would cross the budget is dropped). Strata absent

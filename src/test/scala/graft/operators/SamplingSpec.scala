@@ -121,6 +121,44 @@ class SamplingSpec extends SparkSpec {
     assert(base.forall { case (id, n) => grown.get(id).contains(n) })
   }
 
+  test("packSequences: offsets are the exact concat layout, seq = offset/budget") {
+    val df = mkDocs(corpus)
+    val got = Sampling.packSequences(df, "doc_id", "source", "n_tok",
+        100L, "p1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // reference: per stratum, md5-hash order, running offsets
+    val byStratum = got.groupBy(_._2)
+    byStratum.foreach { case (_, ds) =>
+      val sorted = ds.sortBy(d => (md5h("p1", d._1), d._1))
+      var off = 0L
+      sorted.foreach { case (id, _, nTok, offset, seq) =>
+        assert(offset == off, s"doc $id offset")
+        assert(seq == off / 100L, s"doc $id seq")
+        off += nTok
+      }
+    }
+    // deterministic + partition-invariant
+    val again = Sampling.packSequences(df.repartition(7), "doc_id",
+        "source", "n_tok", 100L, "p1")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(again == got.map(t => (t._1, t._4, t._5)).toSet)
+  }
+
+  test("packSequences: appends to one stratum never move another's docs") {
+    val base = Sampling.packSequences(mkDocs(corpus), "doc_id", "source",
+        "n_tok", 100L, "p1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // append docs only to src0
+    val appended = (1000L until 1030L).map(i => (i * 7 + 3, "src0", 10L))
+    val grown = Sampling.packSequences(mkDocs(corpus ++ appended), "doc_id",
+        "source", "n_tok", 100L, "p1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val untouched = corpus.filter(_._2 != "src0").map(_._1)
+    assert(untouched.nonEmpty &&
+      untouched.forall(id => grown(id) == base(id)))
+  }
+
   test("byWeight rejects non-finite and absurd weights loudly") {
     val df = mkDocs(corpus)
     for (bad <- Seq(Double.PositiveInfinity, Double.NaN, -0.5, 1e7))
