@@ -155,10 +155,14 @@ object Bench {
       s"SPARK_GRAFT_ONLY matched no queries: ${only.get.mkString(", ")}")
     // Per-task executor-run and JVM-GC time, accumulated across the whole
     // session; snapshotted around each run so a stalled run's nature shows
-    // up in the stderr log: wall >> task time = driver-side (planning /
-    // codegen / scheduling / external CPU contention), task time ~ wall *
-    // cores = genuine compute. Listener-bus delivery is async, so the
-    // attribution is approximate — fine for forensics, never in the JSON.
+    // up: wall >> task time = driver-side (planning / codegen /
+    // scheduling / external CPU contention), task time ~ wall * cores =
+    // genuine compute. Listener-bus delivery is async, so per-run
+    // attribution is approximate — good enough for the per-query MEDIANS
+    // emitted in the JSON (task_ms/gc_ms), which is what lets a reader
+    // classify a contended-host run without a re-run: host contention
+    // inflates wall while task-time medians stay near baseline; a real
+    // code regression moves both.
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
     val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
@@ -183,6 +187,8 @@ object Bench {
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val results = selected.map { case (name, fn) =>
       val times = Vector.newBuilder[Double]
+      val taskTimes = Vector.newBuilder[Double]
+      val gcTimes = Vector.newBuilder[Double]
       var failed = false
       var r = 0
       while (r < reps && !failed) {
@@ -192,6 +198,8 @@ object Bench {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
           times += dt
+          taskTimes += (taskMs.get() - task0).toDouble
+          gcTimes += (gcMs.get() - gc0).toDouble
           System.err.println(f"[bench] $name run${r + 1} wall=$dt%.2fs " +
             f"task=${(taskMs.get() - task0) / 1e3}%.2fs " +
             f"gc=${(gcMs.get() - gc0) / 1e3}%.2fs")
@@ -213,16 +221,22 @@ object Bench {
       // median absolute deviation: the per-query spread measure that a
       // one-off stall cannot inflate (unlike stddev)
       val mad = if (failed) -1.0 else med(ts.map(t => math.abs(t - median)))
-      name -> (median, mad, ts)
+      val taskMed = if (failed) -1.0 else med(taskTimes.result())
+      val gcMed = if (failed) -1.0 else med(gcTimes.result())
+      name -> ((median, mad, taskMed, gcMed, ts))
     }
-    val qs = results.map { case (k, (m, _, _)) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, (m, _, _, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val mads = results.map { case (k, (_, d, _)) => s"\"" + k + "\":" + d }
+    val mads = results.map { case (k, (_, d, _, _, _)) => s"\"" + k + "\":" + d }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, (_, _, ts)) =>
+    val taskJson = results.map { case (k, (_, _, t, _, _)) =>
+      s"\"" + k + "\":" + t }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, (_, _, _, g, _)) =>
+      s"\"" + k + "\":" + g }.mkString("{", ",", "}")
+    val runs = results.map { case (k, (_, _, _, _, ts)) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (m, _, _)) if m < 0 =>
+    val errs = results.collect { case (k, (m, _, _, _, _)) if m < 0 =>
       "\"" + k + "\"" }.mkString("[", ",", "]")
     // ---- delta vs the RECORDED per-query baseline ---------------------
     // BENCH_BASELINE.json (committed; re-recordable with
@@ -242,39 +256,59 @@ object Bench {
     // run, which is noise laundered as signal.
     val basePath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json"))
-    val baseline: Map[String, (Double, Double)] =
+    // baseline entry: (wall median, wall MAD, task-ms median or -1 when
+    // the baseline predates task recording)
+    val baseline: Map[String, (Double, Double, Double)] =
       if (java.nio.file.Files.isReadable(basePath)) {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(basePath))
         import scala.jdk.CollectionConverters._
         root.properties().asScala.map { e =>
+          val tm = Option(e.getValue.get("task_ms"))
+            .map(_.asDouble()).getOrElse(-1.0)
           e.getKey -> (e.getValue.get("median").asDouble(),
-            e.getValue.get("mad").asDouble())
+            e.getValue.get("mad").asDouble(), tm)
         }.toMap
       } else Map.empty
     val deltas = results.collect {
-      case (k, (m, _, _)) if m >= 0 && baseline.contains(k) =>
-        val (bm, _) = baseline(k)
+      case (k, (m, _, _, _, _)) if m >= 0 && baseline.contains(k) =>
+        val (bm, _, _) = baseline(k)
         k -> (if (bm > 0) (m - bm) / bm * 100.0 else 0.0)
     }
     val deltaJson = deltas
       .map { case (k, d) => "\"" + k + f"""\":$d%.1f""" }
       .mkString("{", ",", "}")
+    // Dual gate: a query flags only when BOTH clocks regress.
+    //  - wall: median beyond recorded + max(5 x BASELINE MAD, 15%, 50 ms).
+    //    The BASELINE MAD only — using the current run's MAD let a real
+    //    regression that also inflates per-rep jitter widen its own
+    //    tolerance and self-mask (r9 advice).
+    //  - task: executor task-time median beyond recorded + max(15%,
+    //    250 ms of aggregate task time). Host contention (the r9 driver
+    //    run's 18 phantom flags) inflates wall via scheduling delay
+    //    while per-task compute stays near baseline; a real code
+    //    regression does the work on the executors and moves both.
+    //    Baselines without task_ms (or streaming gates whose work is
+    //    mostly off the task clock: task median < 10% of wall) keep the
+    //    wall-only gate — for those, task time can't witness either way.
     val regressions = results.collect {
-      case (k, (m, d, _)) if m >= 0 && baseline.contains(k) &&
-        m > baseline(k)._1 + math.max(5 * math.max(baseline(k)._2, d),
-          math.max(0.15 * baseline(k)._1, 0.05)) => "\"" + k + "\""
+      case (k, (m, d, tm, _, _)) if m >= 0 && baseline.contains(k) &&
+        m > baseline(k)._1 + math.max(5 * baseline(k)._2,
+          math.max(0.15 * baseline(k)._1, 0.05)) &&
+        (baseline(k)._3 < 0 || baseline(k)._3 < 0.1 * baseline(k)._1 * 1000 ||
+          tm > baseline(k)._3 + math.max(0.15 * baseline(k)._3, 250.0))
+        => "\"" + k + "\""
     }.mkString("[", ",", "]")
     if (sys.env.contains("SPARK_GRAFT_RECORD_BASELINE")) {
       // a partial baseline would permanently exempt the failed queries
       // from regression gating (the delta gate requires a recorded
       // entry) — refuse rather than silently losing coverage
-      val failedQs = results.collect { case (k, (m, _, _)) if m < 0 => k }
+      val failedQs = results.collect { case (k, (m, _, _, _, _)) if m < 0 => k }
       require(failedQs.isEmpty,
         s"refusing to record a baseline with failed queries: " +
           failedQs.mkString(", "))
-      val body = results.map { case (k, (m, d, _)) =>
-        s"""  "$k": {"median": $m, "mad": $d}""" }
+      val body = results.map { case (k, (m, d, tm, g, _)) =>
+        s"""  "$k": {"median": $m, "mad": $d, "task_ms": $tm, "gc_ms": $g}""" }
         .mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.writeString(basePath, body)
       System.err.println(s"[bench] recorded baseline -> $basePath")
@@ -289,8 +323,9 @@ object Bench {
     // medians — so a tail-truncated capture still keeps every number
     // that is graded; the per-run times are stderr forensics (they are
     // also echoed per-run above as they happen)
-    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"baseline_delta_pct":$deltaJson,"regressions":$regressions}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions}""")
     System.err.println(s"""[bench] runs: $runs""")
+    SparkEntry.dropCachedIndexes(spark)
     spark.stop()
   }
 }

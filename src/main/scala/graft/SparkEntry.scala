@@ -45,6 +45,44 @@ object SparkEntry {
   private def idxTag(s: SparkSession, d: String): String =
     (s.sparkContext.applicationId + "_" + d).replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Drop every memoized index table and delete its backing /tmp
+    * directory, then forget the handles. Verify/Bench call this before
+    * `spark.stop()` so harness processes never orphan corpus-sized
+    * index directories under java.io.tmpdir. */
+  def dropCachedIndexes(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    def gone(tables: Seq[String], path: String): Unit = {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(path))
+    }
+    incIdxCache.values.asScala.foreach(i =>
+      gone(Seq(i.bandsTable, i.shinglesTable), i.path))
+    ivfIdxCache.values.asScala.foreach(i =>
+      gone(Seq(i.corpusTable, i.centroidsTable), i.path))
+    embIdxCache.values.asScala.foreach(i =>
+      gone(Seq(i.bandsTable, i.vectorsTable), i.path))
+    exactIdxCache.values.asScala.foreach(i => gone(Seq(i.fpTable), i.path))
+    Seq(incIdxCache, ivfIdxCache, embIdxCache, exactIdxCache)
+      .foreach(_.clear())
+  }
+
+  // orphan guard for every OTHER consumer (specs, shell probes, a
+  // harness that dies mid-run): at JVM exit, delete the cached handles'
+  // backing directories. File-only (no Spark calls — the session and
+  // its in-memory catalog are already dying with the JVM), best-effort
+  // by FsUtil contract.
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      (incIdxCache.values.asScala.map(_.path) ++
+        ivfIdxCache.values.asScala.map(_.path) ++
+        embIdxCache.values.asScala.map(_.path) ++
+        exactIdxCache.values.asScala.map(_.path))
+        .foreach(p => graft.util.FsUtil.deleteRecursively(
+          java.nio.file.Paths.get(p)))
+    }, "graft-index-cleanup"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- engine-level: pipeline chain, mappers, expression language ----

@@ -51,6 +51,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the index-backed gates memoize corpus-sized /tmp tables for the
+    // session's lifetime — drop them so repeated harness runs don't
+    // accrete orphaned index directories
+    SparkEntry.dropCachedIndexes(spark)
     spark.stop()
   }
 }

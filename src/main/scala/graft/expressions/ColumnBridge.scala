@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge to Spark's private[sql] Column <-> Expression conversions
@@ -12,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rebind a frame's logical plan to `session` (typically a
+    * `newSession()` clone sharing the SparkContext and catalog but with
+    * ISOLATED SQLConf), so an operator can plan/execute under temporary
+    * conf overrides without ever mutating the caller's session — a
+    * concurrent query on the original session can never observe the
+    * overrides. */
+  def inSession(session: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.logical)
 }

@@ -378,10 +378,14 @@ case class SqDot(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("sqDotExpr", this, classOf[SqDot].getName)
+    // fresh local name: a fixed `r` collides (janino compile failure ->
+    // silent interpreted fallback) if two SqDot expressions land in the
+    // same generated function scope
+    val r = ctx.freshName("sqDotRes")
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Object r = $self.compute($a.toDoubleArray(), $b);
-         |${ev.isNull} = (r == null);
-         |${ev.value} = ${ev.isNull} ? -1.0 : ((Double) r).doubleValue();""".stripMargin
+      s"""Object $r = $self.compute($a.toDoubleArray(), $b);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : ((Double) $r).doubleValue();""".stripMargin
     })
   }
 

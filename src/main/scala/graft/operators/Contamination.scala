@@ -98,24 +98,21 @@ object Contamination {
     // confs runtime.bloomFilter.maxNumItems (default 4e6) and
     // .maxNumBits (default 64 Mi) — left alone, a caller sizing for a
     // larger benchmark would get a sketch whose fpp quietly explodes
-    // and a prune that passes the whole corpus. Raise the caps to OUR
-    // requested sizes for the build, restore the caller's values after.
-    val sp = benchmark.sparkSession
-    val confKeys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
-        expectedItems.toString,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
-        numBits.toString)
-    val saved = confKeys.map { case (k, _) => k -> sp.conf.getOption(k) }
-    val bin =
-      try {
-        confKeys.foreach { case (k, v) => sp.conf.set(k, v) }
-        benchShinglesRaw.select(bloomAgg.as("bf"))
-          .head().getAs[Array[Byte]](0)
-      } finally saved.foreach {
-        case (k, Some(v)) => sp.conf.set(k, v)
-        case (k, None)    => sp.conf.unset(k)
-      }
+    // and a prune that passes the whole corpus. The caps are raised in a
+    // CLONED session (shared SparkContext/catalog, isolated SQLConf) and
+    // the sketch plan rebound there, so the caller's session conf is
+    // never touched — a concurrent query planned on the original
+    // session during the (eager) build cannot observe the override.
+    val scoped = benchmark.sparkSession.newSession()
+    scoped.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      expectedItems.toString)
+    scoped.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      numBits.toString)
+    val bin = ColumnBridge.inSession(scoped,
+        benchShinglesRaw.select(bloomAgg.as("bf")))
+      .head().getAs[Array[Byte]](0)
 
     val corpusShingles = shingles(corpus, id, text, n)
     val out =

@@ -363,15 +363,19 @@ object Similarity {
     *
     * Computed as one left-outer join + one aggregate over the exact
     * pairs — the exact plan is evaluated once here (not once per side of
-    * a hits/total split). Zero hits certify as `false`, not null. */
+    * a hits/total split). An EMPTY exact set certifies `false`, not
+    * null: 0/0 divides to null, and `false AND null = false` makes the
+    * vacuous certificate an explicit failure instead of an ambiguous
+    * three-valued pass-through. */
   def recallCertificate(exact: DataFrame, approx: DataFrame,
                         floor: Double): DataFrame = {
     val hits = approx.select(col("qid"), col("cid"))
       .withColumn("__hit", lit(1L))
     exact.select(col("qid"), col("cid"))
       .join(hits, Seq("qid", "cid"), "left_outer")
-      .agg((coalesce(sum(col("__hit")), lit(0L)) / count(lit(1))
-        >= lit(floor)).as("recall_ok"))
+      .agg((count(lit(1)) > lit(0L) &&
+        coalesce(sum(col("__hit")), lit(0L)) / count(lit(1))
+          >= lit(floor)).as("recall_ok"))
   }
 
   /** Banding parameters for a target per-pair miss probability at the
