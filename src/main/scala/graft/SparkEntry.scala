@@ -40,6 +40,11 @@ object SparkEntry {
   private val exactIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ExactIndex]()
 
+  // committed fixture of real PNG/BMP bytes + draw-time ground truth
+  // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
+  // both sides of q_multimodal_decode, so one definition
+  private val imageFixturePath = "/root/repo/fixtures/images.parquet"
+
   // the sanitation rule is load-bearing for table-name collision safety
   // — one definition, used by every index-backed gate
   private def idxTag(s: SparkSession, d: String): String =
@@ -1131,13 +1136,14 @@ object SparkEntry {
       Multimodal.payloadMeta(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Full decode path through the typed mapPartitions stage. The stub
-    // codec derives its features deterministically from the payload bytes
-    // (length / md5 / byte mean / frame cadence), and the testdata text is
-    // ASCII, so the whole pipeline — including the mapPartitions hop — is
-    // SQL-oracle-expressible: the byte mean is a single IEEE division of
-    // two exact integers, bit-identical in both engines (no rounding).
-    "q_multimodal_decode" -> ((s, d) => {
+    // Byte-stream feature path through the typed mapPartitions stage (the
+    // non-image codec stub). Features derive deterministically from the
+    // payload bytes (length / md5 / byte mean / frame cadence), and the
+    // testdata text is ASCII, so the whole pipeline — including the
+    // mapPartitions hop — is SQL-oracle-expressible: the byte mean is a
+    // single IEEE division of two exact integers, bit-identical in both
+    // engines (no rounding).
+    "q_multimodal_features" -> ((s, d) => {
       implicit val ss: SparkSession = s
       Multimodal.extractFeatures(
           Multimodal.asMediaRecords(docs(s, d), "doc_id", "text"))
@@ -1146,6 +1152,29 @@ object SparkEntry {
           col("contentHash").as("content_hash"),
           col("meanByte").as("mean_byte"),
           col("frameCount").cast("bigint").as("frame_count"))
+        .orderBy("id")
+    }),
+
+    // REAL image decode (javax.imageio) over the committed fixture of
+    // actual PNG/BMP bytes: decoded width/height/mean-pixel must match
+    // the ground truth recorded AT DRAW TIME — a decode that does not
+    // parse the container cannot reproduce them (lossless roundtrip).
+    // Rows 48-52 are non-image / truncated payloads pinning the
+    // decoded=false degradation (a corrupt record fails the row, never
+    // the stage). Fixture-bound, so invariant across sf — it gates the
+    // codec, not the corpus; the mapPartitions plumbing at corpus scale
+    // is q_multimodal_features.
+    "q_multimodal_decode" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(imageFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeImages(recs).toDF()
+        .select(col("id"), col("decoded"), col("width"), col("height"),
+          col("meanPixel").as("mean_pixel"))
         .orderBy("id")
     }),
 
@@ -2101,7 +2130,7 @@ object SparkEntry {
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_multimodal_decode" ->
+    "q_multimodal_features" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
         |ch AS (SELECT doc_id, ord(substr(text, i, 1)) AS o
         |       FROM d, unnest(range(1, n + 1)) AS t(i)),
@@ -2112,6 +2141,17 @@ object SparkEntry {
         |       coalesce(m.mean_byte, 0.0) AS mean_byte,
         |       least(greatest((d.n + 63) // 64, 1), 32)::BIGINT AS frame_count
         |FROM d LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // decoded values vs the fixture's draw-time ground truth: the oracle
+    // never decodes — it reads the expected_* columns the generator
+    // computed from the pixel values it set, so agreement proves the
+    // Spark side actually parsed the image bytes
+    "q_multimodal_decode" ->
+      s"""SELECT id, expected_decoded AS decoded,
+        |       expected_width AS width, expected_height AS height,
+        |       expected_mean AS mean_pixel
+        |FROM read_parquet('$imageFixturePath/*.parquet')
+        |ORDER BY id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),

@@ -124,4 +124,68 @@ class MultimodalSpec extends SparkSpec {
       assert(meta(f.id) == ((f.nBytes, f.contentHash)))
     }
   }
+
+  test("real image decode: PNG/BMP encode->decode roundtrip recovers " +
+      "draw-time dims and mean exactly; garbage degrades to decoded=false") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // fresh images generated HERE (not the committed fixture): dims and
+    // mean are known from the draw loop, so the assertion holds against
+    // the codec alone
+    val imgs = (0 until 12).map { i =>
+      val w = 5 + i * 3
+      val h = 4 + i * 2
+      val fmt = if (i % 2 == 0) "png" else "bmp"
+      val (bytes, mean) = graft.tools.ImageFixture.makeImage(i, w, h, fmt)
+      (Multimodal.MediaRecord(i.toLong, bytes, s"image/$fmt", 0, 0),
+        (w, h, mean))
+    }
+    val bad = Seq(
+      Multimodal.MediaRecord(100L, "definitely not an image".getBytes, "x", 0, 0),
+      Multimodal.MediaRecord(101L,
+        java.util.Arrays.copyOf(imgs.head._1.payload, 16), "image/png", 0, 0),
+      Multimodal.MediaRecord(102L, Array.emptyByteArray, "x", 0, 0))
+    val ds = s.createDataset(imgs.map(_._1) ++ bad).repartition(3)
+    val out = Multimodal.decodeImages(ds).collect().map(f => f.id -> f).toMap
+    imgs.foreach { case (rec, (w, h, mean)) =>
+      val f = out(rec.id)
+      assert(f.decoded, s"image ${rec.id} failed to decode")
+      assert(f.width == w && f.height == h,
+        s"image ${rec.id}: got ${f.width}x${f.height}, drew ${w}x$h")
+      // lossless formats roundtrip pixels exactly -> identical long sum
+      // -> identical single IEEE division
+      assert(f.meanPixel == mean,
+        s"image ${rec.id}: mean ${f.meanPixel} != drawn $mean")
+      assert(f.nBytes == rec.payload.length)
+    }
+    bad.foreach { rec =>
+      val f = out(rec.id)
+      assert(!f.decoded && f.width == 0 && f.height == 0 &&
+        f.meanPixel == -1.0, s"bad payload ${rec.id} did not degrade")
+    }
+  }
+
+  test("committed image fixture matches its recorded ground truth") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val fx = s.read.parquet("/root/repo/fixtures/images.parquet")
+    val expected = fx.select("id", "expected_decoded", "expected_width",
+        "expected_height", "expected_mean").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(expected.size == 53)
+    assert(expected.values.count(_._1) == 48)
+    val recs = fx.select(col("id"), col("payload"),
+        col("media_type").as("mediaType"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRecord]
+    val out = Multimodal.decodeImages(recs).collect()
+    assert(out.length == 53)
+    out.foreach { f =>
+      val (dec, w, h, mean) = expected(f.id)
+      assert(f.decoded == dec, s"fixture ${f.id}: decoded=${f.decoded}")
+      assert(f.width == w && f.height == h, s"fixture ${f.id} dims")
+      assert(f.meanPixel == mean, s"fixture ${f.id} mean")
+    }
+  }
 }
