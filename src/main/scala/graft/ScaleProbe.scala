@@ -338,12 +338,18 @@ object ScaleProbe {
         else null
 
       val ivfIdx =
-        if (wanted("knn_ivf_indexed")) {
+        if (wanted("knn_ivf_indexed") || wanted("knn_ivf_extend")) {
           val path = java.nio.file.Files
             .createTempDirectory(s"graft-probe-ivf-$k").toString
           Similarity.buildIvfIndex(emb, "vec_id", "embedding",
             ivfCents, "vec_id", "embedding", s"probe_ivf_idx_$k", path)
         } else null
+      // fixed-size fold-in delta (250 re-keyed vectors) against the
+      // k-fold index: assignment + append are O(delta) by design, so
+      // the fold wall must stay ~flat as the indexed corpus decades up
+      val ivfDelta = engine.Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") < 250)
+        .select((col("vec_id") + 950000000L).as("vec_id"), col("embedding"))
 
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
@@ -388,6 +394,12 @@ object ScaleProbe {
         "knn_ivf_indexed" -> (() =>
           Similarity.ivfKnnFromIndex(spark, ivfQueries, "vec_id",
             "embedding", ivfIdx, 3).count()),
+        // MUTATES ivfIdx (appends the delta), so it sits after the
+        // indexed probe in run order; each decade rebuilds the index
+        "knn_ivf_extend" -> (() => {
+          Similarity.extendIvfIndex(ivfDelta, "vec_id", "embedding", ivfIdx)
+          ivfDelta.count()
+        }),
         "agg_constant_groups" -> (() =>
           li.groupBy("l_returnflag", "l_linestatus")
             .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))

@@ -39,6 +39,11 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.EmbeddingIndex]()
   private val exactIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ExactIndex]()
+  // built-on-subset-then-folded variant (q_knn_ivf_extended): separate
+  // cache from ivfIdxCache because the fold MUTATES the corpus table —
+  // sharing a handle would double-fold on interleaved invocations
+  private val extIvfIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex]()
 
   // committed fixture of real PNG/BMP bytes + draw-time ground truth
   // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
@@ -62,13 +67,13 @@ object SparkEntry {
     }
     incIdxCache.values.asScala.foreach(i =>
       gone(Seq(i.bandsTable, i.shinglesTable), i.path))
-    ivfIdxCache.values.asScala.foreach(i =>
+    (ivfIdxCache.values.asScala ++ extIvfIdxCache.values.asScala).foreach(i =>
       gone(Seq(i.corpusTable, i.centroidsTable), i.path))
     embIdxCache.values.asScala.foreach(i =>
       gone(Seq(i.bandsTable, i.vectorsTable), i.path))
     exactIdxCache.values.asScala.foreach(i => gone(Seq(i.fpTable), i.path))
-    Seq(incIdxCache, ivfIdxCache, embIdxCache, exactIdxCache)
-      .foreach(_.clear())
+    Seq(incIdxCache, ivfIdxCache, extIvfIdxCache, embIdxCache,
+      exactIdxCache).foreach(_.clear())
   }
 
   // orphan guard for every OTHER consumer (specs, shell probes, a
@@ -81,6 +86,7 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       (incIdxCache.values.asScala.map(_.path) ++
         ivfIdxCache.values.asScala.map(_.path) ++
+        extIvfIdxCache.values.asScala.map(_.path) ++
         embIdxCache.values.asScala.map(_.path) ++
         exactIdxCache.values.asScala.map(_.path))
         .foreach(p => graft.util.FsUtil.deleteRecursively(
@@ -791,6 +797,32 @@ object SparkEntry {
           e.where(col("vec_id") < 10), "vec_id", "embedding",
           s"graft_ivf_idx_$tag",
           s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-$tag"))
+      Similarity.ivfKnnFromIndex(s,
+          e.where(col("vec_id").between(100, 104)),
+          "vec_id", "embedding", idx, 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // incremental IVF: the index is built over 3/4 of the corpus, the
+    // remaining quarter folds in via extendIvfIndex (assignment against
+    // the PERSISTED centroids, O(delta) appended files). Queries over
+    // the folded index must equal full-corpus IVF at the same centroids
+    // — the oracle is the very same ivfSql as q_knn_ivf/_indexed, so the
+    // gate fails if the fold drops, duplicates, or mis-assigns a single
+    // delta vector that the probed cells should see.
+    "q_knn_ivf_extended" -> ((s, d) => {
+      val e = emb(s, d)
+      val tag = idxTag(s, d)
+      val idx = extIvfIdxCache.computeIfAbsent(tag, _ => {
+        val i = Similarity.buildIvfIndex(
+          e.where(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding",
+          s"graft_ivfx_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-ivfx-idx-$tag")
+        Similarity.extendIvfIndex(e.where(col("vec_id") % 4 === 3),
+          "vec_id", "embedding", i)
+        i
+      })
       Similarity.ivfKnnFromIndex(s,
           e.where(col("vec_id").between(100, 104)),
           "vec_id", "embedding", idx, 3)
@@ -2055,6 +2087,10 @@ object SparkEntry {
 
     // identical semantics through the persisted cell-partitioned index
     "q_knn_ivf_indexed" -> ivfSql,
+
+    // fold-in equivalence: subset-build + extend must equal full-corpus
+    // IVF at the same centroids, so the oracle is ivfSql unchanged
+    "q_knn_ivf_extended" -> ivfSql,
 
     // The trained-IVF gate emits exhaustive-probe (= exact) rows plus a
     // deterministic recall certificate for the pruned nProbe=4 probe, so

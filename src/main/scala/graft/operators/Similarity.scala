@@ -164,6 +164,30 @@ object Similarity {
     idx
   }
 
+  /** Fold a delta of NEW vectors into a persisted IVF index: assign each
+    * delta vector to its nearest EXISTING centroid (read from the
+    * index's centroid table — centroids are immutable after build, the
+    * faiss IVF contract: fold-ins shift cell occupancy, never geometry)
+    * and append to the cell-partitioned corpus table, repeating the
+    * partition spec but NOT the path — the same append discipline as the
+    * dedup indexes' `extend*`. Each fold writes files only under the
+    * cells the delta actually lands in, so fold-in cost is O(delta),
+    * not O(index), and the result is identical to a from-scratch build
+    * over corpus ∪ delta at the same centroids (spec- and gate-pinned).
+    * Single-writer contract; caller contract: delta ids disjoint from
+    * indexed ids. */
+  def extendIvfIndex(delta: DataFrame, id: String, vec: String,
+                     idx: IvfIndex): Unit = {
+    val spark = delta.sparkSession
+    val cents = spark.table(idx.centroidsTable)
+    assignCells(delta, id, vec, cents, "cell", "centroid")
+      .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .format("parquet").saveAsTable(idx.corpusTable)
+  }
+
   /** IVF ANN against a persisted index: identical results to [[ivfKnn]]
     * over the same centroids (spec-pinned), but the corpus scan is
     * PARTITION-PRUNED to the probed cells — the query batch's probe

@@ -47,4 +47,52 @@ class IvfIndexSpec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS ${idx.centroidsTable}")
     }
   }
+
+  test("extendIvfIndex fold-in equals a from-scratch build at the same centroids") {
+    val s = spark
+    val emb = Tables.embeddings(s, sf())
+    val cents = emb.where(col("vec_id") < 10)
+    val queries = emb.where(col("vec_id").between(100, 104))
+    val corpus = emb.where(col("vec_id") % 4 =!= 3)
+    val delta = emb.where(col("vec_id") % 4 === 3)
+    val full = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", "ivf_spec_full",
+      java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString)
+    val folded = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", "ivf_spec_folded",
+      java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString)
+    try {
+      Similarity.extendIvfIndex(delta, "vec_id", "embedding", folded)
+      // row-level equivalence of the two physical indexes, not just of
+      // one probe's top-k: every (cid, cell) must agree
+      val a = s.table(full.corpusTable).select("cid", "cell")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = s.table(folded.corpusTable).select("cid", "cell")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"fold-in index differs from scratch build " +
+        s"(${a.size} vs ${b.size} rows)")
+      // and probe parity at both probe widths
+      for (nProbe <- Seq(1, 4)) {
+        val fr = rows(Similarity.ivfKnnFromIndex(s, queries, "vec_id",
+          "embedding", full, 3, nProbe))
+        val xr = rows(Similarity.ivfKnnFromIndex(s, queries, "vec_id",
+          "embedding", folded, 3, nProbe))
+        assert(xr == fr, s"nProbe=$nProbe fold-in probe mismatch")
+      }
+      // post-fold recall certificate: the folded index's pruned probe
+      // recalls enough of brute-force truth to certify at the gate floor
+      val exact = Similarity.bruteForceKnn(queries, emb, "vec_id",
+        "embedding", 3)
+      val approx = Similarity.ivfKnnFromIndex(s, queries, "vec_id",
+        "embedding", folded, 3, nProbe = 4)
+      val ok = Similarity.recallCertificate(exact, approx, 0.3)
+        .collect()(0).getBoolean(0)
+      assert(ok, "post-fold recall certificate failed at floor 0.3")
+    } finally {
+      for (i <- Seq(full, folded)) {
+        s.sql(s"DROP TABLE IF EXISTS ${i.corpusTable}")
+        s.sql(s"DROP TABLE IF EXISTS ${i.centroidsTable}")
+      }
+    }
+  }
 }
