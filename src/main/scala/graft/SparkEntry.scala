@@ -981,6 +981,19 @@ object SparkEntry {
           col("__offset"), col("__seq"))
         .orderBy("doc_id")),
 
+    // covering slices over the same packing: one row per (doc, seq)
+    // intersection with doc-relative start/len — boundary docs emit one
+    // slice per spanned sequence, so per-doc lens sum to n_tok and
+    // per-seq lens sum to the 2048 budget except each stratum's tail
+    // (slice-algebra invariants pinned in SamplingSpec; the oracle
+    // re-derives every slice in SQL)
+    "q_pack_slices" -> ((s, d) =>
+      graft.operators.Sampling.explodePackedSlices(
+          docs(s, d).select(col("doc_id"), col("source"),
+            TF.tokenCount(col("text")).cast("bigint").as("n_tok")),
+          "doc_id", "source", "n_tok", 2048L, salt = "pack1")
+        .orderBy("doc_id", "seq")),
+
     // benchmark decontamination: docs sharing an 8-gram with the
     // "benchmark" (doc_id < 10 as a stand-in eval set)
     "q_decontaminate" -> ((s, d) => {
@@ -2020,6 +2033,27 @@ object SparkEntry {
          |SELECT doc_id, source, n_tok, __offset,
          |       (__offset // 2048)::BIGINT AS __seq
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_slices" ->
+      s"""WITH $tokCte,
+         |tt AS (SELECT doc_id, source, len(tk)::BIGINT AS n_tok,
+         |              ('0x' || substr(md5('pack1' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+         |       FROM t JOIN documents USING (doc_id)),
+         |c AS (SELECT tt.*,
+         |             ((sum(n_tok) OVER (PARTITION BY source
+         |                                ORDER BY h, doc_id
+         |                                ROWS UNBOUNDED PRECEDING))
+         |              - n_tok)::BIGINT AS off
+         |      FROM tt),
+         |sl AS (SELECT source, doc_id, n_tok, off, s.seq::BIGINT AS seq
+         |       FROM c, unnest(range(off // 2048,
+         |                            (off + n_tok - 1) // 2048 + 1)) AS s(seq)
+         |       WHERE n_tok > 0)
+         |SELECT source, seq, doc_id,
+         |       greatest(seq * 2048 - off, 0)::BIGINT AS tok_start,
+         |       (least((seq + 1) * 2048 - off, n_tok)
+         |        - greatest(seq * 2048 - off, 0))::BIGINT AS tok_len
+         |FROM sl ORDER BY doc_id, seq""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
 

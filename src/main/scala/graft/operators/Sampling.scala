@@ -122,6 +122,39 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Covering slices for a packed corpus — what a shard writer actually
+    * materializes. [[packSequences]] locates each doc's starting offset,
+    * but a doc whose tokens span a cut contributes to SEVERAL
+    * sequences; this emits one row per (doc, sequence) intersection:
+    * `(stratum, seq, id, tok_start, tok_len)` with `tok_start`/`tok_len`
+    * DOC-RELATIVE (the writer re-slices the doc's own token array
+    * locally — token content never crosses a shuffle, the passage-dedup
+    * discipline). Union of slices covers every sequence exactly: per
+    * doc the slice lengths sum to its token count, per sequence they
+    * sum to `budget` (except each stratum's tail sequence).
+    *
+    * Zero-token docs occupy no tokens and emit no slice.
+    *
+    * Scale shape: packSequences' one shuffle + window, then a row-local
+    * explode with multiplicity `1 + floor((start%budget + n-1)/budget)`
+    * — output rows ~ total_tokens/budget + docs, both linear. */
+  def explodePackedSlices(df: DataFrame, idCol: String, stratumCol: String,
+                          tokensCol: String, budget: Long,
+                          salt: String = "graft"): DataFrame = {
+    packSequences(df, idCol, stratumCol, tokensCol, budget, salt)
+      .where(col(tokensCol) > 0L)
+      .withColumn("__last",
+        floor((col("__offset") + col(tokensCol) - 1L) / lit(budget)))
+      .withColumn("seq", explode(sequence(col("__seq"), col("__last"))))
+      .withColumn("tok_start",
+        greatest(col("seq") * lit(budget) - col("__offset"), lit(0L)))
+      .withColumn("tok_len",
+        least((col("seq") + 1L) * lit(budget) - col("__offset"),
+          col(tokensCol)) - col("tok_start"))
+      .select(col(stratumCol), col("seq"), col(idCol),
+        col("tok_start"), col("tok_len"))
+  }
+
   /** Keep, per stratum, the hash-ordered prefix of documents whose
     * running token total stays within that stratum's budget (strict:
     * the doc that would cross the budget is dropped). Strata absent

@@ -159,6 +159,45 @@ class SamplingSpec extends SparkSpec {
       untouched.forall(id => grown(id) == base(id)))
   }
 
+  test("explodePackedSlices: slices cover every sequence exactly") {
+    // include docs longer than the budget (span 2+ cuts) and a
+    // zero-token doc (must emit nothing)
+    val docs = corpus ++ Seq((9001L, "src0", 250L), (9002L, "src1", 0L))
+    val budget = 100L
+    val slices = Sampling.explodePackedSlices(mkDocs(docs), "doc_id",
+        "source", "n_tok", budget, "p1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nTok = docs.map(d => d._1 -> d._3).toMap
+    // zero-token doc emits no slice
+    assert(!slices.exists(_._3 == 9002L))
+    // per-doc: slice lengths sum to n_tok, starts tile [0, n_tok)
+    slices.groupBy(_._3).foreach { case (id, ss) =>
+      assert(ss.map(_._5).sum == nTok(id), s"doc $id slice-len sum")
+      val tiled = ss.sortBy(_._2)
+      assert(tiled.head._4 == 0L, s"doc $id first slice start")
+      tiled.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2 + 1, s"doc $id non-adjacent seqs")
+          assert(b._4 == a._4 + a._5, s"doc $id slice gap/overlap")
+        case _ =>
+      }
+      assert(ss.forall(s => s._5 > 0), s"doc $id empty slice")
+    }
+    // per-(stratum, seq): lengths sum to budget, except the tail seq
+    slices.groupBy(s => (s._1, s._2)).foreach { case ((src, seq), ss) =>
+      val tail = slices.filter(_._1 == src).map(_._2).max
+      val total = ss.map(_._5).sum
+      if (seq < tail) assert(total == budget, s"($src,$seq) sum $total")
+      else assert(total <= budget && total > 0, s"($src,$seq) tail $total")
+    }
+    // stratum token conservation: all slices of a stratum sum to its
+    // corpus token count
+    slices.groupBy(_._1).foreach { case (src, ss) =>
+      assert(ss.map(_._5).sum == docs.filter(_._2 == src).map(_._3).sum)
+    }
+  }
+
   test("byWeight rejects non-finite and absurd weights loudly") {
     val df = mkDocs(corpus)
     for (bad <- Seq(Double.PositiveInfinity, Double.NaN, -0.5, 1e7))
