@@ -489,6 +489,87 @@ object Dedup {
     write(sh, idx.shinglesTable, "doc")
   }
 
+  /** Copy a bucketed table into a one-file-per-bucket layout under a
+    * new name/path. The pre-write `repartition(numBuckets, key)` is the
+    * load-bearing step: repartition's hash partitioning and the bucket
+    * id function are the same murmur3-mod-n, so each task holds exactly
+    * one bucket's rows and writes exactly one file.
+    *
+    * The source is read as RAW parquet from `fromPath`, NOT via
+    * `spark.table`: a catalog read advertises the bucket distribution,
+    * which lets the planner elide the repartition as redundant — and
+    * since nothing downstream exploits bucketing, the bucketed scan
+    * itself is then disabled (DisableUnnecessaryBucketedScan), leaving
+    * split-based tasks that each write a file per bucket they hold:
+    * exactly the accretion being compacted away (measured: 102 files
+    * instead of 32). The raw read has no claimed distribution, so the
+    * exchange survives. */
+  private def copyBucketed(spark: org.apache.spark.sql.SparkSession,
+                           fromPath: String, to: String, path: String,
+                           numBuckets: Int, key: String): Unit =
+    spark.read.parquet(fromPath)
+      .repartition(numBuckets, col(key))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet").saveAsTable(to)
+
+  /** Compact a many-times-extended MinHash index: every `extend*` fold
+    * appends one file per (bucket, task) slice, so a long-lived index
+    * accretes small files per bucket until open/seek cost dominates the
+    * probe. Compaction rewrites both tables to ONE file per bucket
+    * under a NEW name/path and returns the new handle — blue/green by
+    * design: the old index stays readable (single-writer contract as
+    * for extends) until the caller drops it, so probes never race a
+    * rewrite. Pairs output is identical (spec-pinned: same rows, ~1
+    * file per bucket asserted). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   idx: DedupIndex, name: String, path: String): DedupIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = DedupIndex(name, path, idx.n, idx.numPerms, idx.rowsPerBand,
+      idx.numBuckets)
+    copyBucketed(spark, s"${idx.path}/${idx.bandsTable}", out.bandsTable,
+      s"$path/${out.bandsTable}", idx.numBuckets, "bkey")
+    copyBucketed(spark, s"${idx.path}/${idx.shinglesTable}",
+      out.shinglesTable, s"$path/${out.shinglesTable}", idx.numBuckets,
+      "doc")
+    out
+  }
+
+  /** Compact an extended exact-fingerprint index — same blue/green
+    * contract as [[compactIndex]]. */
+  def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
+                        idx: ExactIndex, name: String,
+                        path: String): ExactIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = ExactIndex(name, path, idx.numBuckets)
+    copyBucketed(spark, s"${idx.path}/${idx.fpTable}", out.fpTable,
+      s"$path/${out.fpTable}", idx.numBuckets, "fp")
+    out
+  }
+
+  /** Compact an extended embedding index — same blue/green contract as
+    * [[compactIndex]]. */
+  def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                            idx: EmbeddingIndex, name: String,
+                            path: String): EmbeddingIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = EmbeddingIndex(name, path, idx.dim, idx.bitsPerBand,
+      idx.numBands, idx.threshold, idx.numBuckets)
+    copyBucketed(spark, s"${idx.path}/${idx.bandsTable}", out.bandsTable,
+      s"$path/${out.bandsTable}", idx.numBuckets, "bkey")
+    copyBucketed(spark, s"${idx.path}/${idx.vectorsTable}",
+      out.vectorsTable, s"$path/${out.vectorsTable}", idx.numBuckets,
+      "vid")
+    out
+  }
+
   /** Batch MinHash dedup over MATERIALIZED signatures: the whole-corpus
     * analogue of [[pairsAgainstIndex]], and the 100 TB answer to
     * `persistShingles` — instead of caching shingle/signature tables in

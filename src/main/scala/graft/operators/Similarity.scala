@@ -188,6 +188,32 @@ object Similarity {
       .format("parquet").saveAsTable(idx.corpusTable)
   }
 
+  /** Compact a many-times-extended IVF index: each fold appends one
+    * small file per touched cell directory; compaction rewrites the
+    * corpus table to one file per cell under a NEW name/path (the
+    * pre-write `repartition(col("cell"))` co-locates each cell in one
+    * task) and copies the centroids verbatim. Blue/green like the dedup
+    * compactions: the old index stays probe-able until the caller drops
+    * it. Probe results are identical (spec-pinned). */
+  def compactIvfIndex(spark: SparkSession, idx: IvfIndex, name: String,
+                      path: String): IvfIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = IvfIndex(name, path)
+    spark.table(idx.centroidsTable)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/${out.centroidsTable}")
+      .format("parquet").saveAsTable(out.centroidsTable)
+    spark.table(idx.corpusTable)
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .option("path", s"$path/${out.corpusTable}")
+      .format("parquet").saveAsTable(out.corpusTable)
+    out
+  }
+
   /** IVF ANN against a persisted index: identical results to [[ivfKnn]]
     * over the same centroids (spec-pinned), but the corpus scan is
     * PARTITION-PRUNED to the probed cells — the query batch's probe

@@ -262,4 +262,112 @@ class IncrementalDedupSpec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
     }
   }
+
+  private def parquetFiles(s: org.apache.spark.sql.SparkSession,
+                           table: String): Seq[java.nio.file.Path] = {
+    val loc = s.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(_.getString(0).trim == "Location").get.getString(1).trim
+      .stripPrefix("file:")
+    graft.util.FsUtil.listFiles(java.nio.file.Paths.get(loc), ".parquet")
+  }
+
+  test("compactIndex: identical pairs, one file per bucket after many folds") {
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val corpus = all.where(col("doc_id") % 8 < 4)
+    val idx = Dedup.buildIndex(corpus, "doc_id", "text", "inc_spec_cp",
+      tmpPath())
+    var out: DedupIndex = null
+    try {
+      // three folds -> the bands table accretes a slice of files per fold
+      for (m <- 4 to 6)
+        Dedup.extendIndex(all.where(col("doc_id") % 8 === m),
+          "doc_id", "text", idx)
+      val probe = all.where(col("doc_id") % 8 === 7)
+      val before = pairSet(
+        Dedup.pairsAgainstIndex(probe, "doc_id", "text", idx, 0.8,
+          persistShingles = false))
+      val filesBefore = parquetFiles(s, idx.bandsTable).size
+      assert(filesBefore > idx.numBuckets,
+        s"vector vacuous: $filesBefore files after 3 folds does not " +
+          s"exceed ${idx.numBuckets} buckets")
+      out = Dedup.compactIndex(s, idx, "inc_spec_cp2", tmpPath())
+      // pairs identical through the compacted handle
+      val after = pairSet(
+        Dedup.pairsAgainstIndex(probe, "doc_id", "text", out, 0.8,
+          persistShingles = false))
+      assert(after == before, "compaction changed the pairs output")
+      // one file per non-empty bucket, for both tables
+      for (t <- Seq(out.bandsTable, out.shinglesTable)) {
+        val files = parquetFiles(s, t)
+        assert(files.size <= idx.numBuckets,
+          s"$t: ${files.size} files > ${idx.numBuckets} buckets")
+        // bucket ids are encoded in the file name (_00007); no bucket
+        // may carry two files or the compaction didn't co-locate
+        val perBucket = files.groupBy(_.getFileName.toString
+          .split("_").last.take(5))
+        assert(perBucket.values.forall(_.size == 1),
+          s"$t: a bucket carries multiple files after compaction")
+      }
+      // in-place compaction must refuse (blue/green contract)
+      intercept[IllegalArgumentException] {
+        Dedup.compactIndex(s, idx, idx.name, idx.path)
+      }
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
+      if (out != null) {
+        s.sql(s"DROP TABLE IF EXISTS ${out.bandsTable}")
+        s.sql(s"DROP TABLE IF EXISTS ${out.shinglesTable}")
+      }
+    }
+  }
+
+  test("compactExactIndex and compactIvfIndex preserve results, shrink files") {
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val emb = Tables.embeddings(s, sf())
+    // exact index: build + 2 folds, compact, verdicts identical
+    val eIdx = Dedup.buildExactIndex(all.where(col("doc_id") % 8 < 4),
+      "doc_id", "text", "inc_spec_ce", tmpPath())
+    var eOut: ExactIndex = null
+    // ivf: build + fold, compact, probe identical
+    val iIdx = Similarity.buildIvfIndex(emb.where(col("vec_id") % 4 =!= 3),
+      "vec_id", "embedding", emb.where(col("vec_id") < 10), "vec_id",
+      "embedding", "inc_spec_ci", tmpPath())
+    var iOut: IvfIndex = null
+    try {
+      for (m <- 4 to 5)
+        Dedup.extendExactIndex(all.where(col("doc_id") % 8 === m),
+          "doc_id", "text", eIdx)
+      val probe = all.where(col("doc_id") % 8 === 7)
+      def vset(i: ExactIndex) = Dedup.exactAgainstIndex(probe, "doc_id",
+        "text", i).collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+      val eBefore = vset(eIdx)
+      eOut = Dedup.compactExactIndex(s, eIdx, "inc_spec_ce2", tmpPath())
+      assert(vset(eOut) == eBefore, "exact compaction changed verdicts")
+      assert(parquetFiles(s, eOut.fpTable).size <= eIdx.numBuckets)
+
+      Similarity.extendIvfIndex(emb.where(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", iIdx)
+      val queries = emb.where(col("vec_id").between(100, 104))
+      def kset(i: IvfIndex) = Similarity.ivfKnnFromIndex(s, queries,
+          "vec_id", "embedding", i, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val iBefore = kset(iIdx)
+      val iFilesBefore = s.table(iIdx.corpusTable).inputFiles.length
+      iOut = Similarity.compactIvfIndex(s, iIdx, "inc_spec_ci2", tmpPath())
+      assert(kset(iOut) == iBefore, "ivf compaction changed the probe")
+      val iFilesAfter = s.table(iOut.corpusTable).inputFiles.length
+      assert(iFilesAfter < iFilesBefore,
+        s"ivf compaction did not shrink files ($iFilesBefore -> $iFilesAfter)")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${eIdx.fpTable}")
+      if (eOut != null) s.sql(s"DROP TABLE IF EXISTS ${eOut.fpTable}")
+      for (i <- Seq(Option(iIdx), Option(iOut)).flatten) {
+        s.sql(s"DROP TABLE IF EXISTS ${i.corpusTable}")
+        s.sql(s"DROP TABLE IF EXISTS ${i.centroidsTable}")
+      }
+    }
+  }
 }
