@@ -1146,6 +1146,16 @@ object SparkEntry {
           "event_type", Seq("view", "click", "purchase"))
         .orderBy("stage_idx")),
 
+    // windowed funnel: each stage must convert within 1 hour of the
+    // previous stage's first touch (prev_t < t <= prev_t + 1h, compared
+    // at epoch µs on both sides). Same cascade plan, one extra scalar
+    // band per stage join
+    "q_funnel_windowed" -> ((s, d) =>
+      operators.EventAnalytics.funnel(ev(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          maxLagMs = Some(3600000L))
+        .orderBy("stage_idx")),
+
     // weekly cohort retention: distinct users per (first-event week,
     // week offset) — pure epoch math over Monday-truncated weeks
     "q_retention" -> ((s, d) =>
@@ -1914,6 +1924,25 @@ object SparkEntry {
         |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
         |s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING (user_id)
         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |         (SELECT count(*) FROM s1) AS n_keys
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
+
+    // the 1-hour band compares at epoch µs on both sides: Spark's
+    // session timestamps are µs (nanos div 1000 at load), DuckDB's
+    // epoch_us over TIMESTAMP_NS truncates the same way
+    "q_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |         AND epoch_us(e.ts) <= epoch_us(s1.t) + 3600000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |         AND epoch_us(e.ts) <= epoch_us(s2.t) + 3600000000 GROUP BY 1)
         |SELECT * FROM (
         |  SELECT 1 AS stage_idx, 'view' AS stage,
         |         (SELECT count(*) FROM s1) AS n_keys

@@ -20,28 +20,47 @@ object EventAnalytics {
     * purchase-before-view do not count). Returns one row per stage:
     * (stage_idx 1-based, stage, n_keys reaching it).
     *
+    * `maxLagMs` bounds conversion lag (the windowed funnel every
+    * product-analytics engine offers): stage i+1 must land within
+    * `maxLagMs` of the key's stage-i completion, i.e.
+    * `prev_t < t <= prev_t + T`. The bound compares at epoch
+    * MICROSECONDS — the session µs-timestamp precision — so an external
+    * engine computing on nanosecond timestamps truncates identically
+    * (the [[Sessionize]] lesson: ms-truncated comparison diverges on
+    * sub-ms boundary pairs). `None` = unbounded (the classic funnel).
+    *
     * Plan shape: each stage is a filtered `groupBy(key).min(ts)` joined
     * to the previous stage's reach frame — per-stage shuffles carry
     * (key, ts) pairs only, and the reach frame shrinks monotonically
-    * (AQE broadcasts it once it fits). The stage list is small by
-    * contract; total work is one filtered scan + one keyed aggregate
-    * per stage. Stage frames chain, so ask for the counts in ONE
-    * returned frame (a union of single-row aggregates) and Spark
+    * (AQE broadcasts it once it fits). The lag band is a post-join
+    * scalar predicate: no extra shuffle, no extra scan. The stage list
+    * is small by contract; total work is one filtered scan + one keyed
+    * aggregate per stage. Stage frames chain, so ask for the counts in
+    * ONE returned frame (a union of single-row aggregates) and Spark
     * evaluates the whole cascade in one job.
     */
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
-             typeCol: String, stages: Seq[String]): DataFrame = {
+             typeCol: String, stages: Seq[String],
+             maxLagMs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"stage types must be distinct, got $stages")
+    require(maxLagMs.forall(_ > 0L),
+      s"maxLagMs must be positive when set, got $maxLagMs")
     val perStage = stages.zipWithIndex.scanLeft(null: DataFrame) {
       case (prev, (stage, i)) =>
         val evs = events.where(col(typeCol) === stage)
           .select(col(keyCol).as("k"), col(tsCol).as("t"))
         if (i == 0) evs.groupBy("k").agg(min(col("t")).as("t"))
-        else evs.join(prev.withColumnRenamed("t", "prev_t"), "k")
-          .where(col("t") > col("prev_t"))
-          .groupBy("k").agg(min(col("t")).as("t"))
+        else {
+          val chained = evs
+            .join(prev.withColumnRenamed("t", "prev_t"), "k")
+            .where(col("t") > col("prev_t"))
+          maxLagMs.fold(chained)(lag => chained.where(
+              unix_micros(col("t")) <=
+                unix_micros(col("prev_t")) + lag * 1000L))
+            .groupBy("k").agg(min(col("t")).as("t"))
+        }
     }.drop(1)
     perStage.zip(stages.zipWithIndex).map { case (df, (stage, i)) =>
       df.agg(count(lit(1)).as("n_keys"))

@@ -45,6 +45,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Set((1, "view", 1L), (2, "click", 0L), (3, "purchase", 0L)))
   }
 
+  test("windowed funnel bounds conversion lag, inclusive at exactly T") {
+    val rows = Seq(
+      // u1 converts within the 60 s lag at every stage
+      ("u1", 10L, "view"), ("u1", 40L, "click"), ("u1", 90L, "purchase"),
+      // u2's click lands 100 s after the view -> outside the window;
+      // unbounded funnel would count it
+      ("u2", 10L, "view"), ("u2", 110L, "click"),
+      // u3's click is at EXACTLY view + 60 s: the band is inclusive
+      // (t <= prev_t + T), but its purchase at +61 s is outside
+      ("u3", 10L, "view"), ("u3", 70L, "click"), ("u3", 131L, "purchase"),
+      // u4: first click inside the window, purchase within 60 s OF THAT
+      // click — anchoring is still first-touch per stage
+      ("u4", 10L, "view"), ("u4", 30L, "click"), ("u4", 85L, "purchase"))
+    val got = EventAnalytics.funnel(mk(rows), "u", "ts", "et",
+        Seq("view", "click", "purchase"), maxLagMs = Some(60000L))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1, "view", 4L), (2, "click", 3L), (3, "purchase", 2L)))
+    // the unbounded funnel differs on the same vector — the band is
+    // doing work
+    assert(funnelCounts(rows) ==
+      Set((1, "view", 4L), (2, "click", 4L), (3, "purchase", 3L)))
+  }
+
   test("retention buckets distinct keys by first-event week offset") {
     // epoch 0 = Thu 1970-01-01; Monday of that week = -345600 s (Dec 29
     // 1969). Use ts well into 1970 to stay positive: week starting
