@@ -186,6 +186,12 @@ object Dsl {
     "array.contains"    -> "array_contains",
     "array.length"      -> "size",
     "array.count"       -> "size",
+    // flogo array.append(items, item) returns a new array with the
+    // element added at the end — exactly Spark's array_append
+    "array.append"      -> "array_append",
+    // flogo array.merge(arr1, arr2) concatenates; Spark concat is
+    // variadic over arrays with the same semantics
+    "array.merge"       -> "concat",
     "coerce.toString"   -> "string",
     "coerce.toInt64"    -> "bigint",
     "coerce.toFloat64"  -> "double")
@@ -215,6 +221,27 @@ object Dsl {
         // for absent — one shift covers both
         arity(2, "(str, substr)")
         Some(s"(instr(${args(0)}, ${args(1)}) - 1)")
+      case "string.lastIndexOf" =>
+        // flogo mirrors Go strings.LastIndex: 0-based, -1 for absent.
+        // Spark has no last-occurrence builtin; locate it through the
+        // reversed strings — instr(reverse(s), reverse(sub)) is the
+        // 1-based offset of the LAST occurrence measured from the right
+        // end, so start = length(s) - rpos - length(sub) + 1. The empty
+        // substring falls out right too (instr(s, '') = 1 → length(s),
+        // matching Go).
+        arity(2, "(str, substr)")
+        val (s, sub) = (args(0), args(1))
+        Some(s"(if(instr(reverse($s), reverse($sub)) = 0, -1, " +
+          s"length($s) - instr(reverse($s), reverse($sub)) - " +
+          s"length($sub) + 1))")
+      case "json.path" =>
+        // flogo json.path(expression, object) evaluates a JSONPath
+        // against a value; Spark's get_json_object(json, path) takes
+        // the same '$.a.b[0]' path syntax with the arguments swapped.
+        // Operates on the JSON *string* column (the engine keeps JSON
+        // payloads as strings until a schema is imposed).
+        arity(2, "(path, json)")
+        Some(s"get_json_object(${args(1)}, ${args(0)})")
       case "string.equals" =>
         arity(2, "(a, b)")
         Some(s"(${args(0)} = ${args(1)})")
@@ -234,8 +261,8 @@ object Dsl {
   }
 
   private val TemplateNames = Seq("string.substring", "string.split",
-    "string.indexOf", "string.equals", "string.equalsIgnoreCase",
-    "datetime.now")
+    "string.indexOf", "string.lastIndexOf", "string.equals",
+    "string.equalsIgnoreCase", "datetime.now", "json.path")
 
   // one pass matching EITHER a single-quoted literal (kept verbatim — a
   // blind String.replace would rewrite function names inside string
@@ -334,21 +361,49 @@ object Dsl {
                 now: Option[Long] = None): String = {
     if (value == null) return "NULL"
     if (!value.startsWith("=")) return literal(value)
-    var e = value.substring(1)
-    e = mapFuncs(e, now)
-    e = "\\$env\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
-      m => java.util.regex.Matcher.quoteReplacement(
-        literal(env.getOrElse(m.group(1), ""))))
-    e = "\\$property\\.([A-Za-z_][A-Za-z0-9_.]*)".r.replaceAllIn(e,
-      m => java.util.regex.Matcher.quoteReplacement(
-        literal(props.getOrElse(m.group(1), ""))))
-    e = "\\$pipeline\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
-      m => s"`$PipelinePrefix${m.group(1)}`")
-    e = "\\$passthru\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
-      m => s"`$PassthruPrefix${m.group(1)}`")
-    e = "\\$\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(e,
-      m => s"`${m.group(1)}`")
-    e
+    val e = mapFuncs(value.substring(1), now)
+    // scope refs rewrite OUTSIDE quoted literals only — a JSONPath like
+    // '$.a.b' inside a string literal must survive verbatim
+    mapOutsideLiterals(e) { seg =>
+      var s = seg
+      s = "\\$env\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s,
+        m => java.util.regex.Matcher.quoteReplacement(
+          literal(env.getOrElse(m.group(1), ""))))
+      s = "\\$property\\.([A-Za-z_][A-Za-z0-9_.]*)".r.replaceAllIn(s,
+        m => java.util.regex.Matcher.quoteReplacement(
+          literal(props.getOrElse(m.group(1), ""))))
+      s = "\\$pipeline\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s,
+        m => s"`$PipelinePrefix${m.group(1)}`")
+      s = "\\$passthru\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s,
+        m => s"`$PassthruPrefix${m.group(1)}`")
+      s = "\\$\\.([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s,
+        m => s"`${m.group(1)}`")
+      s
+    }
+  }
+
+  /** Apply `f` to the segments of `e` that sit OUTSIDE single-quoted
+    * string literals; literal segments (quotes included) pass through
+    * verbatim. */
+  private def mapOutsideLiterals(e: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0; var segStart = 0
+    while (i < e.length) {
+      if (e.charAt(i) == '\'') {
+        sb.append(f(e.substring(segStart, i)))
+        val litStart = i
+        i += 1
+        while (i < e.length && e.charAt(i) != '\'') {
+          if (e.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i = math.min(i + 1, e.length)
+        sb.append(e.substring(litStart, i))
+        segStart = i
+      } else i += 1
+    }
+    sb.append(f(e.substring(segStart)))
+    sb.toString
   }
 
   private def literal(v: String): String =

@@ -47,6 +47,16 @@ class PipelinesSpec extends SparkSpec {
     // nested flogo calls rewrite inside argument lists
     assert(Dsl.translate("=string.substring(string.upper($.a), 0, 2)") ==
       "substring(upper(`a`), (0) + 1, 2)")
+    // long-tail renames and templates
+    assert(Dsl.translate("=array.append($.xs, 4)") ==
+      "array_append(`xs`, 4)")
+    assert(Dsl.translate("=array.merge($.xs, $.ys)") ==
+      "concat(`xs`, `ys`)")
+    assert(Dsl.translate("=json.path('$.a.b', $.doc)") ==
+      "get_json_object(`doc`, '$.a.b')")
+    intercept[IllegalArgumentException] {
+      Dsl.translate("=string.lastIndexOf($.a)")
+    }
     // deterministic datetime injection
     assert(Dsl.translate("=datetime.now()", now = Some(86400000L)) ==
       "timestamp_millis(86400000L)")
@@ -78,6 +88,16 @@ class PipelinesSpec extends SparkSpec {
     assert(eval("=string.equalsIgnoreCase($.a, 'HELLO WORLD')") == true)
     assert(eval("=array.length($.xs)") == 3)
     assert(eval("=array.contains($.xs, 2)") == true)
+    assert(eval("=array.append($.xs, 9)") == Seq(1, 2, 3, 9))
+    assert(eval("=array.merge($.xs, $.xs)") == Seq(1, 2, 3, 1, 2, 3))
+    // flogo lastIndexOf mirrors Go strings.LastIndex: 0-based, -1 absent,
+    // empty substring -> length of the string
+    assert(eval("=string.lastIndexOf('abcab', 'ab')") == 3)
+    assert(eval("=string.lastIndexOf($.a, 'o')") == 7)
+    assert(eval("=string.lastIndexOf($.a, 'zzz')") == -1)
+    assert(eval("=string.lastIndexOf($.a, '')") == 11)
+    // json.path evaluates a JSONPath against a JSON string column
+    assert(eval("=json.path('$.k[1]', '{\"k\": [10, 20]}')") == "20")
     assert(eval("=math.ceil(1.2)").toString == "2")
     // pinned now() replays deterministically
     val pinned = df.selectExpr(Dsl.translate("=datetime.now()",
