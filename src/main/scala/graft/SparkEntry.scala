@@ -61,17 +61,14 @@ object SparkEntry {
     * index directories under java.io.tmpdir. */
   def dropCachedIndexes(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
-    def gone(tables: Seq[String], path: String): Unit = {
-      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(path))
-    }
-    incIdxCache.values.asScala.foreach(i =>
-      gone(Seq(i.bandsTable, i.shinglesTable), i.path))
-    (ivfIdxCache.values.asScala ++ extIvfIdxCache.values.asScala).foreach(i =>
-      gone(Seq(i.corpusTable, i.centroidsTable), i.path))
-    embIdxCache.values.asScala.foreach(i =>
-      gone(Seq(i.bandsTable, i.vectorsTable), i.path))
-    exactIdxCache.values.asScala.foreach(i => gone(Seq(i.fpTable), i.path))
+    incIdxCache.values.asScala.foreach(
+      graft.operators.Dedup.dropIndex(spark, _))
+    (ivfIdxCache.values.asScala ++ extIvfIdxCache.values.asScala).foreach(
+      graft.operators.Similarity.dropIvfIndex(spark, _))
+    embIdxCache.values.asScala.foreach(
+      graft.operators.Dedup.dropEmbeddingIndex(spark, _))
+    exactIdxCache.values.asScala.foreach(
+      graft.operators.Dedup.dropExactIndex(spark, _))
     Seq(incIdxCache, ivfIdxCache, extIvfIdxCache, embIdxCache,
       exactIdxCache).foreach(_.clear())
   }

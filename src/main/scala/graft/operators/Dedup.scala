@@ -538,6 +538,27 @@ object Dedup {
     out
   }
 
+  /** Drop a MinHash dedup index: catalog entries + backing directory.
+    * The cutover end of the blue/green contract — after
+    * [[compactIndex]] returns the new handle and probes have drained
+    * off the old generation, this removes it completely (no orphaned
+    * external tables or paths). */
+  def dropIndex(spark: org.apache.spark.sql.SparkSession,
+                idx: DedupIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark,
+      Seq(idx.bandsTable, idx.shinglesTable), idx.path)
+
+  /** Drop an exact-fingerprint index — see [[dropIndex]]. */
+  def dropExactIndex(spark: org.apache.spark.sql.SparkSession,
+                     idx: ExactIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark, Seq(idx.fpTable), idx.path)
+
+  /** Drop an embedding LSH index — see [[dropIndex]]. */
+  def dropEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                         idx: EmbeddingIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark,
+      Seq(idx.bandsTable, idx.vectorsTable), idx.path)
+
   /** Compact an extended exact-fingerprint index — same blue/green
     * contract as [[compactIndex]]. */
   def compactExactIndex(spark: org.apache.spark.sql.SparkSession,

@@ -214,6 +214,14 @@ object Similarity {
     out
   }
 
+  /** Drop a persisted IVF index: catalog entries + backing directory —
+    * the cutover end of the blue/green contract ([[compactIvfIndex]]).
+    * Drop only after probes have drained off the old generation
+    * (single-writer contract, as for [[extendIvfIndex]]). */
+  def dropIvfIndex(spark: SparkSession, idx: IvfIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark,
+      Seq(idx.corpusTable, idx.centroidsTable), idx.path)
+
   /** IVF ANN against a persisted index: identical results to [[ivfKnn]]
     * over the same centroids (spec-pinned), but the corpus scan is
     * PARTITION-PRUNED to the probed cells — the query batch's probe

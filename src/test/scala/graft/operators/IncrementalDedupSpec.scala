@@ -161,9 +161,15 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(incr2.exists { case (a, b, c) =>
         a >= 100000 && b >= 200000 && c == 1.0 },
         s"extend missed first-delta pairs: ${incr2.take(5)}")
+      // drop removes catalog entries and the backing path (idempotent —
+      // the finally below re-drops harmlessly)
+      Dedup.dropEmbeddingIndex(s, idx)
+      assert(!s.catalog.tableExists(idx.bandsTable) &&
+        !s.catalog.tableExists(idx.vectorsTable) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(idx.path)),
+        "dropEmbeddingIndex left debris behind")
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-      s.sql(s"DROP TABLE IF EXISTS ${idx.vectorsTable}")
+      Dedup.dropEmbeddingIndex(s, idx)
     }
   }
 
@@ -313,13 +319,23 @@ class IncrementalDedupSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Dedup.compactIndex(s, idx, idx.name, idx.path)
       }
+      // cutover: drop the OLD generation — catalog entries and the
+      // backing path both go; the compacted handle keeps probing
+      Dedup.dropIndex(s, idx)
+      assert(!s.catalog.tableExists(idx.bandsTable) &&
+        !s.catalog.tableExists(idx.shinglesTable),
+        "dropIndex left catalog entries behind")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx.path)),
+        "dropIndex left the backing directory behind")
+      val afterDrop = pairSet(
+        Dedup.pairsAgainstIndex(probe, "doc_id", "text", out, 0.8,
+          persistShingles = false))
+      assert(afterDrop == before,
+        "dropping the old generation broke the compacted index")
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
-      s.sql(s"DROP TABLE IF EXISTS ${idx.shinglesTable}")
-      if (out != null) {
-        s.sql(s"DROP TABLE IF EXISTS ${out.bandsTable}")
-        s.sql(s"DROP TABLE IF EXISTS ${out.shinglesTable}")
-      }
+      Dedup.dropIndex(s, idx)
+      if (out != null) Dedup.dropIndex(s, out)
     }
   }
 
@@ -361,13 +377,24 @@ class IncrementalDedupSpec extends SparkSpec {
       val iFilesAfter = s.table(iOut.corpusTable).inputFiles.length
       assert(iFilesAfter < iFilesBefore,
         s"ivf compaction did not shrink files ($iFilesBefore -> $iFilesAfter)")
+      // cutover both: old generations drop clean, new handles keep
+      // answering identically
+      Dedup.dropExactIndex(s, eIdx)
+      assert(!s.catalog.tableExists(eIdx.fpTable) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(eIdx.path)),
+        "dropExactIndex left debris behind")
+      assert(vset(eOut) == eBefore)
+      Similarity.dropIvfIndex(s, iIdx)
+      assert(!s.catalog.tableExists(iIdx.corpusTable) &&
+        !s.catalog.tableExists(iIdx.centroidsTable) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(iIdx.path)),
+        "dropIvfIndex left debris behind")
+      assert(kset(iOut) == iBefore)
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS ${eIdx.fpTable}")
-      if (eOut != null) s.sql(s"DROP TABLE IF EXISTS ${eOut.fpTable}")
-      for (i <- Seq(Option(iIdx), Option(iOut)).flatten) {
-        s.sql(s"DROP TABLE IF EXISTS ${i.corpusTable}")
-        s.sql(s"DROP TABLE IF EXISTS ${i.centroidsTable}")
-      }
+      Dedup.dropExactIndex(s, eIdx)
+      if (eOut != null) Dedup.dropExactIndex(s, eOut)
+      Similarity.dropIvfIndex(s, iIdx)
+      if (iOut != null) Similarity.dropIvfIndex(s, iOut)
     }
   }
 }
