@@ -291,12 +291,29 @@ object Bench {
     //    Baselines without task_ms (or streaming gates whose work is
     //    mostly off the task clock: task median < 10% of wall) keep the
     //    wall-only gate — for those, task time can't witness either way.
+    def wallRegressed(k: String, m: Double): Boolean =
+      m > baseline(k)._1 + math.max(5 * baseline(k)._2,
+        math.max(0.15 * baseline(k)._1, 0.05))
+    // the task clock can witness only when the baseline recorded it AND
+    // the query is executor-dominated (task >= 10% of wall at baseline)
+    def taskWitness(k: String): Boolean =
+      baseline(k)._3 >= 0 && baseline(k)._3 >= 0.1 * baseline(k)._1 * 1000
+    def taskRegressed(k: String, tm: Double): Boolean =
+      tm > baseline(k)._3 + math.max(0.15 * baseline(k)._3, 250.0)
     val regressions = results.collect {
-      case (k, (m, d, tm, _, _)) if m >= 0 && baseline.contains(k) &&
-        m > baseline(k)._1 + math.max(5 * baseline(k)._2,
-          math.max(0.15 * baseline(k)._1, 0.05)) &&
-        (baseline(k)._3 < 0 || baseline(k)._3 < 0.1 * baseline(k)._1 * 1000 ||
-          tm > baseline(k)._3 + math.max(0.15 * baseline(k)._3, 250.0))
+      case (k, (m, _, tm, _, _)) if m >= 0 && baseline.contains(k) &&
+        wallRegressed(k, m) && (!taskWitness(k) || taskRegressed(k, tm))
+        => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    // wall regressed but the executor clock stayed flat: almost always
+    // host contention, but a genuinely driver-side code regression
+    // (planning/codegen growth) produces the same signature — surfaced
+    // as a warn-level list instead of dropped, so a reader can triage
+    // (check gc_ms/warmup and the delta history) rather than never
+    // seeing it (r10 advice)
+    val wallOnly = results.collect {
+      case (k, (m, _, tm, _, _)) if m >= 0 && baseline.contains(k) &&
+        wallRegressed(k, m) && taskWitness(k) && !taskRegressed(k, tm)
         => "\"" + k + "\""
     }.mkString("[", ",", "]")
     if (sys.env.contains("SPARK_GRAFT_RECORD_BASELINE")) {
@@ -323,7 +340,7 @@ object Bench {
     // medians — so a tail-truncated capture still keeps every number
     // that is graded; the per-run times are stderr forensics (they are
     // also echoed per-run above as they happen)
-    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions,"wall_only_warnings":$wallOnly}""")
     System.err.println(s"""[bench] runs: $runs""")
     SparkEntry.dropCachedIndexes(spark)
     spark.stop()

@@ -346,10 +346,17 @@ object ScaleProbe {
         } else null
       // fixed-size fold-in delta (250 re-keyed vectors) against the
       // k-fold index: assignment + append are O(delta) by design, so
-      // the fold wall must stay ~flat as the indexed corpus decades up
-      val ivfDelta = engine.Tables.embeddings(spark, sfDir)
+      // the fold wall must stay ~flat as the indexed corpus decades up.
+      // The re-key offset varies per rep: extendIvfIndex's contract is
+      // delta-ids-DISJOINT from the index, so a REPS>1 run must fold a
+      // fresh id range each time rather than re-appending rep 1's ids
+      // (which would both violate the contract and time appends into a
+      // progressively duplicated index).
+      def ivfDelta(rep: Int): DataFrame = engine.Tables
+        .embeddings(spark, sfDir)
         .where(col("vec_id") < 250)
-        .select((col("vec_id") + 950000000L).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 950000000L + rep * 10000000L)
+          .as("vec_id"), col("embedding"))
 
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
@@ -395,11 +402,18 @@ object ScaleProbe {
           Similarity.ivfKnnFromIndex(spark, ivfQueries, "vec_id",
             "embedding", ivfIdx, 3).count()),
         // MUTATES ivfIdx (appends the delta), so it sits after the
-        // indexed probe in run order; each decade rebuilds the index
-        "knn_ivf_extend" -> (() => {
-          Similarity.extendIvfIndex(ivfDelta, "vec_id", "embedding", ivfIdx)
-          ivfDelta.count()
-        }),
+        // indexed probe in run order; each decade rebuilds the index.
+        // The rep counter advances per invocation so repeated folds
+        // stay id-disjoint (see ivfDelta).
+        "knn_ivf_extend" -> {
+          var extendRep = 0
+          () => {
+            val d = ivfDelta(extendRep)
+            extendRep += 1
+            Similarity.extendIvfIndex(d, "vec_id", "embedding", ivfIdx)
+            d.count()
+          }
+        },
         "agg_constant_groups" -> (() =>
           li.groupBy("l_returnflag", "l_linestatus")
             .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))

@@ -47,8 +47,11 @@ object SparkEntry {
 
   // committed fixture of real PNG/BMP bytes + draw-time ground truth
   // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
-  // both sides of q_multimodal_decode, so one definition
-  private val imageFixturePath = "/root/repo/fixtures/images.parquet"
+  // both sides of q_multimodal_decode, so one definition. Resolved from
+  // the repo root (sbt sets user.dir there) and overridable for any
+  // harness that runs from elsewhere, so a checkout at a different path
+  // still finds the committed parquet.
+  private[graft] val imageFixturePath = graft.util.Fixtures.imagePath
 
   // the sanitation rule is load-bearing for table-name collision safety
   // — one definition, used by every index-backed gate

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish test tables (TESTDATA.md).
   *
@@ -27,6 +27,16 @@ object Tables {
       // mantissa cannot represent epoch nanos exactly (±256 ns ULP) and
       // can shift a boundary timestamp into the wrong pane
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" &&
+        df.schema("ts").dataType == TimestampNTZType)
+      // generator emits timestamp[us] WITHOUT isAdjustedToUTC, which
+      // Spark 4 infers as TIMESTAMP_NTZ — a type unix_micros/unix_millis
+      // reject. Sessions here pin spark.sql.session.timeZone=UTC, so the
+      // cast to TIMESTAMP (LTZ) interprets the naive wall-clock as UTC:
+      // the exact instant DuckDB's epoch math assigns the same bytes.
+      // Normalizing at the read keeps every downstream operator on one
+      // timestamp type regardless of generator vintage.
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

@@ -19,7 +19,15 @@ object ColumnBridge {
     * ISOLATED SQLConf), so an operator can plan/execute under temporary
     * conf overrides without ever mutating the caller's session — a
     * concurrent query on the original session can never observe the
-    * overrides. */
+    * overrides.
+    *
+    * Restriction: `newSession()` also has an ISOLATED temp-view
+    * registry, so a plan that still contains an unresolved reference to
+    * a temp view of the parent session fails re-analysis here. Resolve
+    * such frames before rebinding (a `DataFrame` read from files or
+    * already-analyzed relations is fine); callers copying runtime conf
+    * into the clone (see Contamination.flagContaminatedBloom) keep
+    * planner behavior identical but do NOT import temp views. */
   def inSession(session: SparkSession, df: DataFrame): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
       df.asInstanceOf[classic.Dataset[_]].queryExecution.logical)

@@ -1,0 +1,32 @@
+package graft.util
+
+import java.io.File
+
+/** Locations of the committed test fixtures (real media bytes plus
+  * generation-time ground truth). Resolution order:
+  *
+  *   1. `SPARK_GRAFT_FIXTURES_DIR` env var, for a harness running the
+  *      jar from outside the checkout;
+  *   2. `${user.dir}/fixtures` — sbt and the driver both run from the
+  *      repo root, so this is the committed directory in practice;
+  *   3. the historical absolute default, so older harness wiring keeps
+  *      working if neither of the above resolves.
+  *
+  * One definition consumed by the Spark side, the DuckDB oracle SQL and
+  * the specs, so all three always read the same files.
+  */
+object Fixtures {
+  private def dir: String =
+    sys.env.get("SPARK_GRAFT_FIXTURES_DIR").filter(_.nonEmpty).getOrElse {
+      val cwd = new File(sys.props.getOrElse("user.dir", "."), "fixtures")
+      if (cwd.isDirectory) cwd.getAbsolutePath else "/root/repo/fixtures"
+    }
+
+  /** `images.parquet` — real PNG/BMP/JPEG/GIF bytes + draw-time truth
+    * (regenerate: `sbt "runMain graft.tools.ImageFixture"`). */
+  def imagePath: String = new File(dir, "images.parquet").getAbsolutePath
+
+  /** `audio.parquet` — real WAV/PCM bytes + synthesis-time truth
+    * (regenerate: `sbt "runMain graft.tools.AudioFixture"`). */
+  def audioPath: String = new File(dir, "audio.parquet").getAbsolutePath
+}

@@ -168,7 +168,7 @@ class MultimodalSpec extends SparkSpec {
   test("committed image fixture matches its recorded ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
-    val fx = s.read.parquet("/root/repo/fixtures/images.parquet")
+    val fx = s.read.parquet(graft.util.Fixtures.imagePath)
     val expected = fx.select("id", "expected_decoded", "expected_width",
         "expected_height", "expected_mean").collect()
       .map(r => r.getLong(0) ->
