@@ -185,6 +185,10 @@ object Dedup {
   def extendExactIndex(delta: DataFrame, id: String, text: String,
                        idx: ExactIndex): Unit = {
     val spark = delta.sparkSession
+    // a re-folded id can become another fp's keep_id, corrupting keep
+    // verdicts downstream — fail loudly instead (default-on check)
+    IndexAdmin.requireDisjointIds(delta, id, idx.fpTable, "keep_id",
+      "extendExactIndex")
     val existing = spark.table(idx.fpTable)
       .select(col("fp").as("__ifp")).hint("shuffle_hash")
     exactGroups(delta, id, text).select(col("fp"), col("keep_id"))
@@ -466,10 +470,15 @@ object Dedup {
     * index's own spec): after [[pairsAgainstIndex]] has emitted the
     * delta's pairs, extending makes the next delta dedup against
     * corpus + this one. Caller contract (as for pairsAgainstIndex):
-    * delta ids are disjoint from ids already indexed. */
+    * delta ids are disjoint from ids already indexed — VERIFIED by
+    * default ([[IndexAdmin.requireDisjointIds]]; a re-appended id
+    * would double-count in every later probe). */
   def extendIndex(delta: DataFrame, id: String, text: String,
-                  idx: DedupIndex): Unit =
+                  idx: DedupIndex): Unit = {
+    IndexAdmin.requireDisjointIds(delta, id, idx.shinglesTable, "doc",
+      "extendIndex")
     writeIndexSlice(withShingles(delta, id, text, idx.n), idx, append = true)
+  }
 
   private def writeIndexSlice(sh: DataFrame, idx: DedupIndex,
                               append: Boolean): Unit = {
@@ -916,10 +925,13 @@ object Dedup {
     * with the index's own banding) — same contract as [[extendIndex]]:
     * after [[embeddingPairsAgainstIndex]] has emitted the delta's
     * pairs, the next delta dedups against corpus + this one. Caller
-    * contract: delta ids disjoint from ids already indexed. */
+    * contract: delta ids disjoint from ids already indexed — VERIFIED
+    * by default ([[IndexAdmin.requireDisjointIds]]). */
   def extendEmbeddingIndex(delta: DataFrame, id: String, vec: String,
                            idx: EmbeddingIndex): Unit = {
     import graft.functions.VectorFunctions._
+    IndexAdmin.requireDisjointIds(delta, id, idx.vectorsTable, "vid",
+      "extendEmbeddingIndex")
     def append(d: DataFrame, table: String, key: String): Unit =
       d.write.mode(SaveMode.Append)
         .bucketBy(idx.numBuckets, key).sortBy(key)

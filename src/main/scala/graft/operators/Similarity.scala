@@ -175,10 +175,14 @@ object Similarity {
     * not O(index), and the result is identical to a from-scratch build
     * over corpus ∪ delta at the same centroids (spec- and gate-pinned).
     * Single-writer contract; caller contract: delta ids disjoint from
-    * indexed ids. */
+    * indexed ids — VERIFIED by default (a duplicate id would silently
+    * double-count in every probe); see [[IndexAdmin.requireDisjointIds]]
+    * for the opt-out conf. */
   def extendIvfIndex(delta: DataFrame, id: String, vec: String,
                      idx: IvfIndex): Unit = {
     val spark = delta.sparkSession
+    IndexAdmin.requireDisjointIds(delta, id, idx.corpusTable, "cid",
+      "extendIvfIndex")
     val cents = spark.table(idx.centroidsTable)
     assignCells(delta, id, vec, cents, "cell", "centroid")
       .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))

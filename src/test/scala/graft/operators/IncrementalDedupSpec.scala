@@ -397,4 +397,55 @@ class IncrementalDedupSpec extends SparkSpec {
       if (iOut != null) Similarity.dropIvfIndex(s, iOut)
     }
   }
+
+  test("extend* verifies the delta-ids-disjoint contract by default") {
+    // a duplicate-id fold-in silently double-counts in every later
+    // probe; all four extenders must fail loudly instead, and the
+    // documented conf must opt a caller with upstream guarantees out
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val emb = Tables.embeddings(s, sf())
+    val corpus = all.where(col("doc_id") % 4 =!= 3)
+    val embCorpus = emb.where(col("vec_id") % 4 =!= 3)
+    val dupDocs = corpus.limit(5)   // ids already indexed
+    val dupVecs = embCorpus.limit(5)
+    val mIdx = Dedup.buildIndex(corpus, "doc_id", "text", "inc_spec_g1",
+      tmpPath())
+    val eIdx = Dedup.buildExactIndex(corpus, "doc_id", "text",
+      "inc_spec_g2", tmpPath())
+    val bIdx = Dedup.buildEmbeddingIndex(embCorpus, "vec_id", "embedding",
+      "inc_spec_g3", tmpPath(), 0.9, 32)
+    val iIdx = Similarity.buildIvfIndex(embCorpus, "vec_id", "embedding",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", "inc_spec_g4",
+      tmpPath())
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.extendIndex(dupDocs, "doc_id", "text", mIdx)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.extendExactIndex(
+          // collide with an indexed KEEP id specifically — the fp table
+          // only records survivors, so only those are checkable
+          s.table(eIdx.fpTable).limit(3)
+            .select(col("keep_id").as("doc_id"), lit("fresh text").as("text")),
+          "doc_id", "text", eIdx)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.extendEmbeddingIndex(dupVecs, "vec_id", "embedding", bIdx)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.extendIvfIndex(dupVecs, "vec_id", "embedding", iIdx)
+      }
+      // opting out via the documented conf lets the same fold through
+      // (the caller now owns the invariant)
+      s.conf.set(IndexAdmin.CheckDisjointKey, "false")
+      try Similarity.extendIvfIndex(dupVecs, "vec_id", "embedding", iIdx)
+      finally s.conf.unset(IndexAdmin.CheckDisjointKey)
+    } finally {
+      Dedup.dropIndex(s, mIdx)
+      Dedup.dropExactIndex(s, eIdx)
+      Dedup.dropEmbeddingIndex(s, bIdx)
+      Similarity.dropIvfIndex(s, iIdx)
+    }
+  }
 }
