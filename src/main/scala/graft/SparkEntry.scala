@@ -53,6 +53,11 @@ object SparkEntry {
   // still finds the committed parquet.
   private[graft] val imageFixturePath = graft.util.Fixtures.imagePath
 
+  // committed fixture of real WAV/PCM bytes + synthesis-time ground
+  // truth (regenerate: sbt "runMain graft.tools.AudioFixture") — the
+  // audio counterpart of the image fixture, same resolution rules
+  private[graft] val audioFixturePath = graft.util.Fixtures.audioPath
+
   // the sanitation rule is load-bearing for table-name collision safety
   // — one definition, used by every index-backed gate
   private def idxTag(s: SparkSession, d: String): String =
@@ -1233,6 +1238,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL audio decode (javax.sound.sampled) over the committed fixture
+    // of actual WAV/PCM bytes: decoded channels/rate/frames/RMS must
+    // match the ground truth recorded AT SYNTHESIS TIME — lossless PCM,
+    // so a decode that parses the RIFF container reproduces them exactly
+    // and one that does not cannot. Rows 24-28 are non-audio / truncated
+    // payloads pinning the decoded=false degradation. Fixture-bound and
+    // sf-invariant, like q_multimodal_decode: it gates the codec.
+    "q_multimodal_audio" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(audioFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeAudios(recs).toDF()
+        .select(col("id"), col("decoded"), col("channels"),
+          col("sampleRate").as("sample_rate"), col("frames"),
+          col("rms"))
+        .orderBy("id")
+    }),
+
     // Row-expanding frame-sample path (the generator shape of real video
     // frame sampling): every 2nd 64-byte slice, hashed — one record in,
     // N frames out, partition-parallel.
@@ -2250,6 +2277,17 @@ object SparkEntry {
         |       expected_width AS width, expected_height AS height,
         |       expected_mean AS mean_pixel
         |FROM read_parquet('$imageFixturePath/*.parquet')
+        |ORDER BY id""".stripMargin,
+
+    // like q_multimodal_decode: the oracle never decodes — it reads the
+    // expected_* columns the generator computed from the samples it
+    // wrote, so agreement proves the Spark side parsed the WAV bytes
+    "q_multimodal_audio" ->
+      s"""SELECT id, expected_decoded AS decoded,
+        |       expected_channels AS channels,
+        |       expected_sample_rate AS sample_rate,
+        |       expected_frames AS frames, expected_rms AS rms
+        |FROM read_parquet('$audioFixturePath/*.parquet')
         |ORDER BY id""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[decodeImage]] decodes PNG/BMP/JPEG/GIF payload
   * bytes with the JDK's `javax.imageio` (no external dependencies) and
-  * emits true width/height/mean-pixel; a payload ImageIO cannot read
-  * degrades to an explicit `decoded = false` row, never a throw — at
-  * corpus scale a handful of corrupt payloads must not kill a 1000-task
-  * stage. Audio/video codecs are not in the JDK, so the byte-stream
-  * feature path ([[decodeStub]]) remains for those: deterministic
-  * features of the raw bytes with the production batching/partitioning
-  * shape, swappable for a real codec without touching any other code.
+  * emits true width/height/mean-pixel. AUDIO decode is REAL too:
+  * [[decodeAudio]] parses WAV/PCM with `javax.sound.sampled` and emits
+  * true channels/rate/frames/RMS. Both degrade an unreadable payload to
+  * an explicit `decoded = false` row, never a throw — at corpus scale a
+  * handful of corrupt payloads must not kill a 1000-task stage. VIDEO
+  * codecs are not in the JDK, so the byte-stream feature path
+  * ([[decodeStub]]) remains for those: deterministic features of the raw
+  * bytes with the production batching/partitioning shape, swappable for
+  * a real codec without touching any other code.
   */
 object Multimodal {
 
@@ -121,6 +123,83 @@ object Multimodal {
                   (implicit spark: SparkSession): Dataset[ImageFeatures] = {
     import spark.implicits._
     ds.mapPartitions(_.map(decodeImage))
+  }
+
+  /** Decoded-audio features: stream truth, not byte heuristics. Failed
+    * rows carry zero dims and a `-1.0` rms (dense schema, filterable —
+    * same degradation contract as [[ImageFeatures]]). */
+  case class AudioFeatures(id: Long, nBytes: Long, decoded: Boolean,
+                           channels: Int, sampleRate: Int, frames: Long,
+                           rms: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM,
+    * AIFF/AU — zero new dependencies). RMS = sqrt of the mean squared
+    * integer sample value over every channel-interleaved sample, divided
+    * once by full scale (32768 for 16-bit, 128 for 8-bit): an exact
+    * integer sum of squares and three IEEE ops, bit-reproducible for
+    * lossless PCM (the fixture oracle relies on this — see
+    * [[graft.tools.AudioFixture]]).
+    *
+    * Degrades to `decoded = false` instead of throwing on (a) payloads
+    * the JDK cannot parse, (b) PCM layouts outside 16-bit-signed-LE /
+    * 8-bit-unsigned (the WAV conventions), and (c) streams whose data
+    * ends before the header-declared frame count — a truncated file must
+    * fail the ROW, never the 1000-task stage. */
+  def decodeAudio(r: MediaRecord): AudioFeatures = {
+    val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+    def fail = AudioFeatures(r.id, bytes.length.toLong, decoded = false,
+      0, 0, 0L, -1.0)
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return fail
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val enc = fmt.getEncoding
+      val ok16 = bits == 16 && !fmt.isBigEndian &&
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val ok8 = bits == 8 &&
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!ok16 && !ok8) return fail
+      val frameSize = fmt.getFrameSize
+      val pcm =
+        try ais.readAllBytes()
+        catch { case _: java.io.IOException => return fail }
+      // header-declared length vs bytes actually present: a mid-data
+      // truncation parses fine and just reads short — make it loud
+      val declared = ais.getFrameLength
+      if (pcm.length % frameSize != 0 ||
+          (declared >= 0 && pcm.length / frameSize != declared)) return fail
+      val frames = (pcm.length / frameSize).toLong
+      val total = pcm.length / (bits / 8)
+      if (total == 0) return fail
+      var sumSq = 0L
+      var i = 0
+      while (i < total) {
+        val s =
+          if (bits == 16) ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+          else (pcm(i) & 0xff) - 128
+        sumSq += s.toLong * s
+        i += 1
+      }
+      val full = if (bits == 16) 32768.0 else 128.0
+      AudioFeatures(r.id, bytes.length.toLong, decoded = true,
+        fmt.getChannels, math.round(fmt.getSampleRate).toInt, frames,
+        math.sqrt(sumSq.toDouble / total) / full)
+    } finally ais.close()
+  }
+
+  /** Partition-parallel real audio decode — same typed mapPartitions
+    * boundary as [[decodeImages]], real codec inside. */
+  def decodeAudios(ds: Dataset[MediaRecord])
+                  (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(_.map(decodeAudio))
   }
 
   /** A decoded frame/tile: (record id, frame index, payload slice). */

@@ -188,4 +188,69 @@ class MultimodalSpec extends SparkSpec {
       assert(f.meanPixel == mean, s"fixture ${f.id} mean")
     }
   }
+
+  test("real WAV decode roundtrips synthesis truth; corrupt rows degrade") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // fresh synthesis (not the committed fixture): decode must agree
+    // with write-time truth for every (rate, channels, bits) layout
+    val made = Seq(
+      (0, 8000, 1, 400, 16), (1, 44100, 2, 512, 16), (2, 22050, 1, 333, 8))
+      .map { case (k, rate, ch, fr, bits) =>
+        val (bytes, rms) = graft.tools.AudioFixture.makeWav(k, rate, ch,
+          fr, bits)
+        (k.toLong, bytes, ch, rate, fr.toLong, rms)
+      }
+    val recs = made.map { case (id, bytes, _, _, _, _) =>
+      Multimodal.MediaRecord(id, bytes, "audio/wav", 0, 0)
+    } :+ Multimodal.MediaRecord(9L, "definitely not audio".getBytes("UTF-8"),
+      "application/octet-stream", 0, 0)
+    val out = Multimodal.decodeAudios(s.createDataset(recs))
+      .collect().map(f => f.id -> f).toMap
+    made.foreach { case (id, bytes, ch, rate, fr, rms) =>
+      val f = out(id)
+      assert(f.decoded, s"wav $id failed to decode")
+      assert(f.channels == ch && f.sampleRate == rate && f.frames == fr,
+        s"wav $id: got (${f.channels}, ${f.sampleRate}, ${f.frames}), " +
+          s"wrote ($ch, $rate, $fr)")
+      // lossless PCM roundtrips samples exactly -> identical long sum of
+      // squares -> identical IEEE division/sqrt chain
+      assert(f.rms == rms, s"wav $id: rms ${f.rms} != written $rms")
+      assert(f.nBytes == bytes.length)
+    }
+    val bad = out(9L)
+    assert(!bad.decoded && bad.channels == 0 && bad.frames == 0L &&
+      bad.rms == -1.0, "non-audio payload did not degrade")
+    // mid-data truncation: container parses, data reads short — must
+    // fail the ROW (loud row-level integrity), never throw
+    val (full, _) = graft.tools.AudioFixture.makeWav(7, 16000, 1, 400, 16)
+    val trunc = Multimodal.decodeAudio(Multimodal.MediaRecord(
+      10L, java.util.Arrays.copyOf(full, 52), "audio/wav", 0, 0))
+    assert(!trunc.decoded, "truncated wav did not degrade")
+  }
+
+  test("committed audio fixture matches its recorded ground truth") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val fx = s.read.parquet(graft.util.Fixtures.audioPath)
+    val expected = fx.select("id", "expected_decoded", "expected_channels",
+        "expected_sample_rate", "expected_frames", "expected_rms").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(expected.size == 29)
+    assert(expected.values.count(_._1) == 24)
+    val recs = fx.select(col("id"), col("payload"),
+        col("media_type").as("mediaType"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRecord]
+    val out = Multimodal.decodeAudios(recs).collect()
+    assert(out.length == 29)
+    out.foreach { f =>
+      val (dec, ch, rate, fr, rms) = expected(f.id)
+      assert(f.decoded == dec, s"fixture ${f.id}: decoded=${f.decoded}")
+      assert(f.channels == ch && f.sampleRate == rate && f.frames == fr,
+        s"fixture ${f.id} stream shape")
+      assert(f.rms == rms, s"fixture ${f.id} rms")
+    }
+  }
 }
