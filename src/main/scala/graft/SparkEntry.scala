@@ -1167,6 +1167,14 @@ object SparkEntry {
       operators.EventAnalytics.retention(ev(s, d), "user_id", "ts")
         .orderBy("cohort_ms", "week_offset")),
 
+    // windowed retention: only returns within 2 weeks of the user's
+    // exact first event count (inclusive at the horizon, compared at
+    // epoch µs on both sides) — the bounded-tail variant of q_retention
+    "q_retention_windowed" -> ((s, d) =>
+      operators.EventAnalytics.retention(ev(s, d), "user_id", "ts",
+          horizonMs = Some(1209600000L))
+        .orderBy("cohort_ms", "week_offset")),
+
     // range join: purchases paired with same-user clicks within +-1 hour
     "q_range_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -1985,6 +1993,21 @@ object SparkEntry {
         |         - epoch(cw)::BIGINT) // 604800)::BIGINT AS week_offset,
         |       count(DISTINCT e.user_id) AS n_keys
         |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the 2-week horizon anchors on the user's EXACT first-event
+    // timestamp (not its truncated cohort week) and compares at epoch
+    // µs on both sides, like q_funnel_windowed's band
+    "q_retention_windowed" ->
+      """WITH f AS (SELECT user_id, min(ts) ft,
+        |                  date_trunc('week', min(ts)) cw
+        |           FROM events GROUP BY 1)
+        |SELECT epoch_ms(cw) AS cohort_ms,
+        |       ((epoch(date_trunc('week', e.ts))::BIGINT
+        |         - epoch(cw)::BIGINT) // 604800)::BIGINT AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_keys
+        |FROM events e JOIN f USING (user_id)
+        |WHERE epoch_us(e.ts) <= epoch_us(ft) + 1209600000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // batch sessions + the append-mode flush rule: a session emits iff

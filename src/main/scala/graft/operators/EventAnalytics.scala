@@ -76,16 +76,33 @@ object EventAnalytics {
     * reproduces it exactly (UTC sessions; weeks have no DST).
     * Output: (cohort_ms, week_offset, n_keys).
     *
+    * `horizonMs` bounds the return window (the windowed retention every
+    * cohort report at scale needs — an unbounded report's tail grows
+    * with corpus age): only events within `horizonMs` of the key's
+    * FIRST EVENT (its exact timestamp, not the truncated cohort week)
+    * count, inclusive at exactly the horizon. The bound compares at
+    * epoch MICROSECONDS — the session µs-timestamp precision, the same
+    * band discipline as [[funnel]]'s `maxLagMs` (the [[Sessionize]]
+    * ms-truncation lesson). `None` = unbounded (the classic report).
+    *
     * Plan shape: one keyed aggregate for first-touch, one key-hash join
     * of the event stream against the (one-row-per-key) cohort frame,
     * one (cohort, offset) aggregate — events never carry more than
-    * (key, truncated week) across an exchange.
+    * (key, truncated week) across an exchange. The horizon is a
+    * post-join scalar predicate: no extra shuffle, no extra scan, and
+    * it SHRINKS the aggregate's input.
     */
-  def retention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+                horizonMs: Option[Long] = None): DataFrame = {
+    require(horizonMs.forall(_ > 0L),
+      s"horizonMs must be positive when set, got $horizonMs")
     val first = events.groupBy(col(keyCol).as("k"))
-      .agg(date_trunc("week", min(col(tsCol))).as("cohort"))
-    events.select(col(keyCol).as("k"), col(tsCol).as("t"))
+      .agg(min(col(tsCol)).as("ft"))
+      .select(col("k"), col("ft"), date_trunc("week", col("ft")).as("cohort"))
+    val joined = events.select(col(keyCol).as("k"), col(tsCol).as("t"))
       .join(first, "k")
+    horizonMs.fold(joined)(h => joined.where(
+        unix_micros(col("t")) <= unix_micros(col("ft")) + h * 1000L))
       .select(col("k"), unix_millis(col("cohort")).as("cohort_ms"),
         floor((unix_timestamp(date_trunc("week", col("t"))) -
           unix_timestamp(col("cohort"))) / 604800L).as("week_offset"))

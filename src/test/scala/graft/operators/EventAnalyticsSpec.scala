@@ -85,4 +85,29 @@ class EventAnalyticsSpec extends SparkSpec {
       (w0 * 1000, 3L, 1L),               // u1 back in week 3
       ((w0 + 604800L) * 1000, 0L, 1L)))  // u2 cohort week 1, offset 0
   }
+
+  test("windowed retention bounds the return horizon, inclusive at T") {
+    val w0 = 345600L // Mon Jan 5 1970
+    val rows = Seq(
+      // u1 first event 10 s into week 0; returns at EXACTLY first+1w
+      // (inside a 1-week horizon, inclusive) and again at first+1w+1s
+      // (outside — dropped even though it is the same ISO week)
+      ("u1", w0 + 10L, "view"), ("u1", w0 + 10L + 604800L, "click"),
+      ("u1", w0 + 11L + 604800L, "view"),
+      // u2 returns two weeks out -> the unbounded report keeps it, the
+      // windowed one must not
+      ("u2", w0 + 20L, "view"), ("u2", w0 + 20L + 2 * 604800L, "click"))
+    val windowed = EventAnalytics.retention(mk(rows), "u", "ts",
+        horizonMs = Some(604800000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(windowed == Set(
+      (w0 * 1000, 0L, 2L),    // both cohorts' first events
+      (w0 * 1000, 1L, 1L)))   // only u1's exactly-at-horizon return
+    // the unbounded report differs on the same vector — the horizon is
+    // doing work
+    val unbounded = EventAnalytics.retention(mk(rows), "u", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unbounded == Set(
+      (w0 * 1000, 0L, 2L), (w0 * 1000, 1L, 1L), (w0 * 1000, 2L, 1L)))
+  }
 }
