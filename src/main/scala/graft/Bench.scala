@@ -336,11 +336,19 @@ object Bench {
     val total =
       if (results.values.exists(_._1 < 0)) -1.0
       else results.values.map(_._1).sum
+    // micro-batch counts of the chunked-replay streaming gates: a slow
+    // streaming number with an UNCHANGED batch count is per-batch floor
+    // (host) noise; a changed count is a semantics/code change
+    val replayBatches = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.ReplayStats.batches.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    }
     // stdout carries ONE compact line — total first, then the per-query
     // medians — so a tail-truncated capture still keeps every number
     // that is graded; the per-run times are stderr forensics (they are
     // also echoed per-run above as they happen)
-    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions,"wall_only_warnings":$wallOnly}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions,"wall_only_warnings":$wallOnly,"replay_batches":$replayBatches}""")
     System.err.println(s"""[bench] runs: $runs""")
     SparkEntry.dropCachedIndexes(spark)
     spark.stop()

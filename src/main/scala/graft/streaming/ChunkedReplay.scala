@@ -29,8 +29,21 @@ final class ChunkedReplay(source: DataFrame, payload: Seq[Column],
                           chunk: Column, nChunks: Int) {
   require(nChunks > 0, s"nChunks must be positive, got $nChunks")
 
-  val root: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-replay-")
+  // The replay root holds ONLY spent-after-the-run artifacts (staged
+  // chunk copy, watched stream dir, checkpoint), so a RAM-backed tmpfs
+  // is the right home when the host offers one: ~100 ms of every
+  // micro-batch is walCommit+commitOffsets fsync (measured, see
+  // ReplayHarness scaladoc), and under host contention that disk I/O is
+  // what swings the streaming gates 2x between runs. Production
+  // checkpoints go to durable storage — this harness's checkpoint is
+  // deliberately ephemeral (deleted in cleanup()).
+  val root: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft-replay-")
+    else java.nio.file.Files.createTempDirectory("graft-replay-")
+  }
   /** Point the file-source `readStream` here, with [[schema]]. */
   val streamDir: java.nio.file.Path = root.resolve("stream")
   private val staged = root.resolve("staged")
@@ -79,13 +92,35 @@ final class ChunkedReplay(source: DataFrame, payload: Seq[Column],
   def cleanup(): Unit = graft.util.FsUtil.deleteRecursively(root)
 }
 
+/** Per-prefix micro-batch counts of the most recent replay — the
+  * bench emits these so a slow streaming-gate number is immediately
+  * attributable (wall ≈ batches × per-batch floor; a changed batch
+  * count is a semantics/code change, an unchanged one is host noise). */
+object ReplayStats {
+  val batches = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+}
+
 /** Shared replay-to-batch plumbing for gates that drive a streaming
   * aggregation through a [[ChunkedReplay]] and return its append-mode
   * emission set as a batch frame bound to the CALLER's session —
   * [[Watermarks.lateDataReplay]] and
   * [[StreamingSessions.sessionReplay]] differ only in the aggregation
   * they plug in. One definition so the scoped-session conf-replay
-  * subtleties are fixed in one place. */
+  * subtleties are fixed in one place.
+  *
+  * Trigger floor, measured (sf0.1 watermark gate, 4 chunks, warm JVM):
+  * 7 micro-batches (4 data + 3 no-data), triggerExecution 400-900 ms
+  * each — addBatch dominates even at 0 input rows (incremental plan
+  * execution + memory-sink commit), plus ~100 ms walCommit+
+  * commitOffsets. The wall for these gates IS batches × that floor.
+  * `Trigger.AvailableNow` was evaluated and rejected: the data
+  * micro-batch per chunk is the SEMANTICS (each chunk must see the
+  * watermark advanced by the previous one, with a no-data batch
+  * between), so AvailableNow cannot reduce the batch count — it would
+  * only add a per-chunk query restart (stream re-planning, state-store
+  * reload) on top. What the floor tolerates badly is checkpoint fsync
+  * under host contention, which [[ChunkedReplay]] removes by rooting
+  * the ephemeral run on tmpfs when available. */
 private[streaming] object ReplayHarness {
 
   /** Stage `events` by `chunk`, run `agg(fileStream)` in a scoped
@@ -121,6 +156,15 @@ private[streaming] object ReplayHarness {
       .start()
     try replay.run(() => query.processAllAvailable())
     finally {
+      ReplayStats.batches.put(namePrefix, query.recentProgress.length.toLong)
+      // floor forensics (SPARK_GRAFT_REPLAY_DEBUG=1): where each
+      // micro-batch's wall went — the trigger-scheduling floor the
+      // bench's streaming gates sit on is the sum of these
+      if (sys.env.contains("SPARK_GRAFT_REPLAY_DEBUG"))
+        query.recentProgress.foreach { p =>
+          System.err.println(s"[replay] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
       query.stop()
       // the memory sink holds the result; the staged corpus copy,
       // stream dir, and checkpoint are spent
