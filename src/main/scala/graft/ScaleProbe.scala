@@ -216,6 +216,71 @@ object ScaleProbe {
     }
   }
 
+  /** Compaction-decade probe: the SCALE.md claim "a many-times-extended
+    * index accretes small files per bucket/cell until open/seek cost
+    * dominates the probe, and blue/green compaction restores it" as a
+    * measured number across decades. Builds an IVF index over the
+    * k-fold corpus, folds in 20 fixed-size deltas (id-disjoint by
+    * construction, so the default-on disjointness scan is opted out —
+    * the documented upstream-guarantee case — to keep the folds
+    * O(delta)), then measures probe wall (median of 3) and corpus-table
+    * file count BEFORE and AFTER [[graft.operators.Similarity
+    * .compactIvfIndex]]. Both generations are dropped before return. */
+  private def compactionProbe(spark: SparkSession, emb: DataFrame,
+                              sfDir: String, k: Int): String = {
+    import graft.operators.Similarity
+    val cents = engine.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 10)
+    val queries = engine.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id").between(100, 104))
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft-probe-cmp-$k").toString
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", s"probe_cmp_idx_$k", path)
+    var out: graft.operators.IvfIndex = null
+    val checkKey = graft.operators.IndexAdmin.CheckDisjointKey
+    try {
+      spark.conf.set(checkKey, "false")
+      try (0 until 20).foreach { f =>
+        Similarity.extendIvfIndex(
+          engine.Tables.embeddings(spark, sfDir)
+            .where(col("vec_id") < 250)
+            .select((col("vec_id") + 950000000L + f * 10000000L)
+              .as("vec_id"), col("embedding")),
+          "vec_id", "embedding", idx)
+      } finally spark.conf.unset(checkKey)
+      def probeMedian(i: graft.operators.IvfIndex): Double =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          Similarity.ivfKnnFromIndex(spark, queries, "vec_id",
+            "embedding", i, 3).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+      def files(i: graft.operators.IvfIndex): Int =
+        spark.table(i.corpusTable).inputFiles.length
+      // untimed warmup: the first IVF probe in a JVM pays plan codegen
+      // that would otherwise inflate ONLY the before side
+      Similarity.ivfKnnFromIndex(spark, queries, "vec_id", "embedding",
+        idx, 3).count()
+      val (filesBefore, probeBefore) = (files(idx), probeMedian(idx))
+      val outPath = java.nio.file.Files
+        .createTempDirectory(s"graft-probe-cmp2-$k").toString
+      val tc0 = System.nanoTime()
+      out = Similarity.compactIvfIndex(spark, idx, s"probe_cmp_out_$k",
+        outPath)
+      val compactSec = (System.nanoTime() - tc0) / 1e9
+      val (filesAfter, probeAfter) = (files(out), probeMedian(out))
+      s""""ivf_compaction":{"folds":20,"files_before":$filesBefore,""" +
+        s""""probe_before_s":${"%.3f".format(probeBefore)},""" +
+        s""""compact_s":${"%.3f".format(compactSec)},""" +
+        s""""files_after":$filesAfter,""" +
+        s""""probe_after_s":${"%.3f".format(probeAfter)}}"""
+    } finally {
+      Similarity.dropIvfIndex(spark, idx)
+      if (out != null) Similarity.dropIvfIndex(spark, out)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -544,6 +609,14 @@ object ScaleProbe {
             f"[probe] scale=$k streaming_sessions ${(System.nanoTime() - t0) / 1e9}%7.2fs")
           "," + j
         } else ""
+      val compactionJson =
+        if (wanted("ivf_compaction")) {
+          val t0 = System.nanoTime()
+          val j = compactionProbe(spark, emb, sfDir, k)
+          System.err.println(
+            f"[probe] scale=$k ivf_compaction ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+          "," + j
+        } else ""
       spark.catalog.clearCache()
       // the per-scale index is corpus-sized on disk — drop it before
       // the next decade (a 50x sweep would otherwise accrete ~85x the
@@ -566,7 +639,7 @@ object ScaleProbe {
         graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(embIncIdx.path))
       }
-      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$sessionsJson}""")
+      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$sessionsJson$compactionJson}""")
     }
     spark.stop()
   }
