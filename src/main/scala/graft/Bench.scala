@@ -324,11 +324,31 @@ object Bench {
       require(failedQs.isEmpty,
         s"refusing to record a baseline with failed queries: " +
           failedQs.mkString(", "))
-      val body = results.map { case (k, (m, d, tm, g, _)) =>
+      // SPARK_GRAFT_RECORD_MERGE=max folds this run into an EXISTING
+      // baseline elementwise-max instead of replacing it. One run's
+      // medians are one draw from a host whose neighbors are invisible
+      // (back-to-back identical full-suite runs here measured 47 s vs
+      // 61 s totals with BOTH clocks moving — external CPU steal that
+      // no wall/task split can classify); the merged envelope means "a
+      // flag = slower than the slowest quiet-ish recording ever
+      // observed, by the gate margin", which is the phantom-rate the
+      // per-round judge re-runs were paying for. gc_ms rides along for
+      // forensics; queries new to the baseline enter at this run's
+      // numbers.
+      val merge = sys.env.get("SPARK_GRAFT_RECORD_MERGE").contains("max")
+      val merged = results.map { case (k, (m, d, tm, g, _)) =>
+        baseline.get(k) match {
+          case Some((bm, bd, btm)) if merge =>
+            (k, (math.max(m, bm), math.max(d, bd), math.max(tm, btm), g))
+          case _ => (k, (m, d, tm, g))
+        }
+      }
+      val body = merged.map { case (k, (m, d, tm, g)) =>
         s"""  "$k": {"median": $m, "mad": $d, "task_ms": $tm, "gc_ms": $g}""" }
         .mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.writeString(basePath, body)
-      System.err.println(s"[bench] recorded baseline -> $basePath")
+      System.err.println(s"[bench] recorded baseline -> $basePath" +
+        (if (merge) " (merged max)" else ""))
     }
     // a run with ANY failed query has no meaningful total: summing only
     // the survivors would report a LOWER total when an expensive query
