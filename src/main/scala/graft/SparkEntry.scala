@@ -58,6 +58,11 @@ object SparkEntry {
   // audio counterpart of the image fixture, same resolution rules
   private[graft] val audioFixturePath = graft.util.Fixtures.audioPath
 
+  // committed animated-GIF fixture + its per-frame truth table
+  // (regenerate: sbt "runMain graft.tools.GifFixture fixtures")
+  private[graft] val gifFixturePath = graft.util.Fixtures.gifPath
+  private[graft] val gifTruthPath = graft.util.Fixtures.gifTruthPath
+
   // the sanitation rule is load-bearing for table-name collision safety
   // — one definition, used by every index-backed gate
   private def idxTag(s: SparkSession, d: String): String =
@@ -1268,6 +1273,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL multi-frame extraction (javax.imageio sequence reader) over
+    // the committed animated-GIF fixture: every decoded frame's
+    // dims/mean must match the per-frame truth recorded AT DRAW TIME
+    // (palette-by-construction GIFs are lossless; generation re-decodes
+    // and asserts, so the committed truth is provable). Corrupt rows
+    // (ids 12-13) emit zero rows — the row-expanding degradation shape.
+    "q_multimodal_gif" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(gifFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeAllFrames(recs).toDF()
+        .select(col("id"), col("frame"), col("width"), col("height"),
+          col("meanPixel").as("mean_pixel"))
+        .orderBy("id", "frame")
+    }),
+
     // Row-expanding frame-sample path (the generator shape of real video
     // frame sampling): every 2nd 64-byte slice, hashed — one record in,
     // N frames out, partition-parallel.
@@ -2312,6 +2337,14 @@ object SparkEntry {
         |       expected_frames AS frames, expected_rms AS rms
         |FROM read_parquet('$audioFixturePath/*.parquet')
         |ORDER BY id""".stripMargin,
+
+    // the oracle is a plain scan of the draw-time truth table — the
+    // corrupt payloads (zero expected frames) simply have no truth rows
+    "q_multimodal_gif" ->
+      s"""SELECT id, frame, expected_width AS width,
+        |       expected_height AS height, expected_mean AS mean_pixel
+        |FROM read_parquet('$gifTruthPath/*.parquet')
+        |ORDER BY id, frame""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),

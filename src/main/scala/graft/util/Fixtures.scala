@@ -29,4 +29,12 @@ object Fixtures {
   /** `audio.parquet` — real WAV/PCM bytes + synthesis-time truth
     * (regenerate: `sbt "runMain graft.tools.AudioFixture"`). */
   def audioPath: String = new File(dir, "audio.parquet").getAbsolutePath
+
+  /** `gif.parquet` — real multi-frame animated GIFs (regenerate both
+    * with `sbt "runMain graft.tools.GifFixture"`). */
+  def gifPath: String = new File(dir, "gif.parquet").getAbsolutePath
+
+  /** `gif_truth.parquet` — one draw-time truth row per (gif, frame). */
+  def gifTruthPath: String =
+    new File(dir, "gif_truth.parquet").getAbsolutePath
 }

@@ -229,6 +229,56 @@ class MultimodalSpec extends SparkSpec {
     assert(!trunc.decoded, "truncated wav did not degrade")
   }
 
+  test("real GIF frame extraction roundtrips draw truth; corrupt degrades") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // fresh synthesis: every frame of a multi-frame GIF decodes to its
+    // draw-time mean (palette-by-construction losslessness)
+    val (bytes, means) = graft.tools.GifFixture.makeGif(5, 11, 9, 3)
+    val frames = Multimodal.decodeImageFrames(
+      Multimodal.MediaRecord(1L, bytes, "image/gif", 0, 0)).toSeq
+    assert(frames.size == 3, s"expected 3 frames, got ${frames.size}")
+    frames.zip(means).zipWithIndex.foreach { case ((f, m), i) =>
+      assert(f.frame == i && f.width == 11 && f.height == 9,
+        s"frame $i shape: $f")
+      assert(f.meanPixel == m, s"frame $i: mean ${f.meanPixel} != drawn $m")
+    }
+    // a single-frame PNG yields exactly one frame through the same path
+    val (png, pngMean) = graft.tools.ImageFixture.makeImage(3, 10, 8, "png")
+    val one = Multimodal.decodeImageFrames(
+      Multimodal.MediaRecord(2L, png, "image/png", 0, 0)).toSeq
+    assert(one.size == 1 && one.head.meanPixel == pngMean)
+    // non-image: zero frames, no throw; truncated gif: at most the
+    // frames that decode before the damage
+    assert(Multimodal.decodeImageFrames(Multimodal.MediaRecord(
+      3L, "definitely not media".getBytes("UTF-8"), "x", 0, 0)).isEmpty)
+    val trunc = Multimodal.decodeImageFrames(Multimodal.MediaRecord(
+      4L, java.util.Arrays.copyOf(bytes, 60), "image/gif", 0, 0)).toSeq
+    assert(trunc.size < 3, s"truncated gif returned all frames: $trunc")
+    // distributed path agrees with the local decode
+    val ds = s.createDataset(Seq(
+      Multimodal.MediaRecord(1L, bytes, "image/gif", 0, 0)))
+    assert(Multimodal.decodeAllFrames(ds).collect().toSeq.sortBy(_.frame)
+      == frames)
+  }
+
+  test("committed gif fixture matches its per-frame truth table") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val recs = s.read.parquet(graft.util.Fixtures.gifPath)
+      .select(col("id"), col("payload"), col("media_type").as("mediaType"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRecord]
+    val got = Multimodal.decodeAllFrames(recs).collect()
+      .map(f => (f.id, f.frame) -> ((f.width, f.height, f.meanPixel))).toMap
+    val truth = s.read.parquet(graft.util.Fixtures.gifTruthPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(truth.nonEmpty && got == truth,
+      s"frame set mismatch: extra=${(got.keySet -- truth.keySet).take(5)} " +
+        s"missing=${(truth.keySet -- got.keySet).take(5)}")
+  }
+
   test("committed audio fixture matches its recorded ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
