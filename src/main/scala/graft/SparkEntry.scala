@@ -913,6 +913,31 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // PQ/ADC retrieve-then-refine: corpus scanned via m=16 one-byte
+    // subspace codes (16x compression at 64 dims vs float32 — the
+    // memory decade BEYOND SQ8's 4x), scored per query by m table
+    // lookups, per-partition bounded heaps keeping the shuffle at
+    // partitions x queries x top-R rows, then exact re-rank. Same
+    // certificate discipline as q_knn_sq8: emits exact top-k plus an
+    // in-query recall >= 0.9 certificate (measured 1.0 at the gate's
+    // refine=16 on every sf — near-random vectors are PQ's worst case,
+    // which is exactly why the refine budget is generous here).
+    "q_knn_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Similarity.trainPq(e, "embedding", m = 16,
+        codesPerSub = 32, seed = 7L)
+      val q = e.where(col("vec_id") < 5)
+      val exact0 = Similarity.bruteForceKnn(q, e, "vec_id", "embedding", 3)
+      val exact = if (exact0.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) exact0.cache()
+        else exact0
+      val approx = Similarity.pqKnn(q, e, "vec_id", "embedding", 3, cb,
+        refine = 16)
+      exact.crossJoin(
+          broadcast(Similarity.recallCertificate(exact, approx, 0.9)))
+        .orderBy("qid", "rank")
+    }),
+
     // Banded random-hyperplane LSH at a measured-recall-1.0 band budget:
     // 4 bits x 48 bands misses a true neighbor at cosine s with per-pair
     // probability (1 - p^4)^48 (p = 1 - acos(s)/pi); measured as EXACT
@@ -2266,6 +2291,22 @@ object SparkEntry {
     // SQ8 gate: exact rows + deterministic recall certificate (same
     // contract as q_knn_ivf_trained) — oracle is brute force + TRUE
     "q_knn_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim,
+        |       TRUE AS recall_ok FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // like q_knn_sq8: the gate emits exact re-ranked rows + a TRUE
+    // certificate, so the brute-force SQL is the oracle
+    "q_knn_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,

@@ -597,4 +597,199 @@ object Similarity {
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
+
+  // --------------------------------------------------------------------
+  // Product-quantized (PQ) search with asymmetric-distance computation
+  // (ADC) — the Jegou/Douze/Schmid PQ paper's scheme: the memory scale
+  // path BEYOND SQ8. SQ8 stores 1 byte per dimension; PQ stores 1 byte
+  // per SUBSPACE (m bytes per vector regardless of dim), so a 64-dim
+  // float32 corpus compresses 16x at m=16 vs SQ8's 4x — at 100 TB that
+  // is the difference between a cache-resident code table and a
+  // disk-bound scan.
+  // --------------------------------------------------------------------
+
+  /** Per-subspace k-means codebooks: `centroids(s)(c)` is code c's
+    * dsub-dim centroid for subspace s. */
+  case class PqCodebook(dim: Int, m: Int,
+                        centroids: IndexedSeq[IndexedSeq[Array[Double]]]) {
+    def dsub: Int = dim / m
+    def codesPerSub: Int = centroids.head.length
+  }
+
+  /** Train PQ codebooks: slice a driver-side sample into `m` contiguous
+    * subspaces and run seeded Lloyd's per subspace (the per-subspace
+    * problems are independent — PQ's defining property). The sample is
+    * capped at `sampleDoubles` total doubles (same memory bound as
+    * [[trainCentroids]]'s local path); codebook quality only needs a
+    * representative sample, and the gate's recall certificate measures
+    * the result rather than trusting it. */
+  def trainPq(corpus: DataFrame, vec: String, m: Int,
+              codesPerSub: Int = 256, seed: Long = 42L, maxIter: Int = 15,
+              sampleDoubles: Long = 4000000L): PqCodebook = {
+    require(m > 0, s"m must be positive, got $m")
+    require(codesPerSub > 1 && codesPerSub <= 256,
+      s"codesPerSub must be in [2, 256] (one byte per code), got $codesPerSub")
+    val clean = corpus.select(asDoubles(col(vec)).as("v"))
+      .where(col("v").isNotNull)
+    val head = clean.agg(count(lit(1)), first(col("v"))).collect()(0)
+    val n = head.getLong(0)
+    require(n > 0, "trainPq: empty corpus")
+    val dim = head.getAs[Seq[Double]](1).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val targetRows = math.max(codesPerSub * 4L, sampleDoubles / dim)
+    val sampled =
+      if (n > targetRows)
+        clean.sample(withReplacement = false,
+          math.min(1.0, targetRows.toDouble * 1.2 / n), seed)
+      else clean
+    val pts = sampled.collect().map(_.getAs[Seq[Double]](0).toArray)
+    require(pts.length >= codesPerSub,
+      s"trainPq: sample of ${pts.length} vectors cannot train " +
+        s"$codesPerSub codes per subspace")
+    val dsub = dim / m
+    val cents = (0 until m).map { s =>
+      val sub = pts.map(p =>
+        java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
+      // distinct seed per subspace: identical sub-distributions must
+      // not force identical codebooks
+      localLloyd(sub, codesPerSub, seed + s, maxIter).toIndexedSeq
+    }
+    PqCodebook(dim, m, cents)
+  }
+
+  /** Top-k by cosine via PQ retrieve-then-refine. Queries are FEW by
+    * contract (the [[ivfKnnFromIndex]] contract): they collect to the
+    * driver, each precomputing an ADC lookup table `lut(s)(c) =
+    * dot(q_sub_s, centroid_c)` — scoring a corpus vector is then `m`
+    * table lookups + adds, never a d-dim dot product. The corpus scan
+    * runs partition-parallel with a bounded per-query top-R heap PER
+    * PARTITION, so the shuffle after the scan carries at most
+    * `partitions x queries x R` rows — contrast [[sqKnn]]'s window
+    * over every scored pair; at 1000 executors this is the difference
+    * between shuffling the corpus and shuffling kilobytes. The top-R
+    * survivors re-rank exactly on original vectors (shuffle-hash
+    * pinned corpus lookup, same tail as [[sqKnn]]).
+    *
+    * The reconstructed-corpus cosine `lutSum / (|q| * |reconstruct|)`
+    * carries quantization error on the corpus side only (asymmetric:
+    * the query is never quantized); recall loss needs a true neighbor
+    * to leave the top `k * refine` under that error. The gate carries
+    * an in-query [[recallCertificate]]; SimilaritySpec floors recall.
+    *
+    * Output: (qid, rank, cid, sim) with EXACT sims. */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+            k: Int, cb: PqCodebook, refine: Int = 8): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = cb.m; val dsub = cb.dsub; val kSub = cb.codesPerSub
+    val qRows = queries
+      .select(col(id).cast("long").as("qid"), asDoubles(col(vec)).as("qv"))
+      .where(col("qv").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Double]](1).toArray))
+    require(qRows.nonEmpty, "pqKnn: no queries")
+    qRows.foreach { case (qid, qv) => require(qv.length == cb.dim,
+      s"pqKnn: query $qid has dim ${qv.length}, codebook dim ${cb.dim}") }
+    // centroid norm² per (sub, code): the reconstruction's norm² is the
+    // sum over subspaces (subspaces are disjoint coordinates)
+    val cn2 = Array.tabulate(m, kSub) { (s, c) =>
+      val cent = cb.centroids(s)(c)
+      var t = 0.0; var j = 0
+      while (j < dsub) { t += cent(j) * cent(j); j += 1 }
+      t
+    }
+    val qids = qRows.map(_._1)
+    val qns = qRows.map { case (_, qv) =>
+      math.sqrt(qv.map(x => x * x).sum) }
+    val luts = qRows.map { case (_, qv) =>
+      Array.tabulate(m, kSub) { (s, c) =>
+        val cent = cb.centroids(s)(c)
+        var t = 0.0; var j = 0
+        while (j < dsub) { t += qv(s * dsub + j) * cent(j); j += 1 }
+        t
+      }
+    }
+    val centsArr = cb.centroids.map(_.toArray).toArray
+    val bc = spark.sparkContext.broadcast((qids, qns, luts, cn2, centsArr))
+    val topR = k * refine
+    val cand = corpus
+      .select(col(id).cast("long").as("cid"), asDoubles(col(vec)).as("cv"))
+      .where(col("cv").isNotNull)
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (bQids, bQns, bLuts, bCn2, bCents) = bc.value
+        val nq = bQids.length
+        // per-query min-heap of (asim, cid): head = worst survivor
+        val heaps = Array.fill(nq)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), Double](_._1).reverse))
+        val codes = new Array[Int](m)
+        it.foreach { case (cid, cvSeq) =>
+          val cv = cvSeq.toArray
+          var cn2sum = 0.0
+          var s = 0
+          while (s < m) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < bCents(s).length) {
+              val cent = bCents(s)(c)
+              var d = 0.0; var j = 0
+              while (j < dsub) {
+                val t = cv(s * dsub + j) - cent(j); d += t * t; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(s) = best; cn2sum += bCn2(s)(best); s += 1
+          }
+          val cnorm = math.sqrt(cn2sum)
+          var q = 0
+          while (q < nq) {
+            if (bQids(q) != cid && cnorm > 0 && bQns(q) > 0) {
+              var dot = 0.0; var s2 = 0
+              while (s2 < m) { dot += bLuts(q)(s2)(codes(s2)); s2 += 1 }
+              val asim = dot / (bQns(q) * cnorm)
+              val h = heaps(q)
+              if (h.size < topR) h.enqueue((asim, cid))
+              else if (asim > h.head._1) { h.dequeue(); h.enqueue((asim, cid)) }
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (asim, cid) => (bQids(q), cid, asim) }
+        }
+      }
+      .toDF("qid", "cid", "asim")
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("cid").asc)
+    val top = cand.withColumn("r", row_number().over(wA))
+      .where(col("r") <= topR)
+      .select(col("qid"), col("cid"))
+    // exact refine on original vectors — same tail as sqKnn
+    val q = spark.createDataFrame(
+        java.util.Arrays.asList(qRows.map { case (qid, qv) =>
+          org.apache.spark.sql.Row(qid, qv.toSeq) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      .withColumn("qn", l2Norm(col("qv")))
+    val cv = corpus.select(col(id).cast("long").as("cid"),
+        asDoubles(col(vec)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .hint("shuffle_hash")
+    val exact = top.join(cv, "cid").join(broadcast(q), "qid")
+      .withColumn("sim",
+        cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .where(col("sim").isNotNull)
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    exact.withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
 }

@@ -129,6 +129,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("pq knn with generous refine equals brute force exactly") {
+    // near-random 64-d vectors are PQ's worst case (no cluster
+    // structure for the codebooks to exploit), so a generous refine
+    // budget must still recover the exact top-3 — the retrieve-then-
+    // refine contract: candidates approximate, final ranks exact
+    val cb = Similarity.trainPq(emb, "embedding", m = 16,
+      codesPerSub = 32, seed = 7L)
+    assert(cb.dsub == 4 && cb.codesPerSub == 32)
+    val q = emb.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Similarity.pqKnn(q, emb, "vec_id", "embedding", 3, cb,
+        refine = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact,
+      s"pq refine=16 diverged: missing=${exact -- got} extra=${got -- exact}")
+  }
+
+  test("pq codebook: reconstruction beats the zero vector, codes in range") {
+    val cb = Similarity.trainPq(emb, "embedding", m = 8,
+      codesPerSub = 16, seed = 3L)
+    assert(cb.m == 8 && cb.dsub == 8)
+    assert(cb.centroids.forall(_.size == 16))
+    // quantization must reduce error vs predicting zero: the mean
+    // squared reconstruction error of a trained codebook is bounded by
+    // the subspace variance it was trained on
+    val vecs = emb.limit(100).select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def encDec(v: Array[Double]): Array[Double] =
+      (0 until cb.m).flatMap { s =>
+        val sub = java.util.Arrays.copyOfRange(v, s * cb.dsub,
+          (s + 1) * cb.dsub)
+        cb.centroids(s).minBy(c =>
+          c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum).toSeq
+      }.toArray
+    val (errQ, errZ) = vecs.map { v =>
+      val r = encDec(v)
+      (v.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum,
+        v.map(x => x * x).sum)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(errQ < errZ * 0.7,
+      s"pq reconstruction barely beats zero: $errQ vs $errZ")
+  }
+
   test("sq8 expressions canonicalize equal across invocations (plan cache)") {
     // the Seq-param contract: two structurally identical sqKnn plans must
     // be semantically equal, or every call would leak a plan-cache entry
