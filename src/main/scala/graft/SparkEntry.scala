@@ -44,6 +44,8 @@ object SparkEntry {
   // sharing a handle would double-fold on interleaved invocations
   private val extIvfIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex]()
+  private val ivfPqIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfPqIndex]()
 
   // committed fixture of real PNG/BMP bytes + draw-time ground truth
   // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
@@ -82,8 +84,10 @@ object SparkEntry {
       graft.operators.Dedup.dropEmbeddingIndex(spark, _))
     exactIdxCache.values.asScala.foreach(
       graft.operators.Dedup.dropExactIndex(spark, _))
+    ivfPqIdxCache.values.asScala.foreach(
+      graft.operators.Similarity.dropIvfPqIndex(spark, _))
     Seq(incIdxCache, ivfIdxCache, extIvfIdxCache, embIdxCache,
-      exactIdxCache).foreach(_.clear())
+      exactIdxCache, ivfPqIdxCache).foreach(_.clear())
   }
 
   // orphan guard for every OTHER consumer (specs, shell probes, a
@@ -98,7 +102,8 @@ object SparkEntry {
         ivfIdxCache.values.asScala.map(_.path) ++
         extIvfIdxCache.values.asScala.map(_.path) ++
         embIdxCache.values.asScala.map(_.path) ++
-        exactIdxCache.values.asScala.map(_.path))
+        exactIdxCache.values.asScala.map(_.path) ++
+        ivfPqIdxCache.values.asScala.map(_.path))
         .foreach(p => graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(p)))
     }, "graft-index-cleanup"))
@@ -839,6 +844,38 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Persisted IVF-PQ (the FAISS IVFADC layout, Spark-native): one
+    // cell-partitioned table carrying m=16 one-byte PQ codes AND the
+    // original vectors as separate columns — the ADC scan column-prunes
+    // to codes (never reads vectors, spec-asserted via ReadSchema), the
+    // exact-refine tail reads vectors only for top-R candidate ids.
+    // Output rows are the exhaustive probe (nProbe = #cells) + generous
+    // refine = exact brute-force top-k (hashable against the same SQL
+    // as q_knn_pq), cross-joined with a certificate that the PRUNED
+    // nProbe=4 probe still clears recall >= 0.3 over the same index.
+    "q_knn_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      val tag = idxTag(s, d)
+      val idx = ivfPqIdxCache.computeIfAbsent(tag, _ =>
+        Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding",
+          Similarity.trainPq(e, "embedding", m = 16, codesPerSub = 32,
+            seed = 7L),
+          s"graft_ivfpq_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-ivfpq-idx-$tag"))
+      val q = e.where(col("vec_id") < 5)
+      val exact0 = Similarity.ivfPqKnnFromIndex(s, q, "vec_id",
+        "embedding", idx, 3, nProbe = 10, refine = 48)
+      val exact = if (exact0.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) exact0.cache()
+        else exact0
+      val pruned = Similarity.ivfPqKnnFromIndex(s, q, "vec_id",
+        "embedding", idx, 3, nProbe = 4, refine = 48)
+      exact.crossJoin(
+          broadcast(Similarity.recallCertificate(exact, pruned, 0.3)))
+        .orderBy("qid", "rank")
+    }),
+
     // k-means-trained IVF (MLlib) with an in-query recall certificate.
     // Trains on a seeded half-sample with random init (the faiss-style
     // coarse-quantizer recipe): the 100 TB contract is that centroids
@@ -920,7 +957,7 @@ object SparkEntry {
     // partitions x queries x top-R rows, then exact re-rank. Same
     // certificate discipline as q_knn_sq8: emits exact top-k plus an
     // in-query recall >= 0.9 certificate (measured 1.0 at the gate's
-    // refine=16 on every sf — near-random vectors are PQ's worst case,
+    // refine=48 on every sf — near-random vectors are PQ's worst case,
     // which is exactly why the refine budget is generous here).
     "q_knn_pq" -> ((s, d) => {
       val e = emb(s, d)
@@ -932,7 +969,7 @@ object SparkEntry {
           org.apache.spark.storage.StorageLevel.NONE) exact0.cache()
         else exact0
       val approx = Similarity.pqKnn(q, e, "vec_id", "embedding", 3, cb,
-        refine = 16)
+        refine = 48)
       exact.crossJoin(
           broadcast(Similarity.recallCertificate(exact, approx, 0.9)))
         .orderBy("qid", "rank")
@@ -2291,6 +2328,24 @@ object SparkEntry {
     // SQ8 gate: exact rows + deterministic recall certificate (same
     // contract as q_knn_ivf_trained) — oracle is brute force + TRUE
     "q_knn_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim,
+        |       TRUE AS recall_ok FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // exhaustive probe (all 10 cells) + refine=48 recovers exact
+    // brute-force top-3 (spec-pinned), so the same SQL oracles the
+    // persisted IVFADC path; the pruned-probe quality rides in the
+    // certificate column
+    "q_knn_ivfpq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,

@@ -15,6 +15,21 @@ case class IvfIndex(name: String, path: String) {
   def centroidsTable: String = s"${name}_cents"
 }
 
+/** Handle to a persisted IVF-PQ index (see
+  * [[Similarity.buildIvfPqIndex]]): the FAISS IVFADC layout expressed
+  * Spark-native — ONE cell-partitioned parquet table holding both the
+  * m-byte PQ codes and the original vectors as separate COLUMNS, plus
+  * the coarse-centroid and PQ-codebook tables that make the index
+  * self-contained. Columnar storage is what makes one table enough:
+  * the ADC scan selects only (cid, codes, dnorm) and parquet never
+  * reads the vector column; the exact refine reads vectors only for
+  * the top-R candidate ids. */
+case class IvfPqIndex(name: String, path: String) {
+  def corpusTable: String = s"${name}_pqc"
+  def centroidsTable: String = s"${name}_pqcent"
+  def codebookTable: String = s"${name}_pqcb"
+}
+
 /** Approximate / exact nearest-neighbor search over an embedding column.
   *
   * - [[bruteForceKnn]]: exact top-k by cosine — the correctness baseline.
@@ -723,31 +738,14 @@ object Similarity {
         val heaps = Array.fill(nq)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
             Ordering.by[(Double, Long), Double](_._1).reverse))
-        val codes = new Array[Int](m)
         it.foreach { case (cid, cvSeq) =>
-          val cv = cvSeq.toArray
-          var cn2sum = 0.0
-          var s = 0
-          while (s < m) {
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < bCents(s).length) {
-              val cent = bCents(s)(c)
-              var d = 0.0; var j = 0
-              while (j < dsub) {
-                val t = cv(s * dsub + j) - cent(j); d += t * t; j += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            codes(s) = best; cn2sum += bCn2(s)(best); s += 1
-          }
+          val (codes, cn2sum) = pqEncode(cvSeq.toArray, bCents, bCn2, dsub)
           val cnorm = math.sqrt(cn2sum)
           var q = 0
           while (q < nq) {
             if (bQids(q) != cid && cnorm > 0 && bQns(q) > 0) {
               var dot = 0.0; var s2 = 0
-              while (s2 < m) { dot += bLuts(q)(s2)(codes(s2)); s2 += 1 }
+              while (s2 < m) { dot += bLuts(q)(s2)(codes(s2) & 0xff); s2 += 1 }
               val asim = dot / (bQns(q) * cnorm)
               val h = heaps(q)
               if (h.size < topR) h.enqueue((asim, cid))
@@ -781,6 +779,259 @@ object Similarity {
         asDoubles(col(vec)).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
       .hint("shuffle_hash")
+    val exact = top.join(cv, "cid").join(broadcast(q), "qid")
+      .withColumn("sim",
+        cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .where(col("sim").isNotNull)
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    exact.withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
+  /** Encode one vector against PQ codebooks: per-subspace argmin code
+    * (one byte each) + the reconstruction's norm² (sum of the chosen
+    * centroids' norm² — subspaces are disjoint coordinates). */
+  private def pqEncode(cv: Array[Double], cents: Array[Array[Array[Double]]],
+                       cn2: Array[Array[Double]], dsub: Int)
+      : (Array[Byte], Double) = {
+    val m = cents.length
+    val codes = new Array[Byte](m)
+    var cn2sum = 0.0
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents(s).length) {
+        val cent = cents(s)(c)
+        var d = 0.0; var j = 0
+        while (j < dsub) { val t = cv(s * dsub + j) - cent(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best.toByte; cn2sum += cn2(s)(best); s += 1
+    }
+    (codes, cn2sum)
+  }
+
+  /** centroid norm² per (sub, code) for a codebook. */
+  private def pqCentNorm2(cb: PqCodebook): Array[Array[Double]] =
+    Array.tabulate(cb.m, cb.codesPerSub) { (s, c) =>
+      val cent = cb.centroids(s)(c)
+      var t = 0.0; var j = 0
+      while (j < cb.dsub) { t += cent(j) * cent(j); j += 1 }
+      t
+    }
+
+  /** ADC lookup table for one query: lut(s)(c) = dot(q_sub_s, cent_c). */
+  private def pqLutFor(qv: Array[Double], cb: PqCodebook)
+      : Array[Array[Double]] =
+    Array.tabulate(cb.m, cb.codesPerSub) { (s, c) =>
+      val cent = cb.centroids(s)(c)
+      var t = 0.0; var j = 0
+      while (j < cb.dsub) { t += qv(s * cb.dsub + j) * cent(j); j += 1 }
+      t
+    }
+
+  /** One encoded row of a persisted IVF-PQ index. `codes` is the m-byte
+    * PQ word, `dnorm` the reconstruction norm; `cv`/`cn` are the
+    * original vector and its norm, carried as SEPARATE COLUMNS so the
+    * columnar scan can skip them (see [[IvfPqIndex]]). */
+  case class PqIndexedRow(cid: Long, cell: Long, codes: Array[Byte],
+                          dnorm: Double, cv: Seq[Double], cn: Double)
+
+  /** Persist the IVFADC layout: coarse cells from `centroids` (the IVF
+    * half — partition pruning), PQ codes from `cb` (the ADC half —
+    * 1-byte-per-subspace scans), plus both parameter tables so the
+    * index is self-contained. Cell assignment AND encoding — the two
+    * full-corpus scans — happen exactly once, at write time. */
+  def buildIvfPqIndex(corpus: DataFrame, id: String, vec: String,
+                      centroids: DataFrame, centId: String, centVec: String,
+                      cb: PqCodebook, name: String, path: String)
+      : IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = IvfPqIndex(name, path)
+    centroids
+      .select(col(centId).cast("bigint").as("cell"),
+        asDoubles(col(centVec)).as("centroid"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/${idx.centroidsTable}")
+      .format("parquet").saveAsTable(idx.centroidsTable)
+    cb.centroids.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/${idx.codebookTable}")
+      .format("parquet").saveAsTable(idx.codebookTable)
+    writeIvfPqSlice(assignCells(corpus, id, vec, centroids, centId, centVec)
+        .select(col(id).cast("long").as("cid"), asDoubles(col(vec)).as("cv"),
+          col("cell").cast("long").as("cell")),
+      cb, idx, append = false)
+    idx
+  }
+
+  /** Encode (cid, cv, cell) rows and write/append the corpus slice. */
+  private def writeIvfPqSlice(assigned: DataFrame, cb: PqCodebook,
+                              idx: IvfPqIndex, append: Boolean): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cn2 = pqCentNorm2(cb)
+    val centsArr = cb.centroids.map(_.toArray).toArray
+    val dsub = cb.dsub
+    val bc = spark.sparkContext.broadcast((centsArr, cn2))
+    val encoded = assigned.as[(Long, Seq[Double], Long)]
+      .mapPartitions { it =>
+        val (bCents, bCn2) = bc.value
+        it.map { case (cid, cvSeq, cell) =>
+          val cv = cvSeq.toArray
+          val (codes, cn2sum) = pqEncode(cv, bCents, bCn2, dsub)
+          var n2 = 0.0; var j = 0
+          while (j < cv.length) { n2 += cv(j) * cv(j); j += 1 }
+          PqIndexedRow(cid, cell, codes, math.sqrt(cn2sum), cvSeq,
+            math.sqrt(n2))
+        }
+      }.toDF()
+    val w = encoded.write
+      .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .partitionBy("cell")
+      .format("parquet")
+    (if (append) w else w.option("path", s"${idx.path}/${idx.corpusTable}"))
+      .saveAsTable(idx.corpusTable)
+  }
+
+  /** Fold NEW vectors into a persisted IVF-PQ index: assign to the
+    * immutable coarse centroids, encode against the immutable
+    * codebooks, append only the touched cell partitions — O(delta),
+    * the [[extendIvfIndex]] contract, delta-ids-disjoint VERIFIED by
+    * default. */
+  def extendIvfPqIndex(delta: DataFrame, id: String, vec: String,
+                       idx: IvfPqIndex): Unit = {
+    val spark = delta.sparkSession
+    IndexAdmin.requireDisjointIds(delta, id, idx.corpusTable, "cid",
+      "extendIvfPqIndex")
+    val cents = spark.table(idx.centroidsTable)
+    writeIvfPqSlice(assignCells(delta, id, vec, cents, "cell", "centroid")
+        .select(col(id).cast("long").as("cid"), asDoubles(col(vec)).as("cv"),
+          col("cell").cast("long").as("cell")),
+      loadPqCodebook(spark, idx), idx, append = true)
+  }
+
+  /** Drop an IVF-PQ index — see [[dropIvfIndex]]. */
+  def dropIvfPqIndex(spark: SparkSession, idx: IvfPqIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark,
+      Seq(idx.corpusTable, idx.centroidsTable, idx.codebookTable), idx.path)
+
+  /** Rehydrate the PQ codebook from the index's own table. */
+  def loadPqCodebook(spark: SparkSession, idx: IvfPqIndex): PqCodebook = {
+    val rows = spark.table(idx.codebookTable)
+      .select(col("sub"), col("code"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Double]](2).toArray))
+    require(rows.nonEmpty, s"empty codebook table ${idx.codebookTable}")
+    val bySub = rows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+    val cents = bySub.map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+    val m = cents.length
+    PqCodebook(m * cents.head.head.length, m, cents)
+  }
+
+  /** IVF-PQ ANN against the persisted index: the probe prunes to the
+    * queries' nProbe cells (partition filter — the IVF half), the ADC
+    * scan reads ONLY the (cid, codes, dnorm) columns of those
+    * partitions (parquet column pruning — the PQ half; the vector
+    * column is never read), scores by per-query lookup table with
+    * per-partition bounded top-R heaps, and re-ranks the survivors
+    * exactly against the index's own vector column (read only for
+    * candidate ids). Within probed cells the candidate semantics match
+    * [[ivfKnn]]: a vector counts for a query only if the query probed
+    * its cell. Output: (qid, rank, cid, sim) with EXACT sims. */
+  def ivfPqKnnFromIndex(spark: SparkSession, queries: DataFrame, id: String,
+                        vec: String, idx: IvfPqIndex, k: Int,
+                        nProbe: Int = 1, refine: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cb = loadPqCodebook(spark, idx)
+    val cents = spark.table(idx.centroidsTable)
+    val probeRows = queryProbes(queries, id, vec, cents, "cell", "centroid",
+      nProbe).collect()
+    require(probeRows.nonEmpty, "ivfPqKnnFromIndex: no queries")
+    // per-query state (deterministic order), plus cell -> query indexes
+    val qids = probeRows.map(_.getAs[Long]("qid")).distinct.sorted
+    val qIdx = qids.zipWithIndex.toMap
+    val qvs = new Array[Array[Double]](qids.length)
+    val qns = new Array[Double](qids.length)
+    probeRows.foreach { r =>
+      val i = qIdx(r.getAs[Long]("qid"))
+      if (qvs(i) == null) {
+        qvs(i) = r.getAs[Seq[Double]]("qv").toArray
+        qns(i) = r.getAs[Double]("qn")
+      }
+    }
+    qvs.zipWithIndex.foreach { case (qv, i) => require(qv.length == cb.dim,
+      s"query ${qids(i)} dim ${qv.length} != codebook dim ${cb.dim}") }
+    val luts = qvs.map(pqLutFor(_, cb))
+    val cellToQ: Map[Long, Array[Int]] = probeRows
+      .map(r => (r.getAs[Long]("cell"), qIdx(r.getAs[Long]("qid"))))
+      .groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).distinct }
+    val cells = cellToQ.keys.toSeq
+    val topR = k * refine
+    val bc = spark.sparkContext.broadcast((qids, qns, luts, cellToQ))
+    val m = cb.m
+    val cand = spark.table(idx.corpusTable)
+      .where(col("cell").isInCollection(cells))
+      .select(col("cid"), col("cell"), col("codes"), col("dnorm"))
+      .as[(Long, Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val (bQids, bQns, bLuts, bCellToQ) = bc.value
+        val heaps = Array.fill(bQids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), Double](_._1).reverse))
+        it.foreach { case (cid, cell, codes, dnorm) =>
+          val qs = bCellToQ.getOrElse(cell, Array.emptyIntArray)
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            if (bQids(q) != cid && dnorm > 0 && bQns(q) > 0) {
+              var dot = 0.0; var s = 0
+              while (s < m) { dot += bLuts(q)(s)(codes(s) & 0xff); s += 1 }
+              val asim = dot / (bQns(q) * dnorm)
+              val h = heaps(q)
+              if (h.size < topR) h.enqueue((asim, cid))
+              else if (asim > h.head._1) { h.dequeue(); h.enqueue((asim, cid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (asim, cid) => (bQids(q), cid, asim) }
+        }
+      }
+      .toDF("qid", "cid", "asim")
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("cid").asc)
+    val top = cand.withColumn("r", row_number().over(wA))
+      .where(col("r") <= topR)
+      .select(col("qid"), col("cid"))
+    // exact refine against the index's OWN vector column — still
+    // partition-pruned to the probed cells, read only for candidates
+    val cv = spark.table(idx.corpusTable)
+      .where(col("cell").isInCollection(cells))
+      .select(col("cid"), col("cv"), col("cn"))
+      .hint("shuffle_hash")
+    val q = spark.createDataFrame(
+        java.util.Arrays.asList(qids.indices.map(i =>
+          org.apache.spark.sql.Row(qids(i), qvs(i).toSeq, qns(i))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("qn",
+            org.apache.spark.sql.types.DoubleType))))
     val exact = top.join(cv, "cid").join(broadcast(q), "qid")
       .withColumn("sim",
         cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))

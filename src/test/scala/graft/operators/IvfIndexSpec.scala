@@ -48,6 +48,94 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq index: exhaustive probe equals brute force; scans prune both ways") {
+    val s = spark
+    val emb = Tables.embeddings(s, sf())
+    val cents = emb.where(col("vec_id") < 10)
+    val queries = emb.where(col("vec_id").between(100, 104))
+    val cb = Similarity.trainPq(emb, "embedding", m = 16,
+      codesPerSub = 32, seed = 7L)
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", cb, "ivfpq_spec_a",
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString)
+    try {
+      // the rehydrated codebook is the trained one, bit for bit
+      val loaded = Similarity.loadPqCodebook(s, idx)
+      assert(loaded.m == cb.m && loaded.dim == cb.dim)
+      assert(loaded.centroids.flatten.flatten == cb.centroids.flatten.flatten)
+      // exhaustive probe + generous refine recovers exact brute-force
+      // top-3: the IVF half contributes no loss at nProbe = nCells and
+      // the refine tail is exact
+      val exact = rows(Similarity.bruteForceKnn(queries, emb, "vec_id",
+        "embedding", 3))
+      val got = rows(Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+        "embedding", idx, 3, nProbe = 10, refine = 48))
+      assert(got == exact, "exhaustive ivf-pq probe diverged from brute force")
+      // pruned probe still certifies at a floor (near-random vectors:
+      // generous floor, the gate measures the real number)
+      val pruned = Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+        "embedding", idx, 3, nProbe = 4, refine = 48)
+      val ok = Similarity.recallCertificate(
+        Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3),
+        pruned, 0.3).collect()(0).getBoolean(0)
+      assert(ok, "pruned ivf-pq recall under 0.3")
+      // plan properties: cell partition filter AND codes-only read — the
+      // ADC scan must never materialize the vector column
+      val plan = Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+        "embedding", idx, 3, nProbe = 1)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator
+        .filter(_.contains("PartitionFilters")).toSeq
+      assert(scans.exists(l => l.contains("cell") && l.contains("IN")),
+        s"no cell IN partition filter:\n${scans.mkString("\n")}")
+      val codeScan = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("codes")).toSeq
+      assert(codeScan.nonEmpty && codeScan.forall(!_.contains("cv")),
+        s"ADC scan reads the vector column:\n${codeScan.mkString("\n")}")
+    } finally {
+      Similarity.dropIvfPqIndex(s, idx)
+      assert(!s.catalog.tableExists(idx.corpusTable) &&
+        !s.catalog.tableExists(idx.codebookTable) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(idx.path)),
+        "dropIvfPqIndex left debris behind")
+    }
+  }
+
+  test("extendIvfPqIndex fold-in: probe parity with scratch build, dup ids throw") {
+    val s = spark
+    val emb = Tables.embeddings(s, sf())
+    val cents = emb.where(col("vec_id") < 10)
+    val queries = emb.where(col("vec_id").between(100, 104))
+    val corpus = emb.where(col("vec_id") % 4 =!= 3)
+    val delta = emb.where(col("vec_id") % 4 === 3)
+    val cb = Similarity.trainPq(emb, "embedding", m = 16,
+      codesPerSub = 32, seed = 7L)
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-spec").toString
+    val full = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", cb, "ivfpq_spec_full", tmp())
+    val folded = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", cb, "ivfpq_spec_fold", tmp())
+    try {
+      Similarity.extendIvfPqIndex(delta, "vec_id", "embedding", folded)
+      for (nProbe <- Seq(1, 4)) {
+        val fr = rows(Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+          "embedding", full, 3, nProbe, refine = 48))
+        val xr = rows(Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+          "embedding", folded, 3, nProbe, refine = 48))
+        assert(xr == fr, s"nProbe=$nProbe ivf-pq fold-in probe mismatch")
+      }
+      // the fold-in contract is verified, as for every other extender
+      intercept[IllegalArgumentException] {
+        Similarity.extendIvfPqIndex(delta.limit(5), "vec_id", "embedding",
+          folded)
+      }
+    } finally {
+      Similarity.dropIvfPqIndex(s, full)
+      Similarity.dropIvfPqIndex(s, folded)
+    }
+  }
+
   test("extendIvfIndex fold-in equals a from-scratch build at the same centroids") {
     val s = spark
     val emb = Tables.embeddings(s, sf())

@@ -141,10 +141,10 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val got = Similarity.pqKnn(q, emb, "vec_id", "embedding", 3, cb,
-        refine = 16)
+        refine = 48)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == exact,
-      s"pq refine=16 diverged: missing=${exact -- got} extra=${got -- exact}")
+      s"pq refine=48 diverged: missing=${exact -- got} extra=${got -- exact}")
   }
 
   test("pq codebook: reconstruction beats the zero vector, codes in range") {
