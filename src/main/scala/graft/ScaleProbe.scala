@@ -409,6 +409,21 @@ object ScaleProbe {
           Similarity.buildIvfIndex(emb, "vec_id", "embedding",
             ivfCents, "vec_id", "embedding", s"probe_ivf_idx_$k", path)
         } else null
+      // PQ codebook over the k-fold corpus (untimed, sample-capped by
+      // contract); the IVFADC index pays assignment+encoding at build
+      val pqCb =
+        if (wanted("knn_pq") || wanted("knn_ivfpq_indexed"))
+          Similarity.trainPq(emb, "embedding", m = 16, codesPerSub = 32,
+            seed = 7L)
+        else null
+      val ivfPqIdx =
+        if (wanted("knn_ivfpq_indexed")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-ivfpq-$k").toString
+          Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+            ivfCents, "vec_id", "embedding", pqCb,
+            s"probe_ivfpq_idx_$k", path)
+        } else null
       // fixed-size fold-in delta (250 re-keyed vectors) against the
       // k-fold index: assignment + append are O(delta) by design, so
       // the fold wall must stay ~flat as the indexed corpus decades up.
@@ -479,6 +494,17 @@ object ScaleProbe {
             d.count()
           }
         },
+        // ADC flat scan: m lookups per corpus vector (no d-dim dots),
+        // per-partition bounded heaps — wall must grow ~linearly with
+        // the corpus, with a far smaller constant than brute force
+        "knn_pq" -> (() =>
+          Similarity.pqKnn(ivfQueries, emb, "vec_id", "embedding", 3,
+            pqCb, refine = 48).count()),
+        // IVFADC probe: partition-pruned to probed cells + codes-only
+        // column read — wall must stay ~flat as the corpus decades up
+        "knn_ivfpq_indexed" -> (() =>
+          Similarity.ivfPqKnnFromIndex(spark, ivfQueries, "vec_id",
+            "embedding", ivfPqIdx, 3, nProbe = 1, refine = 48).count()),
         "agg_constant_groups" -> (() =>
           li.groupBy("l_returnflag", "l_linestatus")
             .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
@@ -639,6 +665,7 @@ object ScaleProbe {
         graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(embIncIdx.path))
       }
+      if (ivfPqIdx != null) Similarity.dropIvfPqIndex(spark, ivfPqIdx)
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$sessionsJson$compactionJson}""")
     }
     spark.stop()

@@ -920,6 +920,33 @@ object Similarity {
       loadPqCodebook(spark, idx), idx, append = true)
   }
 
+  /** Compact a many-times-extended IVF-PQ index — same blue/green
+    * contract as [[compactIvfIndex]]: the corpus table rewrites to one
+    * file per cell under a NEW name/path, the centroid and codebook
+    * tables copy verbatim, the old generation stays probe-able until
+    * the caller drops it. */
+  def compactIvfPqIndex(spark: SparkSession, idx: IvfPqIndex, name: String,
+                        path: String): IvfPqIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = IvfPqIndex(name, path)
+    def copy(from: String, to: String): Unit =
+      spark.table(from)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$path/$to")
+        .format("parquet").saveAsTable(to)
+    copy(idx.centroidsTable, out.centroidsTable)
+    copy(idx.codebookTable, out.codebookTable)
+    spark.table(idx.corpusTable)
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .option("path", s"$path/${out.corpusTable}")
+      .format("parquet").saveAsTable(out.corpusTable)
+    out
+  }
+
   /** Drop an IVF-PQ index — see [[dropIvfIndex]]. */
   def dropIvfPqIndex(spark: SparkSession, idx: IvfPqIndex): Unit =
     IndexAdmin.dropTablesAndPath(spark,

@@ -130,6 +130,24 @@ class IvfIndexSpec extends SparkSpec {
         Similarity.extendIvfPqIndex(delta.limit(5), "vec_id", "embedding",
           folded)
       }
+      // blue/green compaction: fewer files, identical probes through
+      // the new handle, old generation drops clean
+      val filesBefore = s.table(folded.corpusTable).inputFiles.length
+      val before = rows(Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+        "embedding", folded, 3, nProbe = 4, refine = 48))
+      val out = Similarity.compactIvfPqIndex(s, folded, "ivfpq_spec_cp",
+        tmp())
+      try {
+        assert(s.table(out.corpusTable).inputFiles.length < filesBefore,
+          "ivf-pq compaction did not shrink files")
+        assert(rows(Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+          "embedding", out, 3, nProbe = 4, refine = 48)) == before,
+          "ivf-pq compaction changed the probe")
+        Similarity.dropIvfPqIndex(s, folded)
+        assert(rows(Similarity.ivfPqKnnFromIndex(s, queries, "vec_id",
+          "embedding", out, 3, nProbe = 4, refine = 48)) == before,
+          "dropping the old generation broke the compacted ivf-pq index")
+      } finally Similarity.dropIvfPqIndex(s, out)
     } finally {
       Similarity.dropIvfPqIndex(s, full)
       Similarity.dropIvfPqIndex(s, folded)
