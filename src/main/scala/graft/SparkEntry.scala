@@ -844,6 +844,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Embedding clustering as a data-organization operator: every
+    // vector assigned to its nearest of 10 fixed centroids (argmax
+    // cosine, ties to the smaller cell — a single codegen'd projection,
+    // no join/window, spec-asserted in SimilaritySpec) and summarized
+    // per cluster. The oracle replays the same argmax in DuckDB, so
+    // the gate pins assignment semantics end-to-end — the primitive
+    // under IVF indexing AND any cluster-then-curate pipeline step.
+    "q_embedding_clusters" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.assignCells(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy("cell")
+    }),
+
     // Persisted IVF-PQ (the FAISS IVFADC layout, Spark-native): one
     // cell-partitioned table carrying m=16 one-byte PQ codes AND the
     // original vectors as separate columns — the ADC scan column-prunes
@@ -2340,6 +2357,19 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cid) AS rank
         |  FROM s)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // same argmax (highest cosine, then smallest cell) replayed in SQL
+    "q_embedding_clusters" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
+        |r AS (SELECT e.vec_id, c.cell,
+        |             row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+        |                        c.cell) AS rn
+        |      FROM e CROSS JOIN c)
+        |SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec,
+        |       max(vec_id) AS max_vec
+        |FROM r WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
 
     // exhaustive probe (all 10 cells) + refine=48 recovers exact
     // brute-force top-3 (spec-pinned), so the same SQL oracles the
