@@ -1020,6 +1020,16 @@ object SparkEntry {
     // corpus mixing: per-source token budgets drawn by salted-hash order
     // — deterministic, append-stable, engine-portable (same md5 recipe
     // as splitAssign, so DuckDB replicates the draw byte-for-byte)
+    // deterministic balanced subset: the 40 docs per language with the
+    // smallest salted portable hash — planner turns the row_number<=n
+    // filter into a pre-shuffle bounded top-n (WindowGroupLimit), so
+    // skewed strata cost n rows per task, not a stratum sort
+    "q_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+          docs(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", 40, salt = "strat1")
+        .orderBy("lang", "doc_id")),
+
     "q_corpus_mix" -> ((s, d) =>
       graft.operators.Sampling.byTokenBudget(
           docs(s, d).select(col("doc_id"), col("source"),
@@ -2141,6 +2151,16 @@ object SparkEntry {
 
     // same tokenization CTE as q_token_count; the draw order is the
     // salted portable hash, ties broken by doc_id; strict budget cut
+    // the same salted md5 order key, ranked per stratum in SQL
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ('0x' || substr(md5('strat1' || doc_id::VARCHAR), 1, 8))::BIGINT,
+        |           doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin,
+
     "q_corpus_mix" ->
       s"""WITH $tokCte,
          |tt AS (SELECT doc_id, source, len(tk)::BIGINT AS n_tok,

@@ -36,6 +36,32 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), id.cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("bigint")
 
+  /** Deterministic exact-n sample per stratum — the balanced-subset
+    * draw (n docs per language/source for eval sets, annotation pools,
+    * ablations): the n rows of each stratum with the smallest salted
+    * [[orderHash]] (ties by id). A pure function of (ids, n, salt):
+    * reruns and engines agree row-for-row, and appending new docs to a
+    * stratum can only replace members whose hash outranks a new
+    * arrival — never reshuffle the whole draw.
+    *
+    * Scale shape: one hash shuffle by stratum; the `row_number <= n`
+    * filter is planner-recognized (InferWindowGroupLimit), so each map
+    * task keeps a bounded top-n heap per stratum BEFORE the exchange —
+    * the shuffle carries ~n rows per (task, stratum), not the corpus,
+    * and no full per-stratum sort ever materializes. Skewed strata are
+    * therefore bounded by n, not by their row count.
+    *
+    * Output: the input columns of the sampled rows (no helper cols). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       n: Long, salt: String = "graft"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderHash(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Deterministic weighted up/down-sampling by stratum — the "epochs"
     * side of corpus mixing: a mixing weight of 2.25 means every doc of
     * the stratum appears twice and a deterministic 25% of docs appear a

@@ -215,4 +215,42 @@ class SamplingSpec extends SparkSpec {
     val total1 = corpus.count(_._2 == "src1")
     assert(n1 > 0 && n1 < total1)
   }
+
+  test("stratifiedSample: exact n per stratum, hash-minimal, append-stable") {
+    val df = mkDocs(corpus)
+    val n = 5
+    val got = Sampling.stratifiedSample(df, "doc_id", "source", n, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exact n per stratum (every test stratum has > n rows)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length == n, s"$src drew ${rows.length} rows, wanted $n") }
+    // the draw is exactly the n smallest (hash, id) keys per stratum —
+    // the driver-side reference replays orderHash via the same md5
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("s1" + id).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    corpus.groupBy(_._2).foreach { case (src, rows) =>
+      val want = rows.map(_._1).sortBy(id => (h(id), id)).take(n).toSet
+      assert(got.filter(_._2 == src).map(_._1).toSet == want,
+        s"$src drew a different set than the hash order prescribes")
+    }
+    // append stability: adding docs to the stratum can only REPLACE
+    // members (new ids with smaller hashes), never reorder survivors —
+    // kept(C ∪ D) ∩ C ⊆ kept(C)
+    val appended = corpus ++ Seq((900L, "src0", 10L), (901L, "src0", 10L))
+    val got2 = Sampling.stratifiedSample(mkDocs(appended), "doc_id",
+        "source", n, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val keptOld = got2.filter(t => corpus.exists(_._1 == t._1))
+    assert(keptOld.subsetOf(got.toSet),
+      "append reshuffled previously-drawn members")
+    // plan property: the row_number <= n filter becomes a pre-shuffle
+    // bounded top-n (WindowGroupLimit) — the 100 TB shape where a
+    // skewed stratum costs n rows per task, not a stratum sort
+    val plan = Sampling.stratifiedSample(df, "doc_id", "source", n, "s1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=n not planner-limited:\n$plan")
+  }
 }
