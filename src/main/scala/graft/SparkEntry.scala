@@ -64,6 +64,8 @@ object SparkEntry {
   // (regenerate: sbt "runMain graft.tools.GifFixture fixtures")
   private[graft] val gifFixturePath = graft.util.Fixtures.gifPath
   private[graft] val gifTruthPath = graft.util.Fixtures.gifTruthPath
+  private[graft] val audioFramesTruthPath =
+    graft.util.Fixtures.audioFramesTruthPath
 
   // the sanitation rule is load-bearing for table-name collision safety
   // — one definition, used by every index-backed gate
@@ -1362,6 +1364,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL windowed audio features over the committed WAV fixture:
+    // decode, cut the sample stream into 25 ms windows, emit per-window
+    // RMS — matched bit-exactly against the synthesis-time per-window
+    // truth table (same exact-integer arithmetic both sides). Corrupt
+    // rows emit zero windows; the row-expanding degradation shape.
+    "q_multimodal_audio_frames" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(audioFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeAllAudioFrames(recs).toDF()
+        .select(col("id"), col("frame"),
+          col("nSamples").as("n_samples"), col("rms"))
+        .orderBy("id", "frame")
+    }),
+
     // REAL multi-frame extraction (javax.imageio sequence reader) over
     // the committed animated-GIF fixture: every decoded frame's
     // dims/mean must match the per-frame truth recorded AT DRAW TIME
@@ -2483,6 +2504,13 @@ object SparkEntry {
         |       expected_frames AS frames, expected_rms AS rms
         |FROM read_parquet('$audioFixturePath/*.parquet')
         |ORDER BY id""".stripMargin,
+
+    // plain scan of the synthesis-time window-truth table
+    "q_multimodal_audio_frames" ->
+      s"""SELECT id, frame, expected_samples AS n_samples,
+        |       expected_rms AS rms
+        |FROM read_parquet('$audioFramesTruthPath/*.parquet')
+        |ORDER BY id, frame""".stripMargin,
 
     // the oracle is a plain scan of the draw-time truth table — the
     // corrupt payloads (zero expected frames) simply have no truth rows

@@ -204,6 +204,62 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeAudio))
   }
 
+  /** One decoded audio window's features. */
+  case class AudioFrameFeatures(id: Long, frame: Int, nSamples: Int,
+                                rms: Double)
+
+  /** REAL windowed audio features: decode the WAV (same codec path and
+    * integrity rules as [[decodeAudio]]), then cut the sample stream
+    * into `frameMs`-millisecond windows and emit per-window RMS — the
+    * row-expanding audio analog of image frame extraction, with the
+    * same exact-integer arithmetic as the whole-stream RMS (the
+    * fixture's per-window truth is bit-reproducible). A payload that
+    * fails the decode emits zero windows: the row degrades, the stage
+    * never throws. */
+  def decodeAudioFrames(r: MediaRecord, frameMs: Int = 25)
+      : Iterator[AudioFrameFeatures] = {
+    require(frameMs > 0, s"frameMs must be positive, got $frameMs")
+    val whole = decodeAudio(r)
+    if (!whole.decoded) return Iterator.empty
+    // re-decode for the sample walk (the JDK stream is not reusable);
+    // decodeAudio just proved it parses and is integrity-clean
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      val pcm = ais.readAllBytes()
+      val winFrames = math.max(1, whole.sampleRate * frameMs / 1000)
+      val nFrames = whole.frames.toInt
+      val full = if (bits == 16) 32768.0 else 128.0
+      (0 until nFrames by winFrames).iterator.zipWithIndex.map {
+        case (f0, w) =>
+          val f1 = math.min(f0 + winFrames, nFrames)
+          var sumSq = 0L
+          var i = f0 * channels
+          while (i < f1 * channels) {
+            val s =
+              if (bits == 16) ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+              else (pcm(i) & 0xff) - 128
+            sumSq += s.toLong * s
+            i += 1
+          }
+          val n = (f1 - f0) * channels
+          AudioFrameFeatures(r.id, w, n,
+            math.sqrt(sumSq.toDouble / n) / full)
+      }
+    } finally ais.close()
+  }
+
+  /** Partition-parallel windowed audio features — the row-expanding
+    * (flatMap) sibling of [[decodeAudios]]. */
+  def decodeAllAudioFrames(ds: Dataset[MediaRecord], frameMs: Int = 25)
+      (implicit spark: SparkSession): Dataset[AudioFrameFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(decodeAudioFrames(_, frameMs)))
+  }
+
   /** One decoded frame's features (REAL frame extraction — contrast the
     * byte-slice [[MediaFrame]] of the video stub path). */
   case class FrameFeatures(id: Long, frame: Int, width: Int, height: Int,

@@ -75,6 +75,34 @@ object AudioFixture {
                  expected_sample_rate: Int, expected_frames: Long,
                  expected_rms: Double)
 
+  /** Per-25ms-window truth for [[graft.operators.Multimodal
+    * .decodeAudioFrames]]: window boundaries and RMS computed from the
+    * SAME integer samples the stream was synthesized from (identical
+    * arithmetic to the decoder — sum of squares as long, one division,
+    * one sqrt, one full-scale division). */
+  case class FrameTruth(id: Long, frame: Int, expected_samples: Int,
+                        expected_rms: Double)
+
+  /** Replays the synthesis stream of wav `k` and cuts it into windows
+    * of `frameMs` milliseconds — one truth row per window. */
+  def frameTruth(k: Int, rate: Int, channels: Int, frames: Int,
+                 bits: Int, frameMs: Int): Seq[FrameTruth] = {
+    val winFrames = math.max(1, rate * frameMs / 1000)
+    val full = if (bits == 16) 32768.0 else 128.0
+    (0 until frames by winFrames).zipWithIndex.map { case (f0, w) =>
+      val f1 = math.min(f0 + winFrames, frames)
+      var sumSq = 0L
+      var i = f0 * channels
+      while (i < f1 * channels) {
+        val s = if (bits == 16) sample16(k, i) else (sample16(k, i) >> 8)
+        sumSq += s.toLong * s
+        i += 1
+      }
+      val n = (f1 - f0) * channels
+      FrameTruth(k.toLong, w, n, math.sqrt(sumSq.toDouble / n) / full)
+    }
+  }
+
   def rows(): Seq[Row] = {
     val waves = (0 until 24).map { k =>
       val rate = Seq(8000, 16000, 22050, 44100)(k % 4)
@@ -101,8 +129,20 @@ object AudioFixture {
     waves ++ textBytes ++ truncated
   }
 
+  /** Per-window truth rows for every decodable fixture wav, mirroring
+    * the parameters in [[rows]] (25 ms windows). */
+  def frameTruthRows(): Seq[FrameTruth] =
+    (0 until 24).flatMap { k =>
+      val rate = Seq(8000, 16000, 22050, 44100)(k % 4)
+      val channels = 1 + k % 2
+      val frames = 300 + (k * 37) % 500
+      val bits = if (k % 5 == 4) 8 else 16
+      frameTruth(k, rate, channels, frames, bits, frameMs = 25)
+    }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("fixtures/audio.parquet")
+    val framesOut = out.replace("audio.parquet", "audio_frames_truth.parquet")
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
@@ -111,6 +151,8 @@ object AudioFixture {
     // one file, deterministic row order — a stable artifact to commit
     spark.createDataset(rows()).toDF().coalesce(1)
       .write.mode("overwrite").parquet(out)
+    spark.createDataset(frameTruthRows()).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(framesOut)
     spark.stop()
   }
 }

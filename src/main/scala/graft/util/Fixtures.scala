@@ -30,6 +30,11 @@ object Fixtures {
     * (regenerate: `sbt "runMain graft.tools.AudioFixture"`). */
   def audioPath: String = new File(dir, "audio.parquet").getAbsolutePath
 
+  /** `audio_frames_truth.parquet` — one synthesis-time truth row per
+    * 25 ms window of each fixture wav (written by AudioFixture). */
+  def audioFramesTruthPath: String =
+    new File(dir, "audio_frames_truth.parquet").getAbsolutePath
+
   /** `gif.parquet` — real multi-frame animated GIFs (regenerate both
     * with `sbt "runMain graft.tools.GifFixture"`). */
   def gifPath: String = new File(dir, "gif.parquet").getAbsolutePath

@@ -279,6 +279,42 @@ class MultimodalSpec extends SparkSpec {
         s"missing=${(truth.keySet -- got.keySet).take(5)}")
   }
 
+  test("windowed audio frames match synthesis truth; corrupt emits none") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // fresh synthesis across layouts: per-window RMS and sample counts
+    // must equal the generator's replay of its own sample stream
+    for ((k, rate, ch, fr, bits) <- Seq((0, 8000, 1, 400, 16),
+        (1, 44100, 2, 512, 16), (2, 22050, 1, 333, 8))) {
+      val (bytes, _) = graft.tools.AudioFixture.makeWav(k, rate, ch, fr, bits)
+      val want = graft.tools.AudioFixture.frameTruth(k, rate, ch, fr, bits, 25)
+      val got = Multimodal.decodeAudioFrames(
+        Multimodal.MediaRecord(k.toLong, bytes, "audio/wav", 0, 0)).toSeq
+      assert(got.size == want.size, s"wav $k: ${got.size} windows, " +
+        s"synthesized ${want.size}")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.frame == w.frame && g.nSamples == w.expected_samples &&
+          g.rms == w.expected_rms, s"wav $k window ${w.frame}: $g vs $w")
+      }
+    }
+    assert(Multimodal.decodeAudioFrames(Multimodal.MediaRecord(
+      9L, "not audio".getBytes("UTF-8"), "x", 0, 0)).isEmpty)
+    // distributed path agrees with the committed truth table end-to-end
+    val recs = s.read.parquet(graft.util.Fixtures.audioPath)
+      .select(col("id"), col("payload"), col("media_type").as("mediaType"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRecord]
+    val got = Multimodal.decodeAllAudioFrames(recs).collect()
+      .map(f => (f.id, f.frame) -> ((f.nSamples, f.rms))).toMap
+    val truth = s.read.parquet(graft.util.Fixtures.audioFramesTruthPath)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(truth.nonEmpty && got == truth,
+      s"window set mismatch: extra=${(got.keySet -- truth.keySet).take(5)} " +
+        s"missing=${(truth.keySet -- got.keySet).take(5)}")
+  }
+
   test("committed audio fixture matches its recorded ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
