@@ -1032,6 +1032,30 @@ object SparkEntry {
           "doc_id", "lang", 40, salt = "strat1")
         .orderBy("lang", "doc_id")),
 
+    // per-domain quality cap (C4-style host cap): keep the 15
+    // best-scoring docs per source, ranked on the 6-rounded quality
+    // score so the cut is engine-reproducible; WindowGroupLimit bounds
+    // the shuffle at n rows per (task, stratum)
+    "q_domain_cap" -> ((s, d) =>
+      graft.operators.Sampling.capPerStratum(
+          docs(s, d).select(col("doc_id"), col("source"),
+            round(TF.qualityScore(col("text")), 6).as("quality")),
+          "doc_id", "source", "quality", 15)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("__rk").cast("bigint").as("rk"))
+        .orderBy("source", "rk")),
+
+    // BM25 top-10 per query: one corpus shuffle (tf counts with the doc
+    // length riding along), query set + df + corpus stats broadcast,
+    // ranking on the ROUNDED score so the cut is engine-reproducible
+    "q_bm25" -> ((s, d) =>
+      graft.operators.CorpusStats.bm25TopK(docs(s, d), "doc_id", "text",
+          Map("q1" -> "fast vector scan", "q2" -> "customer query data",
+              "q3" -> "window merge batch stream"), 10)
+        .select(col("query_id"), col("doc").as("doc_id"), col("score"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")),
+
     "q_corpus_mix" -> ((s, d) =>
       graft.operators.Sampling.byTokenBudget(
           docs(s, d).select(col("doc_id"), col("source"),
@@ -2181,6 +2205,66 @@ object SparkEntry {
         |           doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin,
+
+    // same quality formula as q_quality (rounded to 6), ranked per
+    // source with doc_id tie-break, capped at 15
+    "q_domain_cap" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id,
+         |  CASE WHEN length(text) > 0 THEN
+         |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / length(text)
+         |  ELSE 0.0 END AS pr,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, x -> x IN ($swAll)))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS swr,
+         |  len(tk) AS ntok
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  round(0.4 * least(ntok::DOUBLE / 100.0, 1.0)
+         |      + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+         |      + 0.3 * least(swr * 4.0, 1.0), 6) AS quality
+         |  FROM m)
+         |SELECT doc_id, source, quality, rk FROM (
+         |  SELECT d.doc_id, d.source, q.quality,
+         |         row_number() OVER (PARTITION BY d.source
+         |                            ORDER BY q.quality DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN q USING (doc_id))
+         |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    // BM25 with the Lucene non-negative idf; same tokenization CTE both
+    // sides, avgdl exact (integer token sum, one division), ranking on
+    // the rounded score with doc_id tie-break
+    "q_bm25" ->
+      s"""WITH $tokCte,
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, max(dl) AS dl
+         |       FROM (SELECT doc_id, unnest(tk) AS term,
+         |                    len(tk)::BIGINT AS dl FROM t)
+         |       GROUP BY doc_id, term),
+         |qraw(query_id, qtext) AS (VALUES ('q1', 'fast vector scan'),
+         |  ('q2', 'customer query data'), ('q3', 'window merge batch stream')),
+         |qt AS (SELECT DISTINCT query_id,
+         |         unnest(list_filter(regexp_split_to_array(trim(lower(qtext)),
+         |           '\\s+'), x -> x <> '')) AS term
+         |       FROM qraw),
+         |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+         |          WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(len(tk))::DOUBLE / count(*)::DOUBLE AS avgdl
+         |          FROM t),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |         round(sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl::DOUBLE / stats.avgdl))),
+         |           4) AS score
+         |       FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+         |            CROSS JOIN stats
+         |       GROUP BY qt.query_id, tf.doc_id)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_corpus_mix" ->
       s"""WITH $tokCte,

@@ -200,6 +200,106 @@ object CorpusStats {
         round(avg(log(col("c2") / col("c1"))), 4).as("avg_lp"))
   }
 
+  /** BM25 ranked retrieval: for each named query, the top-`k` documents
+    * by the Robertson/Lucene BM25 score
+    *
+    * {{{ score(q, D) = sum_t idf(t) * tf(t,D) * (k1+1)
+    *                        / (tf(t,D) + k1 * (1 - b + b * |D| / avgdl)) }}}
+    *
+    * with the non-negative idf variant `ln(1 + (N - df + 0.5)/(df + 0.5))`
+    * (the one Lucene documents — never negative, so a term present in
+    * every document still contributes). Tokenization is
+    * [[graft.functions.TextFunctions.tokens]] for BOTH sides, documents
+    * and query strings, so the scoring contract matches tokenCount/tfidf
+    * and the DuckDB oracle.
+    *
+    * Plan shape — the retrieval analog of [[tfidf]]'s discipline:
+    *
+    *  - ONE corpus-sized shuffle: `explode(tokens)` → `groupBy(doc,
+    *    term)` with the per-doc length riding along as `first(dl)`
+    *    (constant per doc, so it crosses the shuffle once instead of
+    *    re-joining the corpus by doc later). Map-side partial counts
+    *    collapse repeated tokens per partition first.
+    *  - The query set broadcasts (queries are a handful of strings by
+    *    contract), pruning the tf frame to query-vocabulary rows BEFORE
+    *    anything else touches it — at 100 TB the post-prune frame is
+    *    `docs-containing-a-query-term` rows, not the corpus.
+    *  - Document frequency is computed from the PRUNED frame only
+    *    (query-vocabulary terms; one row per (doc, term) already, so a
+    *    plain count) and broadcasts back. N and avgdl are a one-row
+    *    aggregate: the token-count sum is exact integer arithmetic
+    *    (LongType until one final IEEE division), so avgdl is
+    *    bit-identical across engines and partitionings.
+    *  - The per-query ranking is `row_number <= k` over the rounded
+    *    score — planner-recognized (InferWindowGroupLimit), so each map
+    *    task keeps a bounded top-k heap per query before the final
+    *    exchange. Ranking uses the ROUNDED score (ties broken by doc
+    *    id) so an external engine reproduces the cut exactly.
+    *
+    * Output: `(query_id, doc, score, rank)`, score rounded to 4. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Map[String, String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(k > 0, s"k must be positive, got $k")
+    import graft.functions.TextFunctions
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // per-(doc, term) counts with the doc length riding the one shuffle
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+
+    // query terms: same tokenizer as the corpus side, distinct per query
+    val qt = queries.toSeq.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      .distinct()
+    val qterms = broadcast(qt)
+
+    // prune to query vocabulary FIRST — everything downstream is small.
+    // The lazy localCheckpoint materializes the pruned frame once for
+    // its two consumers (df aggregate + score join) instead of
+    // re-running the corpus explode.
+    val tfq = tf
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .localCheckpoint(false)
+
+    val dfreq = broadcast(
+      tfq.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
+    // N and avgdl: exact integer token sum, one IEEE division — engines
+    // agree bit-for-bit (a double-summed avg would not, order-dependent)
+    val stats = broadcast(docs
+      .select(TextFunctions.tokenCount(col(textCol)).cast("long").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        (sum(col("__dl")).cast("double") /
+          count(lit(1)).cast("double")).as("__avgdl")))
+
+    val contrib = tfq
+      .join(qterms, "term")
+      .join(dfreq, "term")
+      .crossJoin(stats)
+      .select(col("query_id"), col("doc"),
+        (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("__avgdl"))))
+          .as("__c"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc").asc)
+    contrib.groupBy("query_id", "doc")
+      .agg(round(sum(col("__c")), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Distinct-count certificate: per group, the EXACT distinct count of
     * `itemCol` alongside a boolean asserting the HLL++ estimate
     * (`approx_count_distinct` at relative standard deviation `rsd`)

@@ -62,6 +62,38 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Quality-ranked per-stratum cap — the C4/RefinedWeb-style "at most
+    * n documents per domain" rule that stops a single crawl host from
+    * dominating a training mix: per stratum (domain/source), keep the
+    * `n` rows with the HIGHEST `scoreCol` (a quality signal), ties
+    * broken by id. Contrast [[stratifiedSample]]: that draws a
+    * hash-uniform subset; this keeps the best-scoring one — selection,
+    * not sampling.
+    *
+    * Determinism contract: rank by the score VALUE with id as the
+    * tie-break, so the kept set is a pure function of (ids, scores, n)
+    * — reruns and external engines agree row-for-row. Callers ranking
+    * on a float signal should pre-round it to their reproducibility
+    * budget (the gate rounds to 6), since cross-engine float noise
+    * below the rounding quantum would otherwise flip equal-score ranks.
+    *
+    * Scale shape: identical to [[stratifiedSample]] — one hash shuffle
+    * by stratum, and the `row_number <= n` filter is
+    * planner-recognized (InferWindowGroupLimit): each map task keeps a
+    * bounded top-n heap per stratum BEFORE the exchange, so a skewed
+    * mega-domain costs ~n rows per task, never a stratum sort.
+    *
+    * Output: the input columns of the kept rows + `__rk` (1-based rank
+    * within the stratum) for auditability. */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    scoreCol: String, n: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+  }
+
   /** Deterministic weighted up/down-sampling by stratum — the "epochs"
     * side of corpus mixing: a mixing weight of 2.25 means every doc of
     * the stratum appears twice and a deterministic 25% of docs appear a

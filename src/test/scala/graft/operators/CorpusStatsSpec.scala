@@ -159,4 +159,46 @@ class CorpusStatsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(cut == Map("x" -> w, "y" -> 2.0))
   }
+
+  // hand-computed BM25 corpus: N=4, avgdl=3, df(apple)=df(cherry)=2,
+  // idf = ln(1 + 2.5/2.5) = ln 2 for both query terms
+  private def bm25Docs = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, "apple banana apple"), (1L, "banana cherry"),
+        (2L, "apple apple apple apple"), (3L, "durian cherry banana"))
+      .toDF("doc_id", "text")
+  }
+
+  test("bm25TopK matches the hand-computed ranking") {
+    val got = CorpusStats
+      .bm25TopK(bm25Docs, "doc_id", "text", Map("q" -> "apple cherry"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(_._4)
+    // d2: tf=4, dl=4 -> 4*2.2/(4+1.2*1.25) = 1.6;      ln2*1.6    = 1.1090
+    // d0: tf=2, dl=3 -> 2*2.2/(2+1.2)      = 1.375;    ln2*1.375  = 0.9531
+    // d1: tf=1, dl=2 -> 2.2/(1+1.2*0.75)   = 1.15789.; ln2*that   = 0.8026
+    // d3: tf=1, dl=3 -> 2.2/2.2            = 1;        ln2        = 0.6931 (cut)
+    assert(got.toSeq == Seq(("q", 2L, 1.1090, 1), ("q", 0L, 0.9531, 2),
+      ("q", 1L, 0.8026, 3)))
+  }
+
+  test("bm25TopK: per-query independence, universal terms score positive") {
+    val got = CorpusStats.bm25TopK(bm25Docs, "doc_id", "text",
+        Map("qa" -> "banana", "qb" -> "durian"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // banana is in 3 of 4 docs — the non-negative idf variant still
+    // gives it weight ln(1 + 1.5/3.5) > 0
+    val qa = got.filter(_._1 == "qa")
+    assert(qa.map(_._2).toSet == Set(0L, 1L, 3L) && qa.forall(_._3 > 0))
+    // durian hits exactly its one doc; the other query never leaks in
+    assert(got.filter(_._1 == "qb").map(_._2).toSeq == Seq(3L))
+  }
+
+  test("bm25TopK: k bounds every query's result and ranks are dense") {
+    val got = CorpusStats.bm25TopK(bm25Docs, "doc_id", "text",
+        Map("q" -> "banana cherry apple"), 2)
+      .collect().map(r => (r.getInt(3), r.getLong(1)))
+    assert(got.length == 2 && got.map(_._1).sorted.toSeq == Seq(1, 2))
+  }
 }

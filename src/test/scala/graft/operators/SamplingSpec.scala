@@ -253,4 +253,34 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"row_number<=n not planner-limited:\n$plan")
   }
+
+  test("capPerStratum: top-n by score per stratum, ties by id, planner-limited") {
+    val s = spark
+    import s.implicits._
+    // scores with deliberate ties: score = id % 4, so rank order within
+    // a stratum is (score desc, id asc) with multi-way ties
+    val rows = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 4).toDouble))
+    val df = rows.toDF("doc_id", "source", "score")
+    val got = Sampling.capPerStratum(df, "doc_id", "source", "score", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    // driver-side reference: sort by (score desc, id asc), take 7
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val want = rs.sortBy(t => (-t._3, t._1)).take(7)
+        .zipWithIndex.map { case ((id, _, sc), i) => (id, sc, i + 1) }
+      val g = got.filter(_._2 == src).sortBy(_._4)
+        .map(t => (t._1, t._3, t._4)).toSeq
+      assert(g == want, s"$src kept $g, wanted $want")
+    }
+    // a stratum smaller than n survives whole
+    val tiny = Seq((1L, "x", 5.0), (2L, "x", 3.0)).toDF("doc_id", "source", "score")
+    assert(Sampling.capPerStratum(tiny, "doc_id", "source", "score", 10)
+      .count() == 2)
+    // plan property: same pre-shuffle bounded top-n as stratifiedSample
+    val plan = Sampling.capPerStratum(df, "doc_id", "source", "score", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=n not planner-limited:\n$plan")
+  }
 }
