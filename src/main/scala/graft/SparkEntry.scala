@@ -66,6 +66,11 @@ object SparkEntry {
   private[graft] val gifTruthPath = graft.util.Fixtures.gifTruthPath
   private[graft] val audioFramesTruthPath =
     graft.util.Fixtures.audioFramesTruthPath
+  private[graft] val videoFixturePath = graft.util.Fixtures.videoPath
+  private[graft] val videoTracksTruthPath =
+    graft.util.Fixtures.videoTracksTruthPath
+  private[graft] val videoSamplesTruthPath =
+    graft.util.Fixtures.videoSamplesTruthPath
 
   // the sanitation rule is load-bearing for table-name collision safety
   // — one definition, used by every index-backed gate
@@ -1427,6 +1432,50 @@ object SparkEntry {
         .orderBy("id", "frame")
     }),
 
+    // REAL MP4 container demux (pure-JVM ISO-BMFF box walk) over the
+    // committed fixture: per-track handler/timescale/duration/dims and
+    // sample-table totals must match the truth recorded AS THE BOXES
+    // WERE WRITTEN — a parser that does not walk moov/trak/mdia/stbl
+    // cannot reproduce them. Corrupt payloads (ids 20-22) emit zero
+    // rows; id 23 (valid moov, stco past EOF) parses here but degrades
+    // in the samples gate — two distinct failure surfaces.
+    "q_multimodal_video" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(videoFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      graft.operators.VideoDemux.demuxAll(recs).toDF()
+        .select(col("id"), col("track"), col("handler"),
+          col("timescale"), col("durationUnits").as("duration_units"),
+          col("width"), col("height"), col("nSamples").as("n_samples"),
+          col("nKeyframes").as("n_keyframes"),
+          col("sampleBytes").as("sample_bytes"))
+        .orderBy("id", "track")
+    }),
+
+    // REAL keyframe-sample extraction: resolve every video-track sync
+    // sample's byte range via stss+stsc+stco arithmetic, read THOSE
+    // bytes out of mdat and md5 them — matched against hashes computed
+    // from the bytes as the generator wrote them. This is the demux
+    // half of video frame-sampling (route keyframe payloads to
+    // decoders); codec decode stays the documented JDK boundary.
+    "q_multimodal_video_samples" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(videoFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      graft.operators.VideoDemux.extractAllSamples(recs).toDF()
+        .select(col("id"), col("track"), col("sample"), col("offset"),
+          col("size"), col("md5"))
+        .orderBy("id", "track", "sample")
+    }),
+
     // Row-expanding frame-sample path (the generator shape of real video
     // frame sampling): every 2nd 64-byte slice, hashed — one record in,
     // N frames out, partition-parallel.
@@ -2603,6 +2652,19 @@ object SparkEntry {
         |       expected_height AS height, expected_mean AS mean_pixel
         |FROM read_parquet('$gifTruthPath/*.parquet')
         |ORDER BY id, frame""".stripMargin,
+
+    // the oracle is a plain scan of the write-time truth table — the
+    // corrupt payloads (20-22) have no rows; id 23 keeps its track rows
+    "q_multimodal_video" ->
+      s"""SELECT id, track, handler, timescale, duration_units,
+        |       width, height, n_samples, n_keyframes, sample_bytes
+        |FROM read_parquet('$videoTracksTruthPath/*.parquet')
+        |ORDER BY id, track""".stripMargin,
+
+    "q_multimodal_video_samples" ->
+      s"""SELECT id, track, sample, "offset", size, md5
+        |FROM read_parquet('$videoSamplesTruthPath/*.parquet')
+        |ORDER BY id, track, sample""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),

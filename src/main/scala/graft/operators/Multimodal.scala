@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * an explicit `decoded = false` row, never a throw — at corpus scale a
   * handful of corrupt payloads must not kill a 1000-task stage.
   * FRAME EXTRACTION is real for every ImageIO container including
-  * multi-frame animated GIF ([[decodeImageFrames]]). VIDEO codecs (mp4
-  * and friends) are not in the JDK, so the byte-stream feature path
-  * ([[decodeStub]]) remains for those: deterministic features of the raw
-  * bytes with the production batching/partitioning shape, swappable for
-  * a real codec without touching any other code.
+  * multi-frame animated GIF ([[decodeImageFrames]]). VIDEO container
+  * demux is REAL too: [[VideoDemux]] walks MP4/ISO-BMFF box trees and
+  * resolves per-sample byte ranges (the pre-codec half of video
+  * processing). Only video PIXEL DECODE lacks a JDK codec, so the
+  * byte-stream feature path ([[decodeStub]]) remains for that one step:
+  * deterministic features of the raw bytes with the production
+  * batching/partitioning shape, swappable for a real codec without
+  * touching any other code.
   */
 object Multimodal {
 
@@ -48,11 +51,12 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB codec for NON-image media (audio/video — no JDK codec):
-    * deterministic byte-stream features standing in for a real decode
-    * (e.g. a JNI codec); everything around it — batching, partition
-    * parallelism, output schema — is the production shape. Images have
-    * the real path: [[decodeImage]]. */
+  /** STUB codec for the one step the JDK cannot do — video PIXEL
+    * decode: deterministic byte-stream features standing in for a real
+    * decode (e.g. a JNI codec); everything around it — batching,
+    * partition parallelism, output schema — is the production shape.
+    * Images ([[decodeImage]]), audio ([[decodeAudio]]) and video
+    * container demux ([[VideoDemux]]) all have real paths. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
     val mean = if (bytes.isEmpty) 0.0

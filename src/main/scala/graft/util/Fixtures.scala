@@ -42,4 +42,18 @@ object Fixtures {
   /** `gif_truth.parquet` — one draw-time truth row per (gif, frame). */
   def gifTruthPath: String =
     new File(dir, "gif_truth.parquet").getAbsolutePath
+
+  /** `video.parquet` — real MP4 (ISO-BMFF) containers (regenerate all
+    * three with `sbt "runMain graft.tools.VideoFixture"`). */
+  def videoPath: String = new File(dir, "video.parquet").getAbsolutePath
+
+  /** `video_tracks_truth.parquet` — one write-time truth row per
+    * (video, track). */
+  def videoTracksTruthPath: String =
+    new File(dir, "video_tracks_truth.parquet").getAbsolutePath
+
+  /** `video_samples_truth.parquet` — one write-time truth row per
+    * (video, video-track keyframe sample): byte range + md5. */
+  def videoSamplesTruthPath: String =
+    new File(dir, "video_samples_truth.parquet").getAbsolutePath
 }
