@@ -607,6 +607,23 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_bigrams"), col("avg_lp"))
         .orderBy("doc_id")),
 
+    // subword tokenization (greedy longest-match against an explicit
+    // vocab): per-doc piece/unk totals. Tokenization runs once per
+    // DISTINCT word (Zipf amortization); counts join back by word. The
+    // DuckDB oracle replays the greedy walk with a recursive CTE
+    "q_subword" -> ((s, d) =>
+      graft.operators.Subword.pieceCounts(docs(s, d), "doc_id", "text",
+          subwordVocab)
+        .select(col("doc").as("doc_id"), col("n_pieces"), col("n_unk"))
+        .orderBy("doc_id")),
+
+    // corpus piece-frequency table: pins PIECE IDENTITY across engines
+    // (agreeing totals could coincide; an agreeing distribution cannot)
+    "q_subword_pieces" -> ((s, d) =>
+      graft.operators.Subword.pieceFrequencies(docs(s, d), "text",
+          subwordVocab)
+        .orderBy("piece")),
+
     // corpus n-gram frequency table (top 100, deterministic tie-break)
     "q_ngram_freq" -> ((s, d) =>
       docs(s, d)
@@ -1548,6 +1565,47 @@ object SparkEntry {
   private val swAll = ((swEn + "," + swDe + "," + swFr + "," + swEs)
     .split(",").map(_.trim).distinct).mkString(",")
 
+  /** Subword vocab shared by the Spark gates and the DuckDB oracles:
+    * single chars (minus f/j/q/u/v — engineered unks) + multi-char
+    * pieces over the corpus vocabulary. */
+  private val subwordVocab: Seq[String] = Seq(
+    "a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m", "n", "o", "p",
+    "r", "s", "t", "w", "y",
+    "wind", "ow", "table", "merge", "batch", "val", "quer", "cust", "omer",
+    "fast", "filt", "er", "gro", "join", "key", "str", "eam", "agg", "data",
+    "sort", "scan", "slow", "small", "spark", "row", "hash", "lin", "col",
+    "umn", "ord", "vect", "or", "big", "part", "the")
+  private val subwordVocabSql: String =
+    subwordVocab.map(p => s"('$p')").mkString(", ")
+
+  /** Shared oracle fragment: the greedy longest-match recursion over
+    * every distinct corpus word — per-word piece count, unk count, and
+    * the piece list itself (unks collapsed to `<unk>`). Prefixed by
+    * `WITH RECURSIVE` at the use site. */
+  private def subwordRecCte: String =
+    s"""wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+       |       GROUP BY doc_id, w),
+       |words AS (SELECT DISTINCT w FROM wc),
+       |vocab(piece) AS (VALUES $subwordVocabSql),
+       |rec AS (
+       |  SELECT w, w AS rest, 0::BIGINT AS np, 0::BIGINT AS nu,
+       |         []::VARCHAR[] AS pieces
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |         substr(rest, CASE WHEN best IS NULL THEN 2
+       |                           ELSE len(best) + 1 END),
+       |         np + 1,
+       |         nu + CASE WHEN best IS NULL THEN 1 ELSE 0 END,
+       |         list_append(pieces, coalesce(best, '<unk>'))
+       |  FROM (SELECT w, rest, np, nu, pieces,
+       |          (SELECT piece FROM vocab WHERE starts_with(rest, piece)
+       |           ORDER BY len(piece) DESC LIMIT 1) AS best
+       |        FROM rec WHERE rest <> '')
+       |),
+       |wp AS (SELECT w, np, nu, pieces FROM rec WHERE rest = '')""".stripMargin
+
   private val tokCte =
     """t AS (SELECT doc_id, text,
       |             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -1827,6 +1885,26 @@ object SparkEntry {
          |FROM tfc JOIN dfreq USING (term) CROSS JOIN n
          |WHERE doc_id < 15
          |ORDER BY doc_id, term""".stripMargin,
+
+    // greedy longest-match subword tokenization, replayed in SQL by the
+    // recursive CTE; per-doc totals weight each distinct word's piece
+    // counts by its occurrence count
+    "q_subword" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$subwordRecCte
+         |SELECT doc_id, sum(c * np)::BIGINT AS n_pieces,
+         |       sum(c * nu)::BIGINT AS n_unk
+         |FROM wc JOIN wp USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_subword_pieces" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$subwordRecCte,
+         |wcw AS (SELECT w, sum(c)::BIGINT AS c FROM wc GROUP BY w),
+         |pc AS (SELECT w, unnest(pieces) AS piece FROM wp)
+         |SELECT piece, sum(c)::BIGINT AS n
+         |FROM wcw JOIN pc USING (w)
+         |GROUP BY piece ORDER BY piece""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH $tokCte,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Subword (WordPiece-inference-style) tokenization against an explicit
+  * vocabulary: greedy longest-match from the left; a position no vocab
+  * piece covers degrades to a single-char `<unk>` advance (progress is
+  * guaranteed, so tokenization is total and deterministic).
+  *
+  * This is the INFERENCE half of a real subword tokenizer — the apply
+  * path a pipeline runs over 100 TB once a vocabulary exists. The vocab
+  * is an explicit argument (trained elsewhere or standardized); greedy
+  * longest-match is exactly reproducible by any engine, and the DuckDB
+  * oracle replays it with a recursive CTE over the same vocabulary.
+  *
+  * Scale shape — the Zipf trick: tokenization runs once per DISTINCT
+  * word, never per occurrence. The corpus shuffles once into (doc,
+  * word, count) triples (map-side combine collapses repeats); the
+  * distinct-word frame — vocabulary-sized, orders of magnitude smaller
+  * than the corpus — is what the per-word scan walks; piece counts then
+  * join back and aggregate by doc. Document bodies never cross a
+  * shuffle, and per-word work is amortized over every occurrence.
+  *
+  * The reference engine has no tokenizer surface; this extends the
+  * LLM-pipeline layer like [[CorpusStats]]. */
+object Subword {
+
+  /** The unk marker emitted for an uncovered single character. */
+  val Unk = "<unk>"
+
+  /** Greedy longest-match pieces of one word. Pure function — the spec
+    * pins hand-computed vectors and the distributed paths call this. */
+  def tokenizeWord(word: String, vocab: Set[String],
+                   maxPieceLen: Int): List[String] = {
+    val out = List.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      var l = math.min(maxPieceLen, word.length - pos)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val cand = word.substring(pos, pos + l)
+        if (vocab.contains(cand)) found = cand
+        l -= 1
+      }
+      if (found != null) { out += found; pos += found.length }
+      else { out += Unk; pos += 1 }
+    }
+    out.result()
+  }
+
+  /** Per-word piece/unk counts for every distinct word of the corpus:
+    * `(w, np, nu)`. The mapPartitions walk builds the vocab set once
+    * per partition; the distinct-word frame it walks is tiny relative
+    * to the corpus by Zipf. */
+  private def wordPieces(wc: DataFrame, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "subword vocab must not be empty")
+    require(vocab.forall(_.nonEmpty), "vocab pieces must be non-empty")
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.map(_.length).max
+    val vocabSeq = vocab // stable closure capture
+    wc.select(col("w")).distinct().as[String].mapPartitions { it =>
+      val vs = vocabSeq.toSet
+      it.map { w =>
+        val p = tokenizeWord(w, vs, maxLen)
+        (w, p.length.toLong, p.count(_ == Unk).toLong)
+      }
+    }.toDF("w", "np", "nu")
+  }
+
+  /** (doc, word, count) triples — the one corpus-sized shuffle. */
+  private def wordCounts(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).as("c"))
+
+  /** Per-document piece totals: `(doc, n_pieces, n_unk)` — the token
+    * accounting a budget-packed training shard is built from. */
+  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
+                  vocab: Seq[String]): DataFrame = {
+    val wc = wordCounts(docs, idCol, textCol)
+    wc.join(wordPieces(wc, vocab), "w")
+      .groupBy("doc")
+      .agg(sum(col("c") * col("np")).as("n_pieces"),
+        sum(col("c") * col("nu")).as("n_unk"))
+  }
+
+  /** Corpus-wide piece frequencies: `(piece, n)`, every unk collapsed
+    * into the `<unk>` row — the distribution a vocab curator audits
+    * (and the gate that proves PIECE IDENTITY across engines, not just
+    * counts). */
+  def pieceFrequencies(docs: DataFrame, textCol: String,
+                       vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "subword vocab must not be empty")
+    require(vocab.forall(_.nonEmpty), "vocab pieces must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wcw = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val maxLen = vocab.map(_.length).max
+    val vocabSeq = vocab
+    val pieces = wcw.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        val vs = vocabSeq.toSet
+        it.flatMap(w => tokenizeWord(w, vs, maxLen).map(p => (w, p)))
+      }.toDF("w", "piece")
+    wcw.join(pieces, "w")
+      .groupBy("piece").agg(sum(col("c")).as("n"))
+  }
+}
