@@ -597,7 +597,28 @@ object ScaleProbe {
         // construction — worst case for the two n-gram-keyed joins
         "bigram_lm" -> (() =>
           operators.CorpusStats.bigramLogProb(docs, "doc_id", "text")
-            .count())
+            .count()),
+        // fixed query set over a growing corpus: the pre-aggregate
+        // vocabulary prune keeps the shuffled tf frame ~constant
+        // (renamed replica tokens never match the queries), so wall
+        // should track the scan/explode, not the corpus vocabulary
+        "bm25" -> (() =>
+          operators.CorpusStats.bm25TopK(docs, "doc_id", "text",
+            Map("p1" -> "fast vector scan", "p2" -> "customer query data"),
+            10).count()),
+        // distinct words grow k-fold by replica construction — worst
+        // case for the Zipf amortization (real corpora add occurrences
+        // faster than words); the per-word walk + (doc, word, count)
+        // shuffle are what is measured
+        "subword" -> (() =>
+          operators.Subword.pieceCounts(docs, "doc_id", "text",
+            Seq("a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m",
+              "n", "o", "p", "r", "s", "t", "w", "y", "wind", "ow",
+              "table", "merge", "batch", "val", "quer", "cust", "omer",
+              "fast", "filt", "er", "gro", "join", "key", "str", "eam",
+              "agg", "data", "sort", "scan", "slow", "small", "spark",
+              "row", "hash", "lin", "col", "umn", "ord", "vect", "or",
+              "big", "part", "the")).count())
       )
 
       val selected = queries.filter(q => wanted(q._1))

@@ -624,6 +624,16 @@ object SparkEntry {
           subwordVocab)
         .orderBy("piece")),
 
+    // the TRAINING half: top-40 char 2..4-grams by occurrence-weighted
+    // frequency over the distinct-word frame — candidate scoring for a
+    // vocab trainer, all codegen (explode(sequence) + substring), top-k
+    // as a bounded heap (TakeOrderedAndProject), rk windowed over the
+    // 40 survivors only
+    "q_subword_vocab" -> ((s, d) =>
+      graft.operators.Subword.topNgramPieces(docs(s, d), "text", 2, 4, 40)
+        .select(col("piece"), col("n_occ"), col("rk").cast("bigint").as("rk"))
+        .orderBy("rk")),
+
     // corpus n-gram frequency table (top 100, deterministic tie-break)
     "q_ngram_freq" -> ((s, d) =>
       docs(s, d)
@@ -1905,6 +1915,24 @@ object SparkEntry {
          |SELECT piece, sum(c)::BIGINT AS n
          |FROM wcw JOIN pc USING (w)
          |GROUP BY piece ORDER BY piece""".stripMargin,
+
+    // occurrence-weighted char-ngram candidates via a correlated lateral
+    // unnest over the distinct-word frame — same weighting as the Spark
+    // side's explode(sequence) walk
+    "q_subword_vocab" ->
+      s"""WITH $tokCte,
+         |wcw AS (SELECT w, count(*)::BIGINT AS c
+         |        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         |cand AS (SELECT substr(w, s + 1, n) AS piece, sum(c)::BIGINT AS n_occ
+         |         FROM wcw,
+         |              unnest(range(2, 5)) AS ln(n),
+         |              unnest(range(0, greatest(len(w) - n + 1, 0))) AS st(s)
+         |         GROUP BY piece)
+         |SELECT piece, n_occ, rk FROM (
+         |  SELECT piece, n_occ,
+         |         row_number() OVER (ORDER BY n_occ DESC, piece) AS rk
+         |  FROM cand)
+         |WHERE rk <= 40 ORDER BY rk""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH $tokCte,

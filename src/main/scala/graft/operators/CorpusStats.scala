@@ -246,14 +246,6 @@ object CorpusStats {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // per-(doc, term) counts with the doc length riding the one shuffle
-    val tf = docs
-      .select(col(idCol).as("doc"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("doc", "term")
-      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
-
     // query terms: same tokenizer as the corpus side, distinct per query
     val qt = queries.toSeq.toDF("query_id", "qtext")
       .select(col("query_id"),
@@ -261,12 +253,22 @@ object CorpusStats {
       .distinct()
     val qterms = broadcast(qt)
 
-    // prune to query vocabulary FIRST — everything downstream is small.
+    // per-(doc, term) counts with the doc length riding the one shuffle.
+    // The broadcast semi-join prunes to query vocabulary BELOW the
+    // aggregate, so the exchange carries only query-term occurrences —
+    // at 100 TB with a fixed query set that is a constant-ish frame, not
+    // the corpus vocabulary. Dropped non-query terms contribute nothing
+    // to tf, df, or the score, so the prune is semantics-free.
     // The lazy localCheckpoint materializes the pruned frame once for
     // its two consumers (df aggregate + score join) instead of
     // re-running the corpus explode.
-    val tfq = tf
+    val tfq = docs
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
       .localCheckpoint(false)
 
     val dfreq = broadcast(

@@ -87,6 +87,46 @@ object Subword {
         sum(col("c") * col("nu")).as("n_unk"))
   }
 
+  /** Candidate-vocabulary mining — the TRAINING half of the tokenizer:
+    * the top-`k` character n-grams (lengths `minN..maxN`) by
+    * occurrence-weighted frequency, rank ties broken by piece. This is
+    * the candidate-scoring pass a BPE/WordPiece trainer iterates; one
+    * pass of it is already a usable frequency-derived vocabulary for
+    * [[pieceCounts]] (plus whatever single-char floor the caller adds).
+    *
+    * Scale shape: the same Zipf amortization as the apply path — char
+    * n-grams are generated from the DISTINCT-word frame (weighted by
+    * occurrence counts), entirely in codegen'd `explode(sequence)` +
+    * `substring` (no typed walk), and the candidate aggregate shuffles
+    * (piece, count) pairs whose cardinality is bounded by distinct
+    * words × piece lengths, never the corpus. The global top-k is an
+    * `orderBy.limit` (TakeOrderedAndProject — a bounded per-partition
+    * heap, no full sort); the rank column is windowed over the k
+    * survivors only.
+    *
+    * Output: `(piece, n_occ, rk)`, rk 1-based dense. */
+  def topNgramPieces(docs: DataFrame, textCol: String, minN: Int,
+                     maxN: Int, k: Int): DataFrame = {
+    require(minN >= 1 && maxN >= minN,
+      s"need 1 <= minN <= maxN, got $minN..$maxN")
+    require(k > 0, s"k must be positive, got $k")
+    val wcw = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = wcw
+      .withColumn("n", explode(sequence(lit(minN), lit(maxN))))
+      .where(length(col("w")) >= col("n"))
+      .withColumn("s", explode(sequence(lit(0), length(col("w")) - col("n"))))
+      .select(expr("substring(w, s + 1, n)").as("piece"), col("c"))
+      .groupBy("piece").agg(sum(col("c")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("piece").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("piece").asc)
+    top.withColumn("rk", row_number().over(w))
+  }
+
   /** Corpus-wide piece frequencies: `(piece, n)`, every unk collapsed
     * into the `<unk>` row — the distribution a vocab curator audits
     * (and the gate that proves PIECE IDENTITY across engines, not just

@@ -63,6 +63,25 @@ class SubwordSpec extends SparkSpec {
     }
   }
 
+  test("topNgramPieces: occurrence-weighted candidates, ties by piece") {
+    val s = spark
+    import s.implicits._
+    // words: abc x1, ab x2 -> pieces ab=1+2=3, bc=1, abc=1
+    val docs = Seq((1L, "abc ab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Subword.topNgramPieces(docs, "text", 2, 3, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("ab", 3L, 1), ("abc", 1L, 2)),
+      s"got ${got.toSeq}")
+    // the global top-k must be a bounded heap, not a full sort
+    val plan = Subword.topNgramPieces(docs, "text", 2, 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not planner-bounded:\n$plan")
+    intercept[IllegalArgumentException] {
+      Subword.topNgramPieces(docs, "text", 3, 2, 5)
+    }
+  }
+
   test("tokenization runs per distinct word: plan shuffles words, not docs") {
     val s = spark
     import s.implicits._
