@@ -67,6 +67,8 @@ object SparkEntry {
   private[graft] val audioFramesTruthPath =
     graft.util.Fixtures.audioFramesTruthPath
   private[graft] val videoFixturePath = graft.util.Fixtures.videoPath
+  private[graft] val mjpegFixturePath = graft.util.Fixtures.mjpegPath
+  private[graft] val mjpegTruthPath = graft.util.Fixtures.mjpegTruthPath
   private[graft] val videoTracksTruthPath =
     graft.util.Fixtures.videoTracksTruthPath
   private[graft] val videoSamplesTruthPath =
@@ -1503,6 +1505,31 @@ object SparkEntry {
         .orderBy("id", "track", "sample")
     }),
 
+    // REAL video PIXEL decode for MJPEG: demux the MP4 (box walk +
+    // stsc/stco sample ranges), slice each video sample out of mdat and
+    // decode it with javax.imageio — each MJPEG sample IS a complete
+    // JPEG. Matched against per-frame truth (dims / exact mean / raster
+    // md5) computed at generation time from the exact bytes written; a
+    // path that does not isolate and decode each sample cannot reproduce
+    // a raster md5. avc1 payloads (id 9) and a garbled sample (id 10,
+    // sample 2) pin the per-SAMPLE decoded=false degradation; malformed
+    // containers (ids 11-12) emit zero rows.
+    "q_multimodal_mjpeg" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(mjpegFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      graft.operators.VideoDemux.decodeAllJpegFrames(recs).toDF()
+        .select(col("id"), col("track"), col("sample"),
+          col("isKey").as("is_key"), col("decoded"), col("width"),
+          col("height"), col("meanPixel").as("mean_pixel"),
+          col("rasterMd5").as("raster_md5"))
+        .orderBy("id", "track", "sample")
+    }),
+
     // Row-expanding frame-sample path (the generator shape of real video
     // frame sampling): every 2nd 64-byte slice, hashed — one record in,
     // N frames out, partition-parallel.
@@ -2770,6 +2797,15 @@ object SparkEntry {
     "q_multimodal_video_samples" ->
       s"""SELECT id, track, sample, "offset", size, md5
         |FROM read_parquet('$videoSamplesTruthPath/*.parquet')
+        |ORDER BY id, track, sample""".stripMargin,
+
+    // plain scan of the generation-time per-frame truth: container rows
+    // from the write plan, pixel columns from decoding the exact sample
+    // bytes as written (JPEG is lossy — see MjpegFixture provenance)
+    "q_multimodal_mjpeg" ->
+      s"""SELECT id, track, sample, is_key, decoded, width, height,
+        |       mean_pixel, raster_md5
+        |FROM read_parquet('$mjpegTruthPath/*.parquet')
         |ORDER BY id, track, sample""".stripMargin,
 
     "q_multimodal_frames" ->

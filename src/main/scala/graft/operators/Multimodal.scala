@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * FRAME EXTRACTION is real for every ImageIO container including
   * multi-frame animated GIF ([[decodeImageFrames]]). VIDEO container
   * demux is REAL too: [[VideoDemux]] walks MP4/ISO-BMFF box trees and
-  * resolves per-sample byte ranges (the pre-codec half of video
-  * processing). Only video PIXEL DECODE lacks a JDK codec, so the
+  * resolves per-sample byte ranges, and for MJPEG tracks — whose samples
+  * are complete JPEGs — [[VideoDemux.decodeJpegFrames]] decodes the
+  * PIXELS as well (demux → slice → imageio, end-to-end real). Only
+  * INTER-FRAME codecs (H.264 & co) lack a JDK decoder, so the
   * byte-stream feature path ([[decodeStub]]) remains for that one step:
   * deterministic features of the raw bytes with the production
   * batching/partitioning shape, swappable for a real codec without

@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** REAL MP4/ISO-BMFF container demux — pure-JVM byte parsing, zero
-  * dependencies. Video CODECS are not in the JDK, so pixel decode stays
-  * out of scope ([[Multimodal.decodeStub]] documents that boundary), but
+  * dependencies. INTER-FRAME video codecs are not in the JDK, so their
+  * pixel decode stays out of scope ([[Multimodal.decodeStub]] documents
+  * that boundary) — but MJPEG samples are complete JPEGs, so
+  * [[decodeJpegFrames]] below decodes those pixels for real — and
   * everything a 100 TB video pipeline does BEFORE the codec is container
   * work, and that is real here: walk the box tree (ftyp/moov/trak/mdia/
   * minf/stbl), read each track's media header and sample tables
@@ -91,13 +93,23 @@ object VideoDemux {
   private def child(bs: List[Box], typ: String): Option[Box] =
     bs.find(_.typ == typ)
 
-  /** Parsed sample tables of one track. */
+  /** Parsed sample tables of one track. `codec` is the first sample
+    * entry's fourcc from `stsd` ("jpeg" for MJPEG, "avc1" for H.264, …)
+    * or "" when the box is absent — metadata parsing never required it,
+    * so its absence must not fail records older strictness accepted. */
   private case class Stbl(nSamples: Long, durationUnits: Long,
                           sizes: Array[Int], keyframes: Array[Boolean],
-                          offsets: Array[Long])
+                          offsets: Array[Long], codec: String)
 
   private def parseStbl(b: Array[Byte], stbl: Box): Stbl = {
     val bs = boxes(b, stbl.start, stbl.end)
+
+    // stsd: codec identity = first sample entry's fourcc (entry_count at
+    // +4, first entry's size at +8, its fourcc at +12)
+    val codec = child(bs, "stsd") match {
+      case Some(sd) if u32(b, sd.start + 4) >= 1 => fourcc(b, sd.start + 12)
+      case _ => ""
+    }
 
     // stts: sample count + total duration (run-length (count, delta))
     val stts = child(bs, "stts").getOrElse(fail("no stts"))
@@ -175,7 +187,7 @@ object VideoDemux {
       chunk += 1
     }
     if (sample != n) fail(s"chunks cover $sample of $n samples")
-    Stbl(nSamples, dur, sizes, keyframes, offsets)
+    Stbl(nSamples, dur, sizes, keyframes, offsets, codec)
   }
 
   /** Full parse of one record: per-track (TrackInfo, Stbl). Throws
@@ -276,5 +288,103 @@ object VideoDemux {
       (implicit spark: SparkSession): Dataset[SampleInfo] = {
     import spark.implicits._
     ds.mapPartitions(_.flatMap(extractSamples(_, keyOnly, handlerFilter)))
+  }
+
+  // ---- REAL pixel decode for MJPEG tracks ------------------------------
+
+  /** One decoded video frame. `decoded = false` rows (zero dims,
+    * `meanPixel = -1.0`, empty md5) mark samples whose codec has no JDK
+    * decoder or whose payload would not decode — per-SAMPLE degradation,
+    * one bad frame in a billion-frame corpus fails that row only. */
+  case class FrameDecode(id: Long, track: Int, sample: Int, isKey: Boolean,
+                         decoded: Boolean, width: Int, height: Int,
+                         meanPixel: Double, rasterMd5: String)
+
+  /** Raster signature of a decoded frame: exact integer RGB sum (the
+    * [[Multimodal.decodeImage]] mean arithmetic) and an md5 over the
+    * packed row-major (R, G, B) bytes — a value only obtainable by
+    * actually producing the pixels. Shared with the fixture generator so
+    * truth and operator walk the raster identically. */
+  def rasterSignature(img: java.awt.image.BufferedImage): (Long, String) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val row = new Array[Byte](w * 3)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sum += r + g + b
+        row(x * 3) = r.toByte; row(x * 3 + 1) = g.toByte
+        row(x * 3 + 2) = b.toByte
+        x += 1
+      }
+      md.update(row)
+      y += 1
+    }
+    (sum, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** REAL video pixel decode for MJPEG — the one video codec whose
+    * samples the JDK can decode, because each MJPEG sample IS a complete
+    * JPEG image (`javax.imageio`, zero new dependencies; sample entry
+    * fourcc "jpeg" per ISO/IEC 14496-12 + the QuickTime registry). The
+    * full pipeline is demux (box walk → stsc/stco sample ranges) → slice
+    * the payload → decode the slice — exactly what a production frame
+    * sampler does before handing H.264 samples to a GPU codec; for MJPEG
+    * the JDK IS the codec, so the path is real end-to-end and the stub
+    * boundary shrinks to inter-frame codecs only.
+    *
+    * Degradation is layered: a malformed CONTAINER emits zero rows (the
+    * [[extractSamples]] contract); a track whose codec is not "jpeg", or
+    * a sample whose bytes do not decode, emits `decoded = false` for the
+    * affected SAMPLES only. */
+  def decodeJpegFrames(r: Multimodal.MediaRecord, keyOnly: Boolean = false)
+      : Iterator[FrameDecode] = {
+    val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+    try {
+      val out = List.newBuilder[FrameDecode]
+      parse(r.id, bytes).withFilter(_._1.handler == "vide").foreach {
+        case (info, stbl) =>
+          var s = 0
+          while (s < stbl.sizes.length) {
+            if (!keyOnly || stbl.keyframes(s)) {
+              val off = stbl.offsets(s)
+              val sz = stbl.sizes(s)
+              if (off < 0 || off + sz > bytes.length)
+                fail(s"sample $s range [$off, ${off + sz}) outside payload")
+              val img =
+                if (stbl.codec != "jpeg") null
+                else try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(
+                    java.util.Arrays.copyOfRange(bytes, off.toInt,
+                      off.toInt + sz)))
+                catch { case _: java.io.IOException => null }
+              out += (if (img == null)
+                FrameDecode(r.id, info.track, s, stbl.keyframes(s),
+                  decoded = false, 0, 0, -1.0, "")
+              else {
+                val (sum, md5) = rasterSignature(img)
+                FrameDecode(r.id, info.track, s, stbl.keyframes(s),
+                  decoded = true, img.getWidth, img.getHeight,
+                  sum.toDouble / (3.0 * img.getWidth * img.getHeight), md5)
+              })
+            }
+            s += 1
+          }
+      }
+      out.result().iterator
+    } catch { case _: ParseError => Iterator.empty }
+  }
+
+  /** Partition-parallel MJPEG frame decode. */
+  def decodeAllJpegFrames(ds: Dataset[Multimodal.MediaRecord],
+                          keyOnly: Boolean = false)
+      (implicit spark: SparkSession): Dataset[FrameDecode] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(decodeJpegFrames(_, keyOnly)))
   }
 }

@@ -38,28 +38,28 @@ object VideoFixture {
 
   // ---- big-endian writers ---------------------------------------------
 
-  private def be16(v: Int): Array[Byte] =
+  private[tools] def be16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-  private def be32(v: Long): Array[Byte] =
+  private[tools] def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
-  private def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
-  private def zeros(n: Int): Array[Byte] = new Array[Byte](n)
+  private[tools] def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
+  private[tools] def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+  private[tools] def zeros(n: Int): Array[Byte] = new Array[Byte](n)
 
-  private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+  private[tools] def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
     val payload = parts.flatten.toArray
     be32(payload.length + 8L) ++ cc(typ) ++ payload
   }
   /** FullBox: version byte + 24-bit flags before the payload. */
-  private def full(typ: String, version: Int, flags: Int,
+  private[tools] def full(typ: String, version: Int, flags: Int,
                    parts: Array[Byte]*): Array[Byte] =
     box(typ, (Array((version & 0xff).toByte) ++
       Array(((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
         (flags & 0xff).toByte)) +: parts: _*)
 
   /** Identity transform matrix (9 × 32-bit fixed point). */
-  private def matrix: Array[Byte] =
+  private[tools] def matrix: Array[Byte] =
     be32(0x10000L) ++ be32(0) ++ be32(0) ++
       be32(0) ++ be32(0x10000L) ++ be32(0) ++
       be32(0) ++ be32(0) ++ be32(0x40000000L)

@@ -47,6 +47,17 @@ object Fixtures {
     * three with `sbt "runMain graft.tools.VideoFixture"`). */
   def videoPath: String = new File(dir, "video.parquet").getAbsolutePath
 
+  /** `mjpeg.parquet` — real MP4 containers whose video samples are real
+    * JPEG frames (regenerate both with
+    * `sbt "runMain graft.tools.MjpegFixture"`). */
+  def mjpegPath: String = new File(dir, "mjpeg.parquet").getAbsolutePath
+
+  /** `mjpeg_truth.parquet` — one generation-time truth row per
+    * (mjpeg fixture, video-track sample): decode flag, dims, exact mean,
+    * raster md5. */
+  def mjpegTruthPath: String =
+    new File(dir, "mjpeg_truth.parquet").getAbsolutePath
+
   /** `video_tracks_truth.parquet` — one write-time truth row per
     * (video, track). */
   def videoTracksTruthPath: String =
