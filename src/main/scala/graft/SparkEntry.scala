@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Dsl, Pipelines, Tables}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Clustering, Contamination, Dedup, Multimodal, Similarity}
+import graft.operators.{Chunking, Clustering, Contamination, Dedup, Multimodal, Similarity}
 import graft.windows.{AggFunctions, CountWindows, TimeWindows}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -26,6 +26,12 @@ object SparkEntry {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // 31^j mod 2^20 for j < 16 — the CDC gear-polynomial constants shared
+  // by the q_cdc_* oracles (Chunking.cdcChunks inlines the same values)
+  private val cdcPowsSql: String =
+    Iterator.iterate(1L)(x => x * 31 % (1L << 20)).take(16)
+      .mkString("[", ", ", "]")
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
   // one persisted dedup / IVF index per (session, sf-dir) — see
@@ -690,6 +696,24 @@ object SparkEntry {
     "q_dedup_passage" -> ((s, d) =>
       Dedup.passageDedup(docs(s, d), "doc_id", "text", width = 8, minDocs = 2)
         .orderBy("doc_id")),
+
+    // content-defined chunking: rolling-hash (gear/Rabin-family)
+    // boundaries over codepoints — chunk edges move with the content, so
+    // an edited corpus re-chunks only around the edit. Entirely builtin
+    // higher-order functions: zero UDFs, zero shuffles, chunks exploded
+    // row-locally. The oracle replays the identical polynomial
+    // arithmetic in DuckDB (exact integers — boundaries must agree
+    // bit-for-bit).
+    "q_cdc_chunks" -> ((s, d) =>
+      Chunking.cdcChunks(docs(s, d))
+        .orderBy("doc_id", "chunk")),
+
+    // chunk-level exact dedup over the CDC chunks: recurring spans
+    // (boilerplate, templates) by content hash. One shuffle, on the
+    // 16-byte hash at chunk cardinality, with map-side partial agg.
+    "q_cdc_dedup" -> ((s, d) =>
+      Chunking.chunkDuplicates(docs(s, d), minDocs = 2)
+        .orderBy("chunk_hash")),
 
     // exact dedup of a delta against the persisted fingerprint index
     // (16-byte keys, no bodies) — same corpus/delta split and memo
@@ -2194,6 +2218,63 @@ object SparkEntry {
         |         count(*) AS n_kept
         |  FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the identical gear-polynomial boundary arithmetic, replayed over
+    // DuckDB's codepoint primitives (string_split('') + unicode) —
+    // exact integers, so the engines must agree on every boundary
+    "q_cdc_chunks" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         [unicode(ch) for ch in string_split(text, '')] AS codes
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, n,
+        |         CASE WHEN n <= 16 THEN []
+        |              ELSE list_filter(range(16, n), i ->
+        |                list_sum([codes[i - j] * ($cdcPowsSql)[j + 1]
+        |                          for j in range(0, 16)])
+        |                % 1048576 % 64 = 13) END AS bnd
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, text, n,
+        |         list_prepend(1, [x + 1 for x in bnd]) AS starts,
+        |         list_append(bnd, n) AS ends
+        |  FROM b)
+        |SELECT doc_id, u.i - 1 AS chunk, starts[u.i]::BIGINT AS start,
+        |       (ends[u.i] - starts[u.i] + 1)::BIGINT AS len,
+        |       md5(substr(text, starts[u.i], ends[u.i] - starts[u.i] + 1))
+        |         AS chunk_hash
+        |FROM s, unnest(range(1, len(starts) + 1)) AS u(i)
+        |ORDER BY doc_id, chunk""".stripMargin,
+
+    "q_cdc_dedup" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         [unicode(ch) for ch in string_split(text, '')] AS codes
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, n,
+        |         CASE WHEN n <= 16 THEN []
+        |              ELSE list_filter(range(16, n), i ->
+        |                list_sum([codes[i - j] * ($cdcPowsSql)[j + 1]
+        |                          for j in range(0, 16)])
+        |                % 1048576 % 64 = 13) END AS bnd
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, text, n,
+        |         list_prepend(1, [x + 1 for x in bnd]) AS starts,
+        |         list_append(bnd, n) AS ends
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(substr(text, starts[u.i], ends[u.i] - starts[u.i] + 1))
+        |           AS chunk_hash,
+        |         (ends[u.i] - starts[u.i] + 1)::BIGINT AS len
+        |  FROM s, unnest(range(1, len(starts) + 1)) AS u(i))
+        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_chunks, min(len) AS len
+        |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
