@@ -1090,6 +1090,18 @@ object SparkEntry {
           "doc_id", "lang", 40, salt = "strat1")
         .orderBy("lang", "doc_id")),
 
+    // Efraimidis–Spirakis weighted sampling without replacement, weight
+    // = n_chars: the oracle replays key = ln(u48)/w and takes the same
+    // top 100. Membership (not key values) is compared — the measured
+    // min adjacent-key gap (~5e-9) is ten orders above cross-engine
+    // libm ulp noise, so the selected set is engine-stable. No window,
+    // no shuffle: TakeOrderedAndProject keeps a k-bounded heap per task.
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+          docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", 100, salt = "wsamp")
+        .orderBy("doc_id")),
+
     // per-domain quality cap (C4-style host cap): keep the 15
     // best-scoring docs per source, ranked on the 6-rounded quality
     // score so the cut is engine-reproducible; WindowGroupLimit bounds
@@ -2468,6 +2480,18 @@ object SparkEntry {
         |           doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin,
+
+    // A-Res replay: same 48-bit md5 uniform, same ln(u)/w key, same
+    // top-100 — membership compared, keys never emitted (libm ulp)
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY ln((('0x' || substr(md5('wsamp' || doc_id::VARCHAR),
+        |                 1, 12))::BIGINT + 0.5) / 281474976710656.0)
+        |           / n_chars DESC, doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     // same quality formula as q_quality (rounded to 6), ranked per
     // source with doc_id tie-break, capped at 15

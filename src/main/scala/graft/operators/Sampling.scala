@@ -141,6 +141,46 @@ object Sampling {
       .drop("__base", "__thresh", "__n")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis A-Res draw (IPL 97(5), 2006): each row gets
+    * key = ln(u) / w for a per-row uniform u, and the k largest keys
+    * are the sample, which is distributionally identical to drawing k
+    * rows one-by-one with probability ∝ weight. This is the
+    * quality-weighted corpus draw ("sample 1M docs, favoring high
+    * quality scores") that [[stratifiedSample]]'s uniform hash cannot
+    * express.
+    *
+    * u is the salted 48-bit md5 hash mapped into (0, 1) — the
+    * engine-portable [[orderHash]] discipline — so the draw is a pure
+    * function of (ids, weights, k, salt): reruns and engines agree on
+    * MEMBERSHIP. (The key VALUE itself crosses a libm boundary: Spark's
+    * `log` and another engine's may differ in the last ulp, so callers
+    * comparing across engines must compare the selected set, not raw
+    * keys — measured min adjacent-key gap on the gate corpus is ~5e-9,
+    * ten orders above ulp noise, so membership is stable.)
+    *
+    * Rows with non-positive weight are excluded — mathematically the
+    * w → 0 limit (key → -∞, inclusion probability 0), not a silent
+    * data fix.
+    *
+    * Scale shape: no window, no global sort — `orderBy(...).limit(k)`
+    * plans TakeOrderedAndProject: each task keeps a k-bounded heap and
+    * the driver merges k·tasks candidates, so 100 TB costs one scan
+    * plus a k-sized reduction, and skew is irrelevant (no keyed
+    * shuffle at all). Output: the input columns of the sampled rows. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))
+        .cast("binary")), 1, 12), 16, 10).cast("bigint") + lit(0.5)) /
+      lit(281474976710656.0) // 2^48
+    df.where(col(weightCol) > 0)
+      .withColumn("__key", log(u) / col(weightCol))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Sequence packing — the concat-then-chunk step that turns a curated
     * corpus into fixed-token-budget training sequences: documents are
     * laid end-to-end in a deterministic order and the token stream is

@@ -283,4 +283,50 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"row_number<=n not planner-limited:\n$plan")
   }
+
+  test("weightedSample matches a driver-side A-Res replay exactly") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.map { case (id, src, w) => (id, src, w) }
+      .toDF("doc_id", "source", "w")
+    val got = Sampling.weightedSample(df, "doc_id", "w", 30, salt = "t1")
+      .collect().map(_.getLong(0)).toSet
+    val want = corpus.map { case (id, _, w) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t1$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.take(12), 16) + 0.5) / 281474976710656.0
+      (math.log(u) / w, id)
+    }.sortBy { case (k, id) => (-k, id) }.take(30).map(_._2).toSet
+    assert(got == want)
+  }
+
+  test("weightedSample favors heavy rows and excludes w <= 0") {
+    val s = spark
+    import s.implicits._
+    val df = ((0L until 50L).map((_, 1000L)) ++
+      (50L until 1000L).map((_, 1L)) ++ Seq((9999L, 0L), (9998L, -5L)))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, "doc_id", "w", 60)
+      .collect().map(_.getLong(0)).toSet
+    // all 50 heavy rows should be drawn (each is 1000x likelier than a
+    // light row; P[missing any] is astronomically small for this seed)
+    assert((0L until 50L).toSet.subsetOf(got), "heavy rows not favored")
+    assert(!got.contains(9999L) && !got.contains(9998L))
+  }
+
+  test("weightedSample is partition-invariant and plans a bounded top-k") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.map { case (id, src, w) => (id, src, w) }
+      .toDF("doc_id", "source", "w")
+    val a = Sampling.weightedSample(df.repartition(7), "doc_id", "w", 25)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df.coalesce(1), "doc_id", "w", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val plan = Sampling.weightedSample(df, "doc_id", "w", 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not heap-bounded:\n$plan")
+  }
 }
