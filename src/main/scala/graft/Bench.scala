@@ -119,6 +119,11 @@ object Bench {
         warm("clustering plan")(graft.operators.Clustering.dedupVerdicts(
           tinyDocs.select(col("doc_id").as("d1"),
             ((col("doc_id") + 1) % 50).as("d2")), "d1", "d2").count())
+        // CDC chunking compiles a large higher-order-function codegen
+        // unit (filter/aggregate lambdas over the code array) — one tiny
+        // pass so the gate query times chunking, not Janino
+        warm("cdc plan")(graft.operators.Chunking
+          .chunkDuplicates(tinyDocs, "doc_id", "text").count())
       }
       // Data warm-up for the SHARED dedup caches (shingle table, prefix
       // index, simhash table): these persist across queries by design, so

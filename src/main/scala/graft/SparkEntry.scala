@@ -1102,6 +1102,15 @@ object SparkEntry {
           "doc_id", "n_chars", 100, salt = "wsamp")
         .orderBy("doc_id")),
 
+    // the per-stratum variant: 25 docs per language, drawn ∝ n_chars
+    // within the stratum; WindowGroupLimit bounds the shuffle at k rows
+    // per (task, stratum)
+    "q_weighted_stratum" -> ((s, d) =>
+      graft.operators.Sampling.weightedSamplePerStratum(
+          docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "lang", "n_chars", 25, salt = "wsamp")
+        .orderBy("doc_id")),
+
     // per-domain quality cap (C4-style host cap): keep the 15
     // best-scoring docs per source, ranked on the 6-rounded quality
     // score so the cut is engine-reproducible; WindowGroupLimit bounds
@@ -2492,6 +2501,16 @@ object SparkEntry {
         |           / n_chars DESC, doc_id
         |  LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_stratum" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ln((('0x' || substr(md5('wsamp' || doc_id::VARCHAR),
+        |                1, 12))::BIGINT + 0.5) / 281474976710656.0)
+        |           / n_chars DESC, doc_id) AS rk
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
 
     // same quality formula as q_quality (rounded to 6), ranked per
     // source with doc_id tie-break, capped at 15

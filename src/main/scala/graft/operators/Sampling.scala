@@ -171,14 +171,44 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: String = "graft"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))
-        .cast("binary")), 1, 12), 16, 10).cast("bigint") + lit(0.5)) /
-      lit(281474976710656.0) // 2^48
     df.where(col(weightCol) > 0)
-      .withColumn("__key", log(u) / col(weightCol))
+      .withColumn("__key", aresKey(col(idCol), col(weightCol), salt))
       .orderBy(col("__key").desc, col(idCol).asc)
       .limit(k)
       .drop("__key")
+  }
+
+  /** The A-Res key ln(u)/w with u the salted 48-bit md5 uniform in
+    * (0, 1) — shared by [[weightedSample]] and
+    * [[weightedSamplePerStratum]]. */
+  private def aresKey(id: Column, w: Column, salt: String): Column = {
+    val u = (conv(substring(md5(concat(lit(salt), id.cast("string"))
+        .cast("binary")), 1, 12), 16, 10).cast("bigint") + lit(0.5)) /
+      lit(281474976710656.0) // 2^48
+    log(u) / w
+  }
+
+  /** [[weightedSample]] per stratum: k rows of EACH stratum, drawn with
+    * probability ∝ weight within the stratum — the balanced
+    * quality-weighted draw ("100 docs per language, favoring quality").
+    * Same A-Res key and membership-only cross-engine contract.
+    *
+    * Scale shape: the [[stratifiedSample]] discipline — one hash
+    * shuffle by stratum, `row_number <= k` planner-recognized
+    * (InferWindowGroupLimit) so each map task keeps a k-bounded heap
+    * per stratum before the exchange; a skewed mega-stratum costs ~k
+    * rows per task, never a stratum sort. */
+  def weightedSamplePerStratum(df: DataFrame, idCol: String,
+                               stratumCol: String, weightCol: String,
+                               k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__key").desc, col(idCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("__key", aresKey(col(idCol), col(weightCol), salt))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__key", "__rk")
   }
 
   /** Sequence packing — the concat-then-chunk step that turns a curated

@@ -329,4 +329,28 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k not heap-bounded:\n$plan")
   }
+
+  test("weightedSamplePerStratum: k per stratum, same keys, group-limited") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.map { case (id, src, w) => (id, src, w) }
+      .toDF("doc_id", "source", "w")
+    val got = Sampling.weightedSamplePerStratum(
+        df, "doc_id", "source", "w", 10, salt = "t1")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.groupBy(_._1).forall(_._2.length == 10))
+    // within each stratum the draw equals the global sampler restricted
+    // to that stratum — same key, same membership
+    corpus.map(_._2).distinct.foreach { src =>
+      val sub = Sampling.weightedSample(
+          df.filter($"source" === src), "doc_id", "w", 10, salt = "t1")
+        .collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._1 == src).map(_._2).toSet == sub, src)
+    }
+    val plan = Sampling.weightedSamplePerStratum(
+        df, "doc_id", "source", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=k not planner-limited:\n$plan")
+  }
 }
