@@ -32,6 +32,33 @@ object SparkEntry {
   private val cdcPowsSql: String =
     Iterator.iterate(1L)(x => x * 31 % (1L << 20)).take(16)
       .mkString("[", ", ", "]")
+
+  /** DuckDB replay of Chunking.cdcChunks over `src` (any relation with
+    * doc_id + text): yields (doc_id, chunk, start, len, chunk_hash).
+    * One definition for every q_cdc_* / q_chunk_* oracle. */
+  private def cdcChunksSql(src: String): String =
+    s"""(WITH __c AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |         [unicode(ch) for ch in string_split(text, '')] AS codes
+       |  FROM $src),
+       |__b AS (
+       |  SELECT doc_id, text, n,
+       |         CASE WHEN n <= 16 THEN []
+       |              ELSE list_filter(range(16, n), i ->
+       |                list_sum([codes[i - j] * ($cdcPowsSql)[j + 1]
+       |                          for j in range(0, 16)])
+       |                % 1048576 % 64 = 13) END AS bnd
+       |  FROM __c),
+       |__s AS (
+       |  SELECT doc_id, text, n,
+       |         list_prepend(1, [x + 1 for x in bnd]) AS starts,
+       |         list_append(bnd, n) AS ends
+       |  FROM __b)
+       |SELECT doc_id, u.i - 1 AS chunk, starts[u.i]::BIGINT AS start,
+       |       (ends[u.i] - starts[u.i] + 1)::BIGINT AS len,
+       |       md5(substr(text, starts[u.i], ends[u.i] - starts[u.i] + 1))
+       |         AS chunk_hash
+       |FROM __s, unnest(range(1, len(starts) + 1)) AS u(i))""".stripMargin
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
   // one persisted dedup / IVF index per (session, sf-dir) — see
@@ -52,6 +79,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex]()
   private val ivfPqIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfPqIndex]()
+  private val chunkIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ChunkIndex]()
 
   // committed fixture of real PNG/BMP bytes + draw-time ground truth
   // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
@@ -101,8 +130,10 @@ object SparkEntry {
       graft.operators.Dedup.dropExactIndex(spark, _))
     ivfPqIdxCache.values.asScala.foreach(
       graft.operators.Similarity.dropIvfPqIndex(spark, _))
+    chunkIdxCache.values.asScala.foreach(
+      graft.operators.Chunking.dropChunkIndex(spark, _))
     Seq(incIdxCache, ivfIdxCache, extIvfIdxCache, embIdxCache,
-      exactIdxCache, ivfPqIdxCache).foreach(_.clear())
+      exactIdxCache, ivfPqIdxCache, chunkIdxCache).foreach(_.clear())
   }
 
   // orphan guard for every OTHER consumer (specs, shell probes, a
@@ -118,7 +149,8 @@ object SparkEntry {
         extIvfIdxCache.values.asScala.map(_.path) ++
         embIdxCache.values.asScala.map(_.path) ++
         exactIdxCache.values.asScala.map(_.path) ++
-        ivfPqIdxCache.values.asScala.map(_.path))
+        ivfPqIdxCache.values.asScala.map(_.path) ++
+        chunkIdxCache.values.asScala.map(_.path))
         .foreach(p => graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(p)))
     }, "graft-index-cleanup"))
@@ -714,6 +746,30 @@ object SparkEntry {
     "q_cdc_dedup" -> ((s, d) =>
       Chunking.chunkDuplicates(docs(s, d), minDocs = 2)
         .orderBy("chunk_hash")),
+
+    // incremental-crawl novelty against the persisted chunk index:
+    // corpus (doc_id % 4 != 3) is indexed once (bucketed 16-byte chunk
+    // hashes, no bodies); the delta — fresh docs plus re-keyed verbatim
+    // COPIES of corpus docs (+500000) — scores per-doc chunk novelty
+    // against it. The copies must come back novelty = 0 (every chunk
+    // seen), making the seen-hash branch non-vacuous; CDC boundaries
+    // make the verdict robust to partial edits, which offset slicing
+    // would not be.
+    "q_chunk_novelty" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.where(col("doc_id") % 4 =!= 3)
+      val delta = all.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+        .unionAll(corpus.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val tag = idxTag(s, d)
+      val idx = chunkIdxCache.computeIfAbsent(tag, _ =>
+        Chunking.buildChunkIndex(corpus, "doc_id", "text",
+          s"graft_chunk_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-chunk-idx-$tag"))
+      Chunking.deltaNovelty(delta, "doc_id", "text", idx)
+        .orderBy("doc_id")
+    }),
 
     // exact dedup of a delta against the persisted fingerprint index
     // (16-byte keys, no bodies) — same corpus/delta split and memo
@@ -2244,58 +2300,42 @@ object SparkEntry {
     // DuckDB's codepoint primitives (string_split('') + unicode) —
     // exact integers, so the engines must agree on every boundary
     "q_cdc_chunks" ->
-      s"""WITH c AS (
-        |  SELECT doc_id, text, length(text) AS n,
-        |         [unicode(ch) for ch in string_split(text, '')] AS codes
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, text, n,
-        |         CASE WHEN n <= 16 THEN []
-        |              ELSE list_filter(range(16, n), i ->
-        |                list_sum([codes[i - j] * ($cdcPowsSql)[j + 1]
-        |                          for j in range(0, 16)])
-        |                % 1048576 % 64 = 13) END AS bnd
-        |  FROM c),
-        |s AS (
-        |  SELECT doc_id, text, n,
-        |         list_prepend(1, [x + 1 for x in bnd]) AS starts,
-        |         list_append(bnd, n) AS ends
-        |  FROM b)
-        |SELECT doc_id, u.i - 1 AS chunk, starts[u.i]::BIGINT AS start,
-        |       (ends[u.i] - starts[u.i] + 1)::BIGINT AS len,
-        |       md5(substr(text, starts[u.i], ends[u.i] - starts[u.i] + 1))
-        |         AS chunk_hash
-        |FROM s, unnest(range(1, len(starts) + 1)) AS u(i)
+      s"""SELECT * FROM ${cdcChunksSql("documents")}
         |ORDER BY doc_id, chunk""".stripMargin,
 
     "q_cdc_dedup" ->
-      s"""WITH c AS (
-        |  SELECT doc_id, text, length(text) AS n,
-        |         [unicode(ch) for ch in string_split(text, '')] AS codes
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, text, n,
-        |         CASE WHEN n <= 16 THEN []
-        |              ELSE list_filter(range(16, n), i ->
-        |                list_sum([codes[i - j] * ($cdcPowsSql)[j + 1]
-        |                          for j in range(0, 16)])
-        |                % 1048576 % 64 = 13) END AS bnd
-        |  FROM c),
-        |s AS (
-        |  SELECT doc_id, text, n,
-        |         list_prepend(1, [x + 1 for x in bnd]) AS starts,
-        |         list_append(bnd, n) AS ends
-        |  FROM b),
-        |ch AS (
-        |  SELECT doc_id,
-        |         md5(substr(text, starts[u.i], ends[u.i] - starts[u.i] + 1))
-        |           AS chunk_hash,
-        |         (ends[u.i] - starts[u.i] + 1)::BIGINT AS len
-        |  FROM s, unnest(range(1, len(starts) + 1)) AS u(i))
-        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+      s"""SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
         |       count(*) AS n_chunks, min(len) AS len
-        |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+        |FROM ${cdcChunksSql("documents")}
+        |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    // chunk-novelty replay: corpus chunk hashes = the index; per delta
+    // doc, novel = unseen hash AND first delta carrier (min doc_id)
+    "q_chunk_novelty" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+        |delta AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents
+        |  WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0),
+        |seen AS (
+        |  SELECT DISTINCT chunk_hash FROM ${cdcChunksSql("corpus")}),
+        |dch AS (
+        |  SELECT doc_id, chunk_hash,
+        |         min(doc_id) OVER (PARTITION BY chunk_hash) AS first_id
+        |  FROM ${cdcChunksSql("delta")})
+        |SELECT dch.doc_id, count(*) AS n_chunks,
+        |       sum(CASE WHEN seen.chunk_hash IS NULL
+        |                 AND dch.doc_id = dch.first_id
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |       round(sum(CASE WHEN seen.chunk_hash IS NULL
+        |                       AND dch.doc_id = dch.first_id
+        |                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |         AS novelty
+        |FROM dch LEFT JOIN seen ON dch.chunk_hash = seen.chunk_hash
+        |GROUP BY dch.doc_id ORDER BY dch.doc_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,

@@ -1,7 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Handle to a persisted CDC chunk index (see
+  * [[Chunking.buildChunkIndex]]): one (chunk_hash, keep_id) row per
+  * distinct chunk content, bucketed by hash, plus the CDC parameters —
+  * baked in at build time so probes can never chunk differently than
+  * the index. */
+case class ChunkIndex(name: String, path: String, numBuckets: Int,
+                      window: Int, prime: Int, modBits: Int,
+                      divisor: Int, residue: Int) {
+  def chunksTable: String = s"${name}_chunks"
+}
 
 /** Content-defined chunking (CDC) — rolling-hash boundaries over
   * document text, the rsync/LBFS/FastCDC family (Muthitacharoen et al.,
@@ -93,4 +105,112 @@ object Chunking {
         count(lit(1)).as("n_chunks"),
         min(col("len")).as("len"))
       .filter(col("n_docs") >= minDocs)
+
+  // ------------------------------------------------------------------
+  // Persisted chunk index — the incremental-crawl lifecycle
+  // ------------------------------------------------------------------
+
+  private def chunksWith(df: DataFrame, idCol: String, textCol: String,
+                         idx: ChunkIndex): DataFrame =
+    cdcChunks(df, idCol, textCol, idx.window, idx.prime, idx.modBits,
+      idx.divisor, idx.residue)
+
+  /** Persist the corpus's chunk inventory: one (chunk_hash, keep_id)
+    * row per distinct chunk content, bucketed by hash — the same
+    * smallest-possible-artifact discipline as [[Dedup.buildExactIndex]]
+    * but at CHUNK granularity, which is what makes it the
+    * incremental-crawl primitive: a re-crawled page whose byline
+    * changed still matches on every untouched chunk, because CDC
+    * boundaries moved with the content. 16-byte keys only; chunk text
+    * never persists. */
+  def buildChunkIndex(df: DataFrame, idCol: String, textCol: String,
+                      name: String, path: String, numBuckets: Int = 32,
+                      window: Int = 16, prime: Int = 31, modBits: Int = 20,
+                      divisor: Int = 64, residue: Int = 13): ChunkIndex = {
+    val idx = ChunkIndex(name, path, numBuckets, window, prime, modBits,
+      divisor, residue)
+    chunksWith(df, idCol, textCol, idx)
+      .groupBy("chunk_hash").agg(min(col(idCol)).as("keep_id"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "chunk_hash").sortBy("chunk_hash")
+      .option("path", s"$path/${idx.chunksTable}")
+      .format("parquet").saveAsTable(idx.chunksTable)
+    idx
+  }
+
+  /** Fold a processed delta's chunks in: only hashes NOT already
+    * indexed append (anti-join), preserving one-row-per-hash. Same
+    * single-writer and disjoint-ids contracts as the other indexes —
+    * the id check is the default-on [[IndexAdmin.requireDisjointIds]]
+    * guard, so a re-folded crawl fails loudly instead of silently
+    * re-litigating keep verdicts. */
+  def extendChunkIndex(delta: DataFrame, idCol: String, textCol: String,
+                       idx: ChunkIndex): Unit = {
+    val spark = delta.sparkSession
+    IndexAdmin.requireDisjointIds(delta, idCol, idx.chunksTable, "keep_id",
+      "extendChunkIndex")
+    val existing = spark.table(idx.chunksTable)
+      .select(col("chunk_hash").as("__ih")).hint("shuffle_hash")
+    chunksWith(delta, idCol, textCol, idx)
+      .groupBy("chunk_hash").agg(min(col(idCol)).as("keep_id"))
+      .join(existing, col("chunk_hash") <=> col("__ih"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .bucketBy(idx.numBuckets, "chunk_hash").sortBy("chunk_hash")
+      .format("parquet").saveAsTable(idx.chunksTable)
+  }
+
+  /** Per-document chunk novelty of a delta against the indexed corpus:
+    * (id, n_chunks, n_novel, novelty) where a chunk is novel iff its
+    * hash is unseen in the index AND this document is the delta's
+    * first carrier (min id wins — corpus-wins then keep-first, the
+    * [[Dedup.exactAgainstIndex]] verdict convention at chunk grain).
+    * `novelty` = n_novel / n_chunks is the incremental-crawl signal:
+    * re-crawls of known pages score ~0, genuinely new content ~1, and
+    * templated pages land in between — the filter threshold a 100 TB
+    * ingest actually applies.
+    *
+    * Scale shape: the delta shuffles once on chunk_hash (the window
+    * partitioning is reused by the join); the index side streams out
+    * of its buckets, never broadcast; the doc-level rollup shuffles
+    * (id, flag) pairs only. Chunk text never crosses the wire — md5
+    * decides everything. */
+  def deltaNovelty(delta: DataFrame, idCol: String, textCol: String,
+                   idx: ChunkIndex): DataFrame = {
+    val spark = delta.sparkSession
+    val seen = spark.table(idx.chunksTable)
+      .select(col("chunk_hash").as("__ih"), lit(true).as("__seen"))
+      .hint("shuffle_hash")
+    val w = Window.partitionBy(col("chunk_hash"))
+    chunksWith(delta, idCol, textCol, idx)
+      .withColumn("__first", min(col(idCol)).over(w))
+      .join(seen, col("chunk_hash") <=> col("__ih"), "left_outer")
+      .withColumn("__novel",
+        col("__seen").isNull && col(idCol) === col("__first"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__novel").cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_chunks"), 6))
+  }
+
+  /** Compact a many-times-extended chunk index to one file per bucket
+    * under a NEW name/path — blue/green, same contract as
+    * [[Dedup.compactIndex]]: old index stays readable until the caller
+    * [[dropChunkIndex]]es it. */
+  def compactChunkIndex(spark: SparkSession, idx: ChunkIndex,
+                        name: String, path: String): ChunkIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = idx.copy(name = name, path = path)
+    Dedup.copyBucketed(spark, s"${idx.path}/${idx.chunksTable}",
+      out.chunksTable, s"$path/${out.chunksTable}", idx.numBuckets,
+      "chunk_hash")
+    out
+  }
+
+  /** Drop a chunk index: catalog entry + backing directory — the
+    * cutover end of the blue/green contract. */
+  def dropChunkIndex(spark: SparkSession, idx: ChunkIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark, Seq(idx.chunksTable), idx.path)
 }

@@ -513,7 +513,7 @@ object Dedup {
     * exactly the accretion being compacted away (measured: 102 files
     * instead of 32). The raw read has no claimed distribution, so the
     * exchange survives. */
-  private def copyBucketed(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def copyBucketed(spark: org.apache.spark.sql.SparkSession,
                            fromPath: String, to: String, path: String,
                            numBuckets: Int, key: String): Unit =
     spark.read.parquet(fromPath)

@@ -104,6 +104,75 @@ class ChunkingSpec extends SparkSpec {
       !c3.contains(d.getString(0))))
   }
 
+  test("chunk index lifecycle: build, score, extend, compact, drop") {
+    implicit val s = spark
+    val tmp = s"/tmp/graft-chunkidx-spec-${java.util.UUID.randomUUID()}"
+    val corpus = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" % 2 === 0)
+    val idx = Chunking.buildChunkIndex(corpus, "doc_id", "text",
+      "chunkidx_spec", s"$tmp/blue")
+    try {
+      // novelty: verbatim re-keys of indexed docs score 0; fresh docs
+      // score the independently-computed unseen-chunk ratio
+      val rekeys = corpus.limit(20)
+        .select(($"doc_id" + 900000).as("doc_id"), $"text")
+      val fresh = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+        .select($"doc_id", $"text").filter($"doc_id" % 2 === 1).limit(20)
+      val nov = Chunking.deltaNovelty(rekeys.unionAll(fresh),
+        "doc_id", "text", idx).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(nov.filter(_._1 >= 900000).values.forall(_ == 0.0),
+        "re-keyed copies must score zero novelty")
+      assert(nov.filter(_._1 < 900000).values.exists(_ > 0.0),
+        "fresh docs must contribute novel chunks")
+
+      // a partial edit of an indexed doc keeps most chunks seen: CDC
+      // novelty is strictly below 1 even though the doc hash changed
+      val editedText = corpus.orderBy($"doc_id").limit(1).collect()
+        .head.getString(1) + " APPENDED TAIL CONTENT"
+      val edited = spark.createDataFrame(Seq((910000L, editedText)))
+        .toDF("doc_id", "text")
+      val en = Chunking.deltaNovelty(edited, "doc_id", "text", idx)
+        .collect().head
+      assert(en.getDouble(3) < 1.0 && en.getLong(1) >= 1)
+
+      // extend folds the delta in; the same content re-keyed again now
+      // scores 0 everywhere
+      Chunking.extendChunkIndex(fresh, "doc_id", "text", idx)
+      val again = fresh
+        .select(($"doc_id" + 950000).as("doc_id"), $"text")
+      val nov2 = Chunking.deltaNovelty(again, "doc_id", "text", idx)
+        .collect().map(_.getDouble(3))
+      assert(nov2.forall(_ == 0.0), "extended chunks must be seen")
+
+      // duplicate delta ids fail loudly (default-on guard)
+      intercept[IllegalArgumentException] {
+        Chunking.extendChunkIndex(fresh, "doc_id", "text", idx)
+      }
+
+      // compact: blue/green to one file per bucket, probe-identical
+      val compacted = Chunking.compactChunkIndex(spark, idx,
+        "chunkidx_spec_g", s"$tmp/green")
+      try {
+        val before = Chunking.deltaNovelty(rekeys.unionAll(fresh),
+          "doc_id", "text", idx).collect().map(_.toSeq).toSet
+        val after = Chunking.deltaNovelty(rekeys.unionAll(fresh),
+          "doc_id", "text", compacted).collect().map(_.toSeq).toSet
+        assert(before == after, "compaction changed probe results")
+        val files = new java.io.File(s"$tmp/green/${compacted.chunksTable}")
+          .listFiles().count(f => f.getName.startsWith("part-"))
+        assert(files == idx.numBuckets,
+          s"expected 1 file per bucket, got $files")
+      } finally Chunking.dropChunkIndex(spark, compacted)
+      assert(!spark.catalog.tableExists(compacted.chunksTable))
+      assert(!new java.io.File(s"$tmp/green").exists())
+    } finally {
+      Chunking.dropChunkIndex(spark, idx)
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+    assert(!spark.catalog.tableExists(idx.chunksTable))
+  }
+
   test("the plan is shuffle-free for chunking, one exchange for dedup") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val chunkPlan = Chunking.cdcChunks(docs).queryExecution
