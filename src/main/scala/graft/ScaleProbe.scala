@@ -438,9 +438,41 @@ object ScaleProbe {
         .select((col("vec_id") + 950000000L + rep * 10000000L)
           .as("vec_id"), col("embedding"))
 
+      // chunk-index probe: same contract as dedup_incremental — the
+      // k-fold corpus's chunk inventory is persisted untimed, a FIXED
+      // delta (copy-0 docs re-keyed, so every chunk is already indexed)
+      // scores novelty against it; per-delta cost must stay ~flat as
+      // the indexed corpus decades up
+      val chunkIdx =
+        if (wanted("chunk_novelty")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-chunkidx-$k").toString
+          operators.Chunking.buildChunkIndex(docs, "doc_id", "text",
+            s"probe_chunk_idx_$k", path)
+        } else null
+
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
           Dedup.exactGroups(docs, "doc_id", "text").count()),
+        // zero-shuffle row-local chunking: the exponent must be ~1 and
+        // the constant pure scan+codegen (nothing crosses the wire)
+        "cdc_chunks" -> (() =>
+          operators.Chunking.cdcChunks(docs, "doc_id", "text").count()),
+        // + one hash-only aggregate: 16-byte keys at chunk cardinality
+        "cdc_dedup" -> (() =>
+          operators.Chunking.chunkDuplicates(docs, "doc_id", "text")
+            .count()),
+        "chunk_novelty" -> (() =>
+          operators.Chunking.deltaNovelty(
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 250)
+              .withColumn("doc_id", col("doc_id") + lit(1200000000L)),
+            "doc_id", "text", chunkIdx).count()),
+        // k-bounded per-task heap + k-sized driver merge: wall must
+        // track the scan, never a sort
+        "weighted_sample" -> (() =>
+          operators.Sampling.weightedSample(docs, "doc_id", "n_chars",
+            1000).count()),
         // driverEdgeCap=0 forces the DISTRIBUTED star path — the probe
         // measures the scale branch, not the driver union-find shortcut
         "dedup_clusters" -> (() =>
@@ -687,6 +719,7 @@ object ScaleProbe {
           java.nio.file.Paths.get(embIncIdx.path))
       }
       if (ivfPqIdx != null) Similarity.dropIvfPqIndex(spark, ivfPqIdx)
+      if (chunkIdx != null) operators.Chunking.dropChunkIndex(spark, chunkIdx)
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$sessionsJson$compactionJson}""")
     }
     spark.stop()

@@ -33,6 +33,46 @@ object SparkEntry {
     Iterator.iterate(1L)(x => x * 31 % (1L << 20)).take(16)
       .mkString("[", ", ", "]")
 
+  /** DuckDB replay of Subword.trainBpeMerges: `n` unrolled rounds, each
+    * a pair-count CTE + 1-row argmax + a merge application. The word
+    * frame travels as token LISTS; applying the data-dependent merge
+    * uses a delimited-string `replace` (chr(31) boundaries — absent
+    * from the printable-ASCII corpus), whose left-to-right
+    * non-overlapping semantics equal the Spark side's fold. */
+  private def bpeOracleSql(n: Int): String = {
+    val us = "chr(31)"
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (
+         |  SELECT u.p.l AS l, u.p.r AS r, sum(c) AS n
+         |  FROM (SELECT [{'l': tk[i], 'r': tk[i+1]}
+         |                for i in range(1, len(tk))] AS ps, c FROM w$r),
+         |       unnest(ps) AS u(p)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |w${r + 1} AS (
+         |  SELECT list_filter(string_split(
+         |           trim(replace($us || array_to_string(tk, $us||$us) || $us,
+         |                        $us || b.l || $us || $us || b.r || $us,
+         |                        $us || b.l || b.r || $us),
+         |                chr(31)),
+         |           $us||$us), x -> x <> '') AS tk, c
+         |  FROM w$r, b$r AS b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to n).map(r =>
+      s"SELECT $r::BIGINT AS rk, l AS lhs, r AS rhs, l || r AS merged, " +
+        s"n AS pair_count FROM b$r").mkString("\n UNION ALL ")
+    s"""WITH w1 AS (
+       |  SELECT [ch for ch in string_split(w, '')] AS tk, c FROM (
+       |    SELECT w, count(*) AS c FROM (
+       |      SELECT unnest(list_filter(
+       |               regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |               x -> x <> '')) AS w
+       |      FROM documents) GROUP BY w)),
+       |$rounds
+       |$union
+       |ORDER BY rk""".stripMargin
+  }
+
   /** DuckDB replay of Chunking.cdcChunks over `src` (any relation with
     * doc_id + text): yields (doc_id, chunk, start, len, chunk_hash).
     * One definition for every q_cdc_* / q_chunk_* oracle. */
@@ -672,6 +712,15 @@ object SparkEntry {
     "q_subword_vocab" -> ((s, d) =>
       graft.operators.Subword.topNgramPieces(docs(s, d), "text", 2, 4, 40)
         .select(col("piece"), col("n_occ"), col("rk").cast("bigint").as("rk"))
+        .orderBy("rk")),
+
+    // BPE merge TRAINING: 6 rounds of occurrence-weighted pair counting
+    // + argmax + merge application over the distinct-word frame. The
+    // oracle unrolls the same 6 rounds as DuckDB CTEs (data-dependent
+    // merge applied via delimited-string replace, equal to the Spark
+    // fold) — the learned rules must agree exactly, rank by rank.
+    "q_bpe_merges" -> ((s, d) =>
+      graft.operators.Subword.trainBpeMerges(docs(s, d), "text", 6)
         .orderBy("rk")),
 
     // corpus n-gram frequency table (top 100, deterministic tie-break)
@@ -2047,6 +2096,8 @@ object SparkEntry {
     // occurrence-weighted char-ngram candidates via a correlated lateral
     // unnest over the distinct-word frame — same weighting as the Spark
     // side's explode(sequence) walk
+    "q_bpe_merges" -> bpeOracleSql(6),
+
     "q_subword_vocab" ->
       s"""WITH $tokCte,
          |wcw AS (SELECT w, count(*)::BIGINT AS c

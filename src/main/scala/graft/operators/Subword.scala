@@ -127,6 +127,90 @@ object Subword {
     top.withColumn("rk", row_number().over(w))
   }
 
+  /** Distributed BPE merge training (Sennrich et al., ACL '16) — the
+    * TRAINING half proper: learn `numMerges` merge rules from the
+    * corpus. Each round counts adjacent symbol pairs over the
+    * DISTINCT-word frame (occurrence-weighted — the same Zipf
+    * amortization as [[pieceCounts]]: pair statistics per distinct
+    * word, multiplied by its count, never a per-occurrence walk),
+    * picks the most frequent pair (ties by (lhs, rhs) — binary string
+    * order, so any engine agrees), and applies it to every word as a
+    * left-to-right non-overlapping fold.
+    *
+    * Spark shape: one corpus-sized shuffle builds the word frame; each
+    * round is then ONE aggregate over it — (pair, count) with map-side
+    * combine at symbol-pair cardinality — plus a 1-row argmax collect
+    * (`orderBy.limit(1)`: a bounded heap, O(1) to the driver by
+    * contract) and a row-local fold (`functions.aggregate`, codegen —
+    * no UDF) applying the merge. The frame re-persists per round so a
+    * round reads materialized symbols, not a `numMerges`-deep lineage;
+    * a production run at larger `numMerges` would checkpoint every few
+    * rounds — the per-round cost model is unchanged.
+    *
+    * Against a trained vocabulary (chars + merged pieces),
+    * [[pieceCounts]]/[[pieceFrequencies]] are the apply path. No
+    * end-of-word marker is modeled — merges never cross word
+    * boundaries here, which is the within-word BPE variant; the marker
+    * is one column away if a caller wants it.
+    *
+    * Returns `(rk, lhs, rhs, merged, pair_count)` — rank-ordered merge
+    * rules; fewer than `numMerges` rows iff the corpus runs out of
+    * pairs (every word fully merged). */
+  def trainBpeMerges(docs: DataFrame, textCol: String,
+                     numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 1024,
+      s"numMerges out of range: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def applyMerge(syms: org.apache.spark.sql.Column, l: String, r: String) =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+    var cur = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(split(col("w"), "").as("syms"), col("c"))
+      .persist()
+    cur.count()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = cur
+        .select(explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin))
+          .as("p"), col("c"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((rank, l, r, l + r, n))
+        val next = cur
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("c"))
+          .persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        rank += 1
+      }
+    }
+    cur.unpersist()
+    merges.result()
+      .toDF("rk", "lhs", "rhs", "merged", "pair_count")
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
   /** Corpus-wide piece frequencies: `(piece, n)`, every unk collapsed
     * into the `<unk>` row — the distribution a vocab curator audits
     * (and the gate that proves PIECE IDENTITY across engines, not just

@@ -95,4 +95,83 @@ class SubwordSpec extends SparkSpec {
     assert(plan.contains("SerializeFromObject"),
       "expected the typed per-word walk in the plan")
   }
+
+  /** Reference BPE trainer: the Sennrich algorithm, driver-side. */
+  private def refBpe(words: Seq[(String, Long)], n: Int)
+      : Seq[(String, String, String, Long)] = {
+    var frame = words.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = Seq.newBuilder[(String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      frame.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), cnt) = counts.toSeq
+          .minBy { case ((a, b), cn) => (-cn, a, b) }
+        out += ((l, rr, l + rr, cnt))
+        frame = frame.map { case (syms, c) => (foldMerge(syms, l, rr), c) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def foldMerge(syms: List[String], l: String, r: String)
+      : List[String] =
+    syms.foldLeft(List.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r)
+        acc.dropRight(1) :+ (l + r)
+      else acc :+ x
+    }
+
+  test("trainBpeMerges matches a driver-side Sennrich replay") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest"),
+      (2L, "widest widest newest low lowest"),
+      (3L, "the newest widest lowest low"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Subword.trainBpeMerges(docs, "text", 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    val wordCounts = corpus.flatMap(_._2.split("\\s+"))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }.toSeq
+    val want = refBpe(wordCounts, 8)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // and the classic property: "newest" (9 occurrences) drives early
+    // merges — its first pair is learned within the first rounds
+    assert(got.take(3).exists(m => "newest".contains(m._3)))
+  }
+
+  test("trainBpeMerges: merged symbols re-merge across rounds") {
+    val s = spark
+    import s.implicits._
+    // "aaab" x4: round 1 learns (a,a) -> aa; round 2 must be able to
+    // merge (aa, a) or (aa, b) — i.e. rounds compose
+    val docs = Seq((1L, "aaab aaab aaab aaab")).toDF("doc_id", "text")
+    val got = Subword.trainBpeMerges(docs, "text", 3).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got.head == (("a", "a", 8L)), s"round 1: ${got.head}")
+    // after [aa, a, b]: pairs (aa,a)=4, (a,b)=4 — tie broken by lhs asc
+    assert(got(1) == (("a", "b", 4L)), s"round 2: ${got(1)}")
+    assert(got(2) == (("aa", "ab", 4L)), s"round 3: ${got(2)}")
+  }
+
+  test("trainBpeMerges stops early when no pairs remain") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // single-char words only — zero pairs, zero merges
+    assert(Subword.trainBpeMerges(docs, "text", 5).count() == 0L)
+    // "ab" exhausts after one merge
+    val one = Subword.trainBpeMerges(
+      Seq((1L, "ab ab")).toDF("doc_id", "text"), "text", 5).collect()
+    assert(one.length == 1 && one.head.getString(3) == "ab")
+  }
 }
