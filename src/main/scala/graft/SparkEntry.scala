@@ -73,6 +73,31 @@ object SparkEntry {
        |ORDER BY rk""".stripMargin
   }
 
+  /** The fixed merge list the q_bpe_encode / q_bpe_freq gates apply —
+    * includes composing rules (th+e, er+s, an+d) so the gates witness
+    * rank-order application, not just independent merges. */
+  private val bpeGateMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("t", "h"),
+    ("th", "e"), ("er", "s"), ("a", "n"), ("an", "d"))
+
+  /** DuckDB expression: the final BPE piece list of word column `w`
+    * under [[bpeGateMerges]] — characters joined with chr(31) bounds,
+    * each merge a nested left-to-right `replace`, split back at the
+    * end (the same delimited-replace equivalence bpeOracleSql uses). */
+  private def bpeApplySql: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val us = "chr(31)"
+    val init =
+      s"$us || array_to_string([ch for ch in string_split(w, '')], " +
+        s"$us||$us) || $us"
+    val folded = bpeGateMerges.foldLeft(init) { case (acc, (l, r)) =>
+      s"replace($acc,\n           $us || ${q(l)} || $us || $us || " +
+        s"${q(r)} || $us,\n           $us || ${q(l + r)} || $us)"
+    }
+    s"list_filter(string_split(trim($folded, chr(31)), $us||$us), " +
+      "x -> x <> '')"
+  }
+
   /** DuckDB replay of Chunking.cdcChunks over `src` (any relation with
     * doc_id + text): yields (doc_id, chunk, start, len, chunk_hash).
     * One definition for every q_cdc_* / q_chunk_* oracle. */
@@ -713,6 +738,23 @@ object SparkEntry {
       graft.operators.Subword.topNgramPieces(docs(s, d), "text", 2, 4, 40)
         .select(col("piece"), col("n_occ"), col("rk").cast("bigint").as("rk"))
         .orderBy("rk")),
+
+    // BPE ENCODE (inference by rank-ordered merges, the apply half of
+    // q_bpe_merges): per-doc piece totals under a fixed 8-rule list
+    // with composing rules — rank order matters and both engines must
+    // apply it identically
+    "q_bpe_encode" -> ((s, d) =>
+      graft.operators.Subword.bpeEncode(docs(s, d), "doc_id", "text",
+          bpeGateMerges)
+        .orderBy("doc")),
+
+    // piece IDENTITY under the same merges: the corpus piece
+    // distribution, not just counts — two different segmentations of
+    // equal length cannot both match it
+    "q_bpe_freq" -> ((s, d) =>
+      graft.operators.Subword.bpePieceFrequencies(docs(s, d), "text",
+          bpeGateMerges)
+        .orderBy("piece")),
 
     // BPE merge TRAINING: 6 rounds of occurrence-weighted pair counting
     // + argmax + merge application over the distinct-word frame. The
@@ -2097,6 +2139,25 @@ object SparkEntry {
     // unnest over the distinct-word frame — same weighting as the Spark
     // side's explode(sequence) walk
     "q_bpe_merges" -> bpeOracleSql(6),
+
+    "q_bpe_encode" ->
+      s"""WITH $tokCte,
+         |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+         |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+         |       GROUP BY doc_id, w),
+         |wp AS (SELECT w, len($bpeApplySql)::BIGINT AS np
+         |       FROM (SELECT DISTINCT w FROM wc))
+         |SELECT doc_id AS doc, sum(c * np)::BIGINT AS n_pieces
+         |FROM wc JOIN wp USING (w)
+         |GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "q_bpe_freq" ->
+      s"""WITH $tokCte,
+         |wcw AS (SELECT w, count(*)::BIGINT AS c
+         |        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w)
+         |SELECT piece, sum(c)::BIGINT AS n
+         |FROM (SELECT unnest($bpeApplySql) AS piece, c FROM wcw)
+         |GROUP BY piece ORDER BY piece""".stripMargin,
 
     "q_subword_vocab" ->
       s"""WITH $tokCte,

@@ -48,6 +48,50 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Rolling content-defined-chunking boundary kernel (backs
+    * [[CdcBoundaries]] / Chunking.cdcChunks): 1-based codepoint
+    * positions i (window <= i < n) where the gear polynomial
+    * H_i = Σ_{j<w} code(c_{i-j})·p^j mod 2^modBits satisfies
+    * H_i mod divisor = residue. The hash ROLLS —
+    * H_i = p·H_{i-1} + c_i − c_{i-w}·p^w (mod M) — one compiled O(n)
+    * pass per document. Exact-integer arithmetic over codepoints, so
+    * the DuckDB oracle's direct-sum formula reproduces every boundary
+    * (divisor | M keeps the congruence argument). The composed
+    * higher-order-function form this replaces ran interpreted at
+    * ~2 µs/step; this is the [[wordNgramsAll]] lesson applied again. */
+  def cdcBoundaries(s: UTF8String, w: Int, prime: Long, modBits: Int,
+                    divisor: Long, residue: Long): ArrayData = {
+    if (s == null) return null
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n <= w) return new GenericArrayData(Array.empty[Any])
+    val m = 1L << modBits
+    var pw = 1L
+    var k = 0
+    while (k < w) { pw = pw * prime % m; k += 1 }
+    val cps = new Array[Int](n)
+    var ci = 0
+    var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      cps(ci) = cp
+      ci += 1
+      off += Character.charCount(cp)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var h = 0L
+    var i = 0 // 0-based index of the incoming codepoint
+    while (i < n) {
+      h = (prime * h + cps(i) - (if (i >= w) cps(i - w) * pw else 0L)) % m
+      if (h < 0) h += m
+      // boundary at 1-based position i+1, window full, never at the end
+      if (i + 1 >= w && i + 1 < n && h % divisor == residue)
+        out += (i + 1)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Non-distinct variant: every n-gram occurrence in position order
     * (backs [[WordNgramsAll]]); same tokenization as [[wordShingles]]. */
   def wordNgramsAll(s: UTF8String, n: Int): ArrayData = {
@@ -95,6 +139,27 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * (lower/trim/split/filter) subtree once PER POSITION inside the
   * transform lambda — O(len^2) per document and the dominant cost of
   * the heavy-hitters scan; this kernel tokenizes once. */
+/** Codegen'd CDC boundary positions — see [[TextKernels.cdcBoundaries]]. */
+case class CdcBoundaries(child: Expression, window: Int, prime: Int,
+                         modBits: Int, divisor: Int, residue: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.cdcBoundaries(input.asInstanceOf[UTF8String], window,
+      prime.toLong, modBits, divisor.toLong, residue.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.cdcBoundaries(" +
+        s"$c, $window, ${prime}L, $modBits, ${divisor}L, ${residue}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
 case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams_all"
@@ -661,6 +726,11 @@ object TextExprs {
 
   def wordNgramsAll(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsAll(ColumnBridge.expression(text), n))
+
+  def cdcBoundaries(text: Column, window: Int, prime: Int, modBits: Int,
+                    divisor: Int, residue: Int): Column =
+    ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(text),
+      window, prime, modBits, divisor, residue))
 
   def minhashSig(shingles: Column, a: IndexedSeq[Long],
                  b: IndexedSeq[Long]): Column =

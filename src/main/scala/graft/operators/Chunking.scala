@@ -29,14 +29,13 @@ case class ChunkIndex(name: String, path: String, numBuckets: Int,
   * (`/root/reference/pipeline/pipeline.go` routes whole tuples); this
   * extends the LLM-pipeline layer like [[Dedup]]/[[Sampling]].
   *
-  * Spark-first shape: the whole computation is builtin higher-order
-  * functions (`split`/`transform`/`filter`/`aggregate`/`substring`) —
-  * zero UDFs, whole-stage codegen, and ZERO SHUFFLES: every chunk is
-  * derived row-locally and exploded in place, so a 1000-executor scan
-  * chunks 100 TB at full parallelism with nothing crossing the wire.
-  * Work is O(n · window) per document (the windowed sum is recomputed
-  * per position rather than carried — `window` is a small constant and
-  * recomputation keeps the expression stateless and codegen-friendly).
+  * Spark-first shape: boundary detection is a custom codegen'd Catalyst
+  * expression ([[graft.expressions.CdcBoundaries]] — a compiled O(n)
+  * rolling-hash pass per document); chunk assembly around it is builtin
+  * functions over the small boundary array. Zero UDFs and ZERO
+  * SHUFFLES: every chunk is derived row-locally and exploded in place,
+  * so a 1000-executor scan chunks 100 TB at full parallelism with
+  * nothing crossing the wire.
   *
   * The hash is polynomial over UNICODE CODEPOINTS (`split('')` +
   * `ascii`, both codepoint-based), H(i) = Σ_{j<w} code(c_{i-j})·p^j
@@ -59,24 +58,19 @@ object Chunking {
                 residue: Int = 13): DataFrame = {
     require(window >= 2 && modBits <= 40 && divisor >= 2,
       s"degenerate CDC parameters ($window, $modBits, $divisor)")
-    val m = 1L << modBits
-    // p^j mod 2^modBits, j < window — inlined constants keep the
-    // boundary predicate a pure codegen expression
-    val pows = Iterator.iterate(1L)(x => x * prime % m).take(window)
-      .mkString("array(", ", ", ")")
-    val w = window
-
+    // Boundary detection is a compiled O(n) rolling-hash kernel
+    // (graft.expressions.CdcBoundaries, one call per row, codegen'd) —
+    // the composed higher-order-function form ran INTERPRETED, and
+    // CollapseProject inlined the codes projection into the lambdas, so
+    // split+transform re-evaluated at every (position, window) step:
+    // O(n²·w) per document, measured as a multi-minute stall at sf0.1.
+    // The remaining HOFs below only walk the ~(n/divisor)-sized
+    // boundary array.
     docs
       .select(col(idCol), col(textCol).as("__text"))
       .withColumn("__n", length(col("__text")))
-      .withColumn("__codes",
-        expr("transform(split(__text, ''), ch -> ascii(ch))"))
-      .withColumn("__bnd", expr(
-        s"""CASE WHEN __n <= $w THEN array()
-           |ELSE filter(sequence($w, __n - 1), i ->
-           |  aggregate(sequence(0, ${w - 1}), 0L, (acc, j) ->
-           |    acc + element_at(__codes, i - j) * element_at($pows, j + 1))
-           |  % $m % $divisor = $residue) END""".stripMargin))
+      .withColumn("__bnd", graft.expressions.TextExprs.cdcBoundaries(
+        col("__text"), window, prime, modBits, divisor, residue))
       .withColumn("__starts",
         expr("concat(array(1), transform(__bnd, x -> x + 1))"))
       .withColumn("__ends", expr("concat(__bnd, array(__n))"))

@@ -156,19 +156,23 @@ object Subword {
     * Returns `(rk, lhs, rhs, merged, pair_count)` — rank-ordered merge
     * rules; fewer than `numMerges` rows iff the corpus runs out of
     * pairs (every word fully merged). */
+  /** Left-to-right non-overlapping application of one merge rule to a
+    * symbol array — a codegen fold, no UDF. Shared by training and
+    * [[bpeEncode]] so both sides merge identically. */
+  private def applyMerge(syms: org.apache.spark.sql.Column, l: String,
+                         r: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
   def trainBpeMerges(docs: DataFrame, textCol: String,
                      numMerges: Int): DataFrame = {
     require(numMerges >= 1 && numMerges <= 1024,
       s"numMerges out of range: $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-
-    def applyMerge(syms: org.apache.spark.sql.Column, l: String, r: String) =
-      aggregate(syms, array().cast("array<string>"),
-        (acc, x) => when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
 
     var cur = docs
       .select(explode(
@@ -209,6 +213,56 @@ object Subword {
     merges.result()
       .toDF("rk", "lhs", "rhs", "merged", "pair_count")
       .withColumn("rk", col("rk").cast("long"))
+  }
+
+  /** BPE ENCODE — inference with an explicit rank-ordered merge list
+    * (what [[trainBpeMerges]] learns): each word starts as characters
+    * and every merge applies in rank order, so `encode(train(corpus))`
+    * is the end-to-end tokenizer. This is the true BPE apply (merge
+    * ranks decide segmentation), distinct from [[pieceCounts]]'s greedy
+    * longest-match (WordPiece-style) — the two disagree on words like
+    * "lowering" whenever a high-rank merge blocks a longer vocab hit.
+    *
+    * Scale shape: the Zipf amortization again — all merges fold over
+    * the DISTINCT-word frame in ONE projection (the k rules compose
+    * into a single codegen expression; k is vocab-build-sized, bounded
+    * at 64 here to keep one Janino unit), then per-word piece counts
+    * join back by word. Document bodies never cross a shuffle.
+    *
+    * Returns per-document `(doc, n_pieces)`. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"merge list must have 1..64 rules, got ${merges.size}")
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
+      "merge rule sides must be non-empty")
+    val wc = wordCounts(docs, idCol, textCol)
+    val folded = merges.foldLeft(split(col("w"), "")) {
+      case (syms, (l, r)) => applyMerge(syms, l, r)
+    }
+    val pieces = wc.select(col("w")).distinct()
+      .select(col("w"), size(folded).as("np"))
+    wc.join(pieces, "w")
+      .groupBy(col("doc"))
+      .agg(sum(col("c") * col("np")).as("n_pieces"))
+  }
+
+  /** Corpus piece frequencies under BPE-by-merges: `(piece, n)` — the
+    * piece-IDENTITY witness for [[bpeEncode]]'s segmentation (counts
+    * alone cannot distinguish two segmentations of equal length). */
+  def bpePieceFrequencies(docs: DataFrame, textCol: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"merge list must have 1..64 rules, got ${merges.size}")
+    val wcw = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val folded = merges.foldLeft(split(col("w"), "")) {
+      case (syms, (l, r)) => applyMerge(syms, l, r)
+    }
+    wcw.select(explode(folded).as("piece"), col("c"))
+      .groupBy("piece").agg(sum(col("c")).as("n"))
   }
 
   /** Corpus-wide piece frequencies: `(piece, n)`, every unk collapsed

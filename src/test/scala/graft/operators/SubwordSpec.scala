@@ -163,6 +163,41 @@ class SubwordSpec extends SparkSpec {
     assert(got(2) == (("aa", "ab", 4L)), s"round 3: ${got(2)}")
   }
 
+  test("bpeEncode applies merges in rank order and weights by occurrence") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abc abc ax"), (2L, "abc")).toDF("doc_id", "text")
+    // rank order composes: a+b then ab+c fully merges "abc"
+    val m1 = Seq(("a", "b"), ("ab", "c"))
+    val got = Subword.bpeEncode(docs, "doc_id", "text", m1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: abc->1 piece x2, ax->[a,x] 2 pieces = 4; doc 2: abc->1
+    assert(got == Map(1L -> 4L, 2L -> 1L), got.toString)
+    // reversed rank order cannot compose: ab+c never fires on chars
+    val m2 = Seq(("ab", "c"), ("a", "b"))
+    val got2 = Subword.bpeEncode(docs, "doc_id", "text", m2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 6L, 2L -> 2L), got2.toString)
+    // piece identity via frequencies: [abc x3, a, x]
+    val freq = Subword.bpePieceFrequencies(docs, "text", m1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("abc" -> 3L, "a" -> 1L, "x" -> 1L), freq.toString)
+  }
+
+  test("encode(train(corpus)) round-trips: learned merges compress it") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "newest newest newest lowest lowest low"))
+      .toDF("doc_id", "text")
+    val merges = Subword.trainBpeMerges(docs, "text", 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val n = Subword.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().head.getLong(1)
+    val chars = "newest newest newest lowest lowest low"
+      .split(" ").map(_.length.toLong).sum
+    assert(n < chars, s"merges did not compress: $n vs $chars chars")
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     val s = spark
     import s.implicits._
