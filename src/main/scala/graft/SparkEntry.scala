@@ -997,6 +997,16 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // contrastive hard negatives: top-k most-similar vectors whose
+    // label DIFFERS — near the anchor, semantically wrong; the filter
+    // composes with any ANN candidate path at scale
+    "q_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e.where(col("vec_id") < 5), e,
+          "vec_id", "embedding", "label", 5)
+        .orderBy("qid", "rank")
+    }),
+
     "q_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfKnn(e.where(col("vec_id").between(100, 104)), e,
@@ -2882,6 +2892,24 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cid) AS rank
         |  FROM s)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // same cosine convention as q_knn_bruteforce, plus the null-safe
+    // label-mismatch predicate (IS DISTINCT FROM)
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label
+        |           FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid, c.label clabel,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c
+        |      WHERE c.vec_id <> q.vec_id
+        |        AND c.label IS DISTINCT FROM q.label)
+        |SELECT qid, rank, cid, clabel, round(sim, 4) + 0.0 AS sim FROM (
+        |  SELECT qid, cid, clabel, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_knn_ivf" -> ivfSql,
 

@@ -67,6 +67,44 @@ object Similarity {
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors whose LABEL DIFFERS — near the anchor
+    * in embedding space but semantically wrong, exactly the negatives
+    * that make a contrastive batch informative (easy random negatives
+    * teach nothing at scale). Null-safe label inequality (`<=>`
+    * negated): a null-label corpus row counts as a mismatch for a
+    * labeled query and vice versa, so unlabeled strays become
+    * negatives rather than silently vanishing from both sides.
+    *
+    * Scale shape: identical to [[bruteForceKnn]] — queries broadcast
+    * (training anchors are batch-sized by contract), one corpus scan,
+    * codegen'd dot products, and the `row_number <= k` filter is
+    * planner-bounded (WindowGroupLimit) so each task holds a k-heap
+    * per query. For corpus-scale anchor sets, run the same predicate
+    * over an IVF/PQ candidate frame instead of the raw corpus — the
+    * filter composes with any ANN path's output. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, label: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv"),
+        col(label).as("qlabel"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.select(col(id).as("cid"), asDoubles(col(vec)).as("cv"),
+        col(label).as("clabel"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val sims = c.join(broadcast(q),
+        col("cid") =!= col("qid") && !(col("clabel") <=> col("qlabel")))
+      .withColumn("sim",
+        cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .where(col("sim").isNotNull)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"),
+        col("cid"), col("clabel"),
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
   /** Assign each vector to its nearest centroid by cosine (ties: lowest
     * centroid id). Output: df + (cell, cell_sim).
     *

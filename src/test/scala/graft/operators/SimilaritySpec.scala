@@ -199,4 +199,39 @@ class SimilaritySpec extends SparkSpec {
     // signatures must be deterministic across evaluations
     assert(keys() == bands)
   }
+
+  test("hardNegatives: label-mismatched top-k, null-safe, plan-bounded") {
+    val queries = emb.where(col("vec_id") < 4)
+    val got = Similarity.hardNegatives(queries, emb, "vec_id",
+      "embedding", "label", 4).collect()
+    assert(got.nonEmpty && got.groupBy(_.getLong(0)).forall(_._2.length == 4))
+    // no negative shares its query's label
+    val qLabels = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(r.getInt(3) != qLabels(r.getLong(0)),
+      s"query ${r.getLong(0)} negative ${r.getLong(2)} shares its label"))
+    // equals brute-force knn over the label-mismatched corpus subset
+    qLabels.foreach { case (qid, ql) =>
+      val want = Similarity.bruteForceKnn(
+          emb.where(col("vec_id") === qid),
+          emb.where(col("label") =!= ql), "vec_id", "embedding", 4)
+        .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      val mine = got.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(4))).toSeq
+      assert(mine == want, s"query $qid diverges from filtered knn")
+    }
+    // a null-label corpus row is a valid negative for labeled queries
+    val s = spark
+    import s.implicits._
+    val withNull = emb.select(col("vec_id"), col("embedding"),
+      when(col("vec_id") === 7, lit(null)).otherwise(col("label"))
+        .as("label"))
+    val nn = Similarity.hardNegatives(withNull.where(col("vec_id") < 2),
+      withNull, "vec_id", "embedding", "label", 1000).collect()
+    assert(nn.exists(r => r.getLong(2) == 7L), "null-label row vanished")
+    // the row_number<=k filter must be planner-bounded
+    val plan = Similarity.hardNegatives(queries, emb, "vec_id",
+      "embedding", "label", 4).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group limit:\n$plan")
+  }
 }
