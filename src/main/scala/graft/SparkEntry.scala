@@ -838,6 +838,25 @@ object SparkEntry {
       Chunking.chunkDuplicates(docs(s, d), minDocs = 2)
         .orderBy("chunk_hash")),
 
+    // snapshot-to-snapshot chunk diff: old = the corpus; new = edits
+    // appended to every 5th doc, every 11th-mod-3 doc dropped, every
+    // 13th-mod-1 doc duplicated under a new id. Multiset chunk
+    // semantics (retained + removed = n_old per doc); the change ratio
+    // is the symmetric difference over total chunk slots. One shuffle
+    // of (id, hash, count) triples — text never moves.
+    "q_chunk_diff" -> ((s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("text"))
+      val newer = all.where(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" APPENDED SNAPSHOT EDIT")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(all.where(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      Chunking.chunkDiff(all, newer, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // incremental-crawl novelty against the persisted chunk index:
     // corpus (doc_id % 4 != 3) is indexed once (bucketed 16-byte chunk
     // hashes, no bodies); the delta — fresh docs plus re-keyed verbatim
@@ -2431,6 +2450,36 @@ object SparkEntry {
         |FROM ${cdcChunksSql("documents")}
         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    // snapshot-diff replay: the same CDC chunks on both sides, multiset
+    // min/max arithmetic per (doc, hash)
+    "q_chunk_diff" ->
+      s"""WITH olddocs AS (SELECT doc_id, text FROM documents),
+        |newdocs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || ' APPENDED SNAPSHOT EDIT'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 600000, text FROM documents
+        |  WHERE doc_id % 13 = 1),
+        |oc AS (SELECT doc_id, chunk_hash, count(*)::BIGINT AS n_old
+        |       FROM ${cdcChunksSql("olddocs")} GROUP BY 1, 2),
+        |nc AS (SELECT doc_id, chunk_hash, count(*)::BIGINT AS n_new
+        |       FROM ${cdcChunksSql("newdocs")} GROUP BY 1, 2),
+        |j AS (SELECT coalesce(oc.doc_id, nc.doc_id) AS doc_id,
+        |             coalesce(n_old, 0) AS o, coalesce(n_new, 0) AS nn
+        |      FROM oc FULL OUTER JOIN nc
+        |        ON oc.doc_id = nc.doc_id
+        |       AND oc.chunk_hash = nc.chunk_hash)
+        |SELECT doc_id, sum(least(o, nn))::BIGINT AS retained,
+        |       sum(greatest(nn - o, 0))::BIGINT AS added,
+        |       sum(greatest(o - nn, 0))::BIGINT AS removed,
+        |       round((sum(greatest(nn - o, 0)) + sum(greatest(o - nn, 0)))
+        |             / (sum(least(o, nn)) * 2 + sum(greatest(nn - o, 0))
+        |                + sum(greatest(o - nn, 0)))::DOUBLE, 6) AS change
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // chunk-novelty replay: corpus chunk hashes = the index; per delta
     // doc, novel = unseen hash AND first delta carrier (min doc_id)

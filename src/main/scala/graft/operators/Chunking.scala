@@ -187,6 +187,44 @@ object Chunking {
         round(col("n_novel") / col("n_chunks"), 6))
   }
 
+  /** Snapshot diff at chunk grain: given two crawls of the same id
+    * space, per document the retained / added / removed chunk counts
+    * and a change ratio — the "what actually moved between snapshots"
+    * report that CDC boundaries make meaningful (an inserted paragraph
+    * changes the chunks that cover it, not every chunk after the byte
+    * offset). Docs present in only one snapshot diff against an empty
+    * chunk set; identical docs report `change = 0`.
+    *
+    * Chunk multiplicity counts: a chunk appearing twice in the old text
+    * and once in the new contributes one retained and one removed —
+    * multiset semantics, so per-doc counts always satisfy
+    * n_old = retained + removed and n_new = retained + added.
+    *
+    * Scale shape: chunking is the zero-shuffle kernel path on both
+    * sides; the diff is ONE shuffle of (id, hash, count) triples — a
+    * full-outer join on (id, chunk_hash) at chunk cardinality, hashes
+    * only, chunk text never moves. */
+  def chunkDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                textCol: String, window: Int = 16): DataFrame = {
+    def counts(df: DataFrame) =
+      cdcChunks(df, idCol, textCol, window)
+        .groupBy(col(idCol), col("chunk_hash"))
+        .agg(count(lit(1)).as("n"))
+    val o = counts(oldDocs).withColumnRenamed("n", "n_old")
+    val nw = counts(newDocs).withColumnRenamed("n", "n_new")
+    o.join(nw, Seq(idCol, "chunk_hash"), "full_outer")
+      .select(col(idCol),
+        coalesce(col("n_old"), lit(0L)).as("o"),
+        coalesce(col("n_new"), lit(0L)).as("nn"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("o"), col("nn"))).as("retained"),
+        sum(greatest(col("nn") - col("o"), lit(0L))).as("added"),
+        sum(greatest(col("o") - col("nn"), lit(0L))).as("removed"))
+      .withColumn("change", round(
+        (col("added") + col("removed")) /
+          (col("retained") * 2 + col("added") + col("removed")), 6))
+  }
+
   /** Compact a many-times-extended chunk index to one file per bucket
     * under a NEW name/path — blue/green, same contract as
     * [[Dedup.compactIndex]]: old index stays readable until the caller

@@ -173,6 +173,43 @@ class ChunkingSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(idx.chunksTable))
   }
 
+  test("chunkDiff: retained/added/removed partition both snapshots") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").limit(60)
+    val newer = docs.where($"doc_id" % 7 =!= 2)
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, concat($"text", lit(" EDITED TAIL")))
+          .otherwise($"text").as("text"))
+      .unionAll(docs.limit(5)
+        .select(($"doc_id" + 70000).as("doc_id"), $"text"))
+    val diff = Chunking.chunkDiff(docs, newer, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val oldCounts = Chunking.cdcChunks(docs).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newCounts = Chunking.cdcChunks(newer).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    diff.foreach { case (id, (ret, add, rem, change)) =>
+      // multiset invariants against independently computed chunk counts
+      assert(ret + rem == oldCounts.getOrElse(id, 0L), s"old side of $id")
+      assert(ret + add == newCounts.getOrElse(id, 0L), s"new side of $id")
+      if (!oldCounts.contains(id)) assert(ret == 0 && rem == 0 && change == 1.0)
+      if (!newCounts.contains(id)) assert(ret == 0 && add == 0 && change == 1.0)
+    }
+    // untouched docs report zero change; edited docs strictly between
+    val untouched = diff.filter { case (id, _) =>
+      id % 3 != 0 && id % 7 != 2 && id < 70000 }
+    assert(untouched.nonEmpty && untouched.values.forall(_._4 == 0.0))
+    val edited = diff.filter { case (id, _) => id % 3 == 0 && id % 7 != 2 &&
+      id < 70000 }
+    assert(edited.nonEmpty && edited.values.forall(_._4 > 0.0),
+      "every edited doc must register change")
+    // CDC locality: at least some multi-chunk edited docs keep most
+    // chunks (a single-chunk doc legitimately reports change = 1.0)
+    assert(edited.values.exists(v => v._4 > 0.0 && v._4 < 0.5),
+      "no edited doc kept the untouched chunks")
+  }
+
   test("the plan is shuffle-free for chunking, one exchange for dedup") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val chunkPlan = Chunking.cdcChunks(docs).queryExecution
