@@ -275,6 +275,18 @@ object Bench {
             e.getValue.get("mad").asDouble(), tm)
         }.toMap
       } else Map.empty
+    // gc_ms kept separately: only needed to round-trip baseline entries
+    // whose queries a filtered record run did not execute
+    val baselineGc: Map[String, Double] =
+      if (java.nio.file.Files.isReadable(basePath)) {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(basePath))
+        import scala.jdk.CollectionConverters._
+        root.properties().asScala.map { e =>
+          e.getKey -> Option(e.getValue.get("gc_ms"))
+            .map(_.asDouble()).getOrElse(0.0)
+        }.toMap
+      } else Map.empty
     val deltas = results.collect {
       case (k, (m, _, _, _, _)) if m >= 0 && baseline.contains(k) =>
         val (bm, _, _) = baseline(k)
@@ -341,13 +353,23 @@ object Bench {
       // forensics; queries new to the baseline enter at this run's
       // numbers.
       val merge = sys.env.get("SPARK_GRAFT_RECORD_MERGE").contains("max")
-      val merged = results.map { case (k, (m, d, tm, g, _)) =>
+      val recorded = results.map { case (k, (m, d, tm, g, _)) =>
         baseline.get(k) match {
           case Some((bm, bd, btm)) if merge =>
             (k, (math.max(m, bm), math.max(d, bd), math.max(tm, btm), g))
           case _ => (k, (m, d, tm, g))
         }
       }
+      // a merge run with SPARK_GRAFT_ONLY must carry the UNTOUCHED
+      // baseline entries through, or a single-query fold-in silently
+      // truncates the whole envelope to that query (observed: 110 -> 1)
+      val carried =
+        if (merge) baseline.view
+          .filterKeys(k => !results.exists(_._1 == k))
+          .map { case (k, (bm, bd, btm)) =>
+            (k, (bm, bd, btm, baselineGc.getOrElse(k, 0.0))) }.toSeq
+        else Seq.empty
+      val merged = recorded ++ carried
       val body = merged.map { case (k, (m, d, tm, g)) =>
         s"""  "$k": {"median": $m, "mad": $d, "task_ms": $tm, "gc_ms": $g}""" }
         .mkString("{\n", ",\n", "\n}\n")
