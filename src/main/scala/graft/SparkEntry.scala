@@ -917,6 +917,22 @@ object SparkEntry {
           "d1", "d2")
         .orderBy("id")),
 
+    // RefinedWeb-style survivor refinement: each duplicate cluster
+    // keeps its best-QUALITY member (6-rounded, ties by id) instead of
+    // its minimum id — dedup should improve the corpus, not freeze
+    // crawl order. Singletons (docs in no pair) always survive.
+    "q_dedup_best" -> ((s, d) => {
+      val dd = docs(s, d)
+      Clustering.bestOfCluster(
+          dd.select(col("doc_id"),
+            round(TF.qualityScore(col("text")), 6).as("quality")),
+          Dedup.jaccardPairs(dd, "doc_id", "text", 3, 0.8),
+          "doc_id", "quality")
+        .select(col("doc_id"), col("component"), col("quality"),
+          col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // same contract as q_dedup_jaccard; LSH recall at threshold 0.8 with
     // 32 bands x 2 rows is ~1-1e-14, so the exact-jaccard oracle applies
     "q_dedup_minhash" -> ((s, d) =>
@@ -2533,6 +2549,47 @@ object SparkEntry {
          |SELECT u AS id, least(min(v), u) AS component,
          |       least(min(v), u) = u AS keep
          |FROM reach GROUP BY u ORDER BY id""".stripMargin,
+
+    // closure (as q_dedup_clusters) + the quality formula (as
+    // q_domain_cap) + best-per-component pick; singleton docs are their
+    // own component
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (SELECT d1, d2 FROM jac WHERE j >= 0.8),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM p
+         |          UNION SELECT d2, d1 FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(min(v), u) AS component
+         |         FROM reach GROUP BY u),
+         |$tokCte,
+         |m AS (SELECT doc_id,
+         |  CASE WHEN length(text) > 0 THEN
+         |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / length(text)
+         |  ELSE 0.0 END AS pr,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, x -> x IN ($swAll)))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS swr,
+         |  len(tk) AS ntok
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  round(0.4 * least(ntok::DOUBLE / 100.0, 1.0)
+         |      + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+         |      + 0.3 * least(swr * 4.0, 1.0), 6) AS quality
+         |  FROM m)
+         |SELECT doc_id, component, quality,
+         |       row_number() OVER (PARTITION BY component
+         |                          ORDER BY quality DESC, doc_id) = 1
+         |         AS keep
+         |FROM (SELECT d.doc_id,
+         |             coalesce(c.component, d.doc_id) AS component,
+         |             q.quality
+         |      FROM documents d
+         |      LEFT JOIN comp c USING (doc_id)
+         |      JOIN q USING (doc_id))
+         |ORDER BY doc_id""".stripMargin,
 
     // Brute-force all-pairs hamming (the banding in simhashPairs is
     // provably COMPLETE for hamming <= 3 — 4x16-bit pigeonhole — and its

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: near-dup pair lists (from
@@ -214,4 +215,38 @@ object Clustering {
                     driverEdgeCap: Long = 2000000L): DataFrame =
     connectedComponents(pairs, a, b, maxIter, driverEdgeCap)
       .withColumn("keep", col("id") === col("component"))
+
+  /** Quality-ranked cluster survivor selection — the RefinedWeb-style
+    * refinement of [[dedupVerdicts]]: instead of keeping each duplicate
+    * cluster's minimum id, keep its BEST-scoring member (ties by id).
+    * "Which near-duplicate survives" matters at corpus scale: the
+    * min-id rule keeps whichever copy was crawled first; this keeps
+    * the highest-quality copy (longest, least boilerplate — whatever
+    * `scoreCol` encodes), so dedup improves the corpus instead of
+    * freezing crawl order. Docs in no pair are their own singleton
+    * cluster and always survive.
+    *
+    * Determinism: callers should pre-round float scores (the gate
+    * rounds to 6) — the [[graft.operators.Sampling.capPerStratum]]
+    * contract.
+    *
+    * Scale shape: components via large-star/small-star (O(log n)
+    * rounds, same engine as dedupVerdicts); the survivor pick is one
+    * hash shuffle by component + a per-component window — components
+    * are duplicate CLUSTERS (bounded by near-dup group sizes), never
+    * corpus-scale strata. Output: input columns + `component` +
+    * `keep`. */
+  def bestOfCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    scoreCol: String, a: String = "d1", b: String = "d2",
+                    maxIter: Int = 40,
+                    driverEdgeCap: Long = 2000000L): DataFrame = {
+    val comp = connectedComponents(pairs, a, b, maxIter, driverEdgeCap)
+      .select(col("id").as("__cid"), col("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.join(comp, docs(idCol) === col("__cid"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("__cid")
+      .withColumn("keep", row_number().over(w) === 1)
+  }
 }

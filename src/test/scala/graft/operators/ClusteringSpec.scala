@@ -117,4 +117,32 @@ class ClusteringSpec extends SparkSpec {
         driverEdgeCap = 0L)
     }
   }
+
+  test("bestOfCluster keeps the best-scoring member, singletons survive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), // cluster {1,2,3}
+      (10L, 0.7), (11L, 0.7),                       // cluster {10,11}: tie
+      (20L, 0.1))                                   // singleton
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val got = Clustering.bestOfCluster(docs, pairs, "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // highest score survives, not the min id
+    assert(got(2L) == ((1L, true)) && !got(1L)._2 && !got(3L)._2)
+    // score tie broken by id
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
+    // a doc in no pair is its own component and survives
+    assert(got(20L) == ((20L, true)))
+    // exactly one survivor per component
+    val byComp = got.values.groupBy(_._1)
+    assert(byComp.forall(_._2.count(_._2) == 1))
+    // distributed-star path agrees with the driver union-find path
+    val dist = Clustering.bestOfCluster(docs, pairs, "doc_id", "score",
+        driverEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(dist == got)
+  }
 }
