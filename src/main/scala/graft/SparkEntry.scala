@@ -838,6 +838,29 @@ object SparkEntry {
       Chunking.chunkDuplicates(docs(s, d), minDocs = 2)
         .orderBy("chunk_hash")),
 
+    // at-ingest novelty: the same delta streamed through a real
+    // file-source replay (4 chunks, each its own micro-batch) against
+    // the persisted index — per-CHUNK verdicts, fully stateless
+    // (row-local CDC kernel + stream-static join), so the replay must
+    // equal the batch verdicts exactly; the oracle is the batch SQL
+    "q_chunk_novelty_stream" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      val all = docs(s, d)
+      val corpus = all.where(col("doc_id") % 4 =!= 3)
+      val delta = all.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+        .unionAll(corpus.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val tag = idxTag(s, d)
+      val idx = chunkIdxCache.computeIfAbsent(tag, _ =>
+        Chunking.buildChunkIndex(corpus, "doc_id", "text",
+          s"graft_chunk_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-chunk-idx-$tag"))
+      graft.streaming.StreamingNovelty.verdictReplay(delta, "doc_id",
+          "text", idx, pmod(col("doc_id"), lit(4)), 4)
+        .orderBy("id", "chunk")
+    }),
+
     // snapshot-to-snapshot chunk diff: old = the corpus; new = edits
     // appended to every 5th doc, every 11th-mod-3 doc dropped, every
     // 13th-mod-1 doc duplicated under a new id. Multiset chunk
@@ -2466,6 +2489,25 @@ object SparkEntry {
         |FROM ${cdcChunksSql("documents")}
         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    // batch replay of the streaming verdicts: per-chunk seen flags are
+    // order-independent (stateless query), so the batch SQL is exact
+    "q_chunk_novelty_stream" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+        |delta AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents
+        |  WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0),
+        |seen AS (
+        |  SELECT DISTINCT chunk_hash FROM ${cdcChunksSql("corpus")}),
+        |dch AS (SELECT doc_id, chunk, chunk_hash
+        |        FROM ${cdcChunksSql("delta")})
+        |SELECT dch.doc_id AS id, dch.chunk, dch.chunk_hash,
+        |       seen.chunk_hash IS NOT NULL AS seen
+        |FROM dch LEFT JOIN seen ON dch.chunk_hash = seen.chunk_hash
+        |ORDER BY id, chunk""".stripMargin,
 
     // snapshot-diff replay: the same CDC chunks on both sides, multiset
     // min/max arithmetic per (doc, hash)

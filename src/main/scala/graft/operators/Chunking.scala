@@ -187,6 +187,34 @@ object Chunking {
         round(col("n_novel") / col("n_chunks"), 6))
   }
 
+  /** Per-CHUNK novelty verdicts of a document STREAM against the
+    * persisted index — the at-ingest shape of [[deltaNovelty]]: every
+    * operator in the pipeline is stateless (the CDC kernel is row-local
+    * and the index join is stream-static), so this runs in append mode
+    * with no watermark, no state store, and per-record latency — score
+    * documents as they arrive, fold accepted batches into the index
+    * with [[extendChunkIndex]] on whatever cadence the ingest commits.
+    * Within-stream first-carrier dedup (deltaNovelty's window) is
+    * deliberately absent: it would need keyed state on chunk_hash;
+    * cross-batch duplicates are what the periodic index fold-in
+    * resolves. Emits (id, chunk, chunk_hash, seen); works identically
+    * on a batch frame.
+    *
+    * The index is resolved through the FRAME's session, so a replay
+    * harness running the query in a scoped `newSession` still sees it
+    * (persistent catalog tables are shared; only temp views are
+    * session-local). */
+  def chunkVerdictStream(stream: DataFrame, idCol: String,
+                         textCol: String, idx: ChunkIndex): DataFrame = {
+    val seen = stream.sparkSession.table(idx.chunksTable)
+      .select(col("chunk_hash").as("__ih"), lit(true).as("__seen"))
+      .hint("shuffle_hash")
+    chunksWith(stream, idCol, textCol, idx)
+      .join(seen, col("chunk_hash") <=> col("__ih"), "left_outer")
+      .select(col(idCol), col("chunk"), col("chunk_hash"),
+        coalesce(col("__seen"), lit(false)).as("seen"))
+  }
+
   /** Snapshot diff at chunk grain: given two crawls of the same id
     * space, per document the retained / added / removed chunk counts
     * and a change ratio — the "what actually moved between snapshots"

@@ -210,6 +210,36 @@ class ChunkingSpec extends SparkSpec {
       "no edited doc kept the untouched chunks")
   }
 
+  test("streaming verdicts equal the batch run (stateless replay)") {
+    implicit val s = spark
+    val tmp = s"/tmp/graft-chunkidx-stream-${java.util.UUID.randomUUID()}"
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    val idx = Chunking.buildChunkIndex(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", "chunkidx_stream_spec", s"$tmp/idx")
+    try {
+      val delta = docs.filter($"doc_id" % 2 === 1).limit(40)
+        .unionAll(docs.filter($"doc_id" % 2 === 0).limit(10)
+          .select(($"doc_id" + 800000).as("doc_id"), $"text"))
+      val streamed = graft.streaming.StreamingNovelty.verdictReplay(
+          delta, "doc_id", "text", idx, pmod($"doc_id", lit(3)), 3)
+        .collect().map(_.toSeq).toSet
+      val batch = Chunking.chunkVerdictStream(
+          delta.select($"doc_id".as("id"), $"text"), "id", "text", idx)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, "replay diverges from the batch verdicts")
+      // re-keyed corpus docs are fully seen; fresh docs mostly not
+      val seenById = streamed.groupBy(_.head.asInstanceOf[Long])
+      assert(seenById.filter(_._1 >= 800000).values
+        .forall(_.forall(_.last == true)))
+      assert(seenById.filter(_._1 < 800000).values
+        .exists(_.exists(_.last == false)))
+    } finally {
+      Chunking.dropChunkIndex(spark, idx)
+      graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("the plan is shuffle-free for chunking, one exchange for dedup") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val chunkPlan = Chunking.cdcChunks(docs).queryExecution
