@@ -468,6 +468,21 @@ object ScaleProbe {
               .where(col("doc_id") < 250)
               .withColumn("doc_id", col("doc_id") + lit(1200000000L)),
             "doc_id", "text", chunkIdx).count()),
+        // two kernel chunkings + ONE (id, hash, count) shuffle — wall
+        // must track the scans; the diff side reuses the same frame
+        // with a fixed deterministic edit
+        "chunk_diff" -> (() =>
+          operators.Chunking.chunkDiff(docs,
+            docs.select(col("doc_id"),
+              when(col("doc_id") % 4 === 0,
+                concat(col("text"), lit(" REVISED"))).otherwise(col("text"))
+                .as("text")),
+            "doc_id", "text").count()),
+        // per-round cost = one pair aggregate over the DISTINCT-word
+        // frame + a 1-row argmax; replicas grow the word frame k-fold
+        // (worst case for the Zipf amortization, as for subword)
+        "bpe_train" -> (() =>
+          operators.Subword.trainBpeMerges(docs, "text", 4).count()),
         // k-bounded per-task heap + k-sized driver merge: wall must
         // track the scan, never a sort
         "weighted_sample" -> (() =>
