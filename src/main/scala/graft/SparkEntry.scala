@@ -1433,6 +1433,18 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    // FUZZY decontamination: shingle-set Jaccard >= 0.35 against the
+    // benchmark split — catches paraphrase-level leaks exact n-gram
+    // overlap misses (a sub every 7 words breaks EVERY 8-gram yet keeps
+    // Jaccard ~0.4, the spec's premise); best bench item per doc
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.flagContaminatedFuzzy(all, "doc_id", "text",
+          all.where(col("doc_id") % 10 === 7), "doc_id", "text",
+          n = 3, threshold = 0.35)
+        .orderBy("doc")
+    }),
+
     // ---- DSL pipelines (the reference's JSON API, E1-E6 end-to-end) ----
 
     // count tumbling window via DSL: groupBy discriminator + stall/emit
@@ -2591,6 +2603,34 @@ object SparkEntry {
          |SELECT u AS id, least(min(v), u) AS component,
          |       least(min(v), u) = u AS keep
          |FROM reach GROUP BY u ORDER BY id""".stripMargin,
+
+    // cross-set Jaccard at the oracle's scale is a plain cross join
+    // (450 x 50 pairs at sf0.01); same shingle construction as the
+    // dedup oracles, argmax per doc with bench-id tie-break
+    "q_decontaminate_fuzzy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
+        |                       i -> array_to_string(tk[i+1:i+3], ' '))) sh
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                           x -> x <> '') tk
+        |        FROM documents)),
+        |bench AS (SELECT doc_id AS bench, sh AS bsh FROM d
+        |          WHERE doc_id % 10 = 7),
+        |corp AS (SELECT doc_id AS doc, sh AS csh FROM d
+        |         WHERE doc_id % 10 <> 7),
+        |j AS (SELECT doc, bench,
+        |        round(len(list_intersect(csh, bsh))::DOUBLE /
+        |              (len(csh) + len(bsh) - len(list_intersect(csh, bsh))),
+        |              6) AS jaccard
+        |      FROM corp CROSS JOIN bench)
+        |SELECT doc, bench, jaccard FROM (
+        |  SELECT doc, bench, jaccard,
+        |         row_number() OVER (PARTITION BY doc
+        |                            ORDER BY jaccard DESC, bench) AS rk
+        |  FROM j WHERE jaccard >= 0.35)
+        |WHERE rk = 1 ORDER BY doc""".stripMargin,
 
     // closure (as q_dedup_clusters) + the quality formula (as
     // q_domain_cap) + best-per-component pick; singleton docs are their

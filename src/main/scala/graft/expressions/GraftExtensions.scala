@@ -75,6 +75,15 @@ object GraftExtensions {
             litInt(args(1), "dim"), litInt(args(2), "bitsPerBand"),
             litInt(args(3), "numBands"), litLong(args(4), "seed"))
         }),
+      ("graft_cdc_boundaries",
+        info(classOf[CdcBoundaries].getName, "graft_cdc_boundaries"),
+        (args: Seq[Expression]) => {
+          require(args.length == 6, "graft_cdc_boundaries takes " +
+            "(text, window, prime, modBits, divisor, residue)")
+          CdcBoundaries(args.head, litInt(args(1), "window"),
+            litInt(args(2), "prime"), litInt(args(3), "modBits"),
+            litInt(args(4), "divisor"), litInt(args(5), "residue"))
+        }),
       ("graft_simhash_text",
         info(classOf[SimHashFromText].getName, "graft_simhash_text"),
         (args: Seq[Expression]) => {

@@ -40,6 +40,56 @@ object Contamination {
     df.select(col(idCol).as("doc"),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
 
+  /** NEAR-DUPLICATE decontamination — the fuzzy sibling of
+    * [[flagContaminated]]: flag corpus documents whose shingle-set
+    * Jaccard with ANY benchmark item reaches `threshold`. Exact n-gram
+    * overlap misses lightly paraphrased or reformatted benchmark leaks
+    * (token substitutions break every long n-gram while most short
+    * shingles survive); set-level Jaccard at 3-gram grain is the
+    * standard fuzzy-contamination check for that gap. Output: one row
+    * per contaminated doc — (doc, bench, jaccard) for the BEST-matching
+    * benchmark item (ties by bench id), benchmark's own ids excluded.
+    *
+    * Scale shape: the benchmark side broadcasts (eval suites are
+    * thousands of items by contract — the [[flagContaminated]]
+    * budget); the corpus explodes its distinct shingles map-side and
+    * the only shuffle is the (doc, bench) overlap aggregate, whose
+    * cardinality is bounded by actually-overlapping pairs, not the
+    * corpus. Per-doc shingle counts ride row-locally; no corpus-sized
+    * join ever forms. */
+  def flagContaminatedFuzzy(corpus: DataFrame, id: String, text: String,
+                            benchmark: DataFrame, benchId: String,
+                            benchText: String, n: Int = 3,
+                            threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val c = corpus
+      .select(col(id).as("doc"),
+        TextFunctions.wordShingles(col(text), n).as("csh"))
+      .select(col("doc"), size(col("csh")).as("c_size"),
+        explode(col("csh")).as("s"))
+    val b = benchmark
+      .select(col(benchId).as("bench"),
+        TextFunctions.wordShingles(col(benchText), n).as("bsh"))
+      .select(col("bench"), size(col("bsh")).as("b_size"),
+        explode(col("bsh")).as("s"))
+    val benchIds = benchmark.select(col(benchId).as("doc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"))
+      .orderBy(col("jaccard").desc, col("bench").asc)
+    c.join(broadcast(b), "s")
+      .join(broadcast(benchIds), Seq("doc"), "left_anti")
+      .groupBy(col("doc"), col("bench"))
+      .agg(count(lit(1)).as("o"),
+        first(col("c_size")).as("cs"), first(col("b_size")).as("bs"))
+      .withColumn("jaccard", round(
+        col("o") / (col("cs") + col("bs") - col("o")), 6))
+      .where(col("jaccard") >= threshold)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("doc"), col("bench"), col("jaccard"))
+  }
+
   /** Documents sharing >= 1 n-gram with the benchmark, with the count of
     * distinct shared n-grams. Output: (doc, n_shared), benchmark docs
     * themselves excluded by id. Output is empty when nothing overlaps. */

@@ -69,6 +69,16 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.operators.Dedup.minhashSignature(col("toks"), 16))
       .collect()(0).getSeq[Long](0)
     assert(sqlSig.length == 16 && sqlSig == apiSig)
+    // CDC boundary kernel from SQL == the Scala API form
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val sqlBnd = s.sql(
+      s"SELECT graft_cdc_boundaries('$text', 16, 31, 20, 64, 13) AS b")
+      .collect()(0).getSeq[Int](0)
+    val apiBnd = Seq(text).toDF("t")
+      .select(graft.expressions.TextExprs
+        .cdcBoundaries(col("t"), 16, 31, 20, 64, 13))
+      .collect()(0).getSeq[Int](0)
+    assert(sqlBnd.nonEmpty && sqlBnd == apiBnd)
   }
 
   test("graft_dot yields NULL for mismatched vector lengths, in both paths") {

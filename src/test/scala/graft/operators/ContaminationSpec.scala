@@ -78,4 +78,58 @@ class ContaminationSpec extends SparkSpec {
     assert(joinIdx >= 0 && bloomIdx > joinIdx,
       s"might_contain should sit under the join:\n$p")
   }
+
+  test("fuzzy path catches a paraphrased leak the exact path misses") {
+    val s = spark
+    import s.implicits._
+    // 28 distinct words; substitutions at positions 7/14/21/28 put one
+    // inside EVERY 8-word window (no exact 8-gram survives) while
+    // killing only 10 of the 26 3-shingles: jaccard = 16/36 ~ 0.444 —
+    // the structural ceiling for all-8-grams-broken is ~0.4-0.45, which
+    // is why the fuzzy default threshold sits at 0.35
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray yankee zulu anchor breeze"
+    val leaked = benchText.replace("golf", "golfx")
+      .replace("november", "novx").replace("uniform", "unix")
+      .replace("breeze", "breezy")
+    val corpus = Seq(
+      (1L, leaked),
+      (2L, "completely unrelated text about distributed query engines " +
+        "and columnar storage formats for analytical workloads today"),
+      (100L, benchText)) // the benchmark doc itself, present in corpus
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    // exact 8-gram overlap: silent on the paraphrase
+    val exact = Contamination.flagContaminated(corpus, "doc_id", "text",
+      bench, "doc_id", "text", 8).collect()
+    assert(!exact.map(_.getLong(0)).contains(1L),
+      "8-gram overlap should miss the paraphrase (premise)")
+    // fuzzy: flags it, excludes the benchmark's own id, skips unrelated
+    val fuzzy = Contamination.flagContaminatedFuzzy(corpus, "doc_id",
+      "text", bench, "doc_id", "text", n = 3, threshold = 0.35).collect()
+    assert(fuzzy.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 100L)), fuzzy.mkString(", "))
+    val j = fuzzy.head.getDouble(2)
+    assert(j >= 0.35 && j < 1.0, s"jaccard $j")
+    // threshold above the pair's jaccard empties the result
+    assert(Contamination.flagContaminatedFuzzy(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, threshold = 0.99).isEmpty)
+  }
+
+  test("fuzzy path reports the best-matching bench item, ties by id") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, base + " extra tail words here"),  // weaker match
+      (11L, base),                             // exact: jaccard 1.0
+      (12L, base))                             // same: tie with 11
+      .toDF("doc_id", "text")
+    val got = Contamination.flagContaminatedFuzzy(corpus, "doc_id",
+      "text", bench, "doc_id", "text", n = 3, threshold = 0.3).collect()
+    assert(got.length == 1 &&
+      got.head.getLong(1) == 11L && got.head.getDouble(2) == 1.0)
+  }
 }
