@@ -712,6 +712,20 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_bigrams"), col("avg_lp"))
         .orderBy("doc_id")),
 
+    // CCNet-style held-out LM quality score: the LM trains on 2/3 of
+    // the corpus and scores the other third — likeness to the reference
+    // split, not to itself; add-0.5 smoothing keeps unseen bigrams
+    // finite and n_unseen is the OOV junk signal
+    "q_bigram_heldout" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.CorpusStats.bigramLogProbAgainst(
+          all.where(col("doc_id") % 3 =!= 0),
+          all.where(col("doc_id") % 3 === 0), "doc_id", "text", k = 0.5)
+        .select(col("doc").as("doc_id"), col("n_bigrams"),
+          col("n_unseen"), col("avg_lp"))
+        .orderBy("doc_id")
+    }),
+
     // subword tokenization (greedy longest-match against an explicit
     // vocab): per-doc piece/unk totals. Tokenization runs once per
     // DISTINCT word (Zipf amortization); counts join back by word. The
@@ -2397,6 +2411,35 @@ object SparkEntry {
          |       round(avg(ln(c2.c2 / ug.c1)), 4) AS avg_lp
          |FROM bg JOIN c2 USING (bg)
          |        JOIN ug ON split_part(bg.bg, ' ', 1) = ug.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the held-out replay: train counts from the 2/3 split only,
+    // scored bigrams LEFT-join them, add-0.5 smoothing over V
+    "q_bigram_heldout" ->
+      s"""WITH $tokCte,
+         |tr AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+         |sc AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+         |bgtr AS (SELECT unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
+         |                i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
+         |         FROM tr),
+         |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bgtr GROUP BY 1),
+         |ug AS (SELECT w, count(*)::BIGINT AS c1
+         |       FROM (SELECT unnest(tk) w FROM tr) GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS vv FROM ug),
+         |bgsc AS (SELECT doc_id,
+         |           unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
+         |                  i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
+         |         FROM sc)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_unseen,
+         |       round(avg(ln((coalesce(c2.c2, 0) + 0.5) /
+         |                    (coalesce(ug.c1, 0) + 0.5 * v.vv))), 4)
+         |         AS avg_lp
+         |FROM bgsc
+         |LEFT JOIN c2 USING (bg)
+         |LEFT JOIN ug ON split_part(bgsc.bg, ' ', 1) = ug.w
+         |CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_freq" ->

@@ -200,6 +200,51 @@ object CorpusStats {
         round(avg(log(col("c2") / col("c1"))), 4).as("avg_lp"))
   }
 
+  /** Held-out bigram-LM scoring — the CCNet-style quality filter
+    * (Wenzek et al., "CCNet", LREC 2020 use a wiki-trained LM; the
+    * same shape at bigram order): train counts on one split, score
+    * ANOTHER, so the score measures how much a document looks like the
+    * reference corpus rather than how much it looks like itself
+    * ([[bigramLogProb]]'s in-set formulation cannot distinguish the
+    * two). Add-k smoothing makes unseen n-grams finite:
+    * p(w2|w1) = (c2 + k) / (c1 + k·V) with V = the training unigram
+    * vocabulary; a fully-unseen history scores k/(k·V) = 1/V. Output
+    * per scored doc: (doc, n_bigrams, n_unseen, avg_lp) — `n_unseen`
+    * is the OOV-bigram count, itself a strong junk signal.
+    *
+    * Scale shape: train counts shuffle once at vocabulary cardinality
+    * with map-side combine; the scored side shuffles its bigram
+    * instances to the LEFT joins (shuffle-hash against the count
+    * tables — the train side is corpus-sized, never broadcast); V
+    * broadcasts as a one-row frame. Downstream, keep docs above a
+    * quantile with [[Features.quantileFilter]]. */
+  def bigramLogProbAgainst(train: DataFrame, score: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Double = 0.5): DataFrame = {
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    import graft.functions.TextFunctions
+    val c2 = train
+      .select(explode(TextFunctions.wordNgramsAll(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2")).hint("shuffle_hash")
+    val ug = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).hint("shuffle_hash")
+    val vocab = broadcast(ug.agg(count(lit(1)).as("__v")))
+    score.select(col(idCol).as("doc"),
+        explode(TextFunctions.wordNgramsAll(col(textCol), 2)).as("bg"))
+      .join(c2, Seq("bg"), "left_outer")
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(ug, Seq("w"), "left_outer")
+      .crossJoin(vocab)
+      .withColumn("__lp", log(
+        (coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("__v"))))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        round(avg(col("__lp")), 4).as("avg_lp"))
+  }
+
   /** BM25 ranked retrieval: for each named query, the top-`k` documents
     * by the Robertson/Lucene BM25 score
     *

@@ -201,4 +201,32 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(3), r.getLong(1)))
     assert(got.length == 2 && got.map(_._1).sorted.toSeq == Seq(1, 2))
   }
+
+  test("held-out LM scores against the TRAIN split, smoothing the unseen") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran"))
+      .toDF("doc_id", "text")
+    // scored doc: bigrams "the cat" (c2=2, c1(the)=2), "cat flew"
+    // (unseen, c1(cat)=2). V = 5 (the, cat, sat, ran — plus none);
+    // wait: train unigrams = the x2, cat x2, sat, ran -> V = 4
+    val score = Seq((10L, "the cat flew")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProbAgainst(train, score,
+      "doc_id", "text", k = 0.5).collect().head
+    val v = 4.0
+    val lp1 = math.log((2 + 0.5) / (2 + 0.5 * v)) // the cat
+    val lp2 = math.log((0 + 0.5) / (2 + 0.5 * v)) // cat flew (unseen)
+    assert(got.getLong(1) == 2L && got.getLong(2) == 1L)
+    assert(math.abs(got.getDouble(3) -
+      BigDecimal((lp1 + lp2) / 2).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // a doc that IS the training distribution outscores junk
+    val pair = Seq((20L, "the cat sat"), (21L, "zz qq xx yy ww"))
+      .toDF("doc_id", "text")
+    val scores = CorpusStats.bigramLogProbAgainst(train, pair,
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(20L) > scores(21L),
+      s"in-distribution must outscore junk: $scores")
+  }
 }
