@@ -712,6 +712,20 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_bigrams"), col("avg_lp"))
         .orderBy("doc_id")),
 
+    // unicode canonicalization (NFC + ROOT casefold + whitespace
+    // collapse) — the pre-hash step; the oracle runs DuckDB's
+    // nfc_normalize + lower + regex collapse. The corpus is printable
+    // ASCII so NFC is identity HERE (the spec pins the accent/ligature
+    // branches on unicode vectors); what this gate proves cross-engine
+    // is the casefold + collapse contract and md5 identity of the
+    // normalized bytes
+    "q_normalize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TF.normalizeText(col("text")).as("__n"))
+        .select(col("doc_id"), length(col("__n")).as("n_norm"),
+          md5(col("__n").cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")),
+
     // CCNet-style held-out LM quality score: the LM trains on 2/3 of
     // the corpus and scores the other third — likeness to the reference
     // split, not to itself; add-0.5 smoothing keeps unseen bigrams
@@ -2412,6 +2426,14 @@ object SparkEntry {
          |FROM bg JOIN c2 USING (bg)
          |        JOIN ug ON split_part(bg.bg, ' ', 1) = ug.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |       length(trim(regexp_replace(lower(nfc_normalize(text)),
+        |              '\s+', ' ', 'g'))) AS n_norm,
+        |       md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |           '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the held-out replay: train counts from the 2/3 split only,
     // scored bigrams LEFT-join them, add-0.5 smoothing over V

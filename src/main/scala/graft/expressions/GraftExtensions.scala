@@ -75,6 +75,23 @@ object GraftExtensions {
             litInt(args(1), "dim"), litInt(args(2), "bitsPerBand"),
             litInt(args(3), "numBands"), litLong(args(4), "seed"))
         }),
+      ("graft_normalize",
+        info(classOf[NormalizeText].getName, "graft_normalize"),
+        (args: Seq[Expression]) => {
+          require(args.length >= 1 && args.length <= 4,
+            "graft_normalize takes (text[, nfkc, casefold, collapseWs])")
+          def flag(i: Int, name: String, dflt: Boolean): Boolean =
+            if (args.length <= i) dflt
+            else args(i) match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                  v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+              case other => throw new IllegalArgumentException(
+                s"graft_normalize $name must be a boolean literal, got $other")
+            }
+          NormalizeText(args.head, flag(1, "nfkc", dflt = false),
+            flag(2, "casefold", dflt = true),
+            flag(3, "collapseWs", dflt = true))
+        }),
       ("graft_cdc_boundaries",
         info(classOf[CdcBoundaries].getName, "graft_cdc_boundaries"),
         (args: Seq[Expression]) => {

@@ -48,6 +48,27 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Unicode text normalization kernel (backs [[NormalizeText]]): NFC
+    * or NFKC canonicalization (`java.text.Normalizer` — zero new
+    * dependencies), optional ROOT-locale casefold, optional
+    * trim-and-collapse of whitespace runs to single spaces. The
+    * standard multilingual preprocessing step BEFORE hashing/dedup:
+    * composed vs decomposed accents ("é" vs "é") and NFKC
+    * compatibility forms (ligatures, fullwidth letters) otherwise make
+    * byte-identical content hash differently. Order: normalize, then
+    * casefold, then collapse — so a compatibility expansion (NFKC
+    * "ﬁ" → "fi") is itself folded. */
+  def normalizeText(s: UTF8String, nfkc: Boolean, casefold: Boolean,
+                    collapseWs: Boolean): UTF8String = {
+    if (s == null) return null
+    var out = java.text.Normalizer.normalize(s.toString,
+      if (nfkc) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC)
+    if (casefold) out = out.toLowerCase(java.util.Locale.ROOT)
+    if (collapseWs) out = out.replaceAll("\\s+", " ").trim
+    UTF8String.fromString(out)
+  }
+
   /** Rolling content-defined-chunking boundary kernel (backs
     * [[CdcBoundaries]] / Chunking.cdcChunks): 1-based codepoint
     * positions i (window <= i < n) where the gear polynomial
@@ -132,13 +153,26 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Non-distinct n-gram OCCURRENCE kernel backing
-  * TextFunctions.wordNgramsAll: one entry per starting position, in
-  * order. Same tokenization contract as [[WordShingles]]. The composed
-  * higher-order-function form it replaces re-evaluated the tokenize
-  * (lower/trim/split/filter) subtree once PER POSITION inside the
-  * transform lambda — O(len^2) per document and the dominant cost of
-  * the heavy-hitters scan; this kernel tokenizes once. */
+/** Codegen'd unicode normalization — see [[TextKernels.normalizeText]]. */
+case class NormalizeText(child: Expression, nfkc: Boolean,
+                         casefold: Boolean, collapseWs: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.normalizeText(input.asInstanceOf[UTF8String], nfkc,
+      casefold, collapseWs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.normalizeText(" +
+        s"$c, $nfkc, $casefold, $collapseWs);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** Codegen'd CDC boundary positions — see [[TextKernels.cdcBoundaries]]. */
 case class CdcBoundaries(child: Expression, window: Int, prime: Int,
                          modBits: Int, divisor: Int, residue: Int)
@@ -160,6 +194,13 @@ case class CdcBoundaries(child: Expression, window: Int, prime: Int,
     copy(child = newChild)
 }
 
+/** Non-distinct n-gram OCCURRENCE kernel backing
+  * TextFunctions.wordNgramsAll: one entry per starting position, in
+  * order. Same tokenization contract as [[WordShingles]]. The composed
+  * higher-order-function form it replaces re-evaluated the tokenize
+  * (lower/trim/split/filter) subtree once PER POSITION inside the
+  * transform lambda — O(len^2) per document and the dominant cost of
+  * the heavy-hitters scan; this kernel tokenizes once. */
 case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams_all"
@@ -731,6 +772,12 @@ object TextExprs {
                     divisor: Int, residue: Int): Column =
     ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(text),
       window, prime, modBits, divisor, residue))
+
+  def normalizeText(text: Column, nfkc: Boolean = false,
+                    casefold: Boolean = true,
+                    collapseWs: Boolean = true): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(text),
+      nfkc, casefold, collapseWs))
 
   def minhashSig(shingles: Column, a: IndexedSeq[Long],
                  b: IndexedSeq[Long]): Column =

@@ -55,6 +55,15 @@ object TextFunctions {
   def wordNgramsAll(text: Column, n: Int): Column =
     graft.expressions.TextExprs.wordNgramsAll(text, n)
 
+  /** Unicode normalization (NFC or NFKC) + optional ROOT casefold +
+    * whitespace collapse — the pre-hash canonicalization step; codegen
+    * kernel, see graft.expressions.TextKernels.normalizeText. */
+  def normalizeText(text: Column, nfkc: Boolean = false,
+                    casefold: Boolean = true,
+                    collapseWs: Boolean = true): Column =
+    graft.expressions.TextExprs.normalizeText(text, nfkc, casefold,
+      collapseWs)
+
   /** Character n-gram shingles over the normalized text, distinct. */
   def charShingles(text: Column, n: Int): Column = {
     val s = normalized(text)

@@ -133,4 +133,28 @@ class TextFunctionsSpec extends SparkSpec {
       .where(col("k") =!= col("c")).count()
     assert(bad == 0L)
   }
+
+  test("normalizeText: NFC composition, NFKC compatibility, fold, collapse") {
+    def norm(t: String, nfkc: Boolean = false) =
+      one(t, normalizeText(col("text"), nfkc = nfkc)).asInstanceOf[String]
+    // decomposed e + COMBINING ACUTE (5 chars in) composes to the
+    // single codepoint (4 chars out)
+    assert(norm("Cafe\u0301") == "caf\u00e9")
+    assert(norm("Cafe\u0301").length == 4)
+    // NFC preserves compatibility forms; NFKC folds them
+    assert(norm("ﬁle") == "ﬁle")       // fi-ligature survives NFC
+    assert(norm("ﬁle", nfkc = true) == "file")
+    assert(norm("ＡＢ", nfkc = true) == "ab") // fullwidth AB
+    // casefold + whitespace collapse, leading tab handled (collapse
+    // BEFORE trim — the cross-engine order contract)
+    assert(norm("\t Hello\n\n  WORLD  ") == "hello world")
+    // idempotence: normalize(normalize(x)) == normalize(x)
+    val messy = "  é Qﬁ  \n x "
+    assert(norm(norm(messy)) == norm(messy))
+    // nulls stay null
+    val s = spark
+    import s.implicits._
+    assert(Seq[String](null).toDF("text")
+      .select(normalizeText(col("text"))).collect()(0).isNullAt(0))
+  }
 }
