@@ -631,6 +631,25 @@ object ScaleProbe {
             docs, "doc_id", "text",
             docs.where(pmod(col("doc_id"), lit(10000000L)) < 50),
             "doc_id", "text", 8).count()),
+        // fuzzy (Jaccard) contamination with a FIXED bench: the corpus
+        // side is one explode + the (doc, bench) overlap aggregate —
+        // wall must track the scan, the agg is bounded by overlaps
+        "decontam_fuzzy" -> (() =>
+          operators.Contamination.flagContaminatedFuzzy(
+            docs, "doc_id", "text",
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 50),
+            "doc_id", "text", 3, 0.35).count()),
+        // held-out LM with a FIXED scored split and a GROWING training
+        // corpus: the train-count aggregates (vocab grows k-fold by
+        // replica construction — worst case) are what is measured
+        "bigram_heldout" -> (() =>
+          operators.CorpusStats.bigramLogProbAgainst(
+            docs,
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 250)
+              .withColumn("doc_id", col("doc_id") + lit(1300000000L)),
+            "doc_id", "text").count()),
         // stage cascade: per-stage keyed min-ts aggregates over a user
         // population growing with scale — reach frames stay 1 row/user
         "funnel" -> (() =>
