@@ -889,6 +889,42 @@ object SparkEntry {
         .orderBy("id", "chunk")
     }),
 
+    // THE CAPSTONE COMPOSITION — a daily incremental-ingest pipeline in
+    // ONE plan: the delta is (1) novelty-scored against the persisted
+    // chunk index (re-crawls drop at novelty < 0.3), (2) quality-scored
+    // by the corpus-trained held-out LM (avg_lp >= -4.5), and (3)
+    // fuzzy-decontaminated against the benchmark split (Jaccard >=
+    // 0.35 drops). Every stage is separately oracle-verified; this gate
+    // proves they COMPOSE — one delta scan feeding three filters whose
+    // joins are all id- or hash-keyed, nothing corpus-sized broadcast.
+    "q_incremental_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.where(col("doc_id") % 4 =!= 3)
+      val delta = all.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+        .unionAll(corpus.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val bench = corpus.where(col("doc_id") % 10 === 7)
+      val tag = idxTag(s, d)
+      val idx = chunkIdxCache.computeIfAbsent(tag, _ =>
+        Chunking.buildChunkIndex(corpus, "doc_id", "text",
+          s"graft_chunk_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-chunk-idx-$tag"))
+      val nov = Chunking.deltaNovelty(delta, "doc_id", "text", idx)
+        .where(col("novelty") >= 0.3)
+        .select(col("doc_id"), col("novelty"))
+      val lm = graft.operators.CorpusStats.bigramLogProbAgainst(
+          corpus, delta, "doc_id", "text")
+        .where(col("avg_lp") >= -4.5)
+        .select(col("doc").as("doc_id"), col("avg_lp"))
+      val dirty = Contamination.flagContaminatedFuzzy(delta, "doc_id",
+          "text", bench, "doc_id", "text", 3, 0.35)
+        .select(col("doc").as("doc_id"))
+      nov.join(lm, "doc_id")
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // snapshot-to-snapshot chunk diff: old = the corpus; new = edits
     // appended to every 5th doc, every 11th-mod-3 doc dropped, every
     // 13th-mod-1 doc duplicated under a new id. Multiset chunk
@@ -2566,6 +2602,71 @@ object SparkEntry {
         |FROM ${cdcChunksSql("documents")}
         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    // the capstone's oracle is literally the composition of the three
+    // verified stage oracles over the same splits
+    "q_incremental_pipeline" ->
+      s"""WITH $tokCte,
+        |corpus AS (SELECT doc_id, text, tk FROM t WHERE doc_id % 4 <> 3),
+        |delta AS (
+        |  SELECT doc_id, text, tk FROM t WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text, tk FROM t
+        |  WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0),
+        |bench AS (SELECT * FROM corpus WHERE doc_id % 10 = 7),
+        |seen AS (
+        |  SELECT DISTINCT chunk_hash FROM ${cdcChunksSql("corpus")}),
+        |dch AS (
+        |  SELECT doc_id, chunk_hash,
+        |         min(doc_id) OVER (PARTITION BY chunk_hash) AS first_id
+        |  FROM ${cdcChunksSql("delta")}),
+        |nov AS (
+        |  SELECT dch.doc_id,
+        |         round(sum(CASE WHEN seen.chunk_hash IS NULL
+        |                         AND dch.doc_id = dch.first_id
+        |                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |           AS novelty
+        |  FROM dch LEFT JOIN seen ON dch.chunk_hash = seen.chunk_hash
+        |  GROUP BY dch.doc_id),
+        |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM (
+        |         SELECT unnest(list_transform(
+        |           range(0, greatest(len(tk)-1, 0)),
+        |           i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
+        |         FROM corpus) GROUP BY 1),
+        |ug AS (SELECT w, count(*)::BIGINT AS c1
+        |       FROM (SELECT unnest(tk) w FROM corpus) GROUP BY 1),
+        |v AS (SELECT count(*)::BIGINT AS vv FROM ug),
+        |bgsc AS (SELECT doc_id,
+        |           unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
+        |                  i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
+        |         FROM delta),
+        |lm AS (
+        |  SELECT doc_id,
+        |         round(avg(ln((coalesce(c2.c2, 0) + 0.5) /
+        |                      (coalesce(ug.c1, 0) + 0.5 * v.vv))), 4)
+        |           AS avg_lp
+        |  FROM bgsc
+        |  LEFT JOIN c2 USING (bg)
+        |  LEFT JOIN ug ON split_part(bgsc.bg, ' ', 1) = ug.w
+        |  CROSS JOIN v GROUP BY doc_id),
+        |dsh AS (SELECT doc_id,
+        |          list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
+        |                        i -> array_to_string(tk[i+1:i+3], ' '))) sh
+        |        FROM delta),
+        |bsh AS (SELECT doc_id,
+        |          list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
+        |                        i -> array_to_string(tk[i+1:i+3], ' '))) sh
+        |        FROM bench),
+        |dirty AS (
+        |  SELECT DISTINCT d.doc_id FROM dsh d CROSS JOIN bsh b
+        |  WHERE round(len(list_intersect(d.sh, b.sh))::DOUBLE /
+        |        (len(d.sh) + len(b.sh) - len(list_intersect(d.sh, b.sh))),
+        |        6) >= 0.35)
+        |SELECT nov.doc_id, novelty, avg_lp
+        |FROM nov JOIN lm USING (doc_id)
+        |WHERE novelty >= 0.3 AND avg_lp >= -4.5
+        |  AND nov.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY nov.doc_id""".stripMargin,
 
     // batch replay of the streaming verdicts: per-chunk seen flags are
     // order-independent (stateless query), so the batch SQL is exact
