@@ -1381,6 +1381,15 @@ object SparkEntry {
           "doc_id", "n_chars", 100, salt = "wsamp")
         .orderBy("doc_id")),
 
+    // length-bucketed batching report: quartile boundaries (exact
+    // interpolated percentile — cross-engine identical), row-local
+    // bucket assign, per-bucket pad-to-max waste
+    "q_length_buckets" -> ((s, d) =>
+      graft.operators.Sampling.lengthBuckets(
+          docs(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars")
+        .orderBy("bucket")),
+
     // the per-stratum variant: 25 docs per language, drawn ∝ n_chars
     // within the stratum; WindowGroupLimit bounds the shuffle at k rows
     // per (task, stratum)
@@ -3017,6 +3026,23 @@ object SparkEntry {
         |           / n_chars DESC, doc_id
         |  LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont == Spark's exact interpolated percentile (the
+    // q_approx_quantiles precedent); strict > on the boundaries
+    "q_length_buckets" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+        |           FROM documents),
+        |a AS (SELECT doc_id, n_chars,
+        |        ((CASE WHEN n_chars > qs[1] THEN 1 ELSE 0 END) +
+        |         (CASE WHEN n_chars > qs[2] THEN 1 ELSE 0 END) +
+        |         (CASE WHEN n_chars > qs[3] THEN 1 ELSE 0 END))::BIGINT
+        |          AS bucket
+        |      FROM documents, b)
+        |SELECT bucket, count(*) AS n_docs,
+        |       min(n_chars) AS min_len, max(n_chars) AS max_len,
+        |       sum(n_chars) AS sum_len,
+        |       max(n_chars) * count(*) - sum(n_chars) AS padding_waste
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_weighted_stratum" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -211,6 +211,49 @@ object Sampling {
       .drop("__key", "__rk")
   }
 
+  /** Length-bucketed batching report — the padding-efficiency lever for
+    * batched training/inference: documents batch with peers of similar
+    * length, so the per-batch pad-to-max waste collapses (the dynamic-
+    * batching/"bucketing by sequence length" standard practice). Rows
+    * are assigned to `quantiles.size + 1` buckets by EXACT interpolated
+    * quantile boundaries of `lenCol` (`percentile` — the same
+    * cross-engine-exact machinery as the quantile certificate gate; at
+    * true corpus scale swap in `percentile_approx`, the report shape is
+    * unchanged), and the output is one row per bucket: count, min/max
+    * length, token sum, and `padding_waste` = what pad-to-bucket-max
+    * costs — compare against the single-bucket degenerate case to
+    * price the win.
+    *
+    * Scale shape: two scans, no sort — a one-row exact-quantile
+    * aggregate broadcasts back (crossJoin against one row is the
+    * foldable-frame pattern), bucket assignment is a row-local
+    * comparison chain, and the report is a groupBy at bucket
+    * cardinality with map-side combine. */
+  def lengthBuckets(df: DataFrame, idCol: String, lenCol: String,
+                    quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75))
+      : DataFrame = {
+    require(quantiles.nonEmpty && quantiles == quantiles.sorted &&
+      quantiles.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles must be sorted fractions in (0,1), got $quantiles")
+    val qArr = quantiles.map(q => s"${q}D").mkString("array(", ", ", ")")
+    val bounds = df.agg(
+      expr(s"percentile(cast($lenCol as double), $qArr)").as("__qs"))
+    val bucket = quantiles.indices
+      .map(i => when(col(lenCol).cast("double") >
+        element_at(col("__qs"), i + 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol), col(lenCol))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).cast("long").as("min_len"),
+        max(col(lenCol)).cast("long").as("max_len"),
+        sum(col(lenCol)).cast("long").as("sum_len"))
+      .withColumn("padding_waste",
+        col("max_len") * col("n_docs") - col("sum_len"))
+  }
+
   /** Sequence packing — the concat-then-chunk step that turns a curated
     * corpus into fixed-token-budget training sequences: documents are
     * laid end-to-end in a deterministic order and the token stream is

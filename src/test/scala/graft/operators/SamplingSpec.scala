@@ -330,6 +330,33 @@ class SamplingSpec extends SparkSpec {
       s"top-k not heap-bounded:\n$plan")
   }
 
+  test("lengthBuckets: quartile tiling, waste arithmetic, degenerate input") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, i)).toDF("doc_id", "len")
+    val got = Sampling.lengthBuckets(df, "doc_id", "len")
+      .collect().sortBy(_.getLong(0))
+    // 1..100 with exact quartiles 25.75/50.5/75.25: buckets of 25 each
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)))
+    // tiling: bucket ranges are disjoint and ordered
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2), "bucket ranges overlap")
+    case _ => }
+    // waste = max*count - sum, and bucketing beats one big bucket
+    got.foreach(r => assert(r.getLong(5) ==
+      r.getLong(3) * r.getLong(1) - r.getLong(4)))
+    val bucketedWaste = got.map(_.getLong(5)).sum
+    val singleWaste = 100L * 100L - (1L to 100L).sum
+    assert(bucketedWaste < singleWaste / 3,
+      s"bucketing should slash padding: $bucketedWaste vs $singleWaste")
+    // all-equal lengths: one bucket, zero waste
+    val flat = Sampling.lengthBuckets(
+      (1L to 10L).map((_, 7L)).toDF("doc_id", "len"), "doc_id", "len")
+      .collect()
+    assert(flat.length == 1 && flat.head.getLong(5) == 0L)
+  }
+
   test("weightedSamplePerStratum: k per stratum, same keys, group-limited") {
     val s = spark
     import s.implicits._
