@@ -444,7 +444,7 @@ object ScaleProbe {
       // scores novelty against it; per-delta cost must stay ~flat as
       // the indexed corpus decades up
       val chunkIdx =
-        if (wanted("chunk_novelty")) {
+        if (wanted("chunk_novelty") || wanted("incremental_pipeline")) {
           val path = java.nio.file.Files
             .createTempDirectory(s"graft-probe-chunkidx-$k").toString
           operators.Chunking.buildChunkIndex(docs, "doc_id", "text",
@@ -468,6 +468,40 @@ object ScaleProbe {
               .where(col("doc_id") < 250)
               .withColumn("doc_id", col("doc_id") + lit(1200000000L)),
             "doc_id", "text", chunkIdx).count()),
+        // the full capstone with a FIXED delta: novelty (flat — indexed
+        // side streams) + held-out LM (train counts grow with the
+        // corpus — the dominating stage) + fuzzy decontamination
+        // (fixed bench). Measures the composition, and WHICH stage
+        // carries the growth.
+        "incremental_pipeline" -> (() => {
+          // half verbatim re-crawls (novelty drops them), half
+          // content-mutated (translate flips most chunks → accepted
+          // unless the LM/decontamination stages object) — rows flow
+          // through every stage instead of dying at the first filter
+          val base = engine.Tables.documents(spark, sfDir)
+            .where(col("doc_id") < 250)
+          val delta = base
+            .withColumn("doc_id", col("doc_id") + lit(1200000000L))
+            .withColumn("text",
+              when(col("doc_id") % 2 === 0,
+                translate(col("text"), "e", "q")).otherwise(col("text")))
+          val nov = operators.Chunking
+            .deltaNovelty(delta, "doc_id", "text", chunkIdx)
+            .where(col("novelty") >= 0.3)
+            .select(col("doc_id"), col("novelty"))
+          val lm = operators.CorpusStats
+            .bigramLogProbAgainst(docs, delta, "doc_id", "text")
+            .where(col("avg_lp") >= -4.5)
+            .select(col("doc").as("doc_id"), col("avg_lp"))
+          val dirty = operators.Contamination.flagContaminatedFuzzy(
+              delta, "doc_id", "text",
+              engine.Tables.documents(spark, sfDir)
+                .where(col("doc_id") < 50),
+              "doc_id", "text", 3, 0.35)
+            .select(col("doc").as("doc_id"))
+          nov.join(lm, "doc_id")
+            .join(dirty, Seq("doc_id"), "left_anti").count()
+        }),
         // two kernel chunkings + ONE (id, hash, count) shuffle — wall
         // must track the scans; the diff side reuses the same frame
         // with a fixed deterministic edit
