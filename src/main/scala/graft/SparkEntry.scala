@@ -1745,6 +1745,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL image resize: decode → bilinear scale to maxDim=10 → PNG
+    // re-encode → decode AGAIN with the verified decoder. The oracle
+    // predicts output dims from the fixture's draw-time dims via the
+    // exact-integer contract (floor division), and `decoded = true`
+    // proves a real decodable PNG came out — a byte-truncating stub
+    // cannot survive the round trip. Corrupt payloads pass through and
+    // still fail decode; within-budget images pass through at their
+    // original dims.
+    "q_multimodal_resize" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(imageFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeImages(Multimodal.resizeImages(recs, 10)).toDF()
+        .select(col("id"), col("decoded"), col("width"), col("height"))
+        .orderBy("id")
+    }),
+
     // REAL audio decode (javax.sound.sampled) over the committed fixture
     // of actual WAV/PCM bytes: decoded channels/rate/frames/RMS must
     // match the ground truth recorded AT SYNTHESIS TIME — lossless PCM,
@@ -3441,6 +3462,27 @@ object SparkEntry {
       s"""SELECT id, expected_decoded AS decoded,
         |       expected_width AS width, expected_height AS height,
         |       expected_mean AS mean_pixel
+        |FROM read_parquet('$imageFixturePath/*.parquet')
+        |ORDER BY id""".stripMargin,
+
+    // the exact-integer dimension contract applied to the draw-time
+    // dims: longer side pinned to 10, floor division for the other,
+    // no-upscale passthrough; corrupt rows stay undecodable
+    "q_multimodal_resize" ->
+      s"""SELECT id, expected_decoded AS decoded,
+        |  CASE WHEN NOT expected_decoded THEN 0
+        |       WHEN greatest(expected_width, expected_height) <= 10
+        |         THEN expected_width
+        |       WHEN expected_width >= expected_height THEN 10
+        |       ELSE greatest(1, (expected_width * 10) // expected_height)
+        |  END AS width,
+        |  CASE WHEN NOT expected_decoded THEN 0
+        |       WHEN greatest(expected_width, expected_height) <= 10
+        |         THEN expected_height
+        |       WHEN expected_width >= expected_height
+        |         THEN greatest(1, (expected_height * 10) // expected_width)
+        |       ELSE 10
+        |  END AS height
         |FROM read_parquet('$imageFixturePath/*.parquet')
         |ORDER BY id""".stripMargin,
 

@@ -381,6 +381,53 @@ object Multimodal {
     ds.mapPartitions(_.map(resizeStub(_, targetBytes)))
   }
 
+  /** REAL image resize — decode (`javax.imageio`), scale so the longer
+    * side equals `maxDim` (aspect preserved; bilinear `Graphics2D`
+    * draw), re-encode as PNG; zero new dependencies. The thumbnail/
+    * downscale step every image-training pipeline runs before feature
+    * extraction. Dimension contract (exact-integer, so any engine
+    * predicts output dims): landscape → (maxDim, max(1, h·maxDim/w))
+    * with FLOOR division, portrait/square the transpose. Images already
+    * within `maxDim`, and payloads that do not decode, pass through
+    * UNCHANGED (degrade, never throw) — both with their true decoded
+    * dims (or 0×0) recorded in the metadata columns, so a filter can
+    * split the outcomes without re-decoding. One record in, one record
+    * out, partition-parallel, no driver involvement. */
+  def resizeImage(r: MediaRecord, maxDim: Int): MediaRecord = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) r.copy(width = 0, height = 0)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (math.max(w, h) <= maxDim) r.copy(width = w, height = h)
+      else {
+        val (nw, nh) =
+          if (w >= h) (maxDim, math.max(1, h * maxDim / w))
+          else (math.max(1, w * maxDim / h), maxDim)
+        val dst = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        MediaRecord(r.id, bos.toByteArray, "image/png", nw, nh)
+      }
+    }
+  }
+
+  /** Partition-parallel real image resize. */
+  def resizeImages(ds: Dataset[MediaRecord], maxDim: Int)
+                  (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ds.mapPartitions(_.map(resizeImage(_, maxDim)))
+  }
+
   /** Sample frames from every record — a flatMap (row-expanding)
     * partition-parallel stage. */
   def sampleFrames(ds: Dataset[MediaRecord], stride: Int)

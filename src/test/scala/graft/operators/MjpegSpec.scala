@@ -56,6 +56,40 @@ class MjpegSpec extends SparkSpec {
       VideoDemux.decodeJpegFrames(rec(r0)).size)
   }
 
+  test("real image resize: dims contract, flat colors exact, round-trip") {
+    import graft.tools.ImageFixture
+    // a flat-color image resizes to the SAME flat color: bilinear
+    // interpolation of identical pixels is exact, so the decoded mean
+    // survives the lossy-free PNG round trip bit-for-bit
+    val img = new java.awt.image.BufferedImage(40, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 20).foreach(y => (0 until 40).foreach(x =>
+      img.setRGB(x, y, (90 << 16) | (140 << 8) | 200)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rec = Multimodal.MediaRecord(1L, bos.toByteArray, "image/png", 0, 0)
+    val out = Multimodal.resizeImage(rec, 10)
+    assert((out.width, out.height) == ((10, 5)), s"${out.width}x${out.height}")
+    val dec = Multimodal.decodeImage(out)
+    assert(dec.decoded && dec.width == 10 && dec.height == 5)
+    assert(dec.meanPixel == (90.0 + 140.0 + 200.0) / 3.0, dec.meanPixel)
+    // portrait transpose + floor division + floor-to-1
+    val (b2, _) = ImageFixture.makeImage(7, 9, 31, "png")
+    val o2 = Multimodal.resizeImage(
+      Multimodal.MediaRecord(2L, b2, "image/png", 0, 0), 10)
+    assert((o2.width, o2.height) == ((9 * 10 / 31, 10)))
+    // no upscale: a within-budget image passes through byte-identical
+    val (b3, _) = ImageFixture.makeImage(8, 8, 9, "png")
+    val o3 = Multimodal.resizeImage(
+      Multimodal.MediaRecord(3L, b3, "image/png", 0, 0), 10)
+    assert(o3.payload.sameElements(b3) && (o3.width, o3.height) == ((8, 9)))
+    // non-image passthrough, 0x0 metadata
+    val junk = Multimodal.resizeImage(
+      Multimodal.MediaRecord(4L, "not an image".getBytes, "x", 5, 5), 10)
+    assert(junk.payload.sameElements("not an image".getBytes) &&
+      junk.width == 0 && junk.height == 0)
+  }
+
   test("distributed decode agrees with the local walk") {
     implicit val s = spark
     import s.implicits._
