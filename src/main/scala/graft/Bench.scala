@@ -356,7 +356,11 @@ object Bench {
       val recorded = results.map { case (k, (m, d, tm, g, _)) =>
         baseline.get(k) match {
           case Some((bm, bd, btm)) if merge =>
-            (k, (math.max(m, bm), math.max(d, bd), math.max(tm, btm), g))
+            // gc_ms gets the same elementwise-max envelope semantics —
+            // overwriting it with the current run's value silently
+            // dropped the baseline's recorded GC time (r11 advice)
+            (k, (math.max(m, bm), math.max(d, bd), math.max(tm, btm),
+              math.max(g, baselineGc.getOrElse(k, 0.0))))
           case _ => (k, (m, d, tm, g))
         }
       }

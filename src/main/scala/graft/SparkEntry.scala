@@ -38,31 +38,40 @@ object SparkEntry {
     * frame travels as token LISTS; applying the data-dependent merge
     * uses a delimited-string `replace` (chr(31) boundaries — absent
     * from the printable-ASCII corpus), whose left-to-right
-    * non-overlapping semantics equal the Spark side's fold. */
+    * non-overlapping semantics equal the Spark side's fold.
+    *
+    * Built ONLY from version-stable DuckDB surfaces (the r11 driver run
+    * hash-red this gate while a DuckDB 1.0.0 replay passed bit-exact —
+    * the original leaned on struct-building list comprehensions,
+    * empty-separator `string_split` and two-arg `trim`, all of which
+    * have shifted across releases): pair extraction is a lateral
+    * `unnest(range(...))` + 1-based `list_extract` (the shape every
+    * passing q_cdc_* oracle already uses), characters come from
+    * `list_transform(range, substr)`, and the outer delimiters are
+    * stripped with arithmetic `substr`, never `trim`. */
   private def bpeOracleSql(n: Int): String = {
     val us = "chr(31)"
     val rounds = (1 to n).map { r =>
       s"""p$r AS (
-         |  SELECT u.p.l AS l, u.p.r AS r, sum(c) AS n
-         |  FROM (SELECT [{'l': tk[i], 'r': tk[i+1]}
-         |                for i in range(1, len(tk))] AS ps, c FROM w$r),
-         |       unnest(ps) AS u(p)
+         |  SELECT list_extract(tk, u.i) AS l, list_extract(tk, u.i + 1) AS r,
+         |         sum(c) AS n
+         |  FROM w$r, unnest(range(1, len(tk))) AS u(i)
          |  GROUP BY 1, 2),
          |b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
          |w${r + 1} AS (
-         |  SELECT list_filter(string_split(
-         |           trim(replace($us || array_to_string(tk, $us||$us) || $us,
-         |                        $us || b.l || $us || $us || b.r || $us,
-         |                        $us || b.l || b.r || $us),
-         |                chr(31)),
-         |           $us||$us), x -> x <> '') AS tk, c
-         |  FROM w$r, b$r AS b)""".stripMargin
+         |  SELECT string_split(substr(s1, 2, length(s1) - 2), $us||$us)
+         |           AS tk, c
+         |  FROM (SELECT replace($us || array_to_string(tk, $us||$us) || $us,
+         |                       $us || b.l || $us || $us || b.r || $us,
+         |                       $us || b.l || b.r || $us) AS s1, c
+         |        FROM w$r, b$r AS b))""".stripMargin
     }.mkString(",\n")
     val union = (1 to n).map(r =>
       s"SELECT $r::BIGINT AS rk, l AS lhs, r AS rhs, l || r AS merged, " +
         s"n AS pair_count FROM b$r").mkString("\n UNION ALL ")
     s"""WITH w1 AS (
-       |  SELECT [ch for ch in string_split(w, '')] AS tk, c FROM (
+       |  SELECT list_transform(range(1, length(w) + 1),
+       |                        i -> substr(w, i, 1)) AS tk, c FROM (
        |    SELECT w, count(*) AS c FROM (
        |      SELECT unnest(list_filter(
        |               regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -3048,15 +3057,35 @@ object SparkEntry {
         |  LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
-    // quantile_cont == Spark's exact interpolated percentile (the
-    // q_approx_quantiles precedent); strict > on the boundaries
+    // DISCRETE boundaries, replayed structurally: boundary q = the
+    // smallest data value whose cumulative count reaches ceil(q * n)
+    // (percentile_disc convention, built from sum-over-window so no
+    // engine's quantile implementation is trusted); bucketing is then
+    // integer > integer — hash-stable by construction (the interpolated
+    // predecessor flipped ties at a boundary on 1-ulp cross-engine
+    // interpolation differences). The literal casts to DOUBLE so the
+    // ceil argument is the same single IEEE multiply Spark computes.
     "q_length_buckets" ->
-      """WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
-        |           FROM documents),
+      """WITH vc AS (SELECT n_chars AS v, count(*) AS c
+        |            FROM documents GROUP BY n_chars),
+        |cum AS (SELECT v,
+        |          sum(c) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cum,
+        |          sum(c) OVER () AS n
+        |        FROM vc),
+        |b AS (SELECT
+        |        min(CASE WHEN cum >= ceil(CAST(0.25 AS DOUBLE) * n)
+        |                 THEN v END) AS b0,
+        |        min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
+        |                 THEN v END) AS b1,
+        |        min(CASE WHEN cum >= ceil(CAST(0.75 AS DOUBLE) * n)
+        |                 THEN v END) AS b2
+        |      FROM cum),
         |a AS (SELECT doc_id, n_chars,
-        |        ((CASE WHEN n_chars > qs[1] THEN 1 ELSE 0 END) +
-        |         (CASE WHEN n_chars > qs[2] THEN 1 ELSE 0 END) +
-        |         (CASE WHEN n_chars > qs[3] THEN 1 ELSE 0 END))::BIGINT
+        |        ((CASE WHEN n_chars > b0 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END))::BIGINT
         |          AS bucket
         |      FROM documents, b)
         |SELECT bucket, count(*) AS n_docs,

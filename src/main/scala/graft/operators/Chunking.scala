@@ -56,8 +56,12 @@ object Chunking {
                 textCol: String = "text", window: Int = 16,
                 prime: Int = 31, modBits: Int = 20, divisor: Int = 64,
                 residue: Int = 13): DataFrame = {
-    require(window >= 2 && modBits <= 40 && divisor >= 2,
-      s"degenerate CDC parameters ($window, $modBits, $divisor)")
+    require(window >= 2 && modBits <= 40 && divisor >= 2 &&
+      residue >= 0 && residue < divisor && prime > 0,
+      "degenerate CDC parameters (window=" + window + ", prime=" + prime +
+        s", modBits=$modBits, divisor=$divisor, residue=$residue): need " +
+        "window >= 2, prime > 0, modBits <= 40, divisor >= 2, " +
+        "0 <= residue < divisor")
     // Boundary detection is a compiled O(n) rolling-hash kernel
     // (graft.expressions.CdcBoundaries, one call per row, codegen'd) —
     // the composed higher-order-function form ran INTERPRETED, and

@@ -215,18 +215,27 @@ object Sampling {
     * batched training/inference: documents batch with peers of similar
     * length, so the per-batch pad-to-max waste collapses (the dynamic-
     * batching/"bucketing by sequence length" standard practice). Rows
-    * are assigned to `quantiles.size + 1` buckets by EXACT interpolated
-    * quantile boundaries of `lenCol` (`percentile` — the same
-    * cross-engine-exact machinery as the quantile certificate gate; at
-    * true corpus scale swap in `percentile_approx`, the report shape is
-    * unchanged), and the output is one row per bucket: count, min/max
-    * length, token sum, and `padding_waste` = what pad-to-bucket-max
-    * costs — compare against the single-bucket degenerate case to
-    * price the win.
+    * are assigned to `quantiles.size + 1` buckets by DISCRETE quantile
+    * boundaries of `lenCol`: boundary `q` is the smallest ACTUAL data
+    * value whose cumulative count reaches `ceil(q * n)` (the
+    * `percentile_disc` convention). A boundary is therefore an integer
+    * the data contains, and bucket assignment is an integer-vs-integer
+    * strict `>` — engine-portable BY CONSTRUCTION. (The first cut used
+    * interpolated `percentile` boundaries; when a boundary landed
+    * exactly on a duplicated data value, a 1-ulp cross-engine
+    * difference in the interpolation formula flipped those rows between
+    * buckets — integers compared to interpolated doubles are never
+    * hash-stable. Ties at a boundary all land in the LOWER bucket.)
+    * Output is one row per bucket: count, min/max length, token sum,
+    * and `padding_waste` = what pad-to-bucket-max costs — compare
+    * against the single-bucket degenerate case to price the win.
     *
-    * Scale shape: two scans, no sort — a one-row exact-quantile
-    * aggregate broadcasts back (crossJoin against one row is the
-    * foldable-frame pattern), bucket assignment is a row-local
+    * Scale shape: two scans, no sort of the corpus — boundaries come
+    * from a (length -> count) frame whose cardinality is the number of
+    * DISTINCT lengths (bounded by max document size, millions at most),
+    * cum-summed in one tiny single-partition window and reduced to a
+    * 1-row frame that broadcasts back (crossJoin against one row is
+    * the foldable-frame pattern); bucket assignment is a row-local
     * comparison chain, and the report is a groupBy at bucket
     * cardinality with map-side combine. */
   def lengthBuckets(df: DataFrame, idCol: String, lenCol: String,
@@ -235,12 +244,29 @@ object Sampling {
     require(quantiles.nonEmpty && quantiles == quantiles.sorted &&
       quantiles.forall(q => q > 0.0 && q < 1.0),
       s"quantiles must be sorted fractions in (0,1), got $quantiles")
-    val qArr = quantiles.map(q => s"${q}D").mkString("array(", ", ", ")")
-    val bounds = df.agg(
-      expr(s"percentile(cast($lenCol as double), $qArr)").as("__qs"))
+    // (length, count) frame: distinct-length cardinality, so the
+    // unpartitioned windows below run on a deliberately tiny frame
+    val vcs = df.select(col(lenCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = vcs
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    // ceil(q * n): one IEEE double multiply + ceil — bit-identical in
+    // any IEEE-754 engine (the oracle casts its literal to DOUBLE for
+    // the same product); >= q < 1 guarantees the threshold <= n, so a
+    // boundary always exists on a non-empty frame
+    val boundAggs = quantiles.zipWithIndex.map { case (q, i) =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v")))
+        .as(s"__b$i")
+    }
+    val bounds = cum.agg(boundAggs.head, boundAggs.tail: _*)
     val bucket = quantiles.indices
-      .map(i => when(col(lenCol).cast("double") >
-        element_at(col("__qs"), i + 1), 1L).otherwise(0L))
+      .map(i => when(col(lenCol).cast("long") > col(s"__b$i"), 1L)
+        .otherwise(0L))
       .reduce(_ + _)
     df.select(col(idCol), col(lenCol))
       .crossJoin(broadcast(bounds))

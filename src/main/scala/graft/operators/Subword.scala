@@ -127,25 +127,28 @@ object Subword {
     top.withColumn("rk", row_number().over(w))
   }
 
-  /** Distributed BPE merge training (Sennrich et al., ACL '16) — the
-    * TRAINING half proper: learn `numMerges` merge rules from the
-    * corpus. Each round counts adjacent symbol pairs over the
-    * DISTINCT-word frame (occurrence-weighted — the same Zipf
-    * amortization as [[pieceCounts]]: pair statistics per distinct
-    * word, multiplied by its count, never a per-occurrence walk),
-    * picks the most frequent pair (ties by (lhs, rhs) — binary string
-    * order, so any engine agrees), and applies it to every word as a
-    * left-to-right non-overlapping fold.
+  /** BPE merge training (Sennrich et al., ACL '16) — the TRAINING half
+    * proper: learn `numMerges` merge rules from the corpus. Rounds
+    * count adjacent symbol pairs over the DISTINCT-word frame
+    * (occurrence-weighted — the same Zipf amortization as
+    * [[pieceCounts]]: pair statistics per distinct word, multiplied by
+    * its count, never a per-occurrence walk), pick the most frequent
+    * pair (ties by (lhs, rhs) — binary string order, so any engine
+    * agrees), and apply it to every word as a left-to-right
+    * non-overlapping merge.
     *
-    * Spark shape: one corpus-sized shuffle builds the word frame; each
-    * round is then ONE aggregate over it — (pair, count) with map-side
-    * combine at symbol-pair cardinality — plus a 1-row argmax collect
-    * (`orderBy.limit(1)`: a bounded heap, O(1) to the driver by
-    * contract) and a row-local fold (`functions.aggregate`, codegen —
-    * no UDF) applying the merge. The frame re-persists per round so a
-    * round reads materialized symbols, not a `numMerges`-deep lineage;
-    * a production run at larger `numMerges` would checkpoint every few
-    * rounds — the per-round cost model is unchanged.
+    * Spark shape: ONE corpus-sized shuffle builds the word frame —
+    * then, because that frame is Zipf-small, it normally COLLECTS
+    * under `localBytesCap` and the entire merge loop runs driver-local
+    * with incrementally-maintained pair counts (the standard in-memory
+    * BPE-trainer shape: a 32k-merge vocab is one Spark job plus one
+    * local loop, not 32k jobs). A frame above the cap falls back to
+    * the per-round distributed loop ([[trainBpeMergesDistributed]]),
+    * which is loudly capped at 1024 merges — at that point the right
+    * fix is a bigger driver, not more sequential Spark jobs. The two
+    * paths produce identical rule lists by construction (spec-pinned
+    * on adversarial corpora: overlapping runs, cascading merges,
+    * count ties).
     *
     * Against a trained vocabulary (chars + merged pieces),
     * [[pieceCounts]]/[[pieceFrequencies]] are the apply path. No
@@ -167,17 +170,66 @@ object Subword {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Default cap on the COLLECTED distinct-word count frame for the
+    * driver-local merge loop (JVM-estimate bytes): the frame is
+    * Zipf-small — even a 100 TB corpus has a distinct-word frame in the
+    * tens of millions, and real BPE trainers run the merge loop over
+    * exactly this frame in one process. */
+  val DefaultLocalFrameBytes: Long = 256L << 20
+
   def trainBpeMerges(docs: DataFrame, textCol: String,
-                     numMerges: Int): DataFrame = {
-    require(numMerges >= 1 && numMerges <= 1024,
-      s"numMerges out of range: $numMerges")
+                     numMerges: Int,
+                     localBytesCap: Long = DefaultLocalFrameBytes)
+      : DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-
-    var cur = docs
+    val wc = docs
       .select(explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      // the one corpus-sized pass; the word frame it leaves behind is
+      // Zipf-small, and its measured size decides the training shape
+      val st = wc.agg(count(lit(1)).as("nw"),
+        coalesce(sum(length(col("w"))), lit(0L)).as("nc")).collect().head
+      val (nWords, nChars) = (st.getLong(0), st.getLong(1))
+      val estBytes = 2L * nChars + 64L * nWords // UTF-16 chars + object headers
+      if (estBytes <= localBytesCap) {
+        // standard BPE-trainer shape: ONE Spark job collects the word
+        // frame, then the whole merge loop runs driver-local with
+        // incrementally-maintained pair counts — numMerges in the
+        // thousands is a local loop, not numMerges Spark jobs
+        trainBpeMergesLocal(wc.as[(String, Long)].collect(), numMerges)
+          .toDF("rk", "lhs", "rhs", "merged", "pair_count")
+          .withColumn("rk", col("rk").cast("long"))
+      } else {
+        // distributed fallback for a word frame that genuinely cannot
+        // sit on the driver; LOUDLY capped — one aggregate + 1-row
+        // argmax PER ROUND is the wrong shape for vocab-scale numMerges
+        require(numMerges <= 1024,
+          s"word frame ~${estBytes >> 20} MiB exceeds localBytesCap=" +
+            s"${localBytesCap >> 20} MiB, and the distributed per-round " +
+            s"fallback caps numMerges at 1024 (got $numMerges): raise " +
+            "localBytesCap (the frame is Zipf-small; real trainers hold " +
+            "it in memory) or lower numMerges")
+        trainBpeMergesDistributed(wc, numMerges)
+      }
+    } finally { wc.unpersist(); () }
+  }
+
+  /** Per-round distributed trainer (see [[trainBpeMerges]]): each round
+    * is one (pair, count) aggregate with map-side combine + a 1-row
+    * argmax collect (`orderBy.limit(1)` — a bounded heap, O(1) to the
+    * driver by contract) + a row-local codegen fold applying the merge.
+    * The frame re-persists per round so a round reads materialized
+    * symbols, not a rounds-deep lineage. */
+  private def trainBpeMergesDistributed(wc: DataFrame,
+                                        numMerges: Int): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    var cur = wc
       .select(split(col("w"), "").as("syms"), col("c"))
       .persist()
     cur.count()
@@ -213,6 +265,139 @@ object Subword {
     merges.result()
       .toDF("rk", "lhs", "rhs", "merged", "pair_count")
       .withColumn("rk", col("rk").cast("long"))
+  }
+
+  /** UTF-8 byte comparison — the binary string order Spark's
+    * `orderBy(asc)` uses, so local tie-breaks equal distributed ones
+    * even off-ASCII (Java's `compareTo` is UTF-16 code-unit order,
+    * which DISAGREES with UTF-8 byte order for supplementary-plane vs
+    * U+E000..U+FFFF text). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def containsPair(s: Array[String], l: String, r: String)
+      : Boolean = {
+    var i = 0
+    while (i < s.length - 1) {
+      if (s(i) == l && s(i + 1) == r) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Left-to-right non-overlapping merge of one word — the local twin
+    * of [[applyMerge]]'s codegen fold (the fold compares the
+    * ACCUMULATED last symbol, but a merged symbol `l+r` can never
+    * itself equal `l` since `r` is non-empty, so scanning the original
+    * array with an i+2 skip is the same function). */
+  private def mergeWord(s: Array[String], l: String, r: String)
+      : Array[String] = {
+    val out = Array.newBuilder[String]
+    out.sizeHint(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Driver-local merge loop over a collected (word, count) frame —
+    * bit-equal to the distributed trainer by construction: the same
+    * per-code-unit initial segmentation (`split(w, "")`), the same
+    * left-to-right non-overlapping merge, and the same
+    * (count desc, lhs, rhs) argmax in UTF-8 byte order. Pair counts
+    * maintain INCREMENTALLY (only words containing the merged pair are
+    * touched, found via an add-only pair->word index) with a
+    * lazy-deletion max-heap for the argmax — the standard in-memory
+    * BPE-trainer shape, so a 32k-merge vocab is one collect + one
+    * local loop. */
+  private[graft] def trainBpeMergesLocal(
+      wordCounts: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val nW = wordCounts.length
+    val syms = new Array[Array[String]](nW)
+    val cnt = new Array[Long](nW)
+    var i = 0
+    while (i < nW) {
+      syms(i) = wordCounts(i)._1.split("").filter(_.nonEmpty)
+      cnt(i) = wordCounts(i)._2
+      i += 1
+    }
+    val pairN = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // dequeues the CURRENT argmax: greatest count, ties to the UTF-8
+    // smallest (lhs, rhs); entries are snapshots, validated against
+    // pairN on pop (lazy deletion)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String),
+                  b: (Long, String, String)): Int = {
+        val c1 = java.lang.Long.compare(a._1, b._1)
+        if (c1 != 0) c1
+        else {
+          val c2 = utf8Compare(b._2, a._2)
+          if (c2 != 0) c2 else utf8Compare(b._3, a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(wi: Int, sign: Long): Unit = {
+      val s = syms(wi); val d = cnt(wi) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = pairN.getOrElse(p, 0L) + d
+        if (n <= 0L) pairN.remove(p)
+        else {
+          pairN.update(p, n)
+          heap.enqueue((n, p._1, p._2))
+        }
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        j += 1
+      }
+    }
+    i = 0; while (i < nW) { bump(i, 1L); i += 1 }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val cand = heap.dequeue()
+        if (pairN.get((cand._2, cand._3)).contains(cand._1)) top = cand
+      }
+      if (top == null) done = true
+      else {
+        val (n, l, r) = (top._1, top._2, top._3)
+        out += ((rank, l, r, l + r, n))
+        // the index is a SUPERSET (add-only): re-check adjacency before
+        // paying the reprocess. After the pass no (l, r) adjacency
+        // survives anywhere, so pairN(l, r) drains to zero via bump.
+        val affected = pairWords.getOrElse((l, r), mutable.BitSet.empty)
+        pairWords.remove((l, r))
+        affected.foreach { wi =>
+          if (containsPair(syms(wi), l, r)) {
+            bump(wi, -1L)
+            syms(wi) = mergeWord(syms(wi), l, r)
+            bump(wi, 1L)
+          }
+        }
+        rank += 1
+      }
+    }
+    out.result()
   }
 
   /** BPE ENCODE — inference with an explicit rank-ordered merge list

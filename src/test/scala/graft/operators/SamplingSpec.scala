@@ -357,6 +357,38 @@ class SamplingSpec extends SparkSpec {
     assert(flat.length == 1 && flat.head.getLong(5) == 0L)
   }
 
+  test("lengthBuckets: duplicated boundary values never split (discrete" +
+      " boundaries are flip-immune)") {
+    val s = spark
+    import s.implicits._
+    // n = 12, thresholds ceil(q*12) = 3/6/9 -> discrete boundaries are
+    // DATA values 3, 4, 9. Value 4 is duplicated 4x and IS the 0.5
+    // boundary — the interpolated-percentile predecessor put such ties
+    // at the mercy of 1-ulp cross-engine interpolation differences
+    // (the r11 driver red cell: boundary 419.0 with 2 docs on it);
+    // with discrete boundaries the comparison is integer > integer, so
+    // every duplicate lands in ONE bucket, always the lower one.
+    val lens = Seq(1L, 2L, 3L, 4L, 4L, 4L, 4L, 8L, 9L, 10L, 11L, 12L)
+    val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "len")
+    val got = Sampling.lengthBuckets(df, "doc_id", "len")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 1L, 3L),   // v <= 3
+      (1L, 4L, 4L, 4L),   // all four 4s together, 3 < v <= 4
+      (2L, 2L, 8L, 9L),   // 4 < v <= 9
+      (3L, 3L, 10L, 12L)  // v > 9
+    ), got.mkString(", "))
+    // the general invariant behind flip-immunity: bucket ranges can
+    // never interleave a value — equal lengths share a bucket, so
+    // consecutive [min_len, max_len] ranges are strictly disjoint
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3, s"ranges overlap: $a $b")
+      case _ =>
+    }
+  }
+
   test("weightedSamplePerStratum: k per stratum, same keys, group-limited") {
     val s = spark
     import s.implicits._

@@ -198,6 +198,40 @@ class SubwordSpec extends SparkSpec {
     assert(n < chars, s"merges did not compress: $n vs $chars chars")
   }
 
+  test("trainBpeMerges: local and distributed paths learn identical " +
+      "rule lists on adversarial corpora") {
+    val s = spark
+    import s.implicits._
+    // each corpus targets a divergence class: overlapping same-char
+    // runs (non-overlap consumption order), cascading merges whose
+    // outputs immediately re-pair, exact count ties (argmax must break
+    // by binary (lhs, rhs)), and a word that exhausts mid-training
+    val corpora = Seq(
+      "aaaa aaaaa aa a",                 // overlap: (a,a) consumption
+      "aaab aaab aaab aaab",             // cascade: aa then aa+a / a+b
+      "ab cd ab cd ef ef",               // 3-way count tie at 2
+      "ababab bababa abab",              // alternating overlap
+      "xyxyx yxy xxyy zz zz zz",         // mixed runs + tie vs (z,z)
+      "ab")                              // exhausts after one merge
+    corpora.foreach { text =>
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      def rules(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+      val local = rules(Subword.trainBpeMerges(docs, "text", 8))
+      val dist = rules(
+        Subword.trainBpeMerges(docs, "text", 8, localBytesCap = 0L))
+      assert(local == dist, s"'$text':\nlocal $local\ndist  $dist")
+    }
+    // and the distributed fallback refuses vocab-scale numMerges
+    // loudly instead of running thousands of sequential jobs
+    val docs = Seq((1L, "aaab aaab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Subword.trainBpeMerges(docs, "text", 2048, localBytesCap = 0L)
+    }
+    assert(e.getMessage.contains("localBytesCap"), e.getMessage)
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     val s = spark
     import s.implicits._
