@@ -51,11 +51,13 @@ object Chunking {
 
   /** Content-defined chunks of `textCol`: one row per chunk with its
     * 1-based `start`, `len` (codepoints) and `chunk_hash` (md5 of the
-    * chunk text — the dedup identity). */
+    * chunk text — the dedup identity). `carry` names extra input
+    * columns to keep on every chunk row (row-local passthrough — e.g.
+    * the event-time column a streaming caller's watermark rides on). */
   def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", window: Int = 16,
                 prime: Int = 31, modBits: Int = 20, divisor: Int = 64,
-                residue: Int = 13): DataFrame = {
+                residue: Int = 13, carry: Seq[String] = Nil): DataFrame = {
     require(window >= 2 && modBits <= 40 && divisor >= 2 &&
       residue >= 0 && residue < divisor && prime > 0,
       "degenerate CDC parameters (window=" + window + ", prime=" + prime +
@@ -70,23 +72,25 @@ object Chunking {
     // O(n²·w) per document, measured as a multi-minute stall at sf0.1.
     // The remaining HOFs below only walk the ~(n/divisor)-sized
     // boundary array.
+    val carryCols = carry.map(col)
     docs
-      .select(col(idCol), col(textCol).as("__text"))
+      .select(col(idCol) +: col(textCol).as("__text") +: carryCols: _*)
       .withColumn("__n", length(col("__text")))
       .withColumn("__bnd", graft.expressions.TextExprs.cdcBoundaries(
         col("__text"), window, prime, modBits, divisor, residue))
       .withColumn("__starts",
         expr("concat(array(1), transform(__bnd, x -> x + 1))"))
       .withColumn("__ends", expr("concat(__bnd, array(__n))"))
-      .select(col(idCol), col("__text"), col("__starts"), col("__ends"),
-        posexplode(col("__starts")).as(Seq("chunk", "__s")))
-      .select(col(idCol), col("chunk").cast("long").as("chunk"),
-        col("__s").cast("long").as("start"),
+      .select(col(idCol) +: col("__text") +: col("__starts") +:
+        col("__ends") +: carryCols :+
+        posexplode(col("__starts")).as(Seq("chunk", "__s")): _*)
+      .select(col(idCol) +: col("chunk").cast("long").as("chunk") +:
+        col("__s").cast("long").as("start") +:
         (element_at(col("__ends"), col("chunk") + 1) - col("__s") + 1)
-          .cast("long").as("len"),
+          .cast("long").as("len") +:
         md5(col("__text").substr(col("__s"),
             element_at(col("__ends"), col("chunk") + 1) - col("__s") + 1)
-          .cast("binary")).as("chunk_hash"))
+          .cast("binary")).as("chunk_hash") +: carryCols: _*)
   }
 
   /** Chunk-level exact duplication: chunks whose content recurs across
@@ -214,6 +218,45 @@ object Chunking {
       .select(col("chunk_hash").as("__ih"), lit(true).as("__seen"))
       .hint("shuffle_hash")
     chunksWith(stream, idCol, textCol, idx)
+      .join(seen, col("chunk_hash") <=> col("__ih"), "left_outer")
+      .select(col(idCol), col("chunk"), col("chunk_hash"),
+        coalesce(col("__seen"), lit(false)).as("seen"))
+  }
+
+  /** Opt-in STATEFUL variant of [[chunkVerdictStream]] with AT-INGEST
+    * first-carrier semantics: each chunk_hash emits at most once per
+    * watermark horizon — the FIRST observed carrier (arrival order;
+    * within one micro-batch the tie is arbitrary, which is the honest
+    * contract for an ingest stream) — so two novel duplicates arriving
+    * in the same stream dedup in-stream instead of waiting for the
+    * next [[extendChunkIndex]] fold-in. The cost the stateless default
+    * deliberately avoids: keyed state on chunk_hash, bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — state for a
+    * hash is dropped once the watermark passes its event time, so
+    * state size is ingest-rate x horizon, not corpus-sized). Emits
+    * (id, chunk, chunk_hash, seen) in append mode; `seen` still means
+    * "in the persisted index" — an in-stream duplicate simply never
+    * emits. Duplicates arriving further apart than `watermarkDelay`
+    * can re-emit (state already evicted); the periodic fold-in remains
+    * the cross-horizon backstop. */
+  def chunkVerdictStreamFirstCarrier(stream: DataFrame, idCol: String,
+                                     textCol: String, tsCol: String,
+                                     watermarkDelay: String,
+                                     idx: ChunkIndex): DataFrame = {
+    val seen = stream.sparkSession.table(idx.chunksTable)
+      .select(col("chunk_hash").as("__ih"), lit(true).as("__seen"))
+      .hint("shuffle_hash")
+    val chunks = cdcChunks(
+      stream.withWatermark(tsCol, watermarkDelay), idCol, textCol,
+      idx.window, idx.prime, idx.modBits, idx.divisor, idx.residue,
+      carry = Seq(tsCol))
+    // Spark rejects dropDuplicatesWithinWatermark on bounded frames; a
+    // batch frame has a natural horizon (the whole frame), so plain
+    // dropDuplicates IS the same first-carrier contract there
+    val firsts =
+      if (stream.isStreaming) chunks.dropDuplicatesWithinWatermark("chunk_hash")
+      else chunks.dropDuplicates("chunk_hash")
+    firsts
       .join(seen, col("chunk_hash") <=> col("__ih"), "left_outer")
       .select(col(idCol), col("chunk"), col("chunk_hash"),
         coalesce(col("__seen"), lit(false)).as("seen"))
