@@ -177,7 +177,9 @@ object SparkEntry {
     graft.util.Fixtures.audioFramesTruthPath
   private[graft] val videoFixturePath = graft.util.Fixtures.videoPath
   private[graft] val mjpegFixturePath = graft.util.Fixtures.mjpegPath
+  private[graft] val rawVideoFixturePath = graft.util.Fixtures.rawVideoPath
   private[graft] val mjpegTruthPath = graft.util.Fixtures.mjpegTruthPath
+  private[graft] val rawVideoTruthPath = graft.util.Fixtures.rawVideoTruthPath
   private[graft] val videoTracksTruthPath =
     graft.util.Fixtures.videoTracksTruthPath
   private[graft] val videoSamplesTruthPath =
@@ -1712,8 +1714,9 @@ object SparkEntry {
       Multimodal.payloadMeta(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Byte-stream feature path through the typed mapPartitions stage (the
-    // non-image codec stub). Features derive deterministically from the
+    // Byte-stream feature path through the typed mapPartitions stage
+    // (Multimodal.byteFeatures — the opaque-payload operator for bytes
+    // with no in-process codec). Features derive deterministically from the
     // payload bytes (length / md5 / byte mean / frame cadence), and the
     // testdata text is ASCII, so the whole pipeline — including the
     // mapPartitions hop — is SQL-oracle-expressible: the byte mean is a
@@ -1758,7 +1761,7 @@ object SparkEntry {
     // re-encode → decode AGAIN with the verified decoder. The oracle
     // predicts output dims from the fixture's draw-time dims via the
     // exact-integer contract (floor division), and `decoded = true`
-    // proves a real decodable PNG came out — a byte-truncating stub
+    // proves a real decodable PNG came out — a byte-truncating fake
     // cannot survive the round trip. Corrupt payloads pass through and
     // still fail decode; within-budget images pass through at their
     // original dims.
@@ -1898,6 +1901,30 @@ object SparkEntry {
           lit(0).as("width"), lit(0).as("height"))
         .as[Multimodal.MediaRecord]
       graft.operators.VideoDemux.decodeAllJpegFrames(recs).toDF()
+        .select(col("id"), col("track"), col("sample"),
+          col("isKey").as("is_key"), col("decoded"), col("width"),
+          col("height"), col("meanPixel").as("mean_pixel"),
+          col("rasterMd5").as("raster_md5"))
+        .orderBy("id", "track", "sample")
+    }),
+
+    // REAL raw-video pixel decode over the committed fixture of MP4
+    // containers with uncompressed I420 samples: demux resolves each
+    // sample's byte range, the three YUV planes slice out (odd dims
+    // round the chroma planes UP), and the fixed-point BT.601 kernel
+    // produces the raster — md5 and exact mean must match the
+    // generation-time truth EXACTLY (I420 is lossless; no codec-drift
+    // tolerance). avc1 rows pin the permanent inter-frame boundary as
+    // per-sample decoded=false; a truncated sample degrades alone.
+    "q_multimodal_raw" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val recs = s.read.parquet(rawVideoFixturePath)
+        .select(col("id"), col("payload"),
+          col("media_type").as("mediaType"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRecord]
+      graft.operators.VideoDemux.decodeAllVideoFrames(recs).toDF()
         .select(col("id"), col("track"), col("sample"),
           col("isKey").as("is_key"), col("decoded"), col("width"),
           col("height"), col("meanPixel").as("mean_pixel"),
@@ -3561,6 +3588,16 @@ object SparkEntry {
       s"""SELECT id, track, sample, is_key, decoded, width, height,
         |       mean_pixel, raster_md5
         |FROM read_parquet('$mjpegTruthPath/*.parquet')
+        |ORDER BY id, track, sample""".stripMargin,
+
+    // plain scan of the generation-time per-frame truth; I420 is
+    // LOSSLESS, so unlike mjpeg the decode must match bit-exactly
+    // (truth mean/md5 come from an independent from-the-spec BT.601
+    // conversion in the fixture generator)
+    "q_multimodal_raw" ->
+      s"""SELECT id, track, sample, is_key, decoded, width, height,
+        |       mean_pixel, raster_md5
+        |FROM read_parquet('$rawVideoTruthPath/*.parquet')
         |ORDER BY id, track, sample""".stripMargin,
 
     "q_multimodal_frames" ->

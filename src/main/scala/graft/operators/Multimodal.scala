@@ -21,14 +21,22 @@ import org.apache.spark.sql.functions._
   * FRAME EXTRACTION is real for every ImageIO container including
   * multi-frame animated GIF ([[decodeImageFrames]]). VIDEO container
   * demux is REAL too: [[VideoDemux]] walks MP4/ISO-BMFF box trees and
-  * resolves per-sample byte ranges, and for MJPEG tracks — whose samples
-  * are complete JPEGs — [[VideoDemux.decodeJpegFrames]] decodes the
-  * PIXELS as well (demux → slice → imageio, end-to-end real). Only
-  * INTER-FRAME codecs (H.264 & co) lack a JDK decoder, so the
-  * byte-stream feature path ([[decodeStub]]) remains for that one step:
-  * deterministic features of the raw bytes with the production
-  * batching/partitioning shape, swappable for a real codec without
-  * touching any other code.
+  * resolves per-sample byte ranges, and VIDEO PIXEL decode is real for
+  * MJPEG tracks — whose samples are complete JPEGs
+  * ([[VideoDemux.decodeJpegFrames]]) — and for uncompressed planar
+  * I420 tracks ([[VideoDemux.i420Signature]]; both unified under
+  * [[VideoDemux.decodeVideoFrames]]).
+  *
+  * PERMANENT BOUNDARY: INTER-FRAME codecs (H.264/HEVC/VP9/AV1) have no
+  * JDK decoder and never will in a pure-JVM library — their samples
+  * degrade per-row to `decoded = false`, with
+  * [[VideoDemux.extractSamples]] resolving the exact byte ranges a
+  * caller routes to an external codec. Independent of any codec, the
+  * BYTE-STREAM operators below ([[byteFeatures]] / [[byteFrameSlices]]
+  * / [[padPayload]]) compute deterministic features, slices and
+  * normalization over opaque payloads — the honest thing to compute
+  * when the bytes are not decodable in-process, with the same
+  * batching/partitioning shape as the real decoders.
   */
 object Multimodal {
 
@@ -53,24 +61,25 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB codec for the one step the JDK cannot do — video PIXEL
-    * decode: deterministic byte-stream features standing in for a real
-    * decode (e.g. a JNI codec); everything around it — batching,
-    * partition parallelism, output schema — is the production shape.
-    * Images ([[decodeImage]]), audio ([[decodeAudio]]) and video
-    * container demux ([[VideoDemux]]) all have real paths. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
+  /** Deterministic BYTE-STREAM features of an opaque payload — length,
+    * md5, byte mean, and a 64-byte slice cadence: what a pipeline
+    * computes for payloads it cannot (or need not) decode in-process,
+    * e.g. inter-frame video samples en route to an external codec (the
+    * permanent boundary — see the object scaladoc; images, audio, GIF,
+    * MJPEG and raw I420 all have REAL decode paths). Batching,
+    * partition parallelism and output schema are the same production
+    * shape as those decoders. */
+  def byteFeatures(r: MediaRecord): MediaFeatures = {
     val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
     val mean = if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
-    // fake "frame sample": one frame per 64 bytes, capped — stands in for
-    // video frame-sampling cadence
-    // frame count = ceil(len/64) with a floor of 1 — the SAME slicing
-    // frameSampleStub walks, so count and emitted frames agree (the old
-    // len/64+1 over-counted exact multiples while the sampler dropped
-    // partial tails)
+    // slice cadence: one frame per 64 bytes, capped. Frame count =
+    // ceil(len/64) with a floor of 1 — the SAME slicing byteFrameSlices
+    // walks, so count and emitted frames agree (the old len/64+1
+    // over-counted exact multiples while the sampler dropped partial
+    // tails)
     MediaFeatures(r.id, bytes.length.toLong, hash, mean,
       math.min(math.max((bytes.length + 63) / 64, 1), 32))
   }
@@ -79,7 +88,7 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRecord])
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    ds.mapPartitions(_.map(decodeStub))
+    ds.mapPartitions(_.map(byteFeatures))
   }
 
   /** Decoded-image features: pixel truth, not byte heuristics. `decoded`
@@ -267,7 +276,7 @@ object Multimodal {
   }
 
   /** One decoded frame's features (REAL frame extraction — contrast the
-    * byte-slice [[MediaFrame]] of the video stub path). */
+    * byte-slice [[MediaFrame]] of [[byteFrameSlices]]). */
   case class FrameFeatures(id: Long, frame: Int, width: Int, height: Int,
                            meanPixel: Double)
 
@@ -346,27 +355,30 @@ object Multimodal {
   /** A decoded frame/tile: (record id, frame index, payload slice). */
   case class MediaFrame(id: Long, frame: Int, bytes: Array[Byte])
 
-  /** STUB resize: a real implementation re-encodes pixels; the stub
-    * deterministically truncates/pads the payload to `targetBytes` so
-    * downstream schema/size behavior is exercised. The partitioning and
-    * batch shape (one record in, one record out, no driver involvement)
-    * are the production contract. */
-  def resizeStub(r: MediaRecord, targetBytes: Int): MediaRecord = {
+  /** BYTE-LEVEL payload normalization: deterministically truncate/pad
+    * the payload to `targetBytes` — fixed-size record shaping for
+    * payloads that are not pixel-decodable in-process (for images use
+    * the REAL [[resizeImage]], which re-encodes pixels). Partitioning
+    * and batch shape (one record in, one record out, no driver
+    * involvement) are the production contract. */
+  def padPayload(r: MediaRecord, targetBytes: Int): MediaRecord = {
     val src = Option(r.payload).getOrElse(Array.emptyByteArray)
     val out = java.util.Arrays.copyOf(src, targetBytes)
     r.copy(payload = out)
   }
 
-  /** STUB frame sampling: emits every `stride`-th 64-byte slice as a
-    * "frame" (a real implementation decodes video and samples frames at
-    * a time cadence). Row-expanding: one record in, N frames out —
-    * the generator shape of the real op. */
-  def frameSampleStub(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
+  /** BYTE-STREAM frame slicing: emits every `stride`-th 64-byte slice
+    * of an opaque payload (for real video frame sampling at a TIME
+    * cadence use [[VideoDemux.extractSamples]] /
+    * [[VideoDemux.decodeVideoFrames]], which resolve true sample
+    * boundaries). Row-expanding: one record in, N slices out — the
+    * generator shape shared with the real samplers. */
+  def byteFrameSlices(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
     val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
     // ceil(len/64) frames (floor 1): the partial tail slice IS a frame —
     // a 100-byte payload emits bytes 0-64 and 64-100, not just the
     // full slice (the old len/64 dropped tails only for payloads over
-    // one frame, inconsistent with sub-frame payloads and decodeStub)
+    // one frame, inconsistent with sub-frame payloads and byteFeatures)
     (0 until math.max((bytes.length + 63) / 64, 1) by stride).iterator.map { i =>
       val from = math.min(i * 64, bytes.length)
       val until = math.min(from + 64, bytes.length)
@@ -378,7 +390,7 @@ object Multimodal {
   def resizeAll(ds: Dataset[MediaRecord], targetBytes: Int)
                (implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    ds.mapPartitions(_.map(resizeStub(_, targetBytes)))
+    ds.mapPartitions(_.map(padPayload(_, targetBytes)))
   }
 
   /** REAL image resize — decode (`javax.imageio`), scale so the longer
@@ -433,7 +445,7 @@ object Multimodal {
   def sampleFrames(ds: Dataset[MediaRecord], stride: Int)
                   (implicit spark: SparkSession): Dataset[MediaFrame] = {
     import spark.implicits._
-    ds.mapPartitions(_.flatMap(frameSampleStub(_, stride)))
+    ds.mapPartitions(_.flatMap(byteFrameSlices(_, stride)))
   }
 
   /** Column-only metadata path (no decode, pure codegen): byte length and

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** REAL MP4/ISO-BMFF container demux — pure-JVM byte parsing, zero
   * dependencies. INTER-FRAME video codecs are not in the JDK, so their
-  * pixel decode stays out of scope ([[Multimodal.decodeStub]] documents
-  * that boundary) — but MJPEG samples are complete JPEGs, so
-  * [[decodeJpegFrames]] below decodes those pixels for real — and
+  * pixel decode is a PERMANENT boundary of this library (degraded
+  * per-sample; [[Multimodal]]'s scaladoc states the contract) — but
+  * MJPEG samples are complete JPEGs and I420 samples are raw planes,
+  * so [[decodeVideoFrames]] below decodes those pixels for real — and
   * everything a 100 TB video pipeline does BEFORE the codec is container
   * work, and that is real here: walk the box tree (ftyp/moov/trak/mdia/
   * minf/stbl), read each track's media header and sample tables
@@ -328,22 +329,89 @@ object VideoDemux {
     (sum, md.digest().map("%02x".format(_)).mkString)
   }
 
-  /** REAL video pixel decode for MJPEG — the one video codec whose
-    * samples the JDK can decode, because each MJPEG sample IS a complete
-    * JPEG image (`javax.imageio`, zero new dependencies; sample entry
-    * fourcc "jpeg" per ISO/IEC 14496-12 + the QuickTime registry). The
-    * full pipeline is demux (box walk → stsc/stco sample ranges) → slice
-    * the payload → decode the slice — exactly what a production frame
-    * sampler does before handing H.264 samples to a GPU codec; for MJPEG
-    * the JDK IS the codec, so the path is real end-to-end and the stub
-    * boundary shrinks to inter-frame codecs only.
+  /** Per-sample pixel decoder: (codec fourcc, sample bytes, track
+    * width, track height) → Some((w, h, rgbSum, rasterMd5)) on success,
+    * None when the codec is not handled or the bytes do not decode —
+    * the `decoded = false` per-sample degradation. */
+  private type SampleDecoder =
+    (String, Array[Byte], Int, Int) => Option[(Int, Int, Long, String)]
+
+  private val jpegDecoder: SampleDecoder = (codec, slice, _, _) =>
+    if (codec != "jpeg") None
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(slice))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val (sum, md5) = rasterSignature(img)
+        Some((img.getWidth, img.getHeight, sum, md5))
+      }
+    }
+
+  private val i420Decoder: SampleDecoder = (codec, slice, w, h) =>
+    if (codec != "I420") None else i420Signature(slice, w, h)
+
+  /** Raster signature of one I420 (planar YUV 4:2:0, 8-bit) sample —
+    * the raw-video twin of [[rasterSignature]]: Y plane of `w*h` bytes,
+    * then U and V planes of `ceil(w/2)*ceil(h/2)` each (odd dims round
+    * UP — the chroma sample covering the edge row/column exists). Dims
+    * come from the track header ('I420' carries no in-band geometry).
+    * Returns None when dims are non-positive or the payload length is
+    * not exactly the three-plane sum (a truncated or padded sample
+    * cannot silently half-decode).
     *
-    * Degradation is layered: a malformed CONTAINER emits zero rows (the
-    * [[extractSamples]] contract); a track whose codec is not "jpeg", or
-    * a sample whose bytes do not decode, emits `decoded = false` for the
-    * affected SAMPLES only. */
-  def decodeJpegFrames(r: Multimodal.MediaRecord, keyOnly: Boolean = false)
-      : Iterator[FrameDecode] = {
+    * YUV → RGB is the classic fixed-point studio-swing BT.601 kernel
+    * (`c = 298(Y-16)`; `R = clamp((c + 409(V-128) + 128) >> 8)` etc.) —
+    * exact integer arithmetic end-to-end, so raster md5 and mean are
+    * reproducible bit-for-bit by any implementation of the same spec. */
+  def i420Signature(bytes: Array[Byte], w: Int, h: Int)
+      : Option[(Int, Int, Long, String)] = {
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    if (w <= 0 || h <= 0 ||
+        bytes.length.toLong != w.toLong * h + 2L * cw * ch) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val row = new Array[Byte](w * 3)
+      val uOff = w * h
+      val vOff = uOff + cw * ch
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = bytes(y * w + x) & 0xff
+          val u = bytes(uOff + (y / 2) * cw + x / 2) & 0xff
+          val v = bytes(vOff + (y / 2) * cw + x / 2) & 0xff
+          val c = 298 * (yy - 16)
+          val d = u - 128
+          val e = v - 128
+          def cl(i: Int) = if (i < 0) 0 else if (i > 255) 255 else i
+          val r = cl((c + 409 * e + 128) >> 8)
+          val g = cl((c - 100 * d - 208 * e + 128) >> 8)
+          val b = cl((c + 516 * d + 128) >> 8)
+          sum += r + g + b
+          row(x * 3) = r.toByte
+          row(x * 3 + 1) = g.toByte
+          row(x * 3 + 2) = b.toByte
+          x += 1
+        }
+        md.update(row)
+        y += 1
+      }
+      Some((w, h, sum, md.digest().map("%02x".format(_)).mkString))
+    }
+  }
+
+  /** Shared decode walk: demux (box walk → stsc/stco sample ranges) →
+    * slice the payload → hand each slice to `dec`. Degradation is
+    * layered: a malformed CONTAINER emits zero rows (the
+    * [[extractSamples]] contract); a sample the decoder declines emits
+    * `decoded = false` for that SAMPLE only. */
+  private def decodeFramesWith(r: Multimodal.MediaRecord, keyOnly: Boolean,
+                               dec: SampleDecoder): Iterator[FrameDecode] = {
     val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
     try {
       val out = List.newBuilder[FrameDecode]
@@ -356,21 +424,15 @@ object VideoDemux {
               val sz = stbl.sizes(s)
               if (off < 0 || off + sz > bytes.length)
                 fail(s"sample $s range [$off, ${off + sz}) outside payload")
-              val img =
-                if (stbl.codec != "jpeg") null
-                else try javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(
-                    java.util.Arrays.copyOfRange(bytes, off.toInt,
-                      off.toInt + sz)))
-                catch { case _: java.io.IOException => null }
-              out += (if (img == null)
-                FrameDecode(r.id, info.track, s, stbl.keyframes(s),
-                  decoded = false, 0, 0, -1.0, "")
-              else {
-                val (sum, md5) = rasterSignature(img)
-                FrameDecode(r.id, info.track, s, stbl.keyframes(s),
-                  decoded = true, img.getWidth, img.getHeight,
-                  sum.toDouble / (3.0 * img.getWidth * img.getHeight), md5)
+              val slice = java.util.Arrays.copyOfRange(
+                bytes, off.toInt, off.toInt + sz)
+              out += (dec(stbl.codec, slice, info.width, info.height) match {
+                case None =>
+                  FrameDecode(r.id, info.track, s, stbl.keyframes(s),
+                    decoded = false, 0, 0, -1.0, "")
+                case Some((w, h, sum, md5)) =>
+                  FrameDecode(r.id, info.track, s, stbl.keyframes(s),
+                    decoded = true, w, h, sum.toDouble / (3.0 * w * h), md5)
               })
             }
             s += 1
@@ -380,11 +442,45 @@ object VideoDemux {
     } catch { case _: ParseError => Iterator.empty }
   }
 
+  /** REAL video pixel decode for MJPEG — a video codec whose samples
+    * the JDK can decode, because each MJPEG sample IS a complete JPEG
+    * image (`javax.imageio`, zero new dependencies; sample entry fourcc
+    * "jpeg" per ISO/IEC 14496-12 + the QuickTime registry). The full
+    * pipeline is demux → slice → decode the slice — exactly what a
+    * production frame sampler does before handing H.264 samples to a
+    * GPU codec; for MJPEG the JDK IS the codec, so the path is real
+    * end-to-end. */
+  def decodeJpegFrames(r: Multimodal.MediaRecord, keyOnly: Boolean = false)
+      : Iterator[FrameDecode] =
+    decodeFramesWith(r, keyOnly, jpegDecoder)
+
   /** Partition-parallel MJPEG frame decode. */
   def decodeAllJpegFrames(ds: Dataset[Multimodal.MediaRecord],
                           keyOnly: Boolean = false)
       (implicit spark: SparkSession): Dataset[FrameDecode] = {
     import spark.implicits._
     ds.mapPartitions(_.flatMap(decodeJpegFrames(_, keyOnly)))
+  }
+
+  /** REAL pixel decode across every codec this library decodes in-JVM:
+    * MJPEG ("jpeg", [[decodeJpegFrames]]) and uncompressed planar YUV
+    * ("I420", [[i420Signature]]). Inter-frame codecs (avc1/hev1/vp09…)
+    * have no JDK decoder — a PERMANENT boundary of this pure-JVM
+    * library, degraded per-sample as `decoded = false` (route those
+    * samples' byte ranges, which [[extractSamples]] resolves for any
+    * codec, to an external decoder). */
+  def decodeVideoFrames(r: Multimodal.MediaRecord, keyOnly: Boolean = false)
+      : Iterator[FrameDecode] =
+    decodeFramesWith(r, keyOnly,
+      (codec, slice, w, h) =>
+        if (codec == "jpeg") jpegDecoder(codec, slice, w, h)
+        else i420Decoder(codec, slice, w, h))
+
+  /** Partition-parallel all-codec frame decode. */
+  def decodeAllVideoFrames(ds: Dataset[Multimodal.MediaRecord],
+                           keyOnly: Boolean = false)
+      (implicit spark: SparkSession): Dataset[FrameDecode] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(decodeVideoFrames(_, keyOnly)))
   }
 }

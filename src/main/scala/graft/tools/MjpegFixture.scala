@@ -75,7 +75,7 @@ object MjpegFixture {
 
   /** LCG filler for non-decodable payloads (audio samples, avc1, the
     * garbage sample) — reuses the [[VideoFixture]] generator. */
-  private def lcgBytes(k: Int, t: Int, s: Int, size: Int): Array[Byte] = {
+  private[tools] def lcgBytes(k: Int, t: Int, s: Int, size: Int): Array[Byte] = {
     val a = new Array[Byte](size)
     var j = 0
     while (j < size) { a(j) = V.sampleByte(k + 100, t, s, j); j += 1 }
@@ -84,7 +84,7 @@ object MjpegFixture {
 
   /** One planned track: fourcc + per-sample payloads as they will be
     * written. `keyEvery = None` means no stss (all-intra). */
-  private case class TrackPlan(handler: String, codec: String,
+  private[tools] case class TrackPlan(handler: String, codec: String,
                                timescale: Long, width: Int, height: Int,
                                payloads: Vector[Array[Byte]],
                                sttsDelta: Long, keyEvery: Option[Int],
@@ -97,7 +97,7 @@ object MjpegFixture {
   /** Assemble one MP4 from track plans; chunk offsets are absolute file
     * offsets computed as the samples are laid into mdat (same layout
     * discipline as [[VideoFixture.makeMp4]]). */
-  private def assemble(plans: Seq[TrackPlan]): Array[Byte] = {
+  private[tools] def assemble(plans: Seq[TrackPlan]): Array[Byte] = {
     val ftyp = V.box("ftyp", V.cc("isom"), V.be32(0x200), V.cc("isom"),
       V.cc("mp42"))
     var cursor = ftyp.length + 8L
@@ -173,7 +173,7 @@ object MjpegFixture {
   }
 
   /** Chunk plan: first 3 samples, then 4 per chunk, remainder last. */
-  private def chunkPlan(n: Int): Seq[Int] =
+  private[tools] def chunkPlan(n: Int): Seq[Int] =
     if (n <= 3) Seq(n)
     else Seq(3) ++ Seq.fill((n - 3) / 4)(4) ++
       (if ((n - 3) % 4 == 0) Seq.empty else Seq((n - 3) % 4))

@@ -58,6 +58,18 @@ object Fixtures {
   def mjpegTruthPath: String =
     new File(dir, "mjpeg_truth.parquet").getAbsolutePath
 
+  /** `rawvideo.parquet` — real MP4 containers whose video samples are
+    * uncompressed planar I420 frames (regenerate both with
+    * `sbt "runMain graft.tools.RawVideoFixture"`). */
+  def rawVideoPath: String =
+    new File(dir, "rawvideo.parquet").getAbsolutePath
+
+  /** `rawvideo_truth.parquet` — one generation-time truth row per
+    * (raw fixture, video-track sample); I420 is lossless, so the
+    * decode must match EXACTLY. */
+  def rawVideoTruthPath: String =
+    new File(dir, "rawvideo_truth.parquet").getAbsolutePath
+
   /** `video_tracks_truth.parquet` — one write-time truth row per
     * (video, track). */
   def videoTracksTruthPath: String =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("media record plumbing: decode stub runs partition-parallel") {
+  test("media record plumbing: byte-stream features run partition-parallel") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Tables.documents(s, sf()).limit(50)
     val feats = Multimodal.extractFeatures(
