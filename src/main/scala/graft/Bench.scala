@@ -139,6 +139,15 @@ object Bench {
         graft.operators.Dedup.simhashPairs(d, "doc_id", "text", 3,
           portable = true).count()
       }
+      // The persisted CHUNK INDEX is the same shared-cache shape: three
+      // gates computeIfAbsent one index per (session, sf-dir), so in a
+      // cold session whichever runs FIRST pays the full corpus chunk +
+      // bucketed write (observed when suite growth reordered the query
+      // map: q_chunk_novelty_stream clocked 8x its baseline task time
+      // paying a build a sibling used to pay). Running the cheapest
+      // member once here fills the cache for all three.
+      warm("shared chunk index")(
+        SparkEntry.queries("q_chunk_novelty")(spark, sfDir).count())
     }
     // warm-up wall time is reported next to the total so the headline
     // stays apples-to-apples: the timed queries run against pre-filled
@@ -203,8 +212,7 @@ object Bench {
     // calibration is reported separately (contended_flags) instead of
     // laundered into "regressions".
     @volatile var calSink = 0
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
+    def calLoop(): Unit = {
       var h = 0x811c9dc5
       var i = 0
       while (i < 10000000) {
@@ -212,21 +220,47 @@ object Bench {
         i += 1
       }
       calSink = h
+    }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      calLoop()
       (System.nanoTime() - t0) / 1e6
     }
-    // suite-start reference: min of 5 (the quietest observation — any
+    // the MULTI-core witness: 8 threads run the same loop concurrently
+    // and the wall of the slowest is reported. A host stealing whole
+    // cores from this 32-thread suite can leave one thread untouched
+    // (single-thread calibration stays flat) while the parallel stages
+    // that dominate task time starve — 8 concurrent loops can't all
+    // dodge the steal.
+    def calibrateMT(): Double = {
+      val n = math.min(8, Runtime.getRuntime.availableProcessors)
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map(_ => new Thread(() => calLoop()))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    // suite-start references: min of 5 (the quietest observation — any
     // single draw can be stolen from, the minimum can only be honest)
     val calBase = { calibrate(); (1 to 5).map(_ => calibrate()).min }
+    val calMtBase = { calibrateMT(); (1 to 5).map(_ => calibrateMT()).min }
     val calMed = scala.collection.mutable.Map.empty[String, Double]
-    val results = selected.map { case (name, fn) =>
+    val calMtMed = scala.collection.mutable.Map.empty[String, Double]
+    // DETERMINISTIC name order: `queries` is a hash map, so adding one
+    // query used to reshuffle the whole schedule — and with it, which
+    // query pays any first-use cost the warm-up misses — making
+    // per-query numbers incomparable across suite growth
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Vector.newBuilder[Double]
       val taskTimes = Vector.newBuilder[Double]
       val gcTimes = Vector.newBuilder[Double]
       val calTimes = Vector.newBuilder[Double]
+      val calMtTimes = Vector.newBuilder[Double]
       var failed = false
       var r = 0
       while (r < reps && !failed) {
         calTimes += calibrate()
+        calMtTimes += calibrateMT()
         val (task0, gc0) = (taskMs.get(), gcMs.get())
         val t0 = System.nanoTime()
         try {
@@ -260,6 +294,8 @@ object Bench {
       val gcMed = if (failed) -1.0 else med(gcTimes.result())
       val cs = calTimes.result()
       if (cs.nonEmpty) calMed(name) = med(cs)
+      val cms = calMtTimes.result()
+      if (cms.nonEmpty) calMtMed(name) = med(cms)
       name -> ((median, mad, taskMed, gcMed, ts))
     }
     val qs = results.map { case (k, (m, _, _, _, _)) => s"\"" + k + "\":" + m }
@@ -307,11 +343,13 @@ object Bench {
             e.getValue.get("mad").asDouble(), tm)
         }.toMap
       } else Map.empty
-    // the recorded quiet-host calibration reference rides in the
-    // baseline file as a pseudo-entry; -1 = baseline predates it
+    // the recorded quiet-host calibration references ride in the
+    // baseline file as pseudo-entries; -1 = baseline predates them
     val baseCalRecorded: Double =
       baselineAll.get("__calibration").map(_._1).getOrElse(-1.0)
-    val baseline = baselineAll - "__calibration"
+    val baseCalMtRecorded: Double =
+      baselineAll.get("__calibration_mt").map(_._1).getOrElse(-1.0)
+    val baseline = baselineAll - "__calibration" - "__calibration_mt"
     // gc_ms kept separately: only needed to round-trip baseline entries
     // whose queries a filtered record run did not execute
     val baselineGc: Map[String, Double] =
@@ -354,14 +392,20 @@ object Bench {
       baseline(k)._3 >= 0 && baseline(k)._3 >= 0.1 * baseline(k)._1 * 1000
     def taskRegressed(k: String, tm: Double): Boolean =
       tm > baseline(k)._3 + math.max(0.15 * baseline(k)._3, 250.0)
-    // the sentinel verdict: this query's reps ran while the fixed
-    // single-thread loop was >25% over the RECORDED quiet-host
-    // reference (absolute, not relative to this run's own start —
-    // a fully-contended run would otherwise self-normalize). Only
-    // classifies when the baseline carries the reference.
+    // the sentinel verdict: this query's reps ran while either witness
+    // sat over its RECORDED quiet-host reference (absolute, not
+    // relative to this run's own start — a fully-contended run would
+    // otherwise self-normalize): the single-thread loop >25% (serial
+    // steal) or the 8-thread loop >40% (multi-core steal, the mode
+    // that inflates wall AND task while one lucky thread stays flat;
+    // wider margin because the parallel draw has scheduler variance
+    // even quiet). Only classifies when the baseline carries the
+    // references.
     def calDrifted(k: String): Boolean =
-      baseCalRecorded > 0 &&
-        calMed.getOrElse(k, -1.0) > 1.25 * baseCalRecorded
+      (baseCalRecorded > 0 &&
+        calMed.getOrElse(k, -1.0) > 1.25 * baseCalRecorded) ||
+      (baseCalMtRecorded > 0 &&
+        calMtMed.getOrElse(k, -1.0) > 1.4 * baseCalMtRecorded)
     val regressions = results.collect {
       case (k, (m, _, tm, _, _)) if m >= 0 && baseline.contains(k) &&
         wallRegressed(k, m) && (!taskWitness(k) || taskRegressed(k, tm)) &&
@@ -428,13 +472,19 @@ object Bench {
           .map { case (k, (bm, bd, btm)) =>
             (k, (bm, bd, btm, baselineGc.getOrElse(k, 0.0))) }.toSeq
         else Seq.empty
-      // the calibration reference recorded alongside: the quietest
-      // single-thread loop time ever observed at record time (min-merge
-      // — for a "how fast CAN this host run one thread" reference,
-      // slower recordings are noise, not envelope)
-      val calEntry = Seq(("__calibration",
-        (if (merge && baseCalRecorded > 0) math.min(calBase, baseCalRecorded)
-         else calBase, 0.0, -1.0, 0.0)))
+      // the calibration references recorded alongside: the quietest
+      // loop times ever observed at record time (min-merge — for a
+      // "how fast CAN this host run" reference, slower recordings are
+      // noise, not envelope)
+      val calEntry = Seq(
+        ("__calibration",
+          (if (merge && baseCalRecorded > 0)
+            math.min(calBase, baseCalRecorded)
+          else calBase, 0.0, -1.0, 0.0)),
+        ("__calibration_mt",
+          (if (merge && baseCalMtRecorded > 0)
+            math.min(calMtBase, baseCalMtRecorded)
+          else calMtBase, 0.0, -1.0, 0.0)))
       val merged = recorded ++ carried ++ calEntry
       val body = merged.map { case (k, (m, d, tm, g)) =>
         s"""  "$k": {"median": $m, "mad": $d, "task_ms": $tm, "gc_ms": $g}""" }
@@ -447,8 +497,8 @@ object Bench {
     // the survivors would report a LOWER total when an expensive query
     // breaks — the run must read as invalid, not as a speedup
     val total =
-      if (results.values.exists(_._1 < 0)) -1.0
-      else results.values.map(_._1).sum
+      if (results.exists(_._2._1 < 0)) -1.0
+      else results.map(_._2._1).sum
     // micro-batch counts of the chunked-replay streaming gates: a slow
     // streaming number with an UNCHANGED batch count is per-batch floor
     // (host) noise; a changed count is a semantics/code change
@@ -461,10 +511,13 @@ object Bench {
     // medians — so a tail-truncated capture still keeps every number
     // that is graded; the per-run times are stderr forensics (they are
     // also echoed per-run above as they happen)
-    val calJson = results.keys.toSeq
+    val calJson = results.map(_._1)
       .flatMap(k => calMed.get(k).map(v => f""""$k":$v%.2f"""))
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions,"contended_flags":$contendedFlags,"wall_only_warnings":$wallOnly,"cal_base_ms":$calBase%.2f,"cal_baseline_ms":$baseCalRecorded%.2f,"cal_ms":$calJson,"replay_batches":$replayBatches}""")
+    val calMtJson = results.map(_._1)
+      .flatMap(k => calMtMed.get(k).map(v => f""""$k":$v%.2f"""))
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions,"contended_flags":$contendedFlags,"wall_only_warnings":$wallOnly,"cal_base_ms":$calBase%.2f,"cal_baseline_ms":$baseCalRecorded%.2f,"cal_mt_base_ms":$calMtBase%.2f,"cal_mt_baseline_ms":$baseCalMtRecorded%.2f,"cal_ms":$calJson,"cal_mt_ms":$calMtJson,"replay_batches":$replayBatches}""")
     System.err.println(s"""[bench] runs: $runs""")
     SparkEntry.dropCachedIndexes(spark)
     spark.stop()
