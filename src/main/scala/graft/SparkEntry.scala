@@ -787,6 +787,16 @@ object SparkEntry {
           bpeGateMerges)
         .orderBy("doc")),
 
+    // the SAME contract through the unbounded-rule-count apply path
+    // (ranked mapPartitions walk instead of the 64-rule codegen fold —
+    // the path a trained 32k-rule vocabulary runs): same rules, same
+    // oracle, so the two implementations are pinned to each other AND
+    // to DuckDB
+    "q_bpe_encode_large" -> ((s, d) =>
+      graft.operators.Subword.bpeEncodeLarge(docs(s, d), "doc_id", "text",
+          bpeGateMerges)
+        .orderBy("doc")),
+
     // piece IDENTITY under the same merges: the corpus piece
     // distribution, not just counts — two different segmentations of
     // equal length cannot both match it
@@ -2351,6 +2361,20 @@ object SparkEntry {
     "q_bpe_merges" -> bpeOracleSql(6),
 
     "q_bpe_encode" ->
+      s"""WITH $tokCte,
+         |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+         |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+         |       GROUP BY doc_id, w),
+         |wp AS (SELECT w, len($bpeApplySql)::BIGINT AS np
+         |       FROM (SELECT DISTINCT w FROM wc))
+         |SELECT doc_id AS doc, sum(c * np)::BIGINT AS n_pieces
+         |FROM wc JOIN wp USING (w)
+         |GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // same replay as q_bpe_encode — the large-path gate applies the
+    // same training-consistent rule list, for which ranked apply ==
+    // sequential rank-order fold (see Subword.applyMergesRanked)
+    "q_bpe_encode_large" ->
       s"""WITH $tokCte,
          |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
          |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)

@@ -432,6 +432,105 @@ object Subword {
       .agg(sum(col("c") * col("np")).as("n_pieces"))
   }
 
+  /** Ranked BPE apply for one word — the standard encoder loop:
+    * repeatedly merge the LOWEST-RANK pair present (all its
+    * occurrences, left-to-right) until none of the rules match. For a
+    * TRAINING-CONSISTENT rule list (every rule's sides exist before
+    * the rule — what [[trainBpeMerges]] produces by construction) this
+    * equals applying the rules sequentially in rank order, i.e.
+    * [[applyMerge]]'s fold: a pair of rank r can only be created by
+    * rules of rank < r, so by the time the sequential pass reaches
+    * rule r every instance it will ever see exists. Per-word cost is
+    * O(len · merges-applied), INDEPENDENT of the rule-list size —
+    * which is what makes a 32k-rule vocabulary encodable. */
+  private[graft] def applyMergesRanked(
+      word: String, rank: java.util.HashMap[(String, String), Int])
+      : Array[String] = {
+    var syms = word.split("").filter(_.nonEmpty)
+    var go = syms.length > 1
+    while (go) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrDefault((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) go = false
+      else {
+        syms = mergeWord(syms, syms(bi), syms(bi + 1))
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  private def rankMap(merges: Seq[(String, String)])
+      : java.util.HashMap[(String, String), Int] = {
+    val m = new java.util.HashMap[(String, String), Int](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, i) =>
+      if (!m.containsKey(p)) m.put(p, i)
+      ()
+    }
+    m
+  }
+
+  /** BPE ENCODE at UNBOUNDED rule-list size — the apply path for a
+    * vocabulary [[trainBpeMerges]] actually produces (thousands of
+    * rules; [[bpeEncode]]'s codegen fold composes the rules into one
+    * Janino unit and is capped at 64). Same contract and output as
+    * [[bpeEncode]]; requires a training-consistent rule list (see
+    * [[applyMergesRanked]] — rule lists from [[trainBpeMerges]] always
+    * are, and the spec pins fold == ranked equality on them).
+    *
+    * Scale shape: the Zipf amortization — the ranked-apply walk runs
+    * once per DISTINCT word in `mapPartitions` (the rank map builds
+    * once per partition), piece counts join back by word, and document
+    * bodies never cross a shuffle. Rule-list size affects only the
+    * broadcast closure (~MBs for 32k rules), not per-word cost. */
+  def bpeEncodeLarge(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merge list must not be empty")
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
+      "merge rule sides must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = wordCounts(docs, idCol, textCol)
+    val mergesSeq = merges
+    val pieces = wc.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        val rank = rankMap(mergesSeq)
+        it.map(w => (w, applyMergesRanked(w, rank).length.toLong))
+      }.toDF("w", "np")
+    wc.join(pieces, "w")
+      .groupBy(col("doc"))
+      .agg(sum(col("c") * col("np")).as("n_pieces"))
+  }
+
+  /** [[bpePieceFrequencies]] at unbounded rule-list size — the
+    * piece-identity witness for [[bpeEncodeLarge]]. */
+  def bpePieceFrequenciesLarge(docs: DataFrame, textCol: String,
+                               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merge list must not be empty")
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
+      "merge rule sides must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wcw = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val mergesSeq = merges
+    val pieces = wcw.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        val rank = rankMap(mergesSeq)
+        it.flatMap(w => applyMergesRanked(w, rank).map(p => (w, p)))
+      }.toDF("w", "piece")
+    wcw.join(pieces, "w")
+      .groupBy("piece").agg(sum(col("c")).as("n"))
+  }
+
   /** Corpus piece frequencies under BPE-by-merges: `(piece, n)` — the
     * piece-IDENTITY witness for [[bpeEncode]]'s segmentation (counts
     * alone cannot distinguish two segmentations of equal length). */

@@ -232,6 +232,43 @@ class SubwordSpec extends SparkSpec {
     assert(e.getMessage.contains("localBytesCap"), e.getMessage)
   }
 
+  test("bpeEncodeLarge: ranked apply equals the codegen fold on trained" +
+      " rules, and scales past the 64-rule cap") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    // a REAL trained rule list (training-consistent by construction)
+    val merges = Subword.trainBpeMerges(docs, "text", 48).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 48)
+    // piece IDENTITY equality: fold path (<= 64 rules) vs ranked path
+    def freqs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freqs(Subword.bpePieceFrequenciesLarge(docs, "text", merges)) ==
+      freqs(Subword.bpePieceFrequencies(docs, "text", merges)))
+    // per-doc count equality
+    def counts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val large48 = counts(Subword.bpeEncodeLarge(docs, "doc_id", "text", merges))
+    assert(large48 == counts(Subword.bpeEncode(docs, "doc_id", "text", merges)))
+    // past the fold's cap: the fold refuses, the ranked path runs and
+    // more merges can only compress further
+    val merges300 = Subword.trainBpeMerges(docs, "text", 300).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges300.size > 64, s"corpus exhausted at ${merges300.size}")
+    intercept[IllegalArgumentException] {
+      Subword.bpeEncode(docs, "doc_id", "text", merges300)
+    }
+    val large300 = counts(
+      Subword.bpeEncodeLarge(docs, "doc_id", "text", merges300))
+    assert(large300.keySet == large48.keySet)
+    assert(large300.forall { case (d, n) => n <= large48(d) },
+      "300 trained merges must compress at least as well as their" +
+        " 48-rule prefix")
+    assert(large300.values.sum < large48.values.sum)
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     val s = spark
     import s.implicits._
