@@ -665,6 +665,21 @@ object SparkEntry {
           round(TF.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")),
 
+    // Gopher rule-set verdicts (Rae et al. 2021 App. A) — the published
+    // heuristic filter battery; every metric and the conjunction pass
+    "q_quality_gopher" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TF.gopherFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_frac").as("bullet_frac"),
+          col("g.ellipsis_frac").as("ellipsis_frac"),
+          col("g.alpha_frac").as("alpha_frac"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.pass").as("pass"))
+        .orderBy("doc_id")),
+
     "q_fingerprint" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
@@ -2443,6 +2458,67 @@ object SparkEntry {
          |      + 0.3 * (1.0 - least(pr * 5.0, 1.0))
          |      + 0.3 * least(swr * 4.0, 1.0), 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // rule thresholds compared as DOUBLEs on both sides: a bare 0.1 is
+    // a DECIMAL literal in DuckDB, and a ratio exactly on a boundary
+    // would flip between decimal-exact and IEEE comparison semantics
+    "q_quality_gopher" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id,
+         |  len(tk) AS n,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    list_sum(list_transform(tk, x -> strlen(x)))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS mean_len,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    (len(regexp_extract_all(text, '#'))
+         |     + len(regexp_extract_all(text, '\\.\\.\\.'))
+         |     + len(regexp_extract_all(text, '…')))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS sym_ratio,
+         |  list_filter(list_transform(string_split(text, chr(10)),
+         |                             l -> trim(l)),
+         |              l -> strlen(l) > 0) AS ls,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+         |      / len(tk)
+         |  ELSE 0.0 END AS alpha_frac,
+         |  ((CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END))
+         |    AS stop_hits
+         |  FROM t),
+         |m2 AS (SELECT doc_id, n, mean_len, sym_ratio, alpha_frac,
+         |  stop_hits,
+         |  CASE WHEN len(ls) > 0 THEN
+         |    len(list_filter(ls, l -> starts_with(l, '•')
+         |          OR starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE
+         |      / len(ls)
+         |  ELSE 0.0 END AS bullet_frac,
+         |  CASE WHEN len(ls) > 0 THEN
+         |    len(list_filter(ls, l -> ends_with(l, '...')
+         |          OR ends_with(l, '…')))::DOUBLE / len(ls)
+         |  ELSE 0.0 END AS ellipsis_frac
+         |  FROM m)
+         |SELECT doc_id, n::BIGINT AS n_words,
+         |  round(mean_len, 6) AS mean_word_len,
+         |  round(sym_ratio, 6) AS symbol_ratio,
+         |  round(bullet_frac, 6) AS bullet_frac,
+         |  round(ellipsis_frac, 6) AS ellipsis_frac,
+         |  round(alpha_frac, 6) AS alpha_frac,
+         |  stop_hits::BIGINT AS stop_hits,
+         |  (n >= 50 AND n <= 100000
+         |   AND mean_len >= CAST(3.0 AS DOUBLE)
+         |   AND mean_len <= CAST(10.0 AS DOUBLE)
+         |   AND sym_ratio <= CAST(0.1 AS DOUBLE)
+         |   AND bullet_frac <= CAST(0.9 AS DOUBLE)
+         |   AND ellipsis_frac <= CAST(0.3 AS DOUBLE)
+         |   AND alpha_frac >= CAST(0.8 AS DOUBLE)
+         |   AND stop_hits >= 2) AS pass
+         |FROM m2 ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

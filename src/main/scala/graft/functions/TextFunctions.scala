@@ -37,6 +37,72 @@ object TextFunctions {
   def regexpCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))
 
+  /** The stop-word containment list of the Gopher rules (Rae et al.
+    * 2021, Appendix A.1.1): a document must contain at least 2. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality rule set (Rae et al. 2021, Appendix
+    * A.1.1 — the published heuristics Dolma/FineWeb-class pipelines
+    * reuse): per-document metrics and the conjunction verdict `pass`:
+    *
+    *   - 50 <= word count <= 100,000
+    *   - 3 <= mean word length <= 10
+    *   - symbol-to-word ratio ('#', '...', '…') <= 0.1
+    *   - fraction of non-blank lines starting with a bullet
+    *     ('•', '-', '*') <= 0.9
+    *   - fraction of non-blank lines ending with an ellipsis <= 0.3
+    *   - fraction of words containing an alphabetic character >= 0.8
+    *   - at least 2 of the 8 [[GopherStopWords]] present
+    *
+    * All codegen: token metrics are higher-order functions over the
+    * [[tokens]] array, line metrics over the newline split — no UDF,
+    * one pass per shape. Ratio fields in the returned struct round to
+    * 6 for cross-engine hashing; `pass` compares the UNROUNDED ratios
+    * (each a single IEEE division of exact integers, so any IEEE
+    * engine lands on the same side — the oracle must compare doubles,
+    * not decimal literals). */
+  def gopherFlags(text: Column): Column = {
+    val tk = tokens(text)
+    val n = size(tk)
+    val totLen = aggregate(tk, lit(0L), (a, x) => a + length(x))
+    val meanLen = when(n > 0, totLen.cast("double") / n).otherwise(lit(0.0))
+    val sym = regexpCount(text, "#") + regexpCount(text, "\\.\\.\\.") +
+      regexpCount(text, "…")
+    val symRatio = when(n > 0, sym.cast("double") / n).otherwise(lit(0.0))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(lines)
+    val bullets = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("-") || l.startsWith("*")))
+    val bulletFrac =
+      when(nl > 0, bullets.cast("double") / nl).otherwise(lit(0.0))
+    val ells = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val ellipsisFrac =
+      when(nl > 0, ells.cast("double") / nl).otherwise(lit(0.0))
+    val alphaWords = size(filter(tk, x => x.rlike("[a-zA-Z]")))
+    val alphaFrac =
+      when(n > 0, alphaWords.cast("double") / n).otherwise(lit(0.0))
+    val stopHits = GopherStopWords
+      .map(w => when(array_contains(tk, w), 1).otherwise(0))
+      .reduce(_ + _)
+    val pass = n >= 50 && n <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    struct(
+      n.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      pass.as("pass"))
+  }
+
   /** Word n-gram shingles ("a b c" style), distinct in first-occurrence
     * order; empty array when the document has fewer than n tokens.
     * Implemented as a single-pass codegen kernel

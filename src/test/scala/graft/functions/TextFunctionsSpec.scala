@@ -49,6 +49,53 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
   }
 
+  test("gopher rules: each rule trips on its own adversarial document") {
+    import org.apache.spark.sql.Row
+    def flags(text: String): Row =
+      one(text, gopherFlags(col("text"))).asInstanceOf[Row]
+    // a clean passing document: 60 plain words incl. 2 stopwords
+    val good = ("the quick brown fox jumps with vigor " +
+      Seq.tabulate(53)(i => s"word$i").mkString(" "))
+    val g = flags(good)
+    assert(g.getAs[Boolean]("pass"), g.toString)
+    assert(g.getAs[Long]("n_words") == 60)
+    // too short: 10 words
+    assert(!flags("the cat with a hat sat on a warm mat")
+      .getAs[Boolean]("pass"))
+    // symbol ratio: 60 words with 20 '#'
+    val hashy = good + " " + Seq.fill(20)("#").mkString(" ")
+    val h = flags(hashy)
+    assert(h.getAs[Double]("symbol_ratio") > 0.1 && !h.getAs[Boolean]("pass"))
+    // bullet lines: every line a bullet -> frac 1.0 > 0.9
+    val bullets = Seq.tabulate(60)(i => s"- the with item$i word$i")
+      .mkString("\n")
+    val b = flags(bullets)
+    assert(b.getAs[Double]("bullet_frac") == 1.0 && !b.getAs[Boolean]("pass"))
+    // ellipsis line ends: every line trails off -> frac 1.0 > 0.3
+    val ell = Seq.tabulate(30)(i => s"the with thing$i goes on...")
+      .mkString("\n")
+    val e = flags(ell)
+    assert(e.getAs[Double]("ellipsis_frac") == 1.0 && !e.getAs[Boolean]("pass"))
+    // alpha fraction: 60 words, 20 pure numbers -> 40/60 < 0.8
+    val nums = ("the with " + Seq.tabulate(38)(i => s"w$i").mkString(" ") +
+      " " + Seq.tabulate(20)(i => s"${i}00").mkString(" "))
+    val nf = flags(nums)
+    assert(nf.getAs[Double]("alpha_frac") < 0.8 && !nf.getAs[Boolean]("pass"))
+    // stopword containment: 60 words, zero stopwords
+    val nostop = Seq.tabulate(60)(i => s"zz$i").mkString(" ")
+    val ns = flags(nostop)
+    assert(ns.getAs[Long]("stop_hits") == 0 && !ns.getAs[Boolean]("pass"))
+    // mean word length: 60 single chars -> mean 1 < 3
+    val short = ("the of " + Seq.fill(58)("a").mkString(" "))
+    assert(!flags(short).getAs[Boolean]("pass"))
+    // blank lines are excluded from line fractions
+    val blanky = good + "\n\n   \n"
+    assert(flags(blanky).getAs[Double]("bullet_frac") == 0.0)
+    // empty document: nothing passes, nothing divides by zero
+    val z = flags("")
+    assert(!z.getAs[Boolean]("pass") && z.getAs[Long]("n_words") == 0)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val s = spark
     import s.implicits._
