@@ -1477,12 +1477,33 @@ object SparkEntry {
           "source", Seq("n_chars"))
         .orderBy("doc_id")),
 
-    // keep docs at/above their source's exact interpolated p75 length —
-    // the per-stratum threshold filter quality pipelines run
+    // keep docs at/above their source's DISCRETE p75 length (smallest
+    // value whose cumulative count reaches ceil(0.75 n) — an actual
+    // data value, so the threshold compare is integer-vs-integer and
+    // flip-immune) — the per-stratum threshold filter quality
+    // pipelines run
     "q_quantile_filter" -> ((s, d) =>
       graft.operators.Features.quantileFilter(
           docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
           "source", "n_chars", 0.75)
+        .orderBy("doc_id")),
+
+    // winsorize document lengths into [p05, p95] discrete bounds — the
+    // outlier clip before moment-based normalization
+    "q_winsorize" -> ((s, d) =>
+      graft.operators.Features.winsorize(
+          docs(s, d).select(col("doc_id"), col("n_chars")),
+          "n_chars", 0.05, 0.95)
+        .orderBy("doc_id")),
+
+    // temperature (alpha=0.5) mixture flattening: per source keep
+    // min(n, floor(2 * sqrt(n))) docs in the salted-hash order — sqrt
+    // is IEEE correctly-rounded, so the targets are engine-exact
+    "q_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureSample(
+          docs(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", rate = 2.0, alpha = 0.5, salt = "tmix")
+        .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
     // weighted corpus upsampling: mixing weight 2.25 = two copies of
@@ -3324,14 +3345,66 @@ object SparkEntry {
         |FROM documents JOIN m USING (source)
         |ORDER BY doc_id""".stripMargin,
 
-    // percentile() in Spark == quantile_cont in DuckDB (interpolated);
-    // CorpusStats.quantileCertificate is the sketch-swap certificate
+    // DISCRETE per-group threshold, replayed structurally (the same
+    // cum-sum construction as q_length_buckets — no engine's quantile
+    // implementation is trusted, and the >= compares data values)
     "q_quantile_filter" ->
-      """WITH t AS (SELECT source, quantile_cont(n_chars::DOUBLE, 0.75) thr
-        |           FROM documents GROUP BY 1)
+      """WITH vc AS (SELECT source, n_chars AS v, count(*) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |          sum(c) OVER (PARTITION BY source ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cum,
+        |          sum(c) OVER (PARTITION BY source) AS n
+        |        FROM vc),
+        |t AS (SELECT source,
+        |        min(CASE WHEN cum >= ceil(CAST(0.75 AS DOUBLE) * n)
+        |                 THEN v END) AS thr
+        |      FROM cum GROUP BY source)
         |SELECT doc_id, source, n_chars
         |FROM documents JOIN t USING (source)
-        |WHERE n_chars::DOUBLE >= thr
+        |WHERE n_chars >= thr
+        |ORDER BY doc_id""".stripMargin,
+
+    // global discrete [p05, p95] bounds via the same cum-sum replay;
+    // the clip is integer arithmetic on both sides
+    "q_winsorize" ->
+      """WITH vc AS (SELECT n_chars AS v, count(*) AS c
+        |            FROM documents GROUP BY 1),
+        |cum AS (SELECT v,
+        |          sum(c) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cum,
+        |          sum(c) OVER () AS n
+        |        FROM vc),
+        |b AS (SELECT
+        |        min(CASE WHEN cum >= ceil(CAST(0.05 AS DOUBLE) * n)
+        |                 THEN v END) AS lo,
+        |        min(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * n)
+        |                 THEN v END) AS hi
+        |      FROM cum)
+        |SELECT doc_id, n_chars,
+        |       greatest(lo, least(hi, n_chars)) AS n_chars_w
+        |FROM documents, b
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-source targets min(n, floor(2 * sqrt(n))) — sqrt/multiply/
+    // floor are all IEEE-exact — then the portable md5 draw order
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT source,
+        |        least(n, floor(CAST(2.0 AS DOUBLE) * sqrt(n::DOUBLE))::BIGINT)
+        |          AS target
+        |      FROM c),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY
+        |          ('0x' || substr(md5('tmix' || doc_id::VARCHAR),
+        |                          1, 8))::BIGINT, doc_id) AS rk
+        |      FROM documents)
+        |SELECT doc_id, source
+        |FROM r JOIN t USING (source)
+        |WHERE rk <= target
         |ORDER BY doc_id""".stripMargin,
 
     // per-stratum (n_base, thresh=round(frac(w)*1e6)) literals mirror

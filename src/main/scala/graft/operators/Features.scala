@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group-wise feature normalization and threshold filtering — the step
@@ -44,26 +45,66 @@ object Features {
   }
 
   /** Keep rows whose `valCol` is >= (or <= with `keepTop = false`) the
-    * group's exact interpolated `q`-quantile (`quantile_cont`
-    * semantics, matching SQL engines bit-for-bit after the threshold
-    * comparison). The threshold frame is one row per group — computed
-    * with `percentile` (exact, per-group sort of VALUES ONLY, never
-    * whole rows), joined back by group hash. At 100 TB swap in
-    * `percentile_approx` for the threshold with identical plumbing —
+    * group's DISCRETE `q`-quantile: the smallest value of the group
+    * whose cumulative count reaches `ceil(q * n)` (`percentile_disc`
+    * convention). The threshold is an ACTUAL data value, so the filter
+    * compares stored values against a stored value — engine-portable
+    * BY CONSTRUCTION. (The first cut used interpolated `percentile`;
+    * whenever the interpolation landed exactly on a data value — at
+    * sf0.01 EVERY source's p75 did — rows sitting on the threshold
+    * were one cross-engine ulp from flipping, the exact failure class
+    * the length-bucketing gate hit in r11. `percentile_approx` swaps
+    * in at 100 TB with identical plumbing —
     * [[CorpusStats.quantileCertificate]] is the sketch-vs-exact
-    * certificate for exactly that substitution.
-    */
+    * certificate for that substitution.)
+    *
+    * Plan shape: a (group, value) count aggregate (map-side combine,
+    * distinct-value cardinality), per-group cumulative windows over
+    * that tiny frame, and one key-hash join back — the corpus itself
+    * is never sorted. */
   def quantileFilter(df: DataFrame, groupCol: String, valCol: String,
                      q: Double, keepTop: Boolean = true): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val vcs = df.groupBy(col(groupCol).as("__g"), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = vcs
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val thr = cum.groupBy(col("__g"))
+      .agg(min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v")))
+        .as("__thr"))
     // null-safe join for the same reason as zscore: a null-group row
     // must be filtered against its own group's threshold, not dropped
-    val thr = df.groupBy(col(groupCol).as("__g"))
-      .agg(expr(s"percentile(cast($valCol as double), ${q}D)").as("__thr"))
     val joined = df.join(thr, col(groupCol) <=> col("__g")).drop("__g")
     val cond =
-      if (keepTop) col(valCol).cast("double") >= col("__thr")
-      else col(valCol).cast("double") <= col("__thr")
+      if (keepTop) col(valCol) >= col("__thr")
+      else col(valCol) <= col("__thr")
     joined.where(cond).select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** Winsorization at discrete quantile bounds: clip `valCol` into
+    * `[b_lo, b_hi]`, where the bounds are ACTUAL data values at
+    * `qLow`/`qHigh` ([[Sampling.discreteBounds]] — integer-exact
+    * cross-engine, no interpolated boundary to flip on; values cast to
+    * long, the signal grain this operates on). Appends `<col>_w` — the
+    * outlier-taming step before z-scoring a heavy-tailed signal, so a
+    * handful of mega-documents stop dominating a stratum's moments.
+    *
+    * Scale shape: the bounds frame is ONE row (distinct-value
+    * cum-sum); the clip is a row-local projection after a broadcast
+    * crossJoin — no shuffle of the corpus. */
+  def winsorize(df: DataFrame, valCol: String, qLow: Double,
+                qHigh: Double): DataFrame = {
+    require(qLow > 0.0 && qLow < qHigh && qHigh < 1.0,
+      s"need 0 < qLow < qHigh < 1, got ($qLow, $qHigh)")
+    val bounds = Sampling.discreteBounds(df, valCol, Seq(qLow, qHigh))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valCol}_w",
+        greatest(col("__b0"), least(col("__b1"), col(valCol).cast("long"))))
+      .drop("__b0", "__b1")
   }
 }

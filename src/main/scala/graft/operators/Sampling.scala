@@ -94,6 +94,60 @@ object Sampling {
       .where(col("__rk") <= n)
   }
 
+  /** Temperature (power-law) mixture sampling — the T5/mT5-style
+    * mixture flattener: per stratum s with n_s rows, keep
+    * `target_s = min(n_s, floor(rate * n_s^alpha))` rows, drawn in the
+    * deterministic salted-hash order of [[stratifiedSample]].
+    * `alpha < 1` flattens the source distribution (head strata
+    * downsample aggressively, tail strata keep proportionally more);
+    * `alpha = 1` keeps a proportional fraction; `alpha = 0` keeps
+    * `floor(rate)` rows of every stratum.
+    *
+    * RATE form, not budget form, deliberately: `target_s` depends only
+    * on the stratum's OWN count — no cross-stratum normalizing sum
+    * whose floating accumulation order another engine could disagree
+    * with. (Budget form — solve `rate` so the targets sum to a token
+    * budget — is a driver-side solve over the tiny per-stratum count
+    * frame.) Cross-engine exactness: `n^alpha` is bit-portable at
+    * alpha 0.5/1/0 (`sqrt` is IEEE correctly-rounded and dispatched
+    * explicitly; general `pow` is NOT correctly-rounded and carries no
+    * cross-libm guarantee) — the gate pins alpha = 0.5.
+    *
+    * NOT append-stable, by contract: appending to a stratum moves its
+    * `n_s` and therefore its target — unlike [[stratifiedSample]],
+    * whose fixed n makes the draw append-monotone.
+    *
+    * Scale shape: a count aggregate at stratum cardinality broadcasts
+    * back; the draw pays one hash shuffle by stratum + the per-stratum
+    * window. The data-dependent limit defeats the planner's
+    * row_number group-limit heap (it recognizes literal limits only),
+    * so this sits on the [[byTokenBudget]] cost model — the
+    * per-stratum sort is inherent to an exact count cut. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        rate: Double, alpha: Double,
+                        salt: String = "graft"): DataFrame = {
+    require(rate > 0.0, s"rate must be positive, got $rate")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    val nD = col("__n").cast("double")
+    val powered =
+      if (alpha == 1.0) nD
+      else if (alpha == 0.5) sqrt(nD) // correctly-rounded, engine-portable
+      else if (alpha == 0.0) lit(1.0)
+      else pow(nD, lit(alpha))
+    val targets = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol),
+        least(col("__n"), floor(lit(rate) * powered).cast("long"))
+          .as("__target"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderHash(col(idCol), salt), col(idCol))
+    df.join(broadcast(targets), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__target"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Deterministic weighted up/down-sampling by stratum — the "epochs"
     * side of corpus mixing: a mixing weight of 2.25 means every doc of
     * the stratum appears twice and a deterministic 25% of docs appear a
@@ -244,26 +298,7 @@ object Sampling {
     require(quantiles.nonEmpty && quantiles == quantiles.sorted &&
       quantiles.forall(q => q > 0.0 && q < 1.0),
       s"quantiles must be sorted fractions in (0,1), got $quantiles")
-    // (length, count) frame: distinct-length cardinality, so the
-    // unpartitioned windows below run on a deliberately tiny frame
-    val vcs = df.select(col(lenCol).cast("long").as("__v"))
-      .groupBy("__v").agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = vcs
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-    // ceil(q * n): one IEEE double multiply + ceil — bit-identical in
-    // any IEEE-754 engine (the oracle casts its literal to DOUBLE for
-    // the same product); >= q < 1 guarantees the threshold <= n, so a
-    // boundary always exists on a non-empty frame
-    val boundAggs = quantiles.zipWithIndex.map { case (q, i) =>
-      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v")))
-        .as(s"__b$i")
-    }
-    val bounds = cum.agg(boundAggs.head, boundAggs.tail: _*)
+    val bounds = discreteBounds(df, lenCol, quantiles)
     val bucket = quantiles.indices
       .map(i => when(col(lenCol).cast("long") > col(s"__b$i"), 1L)
         .otherwise(0L))
@@ -278,6 +313,38 @@ object Sampling {
         sum(col(lenCol)).cast("long").as("sum_len"))
       .withColumn("padding_waste",
         col("max_len") * col("n_docs") - col("sum_len"))
+  }
+
+  /** 1-row frame of DISCRETE quantile boundaries of `valueCol`
+    * (columns `__b0..__b{k-1}`): boundary i is the smallest ACTUAL
+    * data value whose cumulative count reaches `ceil(q_i * n)` — the
+    * `percentile_disc` convention, built from a cum-summed
+    * (value -> count) frame so no engine's quantile implementation is
+    * trusted and every downstream comparison is integer-vs-integer
+    * (see [[lengthBuckets]] for why interpolated boundaries are never
+    * hash-stable; `ceil(q * n)` itself is one IEEE multiply + ceil,
+    * bit-identical in any IEEE-754 engine). The frame has
+    * distinct-value cardinality, so the unpartitioned windows are
+    * deliberately tiny; q < 1 guarantees every boundary exists on a
+    * non-empty frame. Shared by [[lengthBuckets]] and
+    * [[Features.winsorize]]. */
+  private[operators] def discreteBounds(df: DataFrame, valueCol: String,
+                                        quantiles: Seq[Double])
+      : DataFrame = {
+    val vcs = df.select(col(valueCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = vcs
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val boundAggs = quantiles.zipWithIndex.map { case (q, i) =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v")))
+        .as(s"__b$i")
+    }
+    cum.agg(boundAggs.head, boundAggs.tail: _*)
   }
 
   /** Sequence packing — the concat-then-chunk step that turns a curated

@@ -28,20 +28,44 @@ class FeaturesSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "g", "v", "v_z"))
   }
 
-  test("quantileFilter keeps the interpolated top (and bottom) slice") {
+  test("quantileFilter keeps the discrete top (and bottom) slice") {
     val df = mk(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
       (4L, "a", 4.0), (5L, "b", 10.0)))
-    // a: p50 = 2.5 -> keep 3,4; b: single row is its own quantile
+    // discrete thresholds are DATA VALUES: a at q=.5 -> smallest v with
+    // cum >= ceil(2) = 2.0; b: the single row is its own quantile
     val top = Features.quantileFilter(df, "g", "v", 0.5)
       .collect().map(_.getLong(0)).toSet
-    assert(top == Set(3L, 4L, 5L))
+    assert(top == Set(2L, 3L, 4L, 5L))
     val bottom = Features.quantileFilter(df, "g", "v", 0.5, keepTop = false)
       .collect().map(_.getLong(0)).toSet
     assert(bottom == Set(1L, 2L, 5L))
-    // a: p75 = 3.25 -> only 4 survives
+    // a at q=.75 -> cum >= ceil(3) = 3.0 -> keep 3, 4
     val p75 = Features.quantileFilter(df, "g", "v", 0.75)
       .collect().map(_.getLong(0)).toSet
-    assert(p75 == Set(4L, 5L))
+    assert(p75 == Set(3L, 4L, 5L))
+    // the r11 failure class: a duplicated value ON the threshold — all
+    // copies land on the same side, whatever engine computes it
+    val dup = mk(Seq((1L, "a", 1.0), (2L, "a", 4.0), (3L, "a", 4.0),
+      (4L, "a", 4.0), (5L, "a", 9.0)))
+    val kd = Features.quantileFilter(dup, "g", "v", 0.75)
+      .collect().map(_.getLong(0)).toSet
+    // cum >= ceil(3.75) = 4 -> thr = 4.0 -> every 4.0 survives together
+    assert(kd == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("winsorize clips into discrete [qLow, qHigh] data-value bounds") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(i => (i, i * 10)).toDF("id", "v")
+    // n=20: lo = value at cum >= ceil(1) = 10; hi = cum >= ceil(19) = 190
+    val got = Features.winsorize(df, "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 10L && got(2L) == 20L)
+    assert(got(19L) == 190L && got(20L) == 190L, s"upper clip: $got")
+    assert((2L to 19L).forall(i => got(i) == i * 10))
+    // schema: input columns + one _w column
+    assert(Features.winsorize(df, "v", 0.05, 0.95).columns.toSeq ==
+      Seq("id", "v", "v_w"))
   }
 
   test("null group is its own stratum, never dropped") {
@@ -55,8 +79,10 @@ class FeaturesSpec extends SparkSpec {
     assert(z == Map(1L -> -1.0, 2L -> 1.0, 3L -> -1.0, 4L -> 1.0))
     val kept = Features.quantileFilter(df, "g", "v", 0.5)
       .collect().map(_.getLong(0)).toSet
-    // p50: g1 -> 2.0 keeps id 2; null group -> 6.0 keeps id 4
-    assert(kept == Set(2L, 4L))
+    // discrete p50 of a 2-element group is its LOWER value (cume_dist
+    // of the lower element already reaches 0.5) -> both rows survive
+    // in each group; the point of the test is the null group SURVIVES
+    assert(kept == Set(1L, 2L, 3L, 4L))
   }
 
   test("zscore plans no window sort (moments join, not a window)") {

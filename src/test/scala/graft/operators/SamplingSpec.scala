@@ -389,6 +389,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: alpha flattens the mixture, targets exact," +
+      " draw matches stratifiedSample") {
+    val s = spark
+    import s.implicits._
+    // head stratum 400 rows, tail stratum 25
+    val df = ((1L to 400L).map(i => (i, "head")) ++
+      (401L to 425L).map(i => (i, "tail"))).toDF("doc_id", "src")
+    val got = Sampling.temperatureSample(df, "doc_id", "src",
+      rate = 2.0, alpha = 0.5, salt = "t")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // targets: floor(2*sqrt(400)) = 40; floor(2*sqrt(25)) = 10
+    assert(bySrc("head").size == 40 && bySrc("tail").size == 10)
+    // flattening: the tail keeps 40% of itself, the head 10%
+    assert(bySrc("tail").size.toDouble / 25 >
+      bySrc("head").size.toDouble / 400)
+    // the draw IS the stratifiedSample draw at the same n and salt
+    val strat = Sampling.stratifiedSample(
+        df.filter($"src" === "head"), "doc_id", "src", 40, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(bySrc("head") == strat)
+    // alpha = 1 keeps a proportional fraction; rate capping at n
+    val prop = Sampling.temperatureSample(df, "doc_id", "src",
+      rate = 0.1, alpha = 1.0, salt = "t")
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(prop == Map("head" -> 40, "tail" -> 2))
+    val capped = Sampling.temperatureSample(df, "doc_id", "src",
+      rate = 1000.0, alpha = 0.5, salt = "t")
+    assert(capped.count() == 425L)
+    // alpha = 0: equal allocation of floor(rate) per stratum
+    val eq = Sampling.temperatureSample(df, "doc_id", "src",
+      rate = 7.0, alpha = 0.0, salt = "t")
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(eq == Map("head" -> 7, "tail" -> 7))
+  }
+
   test("weightedSamplePerStratum: k per stratum, same keys, group-limited") {
     val s = spark
     import s.implicits._
