@@ -1030,6 +1030,21 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)
         .orderBy("d1", "d2")),
 
+    // ASYMMETRIC containment dedup (|∩| / min): catches the short-doc-
+    // quoted-inside-long-doc mode Jaccard scores arbitrarily low; the
+    // prefix lemma applies to the SMALLER side only (scaladoc)
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("d1", "d2")),
+
+    // cross-source overlap matrix: corpus-level shingle-set Jaccard +
+    // containment per source pair — the mixture-planning signal priced
+    // BEFORE any per-document dedup runs
+    "q_source_overlap" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceOverlap(docs(s, d), "source",
+          "text", 3)
+        .orderBy("src1", "src2")),
+
     // pairs → transitive closure → survivor per duplicate cluster: the
     // verdict table a training-data filter actually joins against.
     // Large-star/small-star connected components; oracle = the same
@@ -1550,6 +1565,21 @@ object SparkEntry {
       Contamination.flagContaminated(corpus, "doc_id", "text",
           corpus.where(col("doc_id") < 10), "doc_id", "text", 8)
         .orderBy("doc")
+    }),
+
+    // the same contamination check AT INGEST: the corpus streamed
+    // through a real file-source replay against the broadcast bench
+    // shingle set — fully stateless (row-local shingle explode +
+    // stream-static broadcast join), so the per-(doc, shingle) hit
+    // stream must equal the batch run exactly; the oracle is batch SQL
+    "q_decontaminate_stream" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      val corpus = docs(s, d)
+      graft.streaming.StreamingContamination.hitsReplay(
+          corpus, "doc_id", "text",
+          corpus.where(col("doc_id") < 10), "doc_id", "text", 8,
+          pmod(col("doc_id"), lit(3)), 3)
+        .orderBy("doc", "s")
     }),
 
     // same result as q_decontaminate via the large-benchmark plan: a
@@ -2934,6 +2964,47 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
 
+    // distinct (source, 3-gram) sets, pairwise intersect counts, exact
+    // integer divisions rounded to 6
+    "q_source_overlap" ->
+      """WITH ss AS (
+        |  SELECT DISTINCT source AS src, u.sh FROM (
+        |    SELECT source,
+        |           unnest(list_distinct(list_transform(
+        |             range(0, greatest(len(tk)-2, 0)),
+        |             i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
+        |    FROM (SELECT source,
+        |                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             x -> x <> '') tk
+        |          FROM documents)) u),
+        |sizes AS (SELECT src, count(*) AS n FROM ss GROUP BY src),
+        |shared AS (SELECT a.src AS src1, b.src AS src2, count(*) AS n_shared
+        |           FROM ss a JOIN ss b ON a.sh = b.sh AND a.src < b.src
+        |           GROUP BY 1, 2)
+        |SELECT src1, src2, x.n AS n1, y.n AS n2, n_shared,
+        |       round(n_shared::DOUBLE / (x.n + y.n - n_shared), 6)
+        |         AS jaccard,
+        |       round(n_shared::DOUBLE / least(x.n, y.n), 6)
+        |         AS containment
+        |FROM shared JOIN sizes x ON shared.src1 = x.src
+        |            JOIN sizes y ON shared.src2 = y.src
+        |ORDER BY src1, src2""".stripMargin,
+
+    // same candidate construction as the jaccard oracle (any shared
+    // rare shingle — the Spark prefix candidates are a subset, equal
+    // after exact verification under the same df cap), containment
+    // score with the DOUBLE-cast threshold
+    "q_dedup_containment" ->
+      s"""WITH $shingleCte
+         |SELECT d1, d2,
+         |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |             least(len(x.sh), len(y.sh)), 4) AS containment
+         |FROM cand JOIN d x ON cand.d1 = x.doc_id
+         |          JOIN d y ON cand.d2 = y.doc_id
+         |WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |      least(len(x.sh), len(y.sh)) >= CAST(0.6 AS DOUBLE)
+         |ORDER BY d1, d2""".stripMargin,
+
     // the incremental result is the batch pair set restricted to pairs
     // touching the delta partition (union-equivalence)
     "q_dedup_incremental" ->
@@ -3462,6 +3533,24 @@ object SparkEntry {
          |FROM sl ORDER BY doc_id, seq""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
+
+    // the per-(doc, shingle) hit rows BEFORE the per-doc rollup —
+    // statelessness makes the streamed replay equal this batch set
+    "q_decontaminate_stream" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
+        |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                           x -> x <> '') tk
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id AS doc, unnest(s8) s FROM sh
+        |           WHERE doc_id >= 10)
+        |SELECT doc, s
+        |FROM corpus JOIN bench USING (s)
+        |ORDER BY doc, s""".stripMargin,
 
     // the bloom-pruned plan is result-identical to the exact one, so it
     // shares the oracle verbatim

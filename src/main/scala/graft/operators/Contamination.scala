@@ -90,6 +90,34 @@ object Contamination {
       .select(col("doc"), col("bench"), col("jaccard"))
   }
 
+  /** AT-INGEST streaming decontamination — the stateless stream shape
+    * of [[flagContaminated]] (the `chunkVerdictStream` discipline):
+    * each arriving document explodes its distinct shingles ROW-LOCALLY
+    * and checks them against the broadcast benchmark shingle set
+    * (stream-static broadcast join — append mode, no watermark, no
+    * state store, per-record latency). Emits one row per (doc, shared
+    * shingle) — the contamination-hit stream; roll hits up per doc
+    * downstream on whatever cadence the ingest commits (a per-doc
+    * count would need stateful aggregation, deliberately avoided).
+    * Benchmark's own ids are excluded. Works identically on a batch
+    * frame — which is what the replay gate's oracle checks, the
+    * statelessness making replay == batch exact. For benchmark sets
+    * past the broadcast budget, build the [[flagContaminatedBloom]]
+    * sketch once and prepend its `might_contain` prune — the join
+    * below then sees the sliver only. */
+  def decontaminateStream(stream: DataFrame, idCol: String,
+                          textCol: String, benchmark: DataFrame,
+                          benchId: String, benchText: String,
+                          n: Int): DataFrame = {
+    val benchShingles = shingles(benchmark, benchId, benchText, n)
+      .select(col("s")).distinct()
+    val benchIds = benchmark.select(col(benchId).as("doc"))
+    shingles(stream, idCol, textCol, n)
+      .join(broadcast(benchShingles), "s")
+      .join(broadcast(benchIds), Seq("doc"), "left_anti")
+      .select(col("doc"), col("s"))
+  }
+
   /** Documents sharing >= 1 n-gram with the benchmark, with the count of
     * distinct shared n-grams. Output: (doc, n_shared), benchmark docs
     * themselves excluded by id. Output is empty when nothing overlaps. */

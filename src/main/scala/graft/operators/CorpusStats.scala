@@ -420,4 +420,52 @@ object CorpusStats {
         rankOk("le50", "lt50", 0.5).as("ok_p50"),
         rankOk("le90", "lt90", 0.9).as("ok_p90"))
   }
+
+  /** Cross-source overlap matrix — the mixture-planning signal "how
+    * much of source A's content already lives in source B": for every
+    * pair of strata, the Jaccard and containment of their DISTINCT
+    * `n`-gram shingle SETS (corpus-level, not per-document). High
+    * containment of a small source inside a big one means adding it
+    * buys little new signal; the matrix is what a dedup/mixing plan is
+    * priced against before any per-document work runs.
+    *
+    * Only overlapping pairs emit (a pair sharing zero shingles carries
+    * zero information and its absence IS the answer).
+    *
+    * Scale shape: the (stratum, shingle) frame distincts ONCE (one
+    * shuffle on the exact shingle string — exactness over hashing here,
+    * since the output is counts an oracle replays; at 100 TB hash with
+    * a collision-correction pass); per-stratum sizes are a tiny
+    * aggregate; the pair counts self-join shuffles on the shingle with
+    * both sides pinned shuffle-hash (corpus×corpus — never broadcast),
+    * emitting (stratum, stratum) rows bounded by pairs-that-share, and
+    * the final arithmetic is integer-exact single divisions. */
+  def sourceOverlap(df: DataFrame, stratumCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val ss = df
+      .select(col(stratumCol).as("src"),
+        explode(graft.functions.TextFunctions
+          .wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = ss.groupBy("src").agg(count(lit(1)).as("n"))
+    val shared = ss.hint("shuffle_hash").as("a")
+      .join(ss.hint("shuffle_hash").as("b"),
+        col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src1"), col("b.src").as("src2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("src").as("src1"),
+        col("n").as("n1"))), "src1")
+      .join(broadcast(sizes.select(col("src").as("src2"),
+        col("n").as("n2"))), "src2")
+      .select(col("src1"), col("src2"), col("n1"), col("n2"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n1") + col("n2") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_shared").cast("double") /
+          least(col("n1"), col("n2")).cast("double"), 6)
+          .as("containment"))
+  }
 }

@@ -356,6 +356,78 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** ASYMMETRIC near-dup pairs by set CONTAINMENT:
+    * `|A ∩ B| / min(|A|, |B|) >= threshold` over `n`-gram shingle sets.
+    * The gap Jaccard leaves open: a short document fully quoted inside
+    * a long one scores Jaccard ~ |short|/|long| (arbitrarily low) but
+    * containment 1.0 — the quote/wrapper/aggregation-page duplication
+    * mode a crawl is full of. Output `(d1, d2, containment)` with
+    * d1 < d2 (id order; the score is symmetric).
+    *
+    * Candidate generation adapts the PPJoin prefix lemma to the
+    * asymmetric score: only the SMALLER set of a qualifying pair needs
+    * a prefix — containment >= t forces overlap o >= ceil(t·|small|),
+    * so if none of the smaller side's `|x| - ceil(t|x|) + 1` rarest
+    * shingles collide with the larger side, at most `ceil(t|x|) - 1`
+    * common shingles remain: contradiction. The join is therefore
+    * prefix(as-smaller) × full-inverted-index(as-larger) — there is NO
+    * length filter (any size gap can contain), which is exactly why
+    * containment needs the larger side's full index and why
+    * `maxShingleDf` (the skew cap, same recall contract as
+    * [[jaccardPairs]]: pairs similar only through ubiquitous
+    * boilerplate shingles are not found) matters even more here. The
+    * positional filter carries over with `min = |small|`:
+    * `1 + min(szA - rnA, szB - rnB) >= ceil(t·szA)`.
+    *
+    * Scale shape: identical skeleton to [[jaccardPairs]] — hashed
+    * 8-byte shingle keys, every corpus×corpus join pinned
+    * shuffle-hash, exact full-set verification on the surviving
+    * candidates only. */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+                       threshold: Double, maxShingleDf: Long = 1000L,
+                       persistShingles: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sh0 = withShingles(df, id, text, n)
+    val sh = if (persistShingles) cachedIdempotent(sh0) else sh0
+    val inv = sh.select(col("doc"), size(col("sh")).as("sz"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf && col("df") >= 2)
+    val invR = inv.hint("shuffle_hash").join(dfs.hint("shuffle_hash"), "s")
+    val byRarity = Window.partitionBy(col("doc"))
+      .orderBy(col("df").asc, col("s").asc)
+    val ranked0 = invR
+      .withColumn("__rn", row_number().over(byRarity))
+      .select(col("doc"), col("s"), col("__rn").as("rn"), col("sz"))
+    val ranked = if (persistShingles) cachedIdempotent(ranked0) else ranked0
+    // round-before-ceil: same 0.8*35 epsilon discipline as jaccardPairs
+    val prefix = ranked.where(col("rn") <=
+      col("sz") - ceil(round(lit(threshold) * col("sz"), 6)) + 1)
+    val cand = prefix.hint("shuffle_hash").as("a")
+      .join(ranked.hint("shuffle_hash").as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.doc") < col("b.doc"))))
+      .where(lit(1) + least(col("a.sz") - col("a.rn"),
+        col("b.sz") - col("b.rn")) >=
+        ceil(round(lit(threshold) * col("a.sz"), 6)))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    val x = sh.select(col("doc").as("d1"), col("sh").as("sh1"))
+      .hint("shuffle_hash")
+    val y = sh.select(col("doc").as("d2"), col("sh").as("sh2"))
+      .hint("shuffle_hash")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    cand.join(x, "d1").join(y, "d2")
+      .withColumn("containment",
+        inter / least(size(col("sh1")), size(col("sh2"))).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + banded LSH
   // ------------------------------------------------------------------

@@ -79,6 +79,29 @@ class ContaminationSpec extends SparkSpec {
       s"might_contain should sit under the join:\n$p")
   }
 
+  test("streamed decontamination hits equal the batch run (stateless " +
+      "replay), and roll up to the exact per-doc counts") {
+    implicit val s = spark
+    val corpus = Tables.documents(spark, sf())
+    val bench = corpus.where(col("doc_id") < 10)
+    val streamed = graft.streaming.StreamingContamination.hitsReplay(
+        corpus, "doc_id", "text", bench, "doc_id", "text", 8,
+        pmod(col("doc_id"), lit(3)), 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Contamination.decontaminateStream(
+        corpus.select(col("doc_id").as("id"), col("text")),
+        "id", "text", bench, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, "replay diverges from the batch hits")
+    assert(streamed.nonEmpty, "fixture corpus must produce hits")
+    // the hit stream rolls up to exactly flagContaminated's counts
+    val rolled = streamed.groupBy(_._1).view.mapValues(_.size).toMap
+    val exact = run(bloom = false).toMap.map { case (d, n) => d -> n.toInt }
+    assert(rolled == exact, "rollup diverges from flagContaminated")
+    // bench docs never emit hits (their shingles trivially match)
+    assert(streamed.forall(_._1 >= 10))
+  }
+
   test("fuzzy path catches a paraphrased leak the exact path misses") {
     val s = spark
     import s.implicits._

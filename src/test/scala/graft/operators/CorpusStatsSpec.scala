@@ -101,6 +101,32 @@ class CorpusStatsSpec extends SparkSpec {
       .toMap
   }
 
+  test("sourceOverlap: pairwise set arithmetic on a hand vector; " +
+      "disjoint pairs are absent") {
+    val s = spark
+    import s.implicits._
+    // 2-gram shingle sets: A = {a b, b c, c d}; B = {b c, c d, d e};
+    // C is disjoint vocabulary
+    val df = Seq(
+      ("A", "a b c d"), ("B", "b c d e"), ("C", "x y z")
+    ).toDF("source", "text")
+    val got = CorpusStats.sourceOverlap(df, "source", "text", 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // A∩B = {b c, c d}: jaccard 2/4, containment 2/3
+    assert(got.keySet == Set(("A", "B")), got.toString)
+    val (n1, n2, sh, j, c) = got(("A", "B"))
+    assert(n1 == 3 && n2 == 3 && sh == 2)
+    assert(j == 0.5 && c == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    // duplicated shingles within a source count once (set semantics)
+    val dup = Seq(("A", "a b a b"), ("B", "a b")).toDF("source", "text")
+    val g2 = CorpusStats.sourceOverlap(dup, "source", "text", 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    // A's distinct 2-grams: {a b, b a}; B's: {a b}
+    assert(g2 == ((2L, 1L, 1L)), g2.toString)
+  }
+
   test("tfidf matches the smoothed-idf formula on a hand vector") {
     // N=2; df: x 1, y 2, z 1; idf(x)=idf(z)=ln(3/2)+1, idf(y)=ln(1)+1=1
     val w = BigDecimal(math.log(1.5) + 1).setScale(4,

@@ -80,6 +80,56 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment: prefix-on-smaller-side equals brute force; quotes " +
+      "score 1.0 where jaccard fails") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    val base = Seq.tabulate(25)(_ =>
+      Seq.fill(8 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    // quotes: short excerpts of longer docs (the asymmetric mode) plus
+    // mutated near-copies (the symmetric mode)
+    val docsSeq = (base ++
+      base.take(8).map(_.split(" ").take(5).mkString(" ")) ++
+      base.take(5).map { t =>
+        val ws = t.split(" ").toBuffer
+        ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.length))
+        ws.mkString(" ")
+      }).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docsSeq.toDF("doc_id", "text")
+    val sh = Dedup.withShingles(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    Seq(0.5, 0.6, 0.8, 1.0).foreach { t =>
+      val fast = Dedup.containmentPairs(df, "doc_id", "text", 2, t,
+          persistShingles = false)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        mn = math.min(sh(a).size, sh(b).size)
+        inter = (sh(a) & sh(b)).size
+        if mn > 0 && inter.toDouble / mn >= t
+      } yield (a, b)).toSet
+      assert(fast == exact,
+        s"t=$t: missed ${exact -- fast} / extra ${fast -- exact}")
+    }
+    // the asymmetric point: a full quote has containment 1.0 but can
+    // sit far below any practical jaccard threshold
+    val full = Dedup.containmentPairs(df, "doc_id", "text", 2, 1.0,
+        persistShingles = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.nonEmpty && full.forall(_._3 == 1.0))
+    val quotePair = full.find { case (a, b, _) =>
+      a < 25 && b >= 25 && b < 33 }
+    assert(quotePair.isDefined, s"no quote pair found in ${full.toSeq}")
+    val (qa, qb, _) = quotePair.get
+    val j = (sh(qa) & sh(qb)).size.toDouble /
+      (sh(qa) | sh(qb)).size
+    assert(j < 0.6, s"quote pair ($qa,$qb) jaccard $j not asymmetric")
+  }
+
   test("minhash kernel signatures equal the lambda formulation") {
     // orderBy before limit: a bare limit is not a deterministic row set,
     // and the kernel/lambda plans would each re-sample independently
