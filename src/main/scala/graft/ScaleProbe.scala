@@ -517,6 +517,13 @@ object ScaleProbe {
         // (worst case for the Zipf amortization, as for subword)
         "bpe_train" -> (() =>
           operators.Subword.trainBpeMerges(docs, "text", 4).count()),
+        // ranked-apply encode: per-DISTINCT-word walk, rule-count-
+        // independent per word — wall must track the distinct-word
+        // frame (Zipf-sublinear), like subword inference
+        "bpe_encode_large" -> (() =>
+          operators.Subword.bpeEncodeLarge(docs, "doc_id", "text",
+            Seq(("e", "r"), ("i", "n"), ("o", "w"), ("t", "h"),
+              ("th", "e"), ("er", "s"), ("a", "n"), ("an", "d"))).count()),
         // k-bounded per-task heap + k-sized driver merge: wall must
         // track the scan, never a sort
         "weighted_sample" -> (() =>
@@ -543,6 +550,18 @@ object ScaleProbe {
         "dedup_minhash" -> (() =>
           Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),
+        // asymmetric containment: prefix(small) x FULL inverted index —
+        // candidate work grows faster than jaccard's prefix x prefix by
+        // design; the probe prices that honesty (df cap bounds it)
+        "dedup_containment" -> (() =>
+          Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6,
+            persistShingles = false).count()),
+        // stratum-pair matrix: distinct (source, shingle) + one
+        // self-join; output cardinality is pairs-that-share (constant
+        // 20 sources here), so wall must track the distinct, not pairs
+        "source_overlap" -> (() =>
+          operators.CorpusStats.sourceOverlap(docs, "source", "text", 3)
+            .count()),
         "dedup_simhash" -> (() =>
           Dedup.simhashPairs(docs, "doc_id", "text", 3).count()),
         "dedup_emb_lsh_085" -> (() =>
