@@ -148,6 +148,39 @@ object Sampling {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Driver-side BUDGET solve for [[temperatureSample]]: the largest
+    * rate `r` whose per-stratum targets `min(n_s, floor(r·n_s^alpha))`
+    * sum to at most `budget`. The cross-stratum sum — exactly what the
+    * distributed draw refuses to compute for portability — lives HERE,
+    * driver-local over the tiny per-stratum count map (stratum
+    * cardinality, not corpus), deterministic by bisection. Compose:
+    * `temperatureSample(df, id, stratum, solveTemperatureRate(counts,
+    * a, budget), a)`. The total is a step function of r, so the solved
+    * rate undershoots `budget` by at most one doc per uncapped stratum
+    * (capped strata stopped contributing). */
+  def solveTemperatureRate(counts: Map[String, Long], alpha: Double,
+                           budget: Long): Double = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "counts must be non-empty positive stratum sizes")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    def target(r: Double, n: Long): Long =
+      math.min(n, math.floor(r * math.pow(n.toDouble, alpha)).toLong)
+    def total(r: Double): Long = counts.values.map(target(r, _)).sum
+    var lo = 0.0
+    // rMax: every stratum fully kept
+    var hi = counts.values
+      .map(n => (n + 1).toDouble / math.pow(n.toDouble, alpha)).max
+    var i = 0
+    while (i < 64) {
+      val mid = (lo + hi) / 2
+      if (total(mid) <= budget) lo = mid else hi = mid
+      i += 1
+    }
+    lo
+  }
+
   /** Deterministic weighted up/down-sampling by stratum — the "epochs"
     * side of corpus mixing: a mixing weight of 2.25 means every doc of
     * the stratum appears twice and a deterministic 25% of docs appear a

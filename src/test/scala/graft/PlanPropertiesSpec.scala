@@ -78,6 +78,51 @@ class PlanPropertiesSpec extends SparkSpec {
       s"prefix rank filter missing from candidate generation:\n$p")
   }
 
+  test("q_dedup_containment: equi-join candidates, pinned shuffle-hash " +
+      "on the corpus-sized joins") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must come from an equi-join:\n$p")
+    // both corpus×corpus joins (candidate self-join + verify lookups)
+    // must be shuffle-hash — a broadcast of either side is a corpus
+    // broadcast at scale
+    assert(p.contains("ShuffledHashJoin"),
+      s"corpus joins must be shuffle-hash:\n$p")
+    assert(p.contains("row_number"),
+      s"smaller-side prefix rank filter missing:\n$p")
+  }
+
+  test("q_source_overlap: shuffle-hash self-join, sizes broadcast") {
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must come from a shingle equi-join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the (source, shingle) self-join must be shuffle-hash:\n$p")
+    // the per-source size frames are tiny and must broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"size frames must broadcast:\n$p")
+  }
+
+  test("q_temperature_mix: targets broadcast, corpus shuffles once") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum target frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the target join:\n$p")
+  }
+
+  test("q_quality_gopher: row-local — zero exchanges above the scan") {
+    val p = plan("q_quality_gopher")
+    // orderBy adds one range exchange for output ordering; the rule
+    // battery itself must be projection-only (no aggregation shuffle)
+    assert(!p.contains("HashAggregate"),
+      s"gopher rules must not aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"only the final sort may exchange:\n$p")
+  }
+
   test("q_star_join: one fact shuffle, dims broadcast, date pushdown") {
     val p = plan("q_star_join")
     // the only sort-merge/shuffle join permitted is orders-lineitem;

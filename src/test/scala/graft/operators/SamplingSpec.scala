@@ -425,6 +425,37 @@ class SamplingSpec extends SparkSpec {
     assert(eq == Map("head" -> 7, "tail" -> 7))
   }
 
+  test("solveTemperatureRate: budget met within one doc per uncapped " +
+      "stratum, and the solved draw respects it") {
+    val s = spark
+    import s.implicits._
+    val counts = Map("a" -> 400L, "b" -> 25L, "c" -> 10000L)
+    def total(r: Double, alpha: Double): Long = counts.values.map { n =>
+      math.min(n, math.floor(r * math.pow(n.toDouble, alpha)).toLong)
+    }.sum
+    Seq(0.0, 0.5, 1.0).foreach { a =>
+      Seq(50L, 300L, 5000L).foreach { budget =>
+        val r = Sampling.solveTemperatureRate(counts, a, budget)
+        val t = total(r, a)
+        assert(t <= budget, s"alpha=$a budget=$budget: total $t over")
+        assert(t >= budget - counts.size,
+          s"alpha=$a budget=$budget: total $t leaves > |strata| unspent")
+      }
+    }
+    // budget past the corpus: everything kept
+    val rAll = Sampling.solveTemperatureRate(counts, 0.5, 100000L)
+    assert(total(rAll, 0.5) == counts.values.sum)
+    // end-to-end: the solved rate drives the distributed draw under
+    // budget
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 425L).map(i => (i, "b"))).toDF("doc_id", "src")
+    val r = Sampling.solveTemperatureRate(
+      Map("a" -> 400L, "b" -> 25L), 0.5, 60L)
+    val kept = Sampling.temperatureSample(df, "doc_id", "src", r, 0.5)
+      .count()
+    assert(kept <= 60L && kept >= 58L, s"kept $kept of budget 60")
+  }
+
   test("weightedSamplePerStratum: k per stratum, same keys, group-limited") {
     val s = spark
     import s.implicits._
