@@ -1045,6 +1045,37 @@ object SparkEntry {
           "text", 3)
         .orderBy("src1", "src2")),
 
+    // THE CURATION CAPSTONE — a mixture-build pipeline in ONE
+    // declarative plan: (1) per-source quality floor (discrete p25
+    // length threshold, the flip-immune quantileFilter), (2) exact
+    // dedup keep-first by fingerprint, (3) temperature flattening at
+    // alpha=0.5, (4) packing into 2048-token sequences. Every stage is
+    // separately oracle-verified; this gate proves they COMPOSE — the
+    // only shuffles are the stage-inherent ones (tiny group-threshold
+    // frames, the 16-byte fingerprint window, per-stratum windows),
+    // document text never crosses a shuffle after the fingerprint, and
+    // nothing corpus-sized ever broadcasts.
+    "q_curation_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      val q = graft.operators.Features.quantileFilter(
+        all, "source", "n_chars", 0.25)
+      val kept = q
+        .withColumn("__fp", TF.fingerprint(col("text")))
+        .withColumn("__keep", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+        .where(col("doc_id") === col("__keep"))
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      val mixed = graft.operators.Sampling.temperatureSample(
+        kept, "doc_id", "source", rate = 4.0, alpha = 0.5, salt = "cur")
+      graft.operators.Sampling.packSequences(
+          mixed, "doc_id", "source", "n_tok", 2048L, salt = "cur")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("__offset"), col("__seq"))
+        .orderBy("doc_id")
+    }),
+
     // pairs → transitive closure → survivor per duplicate cluster: the
     // verdict table a training-data filter actually joins against.
     // Large-star/small-star connected components; oracle = the same
@@ -2963,6 +2994,59 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+
+    // the four verified stage oracles composed: discrete per-source
+    // p25 floor → fingerprint keep-first → sqrt targets + md5 draw →
+    // prefix-sum packing; every construction appears verbatim in its
+    // own gate's oracle
+    "q_curation_pipeline" ->
+      s"""WITH $tokCte,
+         |vc AS (SELECT source, n_chars AS v, count(*) AS c
+         |       FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT source, v,
+         |          sum(c) OVER (PARTITION BY source ORDER BY v
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum,
+         |          sum(c) OVER (PARTITION BY source) AS n
+         |        FROM vc),
+         |thr AS (SELECT source,
+         |          min(CASE WHEN cum >= ceil(CAST(0.25 AS DOUBLE) * n)
+         |                   THEN v END) AS thr
+         |        FROM cum GROUP BY source),
+         |q AS (SELECT dd.doc_id, dd.source, dd.text
+         |      FROM documents dd JOIN thr USING (source)
+         |      WHERE dd.n_chars >= thr),
+         |f AS (SELECT doc_id, source,
+         |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |          AS fp
+         |      FROM q),
+         |k AS (SELECT doc_id, source FROM (
+         |        SELECT f.*, min(doc_id) OVER (PARTITION BY fp) AS keep
+         |        FROM f)
+         |      WHERE doc_id = keep),
+         |tok AS (SELECT k.doc_id, k.source, len(t.tk)::BIGINT AS n_tok,
+         |          ('0x' || substr(md5('cur' || k.doc_id::VARCHAR),
+         |                          1, 8))::BIGINT AS h
+         |        FROM k JOIN t ON k.doc_id = t.doc_id),
+         |c2 AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+         |tt AS (SELECT source,
+         |         least(n, floor(CAST(4.0 AS DOUBLE)
+         |                        * sqrt(n::DOUBLE))::BIGINT) AS target
+         |       FROM c2),
+         |rr AS (SELECT tok.*,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY h, doc_id) AS rk
+         |       FROM tok),
+         |kept AS (SELECT doc_id, source, n_tok, h
+         |         FROM rr JOIN tt USING (source) WHERE rk <= target),
+         |pk AS (SELECT doc_id, source, n_tok,
+         |         ((sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                            ROWS UNBOUNDED PRECEDING))
+         |          - n_tok)::BIGINT AS __offset
+         |       FROM kept)
+         |SELECT doc_id, source, n_tok, __offset,
+         |       (__offset // 2048)::BIGINT AS __seq
+         |FROM pk ORDER BY doc_id""".stripMargin,
 
     // distinct (source, 3-gram) sets, pairwise intersect counts, exact
     // integer divisions rounded to 6
