@@ -902,6 +902,13 @@ object SparkEntry {
       Chunking.chunkDuplicates(docs(s, d), minDocs = 2)
         .orderBy("chunk_hash")),
 
+    // per-document boilerplate ratio: the fraction of a doc's chunks
+    // duplicated corpus-wide — the quality signal only the chunk grain
+    // sees (not whole-doc-dup, not line-aligned)
+    "q_boilerplate" -> ((s, d) =>
+      Chunking.boilerplateRatio(docs(s, d))
+        .orderBy("doc_id")),
+
     // at-ingest novelty: the same delta streamed through a real
     // file-source replay (4 chunks, each its own micro-batch) against
     // the persisted index — per-CHUNK verdicts, fully stateless
@@ -2850,6 +2857,20 @@ object SparkEntry {
         |FROM ${cdcChunksSql("documents")}
         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    // same CDC replay; duplicated-hash set, per-doc boiler fraction
+    "q_boilerplate" ->
+      s"""WITH ch AS (SELECT * FROM ${cdcChunksSql("documents")}),
+         |dup AS (SELECT chunk_hash FROM ch
+         |        GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT ch.doc_id, count(*) AS n_chunks,
+         |       sum(CASE WHEN dup.chunk_hash IS NOT NULL
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+         |       round(sum(CASE WHEN dup.chunk_hash IS NOT NULL
+         |                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |         AS boilerplate
+         |FROM ch LEFT JOIN dup USING (chunk_hash)
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
 
     // the capstone's oracle is literally the composition of the three
     // verified stage oracles over the same splits

@@ -108,6 +108,41 @@ object Chunking {
         min(col("len")).as("len"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-document BOILERPLATE ratio: the fraction of a document's CDC
+    * chunks whose content recurs in at least `minDocs` documents
+    * corpus-wide — headers, navigation, license blocks, templates. The
+    * quality signal the chunk grain uniquely provides: a document can
+    * be 90% boilerplate yet exactly duplicate nothing at whole-doc
+    * grain, and line-based heuristics miss boilerplate that is not
+    * line-aligned; CDC boundaries move WITH the content, so shared
+    * spans land in shared chunks wherever they sit. Output:
+    * `(id, n_chunks, n_boiler, boilerplate)`.
+    *
+    * Scale shape: chunking is the zero-shuffle compiled kernel; the
+    * duplicated-hash frame is one 16-byte-hash aggregate; the re-join
+    * is hash-keyed with the dup side pinned shuffle-hash (it is
+    * corpus-duplication-sized — boilerplate-heavy corpora would make
+    * it a broadcast OOM), and the per-doc rollup ships (id, flag)
+    * pairs. Chunk text never crosses the wire. */
+  def boilerplateRatio(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", minDocs: Int = 2,
+                       window: Int = 16): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val ch = cdcChunks(docs, idCol, textCol, window)
+    val dup = ch.groupBy("chunk_hash")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("chunk_hash").as("__bh"), lit(true).as("__dup"))
+    ch.join(dup.hint("shuffle_hash"), col("chunk_hash") === col("__bh"),
+        "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boilerplate",
+        round(col("n_boiler").cast("double") /
+          col("n_chunks").cast("double"), 6))
+  }
+
   // ------------------------------------------------------------------
   // Persisted chunk index — the incremental-crawl lifecycle
   // ------------------------------------------------------------------

@@ -294,6 +294,35 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateRatio: shared spans score, unique docs score zero, " +
+      "arithmetic closes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    def blob(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar)
+      .mkString(" ")
+    // a shared 400-char "footer" carried by docs 1 and 2; doc 3 unique
+    val footer = blob(200)
+    val docs = Seq(
+      (1L, blob(150) + " " + footer),
+      (2L, blob(150) + " " + footer),
+      (3L, blob(350))).toDF("doc_id", "text")
+    val got = Chunking.boilerplateRatio(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every doc reports; ratios close arithmetically
+    assert(got.keySet == Set(1L, 2L, 3L))
+    got.values.foreach { case (n, b, r) =>
+      assert(b <= n && r == math.rint(b.toDouble / n * 1e6) / 1e6)
+    }
+    // the carriers of the shared footer score > 0; the unique doc 0
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0, got.toString)
+    assert(got(3L)._2 == 0 && got(3L)._3 == 0.0, got.toString)
+    // CDC locality: the shared chunks are the same count on both
+    // carriers (boundaries derive from content, not position)
+    assert(got(1L)._2 == got(2L)._2, got.toString)
+  }
+
   test("the plan is shuffle-free for chunking, one exchange for dedup") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val chunkPlan = Chunking.cdcChunks(docs).queryExecution
