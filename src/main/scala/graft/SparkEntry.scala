@@ -1044,6 +1044,14 @@ object SparkEntry {
       Dedup.containmentPairs(docs(s, d), "doc_id", "text", 3, 0.6)
         .orderBy("d1", "d2")),
 
+    // per-source data-card report: docs, tokens, exact-dup rate, mean
+    // quality, DISCRETE median length — the audit table a curation run
+    // publishes
+    "q_corpus_report" -> ((s, d) =>
+      graft.operators.CorpusStats.corpusReport(docs(s, d), "doc_id",
+          "source", "text")
+        .orderBy("src")),
+
     // cross-source overlap matrix: corpus-level shingle-set Jaccard +
     // containment per source pair — the mixture-planning signal priced
     // BEFORE any per-document dedup runs
@@ -3068,6 +3076,52 @@ object SparkEntry {
          |SELECT doc_id, source, n_tok, __offset,
          |       (__offset // 2048)::BIGINT AS __seq
          |FROM pk ORDER BY doc_id""".stripMargin,
+
+    // per-doc signals replayed from their own gates' constructions
+    // (quality formula from q_quality, fingerprint from q_fingerprint,
+    // discrete median from the cum-sum), rolled to stratum grain
+    "q_corpus_report" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT t.doc_id, d2.source, t.tk,
+         |        len(t.tk)::BIGINT AS ntok,
+         |        CASE WHEN length(t.text) > 0 THEN
+         |          len(regexp_extract_all(t.text, '[!-/:-@\\[-`{-~]'))::DOUBLE
+         |            / length(t.text)
+         |        ELSE 0.0 END AS pr,
+         |        CASE WHEN len(t.tk) > 0 THEN
+         |          len(list_filter(t.tk, x -> x IN ($swAll)))::DOUBLE
+         |            / len(t.tk)
+         |        ELSE 0.0 END AS swr,
+         |        md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g')))
+         |          AS fp,
+         |        length(t.text)::BIGINT AS nch
+         |      FROM t JOIN documents d2 ON t.doc_id = d2.doc_id),
+         |q AS (SELECT source, fp, nch, ntok,
+         |        0.4 * least(ntok::DOUBLE / 100.0, 1.0)
+         |        + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+         |        + 0.3 * least(swr * 4.0, 1.0) AS q
+         |      FROM m),
+         |agg AS (SELECT source AS src, count(*) AS n_docs,
+         |          sum(ntok)::BIGINT AS n_tokens,
+         |          count(DISTINCT fp) AS nd,
+         |          round(avg(q), 4) AS mean_quality
+         |        FROM q GROUP BY 1),
+         |vc AS (SELECT source AS src, nch AS v, count(*) AS c
+         |       FROM q GROUP BY 1, 2),
+         |cum AS (SELECT src, v,
+         |          sum(c) OVER (PARTITION BY src ORDER BY v
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum,
+         |          sum(c) OVER (PARTITION BY src) AS n
+         |        FROM vc),
+         |med AS (SELECT src,
+         |          min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
+         |                   THEN v END) AS p50_chars
+         |        FROM cum GROUP BY src)
+         |SELECT agg.src, n_docs, n_tokens,
+         |       round(1.0 - nd::DOUBLE / n_docs, 6) AS dup_rate,
+         |       mean_quality, p50_chars
+         |FROM agg JOIN med USING (src) ORDER BY src""".stripMargin,
 
     // distinct (source, 3-gram) sets, pairwise intersect counts, exact
     // integer divisions rounded to 6

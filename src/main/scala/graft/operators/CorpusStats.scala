@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level frequency and cardinality statistics for training-data
@@ -419,6 +420,49 @@ object CorpusStats {
         round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
         rankOk("le50", "lt50", 0.5).as("ok_p50"),
         rankOk("le90", "lt90", 0.9).as("ok_p90"))
+  }
+
+  /** Per-stratum corpus audit report — the data-card numbers a curation
+    * run publishes: document and token counts, exact-duplicate rate
+    * (1 − distinct fingerprints / docs), mean heuristic quality, and
+    * the DISCRETE median length (an actual data value — the
+    * [[Features.quantileFilter]] threshold construction, flip-immune).
+    * One row per stratum.
+    *
+    * Scale shape: one pass computes per-doc signals row-locally
+    * (codegen kernels); the report is a stratum-cardinality aggregate
+    * with map-side combine, plus the tiny distinct-length cum-sum for
+    * the median — the corpus shuffles (16-byte fp, stratum) pairs for
+    * the distinct count and nothing bigger. */
+  def corpusReport(df: DataFrame, idCol: String, stratumCol: String,
+                   textCol: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val base = df.select(col(stratumCol).as("src"),
+      tf.tokenCount(col(textCol)).cast("long").as("__ntok"),
+      tf.qualityScore(col(textCol)).as("__q"),
+      tf.fingerprint(col(textCol)).as("__fp"),
+      length(col(textCol)).cast("long").as("__nch"))
+    val agg = base.groupBy("src").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__ntok")).as("n_tokens"),
+      countDistinct(col("__fp")).as("n_distinct"),
+      round(avg(col("__q")), 4).as("mean_quality"))
+    val wCum = Window.partitionBy(col("src")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("src")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = base.groupBy(col("src"), col("__nch").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy("src")
+      .agg(min(when(col("__cum") >=
+        ceil(lit(0.5) * col("__n")), col("__v"))).as("p50_chars"))
+    agg.join(med, "src")
+      .select(col("src"), col("n_docs"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("mean_quality"), col("p50_chars"))
   }
 
   /** Cross-source overlap matrix — the mixture-planning signal "how

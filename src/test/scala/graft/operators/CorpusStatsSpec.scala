@@ -101,6 +101,27 @@ class CorpusStatsSpec extends SparkSpec {
       .toMap
   }
 
+  test("corpusReport: counts, dup rate, discrete median on a hand vector") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", "one two three"),      // 3 tokens, 13 chars
+      (2L, "a", "one two three"),      // exact duplicate of doc 1
+      (3L, "a", "four five"),          // 2 tokens, 9 chars
+      (4L, "b", "solo document here")  // 3 tokens, 18 chars
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.corpusReport(df, "doc_id", "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(5))).toMap
+    // a: 3 docs, 8 tokens, 2 distinct fps -> dup_rate 1/3; lengths
+    // {9, 13, 13}: cum at 9 is 1 < ceil(1.5)=2 -> median 13
+    val (nA, tokA, dupA, medA) = got("a")
+    assert(nA == 3 && tokA == 8 && medA == 13L)
+    assert(dupA == math.rint((1.0 - 2.0 / 3.0) * 1e6) / 1e6)
+    // b: single doc, no dups, median = its own length
+    assert(got("b") == ((1L, 3L, 0.0, 18L)), got("b").toString)
+  }
+
   test("sourceOverlap: pairwise set arithmetic on a hand vector; " +
       "disjoint pairs are absent") {
     val s = spark
