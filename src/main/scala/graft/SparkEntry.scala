@@ -860,6 +860,35 @@ object SparkEntry {
         "source", "item")
         .orderBy("source")),
 
+    // MERGEABLE distinct sketches across ingest days: three per-day
+    // HLL sketch frames union into one, the merged estimate is
+    // certified within 5% of exact AND bit-equal to the single-pass
+    // sketch (register-max union is associative) — the incremental
+    // primitive that answers day-range distincts without re-scans
+    "q_distinct_incremental" -> ((s, d) => {
+      val items = docs(s, d).select(col("source"),
+        pmod(col("doc_id"), lit(3)).as("__day"),
+        explode(TF.tokens(col("text"))).as("w"))
+      val daily = (0 until 3).map(k =>
+        operators.CorpusStats.distinctSketches(
+          items.where(col("__day") === k), "source", "w"))
+      val merged = operators.CorpusStats.mergeDistinctSketches(
+        daily.reduce(_ unionAll _), "source")
+      val mergedEst = operators.CorpusStats.estimateDistinct(
+        merged, "source").withColumnRenamed("estimate", "__m")
+      val singleEst = operators.CorpusStats.estimateDistinct(
+        operators.CorpusStats.distinctSketches(items, "source", "w"),
+        "source").withColumnRenamed("estimate", "__s")
+      items.groupBy("source")
+        .agg(countDistinct(col("w")).as("exact_distinct"))
+        .join(mergedEst, "source").join(singleEst, "source")
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("__m") - col("exact_distinct")) <=
+            lit(0.05) * col("exact_distinct") &&
+            col("__m") === col("__s")).as("merged_ok"))
+        .orderBy("source")
+    }),
+
     // per-source length quantiles: exact interpolated p50/p90 (matching
     // quantile_cont, oracle-comparable) + rank certificates that the
     // quantile SKETCH's picks land within +-10% rank. Same certificate
@@ -2791,6 +2820,16 @@ object SparkEntry {
         |FROM bg GROUP BY item
         |HAVING count(*) >= ceil(0.0015 * (SELECT t FROM tot))
         |ORDER BY item""".stripMargin,
+
+    // exact per-source distinct tokens; the merged-sketch certificate
+    // (5% of exact AND merged == single-pass) must come back TRUE
+    "q_distinct_incremental" ->
+      s"""WITH $tokCte
+         |SELECT source, count(DISTINCT w) AS exact_distinct,
+         |       TRUE AS merged_ok
+         |FROM (SELECT d2.source, unnest(t.tk) AS w
+         |      FROM t JOIN documents d2 ON t.doc_id = d2.doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // the sketch column is certified in-query (rsd 0.01 vs 5% tolerance);
     // the oracle checks the exact count and expects the certificate TRUE

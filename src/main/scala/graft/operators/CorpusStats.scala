@@ -422,6 +422,34 @@ object CorpusStats {
         rankOk("le90", "lt90", 0.9).as("ok_p90"))
   }
 
+  /** Mergeable per-group distinct-count sketches — the INCREMENTAL
+    * corpus-stats primitive: each ingest day builds one
+    * (group, sketch) row with Spark's Datasketches HLL aggregate,
+    * persists it (a few KB per group), and "distinct values per group
+    * over any day range" is answered by UNIONING sketches — no history
+    * re-scan, ever. HLL union takes register maxima, so it is
+    * order-insensitive and associative: merging daily sketches equals
+    * the single-pass sketch over the union EXACTLY (spec-pinned, the
+    * same certify-the-sketch discipline as [[distinctCertificate]]),
+    * and the estimate carries the standard ~1.04/sqrt(2^lgK) relative
+    * error. */
+  def distinctSketches(df: DataFrame, groupCol: String, valueCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Union previously-built sketch rows per group (any number of days'
+    * frames unioned into `sketches`). */
+  def mergeDistinctSketches(sketches: DataFrame,
+                            groupCol: String): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+
+  /** Estimate per-group distinct counts from sketch rows. */
+  def estimateDistinct(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.select(col(groupCol),
+      hll_sketch_estimate(col("sketch")).as("estimate"))
+
   /** Per-stratum corpus audit report — the data-card numbers a curation
     * run publishes: document and token counts, exact-duplicate rate
     * (1 − distinct fingerprints / docs), mean heuristic quality, and

@@ -101,6 +101,31 @@ class CorpusStatsSpec extends SparkSpec {
       .toMap
   }
 
+  test("distinct sketches: day-merge equals single-pass, any merge " +
+      "order, estimate certifies vs exact") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 900).map(i => (s"g${i % 2}", s"v${i % 240}", i % 3))
+      .toDF("g", "w", "day")
+    val daily = (0 until 3).map(k =>
+      CorpusStats.distinctSketches(df.where($"day" === k), "g", "w"))
+    def est(sk: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      CorpusStats.estimateDistinct(sk, "g")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = est(CorpusStats.mergeDistinctSketches(
+      daily.reduce(_ unionAll _), "g"))
+    val single = est(CorpusStats.distinctSketches(df, "g", "w"))
+    assert(merged == single, s"merge != single pass: $merged vs $single")
+    // order-insensitive: reversed day order produces the same answer
+    val reversed = est(CorpusStats.mergeDistinctSketches(
+      daily.reverse.reduce(_ unionAll _), "g"))
+    assert(reversed == merged)
+    // certificate: exact distinct per group is 120 (i%240 splits evenly
+    // over the two groups), and lgK=12 holds 5% easily at this scale
+    merged.values.foreach(e =>
+      assert(math.abs(e - 120L) <= 6, s"estimate $e vs exact 120"))
+  }
+
   test("corpusReport: counts, dup rate, discrete median on a hand vector") {
     val s = spark
     import s.implicits._
