@@ -812,6 +812,19 @@ object SparkEntry {
           bpeGateMerges)
         .orderBy("doc")),
 
+    // the tokenizer's OUTPUT artifact: every document as its array of
+    // frequency-ranked vocabulary ids, pieces in document order —
+    // full-array equality against the DuckDB replay (piece identity,
+    // id assignment, and ordering all pinned at once)
+    "q_encode_ids" -> ((s, d) => {
+      val dd = docs(s, d)
+      val vocab = graft.operators.Subword.vocabTable(dd, "text",
+        bpeGateMerges)
+      graft.operators.Subword.encodeToIds(dd, "doc_id", "text",
+          bpeGateMerges, vocab)
+        .orderBy("doc")
+    }),
+
     // piece IDENTITY under the same merges: the corpus piece
     // distribution, not just counts — two different segmentations of
     // equal length cannot both match it
@@ -2533,6 +2546,32 @@ object SparkEntry {
          |SELECT piece, sum(c)::BIGINT AS n
          |FROM (SELECT unnest($bpeApplySql) AS piece, c FROM wcw)
          |GROUP BY piece ORDER BY piece""".stripMargin,
+
+    // per-token positions via lateral range, per-word segmentation via
+    // the delimited-replace apply, vocab ids by (freq desc, piece),
+    // arrays reassembled with list(ORDER BY token pos, piece pos)
+    "q_encode_ids" ->
+      s"""WITH $tokCte,
+         |wcw AS (SELECT w, count(*)::BIGINT AS c
+         |        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         |freq AS (SELECT piece, sum(c)::BIGINT AS n
+         |         FROM (SELECT unnest($bpeApplySql) AS piece, c FROM wcw)
+         |         GROUP BY piece),
+         |vocab AS (SELECT piece,
+         |            (row_number() OVER (ORDER BY n DESC, piece) - 1)::BIGINT
+         |              AS id
+         |          FROM freq),
+         |wp AS (SELECT w, $bpeApplySql AS pieces FROM (SELECT w FROM wcw)),
+         |tw AS (SELECT doc_id, u.i AS tp, list_extract(tk, u.i) AS w
+         |       FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |pieces AS (SELECT tw.doc_id, tw.tp, v.i AS pp,
+         |             list_extract(wp.pieces, v.i) AS piece
+         |           FROM tw JOIN wp USING (w),
+         |                unnest(range(1, len(wp.pieces) + 1)) AS v(i))
+         |SELECT doc_id AS doc,
+         |       list(id ORDER BY tp, pp) AS ids
+         |FROM pieces JOIN vocab USING (piece)
+         |GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     "q_subword_vocab" ->
       s"""WITH $tokCte,

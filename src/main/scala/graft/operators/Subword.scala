@@ -531,6 +531,61 @@ object Subword {
       .groupBy("piece").agg(sum(col("c")).as("n"))
   }
 
+  /** Frequency-ranked vocabulary table for a merge list:
+    * `(piece, id)` with 0-based ids by corpus frequency descending
+    * (ties by piece, binary order) — the id assignment every trained
+    * tokenizer ships. Vocab-sized frame; the global rank window is
+    * deliberately tiny. */
+  def vocabTable(docs: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("piece").asc)
+    bpePieceFrequenciesLarge(docs, textCol, merges)
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .select(col("piece"), col("id"))
+  }
+
+  /** Token-id ENCODING — the tokenizer's output artifact: each
+    * document becomes its array of vocabulary ids under the merge
+    * list, pieces in document order. The final step of
+    * `encode(train(corpus))`: what actually lands in a training shard
+    * next to [[graft.operators.Sampling.packSequences]]' offsets.
+    *
+    * Scale shape: the Zipf amortization one more time — segmentation
+    * runs per DISTINCT word ([[applyMergesRanked]]); the corpus-sized
+    * streams carry (doc, positions, piece-id) INTEGERS only, the
+    * vocab joins broadcast (vocab-sized by construction), and the
+    * per-doc array reassembles with one collect_list + array_sort
+    * (output == document length — inherent to emitting the encoding,
+    * the [[graft.windows.AggFunctions]] accumulate contract). Pieces
+    * absent from `vocab` (cross-corpus encoding) drop with the inner
+    * join — pass a vocab containing every single char to make
+    * encoding total. */
+  def encodeToIds(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)],
+                  vocab: DataFrame): DataFrame = {
+    require(merges.nonEmpty, "merge list must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("tp", "w")))
+    val mergesSeq = merges
+    val words = toks.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        val rank = rankMap(mergesSeq)
+        it.map(w => (w, applyMergesRanked(w, rank).toSeq))
+      }.toDF("w", "__pieces")
+    toks.join(words, "w")
+      .select(col("doc"), col("tp"),
+        posexplode(col("__pieces")).as(Seq("pp", "piece")))
+      .join(broadcast(vocab), "piece")
+      .groupBy(col("doc"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("tp"), col("pp"), col("id")))),
+        s => s.getField("id")).as("ids"))
+  }
+
   /** Corpus piece frequencies under BPE-by-merges: `(piece, n)` — the
     * piece-IDENTITY witness for [[bpeEncode]]'s segmentation (counts
     * alone cannot distinguish two segmentations of equal length). */

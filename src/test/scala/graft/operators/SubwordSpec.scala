@@ -269,6 +269,40 @@ class SubwordSpec extends SparkSpec {
     assert(large300.values.sum < large48.values.sum)
   }
 
+  test("encodeToIds: ids decode back to the exact token stream, " +
+      "counts match bpeEncode") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the mother there and other words here"),
+      (2L, "another other the then"),
+      (3L, "weather rather")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"),
+      ("o", "the"), ("a", "n"))
+    val vocab = Subword.vocabTable(docs, "text", merges)
+    val ids = Subword.encodeToIds(docs, "doc_id", "text", merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // piece-count consistency with the verified encode path
+    val counts = Subword.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.view.mapValues(_.size.toLong).toMap == counts)
+    // full round-trip: ids -> pieces concatenated == the token stream
+    val idToPiece = vocab.collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    docs.collect().foreach { r =>
+      val doc = r.getLong(0)
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val decoded = ids(doc).map(idToPiece).mkString
+      assert(decoded == toks.mkString,
+        s"doc $doc: '$decoded' != '${toks.mkString}'")
+    }
+    // id assignment: rank 0 is the most frequent piece
+    val freqTop = Subword.bpePieceFrequenciesLarge(docs, "text", merges)
+      .orderBy($"n".desc, $"piece".asc)
+      .collect().head.getString(0)
+    assert(idToPiece(0L) == freqTop)
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     val s = spark
     import s.implicits._
