@@ -1818,6 +1818,13 @@ object SparkEntry {
     }),
 
     // strictly-ordered first-touch funnel: users reaching each stage of
+    // funnel DISCOVERY: the 20 most frequent 3-step event-type paths,
+    // per-user order by event_id (unique, so paths are deterministic)
+    "q_event_paths" -> ((s, d) =>
+      operators.EventAnalytics.topPaths(ev(s, d), "user_id", "event_id",
+          "event_type", n = 3, k = 20)
+        .orderBy("rk")),
+
     // view -> click -> purchase (each stage strictly after the key's
     // earliest completion of the previous one)
     "q_funnel" -> ((s, d) =>
@@ -3405,6 +3412,24 @@ object SparkEntry {
         |       count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, s.session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // lead-window replication: per-user event_id order, complete
+    // 3-paths only, global top-20 by (count desc, path)
+    "q_event_paths" ->
+      """WITH s AS (SELECT user_id, event_id, event_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                       ORDER BY event_id) AS t1,
+        |             lead(event_type, 2) OVER (PARTITION BY user_id
+        |                                       ORDER BY event_id) AS t2
+        |           FROM events),
+        |p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path
+        |      FROM s WHERE t2 IS NOT NULL),
+        |c AS (SELECT path, count(*) AS n_paths FROM p GROUP BY path
+        |      ORDER BY n_paths DESC, path LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY n_paths DESC, path)::BIGINT
+        |         AS rk,
+        |       path, n_paths
+        |FROM c ORDER BY rk""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) t FROM events

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel and cohort-retention analytics over event streams —
@@ -108,5 +109,40 @@ object EventAnalytics {
           unix_timestamp(col("cohort"))) / 604800L).as("week_offset"))
       .groupBy("cohort_ms", "week_offset")
       .agg(countDistinct(col("k")).as("n_keys"))
+  }
+
+  /** Top-k n-step event PATHS — funnel DISCOVERY: the most frequent
+    * consecutive event-type sequences across all actors, found from
+    * the data instead of declared up front (what an analyst runs
+    * before choosing [[funnel]]'s stages). Per actor, events order by
+    * `seqCol` (pass a unique monotone column — an event id; a bare
+    * timestamp with ties would make paths nondeterministic) and every
+    * window of `n` consecutive types becomes one `a>b>c` path;
+    * incomplete tails (fewer than n events remain for the actor) are
+    * excluded. Output: `(rk, path, n_paths)`, ties broken by path.
+    *
+    * Scale shape: one hash shuffle by actor + the per-actor window
+    * (bounded by events-per-actor); the path aggregate shuffles at
+    * path cardinality with map-side combine; the top-k is
+    * `orderBy.limit` — a bounded per-partition heap
+    * (TakeOrderedAndProject), never a global sort; the rank column is
+    * windowed over the k survivors only. */
+  def topPaths(events: DataFrame, keyCol: String, seqCol: String,
+               typeCol: String, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"paths need at least 2 steps, got $n")
+    require(k >= 1, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val steps = (1 until n).map(i => lead(col(typeCol), i).over(w))
+    val top = events
+      .withColumn("__last", steps.last)
+      .withColumn("path",
+        concat_ws(">", col(typeCol) +: steps: _*))
+      .where(col("__last").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(k)
+    val wr = Window.orderBy(col("n_paths").desc, col("path").asc)
+    top.withColumn("rk", row_number().over(wr).cast("long"))
+      .select(col("rk"), col("path"), col("n_paths"))
   }
 }

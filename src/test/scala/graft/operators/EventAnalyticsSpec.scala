@@ -68,6 +68,34 @@ class EventAnalyticsSpec extends SparkSpec {
       Set((1, "view", 4L), (2, "click", 4L), (3, "purchase", 3L)))
   }
 
+  test("topPaths: sliding windows per actor, tails excluded, " +
+      "deterministic tie order") {
+    val s = spark
+    import s.implicits._
+    // u1: a b c d -> paths a>b>c, b>c>d; u2: a b c -> a>b>c;
+    // u3: x y (too short, no 3-path)
+    val df = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "c"), ("u1", 4L, "d"),
+      ("u2", 5L, "a"), ("u2", 6L, "b"), ("u2", 7L, "c"),
+      ("u3", 8L, "x"), ("u3", 9L, "y"))
+      .toDF("u", "eid", "et")
+    val got = EventAnalytics.topPaths(df, "u", "eid", "et", n = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a>b>c", 2L), (2L, "b>c>d", 1L)),
+      got.mkString(", "))
+    // paths never cross actors: u1's d and u2's a are adjacent by eid
+    // but no d>a>b path exists
+    assert(!got.exists(_._2.contains("d>a")))
+    // 2-step paths include the shorter actor
+    val two = EventAnalytics.topPaths(df, "u", "eid", "et", n = 2, k = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(two("x>y") == 1L && two("a>b") == 2L)
+    // k cuts deterministically on the (count desc, path) total order
+    val k1 = EventAnalytics.topPaths(df, "u", "eid", "et", n = 3, k = 1)
+      .collect().map(_.getString(1)).toSeq
+    assert(k1 == Seq("a>b>c"))
+  }
+
   test("retention buckets distinct keys by first-event week offset") {
     // epoch 0 = Thu 1970-01-01; Monday of that week = -345600 s (Dec 29
     // 1969). Use ts well into 1970 to stay positive: week starting
