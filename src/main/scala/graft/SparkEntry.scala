@@ -1793,6 +1793,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of join: each click enriched with the user's next
+    // purchase at-or-after it (pandas merge_asof direction="forward");
+    // the same union-and-carry plan mirrored in time
+    "q_asof_forward" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      operators.AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts",
+          Map("purchase_id" -> "event_id", "purchase_value" -> "value"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // gap-based sessionization: a 12 h inactivity gap splits a user's
     // event stream; one summary row per session (single-shuffle plan,
     // boundary rule pinned to session_window in SessionizeSpec)
@@ -3392,6 +3408,18 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // the mirrored direction: smallest purchase ts at-or-after the click
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS purchase_id, user_id, ts,
+        |                  value AS purchase_value FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     // same break rule as Sessionize.assign: µs-precision gap >= 12 h
     // starts a new session; first event's null lag falls to ELSE 0

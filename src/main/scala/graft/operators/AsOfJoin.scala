@@ -63,4 +63,42 @@ object AsOfJoin {
         leftCols.filterNot(c => c == key || c == ts).map(col) ++
         picked.map { case (out, _) => col("__asof").getField(out).as(out) }): _*)
   }
+
+  /** FORWARD as-of join — for every left row, the EARLIEST right row
+    * with the same key and `rightTs >= leftTs` (pandas
+    * `merge_asof(direction="forward")`; the "next quote after the
+    * order" / "first event after the checkpoint" enrichment). Same
+    * union-and-carry plan as [[asOf]] mirrored in time: one hash
+    * shuffle on the key, one per-partition sort by (ts DESC, side),
+    * the carry runs from the future backward. Right rows sort before
+    * left rows at equal timestamps in the reversed order too, so ties
+    * match (`rightTs == leftTs` included). Left rows with no following
+    * right row keep nulls. Null right keys/timestamps match nothing
+    * (the [[asOf]] null discipline). */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, pick: Map[String, String]): DataFrame = {
+    val leftCols = left.columns
+    val picked = pick.toSeq
+    val rStruct = struct(picked.map { case (out, src) => col(src).as(out) }: _*)
+    val r = right
+      .where(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key), col(ts), lit(0).as("__side"), rStruct.as("__asof"))
+      .select((Seq(col(key), col(ts), col("__side"), col("__asof")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__asof",
+        lit(null).cast(r.schema("__asof").dataType))
+      .select((Seq(col(key), col(ts), col("__side"), col("__asof")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        picked.map { case (out, _) => col("__asof").getField(out).as(out) }): _*)
+  }
 }

@@ -26,6 +26,37 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, None, None)))            // u2 at 50: no right row yet
   }
 
+  test("forward as-of picks the earliest right row at or after the " +
+      "left ts, mirrored semantics") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u1", 350L),
+        (4L, "u2", 70L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((10L, "u1", 100L, 1.0), (11L, "u1", 200L, 2.0),
+        (12L, "u1", 300L, 3.0), (13L, "u2", 60L, 4.0))
+      .toDF("rid", "k", "t", "v")
+    val out = AsOfJoin.asOfForward(left, right, "k", "t",
+        Map("next_rid" -> "rid", "next_v" -> "v"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("next_rid")).map(_.toLong)))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L)),  // equal ts matches (<= semantics)
+      (2L, Some(12L)),  // 250 -> earliest following is 300
+      (3L, None),       // u1 at 350: nothing follows
+      (4L, None)))      // u2 at 70: the only right row precedes
+    // null right keys/ts match nothing, mirroring asOf's discipline
+    val dirty = right.unionByName(
+      Seq((99L, null.asInstanceOf[String], 400L, 9.0)).toDF("rid", "k", "t", "v"))
+    val clean = AsOfJoin.asOfForward(left, dirty, "k", "t",
+        Map("next_rid" -> "rid"))
+      .collect().flatMap(r =>
+        Option(r.getAs[java.lang.Long]("next_rid")).map(_.toLong))
+    assert(!clean.contains(99L))
+  }
+
   test("null right keys/timestamps match nothing (SQL semantics)") {
     // DuckDB ASOF (`l.k = r.k AND l.ts >= r.ts`): a null never satisfies
     // either predicate. Without the guard, a null-ts right row sorts
