@@ -1809,6 +1809,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of: each click matched to the user's closest purchase
+    // in either direction, ties to the preceding one — the backward and
+    // forward carries chained with a µs-distance pick
+    "q_asof_nearest" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      operators.AsOfJoin.asOfNearest(clicks, purchases, "user_id", "ts",
+          Map("purchase_id" -> "event_id", "purchase_value" -> "value"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // gap-based sessionization: a 12 h inactivity gap splits a user's
     // event stream; one summary row per session (single-shuffle plan,
     // boundary rule pinned to session_window in SessionizeSpec)
@@ -3408,6 +3424,33 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // both ASOF directions joined, the CASE picks by µs distance with
+    // ties to the preceding row — exactly the operator's contract
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS pid, user_id, ts,
+        |                  value AS pv FROM events
+        |           WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, c.user_id, c.ts,
+        |             p.pid AS bpid, p.pv AS bpv, p.ts AS bt
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.pid AS fpid, p.pv AS fpv, p.ts AS ft
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT b.event_id, b.user_id,
+        |       CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |                 epoch_us(b.ts) - epoch_us(bt)
+        |                   <= epoch_us(ft) - epoch_us(b.ts))
+        |            THEN bpid ELSE fpid END AS purchase_id,
+        |       CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |                 epoch_us(b.ts) - epoch_us(bt)
+        |                   <= epoch_us(ft) - epoch_us(b.ts))
+        |            THEN bpv ELSE fpv END AS purchase_value
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY b.event_id""".stripMargin,
 
     // the mirrored direction: smallest purchase ts at-or-after the click
     "q_asof_forward" ->

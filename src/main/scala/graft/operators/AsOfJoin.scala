@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,38 @@ object AsOfJoin {
       .select((Seq(col(key), col(ts)) ++
         leftCols.filterNot(c => c == key || c == ts).map(col) ++
         picked.map { case (out, _) => col("__asof").getField(out).as(out) }): _*)
+  }
+
+  /** NEAREST as-of join — for every left row, the right row with the
+    * same key whose timestamp is CLOSEST in either direction (pandas
+    * `merge_asof(direction="nearest")`); ties at equal distance go to
+    * the PRECEDING row. Composed as the backward and forward carries
+    * chained in one plan (two key shuffles/sorts — the price of
+    * looking both ways) with a per-row distance pick. Distance
+    * compares at epoch MICROSECONDS for timestamp columns (the
+    * [[EventAnalytics]] band discipline) and at the raw value for
+    * numeric ones. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, pick: Map[String, String]): DataFrame = {
+    def tsNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("double")
+      }
+    val leftCols = left.columns
+    val b = asOf(left, right, key, ts,
+      pick.map { case (o, s) => (s"__b_$o", s) } ++ Map("__b__t" -> ts))
+    val bf = asOfForward(b, right, key, ts,
+      pick.map { case (o, s) => (s"__f_$o", s) } ++ Map("__f__t" -> ts))
+    val lt = tsNum(col(ts), left.schema(ts).dataType)
+    val rdt = right.schema(ts).dataType
+    val bd = lt - tsNum(col("__b__t"), rdt)
+    val fd = tsNum(col("__f__t"), rdt) - lt
+    val useB = col("__b__t").isNotNull &&
+      (col("__f__t").isNull || bd <= fd)
+    bf.select((leftCols.map(col) ++
+      pick.keys.toSeq.map(o =>
+        when(useB, col(s"__b_$o")).otherwise(col(s"__f_$o")).as(o))): _*)
   }
 
   /** FORWARD as-of join — for every left row, the EARLIEST right row

@@ -57,6 +57,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!clean.contains(99L))
   }
 
+  test("nearest as-of picks the closest side, ties to the preceding row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 150L), (3L, "u1", 160L),
+        (4L, "u1", 500L), (5L, "u2", 10L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((10L, "u1", 90L, 1.0), (11L, "u1", 210L, 2.0),
+        (12L, "u2", 40L, 3.0))
+      .toDF("rid", "k", "t", "v")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "t",
+        Map("near_rid" -> "rid"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("near_rid")).map(_.toLong)))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L)),  // 100: back 10 vs fwd 110 -> backward
+      (2L, Some(10L)),  // 150: back 60 vs fwd 60 — TIE -> preceding
+      (3L, Some(11L)),  // 160: back 70 vs fwd 50 -> forward
+      (4L, Some(11L)),  // 500: nothing follows -> backward only
+      (5L, Some(12L)))) // 10: nothing precedes -> forward only
+  }
+
   test("null right keys/timestamps match nothing (SQL semantics)") {
     // DuckDB ASOF (`l.k = r.k AND l.ts >= r.ts`): a null never satisfies
     // either predicate. Without the guard, a null-ts right row sorts
