@@ -42,6 +42,38 @@ class AsOfJoinPropertySpec extends SparkSpec {
           .sortBy(_._3).lastOption.map(_._1)
       }.toMap
       assert(got == expected, s"round $round mismatch")
+
+      // FORWARD: earliest right at-or-after
+      val gotF = AsOfJoin.asOfForward(left, right, "k", "t",
+          Map("rid_next" -> "rid"))
+        .collect()
+        .map(r => r.getAs[Long]("eid") ->
+          Option(r.getAs[java.lang.Long]("rid_next")).map(_.toLong))
+        .toMap
+      val expectedF = leftRows.map { case (eid, k, t) =>
+        eid -> rightRows.filter(r => r._2 == k && r._3 >= t)
+          .sortBy(_._3).headOption.map(_._1)
+      }.toMap
+      assert(gotF == expectedF, s"round $round forward mismatch")
+
+      // NEAREST: min |distance|, ties to the preceding row
+      val gotN = AsOfJoin.asOfNearest(left, right, "k", "t",
+          Map("rid_near" -> "rid"))
+        .collect()
+        .map(r => r.getAs[Long]("eid") ->
+          Option(r.getAs[java.lang.Long]("rid_near")).map(_.toLong))
+        .toMap
+      val expectedN = leftRows.map { case (eid, k, t) =>
+        val cands = rightRows.filter(_._2 == k)
+        eid -> (if (cands.isEmpty) None
+        else {
+          // sort by (distance, prefer backward, ts) — backward wins ties
+          val best = cands.minBy(r =>
+            (math.abs(r._3 - t), if (r._3 <= t) 0 else 1))
+          Some(best._1)
+        })
+      }.toMap
+      assert(gotN == expectedN, s"round $round nearest mismatch")
     }
   }
 }
