@@ -1276,6 +1276,17 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // whole-corpus kNN GRAPH: every vector's top-3 neighbors via IVF
+    // cells at nProbe=2 — corpus-sized probes, so the cell join is
+    // shuffle-hash on BOTH sides (nothing corpus-sized broadcasts)
+    "q_knn_graph" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.knnGraph(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .orderBy("qid", "rank")
+    }),
+
     // same query through the PERSISTED cell-partitioned index: cell
     // assignment (the full-corpus argmax scan) happened once at build,
     // and the probe reads only the probed cells' partitions (partition
@@ -3964,6 +3975,34 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_knn_ivf" -> ivfSql,
+
+    // same assignment replay; probes rank the top-2 cells per vector
+    // and every vector is a query
+    "q_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
+        |asg AS (SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+        |           rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+        |           rn
+        |  FROM e CROSS JOIN cent c) WHERE rn <= 2),
+        |s AS (SELECT p.qid, a.vec_id AS cid,
+        |             list_cosine_similarity(p.qv, a.v) AS sim
+        |      FROM probes p JOIN asg a
+        |        ON a.cell = p.cell AND a.vec_id <> p.qid)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // identical semantics through the persisted cell-partitioned index
     "q_knn_ivf_indexed" -> ivfSql,

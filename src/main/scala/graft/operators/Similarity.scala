@@ -191,6 +191,41 @@ object Similarity {
       queryProbes(queries, id, vec, centroids, centId, centVec, nProbe), k)
   }
 
+  /** Whole-corpus kNN GRAPH via IVF cells — every vector's top-k
+    * neighbors, the input artifact of graph-based dedup/clustering
+    * (NN-Descent seeding, connected-components over near-dup edges,
+    * diversity scoring). Same probe semantics as [[ivfKnn]] with
+    * queries = corpus, but the probe side is CORPUS-SIZED, so neither
+    * side may broadcast (only the centroid table does, inside the
+    * probe ranking): probes and cell-assigned corpus meet in a
+    * shuffle-hash equi-join on the cell key — shuffle volume is
+    * nProbe rows per vector against one row per vector, candidate
+    * work is bounded by cell occupancy × nProbe, and the per-vector
+    * top-k is the usual rank window. A corpus vector lives in exactly
+    * one cell, so (qid, cid) pairs never duplicate across probes.
+    * Output: (qid, rank, cid, sim) — one row per graph edge. */
+  def knnGraph(vecs: DataFrame, id: String, vec: String,
+               centroids: DataFrame, centId: String, centVec: String,
+               k: Int, nProbe: Int = 1): DataFrame = {
+    val corpusCells = assignCells(vecs, id, vec, centroids, centId, centVec)
+      .select(col(id).as("cid"), asDoubles(col(vec)).as("cv"), col("cell"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val probes =
+      queryProbes(vecs, id, vec, centroids, centId, centVec, nProbe)
+    val sims = corpusCells.hint("shuffle_hash")
+      .join(probes.hint("shuffle_hash"), Seq("cell"))
+      .where(col("cid") =!= col("qid"))
+      .withColumn("sim",
+        cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .where(col("sim").isNotNull)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
   /** Persist the IVF layout the scaladoc above promises: the corpus with
     * assigned cells (plus precomputed norms) written as an external
     * parquet table PARTITIONED by cell, and the centroid table beside

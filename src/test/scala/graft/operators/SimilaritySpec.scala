@@ -46,6 +46,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: per-query slices equal ivfKnn, every vector is a " +
+      "query, nothing corpus-sized broadcasts") {
+    val cents = emb.where(col("vec_id") < 10)
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", k = 3, nProbe = 2)
+    val rows = graph.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every vector appears as a query (non-degenerate cells at sf0.001)
+    val nVecs = emb.count()
+    assert(rows.map(_._1).distinct.length == nVecs,
+      s"${rows.map(_._1).distinct.length} queries of $nVecs vectors")
+    // slice equality: the graph restricted to a query set equals
+    // ivfKnn over those queries at the same probes
+    val probeQs = emb.where(col("vec_id").between(20, 24))
+    val slice = Similarity.ivfKnn(probeQs, emb, "vec_id", "embedding",
+        cents, "vec_id", "embedding", 3, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows.filter(t => t._1 >= 20 && t._1 <= 24).toSet == slice)
+    // no self edges, ranks contiguous from 1
+    assert(rows.forall(t => t._1 != t._3))
+    rows.groupBy(_._1).values.foreach { es =>
+      assert(es.map(_._2).sorted.toSeq == (1L to es.length).toSeq)
+    }
+    // the probe-cell join must be shuffle-hash — broadcasting either
+    // corpus-sized side is the scale bug this operator exists to avoid
+    val plan = graph.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"cell join must be shuffle-hash:\n$plan")
+  }
+
   test("assignCells: argmax projection matches driver-side nearest centroid") {
     val cent = emb.where(col("vec_id") < 8)
     val assigned = Similarity.assignCells(emb.where(col("vec_id") < 200),
