@@ -575,6 +575,13 @@ object ScaleProbe {
           Similarity.bruteForceKnn(
             emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
             .count()),
+        // whole-corpus graph: candidates ~ n x occupancy x nProbe; at
+        // fixed cell count occupancy grows with n, so the probe prices
+        // the n^2/cells curve — the lever at scale is more centroids
+        // (occupancy ~ const), which the inline twin can't show
+        "knn_graph" -> (() =>
+          Similarity.knnGraph(emb, "vec_id", "embedding",
+            ivfCents, "vec_id", "embedding", k = 3, nProbe = 2).count()),
         "knn_ivf_inline" -> (() =>
           Similarity.ivfKnn(ivfQueries, emb, "vec_id", "embedding",
             ivfCents, "vec_id", "embedding", 3).count()),
