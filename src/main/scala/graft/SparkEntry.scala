@@ -1287,6 +1287,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // the graph CONSUMED: kNN edges above cosine 0.4 close into
+    // communities (large-star/small-star) — embedding-level duplicate
+    // groups at corpus scale, the composition knnGraph exists for
+    "q_embedding_communities" -> ((s, d) => {
+      val e = emb(s, d)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .where(col("sim") >= 0.4)
+        .select(col("qid").as("d1"), col("cid").as("d2"))
+      Clustering.dedupVerdicts(edges, "d1", "d2").orderBy("id")
+    }),
+
     // same query through the PERSISTED cell-partitioned index: cell
     // assignment (the full-corpus argmax scan) happened once at build,
     // and the probe reads only the probed cells' partitions (partition
@@ -3975,6 +3988,46 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_knn_ivf" -> ivfSql,
+
+    // the knn-graph replay's edges (filter on the ROUNDED sim — the
+    // bit-exact cross-engine value) symmetrized and closed with the
+    // recursive-CTE machinery of the dedup-cluster oracles
+    "q_embedding_communities" ->
+      """WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] v
+        |                     FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM ev WHERE vec_id < 10),
+        |asg AS (SELECT vec_id, v, cell FROM (
+        |  SELECT ev.vec_id, ev.v, c.cell,
+        |         row_number() OVER (PARTITION BY ev.vec_id
+        |           ORDER BY list_cosine_similarity(ev.v, c.cv) DESC, c.cell)
+        |           rn
+        |  FROM ev CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, cell FROM (
+        |  SELECT ev.vec_id, ev.v, c.cell,
+        |         row_number() OVER (PARTITION BY ev.vec_id
+        |           ORDER BY list_cosine_similarity(ev.v, c.cv) DESC, c.cell)
+        |           rn
+        |  FROM ev CROSS JOIN cent c) WHERE rn <= 2),
+        |sims AS (SELECT p.qid, a.vec_id AS cid,
+        |                list_cosine_similarity(p.qv, a.v) AS sim
+        |         FROM probes p JOIN asg a
+        |           ON a.cell = p.cell AND a.vec_id <> p.qid),
+        |g AS (SELECT qid AS d1, cid AS d2 FROM (
+        |        SELECT qid, cid, sim,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY sim DESC, cid) AS rank
+        |        FROM sims)
+        |      WHERE rank <= 3
+        |        AND round(sim, 4) + 0.0 >= CAST(0.4 AS DOUBLE)),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM g
+        |          UNION SELECT d2, d1 FROM g),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+        |SELECT u AS id, least(min(v), u) AS component,
+        |       least(min(v), u) = u AS keep
+        |FROM reach GROUP BY u ORDER BY id""".stripMargin,
 
     // same assignment replay; probes rank the top-2 cells per vector
     // and every vector is a query
