@@ -475,18 +475,20 @@ object CorpusStats {
       sum(col("__ntok")).as("n_tokens"),
       countDistinct(col("__fp")).as("n_distinct"),
       round(avg(col("__q")), 4).as("mean_quality"))
-    val wCum = Window.partitionBy(col("src")).orderBy(col("__v"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("src")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val med = base.groupBy(col("src"), col("__nch").as("__v"))
+    val med = base.groupBy(col("src").as("__g"), col("__nch").as("__v"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .groupBy("src")
+      .groupBy("__g")
       .agg(min(when(col("__cum") >=
         ceil(lit(0.5) * col("__n")), col("__v"))).as("p50_chars"))
-    agg.join(med, "src")
+    // null-safe join (the Features.zscore discipline): a null stratum
+    // is its own report row, never dropped
+    agg.join(med, col("src") <=> col("__g")).drop("__g")
       .select(col("src"), col("n_docs"), col("n_tokens"),
         round(lit(1.0) - col("n_distinct").cast("double") /
           col("n_docs").cast("double"), 6).as("dup_rate"),

@@ -145,6 +145,14 @@ class CorpusStatsSpec extends SparkSpec {
     assert(dupA == math.rint((1.0 - 2.0 / 3.0) * 1e6) / 1e6)
     // b: single doc, no dups, median = its own length
     assert(got("b") == ((1L, 3L, 0.0, 18L)), got("b").toString)
+    // a null stratum is its own report row (zscore's null discipline)
+    val withNull = df.unionByName(Seq(
+      (5L, null.asInstanceOf[String], "lone null stratum doc"))
+      .toDF("doc_id", "source", "text"))
+    val rows = CorpusStats.corpusReport(withNull, "doc_id", "source",
+      "text").collect()
+    assert(rows.length == 3 && rows.exists(_.isNullAt(0)),
+      rows.mkString(", "))
   }
 
   test("sourceOverlap: pairwise set arithmetic on a hand vector; " +
