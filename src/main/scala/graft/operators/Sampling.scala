@@ -135,14 +135,16 @@ object Sampling {
       else if (alpha == 0.5) sqrt(nD) // correctly-rounded, engine-portable
       else if (alpha == 0.0) lit(1.0)
       else pow(nD, lit(alpha))
-    val targets = df.groupBy(col(stratumCol))
+    // null-safe target join (the Features.zscore discipline): a null
+    // stratum samples against its own target, never silently drops
+    val targets = df.groupBy(col(stratumCol).as("__g"))
       .agg(count(lit(1)).as("__n"))
-      .select(col(stratumCol),
+      .select(col("__g"),
         least(col("__n"), floor(lit(rate) * powered).cast("long"))
           .as("__target"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(orderHash(col(idCol), salt), col(idCol))
-    df.join(broadcast(targets), Seq(stratumCol))
+    df.join(broadcast(targets), col(stratumCol) <=> col("__g"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= col("__target"))
       .select(df.columns.map(col).toSeq: _*)

@@ -423,6 +423,15 @@ class SamplingSpec extends SparkSpec {
       rate = 7.0, alpha = 0.0, salt = "t")
       .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(eq == Map("head" -> 7, "tail" -> 7))
+    // a null stratum is its own stratum, never silently dropped
+    val withNull = df.unionByName(
+      (900L to 915L).map(i => (i, null.asInstanceOf[String]))
+        .toDF("doc_id", "src"))
+    val nullKept = Sampling.temperatureSample(withNull, "doc_id", "src",
+        rate = 2.0, alpha = 0.5, salt = "t")
+      .collect().filter(_.isNullAt(1))
+    // 16 null-stratum docs -> floor(2*4) = 8 kept
+    assert(nullKept.length == 8, s"null stratum kept ${nullKept.length}")
   }
 
   test("solveTemperatureRate: budget met within one doc per uncapped " +
