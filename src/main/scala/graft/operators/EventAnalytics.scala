@@ -93,6 +93,11 @@ object EventAnalytics {
     * post-join scalar predicate: no extra shuffle, no extra scan, and
     * it SHRINKS the aggregate's input.
     */
+  // Null-key contract (funnel + retention + topPaths): a null actor
+  // key carries no identity — anonymous events cannot cohort, convert,
+  // or form a path, so the equality joins/groupings exclude them BY
+  // DESIGN (contrast Features.zscore, where a null STRATUM is a
+  // meaningful group and the joins are null-safe).
   def retention(events: DataFrame, keyCol: String, tsCol: String,
                 horizonMs: Option[Long] = None): DataFrame = {
     require(horizonMs.forall(_ > 0L),
@@ -134,6 +139,10 @@ object EventAnalytics {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
     val steps = (1 until n).map(i => lead(col(typeCol), i).over(w))
     val top = events
+      // the null-key contract above: anonymous events form no paths (a
+      // bare window would lump every null actor into ONE partition and
+      // manufacture paths across unrelated events)
+      .where(col(keyCol).isNotNull)
       .withColumn("__last", steps.last)
       .withColumn("path",
         concat_ws(">", col(typeCol) +: steps: _*))

@@ -94,6 +94,15 @@ class EventAnalyticsSpec extends SparkSpec {
     val k1 = EventAnalytics.topPaths(df, "u", "eid", "et", n = 3, k = 1)
       .collect().map(_.getString(1)).toSeq
     assert(k1 == Seq("a>b>c"))
+    // null actors form no paths (they would otherwise all share one
+    // window partition and manufacture cross-event paths)
+    val withNull = df.unionByName(Seq(
+      (null.asInstanceOf[String], 20L, "p"),
+      (null.asInstanceOf[String], 21L, "q"),
+      (null.asInstanceOf[String], 22L, "r")).toDF("u", "eid", "et"))
+    val np = EventAnalytics.topPaths(withNull, "u", "eid", "et", 3, 10)
+      .collect().map(_.getString(1))
+    assert(!np.contains("p>q>r"), np.mkString(", "))
   }
 
   test("retention buckets distinct keys by first-event week offset") {
