@@ -502,6 +502,32 @@ object ScaleProbe {
           nov.join(lm, "doc_id")
             .join(dirty, Seq("doc_id"), "left_anti").count()
         }),
+        // the mixture-build capstone end-to-end over the replicated
+        // corpus: quality floor (distinct-length cum-sum) → fingerprint
+        // keep-first → temperature targets + draw → packing windows —
+        // every shuffle is group/fingerprint/stratum-keyed, so wall
+        // must track the corpus scans, never a pair blowup
+        "curation_pipeline" -> (() => {
+          val all = docs.select(col("doc_id"), col("source"),
+            col("n_chars"), col("text"))
+          val q = operators.Features.quantileFilter(
+            all, "source", "n_chars", 0.25)
+          val kept = q
+            .withColumn("__fp",
+              graft.functions.TextFunctions.fingerprint(col("text")))
+            .withColumn("__keep", min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("__fp"))))
+            .where(col("doc_id") === col("__keep"))
+            .select(col("doc_id"), col("source"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("bigint").as("n_tok"))
+          val mixed = operators.Sampling.temperatureSample(
+            kept, "doc_id", "source", rate = 4.0, alpha = 0.5,
+            salt = "cur")
+          operators.Sampling.packSequences(mixed, "doc_id", "source",
+            "n_tok", 2048L, salt = "cur").count()
+        }),
         // two kernel chunkings + ONE (id, hash, count) shuffle — wall
         // must track the scans; the diff side reuses the same frame
         // with a fixed deterministic edit

@@ -465,6 +465,31 @@ class SamplingSpec extends SparkSpec {
     assert(kept <= 60L && kept >= 58L, s"kept $kept of budget 60")
   }
 
+  test("property: discreteBounds boundaries are data values at exact " +
+      "ceil(q*n) ranks, on random heavy-tie corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { round =>
+      // heavy ties: values drawn from a small range so boundaries land
+      // ON duplicated values constantly (the r11 failure surface)
+      val vals = Seq.fill(50 + rnd.nextInt(200))(
+        (10 + rnd.nextInt(20)).toLong)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val qs = Seq(0.1, 0.25, 0.5, 0.9)
+      val row = Sampling.discreteBounds(df, "v", qs).collect().head
+      val sorted = vals.sorted
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val b = row.getLong(i)
+        // the percentile_disc reference: element at rank ceil(q*n)
+        val want = sorted(math.ceil(q * vals.length).toInt - 1)
+        assert(b == want, s"round $round q=$q: $b != $want")
+        assert(vals.contains(b), s"boundary $b must be a data value")
+      }
+    }
+  }
+
   test("weightedSamplePerStratum: k per stratum, same keys, group-limited") {
     val s = spark
     import s.implicits._
