@@ -657,6 +657,15 @@ object SparkEntry {
         .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // lang-ID with its confidence margin: margin 0 = ambiguous/mixed
+    // (route to a heavier classifier); integer-exact, shares the
+    // textStats kernel pass with the prediction
+    "q_lang_margin" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"),
+          TF.langIdMargin(col("text")).as("margin"))
+        .orderBy("doc_id")),
+
     "q_quality" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"),
@@ -2668,6 +2677,29 @@ object SparkEntry {
          |       WHEN de >= fr AND de >= es THEN 'de'
          |       WHEN fr >= es THEN 'fr'
          |       ELSE 'es' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the prediction's CASE plus best-minus-second of the four integer
+    // scores — exact arithmetic end-to-end
+    "q_lang_margin" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id,
+         |  len(list_filter(tk, x -> x IN ($swEn))) en,
+         |  len(list_filter(tk, x -> x IN ($swDe))) de,
+         |  len(list_filter(tk, x -> x IN ($swFr))) fr,
+         |  len(list_filter(tk, x -> x IN ($swEs))) es,
+         |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) cjk,
+         |  len(tk) ntok
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN cjk * 2 > ntok THEN 'zh'
+         |       WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred,
+         |  (list_reverse_sort([en, de, fr, es])[1]
+         |   - list_reverse_sort([en, de, fr, es])[2])::BIGINT AS margin
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->

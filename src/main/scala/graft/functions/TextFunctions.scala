@@ -121,6 +121,22 @@ object TextFunctions {
   def wordNgramsAll(text: Column, n: Int): Column =
     graft.expressions.TextExprs.wordNgramsAll(text, n)
 
+  /** Language-ID confidence MARGIN: the gap between the best and
+    * second-best language stopword scores — 0 for ties, i.e. ambiguous
+    * or mixed-language documents, the rows a curation run routes to a
+    * heavier classifier instead of trusting [[langId]]'s pick. Pure
+    * integer arithmetic over the single-pass [[textStats]] kernel
+    * (codegen subexpression elimination shares the pass with langId in
+    * the same projection) — engine-exact, no rounding anywhere. */
+  def langIdMargin(text: Column): Column = {
+    val st = textStats(text)
+    val arr = sort_array(array(
+      st.getField("en").cast("long"), st.getField("de").cast("long"),
+      st.getField("fr").cast("long"), st.getField("es").cast("long")),
+      asc = false)
+    element_at(arr, 1) - element_at(arr, 2)
+  }
+
   /** Unicode normalization (NFC or NFKC) + optional ROOT casefold +
     * whitespace collapse — the pre-hash canonicalization step; codegen
     * kernel, see graft.expressions.TextKernels.normalizeText. */

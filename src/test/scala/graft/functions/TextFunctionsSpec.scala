@@ -49,6 +49,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
   }
 
+  test("langIdMargin: best-minus-second stopword score, 0 on ties") {
+    // clear english: en stopwords only -> margin = en count
+    assert(one("the cat and the dog of it", langIdMargin(col("text")))
+      .asInstanceOf[Long] == 5L)
+    // constructed tie: 'la' is a stopword of BOTH fr and es -> margin 0
+    assert(one("la la la", langIdMargin(col("text")))
+      .asInstanceOf[Long] == 0L)
+    // mixed en/de: margin is the gap, not the max (en 3, de 2)
+    assert(one("the cat und der hund of it", langIdMargin(col("text")))
+      .asInstanceOf[Long] == 1L)
+    // no stopwords at all: 0 - 0 = 0 (pairs with langId's 'und')
+    assert(one("zzz qqq", langIdMargin(col("text")))
+      .asInstanceOf[Long] == 0L)
+  }
+
   test("gopher rules: each rule trips on its own adversarial document") {
     import org.apache.spark.sql.Row
     def flags(text: String): Row =
