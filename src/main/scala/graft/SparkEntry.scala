@@ -1624,6 +1624,15 @@ object SparkEntry {
           "source", "n_chars", 0.75)
         .orderBy("doc_id")),
 
+    // robust z-score: (x - median)/MAD per source, both DISCRETE data
+    // values — outlier-immune normalization, integer-exact up to the
+    // one final division
+    "q_robust_zscore" -> ((s, d) =>
+      graft.operators.Features.robustZscore(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy("doc_id")),
+
     // winsorize document lengths into [p05, p95] discrete bounds — the
     // outlier clip before moment-based normalization
     "q_winsorize" -> ((s, d) =>
@@ -3825,6 +3834,43 @@ object SparkEntry {
         |FROM documents JOIN t USING (source)
         |WHERE n_chars >= thr
         |ORDER BY doc_id""".stripMargin,
+
+    // two rounds of the per-group discrete-median construction (value,
+    // then |value - median|), one division, round 4
+    "q_robust_zscore" ->
+      """WITH vc AS (SELECT source, n_chars AS v, count(*) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |          sum(c) OVER (PARTITION BY source ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cum,
+        |          sum(c) OVER (PARTITION BY source) AS n
+        |        FROM vc),
+        |med AS (SELECT source,
+        |          min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
+        |                   THEN v END) AS m
+        |        FROM cum GROUP BY source),
+        |dv AS (SELECT d.doc_id, d.source, d.n_chars,
+        |              m.m AS med, abs(d.n_chars - m.m) AS dev
+        |       FROM documents d JOIN med m USING (source)),
+        |dc AS (SELECT source, dev AS v, count(*) AS c
+        |       FROM dv GROUP BY 1, 2),
+        |dcum AS (SELECT source, v,
+        |           sum(c) OVER (PARTITION BY source ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS cum,
+        |           sum(c) OVER (PARTITION BY source) AS n
+        |         FROM dc),
+        |mad AS (SELECT source,
+        |          min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
+        |                   THEN v END) AS mad
+        |        FROM dcum GROUP BY source)
+        |SELECT dv.doc_id, dv.source, dv.n_chars,
+        |       CASE WHEN mad.mad = 0 THEN 0.0
+        |            ELSE round((dv.n_chars - dv.med)::DOUBLE / mad.mad, 4)
+        |       END AS n_chars_rz
+        |FROM dv JOIN mad USING (source)
+        |ORDER BY dv.doc_id""".stripMargin,
 
     // global discrete [p05, p95] bounds via the same cum-sum replay;
     // the clip is integer arithmetic on both sides

@@ -86,6 +86,50 @@ object Features {
     joined.where(cond).select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Robust z-score: `(x − median) / MAD` within `groupCol`, appended
+    * as `<col>_rz` (4 decimals) — the outlier-immune normalization for
+    * heavy-tailed signals, where one mega-document drags a mean/stddev
+    * z-score but cannot move a median. Both the median and the MAD
+    * (median absolute deviation) are DISCRETE — actual data values via
+    * the per-group cum-sum construction — so for integer signals the
+    * entire computation before the single final division is
+    * integer-exact and engine-portable (no moment accumulation order,
+    * no interpolated boundary). A zero-MAD group (over half its values
+    * at the median) normalizes to 0.0, the [[zscore]] convention.
+    *
+    * Plan shape: two rounds of (group, value) counting + tiny
+    * cumulative windows and two null-safe key joins back — the corpus
+    * itself is never sorted, and a null group is its own stratum. */
+  def robustZscore(df: DataFrame, groupCol: String,
+                   valCol: String): DataFrame = {
+    def discreteMedian(in: DataFrame, vCol: Column): DataFrame = {
+      val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      in.groupBy(col(groupCol).as("__g"), vCol.as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .groupBy("__g")
+        .agg(min(when(col("__cum") >= ceil(lit(0.5) * col("__n")),
+          col("__v"))).as("__m"))
+    }
+    val med = discreteMedian(df, col(valCol).cast("long"))
+    val withMed = df.join(med, col(groupCol) <=> col("__g")).drop("__g")
+      .withColumn("__med", col("__m")).drop("__m")
+    val mad = discreteMedian(withMed,
+      abs(col(valCol).cast("long") - col("__med")))
+      .withColumnRenamed("__m", "__mad")
+    withMed.join(mad, col(groupCol) <=> col("__g")).drop("__g")
+      .withColumn(s"${valCol}_rz",
+        when(col("__mad") === 0L, lit(0.0))
+          .otherwise(round(
+            (col(valCol).cast("long") - col("__med")).cast("double") /
+              col("__mad").cast("double"), 4)))
+      .drop("__med", "__mad")
+  }
+
   /** Winsorization at discrete quantile bounds: clip `valCol` into
     * `[b_lo, b_hi]`, where the bounds are ACTUAL data values at
     * `qLow`/`qHigh` ([[Sampling.discreteBounds]] — integer-exact

@@ -53,6 +53,32 @@ class FeaturesSpec extends SparkSpec {
     assert(kd == Set(2L, 3L, 4L, 5L))
   }
 
+  test("robustZscore: discrete median/MAD, outlier-immune, zero-MAD " +
+      "and null groups handled") {
+    val s = spark
+    import s.implicits._
+    // g1: 1..5 with a wild outlier 1000 — median of {1,2,3,4,5,1000}
+    // at discrete rank ceil(3)=3 is 3; deviations {2,1,0,1,2,997} ->
+    // MAD at rank 3 of {0,1,1,2,2,997} is 1
+    val df = Seq((1L, Some("g1"), 1L), (2L, Some("g1"), 2L),
+      (3L, Some("g1"), 3L), (4L, Some("g1"), 4L), (5L, Some("g1"), 5L),
+      (6L, Some("g1"), 1000L),
+      (7L, None, 10L), (8L, None, 30L), (9L, None, 30L))
+      .toDF("id", "g", "v")
+    val got = Features.robustZscore(df, "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(3L) == 0.0 && got(1L) == -2.0 && got(5L) == 2.0)
+    // the outlier's score is huge but it did NOT move anyone else
+    assert(got(6L) == 997.0)
+    // null group is its own stratum: median of {10,30,30} rank 2 = 30;
+    // deviations {20,0,0} -> MAD 0 -> all rows normalize to 0.0
+    assert(got(7L) == 0.0 && got(8L) == 0.0 && got(9L) == 0.0)
+    // contrast: the moment z-score WOULD be dragged by the outlier
+    val mz = Features.zscore(df.where($"g".isNotNull), "g", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(mz(5L)) < 0.5, s"moment z of 5 is ${mz(5L)}")
+  }
+
   test("winsorize clips into discrete [qLow, qHigh] data-value bounds") {
     val s = spark
     import s.implicits._
