@@ -507,17 +507,22 @@ object Bench {
       graft.streaming.ReplayStats.batches.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     }
-    // stdout carries ONE compact line — total first, then the per-query
-    // medians — so a tail-truncated capture still keeps every number
-    // that is graded; the per-run times are stderr forensics (they are
-    // also echoed per-run above as they happen)
+    // stdout layout is built for the driver's 2,000-char TAIL capture
+    // (r12's artifact kept only the trailing cal_mt_ms map and lost the
+    // regressions field): a minimal verdict line goes out FIRST (covers
+    // any head-based capture), and the full line puts every bulky
+    // diagnostic map up front so its LAST ~1,000 chars are the verdict
+    // fields — total, errors, regressions, contention flags — which is
+    // what a tail capture keeps. The per-run times are stderr
+    // forensics (also echoed per-run above as they happen).
     val calJson = results.map(_._1)
       .flatMap(k => calMed.get(k).map(v => f""""$k":$v%.2f"""))
       .mkString("{", ",", "}")
     val calMtJson = results.map(_._1)
       .flatMap(k => calMtMed.get(k).map(v => f""""$k":$v%.2f"""))
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"errors":$errs,"sf":"$sfDir","queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"regressions":$regressions,"contended_flags":$contendedFlags,"wall_only_warnings":$wallOnly,"cal_base_ms":$calBase%.2f,"cal_baseline_ms":$baseCalRecorded%.2f,"cal_mt_base_ms":$calMtBase%.2f,"cal_mt_baseline_ms":$baseCalMtRecorded%.2f,"cal_ms":$calJson,"cal_mt_ms":$calMtJson,"replay_batches":$replayBatches}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"sf":"$sfDir","regressions":$regressions,"contended_flags":$contendedFlags,"wall_only_warnings":$wallOnly}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec%.2f,"sf":"$sfDir","cal_base_ms":$calBase%.2f,"cal_baseline_ms":$baseCalRecorded%.2f,"cal_mt_base_ms":$calMtBase%.2f,"cal_mt_baseline_ms":$baseCalMtRecorded%.2f,"cal_ms":$calJson,"cal_mt_ms":$calMtJson,"queries":$qs,"mad":$mads,"task_ms":$taskJson,"gc_ms":$gcJson,"baseline_delta_pct":$deltaJson,"replay_batches":$replayBatches,"errors":$errs,"total":$total,"regressions":$regressions,"contended_flags":$contendedFlags,"wall_only_warnings":$wallOnly}""")
     System.err.println(s"""[bench] runs: $runs""")
     SparkEntry.dropCachedIndexes(spark)
     spark.stop()

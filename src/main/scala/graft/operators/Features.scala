@@ -65,7 +65,11 @@ object Features {
   def quantileFilter(df: DataFrame, groupCol: String, valCol: String,
                      q: Double, keepTop: Boolean = true): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
-    val vcs = df.groupBy(col(groupCol).as("__g"), col(valCol).as("__v"))
+    // null values are excluded from the quantile population (the
+    // Sampling.discreteBounds discipline): a null is never a
+    // threshold, and engines disagree on where nulls sort
+    val vcs = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -107,7 +111,8 @@ object Features {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      in.groupBy(col(groupCol).as("__g"), vCol.as("__v"))
+      in.where(vCol.isNotNull)
+        .groupBy(col(groupCol).as("__g"), vCol.as("__v"))
         .agg(count(lit(1)).as("__c"))
         .withColumn("__cum", sum(col("__c")).over(wCum))
         .withColumn("__n", sum(col("__c")).over(wAll))
@@ -146,9 +151,13 @@ object Features {
     require(qLow > 0.0 && qLow < qHigh && qHigh < 1.0,
       s"need 0 < qLow < qHigh < 1, got ($qLow, $qHigh)")
     val bounds = Sampling.discreteBounds(df, valCol, Seq(qLow, qHigh))
+    // a null value stays null: Spark's greatest/least SKIP nulls, so
+    // without the guard a null would silently clip to the low bound
+    val v = col(valCol).cast("long")
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${valCol}_w",
-        greatest(col("__b0"), least(col("__b1"), col(valCol).cast("long"))))
+        when(v.isNull, lit(null).cast("long"))
+          .otherwise(greatest(col("__b0"), least(col("__b1"), v))))
       .drop("__b0", "__b1")
   }
 }

@@ -167,13 +167,23 @@ object Sampling {
       "counts must be non-empty positive stratum sizes")
     require(alpha >= 0.0 && alpha <= 1.0,
       s"alpha must be in [0, 1], got $alpha")
+    // mirror temperatureSample's column dispatch exactly: sqrt at
+    // alpha=0.5 (math.pow(x, 0.5) is not guaranteed equal to the
+    // correctly-rounded sqrt, and a one-ulp difference at a knife-edge
+    // solved rate flips floor(r*pow) by 1 per stratum, breaking the
+    // budget the solver promised)
+    def powered(n: Double): Double =
+      if (alpha == 1.0) n
+      else if (alpha == 0.5) math.sqrt(n)
+      else if (alpha == 0.0) 1.0
+      else math.pow(n, alpha)
     def target(r: Double, n: Long): Long =
-      math.min(n, math.floor(r * math.pow(n.toDouble, alpha)).toLong)
+      math.min(n, math.floor(r * powered(n.toDouble)).toLong)
     def total(r: Double): Long = counts.values.map(target(r, _)).sum
     var lo = 0.0
     // rMax: every stratum fully kept
     var hi = counts.values
-      .map(n => (n + 1).toDouble / math.pow(n.toDouble, alpha)).max
+      .map(n => (n + 1).toDouble / powered(n.toDouble)).max
     var i = 0
     while (i < 64) {
       val mid = (lo + hi) / 2
@@ -366,7 +376,12 @@ object Sampling {
   private[operators] def discreteBounds(df: DataFrame, valueCol: String,
                                         quantiles: Seq[Double])
       : DataFrame = {
+    // nulls are EXCLUDED from the population: a null can never be a
+    // boundary, and counting nulls into n would both inflate
+    // ceil(q*n) and diverge cross-engine (Spark's ascending window
+    // orders nulls first, DuckDB's cum-sum orders them last)
     val vcs = df.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__c"))
     val wCum = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

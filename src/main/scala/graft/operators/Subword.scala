@@ -195,7 +195,13 @@ object Subword {
       val st = wc.agg(count(lit(1)).as("nw"),
         coalesce(sum(length(col("w"))), lit(0L)).as("nc")).collect().head
       val (nWords, nChars) = (st.getLong(0), st.getLong(1))
-      val estBytes = 2L * nChars + 64L * nWords // UTF-16 chars + object headers
+      // models the TRAINING working set, not just the collected tuples:
+      // per char — 2 B collected UTF-16 + 8 B interned-symbol array ref
+      // + ~22 B amortized pair->word bitset index; per word — tuple +
+      // String + symbol-array headers. Symbol strings themselves are
+      // interned (one instance per distinct piece), so they don't scale
+      // with nChars.
+      val estBytes = 32L * nChars + 128L * nWords
       if (estBytes <= localBytesCap) {
         // standard BPE-trainer shape: ONE Spark job collects the word
         // frame, then the whole merge loop runs driver-local with
@@ -300,14 +306,14 @@ object Subword {
     * ACCUMULATED last symbol, but a merged symbol `l+r` can never
     * itself equal `l` since `r` is non-empty, so scanning the original
     * array with an i+2 skip is the same function). */
-  private def mergeWord(s: Array[String], l: String, r: String)
-      : Array[String] = {
+  private def mergeWord(s: Array[String], l: String, r: String,
+                        lr: String): Array[String] = {
     val out = Array.newBuilder[String]
     out.sizeHint(s.length)
     var i = 0
     while (i < s.length) {
       if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
-        out += (l + r); i += 2
+        out += lr; i += 2
       } else { out += s(i); i += 1 }
     }
     out.result()
@@ -330,9 +336,16 @@ object Subword {
     val nW = wordCounts.length
     val syms = new Array[Array[String]](nW)
     val cnt = new Array[Long](nW)
+    // symbol strings are INTERNED: every occurrence of a 1-char symbol
+    // (and later of a merged piece) shares one String instance, so the
+    // per-char resident cost is the 8-byte array reference, not a
+    // 40+-byte String per character — the working set the collect
+    // estimate in trainBpeMerges models
+    val intern = mutable.HashMap.empty[String, String]
     var i = 0
     while (i < nW) {
       syms(i) = wordCounts(i)._1.split("").filter(_.nonEmpty)
+        .map(c => intern.getOrElseUpdate(c, c))
       cnt(i) = wordCounts(i)._2
       i += 1
     }
@@ -381,7 +394,8 @@ object Subword {
       if (top == null) done = true
       else {
         val (n, l, r) = (top._1, top._2, top._3)
-        out += ((rank, l, r, l + r, n))
+        val lr = intern.getOrElseUpdate(l + r, l + r)
+        out += ((rank, l, r, lr, n))
         // the index is a SUPERSET (add-only): re-check adjacency before
         // paying the reprocess. After the pass no (l, r) adjacency
         // survives anywhere, so pairN(l, r) drains to zero via bump.
@@ -390,9 +404,17 @@ object Subword {
         affected.foreach { wi =>
           if (containsPair(syms(wi), l, r)) {
             bump(wi, -1L)
-            syms(wi) = mergeWord(syms(wi), l, r)
+            syms(wi) = mergeWord(syms(wi), l, r, lr)
             bump(wi, 1L)
           }
+        }
+        // lazy deletion means every count update leaves a stale heap
+        // snapshot behind; over thousands of merges the heap would
+        // otherwise grow without bound. When stale entries dominate
+        // 4:1, rebuild from the live pair counts in one pass.
+        if (heap.size > 4 * pairN.size + 1024) {
+          heap.clear()
+          pairN.foreach { case ((pl, pr), pn) => heap.enqueue((pn, pl, pr)) }
         }
         rank += 1
       }
@@ -459,7 +481,8 @@ object Subword {
       }
       if (bi < 0) go = false
       else {
-        syms = mergeWord(syms, syms(bi), syms(bi + 1))
+        val (l, r) = (syms(bi), syms(bi + 1))
+        syms = mergeWord(syms, l, r, l + r)
         go = syms.length > 1
       }
     }
