@@ -421,6 +421,24 @@ object SparkEntry {
         .orderBy("ws")
     }),
 
+    // W4×W5 STREAMING composition: keyed sliding event-time windows
+    // under a watermark, executed as real Structured Streaming via the
+    // same deterministic 4-chunk replay as q_watermark_late. Sliding
+    // panes make lateness per WINDOW INSTANCE (a late row's older pane
+    // can be expired while its newer pane still absorbs it) — the rule
+    // the oracle replays per (row, pane) pair.
+    "q_keyed_time_sliding" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      graft.streaming.Watermarks.keyedSlidingReplay(ev(s, d), "ts",
+          "event_type", "value",
+          TF.hashBucket(col("event_id").cast("string"), 4), 4,
+          "45 minutes", "2 hours", "1 hour")
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("key").as("event_type"), col("n"),
+          round(col("sv"), 4).as("sv"))
+        .orderBy("ws", "event_type")
+    }),
+
     // W5 map-shaped keyed output (reference emits map[key]agg,
     // windows.go:469-479). The map column itself is exercised via
     // toMapShape; for the driver's compare (which cannot hash map columns)
@@ -2482,6 +2500,39 @@ object SparkEntry {
         |FROM kept, fin
         |WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= fin.wm_ms
         |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    // the keyed SLIDING replay: each event expands to its two 2h/1h
+    // panes (a static UNION ALL — no engine-specific lateral), then the
+    // same per-chunk watermark rules apply PER PANE: a pane is dropped
+    // iff its end <= the watermark in force at the row's arrival chunk,
+    // and emitted iff its end <= the final watermark
+    "q_keyed_time_sliding" ->
+      """WITH c AS (
+        |  SELECT ts, event_type, value,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 4
+        |           AS chunk
+        |  FROM events),
+        |mx AS (SELECT chunk, max(ts) AS mxts FROM c GROUP BY chunk),
+        |wm AS (SELECT k.chunk,
+        |         (SELECT epoch_ms(max(mxts)) - 2700000 FROM mx
+        |          WHERE mx.chunk < k.chunk) AS wm_ms
+        |       FROM (SELECT DISTINCT chunk FROM c) k),
+        |x AS (
+        |  SELECT ts, event_type, value, chunk,
+        |         date_trunc('hour', ts) AS wstart FROM c
+        |  UNION ALL
+        |  SELECT ts, event_type, value, chunk,
+        |         date_trunc('hour', ts) - INTERVAL 1 HOUR AS wstart FROM c),
+        |kept AS (
+        |  SELECT x.wstart, x.event_type, x.value FROM x JOIN wm USING (chunk)
+        |  WHERE wm.wm_ms IS NULL
+        |     OR epoch_ms(x.wstart + INTERVAL 2 HOUR) > wm.wm_ms),
+        |fin AS (SELECT epoch_ms(max(ts)) - 2700000 AS wm_ms FROM c)
+        |SELECT epoch(wstart)::BIGINT AS ws, event_type, count(*) AS n,
+        |       round(sum(value), 4) AS sv
+        |FROM kept, fin
+        |WHERE epoch_ms(wstart + INTERVAL 2 HOUR) <= fin.wm_ms
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
     "q_channel_fanin" ->
       """SELECT channel, count(*) AS n, round(sum(value), 4) AS sv FROM (

@@ -29,7 +29,19 @@ object Dsl {
                          groupBy: Option[String] = None,
                          outputChannel: Option[String] = None)
 
-  case class AppDef(channels: Seq[String], pipelines: Map[String, PipelineDef])
+  /** One trigger handler from an app definition (the unit the
+    * reference builds one streamtester emitter per —
+    * trigger/streamtester/tester.go:52-60): named after the handler's
+    * explicit `name`, else its action id, else `<trigger>-<idx>`. */
+  case class HandlerDef(name: String, settings: Map[String, String],
+                        actionId: String)
+
+  case class TriggerDef(id: String, ref: String,
+                        settings: Map[String, String],
+                        handlers: Seq[HandlerDef])
+
+  case class AppDef(channels: Seq[String], pipelines: Map[String, PipelineDef],
+                    triggers: Seq[TriggerDef] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -59,7 +71,20 @@ object Dsl {
       resources.get(resId).map(p =>
         aid -> p.copy(groupBy = gb, outputChannel = oc))
     }.toMap
-    AppDef(channels, resources ++ byAction)
+    val triggers = arr(root, "triggers").map { t =>
+      val tid = text(t, "id")
+      val handlers = arr(t, "handlers").zipWithIndex.map { case (h, i) =>
+        val aid = Option(h.get("action"))
+          .map(a => text(a, "id")).getOrElse("")
+        val name = Some(text(h, "name")).filter(_.nonEmpty)
+          .orElse(Some(aid).filter(_.nonEmpty))
+          .getOrElse(s"$tid-$i")
+        HandlerDef(name, objMap(h, "settings"), aid)
+      }
+      TriggerDef(tid, text(t, "ref").stripPrefix("#"),
+        objMap(t, "settings"), handlers)
+    }
+    AppDef(channels, resources ++ byAction, triggers)
   }
 
   /** Parse a bare stream resource (the `data` object of a resource). */

@@ -6,9 +6,17 @@ import scala.collection.concurrent.TrieMap
 
 /** REST control shim for replay sources — parity with the reference's
   * streamtester control API (trigger/streamtester/tester.go:63-74):
-  * POST /tester/start | stop | pause | resume | reload, globally or for
-  * one named source via ?name=. Built on the JDK's HttpServer (no extra
+  * POST /tester/start | stop | pause | resume | reload, globally, for
+  * one named source via the reference's path-param form
+  * (/tester/pause/:id — tester.go:69-74), or via ?name= (kept for
+  * compatibility with earlier graft clients; the path param wins when
+  * both appear). Built on the JDK's HttpServer (no extra
   * dependencies); GET /tester/status reports each source's state.
+  *
+  * Sources register either explicitly ([[register]]) or straight from
+  * a loaded app definition ([[registerFrom]] — one replay source per
+  * streamtester trigger handler, the reference's per-handler emitter
+  * construction, tester.go:52-60).
   */
 class ControlServer(port: Int) {
 
@@ -17,6 +25,34 @@ class ControlServer(port: Int) {
 
   def register(name: String, replay: CsvReplay): Unit =
     sources.put(name, replay)
+
+  /** Build and register one [[CsvReplay]] per streamtester trigger
+    * handler of `app`, honoring the reference's handler settings
+    * (filePath required; emitDelay / replayData / allDataAtOnce
+    * optional — trigger/streamtester/metadata.go:9-16). Returns the
+    * registered names in definition order; look sources up with
+    * [[source]] to attach their streams to pipelines. */
+  def registerFrom(app: graft.engine.Dsl.AppDef)
+                  (implicit spark: org.apache.spark.sql.SparkSession)
+      : Seq[String] =
+    app.triggers.filter(_.ref.toLowerCase.contains("streamtester"))
+      .flatMap { t =>
+        t.handlers.map { h =>
+          val s = h.settings
+          require(s.contains("filePath"),
+            s"streamtester handler '${h.name}' has no filePath setting")
+          val replay = new CsvReplay(
+            path = s("filePath"),
+            emitDelayMs = s.get("emitDelay").map(_.toLong).getOrElse(100L),
+            replayData = s.get("replayData").exists(_.toBoolean),
+            allDataAtOnce = s.get("allDataAtOnce").exists(_.toBoolean))
+          register(h.name, replay)
+          h.name
+        }
+      }
+
+  /** The registered replay source of `name`, if any. */
+  def source(name: String): Option[CsvReplay] = sources.get(name)
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -29,12 +65,20 @@ class ControlServer(port: Int) {
   def stop(): Unit = if (server != null) server.stop(0)
 
   private def handle(ex: HttpExchange): Unit = {
-    val path = ex.getRequestURI.getPath.stripPrefix("/tester").stripPrefix("/")
+    val rest = ex.getRequestURI.getPath.stripPrefix("/tester").stripPrefix("/")
+    // the reference's path-param form: /tester/<action>/<id>
+    // (tester.go:69-74); everything after the first segment is the id
+    val (path, pathName) = rest.indexOf('/') match {
+      case -1 => (rest, None)
+      case i  => (rest.substring(0, i),
+        Some(java.net.URLDecoder.decode(rest.substring(i + 1), "UTF-8"))
+          .filter(_.nonEmpty))
+    }
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
-    val name = query.split("&").collectFirst {
+    val name = pathName.orElse(query.split("&").collectFirst {
       case kv if kv.startsWith("name=") =>
         java.net.URLDecoder.decode(kv.stripPrefix("name="), "UTF-8")
-    }
+    })
     val targets = name match {
       case Some(n) => sources.get(n).map(n -> _).toSeq
       case None    => sources.toSeq

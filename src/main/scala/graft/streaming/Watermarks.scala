@@ -73,4 +73,36 @@ object Watermarks {
       Seq(col(tsCol).as("ts"), col(valCol).cast("double").as("value")),
       chunk, nChunks, statePartitions, "graft_wm_")(
       stream => tumblingAgg(stream, "ts", "value", delay, size))
+
+  /** KEYED sliding (paned) event-time aggregation under a watermark —
+    * the streaming composition of the reference's timeSliding window
+    * (W4, windows.go:280-393) with its keyed variant (W5,
+    * windows.go:469-479): count + sum per (window, key). Sliding
+    * windows make lateness PER WINDOW INSTANCE: a late row's older
+    * pane may already be expired (dropped) while its newer pane is
+    * still open and absorbs the row — Spark expands the row to its
+    * size/slide window instances and filters each against the
+    * watermark independently, which is exactly what bounds state on
+    * an unbounded keyed stream. */
+  def slidingKeyedAgg(stream: DataFrame, tsCol: String, keyCol: String,
+                      valCol: String, delay: String, size: String,
+                      slide: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("sv"))
+
+  /** Deterministic chunked replay of [[slidingKeyedAgg]] — same
+    * mechanics as [[lateDataReplay]], so the keyed-sliding drop/emit
+    * rules are pure functions of the data and batch-SQL checkable. */
+  def keyedSlidingReplay(events: DataFrame, tsCol: String, keyCol: String,
+                         valCol: String, chunk: Column, nChunks: Int,
+                         delay: String, size: String, slide: String,
+                         statePartitions: Int = 4)
+                        (implicit spark: SparkSession): DataFrame =
+    ReplayHarness.replayToBatch(spark, events,
+      Seq(col(tsCol).as("ts"), col(keyCol).cast("string").as("key"),
+        col(valCol).cast("double").as("value")),
+      chunk, nChunks, statePartitions, "graft_ks_")(
+      stream => slidingKeyedAgg(stream, "ts", "key", "value", delay,
+        size, slide))
 }

@@ -41,4 +41,41 @@ class ControlServerSpec extends SparkSpec {
       assert(http(port, "/tester/frobnicate")._1 == 404)
     } finally srv.stop()
   }
+
+  test("path-param routes on sources auto-registered from an app def") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("ctrl2", ".csv")
+    java.nio.file.Files.writeString(csv.toPath, "v\n1\n2\n3\n")
+    val appJson =
+      s"""{"name": "tester-app", "triggers": [{
+         |  "id": "stream_tester", "ref": "#streamtester",
+         |  "settings": {"port": "0"},
+         |  "handlers": [{
+         |    "settings": {"filePath": "${csv.getAbsolutePath}",
+         |                 "emitDelay": "10", "replayData": "true"},
+         |    "action": {"id": "my_pipeline"}
+         |  }]
+         |}], "resources": [], "actions": []}""".stripMargin
+    val app = graft.engine.Dsl.parseApp(appJson)
+    assert(app.triggers.size == 1 &&
+      app.triggers.head.ref == "streamtester")
+    val srv = new ControlServer(0)
+    // one emitter per handler, named by its action id (tester.go:52-60)
+    assert(srv.registerFrom(app) == Seq("my_pipeline"))
+    val replay = srv.source("my_pipeline").get
+    val port = srv.start()
+    try {
+      // the reference's /tester/<action>/:id form (tester.go:69-74)
+      val (c1, b1) = http(port, "/tester/start/my_pipeline")
+      assert(c1 == 200 && b1.contains("\"running\": true"))
+      assert(http(port, "/tester/pause/my_pipeline")._1 == 200)
+      assert(http(port, "/tester/resume/my_pipeline")._1 == 200)
+      assert(http(port, "/tester/stop/my_pipeline")._1 == 200)
+      val deadline = System.currentTimeMillis() + 3000
+      while (replay.isRunning && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(!replay.isRunning)
+      assert(http(port, "/tester/start/nope")._1 == 404)
+    } finally srv.stop()
+  }
 }

@@ -182,6 +182,53 @@ class StreamingWindowsSpec extends SparkSpec {
       (h(3.0) / 1000, 1L, 2.0)))
   }
 
+  test("keyed sliding watermark: lateness is per pane instance") {
+    // hand vector for Watermarks.slidingKeyedAgg (2-hour windows, 1-hour
+    // slide, 1-hour delay): a late row expands to TWO panes and each is
+    // judged against the watermark independently — here the 02:30 row's
+    // older pane [01:00,03:00) hits the equality edge (end == watermark
+    // 03:00 -> dropped) while its newer pane [02:00,04:00) absorbs it.
+    // This pins the exact convention the q_keyed_time_sliding oracle
+    // replays (dropped iff end <= wm, emitted iff end <= final wm).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def h(x: Double): Long = 1704067200000L + (x * 3600000L).toLong
+    val input = MemoryStream[(Long, String, Double)]
+    val sdf = input.toDF()
+      .select(org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("_1")).as("ts"),
+        org.apache.spark.sql.functions.col("_2").as("key"),
+        org.apache.spark.sql.functions.col("_3").as("v"))
+    val q = graft.streaming.Watermarks.slidingKeyedAgg(sdf, "ts", "key",
+        "v", "1 hour", "2 hours", "1 hour")
+      .writeStream.format("memory").queryName("ks_vector")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: watermark after = 04:00 - 1h = 03:00
+      input.addData((h(0.17), "a", 1.0), (h(4.0), "b", 2.0))
+      q.processAllAvailable()
+      // batch 2: 02:30 -> pane [01:00,03:00) dropped (end == wm), pane
+      // [02:00,04:00) kept; 04:30 panes both kept (merge with 04:00)
+      input.addData((h(2.5), "a", 10.0), (h(4.5), "b", 3.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark to 08:00 -> every pane ending <=
+      // 08:00 emits; the 09:00 row's own panes stay withheld
+      input.addData((h(9.0), "z", 0.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT unix_timestamp(window.start), key, n, sv FROM ks_vector ORDER BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        (h(-1.0) / 1000, "a", 1L, 1.0),
+        (h(0.0) / 1000, "a", 1L, 1.0),
+        (h(2.0) / 1000, "a", 1L, 10.0), // late row in its NEWER pane only
+        (h(3.0) / 1000, "b", 2L, 5.0),
+        (h(4.0) / 1000, "b", 2L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming timeTumbling avgCompat=int equals the batch result") {
     val s = spark
     import s.implicits._
