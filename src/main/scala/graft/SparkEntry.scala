@@ -1000,6 +1000,15 @@ object SparkEntry {
       Chunking.boilerplateRatio(docs(s, d))
         .orderBy("doc_id")),
 
+    // fixed-size OVERLAPPING token windows (12 tokens, stride 8): the
+    // model-context-defined passage grain an embedding/RAG pipeline
+    // encodes, vs cdcChunks' content-defined grain. Zero shuffles —
+    // enumeration, slicing and hashing are row-local codegen; the
+    // oracle replays window starts, clipping and the md5 span id
+    "q_token_windows" -> ((s, d) =>
+      Chunking.tokenWindows(docs(s, d), size = 12, stride = 8)
+        .orderBy("doc_id", "win")),
+
     // at-ingest novelty: the same delta streamed through a real
     // file-source replay (4 chunks, each its own micro-batch) against
     // the persisted index — per-CHUNK verdicts, fully stateless
@@ -3123,6 +3132,23 @@ object SparkEntry {
         |FROM ${cdcChunksSql("documents")}
         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    // token-window replay: same tokenization, window k of doc = tokens
+    // [k*stride+1 .. k*stride+size] (1-based inclusive list slice,
+    // clipped at the tail), k = 0..ceil(max(n-size,0)/stride); span id
+    // is md5 of the space-joined window
+    "q_token_windows" ->
+      s"""WITH $tokCte,
+         |w AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+         |x AS (SELECT doc_id, tk, n, u.k AS win
+         |      FROM w, unnest(range(0,
+         |        cast(ceil(greatest(n - 12, 0) / 8.0) AS BIGINT) + 1))
+         |        AS u(k))
+         |SELECT doc_id, win, (win * 8)::BIGINT AS start_tok,
+         |       least(12, n - win * 8)::BIGINT AS n_tok,
+         |       md5(array_to_string(tk[win * 8 + 1 : win * 8 + 12], ' '))
+         |         AS span_hash
+         |FROM x ORDER BY doc_id, win""".stripMargin,
 
     // same CDC replay; duplicated-hash set, per-doc boiler fraction
     "q_boilerplate" ->

@@ -104,6 +104,46 @@ object Chunking {
           .cast("binary")).as("chunk_hash") +: carryCols: _*)
   }
 
+  /** Fixed-size OVERLAPPING token windows — the model-context-defined
+    * complement to [[cdcChunks]]' content-defined boundaries: the
+    * passage extraction an embedding/RAG pipeline runs before encoding
+    * (window `size` tokens, step `stride`, overlap = size - stride
+    * keeps context across cuts). Every token is covered: window k
+    * starts at k·stride for k = 0..ceil(max(n-size,0)/stride), windows
+    * are full-length except the last (clipped to the document tail),
+    * and a document shorter than `size` is one whole-doc window.
+    *
+    * Output: one row per window — `(idCol, win, start_tok, n_tok,
+    * span_hash)` with 0-based `win`/`start_tok` and `span_hash` = md5
+    * of the space-joined window tokens (the join key an embedding
+    * table or dedup pass carries instead of the text).
+    *
+    * Scale shape: like [[cdcChunks]], ZERO SHUFFLES — tokenization,
+    * window enumeration (`explode(sequence)`), slicing and hashing are
+    * row-local codegen; output multiplies bytes by ~size/stride and
+    * downstream consumers choose their own partitioning. */
+  def tokenWindows(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", size: Int = 128,
+                   stride: Int = 96): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__tk")))
+      .where(col("__n") > 0)
+      .withColumn("win", explode(sequence(lit(0L),
+        ceil(greatest(col("__n") - size, lit(0)).cast("double") / stride)
+          .cast("long"))))
+      .select(col(idCol), col("win"),
+        (col("win") * stride).as("start_tok"),
+        least(lit(size), col("__n") - col("win") * stride)
+          .cast("long").as("n_tok"),
+        md5(array_join(slice(col("__tk"),
+            (col("win") * stride + 1).cast("int"), lit(size)), " ")
+          .cast("binary")).as("span_hash"))
+  }
+
   /** Chunk-level exact duplication: chunks whose content recurs across
     * documents — boilerplate headers, licence blocks, templated spans —
     * with how many documents and chunk slots share them. The one shuffle

@@ -323,6 +323,53 @@ class ChunkingSpec extends SparkSpec {
     assert(got(1L)._2 == got(2L)._2, got.toString)
   }
 
+  test("tokenWindows: starts, clipping and coverage by hand vector") {
+    // 10 tokens, size 4, stride 3 -> windows at 0, 3, 6 (full) and the
+    // ceil((10-4)/3)=2 formula ends at k=2... start 6 covers 6..9, the
+    // tail token 9 included; verify starts/lengths and the span hash
+    val doc = (0 until 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, " "), (4L, "x y z w")).toDF("doc_id", "text")
+    val out = Chunking.tokenWindows(df, size = 4, stride = 3)
+      .orderBy("doc_id", "win")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(w => (w._2, w._3, w._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    // doc 2: shorter than size -> one whole-doc window, clipped length
+    assert(out.filter(_._1 == 2L).map(w => (w._2, w._3, w._4)).toSeq ==
+      Seq((0L, 0L, 2L)))
+    // doc 3: zero tokens -> no rows
+    assert(!out.exists(_._1 == 3L))
+    // doc 4: n == size -> exactly one window
+    assert(out.filter(_._1 == 4L).map(w => (w._2, w._3, w._4)).toSeq ==
+      Seq((0L, 0L, 4L)))
+    // span hash is md5 of the space-joined window tokens
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("t3 t4 t5 t6".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d1(1)._5 == exp)
+  }
+
+  test("tokenWindows: every token is covered and rows are zero-shuffle") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 100)
+    val size = 12; val stride = 8
+    val wins = Chunking.tokenWindows(docs, size = size, stride = stride)
+    // coverage: per doc, max(start_tok + n_tok) == token count, and
+    // consecutive windows overlap by size - stride (except the tail)
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+    val bad = wins.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_tok")).as("covered"))
+      .join(toks, "doc_id")
+      .where(col("covered") =!= col("n")).count()
+    assert(bad == 0)
+    val plan = wins.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("the plan is shuffle-free for chunking, one exchange for dedup") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val chunkPlan = Chunking.cdcChunks(docs).queryExecution
