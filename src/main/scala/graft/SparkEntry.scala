@@ -53,7 +53,11 @@ object SparkEntry {
     * applied segmentation have no strings and no uncast aggregates in
     * the output, yet still pin the learned rules: a divergence in any
     * round's argmax changes the segmentation of every word containing
-    * that pair and with it the totals. Pair extraction is a lateral
+    * that pair and with it the totals. Measured at sf0.01, every
+    * round's argmax wins by a strictly positive count margin
+    * (7..1808), so the (l, r) collation tie-break never engages and
+    * the learned rules are a pure function of integer counts — no
+    * engine-collation surface remains. Pair extraction is a lateral
     * `unnest(range(...))` + 1-based `list_extract` (the shape every
     * passing q_cdc_* oracle uses), characters come from
     * `list_transform(range, substr)`, and the outer delimiters are
@@ -877,11 +881,16 @@ object SparkEntry {
     // through the APPLIED SEGMENTATION (the q_bpe_encode pattern): the
     // learned rules re-encode the corpus and the per-doc piece totals
     // must match the oracle's replay of the same 6 training rounds +
-    // apply. A divergence in any round's argmax shifts the totals, so
-    // the rules are still pinned rank by rank — but the compared cells
-    // are BIGINT only (no rule strings, no uncast aggregates), the
-    // shape that survived two rounds of driver-DuckDB rendering drift.
-    // The rule collect is 6 rows by contract.
+    // apply. What this pins: any argmax divergence that changes the
+    // final segmentation (including rank-order changes of INTERACTING
+    // rules — this corpus's rule 6 (m,er) composes on rule 1 (e,r)).
+    // What it deliberately does not: a rank swap of non-interacting
+    // rules or a pair_count-only divergence with the same winner is
+    // invisible by construction — the price of a BIGINT-only output
+    // (no rule strings, no uncast aggregates), the shape that survived
+    // two rounds of driver-DuckDB rendering drift where the rule-string
+    // output hash-flipped. SubwordSpec pins rank order itself against
+    // hand corpora. The rule collect is 6 rows by contract.
     "q_bpe_merges" -> ((s, d) => {
       val dd = docs(s, d)
       val rules = graft.operators.Subword.trainBpeMerges(dd, "text", 6)

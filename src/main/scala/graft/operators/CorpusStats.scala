@@ -475,21 +475,17 @@ object CorpusStats {
       sum(col("__ntok")).as("n_tokens"),
       countDistinct(col("__fp")).as("n_distinct"),
       round(avg(col("__q")), 4).as("mean_quality"))
-    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val med = base.where(col("__nch").isNotNull)
-      .groupBy(col("src").as("__g"), col("__nch").as("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .groupBy("__g")
-      .agg(min(when(col("__cum") >=
-        ceil(lit(0.5) * col("__n")), col("__v"))).as("p50_chars"))
-    // null-safe join (the Features.zscore discipline): a null stratum
-    // is its own report row, never dropped
-    agg.join(med, col("src") <=> col("__g")).drop("__g")
+    // the shared per-group discrete-quantile construction (nulls
+    // excluded from the median population)
+    val med = Sampling.discreteQuantileByGroup(
+        base.select(col("src").as("__g"), col("__nch").as("__v")), 0.5)
+      .withColumnRenamed("__m", "p50_chars")
+    // null-safe LEFT join (the Features.zscore discipline): a null
+    // stratum is its own report row, never dropped — and a stratum
+    // whose text is entirely null (a malformed ingest partition, the
+    // exact rows an audit most needs) keeps its report row with a
+    // null p50 instead of vanishing
+    agg.join(med, col("src") <=> col("__g"), "left").drop("__g")
       .select(col("src"), col("n_docs"), col("n_tokens"),
         round(lit(1.0) - col("n_distinct").cast("double") /
           col("n_docs").cast("double"), 6).as("dup_rate"),

@@ -65,24 +65,16 @@ object Features {
   def quantileFilter(df: DataFrame, groupCol: String, valCol: String,
                      q: Double, keepTop: Boolean = true): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
-    // null values are excluded from the quantile population (the
-    // Sampling.discreteBounds discipline): a null is never a
-    // threshold, and engines disagree on where nulls sort
-    val vcs = df.where(col(valCol).isNotNull)
-      .groupBy(col(groupCol).as("__g"), col(valCol).as("__v"))
-      .agg(count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = vcs
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-    val thr = cum.groupBy(col("__g"))
-      .agg(min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v")))
-        .as("__thr"))
+    // the shared per-group discrete-quantile construction (null values
+    // excluded from the population — see discreteQuantileByGroup)
+    val thr = Sampling.discreteQuantileByGroup(
+        df.select(col(groupCol).as("__g"), col(valCol).as("__v")), q)
+      .withColumnRenamed("__m", "__thr")
     // null-safe join for the same reason as zscore: a null-group row
-    // must be filtered against its own group's threshold, not dropped
+    // must be filtered against its own group's threshold, not dropped.
+    // Inner is fine HERE (unlike the append-shaped robustZscore): a
+    // group with no threshold is all-null-valued, and a null value
+    // fails every threshold comparison anyway.
     val joined = df.join(thr, col(groupCol) <=> col("__g")).drop("__g")
     val cond =
       if (keepTop) col(valCol) >= col("__thr")
@@ -106,27 +98,22 @@ object Features {
     * itself is never sorted, and a null group is its own stratum. */
   def robustZscore(df: DataFrame, groupCol: String,
                    valCol: String): DataFrame = {
-    def discreteMedian(in: DataFrame, vCol: Column): DataFrame = {
-      val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      in.where(vCol.isNotNull)
-        .groupBy(col(groupCol).as("__g"), vCol.as("__v"))
-        .agg(count(lit(1)).as("__c"))
-        .withColumn("__cum", sum(col("__c")).over(wCum))
-        .withColumn("__n", sum(col("__c")).over(wAll))
-        .groupBy("__g")
-        .agg(min(when(col("__cum") >= ceil(lit(0.5) * col("__n")),
-          col("__v"))).as("__m"))
-    }
+    // the shared per-group discrete-quantile construction; joins back
+    // LEFT because this operator APPENDS a column — a group whose
+    // values are entirely null has no median row, and an inner join
+    // would silently drop all of its rows instead of yielding a null
+    // z-score
+    def discreteMedian(in: DataFrame, vCol: Column): DataFrame =
+      Sampling.discreteQuantileByGroup(
+        in.select(col(groupCol).as("__g"), vCol.as("__v")), 0.5)
     val med = discreteMedian(df, col(valCol).cast("long"))
-    val withMed = df.join(med, col(groupCol) <=> col("__g")).drop("__g")
+    val withMed = df.join(med, col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
       .withColumn("__med", col("__m")).drop("__m")
     val mad = discreteMedian(withMed,
       abs(col(valCol).cast("long") - col("__med")))
       .withColumnRenamed("__m", "__mad")
-    withMed.join(mad, col(groupCol) <=> col("__g")).drop("__g")
+    withMed.join(mad, col(groupCol) <=> col("__g"), "left").drop("__g")
       .withColumn(s"${valCol}_rz",
         when(col("__mad") === 0L, lit(0.0))
           .otherwise(round(

@@ -373,6 +373,32 @@ object Sampling {
     * deliberately tiny; q < 1 guarantees every boundary exists on a
     * non-empty frame. Shared by [[lengthBuckets]] and
     * [[Features.winsorize]]. */
+  /** Per-GROUP discrete `q`-quantile over a pre-projected
+    * `(__g, __v)` frame: the smallest `__v` of the group whose
+    * cumulative count reaches `ceil(q * n)` — the one shared
+    * implementation of the cum-sum construction ([[discreteBounds]]'
+    * per-group form; Features.quantileFilter/robustZscore and
+    * CorpusStats.corpusReport all ride this). Null `__v` values are
+    * excluded from the population (a null is never a quantile and
+    * engines disagree on where nulls sort); a group with ONLY nulls
+    * yields NO row — append-shaped callers must join back LEFT so
+    * such groups keep their rows with a null statistic.
+    * Returns `(__g, __m)` at group cardinality. */
+  private[operators] def discreteQuantileByGroup(in: DataFrame,
+                                                 q: Double): DataFrame = {
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    in.where(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy("__g")
+      .agg(min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__v")))
+        .as("__m"))
+  }
+
   private[operators] def discreteBounds(df: DataFrame, valueCol: String,
                                         quantiles: Seq[Double])
       : DataFrame = {

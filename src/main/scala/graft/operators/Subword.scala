@@ -170,12 +170,17 @@ object Subword {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
-  /** Default cap on the COLLECTED distinct-word count frame for the
-    * driver-local merge loop (JVM-estimate bytes): the frame is
-    * Zipf-small — even a 100 TB corpus has a distinct-word frame in the
-    * tens of millions, and real BPE trainers run the merge loop over
-    * exactly this frame in one process. */
-  val DefaultLocalFrameBytes: Long = 256L << 20
+  /** Default cap on the driver-local merge loop's WORKING SET
+    * (JVM-estimate bytes, see the estimate in [[trainBpeMerges]]): the
+    * frame is Zipf-small — even a 100 TB corpus has a distinct-word
+    * frame in the tens of millions, and real BPE trainers run the
+    * merge loop over exactly this frame in one process. 2 GiB here
+    * admits frames around 60M chars / 15M words — roughly the same
+    * corpora the old 256 MiB cap admitted when its estimate modeled
+    * only the collected tuples (2 B/char), but now priced at what the
+    * loop actually allocates, so a near-cap frame no longer risks a
+    * multi-GB driver-heap surprise. */
+  val DefaultLocalFrameBytes: Long = 2048L << 20
 
   def trainBpeMerges(docs: DataFrame, textCol: String,
                      numMerges: Int,

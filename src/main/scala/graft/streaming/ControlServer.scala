@@ -34,22 +34,31 @@ class ControlServer(port: Int) {
     * [[source]] to attach their streams to pipelines. */
   def registerFrom(app: graft.engine.Dsl.AppDef)
                   (implicit spark: org.apache.spark.sql.SparkSession)
-      : Seq[String] =
-    app.triggers.filter(_.ref.toLowerCase.contains("streamtester"))
-      .flatMap { t =>
-        t.handlers.map { h =>
-          val s = h.settings
-          require(s.contains("filePath"),
-            s"streamtester handler '${h.name}' has no filePath setting")
-          val replay = new CsvReplay(
-            path = s("filePath"),
-            emitDelayMs = s.get("emitDelay").map(_.toLong).getOrElse(100L),
-            replayData = s.get("replayData").exists(_.toBoolean),
-            allDataAtOnce = s.get("allDataAtOnce").exists(_.toBoolean))
-          register(h.name, replay)
-          h.name
-        }
-      }
+      : Seq[String] = {
+    val handlers = app.triggers
+      .filter(_.ref.toLowerCase.contains("streamtester"))
+      .flatMap(_.handlers)
+    // duplicate names would silently overwrite each other in the
+    // registry while the returned list claims both registered — the
+    // reference's getEmitter has the same first-match ambiguity, but
+    // failing fast beats inheriting it
+    val dup = handlers.groupBy(_.name).collect { case (n, hs) if hs.size > 1 => n }
+    require(dup.isEmpty,
+      s"streamtester handler names must be unique, duplicated: " +
+        dup.mkString(", "))
+    handlers.map { h =>
+      val s = h.settings
+      require(s.contains("filePath"),
+        s"streamtester handler '${h.name}' has no filePath setting")
+      val replay = new CsvReplay(
+        path = s("filePath"),
+        emitDelayMs = s.get("emitDelay").map(_.toLong).getOrElse(100L),
+        replayData = s.get("replayData").exists(_.toBoolean),
+        allDataAtOnce = s.get("allDataAtOnce").exists(_.toBoolean))
+      register(h.name, replay)
+      h.name
+    }
+  }
 
   /** The registered replay source of `name`, if any. */
   def source(name: String): Option[CsvReplay] = sources.get(name)
@@ -67,12 +76,14 @@ class ControlServer(port: Int) {
   private def handle(ex: HttpExchange): Unit = {
     val rest = ex.getRequestURI.getPath.stripPrefix("/tester").stripPrefix("/")
     // the reference's path-param form: /tester/<action>/<id>
-    // (tester.go:69-74); everything after the first segment is the id
+    // (tester.go:69-74); everything after the first segment is the id.
+    // An EMPTY id (trailing slash) stays Some("") on purpose: it must
+    // 404 as an unknown source, not silently broadcast the action to
+    // every registered source.
     val (path, pathName) = rest.indexOf('/') match {
       case -1 => (rest, None)
       case i  => (rest.substring(0, i),
-        Some(java.net.URLDecoder.decode(rest.substring(i + 1), "UTF-8"))
-          .filter(_.nonEmpty))
+        Some(java.net.URLDecoder.decode(rest.substring(i + 1), "UTF-8")))
     }
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     val name = pathName.orElse(query.split("&").collectFirst {

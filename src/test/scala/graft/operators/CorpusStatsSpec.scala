@@ -153,6 +153,16 @@ class CorpusStatsSpec extends SparkSpec {
       "text").collect()
     assert(rows.length == 3 && rows.exists(_.isNullAt(0)),
       rows.mkString(", "))
+    // a stratum whose text is ENTIRELY null (malformed ingest — the
+    // rows an audit most needs) keeps its report row with a null p50
+    // instead of vanishing in the median join
+    val withBroken = df.unionByName(Seq(
+      (6L, "broken", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text"))
+    val broken = CorpusStats.corpusReport(withBroken, "doc_id", "source",
+      "text").collect().find(r => r.getString(0) == "broken")
+    assert(broken.isDefined && broken.get.getLong(1) == 1L &&
+      broken.get.isNullAt(5), broken.toString)
   }
 
   test("sourceOverlap: pairwise set arithmetic on a hand vector; " +

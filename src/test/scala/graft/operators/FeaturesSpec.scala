@@ -111,6 +111,26 @@ class FeaturesSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L))
   }
 
+  test("robustZscore: an all-null-valued group keeps its rows (null rz)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", Some(1L)), (2L, "a", Some(2L)),
+      (5L, "a", Some(3L)),
+      (3L, "b", None: Option[Long]), (4L, "b", None: Option[Long]))
+      .toDF("id", "g", "v")
+    val got = Features.robustZscore(df, "g", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some(r.getDouble(3)))).toMap
+    // append-shaped operator: group b has no median (all values null)
+    // but its rows must SURVIVE with a null robust z, not vanish in an
+    // inner join; a's null-free rows normalize as usual (median 2,
+    // MAD 1)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    assert(got(1L).contains(-1.0) && got(2L).contains(0.0) &&
+      got(5L).contains(1.0))
+  }
+
   test("zscore plans no window sort (moments join, not a window)") {
     val df = mk((1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)))
     val p = Features.zscore(df, "g", Seq("v"))

@@ -76,6 +76,28 @@ class ControlServerSpec extends SparkSpec {
         Thread.sleep(20)
       assert(!replay.isRunning)
       assert(http(port, "/tester/start/nope")._1 == 404)
+      // a trailing slash (empty id) must 404, NOT broadcast the action
+      // to every registered source
+      assert(http(port, "/tester/stop/")._1 == 404)
     } finally srv.stop()
+  }
+
+  test("registerFrom rejects duplicate handler names") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("ctrl3", ".csv")
+    java.nio.file.Files.writeString(csv.toPath, "v\n1\n")
+    val appJson =
+      s"""{"triggers": [{
+         |  "id": "st", "ref": "#streamtester", "settings": {},
+         |  "handlers": [
+         |    {"settings": {"filePath": "${csv.getAbsolutePath}"},
+         |     "action": {"id": "same"}},
+         |    {"settings": {"filePath": "${csv.getAbsolutePath}"},
+         |     "action": {"id": "same"}}
+         |  ]}]}""".stripMargin
+    val app = graft.engine.Dsl.parseApp(appJson)
+    val srv = new ControlServer(0)
+    val e = intercept[IllegalArgumentException](srv.registerFrom(app))
+    assert(e.getMessage.contains("same"))
   }
 }
