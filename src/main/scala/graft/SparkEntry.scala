@@ -723,6 +723,19 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // calibration audit of the heuristic quality score against the
+    // Gopher verdict as the reference label: 10 reliability bins with
+    // per-bin confidence/accuracy/gap (n-weighted gap mean = ECE).
+    // One scan, one k-row groupBy — the check a learned quality
+    // filter must pass before its threshold is trusted at 100 TB
+    "q_calibration" -> ((s, d) =>
+      graft.operators.Features.calibrationBins(
+          docs(s, d).select(
+            round(TF.qualityScore(col("text")), 6).as("score"),
+            TF.gopherFlags(col("text")).getField("pass").as("label")),
+          "score", "label", 10)
+        .orderBy("bin")),
+
     // repetition signal: duplicate 3-gram fraction per document
     "q_repetition" -> ((s, d) =>
       docs(s, d)
@@ -2887,6 +2900,81 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // reliability-bin replay: the q_quality score and the
+    // q_quality_gopher pass conjunction joined per doc, binned at
+    // min(floor(score*10), 9); conf/acc averaged over the 6-rounded
+    // scores and rounded at 4, gap derived from the rounded pair
+    "q_calibration" ->
+      s"""WITH $tokCte,
+         |qs AS (SELECT doc_id,
+         |  round(0.4 * least(ntok::DOUBLE / 100.0, 1.0)
+         |      + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+         |      + 0.3 * least(swr * 4.0, 1.0), 6) AS score
+         |  FROM (SELECT doc_id,
+         |    CASE WHEN length(text) > 0 THEN
+         |      len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE
+         |        / length(text)
+         |    ELSE 0.0 END AS pr,
+         |    CASE WHEN len(tk) > 0 THEN
+         |      len(list_filter(tk, x -> x IN ($swAll)))::DOUBLE / len(tk)
+         |    ELSE 0.0 END AS swr,
+         |    len(tk) AS ntok
+         |    FROM t)),
+         |gm AS (SELECT doc_id,
+         |  len(tk) AS n,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    list_sum(list_transform(tk, x -> strlen(x)))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS mean_len,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    (len(regexp_extract_all(text, '#'))
+         |     + len(regexp_extract_all(text, '\\.\\.\\.'))
+         |     + len(regexp_extract_all(text, '…')))::DOUBLE / len(tk)
+         |  ELSE 0.0 END AS sym_ratio,
+         |  list_filter(list_transform(string_split(text, chr(10)),
+         |                             l -> trim(l)),
+         |              l -> strlen(l) > 0) AS ls,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+         |      / len(tk)
+         |  ELSE 0.0 END AS alpha_frac,
+         |  ((CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END) +
+         |   (CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END))
+         |    AS stop_hits
+         |  FROM t),
+         |gp AS (SELECT doc_id,
+         |  (n >= 50 AND n <= 100000
+         |   AND mean_len >= CAST(3.0 AS DOUBLE)
+         |   AND mean_len <= CAST(10.0 AS DOUBLE)
+         |   AND sym_ratio <= CAST(0.1 AS DOUBLE)
+         |   AND (CASE WHEN len(ls) > 0 THEN
+         |          len(list_filter(ls, l -> starts_with(l, '•')
+         |                OR starts_with(l, '-')
+         |                OR starts_with(l, '*')))::DOUBLE / len(ls)
+         |        ELSE 0.0 END) <= CAST(0.9 AS DOUBLE)
+         |   AND (CASE WHEN len(ls) > 0 THEN
+         |          len(list_filter(ls, l -> ends_with(l, '...')
+         |                OR ends_with(l, '…')))::DOUBLE / len(ls)
+         |        ELSE 0.0 END) <= CAST(0.3 AS DOUBLE)
+         |   AND alpha_frac >= CAST(0.8 AS DOUBLE)
+         |   AND stop_hits >= 2) AS pass
+         |  FROM gm),
+         |j AS (SELECT least(floor(score * 10), CAST(9 AS DOUBLE))::BIGINT
+         |        AS bin,
+         |        score,
+         |        CASE WHEN pass THEN 1.0 ELSE 0.0 END AS lab
+         |      FROM qs JOIN gp USING (doc_id))
+         |SELECT bin, count(*)::BIGINT AS n,
+         |       round(avg(score), 4) AS conf, round(avg(lab), 4) AS acc,
+         |       round(abs(round(avg(score), 4) - round(avg(lab), 4)), 4)
+         |         AS gap
+         |FROM j GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

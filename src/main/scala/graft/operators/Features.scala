@@ -122,6 +122,38 @@ object Features {
       .drop("__med", "__mad")
   }
 
+  /** Reliability bins for a bounded [0,1] score against a binary
+    * label — the calibration audit a learned quality filter needs
+    * before its threshold means anything (Guo et al., ICML '17): bin
+    * `min(floor(score·k), k−1)`, per bin the count, mean score
+    * ("confidence") and positive rate ("accuracy"), plus the bin's
+    * |conf − acc| gap. The n-weighted mean of `gap` over the corpus is
+    * the expected calibration error; emitting the bins keeps the
+    * output a reliability diagram, not one opaque scalar.
+    *
+    * Engine discipline: scores round to 6 decimals BEFORE binning and
+    * averaging (the q_quality convention) so bin membership is an
+    * exact IEEE comparison everywhere; conf/acc round at 4 (the
+    * corpusReport mean discipline); `gap` derives from the ROUNDED
+    * pair so it is exact given them. Null scores/labels are excluded.
+    *
+    * Plan shape: one scan + one groupBy at bin cardinality with
+    * map-side combine — 100 TB costs a single pass and a k-row
+    * shuffle. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000 bins, got $k")
+    val sc = round(col(scoreCol).cast("double"), 6)
+    df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(floor(sc * k).cast("long"), lit(k - 1L)).as("bin"),
+        sc.as("__s"), col(labelCol).cast("double").as("__l"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), 4).as("conf"),
+        round(avg(col("__l")), 4).as("acc"))
+      .withColumn("gap", round(abs(col("conf") - col("acc")), 4))
+  }
+
   /** Winsorization at discrete quantile bounds: clip `valCol` into
     * `[b_lo, b_hi]`, where the bounds are ACTUAL data values at
     * `qLow`/`qHigh` ([[Sampling.discreteBounds]] — integer-exact

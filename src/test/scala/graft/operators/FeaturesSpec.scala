@@ -131,6 +131,29 @@ class FeaturesSpec extends SparkSpec {
       got(5L).contains(1.0))
   }
 
+  test("calibrationBins: bin edges, conf/acc means, gap, ECE by hand") {
+    val s = spark
+    import s.implicits._
+    // k=4: 0.0->bin0, 0.25->bin1 (left-closed edges), 1.0 clamps to
+    // bin 3; bin 1 mixes scores .25/.35 with labels 1/0
+    val df = Seq((0.0, 0), (0.25, 1), (0.35, 0), (0.8, 1), (1.0, 1))
+      .toDF("score", "label")
+    val got = Features.calibrationBins(df, "score", "label", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0.0, 0.0, 0.0),
+      (1L, 2L, 0.3, 0.5, 0.2),
+      (3L, 2L, 0.9, 1.0, 0.1)))
+    // nulls excluded, not crashed on
+    val withNull = df.unionByName(
+      Seq((Option.empty[Double], Option(1))).toDF("score", "label"))
+    assert(Features.calibrationBins(withNull, "score", "label", 4)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()
+      .head.getLong(0) == 5L)
+  }
+
   test("zscore plans no window sort (moments join, not a window)") {
     val df = mk((1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)))
     val p = Features.zscore(df, "g", Seq("v"))
