@@ -120,6 +120,38 @@ class ChunkingPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: tokenWindows covers every token exactly with stride " +
+      "steps for random (n, size, stride)") {
+    val s = spark
+    import s.implicits._
+    cases(40) { r =>
+      val n = r.nextInt(60)
+      val size = 1 + r.nextInt(12)
+      (n, size, 1 + r.nextInt(size)) // 1 <= stride <= size
+    } { case (n, size, stride) =>
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val got = Chunking.tokenWindows(df, size = size, stride = stride)
+        .orderBy("win")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      if (n == 0) assert(got.isEmpty)
+      else {
+        // starts advance by exactly stride from 0
+        assert(got.map(_._2).toSeq ==
+          got.indices.map(_ * stride.toLong))
+        // every window is full except possibly the last, which is
+        // clipped to the tail; the last window ends exactly at n
+        got.dropRight(1).foreach { case (_, _, len) =>
+          assert(len == size) }
+        val (_, lastStart, lastLen) = got.last
+        assert(lastStart + lastLen == n.toLong)
+        // window count is the closed-form contract
+        val want = 1 + math.ceil(math.max(n - size, 0) / stride.toDouble).toLong
+        assert(got.length.toLong == want, s"count ${got.length} != $want")
+      }
+    }
+  }
+
   test("property: normalizeText is idempotent and NFC-equivalent") {
     cases(12) { r => randomText(r, 200) } { text =>
       val s = spark

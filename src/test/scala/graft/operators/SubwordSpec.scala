@@ -303,6 +303,69 @@ class SubwordSpec extends SparkSpec {
     assert(idToPiece(0L) == freqTop)
   }
 
+  test("trainBpeMergesLocal equals a from-scratch recount trainer on " +
+      "random corpora (exercises the heap-drain rebuild)") {
+    // reference implementation: recount EVERY pair from scratch each
+    // round — no incremental counts, no index, no heap — argmax by
+    // (count desc, lhs, rhs) with left-to-right non-overlapping merge.
+    // ASCII-only corpora, so plain string order == UTF-8 byte order.
+    def naive(wc: Array[(String, Long)], numMerges: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      var syms = wc.map(_._1.split("").filter(_.nonEmpty))
+      val cnt = wc.map(_._2)
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      var rank = 1
+      var done = false
+      while (rank <= numMerges && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.zipWithIndex.foreach { case (s, wi) =>
+          (0 until s.length - 1).foreach { j =>
+            pairs((s(j), s(j + 1))) =
+              pairs.getOrElse((s(j), s(j + 1)), 0L) + cnt(wi)
+          }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((l, r), n) = pairs.toSeq.minBy { case ((pl, pr), pn) =>
+            (-pn, pl, pr)
+          }
+          out += ((rank, l, r, l + r, n))
+          syms = syms.map { s =>
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += s(i); i += 1 }
+            }
+            b.result()
+          }
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(20260814L)
+    def corpus(nWords: Int, alpha: String, maxLen: Int)
+        : Array[(String, Long)] =
+      (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(maxLen)
+        val w = (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        (w, (1 + rnd.nextInt(9)).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+    (1 to 60).foreach { i =>
+      val wc = corpus(5 + rnd.nextInt(35), "abcd", 8)
+      val got = Subword.trainBpeMergesLocal(wc, 30)
+      val want = naive(wc, 30)
+      assert(got == want, s"case #$i on ${wc.toSeq}:\ngot  $got\nwant $want")
+    }
+    // one long run: 400 merges over a larger alphabet forces the
+    // lazy-deletion heap past the 4:1 stale ratio so the rebuild path
+    // actually executes (and must not change results)
+    val big = corpus(300, "abcdef", 12)
+    assert(Subword.trainBpeMergesLocal(big, 400) == naive(big, 400))
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     val s = spark
     import s.implicits._
