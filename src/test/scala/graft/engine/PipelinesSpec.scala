@@ -105,6 +105,25 @@ class PipelinesSpec extends SparkSpec {
     assert(pinned.toString.startsWith("1970-01-02"))
   }
 
+  test("trigger parsing: ref strip, settings, handler-name fallbacks") {
+    // the reference example's rest trigger parses with its handler
+    // named by the action id (no explicit name)
+    val app = Dsl.parseApp(readFile("/root/reference/examples/agg-flogo.json"))
+    assert(app.triggers.map(_.ref) == Seq("rest"))
+    assert(app.triggers.head.settings.get("port").contains("7777"))
+    assert(app.triggers.head.handlers.map(_.name) == Seq("simple_agg"))
+    // explicit handler name wins; a handler with neither name nor
+    // action id falls back to <trigger>-<idx>
+    val synth = Dsl.parseApp(
+      """{"triggers": [{"id": "t1", "ref": "#x", "handlers": [
+        |  {"name": "explicit", "action": {"id": "a0"}},
+        |  {"settings": {}},
+        |  {"action": {"id": "a2"}}
+        |]}]}""".stripMargin)
+    assert(synth.triggers.head.handlers.map(_.name) ==
+      Seq("explicit", "t1-1", "a2"))
+  }
+
   test("agg-flogo.json: timeTumbling sum pipeline end-to-end (batch)") {
     val s = spark
     import s.implicits._
