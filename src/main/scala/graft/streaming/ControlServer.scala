@@ -50,6 +50,15 @@ class ControlServer(port: Int) {
       val s = h.settings
       require(s.contains("filePath"),
         s"streamtester handler '${h.name}' has no filePath setting")
+      // graft pipelines are schema'd, so rows are ALWAYS map-shaped
+      // (the reference's dataAsMap=true); an explicit dataAsMap=false
+      // (positional arrays) cannot be honored and must fail loudly
+      // instead of silently changing shape. getColumnNames needs no
+      // wiring — CsvReplay.columnNames is a direct accessor.
+      require(!s.get("dataAsMap").exists(v => !v.toBoolean),
+        s"streamtester handler '${h.name}': dataAsMap=false " +
+          "(positional-array rows) is unsupported — graft pipelines " +
+          "are schema'd and rows are always map-shaped")
       val replay = new CsvReplay(
         path = s("filePath"),
         emitDelayMs = s.get("emitDelay").map(_.toLong).getOrElse(100L),

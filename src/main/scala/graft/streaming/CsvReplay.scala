@@ -172,6 +172,21 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
   def reload(): Unit = { rows = load() }      // tester.go reload
   def isRunning: Boolean = running.get()
 
+  /** The dataset's column names (header row, or generated c0..cN) — the
+    * reference's getColumnNames handler output
+    * (trigger/streamtester/descriptor.json columnNames); here a direct
+    * accessor since graft rows are always map-shaped. */
+  def columnNames: Vector[String] = {
+    val src = scala.io.Source.fromFile(path)
+    val first = try src.getLines().find(_.nonEmpty) finally src.close()
+    first match {
+      case None => Vector.empty
+      case Some(l) =>
+        val cells = splitCsvLine(l)
+        if (header) cells else cells.indices.map(i => s"c$i").toVector
+    }
+  }
+
   /** Synchronous full emission (the tester's allDataAtOnce without the
     * thread — deterministic for batch-style tests). */
   def emitAllNow(): Unit = {

@@ -100,4 +100,23 @@ class ControlServerSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](srv.registerFrom(app))
     assert(e.getMessage.contains("same"))
   }
+
+  test("columnNames accessor and loud dataAsMap=false rejection") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val csv = java.io.File.createTempFile("ctrl4", ".csv")
+    java.nio.file.Files.writeString(csv.toPath, "a,b,c\n1,2,3\n")
+    val replay = new CsvReplay(csv.getAbsolutePath)
+    assert(replay.columnNames == Vector("a", "b", "c"))
+    val noHeader = new CsvReplay(csv.getAbsolutePath, header = false)
+    assert(noHeader.columnNames == Vector("c0", "c1", "c2"))
+    val appJson =
+      s"""{"triggers": [{"id": "st", "ref": "#streamtester",
+         |  "handlers": [{"settings": {
+         |    "filePath": "${csv.getAbsolutePath}", "dataAsMap": "false"},
+         |    "action": {"id": "p"}}]}]}""".stripMargin
+    val srv = new ControlServer(0)
+    val e = intercept[IllegalArgumentException](
+      srv.registerFrom(graft.engine.Dsl.parseApp(appJson)))
+    assert(e.getMessage.contains("dataAsMap"))
+  }
 }
