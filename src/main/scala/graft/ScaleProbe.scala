@@ -468,6 +468,20 @@ object ScaleProbe {
               .where(col("doc_id") < 250)
               .withColumn("doc_id", col("doc_id") + lit(1200000000L)),
             "doc_id", "text", chunkIdx).count()),
+        // zero-shuffle row-local window explode: exponent ~1, output
+        // multiplies by ~size/stride but nothing crosses the wire
+        "token_windows" -> (() =>
+          operators.Chunking.tokenWindows(docs, "doc_id", "text",
+            size = 64, stride = 48).count()),
+        // one scan + a k-row aggregate: the per-scale wall must be the
+        // text-kernel scan, the shuffle a fixed 10 rows per task
+        "calibration" -> (() =>
+          operators.Features.calibrationBins(
+            docs.select(round(graft.functions.TextFunctions
+                .qualityScore(col("text")), 6).as("score"),
+              graft.functions.TextFunctions.gopherFlags(col("text"))
+                .getField("pass").as("label")),
+            "score", "label", 10).count()),
         // the full capstone with a FIXED delta: novelty (flat — indexed
         // side streams) + held-out LM (train counts grow with the
         // corpus — the dominating stage) + fuzzy decontamination
