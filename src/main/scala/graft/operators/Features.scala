@@ -143,7 +143,15 @@ object Features {
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       k: Int = 10): DataFrame = {
     require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000 bins, got $k")
-    val sc = round(col(scoreCol).cast("double"), 6)
+    val sc0 = round(col(scoreCol).cast("double"), 6)
+    // enforce the documented [0,1] domain AT EXECUTION, row-local and
+    // codegen'd: unscaled inputs (logits, percentages) would otherwise
+    // produce negative bins / silently collapse into bin k-1 and yield
+    // a plausible-looking but meaningless reliability diagram
+    val sc = when(sc0 < 0.0 || sc0 > 1.0,
+      raise_error(concat(
+        lit(s"calibrationBins: score outside [0,1] in column " +
+          s"'$scoreCol': "), sc0.cast("string")))).otherwise(sc0)
     df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(least(floor(sc * k).cast("long"), lit(k - 1L)).as("bin"),
         sc.as("__s"), col(labelCol).cast("double").as("__l"))

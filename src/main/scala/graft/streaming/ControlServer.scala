@@ -11,7 +11,9 @@ import scala.collection.concurrent.TrieMap
   * (/tester/pause/:id — tester.go:69-74), or via ?name= (kept for
   * compatibility with earlier graft clients; the path param wins when
   * both appear). Built on the JDK's HttpServer (no extra
-  * dependencies); GET /tester/status reports each source's state.
+  * dependencies); GET /tester/status reports each source's state and
+  * GET /tester/columns its dataset's column names (the reference's
+  * getColumnNames output).
   *
   * Sources register either explicitly ([[register]]) or straight from
   * a loaded app definition ([[registerFrom]] — one replay source per
@@ -53,12 +55,21 @@ class ControlServer(port: Int) {
       // graft pipelines are schema'd, so rows are ALWAYS map-shaped
       // (the reference's dataAsMap=true); an explicit dataAsMap=false
       // (positional arrays) cannot be honored and must fail loudly
-      // instead of silently changing shape. getColumnNames needs no
-      // wiring — CsvReplay.columnNames is a direct accessor.
-      require(!s.get("dataAsMap").exists(v => !v.toBoolean),
-        s"streamtester handler '${h.name}': dataAsMap=false " +
-          "(positional-array rows) is unsupported — graft pipelines " +
-          "are schema'd and rows are always map-shaped")
+      // instead of silently changing shape — and an UNPARSEABLE value
+      // gets the same descriptive failure, not a bare toBoolean throw.
+      // getColumnNames parity is served by GET /tester/columns (and
+      // the CsvReplay.columnNames accessor for JVM callers).
+      s.get("dataAsMap").foreach { v =>
+        val parsed = v.trim.toLowerCase match {
+          case "true" | "1" | "yes"  => Some(true)
+          case "false" | "0" | "no"  => Some(false)
+          case _                     => None
+        }
+        require(parsed.contains(true),
+          s"streamtester handler '${h.name}': dataAsMap='$v' is " +
+            "unsupported — graft pipelines are schema'd and rows are " +
+            "always map-shaped (only dataAsMap=true can be honored)")
+      }
       val replay = new CsvReplay(
         path = s("filePath"),
         emitDelayMs = s.get("emitDelay").map(_.toLong).getOrElse(100L),
@@ -112,6 +123,13 @@ class ControlServer(port: Int) {
       case "resume" => targets.foreach(_._2.resume()); ok(targets)
       case "reload" => targets.foreach(_._2.reload()); ok(targets)
       case "status" => ok(targets)
+      // the reference's getColumnNames output surfaced over REST, per
+      // source: {"name": ["col", ...]}
+      case "columns" =>
+        (200, targets.map { case (n, r) =>
+          s""""${esc(n)}": [${r.columnNames
+            .map(c => "\"" + esc(c) + "\"").mkString(", ")}]"""
+        }.mkString("{", ",", "}"))
       case other    => (404, s"""{"error": "unknown action: $other"}""")
     }
     val bytes = body.getBytes("UTF-8")

@@ -46,7 +46,12 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
   private val running = new AtomicBoolean(false)
   private val paused = new AtomicBoolean(false)
   private val seq = new AtomicLong(0)
-  @volatile private var rows: Vector[Map[String, Any]] = load()
+  // names + rows captured together at load time, so columnNames always
+  // describes the dataset actually being replayed (a file rewritten on
+  // disk changes neither until reload())
+  @volatile private var dataset: (Vector[String], Vector[Map[String, Any]]) =
+    load()
+  private def rows: Vector[Map[String, Any]] = dataset._2
   @volatile private var thread: Option[Thread] = None
 
   /** RFC-4180-style field split: quoted fields may contain commas and
@@ -88,22 +93,22 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
     out.result()
   }
 
-  private def load(): Vector[Map[String, Any]] = {
+  private def load(): (Vector[String], Vector[Map[String, Any]]) = {
     // close the Source: each load/reload would otherwise hold an fd
     // until GC (the control API's reload makes this a repeating leak)
     val src = scala.io.Source.fromFile(path)
     val lines =
       try src.getLines().toVector.filter(_.nonEmpty)
       finally src.close()
-    if (lines.isEmpty) return Vector.empty
+    if (lines.isEmpty) return (Vector.empty, Vector.empty)
     val (names, dataLines) =
       if (header) (splitCsvLine(lines.head), lines.tail)
       else (splitCsvLine(lines.head).indices.map(i => s"c$i").toVector, lines)
-    dataLines.map { l =>
+    (names, dataLines.map { l =>
       names.zip(splitCsvLine(l)).map { case (n, v) =>
         n -> AutoParse(v)
       }.toMap
-    }
+    })
   }
 
   // Jackson (bundled with Spark) rather than hand-built interpolation:
@@ -169,23 +174,15 @@ class CsvReplay(path: String, header: Boolean = true, emitDelayMs: Long = 100,
   def stop(): Unit = { running.set(false); thread.foreach(_.join(2000)) }
   def pause(): Unit = paused.set(true)
   def resume(): Unit = paused.set(false)
-  def reload(): Unit = { rows = load() }      // tester.go reload
+  def reload(): Unit = { dataset = load() }   // tester.go reload
   def isRunning: Boolean = running.get()
 
-  /** The dataset's column names (header row, or generated c0..cN) — the
-    * reference's getColumnNames handler output
-    * (trigger/streamtester/descriptor.json columnNames); here a direct
-    * accessor since graft rows are always map-shaped. */
-  def columnNames: Vector[String] = {
-    val src = scala.io.Source.fromFile(path)
-    val first = try src.getLines().find(_.nonEmpty) finally src.close()
-    first match {
-      case None => Vector.empty
-      case Some(l) =>
-        val cells = splitCsvLine(l)
-        if (header) cells else cells.indices.map(i => s"c$i").toVector
-    }
-  }
+  /** The LOADED dataset's column names (header row, or generated
+    * c0..cN) — the reference's getColumnNames handler output
+    * (trigger/streamtester/descriptor.json columnNames); a direct
+    * accessor since graft rows are always map-shaped, captured at
+    * load/reload time so it always matches the rows being replayed. */
+  def columnNames: Vector[String] = dataset._1
 
   /** Synchronous full emission (the tester's allDataAtOnce without the
     * thread — deterministic for batch-style tests). */

@@ -152,6 +152,15 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.calibrationBins(withNull, "score", "label", 4)
       .agg(org.apache.spark.sql.functions.sum("n")).collect()
       .head.getLong(0) == 5L)
+    // out-of-domain scores (unscaled logits/percentages) fail LOUDLY
+    // at execution instead of producing a meaningless diagram
+    val bad = Seq((3.7, 1), (0.5, 0)).toDF("score", "label")
+    val e = intercept[Exception] {
+      Features.calibrationBins(bad, "score", "label", 4).collect()
+    }
+    assert(e.getMessage.contains("outside [0,1]") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside [0,1]")),
+      e.getMessage)
   }
 
   test("zscore plans no window sort (moments join, not a window)") {

@@ -109,6 +109,20 @@ class ControlServerSpec extends SparkSpec {
     assert(replay.columnNames == Vector("a", "b", "c"))
     val noHeader = new CsvReplay(csv.getAbsolutePath, header = false)
     assert(noHeader.columnNames == Vector("c0", "c1", "c2"))
+    // and over REST, the reference's getColumnNames surface
+    val srv0 = new ControlServer(0)
+    srv0.register("t", replay)
+    val port0 = srv0.start()
+    try {
+      val (c, body) = http(port0, "/tester/columns/t")
+      assert(c == 200 && body == """{"t": ["a", "b", "c"]}""", body)
+    } finally srv0.stop()
+    // columnNames reflects the LOADED dataset: a rewritten file changes
+    // nothing until reload()
+    java.nio.file.Files.writeString(csv.toPath, "x,y\n1,2\n")
+    assert(replay.columnNames == Vector("a", "b", "c"))
+    replay.reload()
+    assert(replay.columnNames == Vector("x", "y"))
     val appJson =
       s"""{"triggers": [{"id": "st", "ref": "#streamtester",
          |  "handlers": [{"settings": {
