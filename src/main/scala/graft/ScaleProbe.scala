@@ -245,7 +245,7 @@ object ScaleProbe {
         Similarity.extendIvfIndex(
           engine.Tables.embeddings(spark, sfDir)
             .where(col("vec_id") < 250)
-            .select((col("vec_id") + 950000000L + f * 10000000L)
+            .select((col("vec_id") + 100000000000L + f * 10000000L)
               .as("vec_id"), col("embedding")),
           "vec_id", "embedding", idx)
       } finally spark.conf.unset(checkKey)
@@ -382,7 +382,7 @@ object ScaleProbe {
         import graft.functions.VectorFunctions.asDoubles
         engine.Tables.embeddings(spark, sfDir)
           .where(col("vec_id") < 250)
-          .select((col("vec_id") + 900000000L).as("vec_id"),
+          .select((col("vec_id") + 100000000000L).as("vec_id"),
             transform(asDoubles(col("embedding")), x => x + lit(0.08))
               .as("embedding"))
       }
@@ -432,10 +432,13 @@ object ScaleProbe {
       // fresh id range each time rather than re-appending rep 1's ids
       // (which would both violate the contract and time appends into a
       // progressively duplicated index).
+      // delta offsets sit at 1e11 — beyond any replica id (replica i
+      // is base + i*1e7, so a 9xxM offset collided exactly at the
+      // k=95..100 decade and tripped the disjoint-ids guard)
       def ivfDelta(rep: Int): DataFrame = engine.Tables
         .embeddings(spark, sfDir)
         .where(col("vec_id") < 250)
-        .select((col("vec_id") + 950000000L + rep * 10000000L)
+        .select((col("vec_id") + 100000000000L + rep * 10000000L)
           .as("vec_id"), col("embedding"))
 
       // chunk-index probe: same contract as dedup_incremental — the
@@ -466,7 +469,7 @@ object ScaleProbe {
           operators.Chunking.deltaNovelty(
             engine.Tables.documents(spark, sfDir)
               .where(col("doc_id") < 250)
-              .withColumn("doc_id", col("doc_id") + lit(1200000000L)),
+              .withColumn("doc_id", col("doc_id") + lit(100000000000L)),
             "doc_id", "text", chunkIdx).count()),
         // zero-shuffle row-local window explode: exponent ~1, output
         // multiplies by ~size/stride but nothing crosses the wire
@@ -495,7 +498,7 @@ object ScaleProbe {
           val base = engine.Tables.documents(spark, sfDir)
             .where(col("doc_id") < 250)
           val delta = base
-            .withColumn("doc_id", col("doc_id") + lit(1200000000L))
+            .withColumn("doc_id", col("doc_id") + lit(100000000000L))
             .withColumn("text",
               when(col("doc_id") % 2 === 0,
                 translate(col("text"), "e", "q")).otherwise(col("text")))
@@ -578,7 +581,7 @@ object ScaleProbe {
           Dedup.pairsAgainstIndex(
             engine.Tables.documents(spark, sfDir)
               .where(col("doc_id") < 250)
-              .withColumn("doc_id", col("doc_id") + lit(1000000000L)),
+              .withColumn("doc_id", col("doc_id") + lit(100000000000L)),
             "doc_id", "text", incIdx, 0.8,
             persistShingles = false).count()),
         "dedup_emb_incremental" -> (() =>
