@@ -125,7 +125,7 @@ object SparkEntry {
     s"""(WITH __c AS (
        |  SELECT doc_id, text, length(text) AS n,
        |         [unicode(ch) for ch in string_split(text, '')] AS codes
-       |  FROM $src),
+       |  FROM $src WHERE text IS NOT NULL),
        |__b AS (
        |  SELECT doc_id, text, n,
        |         CASE WHEN n <= 16 THEN []
@@ -965,7 +965,12 @@ object SparkEntry {
         "source").withColumnRenamed("estimate", "__s")
       items.groupBy("source")
         .agg(countDistinct(col("w")).as("exact_distinct"))
-        .join(mergedEst, "source").join(singleEst, "source")
+        // null-safe joins: a null-source stratum keeps its certificate
+        // row (a string-Seq join would silently drop it)
+        .join(mergedEst.withColumnRenamed("source", "__ms"),
+          col("source") <=> col("__ms")).drop("__ms")
+        .join(singleEst.withColumnRenamed("source", "__ss"),
+          col("source") <=> col("__ss")).drop("__ss")
         .select(col("source"), col("exact_distinct"),
           (abs(col("__m") - col("exact_distinct")) <=
             lit(0.05) * col("exact_distinct") &&
@@ -2983,19 +2988,25 @@ object SparkEntry {
 
     // delta verdict = fp unseen in the corpus partition AND smallest
     // delta id carrying it
+    // the fp probe join is NULL-SAFE (IS NOT DISTINCT FROM), matching
+    // the operator's documented contract: a null fp (null text) is its
+    // own dedup group, so a delta null-fp doc IS seen when the corpus
+    // holds one — a plain equi-join would call every null-fp doc novel
     "q_dedup_exact_incr" ->
       """WITH f AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents),
-        |corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 <> 3),
+        |corpus AS (SELECT DISTINCT fp, true AS hit
+        |           FROM f WHERE doc_id % 4 <> 3),
         |delta AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 3
         |          UNION ALL
         |          SELECT doc_id + 500000, fp FROM f
         |          WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0)
         |SELECT doc_id, fp, (NOT seen AND doc_id = mn) AS keep FROM (
-        |  SELECT d.doc_id, d.fp, c.fp IS NOT NULL AS seen,
+        |  SELECT d.doc_id, d.fp, coalesce(c.hit, false) AS seen,
         |         min(d.doc_id) OVER (PARTITION BY d.fp) AS mn
-        |  FROM delta d LEFT JOIN corpus c USING (fp))
+        |  FROM delta d
+        |  LEFT JOIN corpus c ON d.fp IS NOT DISTINCT FROM c.fp)
         |ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
@@ -3208,7 +3219,8 @@ object SparkEntry {
         |)
         |SELECT b.doc_id,
         |       coalesce(k.kept_text, '') AS kept_text,
-        |       CAST(ceil(len(b.toks)/8.0) AS BIGINT) AS n_chunks,
+        |       coalesce(CAST(ceil(len(b.toks)/8.0) AS BIGINT), 0)
+        |         AS n_chunks,
         |       coalesce(k.n_kept, 0) AS n_kept
         |FROM base b LEFT JOIN (
         |  SELECT doc_id, string_agg(passage, ' ' ORDER BY cidx) AS kept_text,
@@ -3419,12 +3431,13 @@ object SparkEntry {
          |            AS cum,
          |          sum(c) OVER (PARTITION BY source) AS n
          |        FROM vc),
-         |thr AS (SELECT source,
+         |thr AS (SELECT source AS g,
          |          min(CASE WHEN cum >= ceil(CAST(0.25 AS DOUBLE) * n)
          |                   THEN v END) AS thr
          |        FROM cum GROUP BY source),
          |q AS (SELECT dd.doc_id, dd.source, dd.text
-         |      FROM documents dd JOIN thr USING (source)
+         |      FROM documents dd
+         |      JOIN thr ON dd.source IS NOT DISTINCT FROM thr.g
          |      WHERE dd.n_chars >= thr),
          |f AS (SELECT doc_id, source,
          |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -3439,7 +3452,7 @@ object SparkEntry {
          |                          1, 8))::BIGINT AS h
          |        FROM k JOIN t ON k.doc_id = t.doc_id),
          |c2 AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
-         |tt AS (SELECT source,
+         |tt AS (SELECT source AS g,
          |         least(n, floor(CAST(4.0 AS DOUBLE)
          |                        * sqrt(n::DOUBLE))::BIGINT) AS target
          |       FROM c2),
@@ -3447,8 +3460,9 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY source
          |                            ORDER BY h, doc_id) AS rk
          |       FROM tok),
-         |kept AS (SELECT doc_id, source, n_tok, h
-         |         FROM rr JOIN tt USING (source) WHERE rk <= target),
+         |kept AS (SELECT doc_id, rr.source AS source, n_tok, h
+         |         FROM rr JOIN tt ON rr.source IS NOT DISTINCT FROM tt.g
+         |         WHERE rk <= target),
          |pk AS (SELECT doc_id, source, n_tok,
          |         ((sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
          |                            ROWS UNBOUNDED PRECEDING))
@@ -3488,7 +3502,7 @@ object SparkEntry {
          |          round(avg(q), 4) AS mean_quality
          |        FROM q GROUP BY 1),
          |vc AS (SELECT source AS src, nch AS v, count(*) AS c
-         |       FROM q GROUP BY 1, 2),
+         |       FROM q WHERE nch IS NOT NULL GROUP BY 1, 2),
          |cum AS (SELECT src, v,
          |          sum(c) OVER (PARTITION BY src ORDER BY v
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3502,7 +3516,8 @@ object SparkEntry {
          |SELECT agg.src, n_docs, n_tokens,
          |       round(1.0 - nd::DOUBLE / n_docs, 6) AS dup_rate,
          |       mean_quality, p50_chars
-         |FROM agg JOIN med USING (src) ORDER BY src""".stripMargin,
+         |FROM agg LEFT JOIN med ON agg.src IS NOT DISTINCT FROM med.src
+         |ORDER BY agg.src""".stripMargin,
 
     // distinct (source, 3-gram) sets, pairwise intersect counts, exact
     // integer divisions rounded to 6
@@ -4009,13 +4024,17 @@ object SparkEntry {
         |       THEN 'val' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // null-safe group join (IS NOT DISTINCT FROM): a null stratum is
+    // its own group and its rows must survive, mirroring the Spark
+    // side's <=> join — a plain USING(source) silently drops them
     "q_zscore" ->
-      """WITH m AS (SELECT source, avg(n_chars) mu, stddev_pop(n_chars) sd
+      """WITH m AS (SELECT source AS g, avg(n_chars) mu,
+        |                  stddev_pop(n_chars) sd
         |           FROM documents GROUP BY 1)
         |SELECT doc_id, source, n_chars,
         |       CASE WHEN sd = 0 THEN 0.0
         |            ELSE round((n_chars - mu) / sd, 4) END AS n_chars_z
-        |FROM documents JOIN m USING (source)
+        |FROM documents JOIN m ON source IS NOT DISTINCT FROM m.g
         |ORDER BY doc_id""".stripMargin,
 
     // DISCRETE per-group threshold, replayed structurally (the same
@@ -4030,12 +4049,12 @@ object SparkEntry {
         |            AS cum,
         |          sum(c) OVER (PARTITION BY source) AS n
         |        FROM vc),
-        |t AS (SELECT source,
+        |t AS (SELECT source AS g,
         |        min(CASE WHEN cum >= ceil(CAST(0.75 AS DOUBLE) * n)
         |                 THEN v END) AS thr
         |      FROM cum GROUP BY source)
         |SELECT doc_id, source, n_chars
-        |FROM documents JOIN t USING (source)
+        |FROM documents JOIN t ON source IS NOT DISTINCT FROM t.g
         |WHERE n_chars >= thr
         |ORDER BY doc_id""".stripMargin,
 
@@ -4050,13 +4069,14 @@ object SparkEntry {
         |            AS cum,
         |          sum(c) OVER (PARTITION BY source) AS n
         |        FROM vc),
-        |med AS (SELECT source,
+        |med AS (SELECT source AS g,
         |          min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
         |                   THEN v END) AS m
         |        FROM cum GROUP BY source),
         |dv AS (SELECT d.doc_id, d.source, d.n_chars,
         |              m.m AS med, abs(d.n_chars - m.m) AS dev
-        |       FROM documents d JOIN med m USING (source)),
+        |       FROM documents d
+        |       JOIN med m ON d.source IS NOT DISTINCT FROM m.g),
         |dc AS (SELECT source, dev AS v, count(*) AS c
         |       FROM dv GROUP BY 1, 2),
         |dcum AS (SELECT source, v,
@@ -4065,7 +4085,7 @@ object SparkEntry {
         |             AS cum,
         |           sum(c) OVER (PARTITION BY source) AS n
         |         FROM dc),
-        |mad AS (SELECT source,
+        |mad AS (SELECT source AS g,
         |          min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
         |                   THEN v END) AS mad
         |        FROM dcum GROUP BY source)
@@ -4073,7 +4093,7 @@ object SparkEntry {
         |       CASE WHEN mad.mad = 0 THEN 0.0
         |            ELSE round((dv.n_chars - dv.med)::DOUBLE / mad.mad, 4)
         |       END AS n_chars_rz
-        |FROM dv JOIN mad USING (source)
+        |FROM dv JOIN mad ON dv.source IS NOT DISTINCT FROM mad.g
         |ORDER BY dv.doc_id""".stripMargin,
 
     // global discrete [p05, p95] bounds via the same cum-sum replay;
@@ -4112,8 +4132,8 @@ object SparkEntry {
         |          ('0x' || substr(md5('tmix' || doc_id::VARCHAR),
         |                          1, 8))::BIGINT, doc_id) AS rk
         |      FROM documents)
-        |SELECT doc_id, source
-        |FROM r JOIN t USING (source)
+        |SELECT doc_id, r.source AS source
+        |FROM r JOIN t ON r.source IS NOT DISTINCT FROM t.source
         |WHERE rk <= target
         |ORDER BY doc_id""".stripMargin,
 
@@ -4467,8 +4487,12 @@ object SparkEntry {
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // a NULL payload is an EMPTY payload (the byteFeatures contract:
+    // zero bytes, md5 of nothing, one empty frame) — coalesce mirrors it
     "q_multimodal_features" ->
-      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+        |                  strlen(coalesce(text, '')) AS n
+        |           FROM documents),
         |ch AS (SELECT doc_id, ord(substr(text, i, 1)) AS o
         |       FROM d, unnest(range(1, n + 1)) AS t(i)),
         |m AS (SELECT doc_id, sum(o)::DOUBLE / count(*)::DOUBLE AS mean_byte
@@ -4569,8 +4593,11 @@ object SparkEntry {
         |FROM read_parquet('$rawVideoTruthPath/*.parquet')
         |ORDER BY id, track, sample""".stripMargin,
 
+    // NULL payload ≡ empty payload here too: one empty frame
     "q_multimodal_frames" ->
-      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+        |                  strlen(coalesce(text, '')) AS n
+        |           FROM documents),
         |f AS (SELECT doc_id, i AS frame, substr(text, i*64 + 1, 64) AS fb
         |      FROM d, unnest(range(0, greatest((n + 63) // 64, 1), 2)) AS t(i))
         |SELECT doc_id AS id, frame::BIGINT AS frame,

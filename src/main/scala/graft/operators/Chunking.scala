@@ -53,7 +53,11 @@ object Chunking {
     * 1-based `start`, `len` (codepoints) and `chunk_hash` (md5 of the
     * chunk text — the dedup identity). `carry` names extra input
     * columns to keep on every chunk row (row-local passthrough — e.g.
-    * the event-time column a streaming caller's watermark rides on). */
+    * the event-time column a streaming caller's watermark rides on).
+    * A NULL text yields NO chunk rows (the boundary kernel
+    * null-propagates and the explode of a null array emits nothing) —
+    * the contract every q_cdc / q_chunk oracle mirrors with an
+    * explicit text IS NOT NULL filter. */
   def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", window: Int = 16,
                 prime: Int = 31, modBits: Int = 20, divisor: Int = 64,

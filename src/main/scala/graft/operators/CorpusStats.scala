@@ -400,10 +400,14 @@ object CorpusStats {
         col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap90"),
         col("ex").getItem(0).as("p50"), col("ex").getItem(1).as("p90"))
 
-    // second pass: rank positions of the sketch's picks within each group
-    val ranks = df.select(col(groupCol), v.as("_v"))
-      .join(agg.select(col(groupCol), col("ap50"), col("ap90")), groupCol)
-      .groupBy(col(groupCol)).agg(
+    // second pass: rank positions of the sketch's picks within each
+    // group. Joins are NULL-SAFE (the Features.zscore discipline) —
+    // a null group is its own stratum and must keep its certificate
+    // row; the string-Seq join this replaced silently dropped it.
+    val ranks = df.select(col(groupCol).as("__rg"), v.as("_v"))
+      .join(agg.select(col(groupCol).as("__ag"), col("ap50"), col("ap90")),
+        col("__rg") <=> col("__ag"))
+      .groupBy(col("__rg")).agg(
         sum(when(col("_v") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
         sum(when(col("_v") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
         sum(when(col("_v") <= col("ap90"), 1L).otherwise(0L)).as("le90"),
@@ -415,7 +419,7 @@ object CorpusStats {
         (col(lt) <= (lit(p) + lit(rankTol)) * n)
     }
 
-    agg.join(ranks, groupCol)
+    agg.join(ranks, col(groupCol) <=> col("__rg"))
       .select(col(groupCol), col("n"),
         round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
         rankOk("le50", "lt50", 0.5).as("ok_p50"),
