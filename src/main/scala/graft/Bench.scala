@@ -507,14 +507,20 @@ object Bench {
       graft.streaming.ReplayStats.batches.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     }
-    // stdout layout is built for the driver's 2,000-char TAIL capture
-    // (r12's artifact kept only the trailing cal_mt_ms map and lost the
-    // regressions field): a minimal verdict line goes out FIRST (covers
-    // any head-based capture), and the full line puts every bulky
-    // diagnostic map up front so its LAST ~1,000 chars are the verdict
-    // fields — total, errors, regressions, contention flags — which is
-    // what a tail capture keeps. The per-run times are stderr
-    // forensics (also echoed per-run above as they happen).
+    // STDOUT CONTRACT — two JSON lines (JSON-lines, NOT one document):
+    //   line 1: minimal verdict {metric,value,unit,errors,sf,
+    //           regressions,contended_flags,wall_only_warnings}
+    //   line 2: the full record (same verdict fields repeated LAST)
+    // Consumers must parse lines independently and prefer the LAST
+    // complete line; parsing all of stdout as a single JSON document is
+    // unsupported. The layout is built for the driver's 2,000-char TAIL
+    // capture (r12's artifact kept only the trailing cal_mt_ms map and
+    // lost the regressions field): the minimal verdict line goes out
+    // FIRST (covers any head-based capture), and the full line puts
+    // every bulky diagnostic map up front so its LAST ~1,000 chars are
+    // the verdict fields — total, errors, regressions, contention
+    // flags — which is what a tail capture keeps. The per-run times
+    // are stderr forensics (also echoed per-run above as they happen).
     val calJson = results.map(_._1)
       .flatMap(k => calMed.get(k).map(v => f""""$k":$v%.2f"""))
       .mkString("{", ",", "}")

@@ -1629,9 +1629,10 @@ object SparkEntry {
           "doc_id", "n_chars", 100, salt = "wsamp")
         .orderBy("doc_id")),
 
-    // length-bucketed batching report: quartile boundaries (exact
-    // interpolated percentile — cross-engine identical), row-local
-    // bucket assign, per-bucket pad-to-max waste
+    // length-bucketed batching report: quartile boundaries (DISCRETE
+    // data-value quantiles — integer boundaries drawn from the data, so
+    // bucket edges are hash-stable cross-engine), row-local bucket
+    // assign, per-bucket pad-to-max waste
     "q_length_buckets" -> ((s, d) =>
       graft.operators.Sampling.lengthBuckets(
           docs(s, d).select(col("doc_id"), col("n_chars")),
@@ -3926,8 +3927,9 @@ object SparkEntry {
         |      FROM documents, b)
         |SELECT bucket, count(*) AS n_docs,
         |       min(n_chars) AS min_len, max(n_chars) AS max_len,
-        |       sum(n_chars) AS sum_len,
-        |       max(n_chars) * count(*) - sum(n_chars) AS padding_waste
+        |       sum(n_chars)::BIGINT AS sum_len,
+        |       (max(n_chars) * count(*) - sum(n_chars))::BIGINT
+        |         AS padding_waste
         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_weighted_stratum" ->

@@ -360,19 +360,6 @@ object Sampling {
         col("max_len") * col("n_docs") - col("sum_len"))
   }
 
-  /** 1-row frame of DISCRETE quantile boundaries of `valueCol`
-    * (columns `__b0..__b{k-1}`): boundary i is the smallest ACTUAL
-    * data value whose cumulative count reaches `ceil(q_i * n)` — the
-    * `percentile_disc` convention, built from a cum-summed
-    * (value -> count) frame so no engine's quantile implementation is
-    * trusted and every downstream comparison is integer-vs-integer
-    * (see [[lengthBuckets]] for why interpolated boundaries are never
-    * hash-stable; `ceil(q * n)` itself is one IEEE multiply + ceil,
-    * bit-identical in any IEEE-754 engine). The frame has
-    * distinct-value cardinality, so the unpartitioned windows are
-    * deliberately tiny; q < 1 guarantees every boundary exists on a
-    * non-empty frame. Shared by [[lengthBuckets]] and
-    * [[Features.winsorize]]. */
   /** Per-GROUP discrete `q`-quantile over a pre-projected
     * `(__g, __v)` frame: the smallest `__v` of the group whose
     * cumulative count reaches `ceil(q * n)` — the one shared
@@ -399,6 +386,19 @@ object Sampling {
         .as("__m"))
   }
 
+  /** 1-row frame of DISCRETE quantile boundaries of `valueCol`
+    * (columns `__b0..__b{k-1}`): boundary i is the smallest ACTUAL
+    * data value whose cumulative count reaches `ceil(q_i * n)` — the
+    * `percentile_disc` convention, built from a cum-summed
+    * (value -> count) frame so no engine's quantile implementation is
+    * trusted and every downstream comparison is integer-vs-integer
+    * (see [[lengthBuckets]] for why interpolated boundaries are never
+    * hash-stable; `ceil(q * n)` itself is one IEEE multiply + ceil,
+    * bit-identical in any IEEE-754 engine). The frame has
+    * distinct-value cardinality, so the unpartitioned windows are
+    * deliberately tiny; q < 1 guarantees every boundary exists on a
+    * non-empty frame. Shared by [[lengthBuckets]] and
+    * [[Features.winsorize]]. */
   private[operators] def discreteBounds(df: DataFrame, valueCol: String,
                                         quantiles: Seq[Double])
       : DataFrame = {

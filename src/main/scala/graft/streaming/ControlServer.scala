@@ -48,6 +48,14 @@ class ControlServer(port: Int) {
     require(dup.isEmpty,
       s"streamtester handler names must be unique, duplicated: " +
         dup.mkString(", "))
+    // ... and the same fail-fast against sources ALREADY registered via
+    // register(): a colliding handler would silently overwrite the live
+    // source in the registry while the returned list claims a fresh
+    // registration
+    val taken = handlers.map(_.name).filter(sources.contains)
+    require(taken.isEmpty,
+      s"streamtester handler names collide with already-registered " +
+        s"sources: " + taken.mkString(", "))
     handlers.map { h =>
       val s = h.settings
       require(s.contains("filePath"),
@@ -70,11 +78,27 @@ class ControlServer(port: Int) {
             "unsupported — graft pipelines are schema'd and rows are " +
             "always map-shaped (only dataAsMap=true can be honored)")
       }
+      // settings come from untrusted app JSON: name the handler and the
+      // setting in the failure instead of surfacing a context-free
+      // NumberFormatException / IllegalArgumentException from a bare
+      // .toLong/.toBoolean
+      def longSetting(key: String, default: Long): Long =
+        s.get(key).map { v =>
+          v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"streamtester handler '${h.name}': $key='$v' is not a " +
+              "valid integer"))
+        }.getOrElse(default)
+      def boolSetting(key: String): Boolean =
+        s.get(key).exists { v =>
+          v.trim.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+            s"streamtester handler '${h.name}': $key='$v' is not a " +
+              "valid boolean"))
+        }
       val replay = new CsvReplay(
         path = s("filePath"),
-        emitDelayMs = s.get("emitDelay").map(_.toLong).getOrElse(100L),
-        replayData = s.get("replayData").exists(_.toBoolean),
-        allDataAtOnce = s.get("allDataAtOnce").exists(_.toBoolean))
+        emitDelayMs = longSetting("emitDelay", 100L),
+        replayData = boolSetting("replayData"),
+        allDataAtOnce = boolSetting("allDataAtOnce"))
       register(h.name, replay)
       h.name
     }

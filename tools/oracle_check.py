@@ -52,6 +52,25 @@ def main():
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             n_fail += 1; continue
+        # Dtype guard: the driver hashes RENDERED values, so an oracle
+        # column that materializes as float64 (e.g. DuckDB HUGEINT from an
+        # uncast sum()) against a Spark integer column renders "15004.0"
+        # vs "15004" — identical values, hash mismatch. Catch it here.
+        dtype_bad = [
+            c for c in a.columns
+            if (pd.api.types.is_float_dtype(b[c])
+                and pd.api.types.is_integer_dtype(a[c]))
+            or (pd.api.types.is_float_dtype(a[c])
+                and pd.api.types.is_integer_dtype(b[c]))
+        ]
+        if dtype_bad:
+            print(f"FAIL  {name}: int/float dtype mismatch (driver hash "
+                  f"would fail): "
+                  + ", ".join(f"{c} spark={a[c].dtype} duck={b[c].dtype}"
+                              for c in dtype_bad)
+                  + " — cast the oracle expression (::BIGINT) or the "
+                    "Spark column so both sides agree")
+            n_fail += 1; continue
         if len(a) != len(b):
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             n_fail += 1; continue
