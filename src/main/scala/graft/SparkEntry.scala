@@ -124,7 +124,8 @@ object SparkEntry {
   private def cdcChunksSql(src: String): String =
     s"""(WITH __c AS (
        |  SELECT doc_id, text, length(text) AS n,
-       |         [unicode(ch) for ch in string_split(text, '')] AS codes
+       |         [unicode(ch)::BIGINT for ch in string_split(text, '')]
+       |           AS codes
        |  FROM $src WHERE text IS NOT NULL),
        |__b AS (
        |  SELECT doc_id, text, n,
@@ -2038,10 +2039,11 @@ object SparkEntry {
 
     // Byte-stream feature path through the typed mapPartitions stage
     // (Multimodal.byteFeatures — the opaque-payload operator for bytes
-    // with no in-process codec). Features derive deterministically from the
-    // payload bytes (length / md5 / byte mean / frame cadence), and the
-    // testdata text is ASCII, so the whole pipeline — including the
-    // mapPartitions hop — is SQL-oracle-expressible: the byte mean is a
+    // with no in-process codec). Features derive deterministically from
+    // the payload bytes (length / md5 / byte mean / frame cadence); the
+    // oracle walks the same UTF-8 bytes via the hex encoding, so the
+    // whole pipeline — including the mapPartitions hop — stays
+    // SQL-oracle-expressible on MULTIBYTE text too: the byte mean is a
     // single IEEE division of two exact integers, bit-identical in both
     // engines (no rounding).
     "q_multimodal_features" -> ((s, d) => {
@@ -2256,7 +2258,11 @@ object SparkEntry {
 
     // Row-expanding frame-sample path (the generator shape of real video
     // frame sampling): every 2nd 64-byte slice, hashed — one record in,
-    // N frames out, partition-parallel.
+    // N frames out, partition-parallel. The frame hash is md5 of the
+    // frame's HEX encoding (injective, so it certifies content exactly):
+    // a 64-byte cut can split a multibyte character, and the oracle's
+    // DuckDB has no md5(BLOB) — hex is the byte-exact form both engines
+    // can hash.
     "q_multimodal_frames" -> ((s, d) => {
       implicit val ss: SparkSession = s
       Multimodal.sampleFrames(
@@ -2264,7 +2270,7 @@ object SparkEntry {
         .toDF()
         .select(col("id"), col("frame").cast("bigint").as("frame"),
           octet_length(col("bytes")).cast("bigint").as("n_bytes"),
-          md5(col("bytes")).as("frame_hash"))
+          md5(hex(col("bytes"))).as("frame_hash"))
         .orderBy("id", "frame")
     })
   )
@@ -2849,7 +2855,7 @@ object SparkEntry {
          |m AS (SELECT doc_id,
          |  len(tk) AS n,
          |  CASE WHEN len(tk) > 0 THEN
-         |    list_sum(list_transform(tk, x -> strlen(x)))::DOUBLE / len(tk)
+         |    list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
          |  ELSE 0.0 END AS mean_len,
          |  CASE WHEN len(tk) > 0 THEN
          |    (len(regexp_extract_all(text, '#'))
@@ -2930,7 +2936,7 @@ object SparkEntry {
          |gm AS (SELECT doc_id,
          |  len(tk) AS n,
          |  CASE WHEN len(tk) > 0 THEN
-         |    list_sum(list_transform(tk, x -> strlen(x)))::DOUBLE / len(tk)
+         |    list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
          |  ELSE 0.0 END AS mean_len,
          |  CASE WHEN len(tk) > 0 THEN
          |    (len(regexp_extract_all(text, '#'))
@@ -4484,18 +4490,24 @@ object SparkEntry {
       """SELECT user_id, round(sum(value), 4) AS sv, count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // encode(), not text::BLOB: the cast refuses non-ASCII strings
+    // (DuckDB requires hex escapes), encode() is the UTF-8 byte view
     "q_multimodal_meta" ->
-      """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // a NULL payload is an EMPTY payload (the byteFeatures contract:
-    // zero bytes, md5 of nothing, one empty frame) — coalesce mirrors it
+    // zero bytes, md5 of nothing, one empty frame) — coalesce mirrors
+    // it. The payload is the UTF-8 BYTE stream, walked via the hex
+    // encoding (ord(substr(text,..)) reads CODE POINTS — 12288 for an
+    // ideographic space where the payload has bytes 227/128/128)
     "q_multimodal_features" ->
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
-        |                  strlen(coalesce(text, '')) AS n
+        |                  hex(encode(coalesce(text, ''))) AS h,
+        |                  octet_length(encode(coalesce(text, ''))) AS n
         |           FROM documents),
-        |ch AS (SELECT doc_id, ord(substr(text, i, 1)) AS o
+        |ch AS (SELECT doc_id, ('0x' || substr(h, 2*i - 1, 2))::INT AS o
         |       FROM d, unnest(range(1, n + 1)) AS t(i)),
         |m AS (SELECT doc_id, sum(o)::DOUBLE / count(*)::DOUBLE AS mean_byte
         |      FROM ch GROUP BY doc_id)
@@ -4595,15 +4607,22 @@ object SparkEntry {
         |FROM read_parquet('$rawVideoTruthPath/*.parquet')
         |ORDER BY id, track, sample""".stripMargin,
 
-    // NULL payload ≡ empty payload here too: one empty frame
+    // NULL payload ≡ empty payload here too: one empty frame. Frames
+    // slice the UTF-8 BYTE stream (a 64-byte cut can land mid-character
+    // — the bytes are then not a valid STRING, and this DuckDB has no
+    // md5(BLOB)), so both sides hash the frame's HEX encoding: substr
+    // on the hex stream at 2× offsets is exact byte slicing, and hex is
+    // injective so md5(hex) certifies the same content md5(bytes) would
     "q_multimodal_frames" ->
-      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
-        |                  strlen(coalesce(text, '')) AS n
+      """WITH d AS (SELECT doc_id,
+        |                  hex(encode(coalesce(text, ''))) AS h,
+        |                  octet_length(encode(coalesce(text, ''))) AS n
         |           FROM documents),
-        |f AS (SELECT doc_id, i AS frame, substr(text, i*64 + 1, 64) AS fb
+        |f AS (SELECT doc_id, i AS frame, substr(h, i*128 + 1, 128) AS fh
         |      FROM d, unnest(range(0, greatest((n + 63) // 64, 1), 2)) AS t(i))
         |SELECT doc_id AS id, frame::BIGINT AS frame,
-        |       strlen(fb)::BIGINT AS n_bytes, md5(fb) AS frame_hash
+        |       (length(fh) // 2)::BIGINT AS n_bytes,
+        |       md5(fh) AS frame_hash
         |FROM f ORDER BY id, frame""".stripMargin,
 
     "q_dsl_tumbling" ->

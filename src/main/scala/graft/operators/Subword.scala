@@ -29,22 +29,60 @@ object Subword {
   /** The unk marker emitted for an uncovered single character. */
   val Unk = "<unk>"
 
+  /** One word as an array of CODE POINT strings — the initial BPE
+    * segmentation shared by every local walk in this file. NOT
+    * `word.split("")`: Java's split("") separates at UTF-16 code-unit
+    * boundaries, so an astral character (emoji — a surrogate pair)
+    * becomes TWO lone-surrogate symbols, silently diverging from
+    * Spark SQL's `split(w, '')` and DuckDB's `string_split(w, '')`,
+    * both of which are code-point based (caught by the round-14
+    * unicode fixture sweep). */
+  private[graft] def charSeg(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      val cc = Character.charCount(word.codePointAt(off))
+      out(i) = word.substring(off, off + cc)
+      i += 1
+      off += cc
+    }
+    out
+  }
+
   /** Greedy longest-match pieces of one word. Pure function — the spec
-    * pins hand-computed vectors and the distributed paths call this. */
+    * pins hand-computed vectors and the distributed paths call this.
+    * Positions and piece lengths count CODE POINTS (an astral char is
+    * one character, one unk), and candidate substrings sit on code
+    * point boundaries — the same character model as the DuckDB oracle
+    * and Spark's own string functions. */
   def tokenizeWord(word: String, vocab: Set[String],
                    maxPieceLen: Int): List[String] = {
+    // offs(i) = UTF-16 offset of the i-th code point; offs(ncp) = end
+    val offs = new Array[Int](word.codePointCount(0, word.length) + 1)
+    var ci = 0
+    var off = 0
+    while (off < word.length) {
+      offs(ci) = off
+      ci += 1
+      off += Character.charCount(word.codePointAt(off))
+    }
+    offs(ci) = word.length
+    val ncp = ci
     val out = List.newBuilder[String]
-    var pos = 0
-    while (pos < word.length) {
-      var l = math.min(maxPieceLen, word.length - pos)
+    var p = 0
+    while (p < ncp) {
+      var l = math.min(maxPieceLen, ncp - p)
       var found: String = null
+      var flen = 0
       while (l >= 1 && found == null) {
-        val cand = word.substring(pos, pos + l)
-        if (vocab.contains(cand)) found = cand
+        val cand = word.substring(offs(p), offs(p + l))
+        if (vocab.contains(cand)) { found = cand; flen = l }
         l -= 1
       }
-      if (found != null) { out += found; pos += found.length }
-      else { out += Unk; pos += 1 }
+      if (found != null) { out += found; p += flen }
+      else { out += Unk; p += 1 }
     }
     out.result()
   }
@@ -58,7 +96,7 @@ object Subword {
     require(vocab.forall(_.nonEmpty), "vocab pieces must be non-empty")
     val spark = wc.sparkSession
     import spark.implicits._
-    val maxLen = vocab.map(_.length).max
+    val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
     val vocabSeq = vocab // stable closure capture
     wc.select(col("w")).distinct().as[String].mapPartitions { it =>
       val vs = vocabSeq.toSet
@@ -326,7 +364,8 @@ object Subword {
 
   /** Driver-local merge loop over a collected (word, count) frame —
     * bit-equal to the distributed trainer by construction: the same
-    * per-code-unit initial segmentation (`split(w, "")`), the same
+    * per-code-POINT initial segmentation ([[charSeg]], matching Spark
+    * SQL's `split(w, '')`), the same
     * left-to-right non-overlapping merge, and the same
     * (count desc, lhs, rhs) argmax in UTF-8 byte order. Pair counts
     * maintain INCREMENTALLY (only words containing the merged pair are
@@ -349,7 +388,7 @@ object Subword {
     val intern = mutable.HashMap.empty[String, String]
     var i = 0
     while (i < nW) {
-      syms(i) = wordCounts(i)._1.split("").filter(_.nonEmpty)
+      syms(i) = charSeg(wordCounts(i)._1)
         .map(c => intern.getOrElseUpdate(c, c))
       cnt(i) = wordCounts(i)._2
       i += 1
@@ -473,7 +512,7 @@ object Subword {
   private[graft] def applyMergesRanked(
       word: String, rank: java.util.HashMap[(String, String), Int])
       : Array[String] = {
-    var syms = word.split("").filter(_.nonEmpty)
+    var syms = charSeg(word)
     var go = syms.length > 1
     while (go) {
       var best = Int.MaxValue
@@ -646,7 +685,7 @@ object Subword {
       .select(explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val maxLen = vocab.map(_.length).max
+    val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
     val vocabSeq = vocab
     val pieces = wcw.select(col("w")).distinct().as[String]
       .mapPartitions { it =>

@@ -39,8 +39,10 @@ class OracleConsistencySpec extends AnyFunSuite {
       "<= CAST(0.3 AS DOUBLE)",
       "alpha_frac >= CAST(0.8 AS DOUBLE)",
       "stop_hits >= 2",
-      // and the metric definitions feeding them
-      "list_sum(list_transform(tk, x -> strlen(x)))",
+      // and the metric definitions feeding them — mean word length in
+      // CODE POINTS (DuckDB length(); strlen counts BYTES and diverges
+      // on multibyte text — the round-14 unicode-sweep finding)
+      "list_sum(list_transform(tk, x -> length(x)))",
       "regexp_extract_all(text, '#')")
     val carriers = SparkEntry.oracleSql.filter(_._2.contains("stop_hits"))
     assert(carriers.keys.toSet == Set("q_quality_gopher", "q_calibration"),

@@ -23,6 +23,26 @@ class SubwordSpec extends SparkSpec {
     assert(tok("abc") == List("ab", Subword.Unk))
   }
 
+  test("tokenizeWord and charSeg are code-point based, not UTF-16") {
+    // an astral char (surrogate PAIR in UTF-16) is ONE character: one
+    // unk, never two lone-surrogate unks — matching DuckDB's
+    // string_split(w, '') and Spark SQL's split(w, '')
+    val rocket = new String(Character.toChars(0x1F680)) // 🚀
+    assert(Subword.charSeg(s"a${rocket}b").toList == List("a", rocket, "b"))
+    assert(Subword.charSeg("").isEmpty)
+    assert(tok(s"a$rocket") == List("a", Subword.Unk))
+    assert(tok(rocket + rocket) == List(Subword.Unk, Subword.Unk))
+    // an astral char IN vocab matches as one piece of length 1
+    val v2 = Set("a", rocket)
+    assert(Subword.tokenizeWord(s"a$rocket", v2, 1) == List("a", rocket))
+    // multibyte BMP chars count 1 toward maxPieceLen too
+    assert(Subword.tokenizeWord("中文", Set("中文"), 2) == List("中文"))
+    // ranked BPE apply segments code points the same way
+    val rank = new java.util.HashMap[(String, String), Int]()
+    assert(Subword.applyMergesRanked(s"a${rocket}b", rank).toList ==
+      List("a", rocket, "b"))
+  }
+
   test("pieceCounts weights per-word pieces by occurrence") {
     val s = spark
     import s.implicits._
