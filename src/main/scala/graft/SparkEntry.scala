@@ -2287,7 +2287,7 @@ object SparkEntry {
       |         list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
       |                       i -> array_to_string(tk[i+1:i+3], ' '))) sh
       |  FROM (SELECT doc_id,
-      |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
       |                           x -> x <> '') tk
       |        FROM documents)),
       |inv AS (SELECT doc_id, unnest(sh) s FROM d),
@@ -2375,7 +2375,7 @@ object SparkEntry {
 
   private val tokCte =
     """t AS (SELECT doc_id, text,
-      |             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |             list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
       |                         x -> x <> '') tk
       |      FROM documents)""".stripMargin
 
@@ -2385,7 +2385,7 @@ object SparkEntry {
       |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
       |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
       |  FROM (SELECT doc_id,
-      |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
       |                           x -> x <> '') tk
       |        FROM documents)),
       |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
@@ -2668,7 +2668,7 @@ object SparkEntry {
       s"""WITH $tokCte
          |SELECT doc_id, len(tk) AS n_tokens,
          |       len(regexp_extract_all(text,
-         |           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish
+         |           '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_bpeish
          |FROM t ORDER BY doc_id""".stripMargin,
 
     // df over the full corpus, tf cut to doc_id < 15 after the join;
@@ -2910,7 +2910,7 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id,
-        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |       md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // reliability-bin replay: the q_quality score and the
@@ -2989,7 +2989,7 @@ object SparkEntry {
          |FROM j GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      """SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
@@ -3001,7 +3001,7 @@ object SparkEntry {
     // holds one — a plain equi-join would call every null-fp doc novel
     "q_dedup_exact_incr" ->
       """WITH f AS (SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
         |  FROM documents),
         |corpus AS (SELECT DISTINCT fp, true AS hit
         |           FROM f WHERE doc_id % 4 <> 3),
@@ -3056,7 +3056,7 @@ object SparkEntry {
          |  FROM m),
          |filtered AS (SELECT * FROM scored WHERE q >= 0.5 AND lang_pred = 'en'),
          |keep AS (SELECT min(doc_id) AS doc_id FROM filtered
-         |         GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |         GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
          |SELECT f.doc_id, round(f.q, 6) AS q,
          |  CASE WHEN ('0x' || substr(md5(f.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
          |       THEN 'train'
@@ -3072,13 +3072,13 @@ object SparkEntry {
         |      regexp_replace(text,
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
-        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS clean,
+        |    '\+?[0-9][0-9()\- \t\n\x0b\f\r]{6,}[0-9]', '[PHONE]', 'g') AS clean,
         |  len(regexp_extract_all(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |  + len(regexp_extract_all(text,
         |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
         |  + len(regexp_extract_all(text,
-        |      '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS n_pii
+        |      '\+?[0-9][0-9()\- \t\n\x0b\f\r]{6,}[0-9]')) AS n_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // non-distinct bigram occurrences (unlike q_ngram_freq's per-doc
@@ -3101,9 +3101,9 @@ object SparkEntry {
     "q_normalize" ->
       """SELECT doc_id,
         |       length(trim(regexp_replace(lower(nfc_normalize(text)),
-        |              '\s+', ' ', 'g'))) AS n_norm,
+        |              '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS n_norm,
         |       md5(trim(regexp_replace(lower(nfc_normalize(text)),
-        |           '\s+', ' ', 'g'))) AS norm_md5
+        |           '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the held-out replay: train counts from the 2/3 split only,
@@ -3141,7 +3141,7 @@ object SparkEntry {
         |    list_transform(range(0, greatest(len(tk)-1, 0)),
         |                   i -> array_to_string(tk[i+1:i+2], ' ')))) AS ngram
         |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                      x -> x <> '') tk
         |        FROM documents))
         |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
@@ -3150,7 +3150,7 @@ object SparkEntry {
     // q_ngram_freq) — the MG candidate pass is invisible to the result
     "q_heavy_hitters" ->
       """WITH base AS (
-        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                     x -> x <> '') AS tk
         |  FROM documents
         |), bg AS (
@@ -3179,7 +3179,7 @@ object SparkEntry {
     "q_approx_distinct" ->
       """WITH base AS (
         |  SELECT source,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                     x -> x <> '') AS tk
         |  FROM documents
         |), bg AS (
@@ -3206,7 +3206,7 @@ object SparkEntry {
     "q_dedup_passage" ->
       """WITH base AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                     x -> x <> '') AS toks
         |  FROM documents
         |), chunks AS (
@@ -3447,7 +3447,7 @@ object SparkEntry {
          |      JOIN thr ON dd.source IS NOT DISTINCT FROM thr.g
          |      WHERE dd.n_chars >= thr),
          |f AS (SELECT doc_id, source,
-         |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |        md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
          |          AS fp
          |      FROM q),
          |k AS (SELECT doc_id, source FROM (
@@ -3494,7 +3494,7 @@ object SparkEntry {
          |          len(list_filter(t.tk, x -> x IN ($swAll)))::DOUBLE
          |            / len(t.tk)
          |        ELSE 0.0 END AS swr,
-         |        md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g')))
+         |        md5(trim(regexp_replace(lower(t.text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
          |          AS fp,
          |        length(t.text)::BIGINT AS nch
          |      FROM t JOIN documents d2 ON t.doc_id = d2.doc_id),
@@ -3536,7 +3536,7 @@ object SparkEntry {
         |             range(0, greatest(len(tk)-2, 0)),
         |             i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
         |    FROM (SELECT source,
-        |                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                 list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                             x -> x <> '') tk
         |          FROM documents)) u),
         |sizes AS (SELECT src, count(*) AS n FROM ss GROUP BY src),
@@ -3599,7 +3599,7 @@ object SparkEntry {
         |         list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
         |                       i -> array_to_string(tk[i+1:i+3], ' '))) sh
         |  FROM (SELECT doc_id,
-        |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                           x -> x <> '') tk
         |        FROM documents)),
         |bench AS (SELECT doc_id AS bench, sh AS bsh FROM d
@@ -3667,7 +3667,7 @@ object SparkEntry {
     // bit pattern identical to the JVM's unsigned-long treatment.
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                x -> x <> '') tk
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t WHERE len(tk) > 0),
@@ -3986,7 +3986,7 @@ object SparkEntry {
          |  ('q2', 'customer query data'), ('q3', 'window merge batch stream')),
          |qt AS (SELECT DISTINCT query_id,
          |         unnest(list_filter(regexp_split_to_array(trim(lower(qtext)),
-         |           '\\s+'), x -> x <> '')) AS term
+         |           '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS term
          |       FROM qraw),
          |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
          |          WHERE term IN (SELECT term FROM qt) GROUP BY term),
@@ -4209,7 +4209,7 @@ object SparkEntry {
         |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
         |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
         |  FROM (SELECT doc_id,
-        |               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
         |                           x -> x <> '') tk
         |        FROM documents)),
         |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
