@@ -2301,8 +2301,17 @@ object SparkEntry {
       |        FROM cand JOIN d x ON x.doc_id = d1 JOIN d y ON y.doc_id = d2)
       |""".stripMargin
 
+  // Every similarity oracle excludes zero-norm vectors up front — the
+  // engine's documented convention (VectorFunctions.cosineFrom): cosine
+  // is UNDEFINED there, the sim is NULL, and the row falls out of
+  // top-k/probe results. DuckDB's list_cosine_similarity instead
+  // returns -1.0 for a zero vector, which silently keeps such rows in
+  // the ranking (and tie-assigns them to cell 0 in argmax replays) —
+  // caught by the round-14 embedding-degeneracy sweep.
   private val ivfSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
       |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
       |asg AS (SELECT vec_id, v, cell FROM (
       |  SELECT e.vec_id, e.v, c.cell,
@@ -4267,7 +4276,9 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin,
 
     "q_knn_bruteforce" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
@@ -4283,7 +4294,9 @@ object SparkEntry {
     // label-mismatch predicate (IS DISTINCT FROM)
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label
-        |           FROM embeddings),
+        |           FROM embeddings
+        |           WHERE list_dot_product(embedding::DOUBLE[],
+        |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid, c.label clabel,
         |             list_cosine_similarity(q.v, c.v) sim
@@ -4342,7 +4355,9 @@ object SparkEntry {
     // same assignment replay; probes rank the top-2 cells per vector
     // and every vector is a query
     "q_knn_graph" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
         |asg AS (SELECT vec_id, v, cell FROM (
         |  SELECT e.vec_id, e.v, c.cell,
@@ -4379,7 +4394,9 @@ object SparkEntry {
     // the oracle is brute force + TRUE: if recall ever drops below the
     // 0.3 floor, Spark emits false and the hash compare fails.
     "q_knn_ivf_trained" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
@@ -4395,7 +4412,9 @@ object SparkEntry {
     // Exhaustive probe (nProbe = #cells) makes trained IVF exact, so the
     // oracle is plain brute force — identical to q_knn_bruteforce.
     "q_knn_ivf_trained_exact" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
@@ -4410,7 +4429,9 @@ object SparkEntry {
     // SQ8 gate: exact rows + deterministic recall certificate (same
     // contract as q_knn_ivf_trained) — oracle is brute force + TRUE
     "q_knn_sq8" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
@@ -4423,25 +4444,36 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
-    // same argmax (highest cosine, then smallest cell) replayed in SQL
+    // same argmax (highest cosine, then smallest cell) replayed in SQL.
+    // A zero-norm vector lands in the cell -1 AUDIT bucket (the
+    // assignCells contract: its cosines are undefined, it matches no
+    // probe) — DuckDB's list_cosine_similarity returns -1.0 there,
+    // which would otherwise tie-assign it to cell 0
     "q_embedding_clusters" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+        |                  list_dot_product(embedding::DOUBLE[],
+        |                                   embedding::DOUBLE[]) > 0 AS ok
+        |           FROM embeddings),
         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
         |r AS (SELECT e.vec_id, c.cell,
         |             row_number() OVER (PARTITION BY e.vec_id
         |               ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
         |                        c.cell) AS rn
-        |      FROM e CROSS JOIN c)
+        |      FROM e CROSS JOIN c WHERE e.ok),
+        |a AS (SELECT vec_id, cell FROM r WHERE rn = 1
+        |      UNION ALL SELECT vec_id, -1 AS cell FROM e WHERE NOT ok)
         |SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec,
         |       max(vec_id) AS max_vec
-        |FROM r WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+        |FROM a GROUP BY cell ORDER BY cell""".stripMargin,
 
     // exhaustive probe (all 10 cells) + refine=48 recovers exact
     // brute-force top-3 (spec-pinned), so the same SQL oracles the
     // persisted IVFADC path; the pruned-probe quality rides in the
     // certificate column
     "q_knn_ivfpq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
@@ -4457,7 +4489,9 @@ object SparkEntry {
     // like q_knn_sq8: the gate emits exact re-ranked rows + a TRUE
     // certificate, so the brute-force SQL is the oracle
     "q_knn_pq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
@@ -4474,7 +4508,9 @@ object SparkEntry {
     // at every test scale with deterministic planes, so brute force is a
     // valid oracle for the gate config.
     "q_knn_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |s AS (SELECT q.vec_id qid, c.vec_id cid,
         |             list_cosine_similarity(q.v, c.v) sim
