@@ -3759,14 +3759,16 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
-    // same break rule as Sessionize.assign: µs-precision gap >= 12 h
-    // starts a new session; first event's null lag falls to ELSE 0
+    // same break rule as Sessionize.assign: a µs-precision gap
+    // STRICTLY over 12 h starts a new session (an event exactly 12 h
+    // after its predecessor merges — session_window's inclusive
+    // boundary); first event's null lag falls to ELSE 0
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= 43200000000 THEN 1 ELSE 0 END AS brk
+        |              > 43200000000 THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
         |  SELECT user_id, ts, value,
@@ -3868,7 +3870,7 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= 43200000000 THEN 1 ELSE 0 END AS brk
+        |              > 43200000000 THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
         |  SELECT user_id, ts, value,

@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * or visits before filtering, dedup, or sampling).
   *
   * A session is a maximal run of one key's events in which consecutive
-  * events (in `(ts, tieCols)` order) are strictly less than `gapSeconds`
-  * apart — the same boundary rule as Structured Streaming's
-  * `session_window` (per-event ranges `[ts, ts+gap)` merge only when
-  * they overlap, so a gap of exactly `gapSeconds` starts a new
-  * session). The reference engine has no batch sessionization
+  * events (in `(ts, tieCols)` order) are AT MOST `gapSeconds` apart —
+  * the same boundary rule as Structured Streaming's `session_window`,
+  * which MERGES an event landing exactly at the previous session's end
+  * (`prev_ts + gap`); only a STRICTLY larger gap splits. (Empirically
+  * verified against session_window at the exact-gap boundary in
+  * SessionizeSpec — the round-14 event-stream sweep caught this
+  * operator splitting at `>=` while session_window merges at `==`,
+  * a divergence only exact-gap timestamp pairs can expose.) The
+  * reference engine has no batch sessionization
   * surface (its windows are count/time tumbling+sliding,
   * /root/reference/pipeline/windows); this extends the LLM-pipeline
   * layer the same way [[Dedup]] and [[Sampling]] do. The streaming
@@ -55,8 +59,11 @@ object Sessionize {
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     // first event per key: lag is null, null-comparison falls to
     // otherwise(0) — session_idx starts at 0 without a special case
+    // STRICT inequality: an event exactly gapSeconds after its
+    // predecessor still extends the session (session_window's merge
+    // rule — see the class doc)
     val break = when(
-      us(tsCol) - lag(us(tsCol), 1).over(w) >= gapSeconds * 1000000L,
+      us(tsCol) - lag(us(tsCol), 1).over(w) > gapSeconds * 1000000L,
       lit(1L)).otherwise(lit(0L))
     events.withColumn("session_idx",
       sum(break).over(

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Seeded randomized parity for sessionization and the ordered funnel:
   * any mix of keys, timestamps, and event types must match naive
-  * driver-side references (session split on millisecond gap >= the
-  * threshold; first-touch strictly-ordered stage cascade). */
+  * driver-side references (session split only on a gap STRICTLY over
+  * the threshold — session_window's inclusive boundary; first-touch
+  * strictly-ordered stage cascade). */
 class SessionizePropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260813L)
@@ -31,13 +32,15 @@ class SessionizePropertySpec extends SparkSpec {
       val got = Sessionize.assign(df, "k", "ts", 60L, Seq("eid"))
         .select("eid", "session_idx")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // naive reference: per key, (ts, eid)-sorted, split on gap >= 60 s
+      // naive reference: per key, (ts, eid)-sorted, split only on a
+      // gap STRICTLY over 60 s (exactly 60 s merges — the generator's
+      // gap-multiple branch exercises the boundary every round)
       val want = rows.groupBy(_._2).flatMap { case (_, ks) =>
         val sorted = ks.sortBy(r => (r._3, r._1))
         var idx = 0L
         var prev = Long.MinValue
         sorted.map { case (eid, _, t) =>
-          if (prev != Long.MinValue && (t - prev) * 1000L >= 60000L) idx += 1
+          if (prev != Long.MinValue && (t - prev) * 1000L > 60000L) idx += 1
           prev = t
           eid -> idx
         }
