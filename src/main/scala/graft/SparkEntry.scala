@@ -3440,7 +3440,8 @@ object SparkEntry {
     "q_curation_pipeline" ->
       s"""WITH $tokCte,
          |vc AS (SELECT source, n_chars AS v, count(*) AS c
-         |       FROM documents GROUP BY 1, 2),
+         |       FROM documents WHERE n_chars IS NOT NULL
+         |       GROUP BY 1, 2),
          |cum AS (SELECT source, v,
          |          sum(c) OVER (PARTITION BY source ORDER BY v
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3921,7 +3922,8 @@ object SparkEntry {
     // ceil argument is the same single IEEE multiply Spark computes.
     "q_length_buckets" ->
       """WITH vc AS (SELECT n_chars AS v, count(*) AS c
-        |            FROM documents GROUP BY n_chars),
+        |            FROM documents WHERE n_chars IS NOT NULL
+        |            GROUP BY n_chars),
         |cum AS (SELECT v,
         |          sum(c) OVER (ORDER BY v
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3941,7 +3943,7 @@ object SparkEntry {
         |         (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END) +
         |         (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END))::BIGINT
         |          AS bucket
-        |      FROM documents, b)
+        |      FROM documents, b WHERE n_chars IS NOT NULL)
         |SELECT bucket, count(*) AS n_docs,
         |       min(n_chars) AS min_len, max(n_chars) AS max_len,
         |       sum(n_chars)::BIGINT AS sum_len,
@@ -4059,9 +4061,15 @@ object SparkEntry {
     // DISCRETE per-group threshold, replayed structurally (the same
     // cum-sum construction as q_length_buckets — no engine's quantile
     // implementation is trusted, and the >= compares data values)
+    // null n_chars rows are excluded from the quantile POPULATION
+    // (discreteQuantileByGroup's contract) and fail the threshold
+    // comparison (NULL >= thr is not true), matching the operator on
+    // both counts — the composed-sweep fixture is the first with null
+    // n_chars (null text implies null recomputed length)
     "q_quantile_filter" ->
       """WITH vc AS (SELECT source, n_chars AS v, count(*) AS c
-        |            FROM documents GROUP BY 1, 2),
+        |            FROM documents WHERE n_chars IS NOT NULL
+        |            GROUP BY 1, 2),
         |cum AS (SELECT source, v,
         |          sum(c) OVER (PARTITION BY source ORDER BY v
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -4079,9 +4087,13 @@ object SparkEntry {
 
     // two rounds of the per-group discrete-median construction (value,
     // then |value - median|), one division, round 4
+    // null n_chars: excluded from BOTH median populations (value and
+    // deviation), row kept with a null z-score — robustZscore's
+    // append-shaped LEFT-join contract
     "q_robust_zscore" ->
       """WITH vc AS (SELECT source, n_chars AS v, count(*) AS c
-        |            FROM documents GROUP BY 1, 2),
+        |            FROM documents WHERE n_chars IS NOT NULL
+        |            GROUP BY 1, 2),
         |cum AS (SELECT source, v,
         |          sum(c) OVER (PARTITION BY source ORDER BY v
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -4095,9 +4107,9 @@ object SparkEntry {
         |dv AS (SELECT d.doc_id, d.source, d.n_chars,
         |              m.m AS med, abs(d.n_chars - m.m) AS dev
         |       FROM documents d
-        |       JOIN med m ON d.source IS NOT DISTINCT FROM m.g),
+        |       LEFT JOIN med m ON d.source IS NOT DISTINCT FROM m.g),
         |dc AS (SELECT source, dev AS v, count(*) AS c
-        |       FROM dv GROUP BY 1, 2),
+        |       FROM dv WHERE dev IS NOT NULL GROUP BY 1, 2),
         |dcum AS (SELECT source, v,
         |           sum(c) OVER (PARTITION BY source ORDER BY v
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -4112,14 +4124,19 @@ object SparkEntry {
         |       CASE WHEN mad.mad = 0 THEN 0.0
         |            ELSE round((dv.n_chars - dv.med)::DOUBLE / mad.mad, 4)
         |       END AS n_chars_rz
-        |FROM dv JOIN mad ON dv.source IS NOT DISTINCT FROM mad.g
+        |FROM dv LEFT JOIN mad ON dv.source IS NOT DISTINCT FROM mad.g
         |ORDER BY dv.doc_id""".stripMargin,
 
     // global discrete [p05, p95] bounds via the same cum-sum replay;
-    // the clip is integer arithmetic on both sides
+    // the clip is integer arithmetic on both sides. Null n_chars is
+    // excluded from the bounds population and STAYS null in the clip —
+    // DuckDB's greatest/least SKIP nulls (greatest(lo, least(hi,
+    // NULL)) = hi), so without the CASE a null would silently clamp
+    // to the high bound
     "q_winsorize" ->
       """WITH vc AS (SELECT n_chars AS v, count(*) AS c
-        |            FROM documents GROUP BY 1),
+        |            FROM documents WHERE n_chars IS NOT NULL
+        |            GROUP BY 1),
         |cum AS (SELECT v,
         |          sum(c) OVER (ORDER BY v
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -4133,7 +4150,8 @@ object SparkEntry {
         |                 THEN v END) AS hi
         |      FROM cum)
         |SELECT doc_id, n_chars,
-        |       greatest(lo, least(hi, n_chars)) AS n_chars_w
+        |       CASE WHEN n_chars IS NULL THEN NULL
+        |            ELSE greatest(lo, least(hi, n_chars)) END AS n_chars_w
         |FROM documents, b
         |ORDER BY doc_id""".stripMargin,
 

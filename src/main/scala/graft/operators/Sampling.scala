@@ -348,7 +348,13 @@ object Sampling {
       .map(i => when(col(lenCol).cast("long") > col(s"__b$i"), 1L)
         .otherwise(0L))
       .reduce(_ + _)
+    // a null length is EXCLUDED from the report (not silently bucketed:
+    // the when..otherwise(0) chain would drop it into bucket 0, where
+    // it would count in n_docs yet contribute nothing to min/max/sum —
+    // a doc of unknown length cannot be batched). Same convention as
+    // discreteBounds' population.
     df.select(col(idCol), col(lenCol))
+      .where(col(lenCol).isNotNull)
       .crossJoin(broadcast(bounds))
       .withColumn("bucket", bucket)
       .groupBy("bucket")
