@@ -19,7 +19,7 @@ run_gate() { # name fixture-dir
   sbt -batch "runMain graft.Verify $fix $out" >"$WORK/$name.verify.log" 2>&1
   if python3 tools/oracle_check.py "$fix" "$out" >"$WORK/$name.check.log" 2>&1
   then
-    echo "sweep $name: $(tail -2 "$WORK/$name.check.log" | head -1)"
+    echo "sweep $name: $(tail -1 "$WORK/$name.check.log")"
   else
     echo "sweep $name FAILED:"; grep "^FAIL" "$WORK/$name.check.log"
     exit 1
