@@ -744,6 +744,31 @@ object SparkEntry {
           round(TF.repetitionScore(col("text"), 3), 6).as("rep3"))
         .orderBy("doc_id")),
 
+    // lexical diversity: within-doc token Shannon entropy (bits), type/
+    // token ratio — one row-local codegen kernel pass, zero shuffle
+    "q_token_entropy" -> ((s, d) => {
+      val st = TF.tokenEntropy(col("text"))
+      docs(s, d)
+        .select(col("doc_id"),
+          st.getField("ntok").as("n_tokens"),
+          st.getField("ntypes").as("n_types"),
+          round(st.getField("entropy_bits"), 6).as("entropy_bits"),
+          round(TF.typeTokenRatio(col("text")), 6).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    // within-doc duplicate-line fractions (MassiveText/RefinedWeb rule):
+    // repeat occurrences of trimmed non-blank lines, by line and by char
+    "q_dup_lines" -> ((s, d) => {
+      val st = TF.dupLineStats(col("text"))
+      docs(s, d)
+        .select(col("doc_id"),
+          st.getField("n_lines").as("n_lines"),
+          round(st.getField("dup_line_frac"), 6).as("dup_line_frac"),
+          round(st.getField("dup_char_frac"), 6).as("dup_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // composite training-data pipeline: quality filter -> language
     // filter -> exact-dedup keep -> deterministic split. The flagship
     // composition every piece above feeds into.
@@ -3035,6 +3060,63 @@ object SparkEntry {
          |        / greatest(len(tk) - 2, 0)::DOUBLE
          |  ELSE 0.0 END, 6) AS rep3
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // within-doc token Shannon entropy replayed from the shared
+    // tokenization CTE: group per (doc, token), H = (ln n - sum c*ln c
+    // over c>1 / n) / ln 2 — c=1 terms are exactly 0 so both engines
+    // sum the same term set; round(6) absorbs summation-order ulp
+    "q_token_entropy" ->
+      s"""WITH $tokCte,
+         |g AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+         |      FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+         |      GROUP BY doc_id, tok),
+         |e AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nt,
+         |             sum(CASE WHEN c > 1 THEN c * ln(c) ELSE 0.0 END) AS sl
+         |      FROM g GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  (CASE WHEN t.tk IS NULL THEN NULL
+         |        ELSE coalesce(e.n, 0) END)::BIGINT AS n_tokens,
+         |  (CASE WHEN t.tk IS NULL THEN NULL
+         |        ELSE coalesce(e.nt, 0) END)::BIGINT AS n_types,
+         |  round(CASE WHEN t.tk IS NULL THEN NULL
+         |             WHEN e.n IS NULL THEN 0.0
+         |             ELSE (ln(e.n) - e.sl / e.n) / ln(2) END, 6)
+         |    AS entropy_bits,
+         |  round(CASE WHEN t.tk IS NULL THEN NULL
+         |             WHEN e.n IS NULL THEN 0.0
+         |             ELSE e.nt::DOUBLE / e.n END, 6) AS ttr
+         |FROM t LEFT JOIN e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // duplicate-line fractions: trimmed non-blank newline splits;
+    // "duplicate" = every occurrence beyond a line's first (list_distinct
+    // keeps firsts on both engines); single IEEE divisions of exact longs
+    "q_dup_lines" ->
+      """WITH l AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |                             x -> trim(x)),
+        |              x -> x <> '') AS lines
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |        len(lines)::BIGINT AS n_lines,
+        |        len(list_distinct(lines))::BIGINT AS ndl,
+        |        CASE WHEN lines IS NULL THEN NULL
+        |             ELSE coalesce(list_sum(list_transform(lines,
+        |                    x -> length(x))), 0) END AS tot,
+        |        CASE WHEN lines IS NULL THEN NULL
+        |             ELSE coalesce(list_sum(list_transform(
+        |                    list_distinct(lines), x -> length(x))), 0)
+        |             END AS dtot
+        |      FROM l)
+        |SELECT doc_id, n_lines,
+        |  round(CASE WHEN n_lines > 0
+        |               THEN (n_lines - ndl)::DOUBLE / n_lines
+        |             WHEN n_lines IS NOT NULL THEN 0.0 END, 6)
+        |    AS dup_line_frac,
+        |  round(CASE WHEN tot > 0 THEN (tot - dtot)::DOUBLE / tot
+        |             WHEN tot IS NOT NULL THEN 0.0 END, 6)
+        |    AS dup_char_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_training_pipeline" ->
       s"""WITH $tokCte,

@@ -66,6 +66,12 @@ object GraftExtensions {
           require(args.length == 1, "graft_text_stats takes (text)")
           TextStats(args.head)
         }),
+      ("graft_token_entropy",
+        info(classOf[TokenEntropy].getName, "graft_token_entropy"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_token_entropy takes (text)")
+          TokenEntropy(args.head)
+        }),
       ("graft_band_keys",
         info(classOf[HyperplaneBandKeys].getName, "graft_band_keys"),
         (args: Seq[Expression]) => {

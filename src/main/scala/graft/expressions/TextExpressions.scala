@@ -761,6 +761,97 @@ case class MinHashSig(child: Expression, a: IndexedSeq[Long],
     copy(child = newChild)
 }
 
+/** Per-document token-distribution statistics in one row-local pass:
+  * token count, distinct-token (type) count, and the Shannon entropy of
+  * the within-document token distribution in bits — the lexical-diversity
+  * signal curation pipelines use to catch keyword-stuffed / boilerplate /
+  * degenerate-repetition documents that length and punctuation ratios
+  * miss. Zero shuffle: each document is scored independently, so the
+  * operator is embarrassingly parallel at any corpus size.
+  *
+  * Tokenization contract matches TextFunctions.tokens exactly (trim ASCII
+  * spaces -> lowercase -> split on java \s+ -> drop empties), so the
+  * DuckDB oracle can replay it with the shared tokenization CTE.
+  *
+  * entropy_bits = (ln n - (sum_types c*ln c)/n) / ln 2; 0.0 for zero- and
+  * one-token documents (ln 1 = 0); null text -> null struct. The derived
+  * gate rounds to 6 decimals for cross-engine rendering (summation order
+  * differs between engines at ~1 ulp).
+  */
+object TokenEntropyKernel {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+
+  /** Returns (ntok, ntypes, entropyBits). */
+  def stats(s: UTF8String): (Long, Long, Double) = {
+    val lowered = s.trim().toLowerCase.toString
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var n = 0L
+    var start = 0
+    var j = 0
+    while (j <= lowered.length) {
+      if (j == lowered.length || isWs(lowered.charAt(j))) {
+        if (j > start) {
+          val tok = lowered.substring(start, j)
+          n += 1
+          val c = counts.get(tok)
+          if (c == null) counts.put(tok, Array(1L)) else c(0) += 1
+        }
+        start = j + 1
+      }
+      j += 1
+    }
+    if (n == 0L) return (0L, 0L, 0.0)
+    var sl = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > 1L) sl += c * math.log(c.toDouble)
+    }
+    val h = (math.log(n.toDouble) - sl / n) / math.log(2.0)
+    (n, counts.size().toLong, h)
+  }
+}
+
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ntok", LongType, nullable = false),
+    StructField("ntypes", LongType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_token_entropy"
+
+  // public: invoked from generated code via the captured reference
+  def compute(s: UTF8String): InternalRow = {
+    val (n, t, h) = TokenEntropyKernel.stats(s)
+    InternalRow(n, t, h)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenEntropyExpr", this,
+      classOf[TokenEntropy].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
@@ -785,6 +876,9 @@ object TextExprs {
 
   def textStats(text: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
+
+  def tokenEntropy(text: Column): Column =
+    ColumnBridge.column(TokenEntropy(ColumnBridge.expression(text)))
 
   def normalizedMd5(text: Column): Column =
     ColumnBridge.column(NormalizedMd5(ColumnBridge.expression(text)))

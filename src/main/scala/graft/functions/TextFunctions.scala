@@ -103,6 +103,55 @@ object TextFunctions {
       pass.as("pass"))
   }
 
+  /** Per-document token-distribution stats in one row-local codegen pass
+    * (graft.expressions.TokenEntropy): struct(ntok, ntypes, entropy_bits)
+    * — Shannon entropy of the within-document token distribution, the
+    * lexical-diversity signal that catches keyword-stuffed / degenerate-
+    * repetition documents length and punctuation ratios miss. Same
+    * tokenization contract as [[tokens]]; zero shuffle (each document is
+    * scored independently — embarrassingly parallel at any corpus size).
+    * entropy_bits is 0.0 for zero- and one-token documents; null text ->
+    * null struct. Round to 6 before hashing cross-engine (summation order
+    * differs at ~1 ulp). */
+  def tokenEntropy(text: Column): Column =
+    graft.expressions.TextExprs.tokenEntropy(text)
+
+  /** Type-token ratio (distinct tokens / tokens) from the [[tokenEntropy]]
+    * kernel — a single IEEE division of exact longs; 0.0 for empty
+    * documents, null for null text. */
+  def typeTokenRatio(text: Column): Column = {
+    val st = tokenEntropy(text)
+    val n = st.getField("ntok")
+    when(n > 0, st.getField("ntypes").cast("double") / n)
+      .when(n.isNotNull, lit(0.0))
+  }
+
+  /** Within-document duplicate-line statistics (the MassiveText /
+    * RefinedWeb repetition rules): struct(n_lines, dup_line_frac,
+    * dup_char_frac) where lines are the trimmed non-blank newline splits,
+    * dup_line_frac = (occurrences beyond each line's first) / lines and
+    * dup_char_frac is the same ratio in characters. Pure built-in
+    * higher-order functions over one split (codegen'd, zero shuffle) —
+    * `array_distinct` keeps first occurrences, so "duplicate" = every
+    * repeat occurrence. Fractions are single IEEE divisions of exact
+    * longs; 0.0 for documents with no lines, null struct fields for null
+    * text. Round to 6 before hashing cross-engine. */
+  def dupLineStats(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val dl = array_distinct(lines)
+    val nl = size(lines).cast("long")
+    val ndl = size(dl).cast("long")
+    val tot = aggregate(lines, lit(0L), (a, x) => a + length(x))
+    val dtot = aggregate(dl, lit(0L), (a, x) => a + length(x))
+    struct(
+      nl.as("n_lines"),
+      when(nl > 0, (nl - ndl).cast("double") / nl)
+        .when(nl.isNotNull, lit(0.0)).as("dup_line_frac"),
+      when(tot > 0, (tot - dtot).cast("double") / tot)
+        .when(tot.isNotNull, lit(0.0)).as("dup_char_frac"))
+  }
+
   /** Word n-gram shingles ("a b c" style), distinct in first-occurrence
     * order; empty array when the document has fewer than n tokens.
     * Implemented as a single-pass codegen kernel

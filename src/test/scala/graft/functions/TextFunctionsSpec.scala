@@ -219,4 +219,82 @@ class TextFunctionsSpec extends SparkSpec {
     assert(Seq[String](null).toDF("text")
       .select(normalizeText(col("text"))).collect()(0).isNullAt(0))
   }
+
+  test("tokenEntropy: known values, edge cases, null") {
+    def ent(t: String): (Long, Long, Double) = {
+      val r = one(t, tokenEntropy(col("text")))
+        .asInstanceOf[org.apache.spark.sql.Row]
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // uniform over 2 types -> exactly 1 bit
+    assert(ent("a b a b") == ((4L, 2L, 1.0)))
+    // all-distinct: H = log2(n)
+    val (n4, t4, h4) = ent("w x y z")
+    assert(n4 == 4L && t4 == 4L && math.abs(h4 - 2.0) < 1e-12)
+    // degenerate repetition: a single type has zero entropy
+    assert(ent("spam spam spam spam") == ((4L, 1L, 0.0)))
+    // tokenization contract matches tokens(): case-fold + \s+ split
+    assert(ent("  The THE the\tdog ") == ((4L, 2L, ent("the the the dog")._3)))
+    // empty and one-token docs are 0 bits, not NaN
+    assert(ent("") == ((0L, 0L, 0.0)))
+    assert(ent("word") == ((1L, 1L, 0.0)))
+    // null text -> null struct
+    val s = spark
+    import s.implicits._
+    assert(Seq[String](null).toDF("text")
+      .select(tokenEntropy(col("text"))).collect()(0).isNullAt(0))
+  }
+
+  test("tokenEntropy kernel equals the composed explode/groupBy form") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.engine.Tables.documents(s, sf())
+      .where(col("text").isNotNull)
+    val kernel = docs.select(col("doc_id"),
+      tokenEntropy(col("text")).getField("ntok").as("n"),
+      tokenEntropy(col("text")).getField("ntypes").as("t"),
+      round(tokenEntropy(col("text")).getField("entropy_bits"), 9).as("h"))
+    val composed = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id")
+      .agg(
+        coalesce(sum(when(col("tok").isNotNull, col("count"))), lit(0L)).as("n"),
+        coalesce(sum(when(col("tok").isNotNull, 1L)), lit(0L)).as("t"),
+        sum(when(col("count") > 1,
+          col("count") * log(col("count"))).otherwise(lit(0.0))).as("sl"))
+      .select(col("doc_id"), col("n"), col("t"),
+        round(when(col("n") === 0, 0.0)
+          .otherwise((log(col("n")) - col("sl") / col("n")) / log(lit(2.0))),
+          9).as("h"))
+    val bad = kernel.as("k").join(composed.as("c"), "doc_id")
+      .where(col("k.n") =!= col("c.n") || col("k.t") =!= col("c.t") ||
+        abs(col("k.h") - col("c.h")) > 1e-9)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("dupLineStats: known values, blanks, empties, null") {
+    def dls(t: String): (Long, Double, Double) = {
+      val r = one(t, dupLineStats(col("text")))
+        .asInstanceOf[org.apache.spark.sql.Row]
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    // "ab" twice + "c" once: 1 of 3 lines duplicate; chars 2 of 5
+    assert(dls("ab\nc\nab") == ((3L, 1.0 / 3, 2.0 / 5)))
+    // all unique
+    assert(dls("a\nbb\nccc") == ((3L, 0.0, 0.0)))
+    // blank and whitespace-only lines are not lines; trimming unifies
+    assert(dls(" x \n\n   \nx") == ((2L, 0.5, 0.5)))
+    // a no-line document divides nothing
+    assert(dls("") == ((0L, 0.0, 0.0)))
+    assert(dls("\n \n") == ((0L, 0.0, 0.0)))
+    // null text -> null fields
+    val s = spark
+    import s.implicits._
+    val r = Seq[String](null).toDF("text")
+      .select(dupLineStats(col("text"))).collect()(0)
+      .getStruct(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
 }
