@@ -123,6 +123,18 @@ class PlanPropertiesSpec extends SparkSpec {
       s"only the final sort may exchange:\n$p")
   }
 
+  test("q_token_entropy / q_dup_lines: row-local — zero exchanges above the scan") {
+    for (q <- Seq("q_token_entropy", "q_dup_lines")) {
+      val p = plan(q)
+      assert(!p.contains("HashAggregate"),
+        s"$q is a per-row kernel, it must not aggregate:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q: only the final sort may exchange:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q: scan must prune to (doc_id, text):\n$p")
+    }
+  }
+
   test("q_star_join: one fact shuffle, dims broadcast, date pushdown") {
     val p = plan("q_star_join")
     // the only sort-merge/shuffle join permitted is orders-lineitem;
