@@ -907,6 +907,29 @@ object SparkEntry {
         .orderBy("doc", "pos")
     }),
 
+    // decode-inverts-encode certificate: every document's id stream,
+    // decoded through the vocab, must reproduce its boundary-free token
+    // concatenation — pins posexplode ordering, the id<->piece
+    // bijection, and that the vocab inner join drops nothing. Docs
+    // with no tokens (empty or null text) decode to "" by convention.
+    "q_decode_roundtrip" -> ((s, d) => {
+      val dd = docs(s, d)
+      val vocab = graft.operators.Subword.vocabTable(dd, "text",
+        bpeGateMerges)
+      val enc = graft.operators.Subword.encodeToIds(dd, "doc_id", "text",
+        bpeGateMerges, vocab)
+      val dec = graft.operators.Subword.decodeIds(enc, "doc", "ids", vocab)
+      dd.select(col("doc_id"),
+          concat_ws("", TF.tokens(col("text"))).as("orig"))
+        .join(dec, col("doc_id") === col("doc"), "left")
+        .select(col("doc_id"),
+          length(coalesce(col("decoded"), lit(""))).cast("long")
+            .as("n_decoded_chars"),
+          (coalesce(col("decoded"), lit("")) ===
+            coalesce(col("orig"), lit(""))).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // piece IDENTITY under the same merges: the corpus piece
     // distribution, not just counts — two different segmentations of
     // equal length cannot both match it
@@ -1378,6 +1401,17 @@ object SparkEntry {
           "vec_id", "embedding", "label", 5)
         .orderBy("qid", "rank")
     }),
+
+    // JL dimension reduction 64 -> 16 under the md5-seeded ±1 matrix:
+    // gated as exploded (vec_id, j, y) scalar rows; the sign matrix is
+    // replayed by the oracle from the salt alone, so this pins the
+    // whole projection (matrix derivation, summation, 1/sqrt scaling)
+    "q_random_projection" -> ((s, d) =>
+      Similarity.randomProject(emb(s, d), "embedding", 64, 16, "rp1")
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          round(col("y"), 6).as("y"))
+        .orderBy("vec_id", "j")),
 
     "q_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
@@ -2806,6 +2840,31 @@ object SparkEntry {
          |       id
          |FROM pieces JOIN vocab USING (piece)
          |ORDER BY doc, pos""".stripMargin,
+
+    // decode replay: the same per-word segmentation, reassembled in
+    // (token, piece) order and compared to the boundary-free token
+    // concatenation — the id round trip itself is bijective by the
+    // vocab construction, so the replay goes piece-direct
+    "q_decode_roundtrip" ->
+      s"""WITH $tokCte,
+         |wcw AS (SELECT w, count(*)::BIGINT AS c
+         |        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         |wp AS (SELECT w, $bpeApplySql AS pieces FROM (SELECT w FROM wcw)),
+         |tw AS (SELECT doc_id, u.i AS tp, list_extract(tk, u.i) AS w
+         |       FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |pieces AS (SELECT tw.doc_id, tw.tp, v.i AS pp,
+         |             list_extract(wp.pieces, v.i) AS piece
+         |           FROM tw JOIN wp USING (w),
+         |                unnest(range(1, len(wp.pieces) + 1)) AS v(i)),
+         |dec AS (SELECT doc_id,
+         |          string_agg(piece, '' ORDER BY tp, pp) AS decoded
+         |        FROM pieces GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  length(coalesce(dec.decoded, ''))::BIGINT AS n_decoded_chars,
+         |  (coalesce(dec.decoded, '')
+         |     = coalesce(array_to_string(tk, ''), '')) AS roundtrip_ok
+         |FROM t LEFT JOIN dec USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_subword_vocab" ->
       s"""WITH $tokCte,
@@ -4391,6 +4450,26 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cid) AS rank
         |  FROM s)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the sign matrix replayed from the salt: +1 when the first hex
+    // digit of md5('rp:rp1:i:j') is even; y_j = sum_i v_i*s_ij/sqrt(16)
+    // (round 6 absorbs cross-engine summation-order ulp)
+    "q_random_projection" ->
+      """WITH s AS (SELECT i.i AS i, j.j AS j,
+        |    CASE WHEN (('0x' || substr(
+        |        md5('rp:rp1:' || i.i::VARCHAR || ':' || j.j::VARCHAR),
+        |        1, 1))::INT % 2) = 0
+        |      THEN 1.0 ELSE -1.0 END::DOUBLE AS sgn
+        |  FROM range(0, 64) i(i), range(0, 16) j(j)),
+        |v AS (SELECT vec_id, u.i - 1 AS i,
+        |        list_extract(embedding, u.i)::DOUBLE AS x
+        |      FROM embeddings,
+        |           unnest(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT vec_id, j::BIGINT AS j,
+        |       round(sum(x * sgn) / sqrt(16.0), 6) AS y
+        |FROM v JOIN s USING (i)
+        |GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
 
     // same cosine convention as q_knn_bruteforce, plus the null-safe
     // label-mismatch predicate (IS DISTINCT FROM)

@@ -81,6 +81,21 @@ object GraftExtensions {
             litInt(args(1), "dim"), litInt(args(2), "bitsPerBand"),
             litInt(args(3), "numBands"), litLong(args(4), "seed"))
         }),
+      ("graft_signed_project",
+        info(classOf[SignedProject].getName, "graft_signed_project"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4,
+            "graft_signed_project takes (vec, dim, outDim, salt)")
+          val salt = args(3) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+                v: org.apache.spark.unsafe.types.UTF8String,
+                org.apache.spark.sql.types.StringType) => v.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_signed_project salt must be a string literal, got $other")
+          }
+          SignedProject(args.head, litInt(args(1), "dim"),
+            litInt(args(2), "outDim"), salt)
+        }),
       ("graft_normalize",
         info(classOf[NormalizeText].getName, "graft_normalize"),
         (args: Seq[Expression]) => {

@@ -395,6 +395,98 @@ case class SqDot(left: Expression, right: Expression,
 }
 
 /** Column-level entry points for the native expressions. */
+/** Seeded ±1 random projection (Achlioptas-style sign matrix) in one
+  * codegen kernel: y_j = (Σ_i v_i · s_ij) / sqrt(outDim) — the standard
+  * Johnson-Lindenstrauss dimension-reduction step a 100 TB embedding
+  * pipeline runs before LSH banding or index build to cut shuffle and
+  * state bytes per vector.
+  *
+  * The sign matrix is derived from md5("rp:<salt>:<i>:<j>") (first hex
+  * digit parity), NOT from a JVM PRNG — so any engine can replay the
+  * exact matrix from the salt alone (the DuckDB oracle rebuilds it in
+  * SQL), and the expression's constructor args stay scalar (plan-cache
+  * friendly; the matrix itself is a @transient lazy val). Null vector →
+  * null; a vector whose length differs from `dim` yields an all-zero
+  * projection (the HyperplaneBandKeys convention) rather than a crash.
+  */
+case class SignedProject(child: Expression, dim: Int, outDim: Int,
+                         salt: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  require(dim > 0 && outDim > 0, "dims must be positive")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_signed_project"
+
+  // j * dim + i; +1.0 when the first md5 hex digit is even
+  @transient private lazy val signs: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Double](outDim * dim)
+    var j = 0
+    while (j < outDim) {
+      var i = 0
+      while (i < dim) {
+        md.reset()
+        val h = md.digest(s"rp:$salt:$i:$j".getBytes("UTF-8"))
+        val firstHexDigit = (h(0) >> 4) & 0xf
+        out(j * dim + i) = if (firstHexDigit % 2 == 0) 1.0 else -1.0
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+  // divide by sqrt (don't multiply by a reciprocal): x / sqrt(o) is the
+  // form any replaying engine computes, and the two differ at 1 ulp for
+  // non-power-of-4 outDims
+  @transient private lazy val scale: Double = math.sqrt(outDim.toDouble)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+  }
+
+  // public: invoked from generated code via the captured reference
+  def compute(v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](outDim)
+    if (v.length != dim) return out
+    var j = 0
+    while (j < outDim) {
+      val off = j * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v(i) * signs(off + i); i += 1 }
+      out(j) = s / scale
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(compute(a.asInstanceOf[ArrayData].toDoubleArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signedProjectExpr", this,
+      classOf[SignedProject].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.compute($a.toDoubleArray()));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SignedProject = copy(child = newChild)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
@@ -409,6 +501,10 @@ object VectorExprs {
                       dim: Int): Column =
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(v), cells, matrix, dim))
+
+  def signedProject(v: Column, dim: Int, outDim: Int, salt: String): Column =
+    ColumnBridge.column(SignedProject(
+      ColumnBridge.expression(v), dim, outDim, salt))
 
   def sqEncode(v: Column, mins: IndexedSeq[Double],
                scales: IndexedSeq[Double]): Column =

@@ -46,6 +46,20 @@ case class IvfPqIndex(name: String, path: String) {
   */
 object Similarity {
 
+  /** Seeded ±1 random projection (Johnson-Lindenstrauss dimension
+    * reduction): adds `outCol` = the `outDim`-dimensional projection of
+    * `vec` under the md5-derived sign matrix keyed by `salt` (see
+    * [[graft.expressions.SignedProject]]). The standard pre-compression
+    * step before LSH banding or index build at 100 TB — inner products
+    * are preserved in expectation, state/shuffle bytes per vector drop
+    * by dim/outDim, and the matrix is replayable from the salt alone by
+    * any engine (no PRNG state to ship). Row-local, zero shuffle,
+    * single codegen kernel per row. */
+  def randomProject(df: DataFrame, vec: String, dim: Int, outDim: Int,
+                    salt: String, outCol: String = "rp"): DataFrame =
+    df.withColumn(outCol, graft.expressions.VectorExprs.signedProject(
+      asDoubles(col(vec)), dim, outDim, salt))
+
   /** Exact top-k neighbors by cosine for each query vector.
     * Output: (qid, rank, cid, sim). Ties broken by ascending cid. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, id: String,

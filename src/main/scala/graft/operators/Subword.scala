@@ -653,6 +653,33 @@ object Subword {
         s => s.getField("id")).as("ids"))
   }
 
+  /** Token-id DECODING — the inverse of [[encodeToIds]]: each
+    * `(doc, ids)` row becomes the document's decoded text, pieces
+    * looked up in `vocab` and concatenated in id order. Because BPE
+    * segmentation partitions each word's code points, decoding an
+    * encoded corpus reproduces its tokens exactly (word boundaries are
+    * not represented in the id stream, so the decoded form is the
+    * boundary-free token concatenation — the `q_decode_roundtrip` gate
+    * certifies `decode(encode(doc)) == concat(tokens(doc))` per
+    * document).
+    *
+    * Scale shape: the id stream shuffles once on doc for reassembly
+    * (inherent to emitting a per-doc value), the vocab join broadcasts
+    * (vocab-sized by construction), and nothing else is corpus-global.
+    * Ids absent from `vocab` drop with the inner join — decoding with
+    * the wrong vocabulary surfaces as a round-trip failure, never a
+    * crash. */
+  def decodeIds(encoded: DataFrame, docCol: String, idsCol: String,
+                vocab: DataFrame): DataFrame =
+    encoded
+      .select(col(docCol).as("doc"),
+        posexplode(col(idsCol)).as(Seq("pos", "id")))
+      .join(broadcast(vocab), "id")
+      .groupBy("doc")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        s => s.getField("piece"))).as("decoded"))
+
   /** Corpus piece frequencies under BPE-by-merges: `(piece, n)` — the
     * piece-IDENTITY witness for [[bpeEncode]]'s segmentation (counts
     * alone cannot distinguish two segmentations of equal length). */

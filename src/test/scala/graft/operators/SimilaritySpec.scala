@@ -13,6 +13,45 @@ class SimilaritySpec extends SparkSpec {
     dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
   }
 
+  test("randomProject: deterministic, salt-sensitive, JL-preserving") {
+    val proj = Similarity.randomProject(emb, "embedding", 64, 16, "rp1")
+      .select(col("vec_id"), col("rp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.values.forall(_.length == 16))
+    // deterministic: a second plan produces bit-identical values
+    val again = Similarity.randomProject(emb, "embedding", 64, 16, "rp1")
+      .select(col("vec_id"), col("rp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.keySet.forall(k => proj(k).sameElements(again(k))))
+    // a different salt is a different matrix
+    val other = Similarity.randomProject(emb, "embedding", 64, 16, "rp2")
+      .select(col("vec_id"), col("rp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.keySet.exists(k => !proj(k).sameElements(other(k))))
+    // JL property: projected dot products approximate originals — check
+    // the mean absolute error over query pairs stays inside the JL bound
+    // ballpark for k=16 (unit-ish vectors, eps ~ sqrt(ln(n)/k))
+    val orig = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.asDoubles(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val errs = for (a <- ids; b <- ids if a < b)
+      yield math.abs(dot(orig(a), orig(b)) - dot(proj(a), proj(b)))
+    assert(errs.sum / errs.size < 0.35,
+      s"mean |dot - dot_rp| = ${errs.sum / errs.size}")
+    // wrong-length vector degrades to the zero projection, null -> null
+    val s = spark
+    import s.implicits._
+    val odd = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.randomProject(odd, "embedding", 64, 16, "x")
+      .orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Double](2).forall(_ == 0.0))
+    assert(rows(1).isNullAt(2))
+  }
+
   test("brute-force knn matches a driver-side reference") {
     val vecs = emb.select(col("vec_id"),
         col("embedding").cast("array<double>"))

@@ -323,6 +323,36 @@ class SubwordSpec extends SparkSpec {
     assert(idToPiece(0L) == freqTop)
   }
 
+  test("decodeIds inverts encodeToIds distributed (and flags a wrong vocab)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the mother there and other words here"),
+      (2L, "another other the then"),
+      (3L, "weather rather"),
+      (4L, "   "),           // no tokens -> absent from the encoding
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"),
+      ("o", "the"), ("a", "n"))
+    val vocab = Subword.vocabTable(docs, "text", merges)
+    val enc = Subword.encodeToIds(docs, "doc_id", "text", merges, vocab)
+    val dec = Subword.decodeIds(enc, "doc", "ids", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.where($"text".isNotNull).collect().foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.nonEmpty)
+        assert(dec(r.getLong(0)) == toks.mkString)
+      else assert(!dec.contains(r.getLong(0)))
+    }
+    assert(!dec.contains(5L))
+    // decoding with a TRUNCATED vocab drops ids instead of crashing —
+    // the round trip fails loudly at the certificate, not the operator
+    val truncated = vocab.where($"id" < 2)
+    val partial = Subword.decodeIds(enc, "doc", "ids", truncated)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(partial != dec, "truncated vocab must change the decoding")
+  }
+
   test("trainBpeMergesLocal equals a from-scratch recount trainer on " +
       "random corpora (exercises the heap-drain rebuild)") {
     // reference implementation: recount EVERY pair from scratch each
