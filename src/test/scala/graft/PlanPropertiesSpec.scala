@@ -135,6 +135,16 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q_random_projection: row-local kernel + explode, no aggregate") {
+    val p = plan("q_random_projection")
+    assert(!p.contains("HashAggregate"),
+      s"projection is per-row, it must not aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"only the final sort may exchange:\n$p")
+    assert(p.contains("graft_signed_project"),
+      s"the codegen kernel must be in the plan:\n$p")
+  }
+
   test("q_star_join: one fact shuffle, dims broadcast, date pushdown") {
     val p = plan("q_star_join")
     // the only sort-merge/shuffle join permitted is orders-lineitem;
