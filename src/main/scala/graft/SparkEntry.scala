@@ -2028,6 +2028,21 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // at-ingest per-key rate cap: each user's FIRST 8 events by (ts,
+    // event_id) survive, the rest drop at the state-store counter — a
+    // REAL chunked Structured Streaming replay (6 ts-monotone arrival
+    // chunks), so the kept set pins cross-batch state carry; equals the
+    // batch row_number()<=8 by the determinism contract
+    "q_rate_cap_stream" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      graft.streaming.StreamingCaps.capReplay(ev(s, d), "user_id",
+          "ts", "event_id", 8,
+          floor((dayofmonth(col("ts")) - 1) / 5).cast("int"), 6)
+        .select(col("k").as("user_id"), col("tsUs").as("ts_us"),
+          col("id").as("event_id"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // strictly-ordered first-touch funnel: users reaching each stage of
     // funnel DISCOVERY: the 20 most frequent 3-step event-type paths,
     // per-user order by event_id (unique, so paths are deterministic)
@@ -4028,6 +4043,18 @@ object SparkEntry {
         |SELECT user_id, start_ms, n_events, total_value
         |FROM sess, fin WHERE end_us + 43200000000 <= wm_us
         |ORDER BY user_id, start_ms""".stripMargin,
+
+    // the determinism contract makes the streaming cap a pure function
+    // of the data: first 8 per key in (ts, event_id) order (NULL keys
+    // form their own capped group on both engines)
+    "q_rate_cap_stream" ->
+      """SELECT user_id, ts_us, event_id FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 8
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // same tokenization CTE as q_token_count; the draw order is the
     // salted portable hash, ties broken by doc_id; strict budget cut
