@@ -2354,16 +2354,42 @@ object SparkEntry {
   // ORDER BY match the Spark side exactly.
   // ----------------------------------------------------------------------
 
-  /** Shared SQL fragment: distinct 3-gram shingles per doc. */
+  /** O(total tokens) word n-gram OCCURRENCE rows from a token-list CTE:
+    * zip-unnest pairs each token with its position, `lead` builds the
+    * gram, QUALIFY drops the ragged tail. This replaces the
+    * `list_transform(range, i -> tk[i+1:i+n])` form everywhere: DuckDB
+    * evaluates each per-position slice against the WHOLE list, so that
+    * shape is O(tokens^2) per document — invisible on the ~550-char
+    * fixture docs, a 30-minute stall on the round-14 long-document
+    * sweep's 300k-char documents (tools/longdoc_sweep.py). Emits
+    * ($docCol, p, gram) with identical gram strings and multiplicities
+    * (tokens are non-empty and non-null, so a NULL gram appears exactly
+    * at the last n-1 positions). */
+  private def ngramRowsSql(src: String, n: Int,
+                           docCol: String = "doc_id",
+                           gram: String = "bg"): String = {
+    val cat = ("tok" +: (1 until n).map(j => s"lead(tok, $j) OVER w"))
+      .mkString(" || ' ' || ")
+    s"""(SELECT $docCol, p, $cat AS $gram
+       |   FROM (SELECT $docCol, unnest(tk) AS tok,
+       |                unnest(range(1, len(tk) + 1)) AS p FROM $src)
+       |   WINDOW w AS (PARTITION BY $docCol ORDER BY p)
+       |   QUALIFY $gram IS NOT NULL)""".stripMargin
+  }
+
+  /** Shared SQL fragment: distinct 3-gram shingles per doc (list-valued,
+    * first-occurrence order, like the engine's WordShingles). Documents
+    * with fewer than 3 tokens or null text produce NO row (the old
+    * slice form produced an empty/NULL list) — every consumer joins `d`
+    * through candidate pairs, which such documents cannot enter. */
   private val shingleCte =
-    """d AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
-      |                       i -> array_to_string(tk[i+1:i+3], ' '))) sh
-      |  FROM (SELECT doc_id,
+    s"""d AS (
+      |  SELECT doc_id, list_distinct(list(sh ORDER BY p)) AS sh
+      |  FROM ${ngramRowsSql("""(SELECT doc_id,
       |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
       |                           x -> x <> '') tk
-      |        FROM documents)),
+      |        FROM documents)""", 3, gram = "sh")}
+      |  GROUP BY doc_id),
       |inv AS (SELECT doc_id, unnest(sh) s FROM d),
       |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 1000),
       |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
@@ -2462,17 +2488,17 @@ object SparkEntry {
       |                         x -> x <> '') tk
       |      FROM documents)""".stripMargin
 
+  /** Distinct (doc_id, 8-gram) rows — linear form (see ngramRowsSql). */
+  private val s8RowsCte =
+    s"""sh AS (
+      |  SELECT DISTINCT doc_id, s8
+      |  FROM ${ngramRowsSql("t", 8, gram = "s8")})""".stripMargin
+
   private val decontaminateSql =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
-      |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
-      |  FROM (SELECT doc_id,
-      |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-      |                           x -> x <> '') tk
-      |        FROM documents)),
-      |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
-      |corpus AS (SELECT doc_id AS doc, unnest(s8) s FROM sh WHERE doc_id >= 10)
+    s"""WITH $tokCte,
+      |$s8RowsCte,
+      |bench AS (SELECT DISTINCT s8 AS s FROM sh WHERE doc_id < 10),
+      |corpus AS (SELECT doc_id AS doc, s8 AS s FROM sh WHERE doc_id >= 10)
       |SELECT doc, count(DISTINCT s) AS n_shared
       |FROM corpus JOIN bench USING (s)
       |GROUP BY doc ORDER BY doc""".stripMargin
@@ -2843,8 +2869,8 @@ object SparkEntry {
          |              AS id
          |          FROM freq),
          |wp AS (SELECT w, $bpeApplySql AS pieces FROM (SELECT w FROM wcw)),
-         |tw AS (SELECT doc_id, u.i AS tp, list_extract(tk, u.i) AS w
-         |       FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |tw AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS tp,
+         |             unnest(tk) AS w FROM t),
          |pieces AS (SELECT tw.doc_id, tw.tp, v.i AS pp,
          |             list_extract(wp.pieces, v.i) AS piece
          |           FROM tw JOIN wp USING (w),
@@ -2865,8 +2891,8 @@ object SparkEntry {
          |wcw AS (SELECT w, count(*)::BIGINT AS c
          |        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
          |wp AS (SELECT w, $bpeApplySql AS pieces FROM (SELECT w FROM wcw)),
-         |tw AS (SELECT doc_id, u.i AS tp, list_extract(tk, u.i) AS w
-         |       FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |tw AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS tp,
+         |             unnest(tk) AS w FROM t),
          |pieces AS (SELECT tw.doc_id, tw.tp, v.i AS pp,
          |             list_extract(wp.pieces, v.i) AS piece
          |           FROM tw JOIN wp USING (w),
@@ -3125,15 +3151,16 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
-      s"""WITH $tokCte
-         |SELECT doc_id,
-         |  round(CASE WHEN greatest(len(tk) - 2, 0) > 0 THEN
-         |    1.0 - len(list_distinct(list_transform(
-         |            range(0, greatest(len(tk)-2, 0)),
-         |            i -> array_to_string(tk[i+1:i+3], ' '))))::DOUBLE
-         |        / greatest(len(tk) - 2, 0)::DOUBLE
-         |  ELSE 0.0 END, 6) AS rep3
-         |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH $tokCte,
+         |r AS (SELECT doc_id, count(*)::BIGINT AS n3,
+         |             count(DISTINCT sh)::BIGINT AS nd
+         |      FROM ${ngramRowsSql("t", 3, gram = "sh")}
+         |      GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  round(CASE WHEN r.n3 > 0 THEN 1.0 - r.nd::DOUBLE / r.n3::DOUBLE
+         |        ELSE 0.0 END, 6) AS rep3
+         |FROM t LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // within-doc token Shannon entropy replayed from the shared
     // tokenization CTE: group per (doc, token), H = (ln n - sum c*ln c
@@ -3250,10 +3277,7 @@ object SparkEntry {
     // distinct sets); P(w2|w1) = c2/c1 MLE, natural log, mean per doc
     "q_bigram_lm" ->
       s"""WITH $tokCte,
-         |bg AS (SELECT doc_id,
-         |         unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
-         |                i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
-         |       FROM t),
+         |bg AS (SELECT doc_id, bg FROM ${ngramRowsSql("t", 2)}),
          |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bg GROUP BY 1),
          |ug AS (SELECT w, count(*)::BIGINT AS c1
          |       FROM (SELECT unnest(tk) w FROM t) GROUP BY 1)
@@ -3277,17 +3301,12 @@ object SparkEntry {
       s"""WITH $tokCte,
          |tr AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
          |sc AS (SELECT * FROM t WHERE doc_id % 3 = 0),
-         |bgtr AS (SELECT unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
-         |                i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
-         |         FROM tr),
+         |bgtr AS (SELECT bg FROM ${ngramRowsSql("tr", 2)}),
          |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bgtr GROUP BY 1),
          |ug AS (SELECT w, count(*)::BIGINT AS c1
          |       FROM (SELECT unnest(tk) w FROM tr) GROUP BY 1),
          |v AS (SELECT count(*)::BIGINT AS vv FROM ug),
-         |bgsc AS (SELECT doc_id,
-         |           unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
-         |                  i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
-         |         FROM sc)
+         |bgsc AS (SELECT doc_id, bg FROM ${ngramRowsSql("sc", 2)})
          |SELECT doc_id, count(*) AS n_bigrams,
          |       sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END)::BIGINT
          |         AS n_unseen,
@@ -3301,28 +3320,18 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_freq" ->
-      """SELECT ngram, count(*) AS n FROM (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(0, greatest(len(tk)-1, 0)),
-        |                   i -> array_to_string(tk[i+1:i+2], ' ')))) AS ngram
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-        |                      x -> x <> '') tk
-        |        FROM documents))
-        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+      s"""WITH $tokCte
+         |SELECT ngram, count(*) AS n FROM (
+         |  SELECT DISTINCT doc_id, bg AS ngram
+         |  FROM ${ngramRowsSql("t", 2)})
+         |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
 
     // exact threshold over ALL bigram occurrences (non-distinct, unlike
     // q_ngram_freq) — the MG candidate pass is invisible to the result
     "q_heavy_hitters" ->
-      """WITH base AS (
-        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-        |                     x -> x <> '') AS tk
-        |  FROM documents
-        |), bg AS (
-        |  SELECT unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
-        |                i -> array_to_string(tk[i+1:i+2], ' '))) AS item
-        |  FROM base
-        |), tot AS (SELECT count(*) AS t FROM bg)
+      s"""WITH $tokCte,
+        |bg AS (SELECT bg AS item FROM ${ngramRowsSql("t", 2)}),
+        |tot AS (SELECT count(*) AS t FROM bg)
         |SELECT item, count(*) AS n,
         |       round(count(*) / (SELECT t FROM tot), 6) AS share
         |FROM bg GROUP BY item
@@ -3342,20 +3351,13 @@ object SparkEntry {
     // the sketch column is certified in-query (rsd 0.01 vs 5% tolerance);
     // the oracle checks the exact count and expects the certificate TRUE
     "q_approx_distinct" ->
-      """WITH base AS (
-        |  SELECT source,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-        |                     x -> x <> '') AS tk
-        |  FROM documents
-        |), bg AS (
-        |  SELECT source,
-        |         unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
-        |                i -> array_to_string(tk[i+1:i+2], ' '))) AS item
-        |  FROM base
-        |)
-        |SELECT source, count(DISTINCT item) AS exact_distinct,
-        |       TRUE AS approx_ok
-        |FROM bg GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH $tokCte,
+         |bg AS (SELECT d2.source, r.bg AS item
+         |       FROM ${ngramRowsSql("t", 2)} r
+         |       JOIN documents d2 USING (doc_id))
+         |SELECT source, count(DISTINCT item) AS exact_distinct,
+         |       TRUE AS approx_ok
+         |FROM bg GROUP BY source ORDER BY source""".stripMargin,
 
     // quantile_cont matches Spark's exact `percentile` interpolation;
     // the sketch's rank certificates must come back TRUE
@@ -3418,18 +3420,28 @@ object SparkEntry {
     // [k*stride+1 .. k*stride+size] (1-based inclusive list slice,
     // clipped at the tail), k = 0..ceil(max(n-size,0)/stride); span id
     // is md5 of the space-joined window
+    // linear window assignment: each token joins its <= ceil(12/8) = 2
+    // covering windows directly (the per-window slice form re-copied
+    // the whole token list per window — quadratic in DuckDB; see
+    // ngramRowsSql). string_agg ORDER BY position == the slice join.
     "q_token_windows" ->
       s"""WITH $tokCte,
          |w AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
-         |x AS (SELECT doc_id, tk, n, u.k AS win
-         |      FROM w, unnest(range(0,
-         |        cast(ceil(greatest(n - 12, 0) / 8.0) AS BIGINT) + 1))
-         |        AS u(k))
+         |u AS (SELECT doc_id, n,
+         |        cast(ceil(greatest(n - 12, 0) / 8.0) AS BIGINT) AS wmax,
+         |        unnest(tk) AS tok,
+         |        unnest(range(0, n)) AS p
+         |      FROM w),
+         |a AS (SELECT doc_id, n, tok, p,
+         |        unnest(range(
+         |          greatest(cast(ceil((p - 11) / 8.0) AS BIGINT), 0),
+         |          least(wmax, p // 8) + 1)) AS win
+         |      FROM u)
          |SELECT doc_id, win, (win * 8)::BIGINT AS start_tok,
-         |       least(12, n - win * 8)::BIGINT AS n_tok,
-         |       md5(array_to_string(tk[win * 8 + 1 : win * 8 + 12], ' '))
-         |         AS span_hash
-         |FROM x ORDER BY doc_id, win""".stripMargin,
+         |       least(12, min(n) - win * 8)::BIGINT AS n_tok,
+         |       md5(string_agg(tok, ' ' ORDER BY p)) AS span_hash
+         |FROM a GROUP BY doc_id, win
+         |ORDER BY doc_id, win""".stripMargin,
 
     // same CDC replay; duplicated-hash set, per-doc boiler fraction
     "q_boilerplate" ->
@@ -3470,18 +3482,12 @@ object SparkEntry {
         |           AS novelty
         |  FROM dch LEFT JOIN seen ON dch.chunk_hash = seen.chunk_hash
         |  GROUP BY dch.doc_id),
-        |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM (
-        |         SELECT unnest(list_transform(
-        |           range(0, greatest(len(tk)-1, 0)),
-        |           i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
-        |         FROM corpus) GROUP BY 1),
+        |c2 AS (SELECT bg, count(*)::BIGINT AS c2
+        |       FROM ${ngramRowsSql("corpus", 2)} GROUP BY 1),
         |ug AS (SELECT w, count(*)::BIGINT AS c1
         |       FROM (SELECT unnest(tk) w FROM corpus) GROUP BY 1),
         |v AS (SELECT count(*)::BIGINT AS vv FROM ug),
-        |bgsc AS (SELECT doc_id,
-        |           unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
-        |                  i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
-        |         FROM delta),
+        |bgsc AS (SELECT doc_id, bg FROM ${ngramRowsSql("delta", 2)}),
         |lm AS (
         |  SELECT doc_id,
         |         round(avg(ln((coalesce(c2.c2, 0) + 0.5) /
@@ -3491,14 +3497,12 @@ object SparkEntry {
         |  LEFT JOIN c2 USING (bg)
         |  LEFT JOIN ug ON split_part(bgsc.bg, ' ', 1) = ug.w
         |  CROSS JOIN v GROUP BY doc_id),
-        |dsh AS (SELECT doc_id,
-        |          list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
-        |                        i -> array_to_string(tk[i+1:i+3], ' '))) sh
-        |        FROM delta),
-        |bsh AS (SELECT doc_id,
-        |          list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
-        |                        i -> array_to_string(tk[i+1:i+3], ' '))) sh
-        |        FROM bench),
+        |dsh AS (SELECT doc_id, list_distinct(list(sh ORDER BY p)) AS sh
+        |        FROM ${ngramRowsSql("delta", 3, gram = "sh")}
+        |        GROUP BY doc_id),
+        |bsh AS (SELECT doc_id, list_distinct(list(sh ORDER BY p)) AS sh
+        |        FROM ${ngramRowsSql("bench", 3, gram = "sh")}
+        |        GROUP BY doc_id),
         |dirty AS (
         |  SELECT DISTINCT d.doc_id FROM dsh d CROSS JOIN bsh b
         |  WHERE round(len(list_intersect(d.sh, b.sh))::DOUBLE /
@@ -3695,16 +3699,10 @@ object SparkEntry {
     // distinct (source, 3-gram) sets, pairwise intersect counts, exact
     // integer divisions rounded to 6
     "q_source_overlap" ->
-      """WITH ss AS (
-        |  SELECT DISTINCT source AS src, u.sh FROM (
-        |    SELECT source,
-        |           unnest(list_distinct(list_transform(
-        |             range(0, greatest(len(tk)-2, 0)),
-        |             i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
-        |    FROM (SELECT source,
-        |                 list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-        |                             x -> x <> '') tk
-        |          FROM documents)) u),
+      s"""WITH $tokCte,
+        |ss AS (SELECT DISTINCT d2.source AS src, r.sh
+        |       FROM ${ngramRowsSql("t", 3, gram = "sh")} r
+        |       JOIN documents d2 USING (doc_id)),
         |sizes AS (SELECT src, count(*) AS n FROM ss GROUP BY src),
         |shared AS (SELECT a.src AS src1, b.src AS src2, count(*) AS n_shared
         |           FROM ss a JOIN ss b ON a.sh = b.sh AND a.src < b.src
@@ -3760,14 +3758,10 @@ object SparkEntry {
     // (450 x 50 pairs at sf0.01); same shingle construction as the
     // dedup oracles, argmax per doc with bench-id tie-break
     "q_decontaminate_fuzzy" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
-        |                       i -> array_to_string(tk[i+1:i+3], ' '))) sh
-        |  FROM (SELECT doc_id,
-        |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-        |                           x -> x <> '') tk
-        |        FROM documents)),
+      s"""WITH $tokCte,
+        |d AS (SELECT doc_id, list_distinct(list(sh ORDER BY p)) AS sh
+        |      FROM ${ngramRowsSql("t", 3, gram = "sh")}
+        |      GROUP BY doc_id),
         |bench AS (SELECT doc_id AS bench, sh AS bsh FROM d
         |          WHERE doc_id % 10 = 7),
         |corp AS (SELECT doc_id AS doc, sh AS csh FROM d
@@ -4401,16 +4395,10 @@ object SparkEntry {
     // the per-(doc, shingle) hit rows BEFORE the per-doc rollup —
     // statelessness makes the streamed replay equal this batch set
     "q_decontaminate_stream" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(0, greatest(len(tk)-7, 0)),
-        |                       i -> array_to_string(tk[i+1:i+8], ' '))) s8
-        |  FROM (SELECT doc_id,
-        |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-        |                           x -> x <> '') tk
-        |        FROM documents)),
-        |bench AS (SELECT DISTINCT unnest(s8) s FROM sh WHERE doc_id < 10),
-        |corpus AS (SELECT doc_id AS doc, unnest(s8) s FROM sh
+      s"""WITH $tokCte,
+        |$s8RowsCte,
+        |bench AS (SELECT DISTINCT s8 AS s FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id AS doc, s8 AS s FROM sh
         |           WHERE doc_id >= 10)
         |SELECT doc, s
         |FROM corpus JOIN bench USING (s)

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Run the full robustness-sweep battery against HEAD: five single-axis
+# Run the full robustness-sweep battery against HEAD: six single-axis
 # fixture sweeps plus the composed (all-injections-chained) sweep, each
 # a full 142-gate Verify + DuckDB oracle compare. ~2.5 min per sweep at
 # sf0.01 on local[32].
@@ -31,6 +31,7 @@ python3 tools/unicode_sweep.py    "$SF" "$WORK/uni"
 python3 tools/whitespace_sweep.py "$SF" "$WORK/ws"
 python3 tools/embedding_sweep.py  "$SF" "$WORK/emb"
 python3 tools/events_sweep.py     "$SF" "$WORK/ev"
+python3 tools/longdoc_sweep.py    "$SF" "$WORK/long"
 # composed: chain every injection into one fixture (order matters only
 # in that unicode/whitespace skip null text, so null goes first)
 python3 tools/unicode_sweep.py    "$WORK/null" "$WORK/m1"
@@ -43,5 +44,6 @@ run_gate unicode  "$WORK/uni"
 run_gate ws       "$WORK/ws"
 run_gate emb      "$WORK/emb"
 run_gate events   "$WORK/ev"
+run_gate longdoc  "$WORK/long"
 run_gate composed "$WORK/mega"
 echo "all sweeps green"
