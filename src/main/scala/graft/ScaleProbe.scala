@@ -216,6 +216,53 @@ object ScaleProbe {
     }
   }
 
+  /** Rate-cap state probe: the SCALE.md claim "state is O(1) per key —
+    * a kept count plus the (ts, id) high-water mark" as a measured
+    * number: replay [[graft.streaming.StreamingCaps.rateCap]] (cap 8)
+    * over the scaled events and report the state store's row count and
+    * bytes (expected: rows == #distinct keys, bytes/key ~flat across
+    * decades) plus per-batch trigger times. */
+  private def rateCapStateProbe(spark: SparkSession,
+                                events: DataFrame): String = {
+    val nChunks = 6
+    val replay = new graft.streaming.ChunkedReplay(
+      events.select(col("user_id").cast("long").as("k"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("event_id").cast("long").as("id"), col("ts")),
+      Seq(col("k"), col("tsUs"), col("id")),
+      least(floor((dayofmonth(col("ts")) - 1) / 5), lit(nChunks - 1))
+        .cast("int"),
+      nChunks)
+    val stream = spark.readStream.schema(replay.schema)
+      .parquet(replay.streamDir.toString)
+    import spark.implicits._
+    val q = graft.streaming.StreamingCaps
+      .rateCap(stream.as[graft.streaming.StreamingCaps.CapEvent], 8)(spark)
+      .toDF()
+      .writeStream.format("noop")
+      .option("checkpointLocation", replay.root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      replay.run(() => q.processAllAvailable())
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val batchMs = progs.map(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+          .getOrElse(0L))
+      val (stateRows, stateMem) =
+        progs.lastOption.flatMap(_.stateOperators.headOption) match {
+          case Some(st) => (st.numRowsTotal, st.memoryUsedBytes)
+          case None => (0L, 0L)
+        }
+      s""""rate_cap_state":{"input_rows":${progs.map(_.numInputRows).sum},""" +
+        s""""state_rows":$stateRows,""" +
+        s""""state_mem_bytes":$stateMem,""" +
+        s""""batch_ms":[${batchMs.mkString(",")}]}"""
+    } finally {
+      q.stop()
+      replay.cleanup()
+    }
+  }
+
   /** Compaction-decade probe: the SCALE.md claim "a many-times-extended
     * index accretes small files per bucket/cell until open/seek cost
     * dominates the probe, and blue/green compaction restores it" as a
@@ -817,6 +864,14 @@ object ScaleProbe {
             f"[probe] scale=$k streaming_state ${(System.nanoTime() - t0) / 1e9}%7.2fs")
           "," + j
         } else ""
+      val rateCapJson =
+        if (wanted("rate_cap_state")) {
+          val t0 = System.nanoTime()
+          val j = rateCapStateProbe(spark, events)
+          System.err.println(
+            f"[probe] scale=$k rate_cap_state ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+          "," + j
+        } else ""
       val sessionsJson =
         if (wanted("streaming_sessions")) {
           val t0 = System.nanoTime()
@@ -857,7 +912,7 @@ object ScaleProbe {
       }
       if (ivfPqIdx != null) Similarity.dropIvfPqIndex(spark, ivfPqIdx)
       if (chunkIdx != null) operators.Chunking.dropChunkIndex(spark, chunkIdx)
-      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$sessionsJson$compactionJson}""")
+      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$sessionsJson$compactionJson}""")
     }
     spark.stop()
   }
