@@ -33,8 +33,10 @@ python3 tools/embedding_sweep.py  "$SF" "$WORK/emb"
 python3 tools/events_sweep.py     "$SF" "$WORK/ev"
 python3 tools/longdoc_sweep.py    "$SF" "$WORK/long"
 # composed: chain every injection into one fixture (order matters only
-# in that unicode/whitespace skip null text, so null goes first)
-python3 tools/unicode_sweep.py    "$WORK/null" "$WORK/m1"
+# in that unicode/whitespace/longdoc skip null text, so null goes first;
+# longdoc precedes unicode/ws so their injections land ON the long docs)
+python3 tools/longdoc_sweep.py    "$WORK/null" "$WORK/m0"
+python3 tools/unicode_sweep.py    "$WORK/m0"   "$WORK/m1"
 python3 tools/whitespace_sweep.py "$WORK/m1"   "$WORK/m2"
 python3 tools/embedding_sweep.py  "$WORK/m2"   "$WORK/m3"
 python3 tools/events_sweep.py     "$WORK/m3"   "$WORK/mega"
