@@ -181,13 +181,11 @@ object ScaleProbe {
   private def sessionStateProbe(spark: SparkSession,
                                 events: DataFrame): String = {
     val nChunks = 6
+    val src = events.select(col("user_id").cast("string").as("k"),
+      col("ts"), col("value").cast("double").as("value"))
     val replay = new graft.streaming.ChunkedReplay(
-      events.select(col("user_id").cast("string").as("k"), col("ts"),
-        col("value").cast("double").as("value")),
-      Seq(col("k"), col("ts"), col("value")),
-      least(floor((dayofmonth(col("ts")) - 1) / 5), lit(nChunks - 1))
-        .cast("int"),
-      nChunks)
+      src, Seq(col("k"), col("ts"), col("value")),
+      graft.streaming.ReplayChunks.byTime(src, "ts", nChunks), nChunks)
     val stream = spark.readStream.schema(replay.schema)
       .parquet(replay.streamDir.toString)
     val q = graft.streaming.StreamingSessions
@@ -225,14 +223,12 @@ object ScaleProbe {
   private def rateCapStateProbe(spark: SparkSession,
                                 events: DataFrame): String = {
     val nChunks = 6
+    val src = events.select(col("user_id").cast("long").as("k"),
+      unix_micros(col("ts")).as("tsUs"),
+      col("event_id").cast("long").as("id"), col("ts"))
     val replay = new graft.streaming.ChunkedReplay(
-      events.select(col("user_id").cast("long").as("k"),
-        unix_micros(col("ts")).as("tsUs"),
-        col("event_id").cast("long").as("id"), col("ts")),
-      Seq(col("k"), col("tsUs"), col("id")),
-      least(floor((dayofmonth(col("ts")) - 1) / 5), lit(nChunks - 1))
-        .cast("int"),
-      nChunks)
+      src, Seq(col("k"), col("tsUs"), col("id")),
+      graft.streaming.ReplayChunks.byTime(src, "ts", nChunks), nChunks)
     val stream = spark.readStream.schema(replay.schema)
       .parquet(replay.streamDir.toString)
     import spark.implicits._

@@ -2019,9 +2019,10 @@ object SparkEntry {
     // so batch SQL oracles real streaming semantics
     "q_sessionize_stream" -> ((s, d) => {
       implicit val ss: SparkSession = s
-      graft.streaming.StreamingSessions.sessionReplay(ev(s, d), "user_id",
+      val e = ev(s, d)
+      graft.streaming.StreamingSessions.sessionReplay(e, "user_id",
           "ts", "value",
-          floor((dayofmonth(col("ts")) - 1) / 5).cast("int"), 6,
+          graft.streaming.ReplayChunks.byTime(e, "ts", 6), 6,
           "1 hour", "12 hours")
         .select(col("k").as("user_id"), col("start_ms"), col("n_events"),
           col("total_value"))
@@ -2035,9 +2036,10 @@ object SparkEntry {
     // batch row_number()<=8 by the determinism contract
     "q_rate_cap_stream" -> ((s, d) => {
       implicit val ss: SparkSession = s
-      graft.streaming.StreamingCaps.capReplay(ev(s, d), "user_id",
+      val e = ev(s, d)
+      graft.streaming.StreamingCaps.capReplay(e, "user_id",
           "ts", "event_id", 8,
-          floor((dayofmonth(col("ts")) - 1) / 5).cast("int"), 6)
+          graft.streaming.ReplayChunks.byTime(e, "ts", 6), 6)
         .select(col("k").as("user_id"), col("tsUs").as("ts_us"),
           col("id").as("event_id"))
         .orderBy("user_id", "ts_us", "event_id")
@@ -3189,13 +3191,16 @@ object SparkEntry {
          |FROM t LEFT JOIN e USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    // duplicate-line fractions: trimmed non-blank newline splits;
-    // "duplicate" = every occurrence beyond a line's first (list_distinct
-    // keeps firsts on both engines); single IEEE divisions of exact longs
+    // duplicate-line fractions: trimmed non-blank newline splits, where
+    // trim strips the full ASCII whitespace class (space \t \x0B \f \r —
+    // the engine's regex \s minus the already-split \n), not DuckDB's
+    // space-only default; "duplicate" = every occurrence beyond a line's
+    // first (list_distinct keeps firsts on both engines); single IEEE
+    // divisions of exact longs
     "q_dup_lines" ->
       """WITH l AS (SELECT doc_id,
         |  list_filter(list_transform(string_split(text, chr(10)),
-        |                             x -> trim(x)),
+        |    x -> trim(x, ' ' || chr(9) || chr(11) || chr(12) || chr(13))),
         |              x -> x <> '') AS lines
         |  FROM documents),
         |a AS (SELECT doc_id,
@@ -4468,7 +4473,12 @@ object SparkEntry {
 
     // the sign matrix replayed from the salt: +1 when the first hex
     // digit of md5('rp:rp1:i:j') is even; y_j = sum_i v_i*s_ij/sqrt(16)
-    // (round 6 absorbs cross-engine summation-order ulp)
+    // (round 6 absorbs cross-engine summation-order ulp). Mirrors the
+    // engine's ragged-vector convention explicitly: a non-null vector
+    // whose length != 64 projects to all zeros (SignedProject's
+    // degrade-to-zero rule), not to a partial sum over whatever
+    // indices exist — so a dimension-injecting sweep fails loudly as
+    // a semantic diff, never as a confusing value mismatch (ADVICE r14)
     "q_random_projection" ->
       """WITH s AS (SELECT i.i AS i, j.j AS j,
         |    CASE WHEN (('0x' || substr(
@@ -4476,15 +4486,20 @@ object SparkEntry {
         |        1, 1))::INT % 2) = 0
         |      THEN 1.0 ELSE -1.0 END::DOUBLE AS sgn
         |  FROM range(0, 64) i(i), range(0, 16) j(j)),
+        |d AS (SELECT vec_id, embedding, len(embedding) AS n
+        |      FROM embeddings WHERE embedding IS NOT NULL),
         |v AS (SELECT vec_id, u.i - 1 AS i,
         |        list_extract(embedding, u.i)::DOUBLE AS x
-        |      FROM embeddings,
-        |           unnest(range(1, len(embedding) + 1)) AS u(i))
-        |SELECT vec_id, j::BIGINT AS j,
-        |       round(sum(x * sgn) / sqrt(16.0), 6) AS y
-        |FROM v JOIN s USING (i)
-        |GROUP BY vec_id, j
-        |ORDER BY vec_id, j""".stripMargin,
+        |      FROM d, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |      WHERE n = 64),
+        |p AS (SELECT vec_id, j, sum(x * sgn) AS sy
+        |      FROM v JOIN s USING (i) GROUP BY vec_id, j)
+        |SELECT d.vec_id, jj.j::BIGINT AS j,
+        |       CASE WHEN d.n = 64 THEN round(p.sy / sqrt(16.0), 6)
+        |            ELSE 0.0 END AS y
+        |FROM d CROSS JOIN range(0, 16) jj(j)
+        |LEFT JOIN p ON p.vec_id = d.vec_id AND p.j = jj.j
+        |ORDER BY d.vec_id, jj.j""".stripMargin,
 
     // same cosine convention as q_knn_bruteforce, plus the null-safe
     // label-mismatch predicate (IS DISTINCT FROM)

@@ -130,14 +130,21 @@ object TextFunctions {
     * RefinedWeb repetition rules): struct(n_lines, dup_line_frac,
     * dup_char_frac) where lines are the trimmed non-blank newline splits,
     * dup_line_frac = (occurrences beyond each line's first) / lines and
-    * dup_char_frac is the same ratio in characters. Pure built-in
-    * higher-order functions over one split (codegen'd, zero shuffle) —
+    * dup_char_frac is the same ratio in characters. "Trimmed" strips the
+    * full ASCII whitespace class `[ \t\x0B\f\r]` from both ends (regex
+    * \s minus \n, which the split already consumed) — so CRLF corpora
+    * lose the trailing \r and tab- or CR-only lines count as blank,
+    * matching the cited MassiveText rule rather than Spark's
+    * space-only `trim` default (ADVICE r14). Pure built-in higher-order
+    * functions over one split (codegen'd, zero shuffle) —
     * `array_distinct` keeps first occurrences, so "duplicate" = every
     * repeat occurrence. Fractions are single IEEE divisions of exact
     * longs; 0.0 for documents with no lines, null struct fields for null
     * text. Round to 6 before hashing cross-engine. */
   def dupLineStats(text: Column): Column = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+    val lines = filter(
+      transform(split(text, "\n"),
+        l => regexp_replace(l, "^\\s+|\\s+$", "")),
       l => length(l) > 0)
     val dl = array_distinct(lines)
     val nl = size(lines).cast("long")

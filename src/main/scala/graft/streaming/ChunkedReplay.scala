@@ -92,6 +92,47 @@ final class ChunkedReplay(source: DataFrame, payload: Seq[Column],
   def cleanup(): Unit = graft.util.FsUtil.deleteRecursively(root)
 }
 
+/** Chunk-column builders whose ts-monotonicity holds BY CONSTRUCTION,
+  * not by fixture luck. The calendar expression they replace —
+  * `floor((dayofmonth(ts)-1)/5)` — is monotone only within one month:
+  * on a fixture spanning a month boundary it stays in-range (so
+  * [[ChunkedReplay]]'s staging validation passes) while later-month
+  * events land in EARLIER chunks, and every high-water-mark consumer
+  * (rate cap, watermarks) silently drops them (ADVICE r14). */
+object ReplayChunks {
+
+  /** Split the corpus into `nChunks` contiguous epoch-µs ranges. One
+    * 2-value aggregate fetches min/max(unix_micros(ts)); the chunk
+    * boundaries `b_k = mn + floor(k·span/n)` are computed in exact
+    * BigInt on the driver and emitted as a CASE WHEN over long
+    * literals — codegen-friendly, no floating-point division whose
+    * rounding could flip a boundary row, and non-decreasing in ts by
+    * construction (equal timestamps always share a chunk, which is
+    * what the high-water-mark determinism contract needs). */
+  def byTime(df: DataFrame, tsCol: String, nChunks: Int): Column = {
+    require(nChunks > 0, s"nChunks must be positive, got $nChunks")
+    // cast-to-TIMESTAMP first: a no-op on LTZ, and lifts NTZ (what a
+    // raw read of the testdata parquet infers) into unix_micros's
+    // domain — the session-tz reinterpretation is monotone, which is
+    // all a chunk boundary needs
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    val row = df.agg(min(us(col(tsCol))), max(us(col(tsCol)))).head()
+    require(!row.isNullAt(0),
+      s"cannot derive chunk boundaries: no non-null $tsCol values")
+    val mn = row.getLong(0)
+    val span = BigInt(row.getLong(1)) - BigInt(mn) + 1
+    val bounds = (1 until nChunks)
+      .map(k => mn + ((BigInt(k) * span) / nChunks).toLong)
+    val tsUs = us(col(tsCol))
+    bounds.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (b, i)) =>
+        Some(acc.fold(when(tsUs < b, i))(_.when(tsUs < b, i)))
+      }
+      .fold(lit(0): Column)(_.otherwise(nChunks - 1))
+      .cast("int")
+  }
+}
+
 /** Per-prefix micro-batch counts of the most recent replay — the
   * bench emits these so a slow streaming-gate number is immediately
   * attributable (wall ≈ batches × per-batch floor; a changed batch

@@ -289,6 +289,11 @@ class TextFunctionsSpec extends SparkSpec {
     // a no-line document divides nothing
     assert(dls("") == ((0L, 0.0, 0.0)))
     assert(dls("\n \n") == ((0L, 0.0, 0.0)))
+    // full ASCII whitespace trim (MassiveText rule, ADVICE r14): CRLF
+    // corpora lose the trailing \r, so "ab\r" == "ab"; tab- and
+    // CR-only lines are blank, not 1-char lines
+    assert(dls("ab\r\nc\r\nab") == ((3L, 1.0 / 3, 2.0 / 5)))
+    assert(dls("\t\n\r\nx") == ((1L, 0.0, 0.0)))
     // null text -> null fields
     val s = spark
     import s.implicits._
