@@ -181,12 +181,13 @@ object Subword {
     * with incrementally-maintained pair counts (the standard in-memory
     * BPE-trainer shape: a 32k-merge vocab is one Spark job plus one
     * local loop, not 32k jobs). A frame above the cap falls back to
-    * the per-round distributed loop ([[trainBpeMergesDistributed]]),
-    * which is loudly capped at 1024 merges — at that point the right
-    * fix is a bigger driver, not more sequential Spark jobs. The two
-    * paths produce identical rule lists by construction (spec-pinned
-    * on adversarial corpora: overlapping runs, cascading merges,
-    * count ties).
+    * the EXACT batched distributed trainer
+    * ([[trainBpeMergesDistributed]]) — uncapped merge count, many
+    * merges per round where the statistics prove it safe, one merge
+    * per round in the worst case. The two paths produce identical
+    * rule lists by construction (spec-pinned on adversarial corpora:
+    * overlapping runs, cascading merges, count ties, shared-symbol
+    * candidates — plus a randomized cross-check).
     *
     * Against a trained vocabulary (chars + merged pieces),
     * [[pieceCounts]]/[[pieceFrequencies]] are the apply path. No
@@ -255,65 +256,253 @@ object Subword {
           .withColumn("rk", col("rk").cast("long"))
       } else {
         // distributed fallback for a word frame that genuinely cannot
-        // sit on the driver; LOUDLY capped — one aggregate + 1-row
-        // argmax PER ROUND is the wrong shape for vocab-scale numMerges
-        require(numMerges <= 1024,
-          s"word frame ~${estBytes >> 20} MiB exceeds localBytesCap=" +
-            s"${localBytesCap >> 20} MiB, and the distributed per-round " +
-            s"fallback caps numMerges at 1024 (got $numMerges): raise " +
-            "localBytesCap (the frame is Zipf-small; real trainers hold " +
-            "it in memory) or lower numMerges")
+        // sit on the driver: EXACT batched rounds (see
+        // [[trainBpeMergesDistributed]]) — uncapped; the worst case
+        // degrades to one merge per round, never to a wrong rule list
         trainBpeMergesDistributed(wc, numMerges)
       }
     } finally { wc.unpersist(); () }
   }
 
-  /** Per-round distributed trainer (see [[trainBpeMerges]]): each round
-    * is one (pair, count) aggregate with map-side combine + a 1-row
-    * argmax collect (`orderBy.limit(1)` — a bounded heap, O(1) to the
-    * driver by contract) + a row-local codegen fold applying the merge.
-    * The frame re-persists per round so a round reads materialized
-    * symbols, not a rounds-deep lineage. */
-  private def trainBpeMergesDistributed(wc: DataFrame,
-                                        numMerges: Int): DataFrame = {
+  /** Exact BATCHED distributed trainer (see [[trainBpeMerges]]) —
+    * vocab-scale merge counts on frames that cannot sit on the driver,
+    * with rule lists IDENTICAL to the sequential/local trainer by
+    * construction, never by approximation.
+    *
+    * Each round runs a bounded set of jobs over the persisted symbol
+    * frame: (1) the (pair, count) aggregate, top-`candK` candidates
+    * collected through a bounded heap; (2) the symbol inventory of
+    * that (already tiny) pair table; (3) adjacent-TRIPLE counts
+    * restricted to the candidates (left_semi against the broadcast
+    * candidate list — a triple matching two candidates still counts
+    * once). A driver-side simulation then admits a BATCH of merges,
+    * longest verified prefix of the true sequential merge sequence:
+    *
+    *  - a merge's effect on every tracked count is computed EXACTLY
+    *    from the triples — each (x, l, r) adjacency destroys pair
+    *    (x, l) and creates (x, l+r); each (l, r, y) destroys (r, y)
+    *    and creates (l+r, y) — valid because admission excludes every
+    *    pattern those local formulas cannot see: self patterns
+    *    `l r l` (t3(l,r,l) must be 0, which also kills `l r l r`),
+    *    adjacent occurrences of two batch rules (t3(li,ri,lj) and
+    *    t3(lj,rj,li) must be 0 pairwise), merged-string collisions
+    *    with live symbols (the inventory check), and l == r;
+    *  - a candidate whose count an earlier batch merge DENTED, or a
+    *    pair BORN this round, may be the true next pick — the batch
+    *    closes before it rather than guessing (both are recomputed
+    *    exactly next round);
+    *  - with more live pairs than `candK`, the batch also closes once
+    *    the pick's count no longer strictly exceeds the best
+    *    uncollected pair's bound (the K+1-th count);
+    *  - the round's FIRST pick is always applied even when the
+    *    statistics cannot extend it (it is the global argmax of the
+    *    full ordered aggregate) — so worst-case throughput degrades
+    *    to the old one-merge-per-round shape, never to a wrong list.
+    *
+    * The batch applies in ONE `mapPartitions` scan (admission makes
+    * batch rules pairwise non-adjacent, so a single left-to-right
+    * pass equals sequential application; a forced lone rule gets the
+    * same greedy non-overlapping walk as [[mergeWord]]), and the
+    * frame re-persists so a round reads materialized symbols, not a
+    * rounds-deep lineage. Triple statistics above `tripleCap` rows
+    * (pathological frames) make the round fall back to the forced
+    * single merge. */
+  private def trainBpeMergesDistributed(wc: DataFrame, numMerges: Int,
+                                        candK: Int = 4096,
+                                        tripleCap: Int = 4000000)
+      : DataFrame = {
     val spark = wc.sparkSession
     import spark.implicits._
-    var cur = wc
+    import scala.collection.mutable
+    val pairsExpr = expr(
+      """zip_with(slice(syms, 1, size(syms) - 1),
+        |         slice(syms, 2, size(syms) - 1),
+        |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)
+    // zero-length slices make words shorter than 3 symbols contribute
+    // an empty triple array without a CASE branch
+    val triplesExpr = expr(
+      """zip_with(slice(syms, 1, greatest(size(syms) - 2, 0)),
+        |  zip_with(slice(syms, 2, greatest(size(syms) - 2, 0)),
+        |           slice(syms, 3, greatest(size(syms) - 2, 0)),
+        |           (b, c) -> named_struct('b', b, 'c', c)),
+        |  (a, bc) -> named_struct('a', a, 'b', bc.b, 'c', bc.c))"""
+        .stripMargin)
+    // rounds materialize through EAGER localCheckpoints (the
+    // Clustering.connectedComponents pattern): persist would nest one
+    // InMemoryRelation per round and the plan TREE (and every explain
+    // string AQE renders) grows without bound over hundreds of rounds
+    // — a measured driver OOM at vocab scale, not a style choice
+    var cur: DataFrame = wc
       .select(split(col("w"), "").as("syms"), col("c"))
-      .persist()
-    cur.count()
+      .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val top = cur
-        .select(explode(expr(
-          """zip_with(slice(syms, 1, size(syms) - 1),
-            |         slice(syms, 2, size(syms) - 1),
-            |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin))
-          .as("p"), col("c"))
+      val pairDF = cur
+        .select(explode(pairsExpr).as("p"), col("c"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("c")).as("n"))
+        .persist()
+      val top = pairDF
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(candK + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) { exhausted = true; pairDF.unpersist(); () }
       else {
-        val (l, r, n) =
-          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((rank, l, r, l + r, n))
-        val next = cur
-          .select(applyMerge(col("syms"), l, r).as("syms"), col("c"))
-          .persist()
-        next.count()
-        cur.unpersist()
-        cur = next
-        rank += 1
+        val knownAll = top.length <= candK
+        val unknownBound = if (knownAll) Long.MinValue else top(candK)._3
+        val cands = top.take(candK)
+        // merged-string collision check: a symbol matters iff it
+        // participates in some adjacency (a string colliding only with
+        // lone single-symbol words can never change a pair count), so
+        // the pair table's own symbols are the exact inventory
+        val inventory: Set[String] = pairDF
+          .select(explode(array(col("l"), col("r"))).as("s"))
+          .distinct().as[String].collect().toSet
+        pairDF.unpersist()
+        val trips: Array[((String, String, String), Long)] =
+          if (cands.length == 1) Array.empty
+            // a 1-candidate frame with triples forces all-equal
+            // adjacent pairs, i.e. l == r — forced-single below anyway
+          else {
+            val candDF = cands.toSeq.map(c => (c._1, c._2))
+              .toDF("cl", "cr")
+            cur
+              .select(explode(triplesExpr).as("t"), col("c").as("cnt"))
+              .join(broadcast(candDF),
+                (col("t.b") === col("cl") && col("t.c") === col("cr")) ||
+                  (col("t.a") === col("cl") && col("t.b") === col("cr")),
+                "left_semi")
+              .groupBy(col("t.a").as("ta"), col("t.b").as("tb"),
+                col("t.c").as("tc"))
+              .agg(sum(col("cnt")).as("n"))
+              .limit(tripleCap + 1).collect()
+              .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+                r.getLong(3)))
+          }
+        val tripleOverflow = trips.length > tripleCap
+        val tripN = mutable.HashMap.empty[(String, String, String), Long]
+        val tlIdx = mutable.HashMap
+          .empty[(String, String), mutable.ArrayBuffer[(String, Long)]]
+        val trIdx = mutable.HashMap
+          .empty[(String, String), mutable.ArrayBuffer[(String, Long)]]
+        if (!tripleOverflow) {
+          val candSet = cands.map(c => (c._1, c._2)).toSet
+          trips.foreach { case ((a, b, c), n) =>
+            tripN.put((a, b, c), n)
+            if (candSet((b, c)))
+              tlIdx.getOrElseUpdate((b, c), mutable.ArrayBuffer.empty) +=
+                ((a, n))
+            if (candSet((a, b)))
+              trIdx.getOrElseUpdate((a, b), mutable.ArrayBuffer.empty) +=
+                ((c, n))
+          }
+        }
+        def t3(a: String, b: String, c: String): Long =
+          tripN.getOrElse((a, b, c), 0L)
+        final class Cand(val l: String, val r: String, var n: Long,
+                         val orig: Long)
+        val candMap = mutable.LinkedHashMap.empty[(String, String), Cand]
+        cands.foreach(c =>
+          candMap.put((c._1, c._2), new Cand(c._1, c._2, c._3, c._3)))
+        val newPairs = mutable.HashMap.empty[(String, String), Long]
+        val selMerged = mutable.HashSet.empty[String]
+        val batch = mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        val maxBatch = numMerges - rank + 1
+        while (!stop && batch.length < maxBatch) {
+          // argmax over live candidates + pairs born this round:
+          // (count desc, lhs, rhs) in UTF-8 byte order — the exact
+          // sequential argmax, because every tracked count is exact
+          var bl: String = null
+          var br: String = null
+          var bn = 0L
+          var isNew = false
+          def consider(l: String, r: String, n: Long, nw: Boolean): Unit =
+            if (n > 0L && (bl == null || n > bn || (n == bn && {
+              val cl = utf8Compare(l, bl)
+              cl < 0 || (cl == 0 && utf8Compare(r, br) < 0)
+            }))) { bl = l; br = r; bn = n; isNew = nw }
+          candMap.valuesIterator.foreach(c => consider(c.l, c.r, c.n, false))
+          newPairs.foreach { case ((l, r), n) => consider(l, r, n, true) }
+          if (bl == null || isNew) stop = true
+          else {
+            val cd = candMap((bl, br))
+            val m = bl + br
+            val admissible =
+              cd.n == cd.orig &&
+                bl != br &&
+                (knownAll || cd.n > unknownBound) &&
+                !tripleOverflow &&
+                t3(bl, br, bl) == 0L &&
+                !inventory.contains(m) && !selMerged.contains(m) &&
+                batch.forall { case (pl, pr, _) =>
+                  t3(pl, pr, bl) == 0L && t3(bl, br, pl) == 0L }
+            if (!admissible) {
+              // inadmissible as a batch EXTENSION; as the round's first
+              // pick it is still the exact global argmax — apply alone
+              if (batch.isEmpty) {
+                batch += ((bl, br, cd.n)); candMap.remove((bl, br)); ()
+              }
+              stop = true
+            } else {
+              batch += ((bl, br, cd.n))
+              selMerged += m
+              candMap.remove((bl, br))
+              tlIdx.getOrElse((bl, br), mutable.ArrayBuffer.empty)
+                .foreach { case (x, n) =>
+                  newPairs.updateWith((x, m))(o => Some(o.getOrElse(0L) + n))
+                  candMap.get((x, bl)).foreach(c => c.n -= n)
+                }
+              trIdx.getOrElse((bl, br), mutable.ArrayBuffer.empty)
+                .foreach { case (y, n) =>
+                  newPairs.updateWith((m, y))(o => Some(o.getOrElse(0L) + n))
+                  candMap.get((br, y)).foreach(c => c.n -= n)
+                }
+            }
+          }
+        }
+        batch.foreach { case (l, r, n) =>
+          merges += ((rank, l, r, l + r, n))
+          rank += 1
+        }
+        val bm = batch.map { case (l, r, _) => ((l, r), l + r) }.toMap
+        cur = cur.as[(Seq[String], Long)].mapPartitions { it =>
+          it.map { case (s, c) =>
+            (applyBatchLocal(s.toArray, bm).toSeq, c)
+          }
+        }.toDF("syms", "c").localCheckpoint(true)
       }
     }
-    cur.unpersist()
     merges.result()
       .toDF("rk", "lhs", "rhs", "merged", "pair_count")
       .withColumn("rk", col("rk").cast("long"))
+  }
+
+  /** One greedy left-to-right pass applying a BATCH of merge rules —
+    * equal to applying them sequentially in rank order because
+    * admission in [[trainBpeMergesDistributed]] guarantees no two
+    * rules' occurrences are adjacent or overlapping in any word; for
+    * a single rule this is exactly [[mergeWord]]'s non-overlapping
+    * walk (including the l == r case). Merged outputs never re-match
+    * (a rule's sides are pre-existing symbols; merged strings are
+    * collision-checked against the live inventory). */
+  private[graft] def applyBatchLocal(
+      s: Array[String], rules: Map[(String, String), String])
+      : Array[String] = {
+    if (s.length < 2 || rules.isEmpty) return s
+    val out = Array.newBuilder[String]
+    out.sizeHint(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length) {
+        val m = rules.getOrElse((s(i), s(i + 1)), null)
+        if (m != null) { out += m; i += 2 }
+        else { out += s(i); i += 1 }
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
   }
 
   /** UTF-8 byte comparison — the binary string order Spark's

@@ -243,13 +243,60 @@ class SubwordSpec extends SparkSpec {
         Subword.trainBpeMerges(docs, "text", 8, localBytesCap = 0L))
       assert(local == dist, s"'$text':\nlocal $local\ndist  $dist")
     }
-    // and the distributed fallback refuses vocab-scale numMerges
-    // loudly instead of running thousands of sequential jobs
-    val docs = Seq((1L, "aaab aaab")).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException] {
-      Subword.trainBpeMerges(docs, "text", 2048, localBytesCap = 0L)
+  }
+
+  test("trainBpeMerges: randomized local == distributed cross-check " +
+      "over a tiny alphabet (collision-dense corpora)") {
+    val s = spark
+    import s.implicits._
+    // a 3-letter alphabet maximizes the corner density: same-char runs,
+    // lrl/lrlr patterns, merged-string collisions ("ab" merged while a
+    // word contains literal adjacent a,b elsewhere), count ties, and
+    // shared-symbol candidate chains. Seeded, so failures replay.
+    val rnd = new scala.util.Random(0xb9e5L)
+    (1 to 10).foreach { trial =>
+      val words = (1 to (3 + rnd.nextInt(10))).map { _ =>
+        (1 to (1 + rnd.nextInt(6)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val text = words.mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      def rules(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+      val local = rules(Subword.trainBpeMerges(docs, "text", 10))
+      val dist = rules(
+        Subword.trainBpeMerges(docs, "text", 10, localBytesCap = 0L))
+      assert(local == dist,
+        s"trial $trial '$text':\nlocal $local\ndist  $dist")
     }
-    assert(e.getMessage.contains("localBytesCap"), e.getMessage)
+  }
+
+  test("trainBpeMerges: VOCAB-SCALE distributed training (4096 merges " +
+      "in batched rounds) equals the driver-local path") {
+    val s = spark
+    import s.implicits._
+    // 4096 learnable pairs over 8192 distinct BMP letters: every
+    // candidate is symbol-disjoint with strictly distinct counts, so
+    // the exact batched rounds can prove large batches safe — the
+    // uncapped path the r14 verdict asked for (old fallback refused
+    // numMerges > 1024 outright)
+    val words = (0 until 4096).map { i =>
+      val w = "" + (0x4E00 + 2 * i).toChar + (0x4E00 + 2 * i + 1).toChar
+      Seq.fill(4097 - i)(w).mkString(" ")
+    }
+    val docs = words.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def rules(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    val dist = rules(
+      Subword.trainBpeMerges(docs, "text", 4096, localBytesCap = 0L))
+    assert(dist.size == 4096, s"got ${dist.size} merges")
+    val local = rules(Subword.trainBpeMerges(docs, "text", 4096))
+    assert(local == dist)
+    // count-ranked: rule k merged the pair with count 4097-k
+    assert(dist.head._5 == 4097L && dist.last._5 == 2L)
   }
 
   test("bpeEncodeLarge: ranked apply equals the codegen fold on trained" +
