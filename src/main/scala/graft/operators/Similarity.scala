@@ -611,6 +611,64 @@ object Similarity {
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
+  /** RP→rerank ANN: candidates scored in Johnson-Lindenstrauss
+    * projected space ([[randomProject]]'s salt-replayable ±1 matrix),
+    * the top `k * refine` per query re-ranked by exact full-precision
+    * cosine. The retrieve-then-refine discipline of [[sqKnn]]/[[pqKnn]]
+    * with RP as the compression: dot products in the candidate scan
+    * cost outDim multiplies instead of dim (4x at 64→16), and at
+    * 100 TB the projected column is what an LSH banding or IVF build
+    * consumes — this operator is the rerank harness those compose
+    * with, its RP-space scan the correctness baseline.
+    *
+    * Recall is a function of the JL distortion (cosine estimate noise
+    * ~ (1-s²)/√outDim): true neighbors whose margin over the field
+    * exceeds the noise survive candidate generation; near-random
+    * corpora whose neighbor margins sit INSIDE the noise need a
+    * planted/clustered structure for a recall floor to be meaningful
+    * — the q_knn_rp gate augments the fixture accordingly and carries
+    * an in-query [[recallCertificate]]. Scale shape: queries broadcast,
+    * ONE corpus scan with the projection computed row-locally (zero
+    * extra shuffle), per-partition bounded top-R heaps
+    * (WindowGroupLimit) before the per-query rerank window.
+    * Output: (qid, rank, cid, sim). */
+  def rpKnn(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+            dim: Int, outDim: Int, salt: String, k: Int,
+            refine: Int = 16): DataFrame = {
+    require(k >= 1 && refine >= 1, s"need k, refine >= 1, got $k, $refine")
+    val q = randomProject(
+        queries.select(col(id).as("qid"), asDoubles(col(vec)).as("qv")),
+        "qv", dim, outDim, salt, "qp")
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qpn", l2Norm(col("qp")))
+    val c = randomProject(
+        corpus.select(col(id).as("cid"), asDoubles(col(vec)).as("cv")),
+        "cv", dim, outDim, salt, "cp")
+      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("cpn", l2Norm(col("cp")))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("psim",
+        cosineFrom(dot(col("qp"), col("cp")), col("qpn"), col("cpn")))
+      // a wrong-dim vector projects to all zeros (SignedProject's
+      // degrade rule) → NULL RP cosine; a zero vector likewise — both
+      // drop here instead of occupying candidate slots
+      .where(col("psim").isNotNull)
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("cid").asc)
+    val cand = scored.withColumn("prank", row_number().over(wp))
+      .where(col("prank") <= k * refine)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    cand
+      .withColumn("sim",
+        cosineFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .where(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"),
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
   // --------------------------------------------------------------------
   // Scalar-quantized (SQ8) search: 1 byte per dimension instead of 4-8,
   // the standard memory/IO scale path when raw float vectors dominate

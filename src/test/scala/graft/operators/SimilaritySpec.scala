@@ -52,6 +52,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1).isNullAt(2))
   }
 
+  test("rpKnn: RP candidates + exact rerank equal brute force on the " +
+      "planted gate corpus; refine=1 degrades to RP-order top-k") {
+    val base = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.asDoubles(col("embedding"))
+        .as("embedding"))
+    val qBase = base.where(col("vec_id") < 5)
+    val shifted = Seq(0.06, 0.08, 0.10).zipWithIndex.map { case (d, i) =>
+      qBase.select((col("vec_id") + (i + 1) * 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(d)).as("embedding"))
+    }.reduce(_ unionAll _)
+    val corpus = base.unionAll(shifted)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.bruteForceKnn(qBase, corpus,
+      "vec_id", "embedding", 3))
+    // planted margins clear the 32-dim JL noise: the gate config
+    // recovers the exact top-3 for every query (the q_knn_rp contract)
+    val approx = rows(Similarity.rpKnn(qBase, corpus, "vec_id",
+      "embedding", 64, 32, "rpknn", 3, refine = 16))
+    assert(approx == exact, s"exact $exact\napprox $approx")
+    // every query's exact top-3 are its three planted copies — the
+    // structure that makes the recall claim meaningful, not fixture luck
+    exact.foreach { case (q, _, c) =>
+      assert(c % 100000L == q && c >= 100000L, s"($q, $c)")
+    }
+    // and the certificate over the gate config reads true
+    val cert = Similarity.recallCertificate(
+      Similarity.bruteForceKnn(qBase, corpus, "vec_id", "embedding", 3),
+      Similarity.rpKnn(qBase, corpus, "vec_id", "embedding", 64, 32,
+        "rpknn", 3, refine = 16), 0.9)
+      .collect().head.getBoolean(0)
+    assert(cert)
+  }
+
   test("brute-force knn matches a driver-side reference") {
     val vecs = emb.select(col("vec_id"),
         col("embedding").cast("array<double>"))
