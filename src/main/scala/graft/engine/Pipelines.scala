@@ -252,10 +252,22 @@ object Pipelines {
             "types route values through doubles)")
         val streamFn =
           if (fn == "avg" && avgCompat.contains("int")) "avgInt" else fn
+        // paneAligned=true (divergence #6 compat): unkeyed BATCH
+        // timeSliding reports the pane-aligned [end-size, end) value —
+        // the reference's block ring, what keyed batch and both
+        // streaming paths already report — instead of the default
+        // event-anchored trailing range. A no-op on the (already
+        // pane-aligned) streaming path, so one pipeline definition
+        // compiles to agreeing batch and streaming emissions.
+        val paneAligned = st.settings.get("paneAligned").exists(_.toBoolean)
+        require(!paneAligned || windowType == "timeSliding",
+          "paneAligned applies only to timeSliding windows " +
+            "(every other window type has a single alignment)")
         val agged =
           if (streaming) streamingAggregate(v, streamFn, windowType, size,
             resolution, watermark)
-          else batchAggregate(v, fn, windowType, size, resolution, avgCompat)
+          else batchAggregate(v, fn, windowType, size, resolution, avgCompat,
+            paneAligned)
         gate(agged, pooe(st))
     }
   }
@@ -362,7 +374,8 @@ object Pipelines {
     * event's scope columns. */
   private def batchAggregate(df: DataFrame, fn: String, windowType: String,
                              size: Int, resolution: Int,
-                             avgCompat: Option[String] = None): DataFrame = {
+                             avgCompat: Option[String] = None,
+                             paneAligned: Boolean = false): DataFrame = {
     require(avgCompat.forall(c => c == "int" || c == "maxSamples"),
       s"unknown avgCompat setting: ${avgCompat.orNull} (expected int|maxSamples)")
     // opt-in reference quirk (settings avgCompat=int): avg over an int
@@ -419,15 +432,39 @@ object Pipelines {
           .withColumn("report",
             row_number().over(paneFrame.orderBy(col("__seq").desc)) === 1)
       case "timeSliding" =>
-        // trailing size-ms range frame; emission on the last event of each
-        // resolution-ms pane once a full window has elapsed for the key
+        // emission on the last event of each resolution-ms pane once a
+        // full window has elapsed for the key (same set either way);
+        // the VALUE is the event-anchored trailing size-ms range by
+        // default, or — paneAligned (divergence #6 compat) — the
+        // pane-aligned [paneEnd-size, paneEnd) block-ring value:
+        // a range frame over PANE IDS, where every row of a pane is a
+        // range peer, so the frame is exactly the trailing
+        // size/resolution panes regardless of where the anchor event
+        // sits inside its pane
         val ms = unix_millis(col("__ts"))
-        val byKeyRange = Window.partitionBy(col("__group")).orderBy(ms)
-          .rangeBetween(-(size - 1), Window.currentRow)
         val pane = (floor(ms / resolution) * resolution).cast("bigint")
         val paneFrame = Window.partitionBy(col("__group"), col("__pane"))
-        df.withColumn("__pane", pane)
-          .withColumn("result", windowAgg(effFn, col("__agg_value"), col("__seq"), byKeyRange))
+        val withPane = df.withColumn("__pane", pane)
+        val result =
+          if (paneAligned) {
+            val paneRange = Window.partitionBy(col("__group"))
+              .orderBy(col("__pane"))
+              .rangeBetween(-(size - resolution).toLong, Window.currentRow)
+            effFn match {
+              // in-pane range peers make frame order arbitrary, so sort
+              // the collected (seq, value) pairs instead of trusting it
+              case "accumulate" =>
+                transform(array_sort(collect_list(struct(
+                    col("__seq").as("o"), col("__agg_value").as("v")))
+                  .over(paneRange)), e => e.getField("v"))
+              case f => windowAgg(f, col("__agg_value"), col("__seq"),
+                paneRange)
+            }
+          } else windowAgg(effFn, col("__agg_value"), col("__seq"),
+            Window.partitionBy(col("__group")).orderBy(ms)
+              .rangeBetween(-(size - 1), Window.currentRow))
+        withPane
+          .withColumn("result", result)
           .withColumn("__warm",
             unix_millis(col("__ts")) - min(unix_millis(col("__ts")))
               .over(Window.partitionBy(col("__group"))) >= size)

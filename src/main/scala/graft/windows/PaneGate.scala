@@ -25,10 +25,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * Result: the streaming emission set equals the batch emission set
   * row-for-row (StreamingWindowsSpec pins this on the reference's
   * windows_test.go:153-184 vector). Emitted VALUES are pane-aligned
-  * ([end-size, end), exactly the reference's block ring), while batch
-  * values are event-anchored trailing ranges — identical when events
-  * align with pane boundaries, and each is the faithful reading of the
-  * reference for its execution model.
+  * ([end-size, end), exactly the reference's block ring); unkeyed
+  * batch values default to event-anchored trailing ranges — identical
+  * when events align with pane boundaries — and agree with this path
+  * exactly under the batch `paneAligned=true` stage setting (the
+  * divergence-#6 compat flag, same spec vector).
   *
   * State: ONE long per group (the group's first event timestamp), never
   * evicted (reference parity, state.go:67-89). Windows close in end-time

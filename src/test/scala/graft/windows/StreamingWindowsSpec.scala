@@ -331,6 +331,24 @@ class StreamingWindowsSpec extends SparkSpec {
       // tick; batch reports the event-anchored trailing range, 54)
       assert(streamRows.head == (40L, 45.0), s"got ${streamRows.head}")
       assert(batchOut.contains(54.0), s"got $batchOut")
+
+      // divergence #6 CLOSED behind the compat flag: the same pipeline
+      // with paneAligned=true makes the unkeyed batch VALUES pane-
+      // aligned too, so batch == streaming row-for-row on the vector
+      val pAligned = graft.engine.Dsl.parsePipeline("p",
+        """{
+          |"metadata": {"input": [{"name":"v","type":"double"}]},
+          |"stages": [{"ref":"#aggregate",
+          |            "settings":{"function":"sum","windowType":"timeSliding",
+          |                        "windowSize":"30","resolution":"10",
+          |                        "paneAligned":"true"},
+          |            "input":{"value":"=$.v"}}]
+          |}""".stripMargin)
+      val alignedOut = graft.engine.Pipelines.compileBatch(pAligned, batchIn)
+        .select("result").collect().map(_.getDouble(0)).sorted.toSeq
+      assert(alignedOut == streamRows.map(_._2).sorted.toSeq,
+        s"paneAligned batch $alignedOut != stream ${streamRows.toSeq}")
+      assert(alignedOut.contains(45.0), s"got $alignedOut")
     } finally {
       q.stop()
       s.conf.unset("spark.sql.streaming.stateStore.providerClass")
