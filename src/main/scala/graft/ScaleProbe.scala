@@ -259,6 +259,61 @@ object ScaleProbe {
     }
   }
 
+  /** TTL'd rate-cap state probe — the SCALE.md claim "rateCapTtl state
+    * is ∝ keys active within one ttl horizon, not all keys ever seen"
+    * as a measured number: same replay as [[rateCapStateProbe]] but
+    * through [[graft.streaming.StreamingCaps.rateCapTtl]] (event-time
+    * eviction at last-event + ttl). With ttl = 12 event-time hours over
+    * the ~1-month fixture (~67 events/key → mean last-event gap ~11 h),
+    * a key whose last event precedes the final watermark by more than
+    * 12 h is evicted — expected: state_rows a strict fraction of
+    * distinct_keys (~2/3 at sf0.01), and the ratio ~flat across decades
+    * because scaling replicates KEYS with the same temporal profile
+    * (replicateEvents shifts user_id per replica). */
+  private def rateCapTtlStateProbe(spark: SparkSession,
+                                   events: DataFrame): String = {
+    val nChunks = 6
+    val ttlMs = 12L * 3600L * 1000L
+    val src = events.select(col("user_id").cast("long").as("k"),
+      col("ts"), col("event_id").cast("long").as("id"))
+    val distinctKeys = src.select(col("k")).distinct().count()
+    val replay = new graft.streaming.ChunkedReplay(
+      src, Seq(col("k"), col("ts"), col("id")),
+      graft.streaming.ReplayChunks.byTime(src, "ts", nChunks), nChunks)
+    val stream = spark.readStream.schema(replay.schema)
+      .parquet(replay.streamDir.toString)
+      .withWatermark("ts", "0 seconds")
+    import spark.implicits._
+    val q = graft.streaming.StreamingCaps
+      .rateCapTtl(stream.as[graft.streaming.StreamingCaps.CapEventTs],
+        8, ttlMs)(spark)
+      .toDF()
+      .writeStream.format("noop")
+      .option("checkpointLocation", replay.root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      replay.run(() => q.processAllAvailable())
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      // evictions land in the trailing NO-DATA batch (that is where the
+      // watermark advance fires the timeouts), so the state row count
+      // must come from the LAST progress of any kind, not the last
+      // data-bearing one
+      val (stateRows, stateMem) =
+        q.recentProgress.lastOption.flatMap(_.stateOperators.headOption)
+          match {
+          case Some(st) => (st.numRowsTotal, st.memoryUsedBytes)
+          case None => (0L, 0L)
+        }
+      s""""rate_cap_ttl_state":{"input_rows":${progs.map(_.numInputRows).sum},""" +
+        s""""distinct_keys":$distinctKeys,""" +
+        s""""state_rows":$stateRows,""" +
+        s""""state_mem_bytes":$stateMem}"""
+    } finally {
+      q.stop()
+      replay.cleanup()
+    }
+  }
+
   /** Compaction-decade probe: the SCALE.md claim "a many-times-extended
     * index accretes small files per bucket/cell until open/seek cost
     * dominates the probe, and blue/green compaction restores it" as a
@@ -868,6 +923,14 @@ object ScaleProbe {
             f"[probe] scale=$k rate_cap_state ${(System.nanoTime() - t0) / 1e9}%7.2fs")
           "," + j
         } else ""
+      val rateCapTtlJson =
+        if (wanted("rate_cap_ttl_state")) {
+          val t0 = System.nanoTime()
+          val j = rateCapTtlStateProbe(spark, events)
+          System.err.println(
+            f"[probe] scale=$k rate_cap_ttl_state ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+          "," + j
+        } else ""
       val sessionsJson =
         if (wanted("streaming_sessions")) {
           val t0 = System.nanoTime()
@@ -908,7 +971,7 @@ object ScaleProbe {
       }
       if (ivfPqIdx != null) Similarity.dropIvfPqIndex(spark, ivfPqIdx)
       if (chunkIdx != null) operators.Chunking.dropChunkIndex(spark, chunkIdx)
-      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$sessionsJson$compactionJson}""")
+      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$rateCapTtlJson$sessionsJson$compactionJson}""")
     }
     spark.stop()
   }

@@ -37,6 +37,13 @@ object StreamingCaps {
   /** Per-key state: events kept so far + the (ts, id) high-water mark. */
   case class CapState(kept: Long, lastTs: Long, lastId: Long)
 
+  /** [[rateCapTtl]]'s input row: same as [[CapEvent]] but carrying the
+    * REAL timestamp column — Spark's event-time timeout requires the
+    * watermark-tagged attribute to reach the stateful operator, so the
+    * caller watermarks `ts` and the operator derives the µs value
+    * itself. */
+  case class CapEventTs(k: Option[Long], ts: java.sql.Timestamp, id: Long)
+
   private def after(e: CapEvent, st: CapState): Boolean =
     e.tsUs > st.lastTs || (e.tsUs == st.lastTs && e.id > st.lastId)
 
@@ -56,8 +63,8 @@ object StreamingCaps {
   }
 
   /** Streaming first-k-per-key filter (append mode, NoTimeout — the
-    * counter is 3 longs per key; add a TTL at the call site if keys
-    * churn unboundedly and a per-epoch cap is acceptable). */
+    * counter is 3 longs per key; use [[rateCapTtl]] if keys churn
+    * unboundedly and a per-epoch cap is acceptable). */
   def rateCap(ds: Dataset[CapEvent], k: Int)
              (implicit spark: SparkSession): Dataset[CapEvent] = {
     require(k > 0, s"cap must be positive, got $k")
@@ -71,6 +78,65 @@ object StreamingCaps {
           val (st, out) = capFold(rows.toSeq, st0, k)
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** [[rateCap]] with EVENT-TIME TTL — the bounded-state form for
+    * unbounded key churn (the r14 verdict's call-site gap, now an
+    * operator): a key idle for `ttlMs` of event time is EVICTED from
+    * the state store once the watermark passes its last event + ttl,
+    * and its next event starts a FRESH EPOCH (the first k of the new
+    * epoch are admitted again, and the high-water out-of-order
+    * discipline restarts with it).
+    *
+    * Event-time timeout, not processing-time TTL, deliberately: an
+    * at-ingest cap's "epoch" is a property of the DATA (a crawler that
+    * goes quiet for a day is a new episode no matter how fast the
+    * backlog replays), it is deterministic under any replay — same
+    * chunks, same evictions, same kept set — and reprocessing yields
+    * identical results, the same argument as event-time windows.
+    * The caller must `withWatermark` the `ts` column (Spark enforces
+    * this for EventTimeTimeout); state is evicted only when the
+    * watermark passes last-event + ttl, so eviction is as conservative
+    * as the lateness bound.
+    *
+    * State per LIVE key: the same 3 longs plus the timeout timestamp —
+    * total state is now ∝ keys active within one ttl horizon, not all
+    * keys ever seen. Output rows are [[CapEvent]]s, as from
+    * [[rateCap]]. */
+  def rateCapTtl(ds: Dataset[CapEventTs], k: Int, ttlMs: Long)
+                (implicit spark: SparkSession): Dataset[CapEvent] = {
+    require(k > 0, s"cap must be positive, got $k")
+    require(ttlMs > 0, s"ttl must be positive, got $ttlMs")
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState[CapState, CapEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[CapState]) =>
+          if (state.hasTimedOut) {
+            // idle past the ttl horizon: drop the counter; the key's
+            // next arrival (a later batch by definition — timed-out
+            // keys have no rows this batch) sees fresh state
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = state.getOption
+              .getOrElse(CapState(0L, Long.MinValue, Long.MinValue))
+            val (st, out) = capFold(
+              rows.map(e => CapEvent(e.k, us(e.ts), e.id)).toSeq, st0, k)
+            state.update(st)
+            // re-arm: evict once the watermark passes the key's newest
+            // event + ttl (clamped above the current watermark — Spark
+            // rejects timeouts at/behind it)
+            val lastMs =
+              if (st.lastTs == Long.MinValue) state.getCurrentWatermarkMs()
+              else Math.floorDiv(st.lastTs, 1000L)
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
       }
   }
 

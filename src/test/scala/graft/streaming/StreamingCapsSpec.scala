@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import StreamingCaps.{CapEvent, CapState}
 
@@ -53,5 +54,60 @@ class StreamingCapsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect)
     assert(got.count(_._1 == -1L) == 4) // the null group is capped too
+  }
+
+  test("rateCapTtl: idle keys evict at watermark past last-event + ttl " +
+      "and re-admit a fresh epoch; active keys stay capped") {
+    implicit val ss: SparkSession = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    def run(ttl: Option[Long]): Set[Long] = {
+      val input = MemoryStream[(Long, Long, Long)] // (key, ms, id)
+      val wm = input.toDF()
+        .select(col("_1").as("k"), timestamp_millis(col("_2")).as("ts"),
+          col("_3").as("id"))
+        .withWatermark("ts", "0 seconds")
+      val capped = ttl match {
+        case Some(ms) => StreamingCaps.rateCapTtl(
+          wm.as[StreamingCaps.CapEventTs], 2, ms)
+        case None => StreamingCaps.rateCap(
+          wm.select(col("k"), unix_micros(col("ts")).as("tsUs"), col("id"))
+            .as[CapEvent], 2)
+      }
+      val name = "ttlcap_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = capped.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: key 1 bursts — cap 2 keeps ids 0, 1, drops 2
+        // (timestamps sit well above epoch 0: Spark's initial watermark
+        // is 0 ms and a ts==watermark row would be filtered as late)
+        input.addData((1L, 100000L, 0L), (1L, 100010L, 1L),
+          (1L, 100020L, 2L))
+        q.processAllAvailable()
+        // batch 2: key 2 appears; the watermark (100020) has NOT
+        // passed key 1's ttl horizon (100020 + 1000) yet
+        input.addData((2L, 105000L, 10L))
+        q.processAllAvailable()
+        // batch 3: watermark is now 105000 > 101020 — key 1 evicts HERE
+        // (no key-1 rows this batch); key 2 keeps its second event
+        input.addData((2L, 106000L, 11L))
+        q.processAllAvailable()
+        // batch 4: key 1 re-arrives — fresh epoch, first 2 admitted
+        // again under ttl; key 2 is past its cap (never idle) → drop
+        input.addData((1L, 107000L, 20L), (1L, 107010L, 21L),
+          (1L, 107020L, 22L), (2L, 107005L, 12L))
+        q.processAllAvailable()
+        spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name); ()
+      }
+    }
+    assert(run(Some(1000L)) == Set(0L, 1L, 10L, 11L, 20L, 21L))
+    // control: without the ttl the evicted epoch never happens — key 1
+    // stays capped forever, exactly the unbounded-churn gap rateCapTtl
+    // closes
+    assert(run(None) == Set(0L, 1L, 10L, 11L))
   }
 }
