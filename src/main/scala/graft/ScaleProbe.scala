@@ -552,6 +552,21 @@ object ScaleProbe {
             s"probe_chunk_idx_$k", path)
         } else null
 
+      // skewed count-window frame: ONE hot key with k * 2M samples
+      // (unique seq = the W1 ordering contract) + a 40-key cold tail.
+      // Built from spark.range so the SOURCE is parallel — the probe
+      // isolates the ranking stage's serialization, not scan skew.
+      val hotKeyFrame = {
+        val hot = spark.range(k * 2000000L).select(
+          lit("hot").as("key"), col("id").as("seq"),
+          (col("id") % 19).cast("double").as("value"))
+        val cold = spark.range(40L * 1000).select(
+          concat(lit("cold"), (col("id") % 40)).as("key"),
+          (col("id") / 40).as("seq"),
+          (col("id") % 13).cast("double").as("value"))
+        hot.unionAll(cold)
+      }
+
       val queries: Seq[(String, () => Long)] = Seq(
         "dedup_exact" -> (() =>
           Dedup.exactGroups(docs, "doc_id", "text").count()),
@@ -665,6 +680,21 @@ object ScaleProbe {
           operators.Subword.bpeEncodeLarge(docs, "doc_id", "text",
             Seq(("e", "r"), ("i", "n"), ("o", "w"), ("t", "h"),
               ("th", "e"), ("er", "s"), ("a", "n"), ("an", "d"))).count()),
+        // the documented W1/W2 hot-key boundary, priced: ONE mega-hot
+        // key whose sample count grows k-fold. The plain path ranks the
+        // whole key in a single task (wall must grow ~linearly with k
+        // and CANNOT parallelize); the salted path range-buckets the
+        // key's ordered stream, ranks buckets in parallel and restitches
+        // exact ranks (TumblingSaltedSpec pins equality), so its wall
+        // must stay well under plain's as k grows — the measured basis
+        // for SCALE.md's "salt at the source when the stream is
+        // parallelizable" advice
+        "count_window_hot_plain" -> (() =>
+          windows.CountWindows.tumblingBatch(
+            hotKeyFrame, "key", "seq", "value", 16, "sum").count()),
+        "count_window_hot_salted" -> (() =>
+          windows.CountWindows.tumblingBatchSalted(
+            hotKeyFrame, "key", "seq", "value", 16, "sum").count()),
         // k-bounded per-task heap + k-sized driver merge: wall must
         // track the scan, never a sort
         "weighted_sample" -> (() =>

@@ -29,9 +29,8 @@ object SparkEntry {
 
   // 31^j mod 2^20 for j < 16 — the CDC gear-polynomial constants shared
   // by the q_cdc_* oracles (Chunking.cdcChunks inlines the same values)
-  private val cdcPowsSql: String =
-    Iterator.iterate(1L)(x => x * 31 % (1L << 20)).take(16)
-      .mkString("[", ", ", "]")
+  private val cdcPows: Seq[Long] =
+    Iterator.iterate(1L)(x => x * 31 % (1L << 20)).take(16).toSeq
 
   /** DuckDB replay of Subword.trainBpeMerges FOLLOWED BY the apply of
     * the learned rules — the gate compares per-document piece totals
@@ -120,31 +119,62 @@ object SparkEntry {
 
   /** DuckDB replay of Chunking.cdcChunks over `src` (any relation with
     * doc_id + text): yields (doc_id, chunk, start, len, chunk_hash).
-    * One definition for every q_cdc_* / q_chunk_* oracle. */
-  private def cdcChunksSql(src: String): String =
+    * One definition for every q_cdc_* / q_chunk_* oracle.
+    *
+    * LINEAR row form (the zip-unnest discipline every heavy replay
+    * follows): one row per character, the gear polynomial as sixteen
+    * `lag` terms in ONE window pass, boundary flags folded to chunk ids
+    * by a running sum, chunk text rebuilt by ordered `string_agg`. The
+    * per-position list-comprehension + per-chunk `substr(text, start)`
+    * form it replaces was O(n·w) interpreted lambda steps plus an
+    * O(n²/divisor) head re-scan per document — 28 s at the 300 k-char
+    * sweep and unusable at the 10 MB one; this form is ~0.6 s and
+    * ~12 s respectively, and the per-gate budget stays under a minute.
+    * Empty (non-null) text has no char rows, so its single empty chunk
+    * comes from the UNION'd n = 0 branch. */
+  private def cdcChunksSql(src: String): String = {
+    val lagSum = cdcPows.zipWithIndex.map { case (p, j) =>
+      if (j == 0) s"code * $p"
+      else s"coalesce(lag(code, $j) OVER w, 0) * $p"
+    }.mkString(" + ")
     s"""(WITH __c AS (
-       |  SELECT doc_id, text, length(text) AS n,
-       |         [unicode(ch)::BIGINT for ch in string_split(text, '')]
-       |           AS codes
+       |  SELECT doc_id, length(text) AS n, string_split(text, '') AS chs
        |  FROM $src WHERE text IS NOT NULL),
-       |__b AS (
-       |  SELECT doc_id, text, n,
-       |         CASE WHEN n <= 16 THEN []
-       |              ELSE list_filter(range(16, n), i ->
-       |                list_sum([codes[i - j] * ($cdcPowsSql)[j + 1]
-       |                          for j in range(0, 16)])
-       |                % 1048576 % 64 = 13) END AS bnd
+       |__p AS (
+       |  SELECT doc_id, n, unnest(range(1, n + 1)) AS p, unnest(chs) AS ch
        |  FROM __c),
-       |__s AS (
-       |  SELECT doc_id, text, n,
-       |         list_prepend(1, [x + 1 for x in bnd]) AS starts,
-       |         list_append(bnd, n) AS ends
-       |  FROM __b)
-       |SELECT doc_id, u.i - 1 AS chunk, starts[u.i]::BIGINT AS start,
-       |       (ends[u.i] - starts[u.i] + 1)::BIGINT AS len,
-       |       md5(substr(text, starts[u.i], ends[u.i] - starts[u.i] + 1))
-       |         AS chunk_hash
-       |FROM __s, unnest(range(1, len(starts) + 1)) AS u(i))""".stripMargin
+       |__h AS (
+       |  SELECT doc_id, p, ch,
+       |         CASE WHEN p >= 16 AND p < n
+       |              THEN ($lagSum) % 1048576 % 64 = 13
+       |              ELSE false END AS is_bnd
+       |  FROM (SELECT doc_id, n, p, ch, unicode(ch)::BIGINT AS code
+       |        FROM __p)
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |__a AS (
+       |  SELECT doc_id, p, ch,
+       |         coalesce(sum(CASE WHEN is_bnd THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND 1 PRECEDING), 0) AS chunk
+       |  FROM __h)
+       |SELECT doc_id, chunk::BIGINT AS chunk, min(p)::BIGINT AS start,
+       |       count(*)::BIGINT AS len,
+       |       md5(string_agg(ch, '' ORDER BY p)) AS chunk_hash
+       |FROM __a GROUP BY doc_id, chunk
+       |UNION ALL
+       |SELECT doc_id, 0::BIGINT, 1::BIGINT, 0::BIGINT, md5('')
+       |FROM __c WHERE n = 0)""".stripMargin
+  }
+  /** The corpus/delta/snapshot replays chunk row-SUBSETS of
+    * `documents` (chunking is per-document, so a subset's chunks are a
+    * subset of the whole table's chunks): chunk the whole table ONCE
+    * as a MATERIALIZED CTE and derive each side by id filter/shift.
+    * Explicit MATERIALIZED because DuckDB 1.0 inlines CTEs — two
+    * references would run the full char-level pass twice. */
+  private val allChunksCte =
+    s"allch AS MATERIALIZED (SELECT * FROM ${cdcChunksSql("documents")})"
+
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
   // one persisted dedup / IVF index per (session, sf-dir) — see
@@ -2417,7 +2447,7 @@ object SparkEntry {
     * slice form produced an empty/NULL list) — every consumer joins `d`
     * through candidate pairs, which such documents cannot enter. */
   private val shingleCte =
-    s"""d AS (
+    s"""d AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(list(sh ORDER BY p)) AS sh
       |  FROM ${ngramRowsSql("""(SELECT doc_id,
       |               list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
@@ -2429,7 +2459,7 @@ object SparkEntry {
       |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
       |         FROM inv a JOIN rare USING (s) JOIN inv b USING (s)
       |         WHERE a.doc_id < b.doc_id),
-      |jac AS (SELECT d1, d2,
+      |jac AS MATERIALIZED (SELECT d1, d2,
       |               len(list_intersect(x.sh, y.sh))::DOUBLE /
       |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) j
       |        FROM cand JOIN d x ON x.doc_id = d1 JOIN d y ON y.doc_id = d2)
@@ -3414,11 +3444,14 @@ object SparkEntry {
         |                     x -> x <> '') AS toks
         |  FROM documents
         |), chunks AS (
-        |  SELECT doc_id, g.cidx AS cidx,
-        |         array_to_string(toks[cidx*8+1:cidx*8+8], ' ') AS passage
-        |  FROM base,
-        |       UNNEST(generate_series(0,
-        |         CAST(ceil(len(toks)/8.0) AS BIGINT)-1)) AS g(cidx)
+        |  -- linear zip-unnest form: token p belongs to passage
+        |  -- (p-1)//8; the per-passage list slice re-copied the whole
+        |  -- token list per chunk row (quadratic in document length)
+        |  SELECT doc_id, ((p - 1) // 8)::BIGINT AS cidx,
+        |         string_agg(tok, ' ' ORDER BY p) AS passage
+        |  FROM (SELECT doc_id, unnest(toks) AS tok,
+        |               unnest(range(1, len(toks) + 1)) AS p FROM base)
+        |  GROUP BY doc_id, ((p - 1) // 8)
         |), freq AS (
         |  SELECT passage, count(DISTINCT doc_id) AS ndocs,
         |         min(doc_id) AS first_doc
@@ -3482,7 +3515,7 @@ object SparkEntry {
 
     // same CDC replay; duplicated-hash set, per-doc boiler fraction
     "q_boilerplate" ->
-      s"""WITH ch AS (SELECT * FROM ${cdcChunksSql("documents")}),
+      s"""WITH ch AS MATERIALIZED (SELECT * FROM ${cdcChunksSql("documents")}),
          |dup AS (SELECT chunk_hash FROM ch
          |        GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2)
          |SELECT ch.doc_id, count(*) AS n_chunks,
@@ -3505,12 +3538,16 @@ object SparkEntry {
         |  SELECT doc_id + 500000, text, tk FROM t
         |  WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0),
         |bench AS (SELECT * FROM corpus WHERE doc_id % 10 = 7),
+        |$allChunksCte,
         |seen AS (
-        |  SELECT DISTINCT chunk_hash FROM ${cdcChunksSql("corpus")}),
+        |  SELECT DISTINCT chunk_hash FROM allch WHERE doc_id % 4 <> 3),
         |dch AS (
         |  SELECT doc_id, chunk_hash,
         |         min(doc_id) OVER (PARTITION BY chunk_hash) AS first_id
-        |  FROM ${cdcChunksSql("delta")}),
+        |  FROM (SELECT doc_id, chunk_hash FROM allch WHERE doc_id % 4 = 3
+        |        UNION ALL
+        |        SELECT doc_id + 500000, chunk_hash FROM allch
+        |        WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0)),
         |nov AS (
         |  SELECT dch.doc_id,
         |         round(sum(CASE WHEN seen.chunk_hash IS NULL
@@ -3554,17 +3591,15 @@ object SparkEntry {
     // batch replay of the streaming verdicts: per-chunk seen flags are
     // order-independent (stateless query), so the batch SQL is exact
     "q_chunk_novelty_stream" ->
-      s"""WITH corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
-        |delta AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
-        |  UNION ALL
-        |  SELECT doc_id + 500000, text FROM documents
-        |  WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0),
+      s"""WITH $allChunksCte,
         |seen AS (
-        |  SELECT DISTINCT chunk_hash FROM ${cdcChunksSql("corpus")}),
+        |  SELECT DISTINCT chunk_hash FROM allch WHERE doc_id % 4 <> 3),
         |dch AS (SELECT doc_id, chunk, chunk_hash
-        |        FROM ${cdcChunksSql("delta")})
+        |        FROM (SELECT doc_id, chunk, chunk_hash FROM allch
+        |              WHERE doc_id % 4 = 3
+        |              UNION ALL
+        |              SELECT doc_id + 500000, chunk, chunk_hash FROM allch
+        |              WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0))
         |SELECT dch.doc_id AS id, dch.chunk, dch.chunk_hash,
         |       seen.chunk_hash IS NOT NULL AS seen
         |FROM dch LEFT JOIN seen ON dch.chunk_hash = seen.chunk_hash
@@ -3573,20 +3608,21 @@ object SparkEntry {
     // snapshot-diff replay: the same CDC chunks on both sides, multiset
     // min/max arithmetic per (doc, hash)
     "q_chunk_diff" ->
-      s"""WITH olddocs AS (SELECT doc_id, text FROM documents),
-        |newdocs AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 5 = 0
-        |              THEN text || ' APPENDED SNAPSHOT EDIT'
-        |              ELSE text END AS text
-        |  FROM documents WHERE doc_id % 11 <> 3
-        |  UNION ALL
-        |  SELECT doc_id + 600000, text FROM documents
-        |  WHERE doc_id % 13 = 1),
+      s"""WITH $allChunksCte,
+        |edited AS (
+        |  SELECT doc_id, text || ' APPENDED SNAPSHOT EDIT' AS text
+        |  FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 5 = 0),
         |oc AS (SELECT doc_id, chunk_hash, count(*)::BIGINT AS n_old
-        |       FROM ${cdcChunksSql("olddocs")} GROUP BY 1, 2),
+        |       FROM allch GROUP BY 1, 2),
         |nc AS (SELECT doc_id, chunk_hash, count(*)::BIGINT AS n_new
-        |       FROM ${cdcChunksSql("newdocs")} GROUP BY 1, 2),
+        |       FROM (
+        |         SELECT doc_id, chunk_hash FROM allch
+        |         WHERE doc_id % 11 <> 3 AND doc_id % 5 <> 0
+        |         UNION ALL
+        |         SELECT doc_id, chunk_hash FROM ${cdcChunksSql("edited")}
+        |         UNION ALL
+        |         SELECT doc_id + 600000, chunk_hash FROM allch
+        |         WHERE doc_id % 13 = 1) GROUP BY 1, 2),
         |j AS (SELECT coalesce(oc.doc_id, nc.doc_id) AS doc_id,
         |             coalesce(n_old, 0) AS o, coalesce(n_new, 0) AS nn
         |      FROM oc FULL OUTER JOIN nc
@@ -3603,19 +3639,16 @@ object SparkEntry {
     // chunk-novelty replay: corpus chunk hashes = the index; per delta
     // doc, novel = unseen hash AND first delta carrier (min doc_id)
     "q_chunk_novelty" ->
-      s"""WITH corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
-        |delta AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
-        |  UNION ALL
-        |  SELECT doc_id + 500000, text FROM documents
-        |  WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0),
+      s"""WITH $allChunksCte,
         |seen AS (
-        |  SELECT DISTINCT chunk_hash FROM ${cdcChunksSql("corpus")}),
+        |  SELECT DISTINCT chunk_hash FROM allch WHERE doc_id % 4 <> 3),
         |dch AS (
         |  SELECT doc_id, chunk_hash,
         |         min(doc_id) OVER (PARTITION BY chunk_hash) AS first_id
-        |  FROM ${cdcChunksSql("delta")})
+        |  FROM (SELECT doc_id, chunk_hash FROM allch WHERE doc_id % 4 = 3
+        |        UNION ALL
+        |        SELECT doc_id + 500000, chunk_hash FROM allch
+        |        WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0))
         |SELECT dch.doc_id, count(*) AS n_chunks,
         |       sum(CASE WHEN seen.chunk_hash IS NULL
         |                 AND dch.doc_id = dch.first_id
@@ -3781,7 +3814,7 @@ object SparkEntry {
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
          |p AS (SELECT d1, d2 FROM jac WHERE j >= 0.8),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM p
+         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM p
          |          UNION SELECT d2, d1 FROM p),
          |reach(u, v) AS (
          |  SELECT u, v FROM edges
@@ -3821,7 +3854,7 @@ object SparkEntry {
     "q_dedup_best" ->
       s"""WITH RECURSIVE $shingleCte,
          |p AS (SELECT d1, d2 FROM jac WHERE j >= 0.8),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM p
+         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM p
          |          UNION SELECT d2, d1 FROM p),
          |reach(u, v) AS (
          |  SELECT u, v FROM edges
@@ -4585,7 +4618,7 @@ object SparkEntry {
         |        FROM sims)
         |      WHERE rank <= 3
         |        AND round(sim, 4) + 0.0 >= CAST(0.4 AS DOUBLE)),
-        |edges AS (SELECT d1 AS u, d2 AS v FROM g
+        |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM g
         |          UNION SELECT d2, d1 FROM g),
         |reach(u, v) AS (
         |  SELECT u, v FROM edges
@@ -4811,18 +4844,38 @@ object SparkEntry {
 
     // a NULL payload is an EMPTY payload (the byteFeatures contract:
     // zero bytes, md5 of nothing, one empty frame) — coalesce mirrors
-    // it. The payload is the UTF-8 BYTE stream, walked via the hex
-    // encoding (ord(substr(text,..)) reads CODE POINTS — 12288 for an
-    // ideographic space where the payload has bytes 227/128/128)
+    // it. The payload is the UTF-8 BYTE stream (unicode(ch) reads CODE
+    // POINTS — 12288 for an ideographic space where the payload has
+    // bytes 227/128/128 — hence the encoding arithmetic below)
     "q_multimodal_features" ->
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
-        |                  hex(encode(coalesce(text, ''))) AS h,
         |                  octet_length(encode(coalesce(text, ''))) AS n
         |           FROM documents),
-        |ch AS (SELECT doc_id, ('0x' || substr(h, 2*i - 1, 2))::INT AS o
-        |       FROM d, unnest(range(1, n + 1)) AS t(i)),
-        |m AS (SELECT doc_id, sum(o)::DOUBLE / count(*)::DOUBLE AS mean_byte
-        |      FROM ch GROUP BY doc_id)
+        |-- linear codepoint rows: a codepoint's UTF-8 byte SUM and byte
+        |-- COUNT are pure integer functions of its value (RFC 3629
+        |-- prefix arithmetic), so the byte mean needs no hex expansion
+        |-- at all — the per-byte substr(h, 2i-1) form re-scanned the
+        |-- hex string head per byte (quadratic in document bytes)
+        |-- ZIPPED unnest (chars + positions): DuckDB's lone unnest of a
+        |-- multi-million-char list re-slices per batch (measured 65 s
+        |-- at the 10 MB sweep); the zipped form is linear (~1 s)
+        |cp AS (SELECT doc_id, unicode(ch)::BIGINT AS c
+        |       FROM (SELECT doc_id,
+        |                    unnest(range(1, length(text) + 1)) AS p,
+        |                    unnest(string_split(text, '')) AS ch
+        |             FROM d WHERE n > 0)),
+        |m AS (SELECT doc_id,
+        |        sum(CASE
+        |          WHEN c < 128 THEN c
+        |          WHEN c < 2048 THEN 320 + c // 64 + c % 64
+        |          WHEN c < 65536
+        |            THEN 480 + c // 4096 + (c // 64) % 64 + c % 64
+        |          ELSE 624 + c // 262144 + (c // 4096) % 64
+        |               + (c // 64) % 64 + c % 64 END)::DOUBLE /
+        |        sum(CASE WHEN c < 128 THEN 1 WHEN c < 2048 THEN 2
+        |                 WHEN c < 65536 THEN 3 ELSE 4 END)::DOUBLE
+        |          AS mean_byte
+        |      FROM cp GROUP BY doc_id)
         |SELECT d.doc_id AS id, d.n::BIGINT AS n_bytes,
         |       md5(d.text) AS content_hash,
         |       coalesce(m.mean_byte, 0.0) AS mean_byte,

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -113,6 +113,105 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Cut `s` into chunk substrings at the 1-based codepoint positions
+    * in `bnd` (the [[cdcBoundaries]] output: chunk i ends AT position
+    * bnd(i), the final chunk runs to the end; empty text is one empty
+    * chunk). One linear codepoint walk for the WHOLE document — the
+    * per-chunk `substr(text, start, len)` form this replaces re-scans
+    * from the string head to find each chunk's byte offset (UTF8String
+    * counts codepoints from 0 on every call), which is O(n²/divisor)
+    * per document: invisible on the ~550-char fixture docs, a stall on
+    * the 10 MB long-document sweep. */
+  def cdcSlices(s: UTF8String, bnd: ArrayData): ArrayData = {
+    if (s == null || bnd == null) return null
+    val str = s.toString
+    val k = bnd.numElements()
+    val out = new Array[Any](k + 1)
+    var chunk = 0
+    var charStart = 0 // UTF-16 offset of the current chunk's start
+    var cp = 0        // codepoints consumed so far
+    var off = 0       // UTF-16 cursor
+    while (chunk < k) {
+      val cut = bnd.getInt(chunk)
+      while (cp < cut) {
+        off += Character.charCount(str.codePointAt(off))
+        cp += 1
+      }
+      out(chunk) = UTF8String.fromString(str.substring(charStart, off))
+      charStart = off
+      chunk += 1
+    }
+    out(k) = UTF8String.fromString(str.substring(charStart))
+    new GenericArrayData(out)
+  }
+
+  /** Distinct character n-gram shingles in first-occurrence order over
+    * the canonical normalization (lower, collapse \\s+ to one space,
+    * trim) — one compiled pass. Backs TextFunctions.charShingles: the
+    * composed `transform(sequence, i -> s.substr(i+1, n))` form paid
+    * an O(i) head re-scan per position (UTF8String counts codepoints
+    * from 0 on every substr) — quadratic in document length. Windows
+    * are CODEPOINT-based, matching the composed form's substr/length
+    * semantics. Fewer than n codepoints -> empty array. */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return null
+    val base = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    val cps = base.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= cps.length) {
+      seen.add(new String(cps, i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator
+    var j = 0
+    while (it.hasNext) {
+      out(j) = UTF8String.fromString(it.next())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fixed-size token spans (window `size`, step `stride`; last span
+    * ragged; size == stride gives disjoint passages) joined by single
+    * spaces — ONE compiled tokenize pass per document. Backs
+    * Dedup.passageDedup and Chunking.tokenWindows: their composed form
+    * (`transform(sequence, i -> array_join(slice(tokens(text), ...)))`)
+    * ran interpreted, and the tokenization landed INSIDE the per-span
+    * lambda (the CollapseProject trap CdcBoundaries documents), so the
+    * full split+filter re-ran for every span — O(n²/stride) per
+    * document, a stall on 10 MB documents. Tokenization matches
+    * [[wordShingles]] / TextFunctions.tokens: lowercase, split \\s+,
+    * drop empties; n == 0 (null-safe) yields an empty array. */
+  def tokenSpans(s: UTF8String, size: Int, stride: Int): ArrayData = {
+    if (s == null) return null
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val nw = (math.max(n - size, 0) + stride - 1) / stride + 1
+    val out = new Array[Any](nw)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w < nw) {
+      sb.setLength(0)
+      val st = w * stride
+      val en = math.min(st + size, n)
+      var i = st
+      while (i < en) {
+        if (i > st) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Non-distinct variant: every n-gram occurrence in position order
     * (backs [[WordNgramsAll]]); same tokenization as [[wordShingles]]. */
   def wordNgramsAll(s: UTF8String, n: Int): ArrayData = {
@@ -192,6 +291,58 @@ case class CdcBoundaries(child: Expression, window: Int, prime: Int,
 
   override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
     copy(child = newChild)
+}
+
+/** Codegen'd char-shingle extraction — see [[TextKernels.charShingles]]. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.charShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+/** Codegen'd token-span extraction — see [[TextKernels.tokenSpans]]. */
+case class TokenSpans(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_spans"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenSpans(input.asInstanceOf[UTF8String], size, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.tokenSpans($c, $size, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSpans =
+    copy(child = newChild)
+}
+
+/** Codegen'd boundary-array slicing — see [[TextKernels.cdcSlices]]. */
+case class CdcSlices(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_slices"
+
+  override protected def nullSafeEval(text: Any, bnd: Any): Any =
+    TextKernels.cdcSlices(text.asInstanceOf[UTF8String],
+      bnd.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, b) =>
+      s"${ev.value} = graft.expressions.TextKernels.cdcSlices($t, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcSlices =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Non-distinct n-gram OCCURRENCE kernel backing
@@ -863,6 +1014,16 @@ object TextExprs {
                     divisor: Int, residue: Int): Column =
     ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(text),
       window, prime, modBits, divisor, residue))
+
+  def charShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(text), n))
+
+  def tokenSpans(text: Column, size: Int, stride: Int): Column =
+    ColumnBridge.column(TokenSpans(ColumnBridge.expression(text), size, stride))
+
+  def cdcSlices(text: Column, boundaries: Column): Column =
+    ColumnBridge.column(CdcSlices(ColumnBridge.expression(text),
+      ColumnBridge.expression(boundaries)))
 
   def normalizeText(text: Column, nfkc: Boolean = false,
                     casefold: Boolean = true,

@@ -202,14 +202,14 @@ object TextFunctions {
     graft.expressions.TextExprs.normalizeText(text, nfkc, casefold,
       collapseWs)
 
-  /** Character n-gram shingles over the normalized text, distinct. */
-  def charShingles(text: Column, n: Int): Column = {
-    val s = normalized(text)
-    when(length(s) >= n,
-      array_distinct(transform(sequence(lit(0), length(s) - n),
-        i => s.substr(i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Character n-gram shingles over the normalized text, distinct
+    * (first-occurrence order); single-pass codegen kernel — see
+    * graft.expressions.TextKernels.charShingles for why the composed
+    * substr form was quadratic. NULL text keeps the composed form's
+    * empty-array contract (the `when` fell through to `otherwise`). */
+  def charShingles(text: Column, n: Int): Column =
+    coalesce(graft.expressions.TextExprs.charShingles(text, n),
+      array().cast("array<string>"))
 
   /** Canonical normalization: lower-case, collapse whitespace, trim. */
   def normalized(text: Column): Column =

@@ -87,25 +87,34 @@ object Chunking {
     // O(n²·w) per document, measured as a multi-minute stall at sf0.1.
     // The remaining HOFs below only walk the ~(n/divisor)-sized
     // boundary array.
+    // Chunk TEXT comes from one linear slice pass over the whole
+    // document (TextKernels.cdcSlices) — the per-chunk
+    // substr(__text, start, len) form re-scanned from the string head
+    // to locate each chunk's byte offset (UTF8String counts codepoints
+    // per call), O(n²/divisor) per document: fine on fixture docs, a
+    // stall on the 10 MB long-document sweep. start/len still derive
+    // from the boundary array (HOFs over the ~n/divisor-sized array).
+    // The exploded rows carry ONLY their own chunk's struct — exploding
+    // alongside the full __text (or the boundary/starts arrays) would
+    // copy O(document) bytes into every chunk row in the generate's
+    // output (Tungsten rows are self-contained), turning the explode
+    // into another O(n²/divisor) pass.
     val carryCols = carry.map(col)
     docs
       .select(col(idCol) +: col(textCol).as("__text") +: carryCols: _*)
-      .withColumn("__n", length(col("__text")))
       .withColumn("__bnd", graft.expressions.TextExprs.cdcBoundaries(
         col("__text"), window, prime, modBits, divisor, residue))
-      .withColumn("__starts",
-        expr("concat(array(1), transform(__bnd, x -> x + 1))"))
-      .withColumn("__ends", expr("concat(__bnd, array(__n))"))
-      .select(col(idCol) +: col("__text") +: col("__starts") +:
-        col("__ends") +: carryCols :+
-        posexplode(col("__starts")).as(Seq("chunk", "__s")): _*)
+      .withColumn("__spans", zip_with(
+        graft.expressions.TextExprs.cdcSlices(col("__text"), col("__bnd")),
+        expr("concat(array(1), transform(__bnd, x -> x + 1))"),
+        (s, st) => struct(st.as("start"), s.as("ctext"))))
+      .select(col(idCol) +: carryCols :+
+        posexplode(col("__spans")).as(Seq("chunk", "__sp")): _*)
       .select(col(idCol) +: col("chunk").cast("long").as("chunk") +:
-        col("__s").cast("long").as("start") +:
-        (element_at(col("__ends"), col("chunk") + 1) - col("__s") + 1)
-          .cast("long").as("len") +:
-        md5(col("__text").substr(col("__s"),
-            element_at(col("__ends"), col("chunk") + 1) - col("__s") + 1)
-          .cast("binary")).as("chunk_hash") +: carryCols: _*)
+        col("__sp.start").cast("long").as("start") +:
+        length(col("__sp.ctext")).cast("long").as("len") +:
+        md5(col("__sp.ctext").cast("binary")).as("chunk_hash") +:
+        carryCols: _*)
   }
 
   /** Fixed-size OVERLAPPING token windows — the model-context-defined
@@ -131,21 +140,28 @@ object Chunking {
                    stride: Int = 96): DataFrame = {
     require(size >= 1 && stride >= 1 && stride <= size,
       s"need 1 <= stride <= size, got size=$size stride=$stride")
+    // ONE compiled tokenize+window pass per document
+    // (TextKernels.tokenSpans) and an explode that carries only the
+    // token COUNT (an int) beside each span. The prior form both (a)
+    // let CollapseProject fold the tokenization into a per-window
+    // lambda (full re-split per window) and (b) exploded window ids
+    // alongside the full token array (each self-contained Tungsten
+    // output row copied all n tokens) — two independent
+    // O(n²/stride)-per-document passes, each a stall at the 10 MB
+    // long-document sweep.
     docs
       .select(col(idCol),
-        graft.functions.TextFunctions.tokens(col(textCol)).as("__tk"))
-      .withColumn("__n", org.apache.spark.sql.functions.size(col("__tk")))
+        graft.expressions.TextExprs.tokenSpans(col(textCol), size, stride)
+          .as("__spans"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("__n"))
       .where(col("__n") > 0)
-      .withColumn("win", explode(sequence(lit(0L),
-        ceil(greatest(col("__n") - size, lit(0)).cast("double") / stride)
-          .cast("long"))))
-      .select(col(idCol), col("win"),
-        (col("win") * stride).as("start_tok"),
-        least(lit(size), col("__n") - col("win") * stride)
+      .select(col(idCol), col("__n"),
+        posexplode(col("__spans")).as(Seq("win", "__span")))
+      .select(col(idCol), col("win").cast("long").as("win"),
+        (col("win").cast("long") * stride).as("start_tok"),
+        least(lit(size.toLong), col("__n") - col("win") * stride)
           .cast("long").as("n_tok"),
-        md5(array_join(slice(col("__tk"),
-            (col("win") * stride + 1).cast("int"), lit(size)), " ")
-          .cast("binary")).as("span_hash"))
+        md5(col("__span").cast("binary")).as("span_hash"))
   }
 
   /** Chunk-level exact duplication: chunks whose content recurs across

@@ -1182,18 +1182,19 @@ object Dedup {
                    width: Int = 8, minDocs: Int = 2): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = docs.select(col(id).cast("long").as("doc_id"),
-      TextFunctions.tokens(col(text)).as("toks"))
-    // consecutive fixed-width passages; ceil(n/width) chunks, last ragged
-    val withP = base.select(col("doc_id"),
-      when(size(col("toks")) > 0,
-        transform(
-          sequence(lit(0),
-            floor((size(col("toks")) + lit(width - 1)) / lit(width))
-              .cast("int") - 1),
-          i => array_join(slice(col("toks"), i * lit(width) + 1,
-            lit(width)), " ")))
-        .otherwise(array().cast("array<string>")).as("passages"))
+    // consecutive fixed-width passages; ceil(n/width) chunks, last
+    // ragged — ONE compiled tokenize+group pass per document
+    // (TextKernels.tokenSpans). The composed transform/slice form this
+    // replaces got its tokenization collapsed INTO the per-passage
+    // lambda, re-splitting the whole document per passage:
+    // O(n²/width), a measured stall on the 10 MB long-document sweep.
+    // (coalesce: a NULL document keeps the empty-passages contract the
+    // composed `otherwise(array())` branch provided — n_chunks 0, not
+    // NULL)
+    val withP = docs.select(col(id).cast("long").as("doc_id"),
+      coalesce(
+        graft.expressions.TextExprs.tokenSpans(col(text), width, width),
+        array().cast("array<string>")).as("passages"))
     // hash-only chunk stream: text dropped BEFORE any exchange
     val chunks = withP
       .select(col("doc_id"), posexplode(col("passages")).as(Seq("cidx", "passage")))

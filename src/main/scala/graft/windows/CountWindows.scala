@@ -48,6 +48,87 @@ object CountWindows {
       .drop("n")
   }
 
+  /** Hot-key variant of [[tumblingBatch]]: identical output, but the
+    * per-key ranking — the one serial stage in the plain path — is
+    * computed in PARALLEL by range-salting each key's ordered stream.
+    *
+    * Why: `row_number() over (partition by key order by ord)` sorts and
+    * ranks each key inside ONE task. A mega-hot key (one device
+    * emitting 10^9 samples in a 100 TB day) serializes that task no
+    * matter how many executors exist — SCALE.md's documented count-
+    * window boundary. Ranks, however, are restitchable: split the
+    * key's ord-range into `buckets` contiguous ranges, rank each range
+    * independently (parallel tasks), and add the prefix-sum of earlier
+    * ranges' row counts. The restitched rank is EXACT (ranges are
+    * contiguous and disjoint), so the window assignment — and
+    * therefore every emission — equals the plain path's bit-for-bit,
+    * which TumblingSaltedSpec pins on skewed fixtures for every fn.
+    *
+    * The final groupBy((key, window_id)) de-skews itself: a hot key's
+    * rows spread over n/size distinct window ids, so no single reducer
+    * sees more than `size` rows per window.
+    *
+    * Range bounds come from approximate per-key percentiles of `ord`
+    * (cast to double). Approximation only affects BALANCE, never
+    * correctness: bucket membership is decided by one consistent
+    * comparison, local ranks within a bucket are exact, and offsets
+    * are exact counts. The (key × buckets) offset frame is broadcast —
+    * callers with millions of distinct keys should route only their
+    * hot keys here ([[tumblingBatchAuto]]) and keep the long tail on
+    * the plain path.
+    *
+    * Same contract as [[tumblingBatch]]: `ord` unique per key. */
+  def tumblingBatchSalted(df: DataFrame, key: String, ord: String,
+                          value: String, size: Int, fn: String,
+                          buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.groupBy(col(key))
+      .agg(percentile_approx(col(ord).cast("double"),
+        array(probs.map(lit(_)): _*), lit(10000)).as("__bounds"))
+    val withB = df.join(broadcast(bounds), Seq(key))
+      .withColumn("__b", org.apache.spark.sql.functions.size(
+        filter(col("__bounds"), b => b <= col(ord).cast("double"))))
+    val counts = withB.groupBy(col(key), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val offs = counts.withColumn("__off",
+        sum(col("__c")).over(
+          Window.partitionBy(col(key)).orderBy(col("__b"))) - col("__c"))
+      .drop("__c")
+    withB.join(broadcast(offs), Seq(key, "__b"))
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col(key), col("__b")).orderBy(col(ord))) - 1)
+      .withColumn("__rn", col("__off") + col("__lrn"))
+      .withColumn("__win", (col("__rn") / size).cast("bigint"))
+      .groupBy(col(key), col("__win").as("window_id"))
+      .agg(AggFunctions.scalar(fn, col(value), col(ord)).as("result"),
+           count(lit(1)).as("n"))
+      .where(col("n") === size)
+      .drop("n")
+  }
+
+  /** Routes each key by measured row count: keys at or above
+    * `hotThreshold` rows take the salted parallel-rank path, the long
+    * tail takes the plain single-task-per-key path, and the union is
+    * exactly [[tumblingBatch]]'s output (both branches emit identical
+    * windows for their disjoint key sets). One extra count aggregate
+    * (cheap: map-side combine to one row per key) buys a bounded
+    * broadcast in the salted branch — only hot keys enter it. */
+  def tumblingBatchAuto(df: DataFrame, key: String, ord: String,
+                        value: String, size: Int, fn: String,
+                        hotThreshold: Long = 2000000L,
+                        buckets: Int = 32): DataFrame = {
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1")
+    val hot = df.groupBy(col(key)).agg(count(lit(1)).as("__kc"))
+      .where(col("__kc") >= hotThreshold)
+      .select(col(key), lit(true).as("__hot"))
+    val tagged = df.join(broadcast(hot), Seq(key), "left")
+    val hotPart = tagged.where(col("__hot")).drop("__hot")
+    val coldPart = tagged.where(col("__hot").isNull).drop("__hot")
+    tumblingBatchSalted(hotPart, key, ord, value, size, fn, buckets)
+      .unionAll(tumblingBatch(coldPart, key, ord, value, size, fn))
+  }
+
   /** Sliding count window batch analog. Emission cadence matches the
     * reference exactly (windows.go:252-265): `numSamples` counts samples
     * since the last emission (reset to 0 on emit) and emission requires both

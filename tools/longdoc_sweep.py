@@ -31,11 +31,17 @@ VOCAB = ("the quick brown fox jumps over lazy dog and then runs far "
          "token window chunk dedup quality entropy sample").split()
 
 def long_text(rng, n_chars):
-    words, lines, line = [], [], []
-    total = 0
-    li = 0
+    # bulk-draw word indices (scalar rng calls dominate at 10M chars)
+    avg = sum(len(w) + 1 for w in VOCAB) / len(VOCAB)
+    idx = rng.integers(0, len(VOCAB), size=int(n_chars / avg * 1.2) + 16)
+    lines, line = [], []
+    total, li, k = 0, 0, 0
     while total < n_chars:
-        line.append(VOCAB[rng.integers(0, len(VOCAB))])
+        if k >= len(idx):
+            idx = rng.integers(0, len(VOCAB), size=len(idx))
+            k = 0
+        line.append(VOCAB[idx[k]])
+        k += 1
         total += len(line[-1]) + 1
         if len(line) == 12:
             li += 1
@@ -58,7 +64,10 @@ def main():
     ids = td.column("doc_id").to_numpy()
     text = td.column("text").to_pylist()
     rng = np.random.default_rng(42)
-    sizes = [50_000, 50_000, 150_000, 150_000, 300_000]
+    # optional CSV of char sizes as argv[3]; default stresses up to 10 MB
+    # (real web corpora have multi-MB documents — VERDICT r14 item 1)
+    sizes = ([int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3
+             else [50_000, 150_000, 1_000_000, 3_000_000, 10_000_000])
     # deterministic victims spread across the id range, never doc 0
     victims = [int(ids[(i + 1) * len(ids) // (len(sizes) + 1)])
                for i in range(len(sizes))]
