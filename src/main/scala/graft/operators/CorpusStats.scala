@@ -308,10 +308,19 @@ object CorpusStats {
     // The lazy localCheckpoint materializes the pruned frame once for
     // its two consumers (df aggregate + score join) instead of
     // re-running the corpus explode.
+    // dl is computed BELOW the generate and rides through it as a bare
+    // 8-byte attribute. Any non-trivial expression in the same select
+    // as a generator is planned in the projection ABOVE the Generate —
+    // i.e. evaluated once per OUTPUT row — so the original
+    // `tokenCount(text)` beside the explode re-ran the full-document
+    // stats kernel per TOKEN row (O(n²) per document, a measured stall
+    // on 10 MB documents).
     val tfq = docs
       .select(col(idCol).as("doc"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+        org.apache.spark.sql.functions.size(
+          TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), col("dl"), explode(col("__tk")).as("term"))
       .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("doc", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
