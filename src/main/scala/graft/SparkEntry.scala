@@ -4856,14 +4856,18 @@ object SparkEntry {
         |-- prefix arithmetic), so the byte mean needs no hex expansion
         |-- at all — the per-byte substr(h, 2i-1) form re-scanned the
         |-- hex string head per byte (quadratic in document bytes)
-        |-- ZIPPED unnest (chars + positions): DuckDB's lone unnest of a
-        |-- multi-million-char list re-slices per batch (measured 65 s
-        |-- at the 10 MB sweep); the zipped form is linear (~1 s)
+        |-- ZIPPED unnest over PRECOMPUTED list/length COLUMNS: both a
+        |-- lone unnest of a multi-million-char list and an unnest whose
+        |-- argument is an inline expression re-evaluate per output
+        |-- batch (each measured ~65 s at the 10 MB sweep); the zipped
+        |-- column form is linear (~1 s)
+        |dc AS (SELECT doc_id, length(text) AS nc,
+        |              string_split(text, '') AS chs
+        |       FROM d WHERE n > 0),
         |cp AS (SELECT doc_id, unicode(ch)::BIGINT AS c
-        |       FROM (SELECT doc_id,
-        |                    unnest(range(1, length(text) + 1)) AS p,
-        |                    unnest(string_split(text, '')) AS ch
-        |             FROM d WHERE n > 0)),
+        |       FROM (SELECT doc_id, unnest(range(1, nc + 1)) AS p,
+        |                    unnest(chs) AS ch
+        |             FROM dc)),
         |m AS (SELECT doc_id,
         |        sum(CASE
         |          WHEN c < 128 THEN c
@@ -4978,17 +4982,31 @@ object SparkEntry {
     // md5(BLOB)), so both sides hash the frame's HEX encoding: substr
     // on the hex stream at 2× offsets is exact byte slicing, and hex is
     // injective so md5(hex) certifies the same content md5(bytes) would
+    // linear digit rows (the zip-unnest-precomputed-columns discipline):
+    // hex digit p belongs to frame (p-1)//128; ordered string_agg
+    // rebuilds each frame's hex slice. The per-frame substr(h, i*128+1)
+    // form re-scanned the hex string head per frame — measured 713 s on
+    // the 10 MB long-document sweep vs ~15 s for this form.
     "q_multimodal_frames" ->
       """WITH d AS (SELECT doc_id,
         |                  hex(encode(coalesce(text, ''))) AS h,
         |                  octet_length(encode(coalesce(text, ''))) AS n
         |           FROM documents),
-        |f AS (SELECT doc_id, i AS frame, substr(h, i*128 + 1, 128) AS fh
-        |      FROM d, unnest(range(0, greatest((n + 63) // 64, 1), 2)) AS t(i))
-        |SELECT doc_id AS id, frame::BIGINT AS frame,
-        |       (length(fh) // 2)::BIGINT AS n_bytes,
+        |dg AS (SELECT doc_id, 2 * n AS m, string_split(h, '') AS gs
+        |       FROM d WHERE n > 0),
+        |r AS (SELECT doc_id, unnest(range(1, m + 1)) AS p,
+        |             unnest(gs) AS g
+        |      FROM dg),
+        |f AS (SELECT doc_id, ((p - 1) // 128)::BIGINT AS frame,
+        |             string_agg(g, '' ORDER BY p) AS fh
+        |      FROM r GROUP BY doc_id, ((p - 1) // 128))
+        |SELECT doc_id AS id, frame, (length(fh) // 2)::BIGINT AS n_bytes,
         |       md5(fh) AS frame_hash
-        |FROM f ORDER BY id, frame""".stripMargin,
+        |FROM f WHERE frame % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 0::BIGINT, md5('')
+        |FROM d WHERE n = 0
+        |ORDER BY id, frame""".stripMargin,
 
     "q_dsl_tumbling" ->
       """SELECT CAST(user_id AS VARCHAR) AS k, event_id AS emit_seq,
