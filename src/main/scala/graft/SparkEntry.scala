@@ -401,6 +401,18 @@ object SparkEntry {
           round(col("result"), 4).as("result"))
         .orderBy("user_id", "window_id")),
 
+    // the hot-key parallel-rank path against the SAME oracle as
+    // q_tumbling_count: range-salted ranking + exact restitch must be
+    // indistinguishable from the plain path on real keyed data (the
+    // skewed-fixture equality lives in TumblingSaltedSpec; this gate
+    // pins the oracle agreement)
+    "q_tumbling_salted" -> ((s, d) =>
+      CountWindows.tumblingBatchSalted(ev(s, d), "user_id", "event_id",
+          "value", 10, "sum", buckets = 8)
+        .select(col("user_id"), col("window_id"),
+          round(col("result"), 4).as("result"))
+        .orderBy("user_id", "window_id")),
+
     "q_sliding_count" -> ((s, d) =>
       CountWindows.slidingBatch(ev(s, d), "user_id", "event_id", "value",
           10, 3, "avg")
@@ -2652,6 +2664,17 @@ object SparkEntry {
         |           // 10 AS window_id,
         |         count(*) OVER (PARTITION BY user_id) AS cnt,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+        |  FROM events)
+        |GROUP BY user_id, window_id HAVING count(*) = 10
+        |ORDER BY user_id, window_id""".stripMargin,
+
+    // identical replay to q_tumbling_count — the salted path's output
+    // contract IS the plain path's
+    "q_tumbling_salted" ->
+      """SELECT user_id, window_id, round(sum(value), 4) AS result FROM (
+        |  SELECT user_id, value,
+        |         (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+        |           // 10 AS window_id
         |  FROM events)
         |GROUP BY user_id, window_id HAVING count(*) = 10
         |ORDER BY user_id, window_id""".stripMargin,
