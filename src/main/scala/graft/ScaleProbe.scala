@@ -695,6 +695,16 @@ object ScaleProbe {
         "count_window_hot_salted" -> (() =>
           windows.CountWindows.tumblingBatchSalted(
             hotKeyFrame, "key", "seq", "value", 16, "sum").count()),
+        // W2 twin pair: trailing-frame aggregation over the same
+        // mega-hot key — plain serializes BOTH the rank and the frame
+        // walk in one task; the salted form spreads frames over
+        // n/chunkRows overlap-chunks
+        "sliding_window_hot_plain" -> (() =>
+          windows.CountWindows.slidingBatch(
+            hotKeyFrame, "key", "seq", "value", 16, 4, "sum").count()),
+        "sliding_window_hot_salted" -> (() =>
+          windows.CountWindows.slidingBatchSalted(
+            hotKeyFrame, "key", "seq", "value", 16, 4, "sum").count()),
         // k-bounded per-task heap + k-sized driver merge: wall must
         // track the scan, never a sort
         "weighted_sample" -> (() =>

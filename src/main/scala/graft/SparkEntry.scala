@@ -420,6 +420,17 @@ object SparkEntry {
           round(col("result"), 4).as("result"))
         .orderBy("user_id", "emit_at")),
 
+    // W2 through the overlap-chunk salted path against q_sliding_count's
+    // replay; chunkRows deliberately tiny so chunk boundaries land
+    // inside frames and the borrowed-tail machinery is exercised at
+    // gate scale, not just in the spec
+    "q_sliding_salted" -> ((s, d) =>
+      CountWindows.slidingBatchSalted(ev(s, d), "user_id", "event_id",
+          "value", 10, 3, "avg", buckets = 8, chunkRows = 32L)
+        .select(col("user_id"), col("emit_at").cast("bigint").as("emit_at"),
+          round(col("result"), 4).as("result"))
+        .orderBy("user_id", "emit_at")),
+
     // W1 via the streaming flatMapGroupsWithState operator (batch-executed)
     "q_tumbling_stream" -> ((s, d) => {
       implicit val ss: SparkSession = s
@@ -2680,6 +2691,18 @@ object SparkEntry {
         |ORDER BY user_id, window_id""".stripMargin,
 
     "q_sliding_count" ->
+      """SELECT user_id, rn AS emit_at, round(a, 4) AS result FROM (
+        |  SELECT user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,
+        |         avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS a
+        |  FROM events)
+        |WHERE rn >= 9 AND (rn - 9) % 3 = 0
+        |ORDER BY user_id, emit_at""".stripMargin,
+
+    // identical replay to q_sliding_count — the salted path's output
+    // contract IS the plain path's
+    "q_sliding_salted" ->
       """SELECT user_id, rn AS emit_at, round(a, 4) AS result FROM (
         |  SELECT user_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,

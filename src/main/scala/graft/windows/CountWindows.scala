@@ -80,31 +80,52 @@ object CountWindows {
     * Same contract as [[tumblingBatch]]: `ord` unique per key. */
   def tumblingBatchSalted(df: DataFrame, key: String, ord: String,
                           value: String, size: Int, fn: String,
-                          buckets: Int = 32): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = df.groupBy(col(key))
-      .agg(percentile_approx(col(ord).cast("double"),
-        array(probs.map(lit(_)): _*), lit(10000)).as("__bounds"))
-    val withB = df.join(broadcast(bounds), Seq(key))
-      .withColumn("__b", org.apache.spark.sql.functions.size(
-        filter(col("__bounds"), b => b <= col(ord).cast("double"))))
-    val counts = withB.groupBy(col(key), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-    val offs = counts.withColumn("__off",
-        sum(col("__c")).over(
-          Window.partitionBy(col(key)).orderBy(col("__b"))) - col("__c"))
-      .drop("__c")
-    withB.join(broadcast(offs), Seq(key, "__b"))
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col(key), col("__b")).orderBy(col(ord))) - 1)
-      .withColumn("__rn", col("__off") + col("__lrn"))
+                          buckets: Int = 32): DataFrame =
+    saltedRanks(df, key, ord, buckets)
       .withColumn("__win", (col("__rn") / size).cast("bigint"))
       .groupBy(col(key), col("__win").as("window_id"))
       .agg(AggFunctions.scalar(fn, col(value), col(ord)).as("result"),
            count(lit(1)).as("n"))
       .where(col("n") === size)
       .drop("n")
+
+  /** Exact per-key 0-based ranks (`__rn` appended to `df`'s columns)
+    * computed WITHOUT a per-key single-task sort: range-bucket each
+    * key's ord-domain (approximate per-key percentiles — approximation
+    * affects only balance), rank buckets independently in parallel,
+    * and add the exact prefix-sum of earlier buckets' row counts.
+    * Shared rank stage of [[tumblingBatchSalted]] /
+    * [[slidingBatchSalted]]. */
+  private def saltedRanks(df: DataFrame, key: String, ord: String,
+                          buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // joins below are NULL-SAFE on the key: the plain path's
+    // Window.partitionBy keeps a NULL-key group, so an equi-join here
+    // would silently drop those rows (caught by the null-injection
+    // sweep — q_tumbling_salted lost the null-key windows)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.groupBy(col(key))
+      .agg(percentile_approx(col(ord).cast("double"),
+        array(probs.map(lit(_)): _*), lit(10000)).as("__bounds"))
+      .withColumnRenamed(key, "__bndk")
+    val withB = df.join(broadcast(bounds), col(key) <=> col("__bndk"))
+      .withColumn("__b", org.apache.spark.sql.functions.size(
+        filter(col("__bounds"), b => b <= col(ord).cast("double"))))
+      .drop("__bndk", "__bounds")
+    val counts = withB.groupBy(col(key), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val offs = counts.withColumn("__off",
+        sum(col("__c")).over(
+          Window.partitionBy(col(key)).orderBy(col("__b"))) - col("__c"))
+      .drop("__c")
+      .withColumnRenamed(key, "__offk")
+      .withColumnRenamed("__b", "__offb")
+    withB.join(broadcast(offs),
+        col(key) <=> col("__offk") && col("__b") === col("__offb"))
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col(key), col("__b")).orderBy(col(ord))) - 1)
+      .withColumn("__rn", col("__off") + col("__lrn"))
+      .drop("__b", "__off", "__lrn", "__offk", "__offb")
   }
 
   /** Routes each key by measured row count: keys at or above
@@ -157,6 +178,61 @@ object CountWindows {
         ((col("__rn") - (firstEmit - 1)) % resolution) === 0)
       .withColumn("emit_at", col("__rn"))
       .drop("__rn")
+  }
+
+  /** Hot-key variant of [[slidingBatch]]: identical emissions, but
+    * neither the ranking nor the trailing-frame aggregation runs as a
+    * single task per key.
+    *
+    * Stage 1 is [[tumblingBatchSalted]]'s exact restitched ranking.
+    * Stage 2 is the standard overlap-chunk trick for sliding frames:
+    * rows split into rank-chunks of `chunkRows`, each chunk BORROWS
+    * the previous chunk's last `size - 1` rows (an explode of at most
+    * 2 chunk ids per row), the trailing frame is computed inside each
+    * (key, chunk) partition — where every rank the frame needs is
+    * present exactly once — and only chunk-OWNED rows emit, so each
+    * emission's frame is complete and appears exactly once. A hot
+    * key's frame work thus spreads over n/chunkRows parallel tasks at
+    * a duplication overhead of (size-1)/chunkRows (<0.1% at the
+    * defaults) instead of serializing in one.
+    *
+    * Same contract as [[slidingBatch]] (ord unique per key; emission
+    * cadence windows.go:252-265); equality is pinned in
+    * TumblingSaltedSpec for every fn including accumulate. */
+  def slidingBatchSalted(df: DataFrame, key: String, ord: String,
+                         value: String, size: Int, resolution: Int,
+                         fn: String, buckets: Int = 32,
+                         chunkRows: Long = 262144L): DataFrame = {
+    require(size >= 2, s"size must be >= 2, got $size")
+    require(chunkRows >= size,
+      s"chunkRows ($chunkRows) must be >= size ($size)")
+    val firstEmit = math.max(size, resolution)
+    val ranked = saltedRanks(df, key, ord, buckets)
+    val withChunk = ranked
+      .withColumn("__own", (col("__rn") / chunkRows).cast("long"))
+      .withColumn("__ch", explode(
+        when(col("__rn") % chunkRows >= chunkRows - (size - 1),
+          array(col("__own"), col("__own") + 1))
+          .otherwise(array(col("__own")))))
+    val w = Window.partitionBy(col(key), col("__ch"))
+      .orderBy(col("__rn"))
+    val frame = w.rowsBetween(-(size - 1), Window.currentRow)
+    val agged = fn match {
+      case "accumulate" => collect_list(col(value)).over(frame)
+      case "sum"        => sum(col(value)).over(frame)
+      case "avg"        => avg(col(value)).over(frame)
+      case "min"        => min(col(value)).over(frame)
+      case "max"        => max(col(value)).over(frame)
+      case "count"      => count(col(value)).over(frame)
+      case other => throw new IllegalArgumentException(s"unknown agg fn: $other")
+    }
+    withChunk
+      .withColumn("result", agged)
+      .where(col("__ch") === col("__own"))
+      .where(col("__rn") >= firstEmit - 1 &&
+        ((col("__rn") - (firstEmit - 1)) % resolution) === 0)
+      .withColumn("emit_at", col("__rn").cast("int"))
+      .drop("__rn", "__own", "__ch")
   }
 
   // ---------------------------------------------------------------------

@@ -79,6 +79,48 @@ class TumblingSaltedSpec extends SparkSpec {
     assert(canon(auto) == canon(plain))
   }
 
+  private def canonS(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("key", "emit_at").collect().map(_.toSeq).toSeq
+
+  for (fn <- Seq("sum", "min", "accumulate"))
+    test(s"salted sliding equals plain on a skewed frame ($fn)") {
+      val df = skewed(3000)
+      val plain = slidingBatch(df, "key", "seq", "value", 16, 5, fn)
+      // chunkRows tiny so MANY chunk boundaries land inside frames —
+      // the borrowed-tail path is exercised hundreds of times
+      val salted = slidingBatchSalted(df, "key", "seq", "value", 16, 5,
+        fn, buckets = 8, chunkRows = 64L)
+      assert(canonS(salted) == canonS(plain))
+    }
+
+  test("salted sliding: resolution > size cadence preserved") {
+    val df = skewed(500)
+    val plain = slidingBatch(df, "key", "seq", "value", 3, 7, "avg")
+    val salted = slidingBatchSalted(df, "key", "seq", "value", 3, 7,
+      "avg", buckets = 4, chunkRows = 32L)
+    assert(canonS(salted) == canonS(plain))
+  }
+
+  test("salted paths keep NULL-key groups (null-safe joins)") {
+    // Window.partitionBy keeps a NULL-key partition; the salted joins
+    // must too — an equi-join drops it (the null-sweep regression)
+    val s = spark
+    import s.implicits._
+    val df = ((0 until 64).map(i => (Option.empty[String], i.toLong,
+        i.toDouble)) ++
+      (0 until 40).map(i => (Some("k"), i.toLong, 1.0)))
+      .toDF("key", "seq", "value")
+    val plain = tumblingBatch(df, "key", "seq", "value", 8, "sum")
+    val salted = tumblingBatchSalted(df, "key", "seq", "value", 8, "sum",
+      buckets = 4)
+    assert(canon(salted) == canon(plain))
+    assert(salted.where(col("key").isNull).count() == 8)
+    val plainS = slidingBatch(df, "key", "seq", "value", 8, 4, "sum")
+    val saltedS = slidingBatchSalted(df, "key", "seq", "value", 8, 4,
+      "sum", buckets = 4, chunkRows = 16L)
+    assert(canonS(saltedS) == canonS(plainS))
+  }
+
   test("salted ranking parallelizes: hot-key rows spread over buckets") {
     // structural assertion behind the scale claim: the per-(key,bucket)
     // rank partitions each hold ~n/buckets of the hot key, so no single
