@@ -150,6 +150,27 @@ object CountWindows {
       .unionAll(tumblingBatch(coldPart, key, ord, value, size, fn))
   }
 
+  /** [[tumblingBatchAuto]]'s W2 twin: keys at or above `hotThreshold`
+    * rows take [[slidingBatchSalted]], the long tail takes
+    * [[slidingBatch]]; union equals the plain output exactly. */
+  def slidingBatchAuto(df: DataFrame, key: String, ord: String,
+                       value: String, size: Int, resolution: Int,
+                       fn: String, hotThreshold: Long = 2000000L,
+                       buckets: Int = 32,
+                       chunkRows: Long = 262144L): DataFrame = {
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1")
+    val hot = df.groupBy(col(key)).agg(count(lit(1)).as("__kc"))
+      .where(col("__kc") >= hotThreshold)
+      .select(col(key), lit(true).as("__hot"))
+    val tagged = df.join(broadcast(hot), Seq(key), "left")
+    val hotPart = tagged.where(col("__hot")).drop("__hot")
+    val coldPart = tagged.where(col("__hot").isNull).drop("__hot")
+    slidingBatchSalted(hotPart, key, ord, value, size, resolution, fn,
+        buckets, chunkRows)
+      .unionAll(slidingBatch(coldPart, key, ord, value, size, resolution,
+        fn))
+  }
+
   /** Sliding count window batch analog. Emission cadence matches the
     * reference exactly (windows.go:252-265): `numSamples` counts samples
     * since the last emission (reset to 0 on emit) and emission requires both

@@ -101,6 +101,16 @@ class TumblingSaltedSpec extends SparkSpec {
     assert(canonS(salted) == canonS(plain))
   }
 
+  test("sliding auto router splits hot/cold and unions to plain") {
+    val df = skewed(2500)
+    val plain = slidingBatch(df, "key", "seq", "value", 16, 5, "sum")
+      .select("key", "seq", "value", "result", "emit_at")
+    val auto = slidingBatchAuto(df, "key", "seq", "value", 16, 5, "sum",
+        hotThreshold = 1000L, buckets = 8, chunkRows = 128L)
+      .select("key", "seq", "value", "result", "emit_at")
+    assert(canonS(auto) == canonS(plain))
+  }
+
   test("salted paths keep NULL-key groups (null-safe joins)") {
     // Window.partitionBy keeps a NULL-key partition; the salted joins
     // must too — an equi-join drops it (the null-sweep regression)
