@@ -463,11 +463,14 @@ object Bench {
           case _ => (k, (m, d, tm, g))
         }
       }
-      // a merge run with SPARK_GRAFT_ONLY must carry the UNTOUCHED
+      // ANY record run with SPARK_GRAFT_ONLY must carry the UNTOUCHED
       // baseline entries through, or a single-query fold-in silently
-      // truncates the whole envelope to that query (observed: 110 -> 1)
+      // truncates the whole envelope to that query (observed: 110 -> 1
+      // on a merge run in r12, and again 149 -> 3 on a plain filtered
+      // record in r15 — the carry now applies to both modes; a plain
+      // UNFILTERED record still replaces the file wholesale)
       val carried =
-        if (merge) baseline.view
+        if (merge || only.isDefined) baseline.view
           .filterKeys(k => !results.exists(_._1 == k))
           .map { case (k, (bm, bd, btm)) =>
             (k, (bm, bd, btm, baselineGc.getOrElse(k, 0.0))) }.toSeq
@@ -478,11 +481,11 @@ object Bench {
       // noise, not envelope)
       val calEntry = Seq(
         ("__calibration",
-          (if (merge && baseCalRecorded > 0)
+          (if ((merge || only.isDefined) && baseCalRecorded > 0)
             math.min(calBase, baseCalRecorded)
           else calBase, 0.0, -1.0, 0.0)),
         ("__calibration_mt",
-          (if (merge && baseCalMtRecorded > 0)
+          (if ((merge || only.isDefined) && baseCalMtRecorded > 0)
             math.min(calMtBase, baseCalMtRecorded)
           else calMtBase, 0.0, -1.0, 0.0)))
       val merged = recorded ++ carried ++ calEntry
