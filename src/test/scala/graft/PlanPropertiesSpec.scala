@@ -32,6 +32,30 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no fact shuffle join expected:\n$p")
   }
 
+  test("q_tumbling_salted: bounds/offset frames broadcast, never sort-merge") {
+    // the hot-key path's whole point is that its two restitching joins
+    // are broadcasts of (key x buckets)-sized frames — a stats
+    // misestimate that demoted either to a SortMergeJoin would
+    // re-serialize the hot key in the join's sort
+    val p = plan("q_tumbling_salted")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"bounds and offset joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"salted ranking must not sort-merge-join:\n$p")
+  }
+
+  test("q_sliding_salted: overlap-chunk path keeps broadcast restitching") {
+    val p = plan("q_sliding_salted")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"bounds and offset joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"salted ranking must not sort-merge-join:\n$p")
+    // the borrowed-tail duplication is an explode of <= 2 chunk ids,
+    // never a join against a shifted copy
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap chunks must come from a generate, not a pair join:\n$p")
+  }
+
   test("q_topk: TakeOrdered instead of a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
