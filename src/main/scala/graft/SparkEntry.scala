@@ -497,6 +497,30 @@ object SparkEntry {
         .orderBy("ws", "event_type")
     }),
 
+    // Stream-STREAM watermarked interval join (StreamingJoins): clicks
+    // correlated with the same user's purchases within 2 hours, run as
+    // REAL Structured Streaming over two file sources advanced in
+    // lockstep time-ordered chunks (one ReplayChunks.byTime axis over
+    // ALL events, so a chunk is the same time range on both inputs).
+    // The inner join's time-bound condition gives Spark an eviction
+    // rule for both state buffers — state is genuinely dropped as the
+    // watermark advances mid-replay — yet with time-ordered arrival the
+    // emission set provably equals the batch interval join (proof
+    // sketch in StreamingJoins' scaladoc), which DuckDB replays as a
+    // plain join. lag_us is exact integer microseconds (no FP).
+    "q_stream_interval_join" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      val e = ev(s, d)
+      val chunk = graft.streaming.ReplayChunks.byTime(e, "ts", 4)
+      graft.streaming.StreamingJoins.intervalJoinReplay(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "purchase"),
+          "ts", "user_id", "event_id", chunk, 4, "1 hour", "2 hours")
+        .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+          col("key").as("user_id"), col("lag_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // W5 map-shaped keyed output (reference emits map[key]agg,
     // windows.go:469-479). The map column itself is exercised via
     // toMapShape; for the driver's compare (which cannot hash map columns)
@@ -1288,6 +1312,30 @@ object SparkEntry {
       graft.operators.CorpusStats.sourceOverlap(docs(s, d), "source",
           "text", 3)
         .orderBy("src1", "src2")),
+
+    // per-source unigram KL divergence against the corpus blend — the
+    // language-DRIFT complement of the overlap matrix (overlap prices
+    // repeated content, KL prices unlike-the-blend language; the
+    // DoReMi/DSIR line measures domain shift exactly this way). MLE
+    // needs no smoothing: every stratum word occurs in the corpus.
+    "q_source_kl" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceDivergence(docs(s, d), "source",
+          "text")
+        .select(col("grp").as("source"), col("n_tokens"), col("kl"))
+        .orderBy("source")),
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023): per-document
+    // log weight of the target-slice (English docs) hashed-unigram
+    // distribution over the raw blend — 512 md5-prefix buckets (the
+    // engine's seed-free hash convention, SQL-replayable), add-0.5
+    // smoothing. The scoring step a distribution-matched resample
+    // (weightedSample / quantileFilter downstream) runs on.
+    "q_dsir_weights" -> ((s, d) =>
+      graft.operators.Selection.dsirWeights(docs(s, d),
+          col("lang") === "en", "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_tokens"),
+          col("dsir_weight"))
+        .orderBy("doc_id")),
 
     // THE CURATION CAPSTONE — a mixture-build pipeline in ONE
     // declarative plan: (1) per-source quality floor (discrete p25
@@ -2796,6 +2844,21 @@ object SparkEntry {
         |WHERE epoch_ms(wstart + INTERVAL 2 HOUR) <= fin.wm_ms
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
+    // stream-stream interval join under time-ordered lockstep replay:
+    // nothing arrives after its partner's state eviction (see
+    // StreamingJoins scaladoc), so the streaming emission set IS the
+    // batch interval join — replayed here directly
+    "q_stream_interval_join" ->
+      """SELECT l.event_id::BIGINT AS click_id,
+        |       r.event_id::BIGINT AS purchase_id,
+        |       l.user_id::BIGINT AS user_id,
+        |       (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS lag_us
+        |FROM events l JOIN events r
+        |  ON l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "q_channel_fanin" ->
       """SELECT channel, count(*) AS n, round(sum(value), 4) AS sv FROM (
         |  SELECT 'clicks' AS channel, value FROM events WHERE event_type = 'click'
@@ -3831,6 +3894,51 @@ object SparkEntry {
         |FROM shared JOIN sizes x ON shared.src1 = x.src
         |            JOIN sizes y ON shared.src2 = y.src
         |ORDER BY src1, src2""".stripMargin,
+
+    // per-source unigram KL vs the corpus: only the stratum's own words
+    // are summed (P_s(w)=0 terms contribute 0), and every such word has
+    // corpus count > 0, so the MLE sum is smoothing-free on both engines
+    "q_source_kl" ->
+      """WITH t AS (SELECT source,
+        |  list_filter(regexp_split_to_array(trim(lower(text)),
+        |                                    '[ \t\n\x0b\f\r]+'),
+        |              x -> x <> '') tk FROM documents),
+        |sw AS (SELECT source, w, count(*)::BIGINT AS c
+        |       FROM (SELECT source, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+        |cw AS (SELECT w, sum(c)::BIGINT AS cw FROM sw GROUP BY 1),
+        |ns AS (SELECT source, sum(c)::BIGINT AS ns FROM sw GROUP BY 1),
+        |n AS (SELECT sum(c)::DOUBLE AS n FROM sw)
+        |SELECT sw.source, sum(sw.c)::BIGINT AS n_tokens,
+        |       round(sum((sw.c / ns.ns::DOUBLE) *
+        |                 ln((sw.c / ns.ns::DOUBLE) / (cw.cw / n.n))), 4)
+        |         AS kl
+        |FROM sw JOIN cw USING (w) JOIN ns USING (source), n
+        |GROUP BY sw.source ORDER BY source""".stripMargin,
+
+    // DSIR: same 24-bit md5 bucket as the engine ('0x'||substr(md5,1,6)
+    // — Sampling.scala's documented replay convention), add-0.5
+    // smoothed bucket multinomials, per-doc sum of c * ln(pt/pr)
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(regexp_split_to_array(trim(lower(text)),
+        |                                    '[ \t\n\x0b\f\r]+'),
+        |              x -> x <> '') tk FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5(w), 1, 6))::BIGINT % 512 AS b
+        |      FROM (SELECT doc_id, lang, unnest(tk) AS w FROM t)),
+        |dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+        |tt AS (SELECT b, count(*)::BIGINT AS ct FROM f WHERE lang = 'en'
+        |       GROUP BY 1),
+        |rt AS (SELECT b, count(*)::BIGINT AS cr FROM f GROUP BY 1),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM f WHERE lang = 'en'),
+        |nr AS (SELECT count(*)::DOUBLE AS n FROM f)
+        |SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_tokens,
+        |       round(sum(dc.c *
+        |         ln(((coalesce(tt.ct, 0) + 0.5) / (nt.n + 0.5 * 512)) /
+        |            ((rt.cr + 0.5) / (nr.n + 0.5 * 512)))), 4)
+        |         AS dsir_weight
+        |FROM dc JOIN rt USING (b) LEFT JOIN tt USING (b), nt, nr
+        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
 
     // same candidate construction as the jaccard oracle (any shared
     // rare shingle — the Spark prefix candidates are a subset, equal

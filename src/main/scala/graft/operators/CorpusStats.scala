@@ -552,4 +552,52 @@ object CorpusStats {
           least(col("n1"), col("n2")).cast("double"), 6)
           .as("containment"))
   }
+
+  /** Per-stratum distribution drift — KL(P_s ‖ P_corpus) of each
+    * stratum's unigram distribution against the whole corpus, the
+    * mixture-diagnostics complement of [[sourceOverlap]]: overlap says
+    * "these sources repeat each other's CONTENT", divergence says
+    * "this source's LANGUAGE is unlike the blend" (domain jargon,
+    * boilerplate monoculture, wrong-language pockets). Data-mixing
+    * work reweights toward/away from exactly this quantity (the
+    * DoReMi/DSIR line of work measures domain shift the same way).
+    * MLE estimates need no smoothing here BY CONSTRUCTION: every word
+    * a stratum has occurs in the corpus, so P_corpus(w) > 0 on every
+    * term of the sum, and P_s(w) = 0 terms contribute 0 (never
+    * evaluated — only the stratum's own words are summed).
+    *
+    * Scale shape: the raw token stream aggregates ONCE at
+    * (stratum, word) grain with map-side combine — the only shuffle
+    * that sees per-token rows. Corpus word totals RE-aggregate that
+    * frame (vocabulary-sized, joined back shuffle-hash on the word —
+    * never broadcast); per-stratum totals and the corpus total are
+    * tiny/one-row broadcasts. Document bodies never shuffle.
+    *
+    * Output: (stratum, n_tokens, kl rounded to 4), one row per
+    * stratum. */
+  def sourceDivergence(docs: DataFrame, stratumCol: String,
+                       textCol: String,
+                       persistCounts: Boolean = true): DataFrame = {
+    // persistCounts caches the (stratum, word) aggregate — four
+    // consumers (the KL join, word totals, stratum totals, the corpus
+    // total), and the cached frame is the vocabulary-grained AGGREGATE,
+    // not the raw token stream, so default-on
+    val sw0 = docs
+      .select(col(stratumCol).as("grp"),
+        explode(graft.functions.TextFunctions
+          .tokens(col(textCol))).as("w"))
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    val sw = if (persistCounts) sw0.persist() else sw0
+    val cw = sw.groupBy("w").agg(sum("c").as("cw"))
+    val ns = sw.groupBy("grp").agg(sum("c").as("ns"))
+    val n = sw.agg(sum("c").cast("double").as("__n"))
+    sw.join(cw.hint("shuffle_hash"), Seq("w"))
+      .join(broadcast(ns), Seq("grp"))
+      .crossJoin(broadcast(n))
+      .groupBy("grp")
+      .agg(sum("c").as("n_tokens"),
+        round(sum((col("c") / col("ns")) *
+          log((col("c") / col("ns")) / (col("cw") / col("__n")))), 4)
+          .as("kl"))
+  }
 }

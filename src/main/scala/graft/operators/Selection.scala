@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-matched data selection — score every raw document by
+  * how much more likely its content is under a TARGET distribution
+  * (e.g. the high-quality slice a model should be trained toward) than
+  * under the raw-corpus distribution, using hashed n-gram features.
+  * This is the DSIR recipe (Xie et al., "Data Selection for Language
+  * Models via Importance Resampling", NeurIPS 2023): estimate two bag-
+  * of-hashed-features unigram distributions p_target and p_raw over B
+  * hash buckets, then weight each document by
+  *
+  *   log w(x) = Σ_f c_f(x) · ln( p_target(f) / p_raw(f) )
+  *
+  * (the paper's log importance weight of x under the bucket-multinomial
+  * model, add-k smoothed so buckets unseen in the target stay finite).
+  * Downstream, resample with [[Sampling.weightedSample]] on exp-scaled
+  * weights or keep a top quantile with [[Features.quantileFilter]] —
+  * both already plan-bounded — so this operator deliberately ends at
+  * the per-document log weight, the reusable quantity.
+  *
+  * Why hashed buckets rather than raw vocabulary: B caps the feature
+  * table at a constant (512 here, 10k in the paper) regardless of
+  * corpus vocabulary, which is what makes the distributions BROADCAST-
+  * able at 100 TB — hash collisions only smooth the estimate (the
+  * paper's own argument). The bucket hash is the engine's md5-prefix
+  * convention (Sampling.hashBucket's 24-bit form): deterministic,
+  * seed-free, and replayable by any SQL engine as
+  * `('0x' || substr(md5(w),1,6))::BIGINT % B`.
+  *
+  * Plan shape at scale: the raw token stream is aggregated ONCE at
+  * (doc, bucket) grain — the only shuffle that sees per-token rows, and
+  * map-side combine collapses it to ≤ B rows per document before the
+  * exchange. Both distributions are re-aggregations of that bounded
+  * frame (≤ B rows each) joined back by broadcast; corpus totals are
+  * one-row broadcasts. Document bodies never shuffle, and no state
+  * anywhere exceeds B rows.
+  *
+  * Output: (doc, n_tokens, dsir_weight rounded to 4). Documents with
+  * zero tokens have no features and drop out, matching every other
+  * per-token operator in the engine.
+  */
+object Selection {
+
+  /** `persistCounts` caches the (doc, bucket) count frame — it feeds
+    * FIVE consumers (the weight join, both distributions, both
+    * totals), and unlike the raw token stream it is bounded at
+    * ≤ B rows per document, so default-on is the right trade (the
+    * scan-twice dial tfidf/bigramLogProb expose defaults off because
+    * their cached frames are vocabulary×doc-sized and have only two
+    * consumers). */
+  def dsirWeights(docs: DataFrame, isTarget: Column, idCol: String,
+                  textCol: String, buckets: Int = 512,
+                  k: Double = 0.5,
+                  persistCounts: Boolean = true): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    import graft.functions.TextFunctions
+    val feats = docs
+      .select(col(idCol).as("doc"), isTarget.as("is_target"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    // the one per-token shuffle: (doc, bucket) counts with map-side
+    // combine; is_target rides along (functionally dependent on doc)
+    val dc0 = feats.groupBy("doc", "is_target", "b")
+      .agg(count(lit(1)).as("c"))
+    val dc = if (persistCounts) dc0.persist() else dc0
+    // both distributions re-aggregate the bounded frame: <= B rows each,
+    // broadcast back; raw covers every bucket dc has by construction,
+    // target may miss buckets (LEFT join + smoothing keeps them finite)
+    val tgt = dc.where(col("is_target")).groupBy("b").agg(sum("c").as("ct"))
+    val raw = dc.groupBy("b").agg(sum("c").as("cr"))
+    val nt = tgt.agg(sum("ct").cast("double").as("__nt"))
+    val nr = raw.agg(sum("cr").cast("double").as("__nr"))
+    val kb = lit(k * buckets)
+    dc.join(broadcast(raw), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .groupBy("doc")
+      .agg(sum("c").as("n_tokens"),
+        round(sum(col("c") *
+          log(((coalesce(col("ct"), lit(0L)) + lit(k)) / (col("__nt") + kb)) /
+            ((col("cr") + lit(k)) / (col("__nr") + kb)))), 4)
+          .as("dsir_weight"))
+  }
+}

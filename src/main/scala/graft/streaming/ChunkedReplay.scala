@@ -178,24 +178,49 @@ private[streaming] object ReplayHarness {
   def replayToBatch(spark: org.apache.spark.sql.SparkSession,
                     events: DataFrame, payload: Seq[Column], chunk: Column,
                     nChunks: Int, statePartitions: Int, namePrefix: String)
-                   (agg: DataFrame => DataFrame): DataFrame = {
-    val replay = new ChunkedReplay(events, payload, chunk, nChunks)
+                   (agg: DataFrame => DataFrame): DataFrame =
+    replayToBatchN(spark, Seq((events, payload, chunk)), nChunks,
+      statePartitions, namePrefix)(streams => agg(streams.head))
+
+  /** N-source generalization of [[replayToBatch]] — each source gets
+    * its own [[ChunkedReplay]] (own staged copy, own watched dir, own
+    * file-source stream), and the replay moves chunk k of EVERY source
+    * before draining, so all sources advance through event time in
+    * lockstep. That lockstep is what makes a multi-input stateful
+    * operator (stream-stream join) a pure function of the data: the
+    * global watermark after chunk k is min-across-inputs of
+    * (max event time over chunks <= k) - delay, the same value batch
+    * SQL can reconstruct. All sources must share `nChunks` and should
+    * derive their chunk columns from ONE time axis (e.g. a single
+    * [[ReplayChunks.byTime]] column over the union) so a chunk means
+    * the same time range on every input. */
+  def replayToBatchN(spark: org.apache.spark.sql.SparkSession,
+                     sources: Seq[(DataFrame, Seq[Column], Column)],
+                     nChunks: Int, statePartitions: Int, namePrefix: String)
+                    (agg: Seq[DataFrame] => DataFrame): DataFrame = {
+    require(sources.nonEmpty, "at least one replay source required")
+    val replays = sources.map { case (events, payload, chunk) =>
+      new ChunkedReplay(events, payload, chunk, nChunks)
+    }
     val scoped = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       if (!scoped.conf.getOption(k).contains(v) && scoped.conf.isModifiable(k))
         scoped.conf.set(k, v)
     }
     scoped.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val stream = scoped.readStream.schema(replay.schema)
-      .parquet(replay.streamDir.toString)
+    val streams = replays.map(r =>
+      scoped.readStream.schema(r.schema).parquet(r.streamDir.toString))
     val name = namePrefix +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = agg(stream)
+    val query = agg(streams)
       .writeStream.format("memory").queryName(name)
       .outputMode("append")
-      .option("checkpointLocation", replay.root.resolve("ckpt").toString)
+      .option("checkpointLocation",
+        replays.head.root.resolve("ckpt").toString)
       .start()
-    try replay.run(() => query.processAllAvailable())
+    try (0 until nChunks).foreach { k =>
+      replays.foreach(_.moveChunk(k)); query.processAllAvailable()
+    }
     finally {
       ReplayStats.batches.put(namePrefix, query.recentProgress.length.toLong)
       // floor forensics (SPARK_GRAFT_REPLAY_DEBUG=1): where each
@@ -207,9 +232,9 @@ private[streaming] object ReplayHarness {
             s"rows=${p.numInputRows} durationMs=${p.durationMs}")
         }
       query.stop()
-      // the memory sink holds the result; the staged corpus copy,
-      // stream dir, and checkpoint are spent
-      replay.cleanup()
+      // the memory sink holds the result; the staged corpus copies,
+      // stream dirs, and checkpoint are spent
+      replays.foreach(_.cleanup())
     }
     val sink = scoped.table(name)
     val out = spark.createDataFrame(

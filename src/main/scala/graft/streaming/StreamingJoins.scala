@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join — the one stateful
+  * Structured Streaming operator family the engine had not yet
+  * exercised (everything streaming so far is aggregation,
+  * deduplication, sessionization, or stream-STATIC joins). The
+  * reference engine cannot express this at all: its join-like behavior
+  * is channel fan-in into a shared pipeline (action.go:107-115), which
+  * interleaves rows rather than correlating them; correlating two live
+  * event streams by key within a time bound is the Spark-native
+  * upgrade of that pattern.
+  *
+  * Semantics (inner, event-time bounded): emit (l, r) when
+  * `l.key = r.key` and `r.ts ∈ [l.ts, l.ts + within]`. Both inputs
+  * carry watermarks, and the time-bound condition is what lets Spark
+  * derive a state-eviction rule for BOTH sides: a buffered left row is
+  * dropped once the watermark passes `l.ts + within` (no future right
+  * row can match it), a buffered right row once the watermark passes
+  * `r.ts` (no future left row can precede it). That eviction is the
+  * 100 TB story — without the time bound, a stream-stream join buffers
+  * both streams forever; with it, state is bounded by
+  * rate × (within + delay) rows per side regardless of stream length.
+  *
+  * Emission-set parity with batch: an inner interval join emits
+  * exactly the batch join result as long as no row arrives AFTER its
+  * partner's state was evicted. [[intervalJoinReplay]] replays both
+  * sides in lockstep chunks ordered by event time (one
+  * [[ReplayChunks.byTime]] axis over the union), so when a row of
+  * chunk k arrives, the watermark is still below every chunk-k
+  * timestamp minus nothing — formally wm = maxTs(chunks < k) − delay
+  * < chunkStart(k) ≤ partner.ts for any partner in chunk k or later,
+  * and a partner in an earlier chunk was buffered while its eviction
+  * bound (its own ts, or ts + within on the left) is ≥ this row's ts
+  * − within-window reach > wm. Hence nothing is dropped for ANY delay
+  * ≥ 0, state is genuinely evicted as the replay advances, and the
+  * emission set equals the DuckDB interval join — which is what makes
+  * a real stream-stream join oracle-checkable.
+  */
+object StreamingJoins {
+
+  /** The join composition on already-shaped streams: `left` must carry
+    * (l_ts, l_key, l_id), `right` (r_ts, r_key, r_id) — fixed names so
+    * the watermark/condition wiring is not caller-twistable into a
+    * shape whose state never evicts. Null keys never match (SQL
+    * equality), mirroring the batch interval join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, delay: String,
+                   within: String): DataFrame = {
+    val l = left.withWatermark("l_ts", delay)
+    val r = right.withWatermark("r_ts", delay)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$within'"),
+      "inner")
+  }
+
+  /** Deterministic chunked replay of [[intervalJoin]] over two event
+    * subsets — same stage/move/drain mechanics as
+    * [[Watermarks.lateDataReplay]], generalized to two file sources
+    * advanced in lockstep ([[ReplayHarness.replayToBatchN]]). `chunk`
+    * must be ONE column expression derived from the shared time axis
+    * (build it with [[ReplayChunks.byTime]] on the union frame) so a
+    * chunk index means the same time range on both inputs.
+    *
+    * Output: (l_id, r_id, key, lag_us) — the matched pair, its key,
+    * and the event-time gap in exact integer microseconds (no
+    * floating-point timestamp math anywhere). */
+  def intervalJoinReplay(left: DataFrame, right: DataFrame, tsCol: String,
+                         keyCol: String, idCol: String, chunk: Column,
+                         nChunks: Int, delay: String, within: String,
+                         statePartitions: Int = 4)
+                        (implicit spark: SparkSession): DataFrame = {
+    def payload(p: String) = Seq(
+      col(tsCol).as(s"${p}_ts"),
+      col(keyCol).cast("long").as(s"${p}_key"),
+      col(idCol).cast("long").as(s"${p}_id"))
+    ReplayHarness.replayToBatchN(spark,
+      Seq((left, payload("l"), chunk), (right, payload("r"), chunk)),
+      nChunks, statePartitions, "graft_ssj_") { streams =>
+      intervalJoin(streams.head, streams(1), delay, within)
+        .select(col("l_id"), col("r_id"), col("l_key").as("key"),
+          (unix_micros(col("r_ts").cast("timestamp")) -
+            unix_micros(col("l_ts").cast("timestamp"))).as("lag_us"))
+    }
+  }
+}

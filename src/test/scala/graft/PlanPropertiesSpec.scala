@@ -129,6 +129,32 @@ class PlanPropertiesSpec extends SparkSpec {
       s"size frames must broadcast:\n$p")
   }
 
+  test("q_dsir_weights: counts cached once, distributions broadcast") {
+    val p = plan("q_dsir_weights")
+    // the (doc, bucket) aggregate must come from cache — five consumers
+    // re-deriving the token stream would scan the corpus five times
+    assert(p.contains("InMemoryTableScan"),
+      s"dsir counts frame must be persisted:\n$p")
+    // both B-bounded distributions broadcast back to the weight join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"raw + target distributions must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in dsir justifies a sort-merge join:\n$p")
+  }
+
+  test("q_source_kl: counts cached once, word totals shuffle-hash") {
+    val p = plan("q_source_kl")
+    assert(p.contains("InMemoryTableScan"),
+      s"(stratum, word) frame must be persisted:\n$p")
+    // vocabulary-sized word totals join shuffle-hash (never broadcast);
+    // per-stratum totals broadcast
+    assert(p.contains("ShuffledHashJoin"),
+      s"word-total join must be shuffle-hash:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stratum totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge expected:\n$p")
+  }
+
   test("q_temperature_mix: targets broadcast, corpus shuffles once") {
     val p = plan("q_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),

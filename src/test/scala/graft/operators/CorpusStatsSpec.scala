@@ -319,4 +319,42 @@ class CorpusStatsSpec extends SparkSpec {
     assert(scores(20L) > scores(21L),
       s"in-distribution must outscore junk: $scores")
   }
+
+  test("sourceDivergence matches the exact driver KL on a hand vector") {
+    val s = spark
+    import s.implicits._
+    // srcA tokens: a a b (n=3); srcB: b c (n=2); corpus: a=2 b=2 c=1 N=5
+    val docs = Seq(("A", "a a b"), ("B", "b c")).toDF("source", "text")
+    val got = CorpusStats.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klA = (2.0 / 3) * math.log((2.0 / 3) / (2.0 / 5)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (2.0 / 5))
+    val klB = (1.0 / 2) * math.log((1.0 / 2) / (2.0 / 5)) +
+      (1.0 / 2) * math.log((1.0 / 2) / (1.0 / 5))
+    assert(got("A") == ((3L, r4(klA))))
+    assert(got("B") == ((2L, r4(klB))))
+  }
+
+  test("sourceDivergence is zero iff the stratum matches the blend") {
+    val s = spark
+    import s.implicits._
+    // both sources have the identical distribution -> KL exactly 0;
+    // a third source of pure novel tokens diverges strictly positively
+    val docs = Seq(("A", "x y"), ("B", "x y x y"), ("C", "zz zz zz"))
+      .toDF("source", "text")
+    val got = CorpusStats.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // A and B share P(x)=P(y)=1/2 but the corpus includes C's zz mass,
+    // so their KL is equal and positive; C's too
+    assert(got("A") == got("B"))
+    assert(got.values.forall(_ > 0.0))
+    // with C removed, A and B ARE the blend -> exactly 0.0 after round
+    val even = CorpusStats.sourceDivergence(
+        docs.where(col("source") =!= "C"), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(even == Map("A" -> 0.0, "B" -> 0.0))
+  }
 }

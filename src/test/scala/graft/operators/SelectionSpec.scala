@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SelectionSpec extends SparkSpec {
+
+  // independent driver-side replica of the engine's md5-prefix bucket
+  // (Sampling's 24-bit convention) — NOT the engine expression
+  private def bucket(w: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 6), 16) % buckets
+  }
+
+  private val fixture = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog"),
+    (2L, "en", "the dog barks at the quick fox"),
+    (3L, "de", "der schnelle braune fuchs springt sofort weiter"),
+    (4L, "de", "the der dog fuchs"), // mixed en/de vocabulary
+    (5L, "zh", "   ")) // zero tokens -> must drop out
+
+  // exact DSIR replay on the driver: per-doc sum of c_b * ln(pt_b/pr_b)
+  private def driverReplay(buckets: Int,
+                           k: Double): Map[Long, (Long, Double)] = {
+    val toks = fixture.map { case (id, lang, text) =>
+      (id, lang, text.toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq)
+    }
+    val feats = toks.flatMap { case (id, lang, ws) =>
+      ws.map(w => (id, lang, bucket(w, buckets)))
+    }
+    val nt = feats.count(_._2 == "en").toDouble
+    val nr = feats.size.toDouble
+    val ct = feats.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.size }
+    val cr = feats.groupBy(_._3).map { case (b, xs) => b -> xs.size }
+    toks.filter(_._3.nonEmpty).map { case (id, _, ws) =>
+      val byB = ws.map(bucket(_, buckets)).groupBy(identity)
+        .map { case (b, xs) => b -> xs.size }
+      val w = byB.map { case (b, c) =>
+        c * math.log(((ct.getOrElse(b, 0) + k) / (nt + k * buckets)) /
+          ((cr(b) + k) / (nr + k * buckets)))
+      }.sum
+      id -> ((ws.size.toLong, w))
+    }.toMap
+  }
+
+  private def engine(buckets: Int, k: Double): Map[Long, (Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    val docs = fixture.toDF("doc_id", "lang", "text")
+    Selection.dsirWeights(docs, col("lang") === "en", "doc_id", "text",
+        buckets, k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+  }
+
+  test("dsirWeights equals the exact driver replay (incl. collisions)") {
+    // buckets=7 forces hash collisions; the engine must agree with the
+    // replay under them (collisions SMOOTH the estimate, not break it)
+    for (buckets <- Seq(512, 7)) {
+      val want = driverReplay(buckets, 0.5)
+      val got = engine(buckets, 0.5)
+      assert(got.keySet == want.keySet, s"buckets=$buckets")
+      for ((id, (n, w)) <- want) {
+        assert(got(id)._1 == n, s"n_tokens doc=$id buckets=$buckets")
+        // engine output is rounded to 4 decimals; 1e-4 covers the
+        // rounding step while any formula error moves weights >> this
+        assert(math.abs(got(id)._2 - w) < 1e-4,
+          s"weight doc=$id buckets=$buckets got=${got(id)._2} want=$w")
+      }
+    }
+  }
+
+  test("target-like documents outweigh off-target ones") {
+    val got = engine(512, 0.5)
+    // pure-English docs score above the pure-German one; the mixed doc
+    // sits between; the blank doc is absent entirely
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
+    assert(got(4L)._2 > got(3L)._2 && got(4L)._2 < math.max(got(1L)._2,
+      got(2L)._2))
+    assert(!got.contains(5L))
+    // with target == raw (every doc targeted) all weights are exactly 0
+    val s = spark
+    import s.implicits._
+    val all0 = Selection.dsirWeights(fixture.toDF("doc_id", "lang", "text"),
+        lit(true), "doc_id", "text", 512, 0.5)
+      .collect().map(_.getDouble(2))
+    assert(all0.nonEmpty && all0.forall(_ == 0.0))
+  }
+}

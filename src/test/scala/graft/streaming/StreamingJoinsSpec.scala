@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class StreamingJoinsSpec extends SparkSpec {
+
+  // All fixtures sit on a base offset well past epoch 0: Spark's
+  // stream-stream join state machinery starts with watermark = 0 (epoch)
+  // and its input filter is inclusive at that value, so a row whose
+  // event time is EXACTLY 1970-01-01T00:00:00 is dropped before it can
+  // buffer (pinned below). Real event time never sits on epoch 0; the
+  // offset keeps the hand vectors out of the degenerate boundary.
+  private val B = 1000000L
+
+  // (k, sec, id, chunk)
+  private def mk(rows: Seq[(Long, Long, Long, Int)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "sec", "id", "chunk")
+      .withColumn("ts", timestamp_seconds(col("sec") + B)).drop("sec")
+  }
+
+  private def replay(left: Seq[(Long, Long, Long, Int)],
+                     right: Seq[(Long, Long, Long, Int)],
+                     nChunks: Int, delay: String = "300 seconds",
+                     within: String = "600 seconds") = {
+    implicit val ss: SparkSession = spark
+    StreamingJoins.intervalJoinReplay(mk(left), mk(right), "ts", "k", "id",
+        col("chunk"), nChunks, delay, within)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("inner interval join matches on key AND the time bound only") {
+    val got = replay(
+      left = Seq((1L, 100L, 10L, 0), (1L, 5000L, 11L, 1), (2L, 100L, 20L, 0)),
+      right = Seq(
+        (1L, 400L, 50L, 0), // inside [100, 700] -> matches 10
+        (1L, 900L, 51L, 0), // after 10's bound, before 11 -> no match
+        (2L, 900L, 60L, 0), // k=2 but 200 s past 20's bound -> no match
+        (3L, 100L, 70L, 0)), // no left row with k=3
+      nChunks = 2)
+    assert(got == Set((10L, 50L, 1L, 300000000L)))
+  }
+
+  test("a partner arriving a chunk later, inside the bound, still matches") {
+    // left@0 buffers through chunk 0's watermark advance and matches the
+    // right row arriving in chunk 1 at +550 s (within 600 s); the exact
+    // 0-lag pair at 1000 s pins the closed lower bound r_ts >= l_ts
+    val got = replay(
+      left = Seq((1L, 0L, 10L, 0), (9L, 1000L, 99L, 1)),
+      right = Seq((1L, 550L, 50L, 1), (9L, 1000L, 98L, 1)),
+      nChunks = 2)
+    assert(got == Set((10L, 50L, 1L, 550000000L), (99L, 98L, 9L, 0L)))
+  }
+
+  test("lockstep time-ordered replay emits exactly the batch interval join") {
+    // dense deterministic fixture, 4 time-ordered chunks (sec / 750),
+    // watermark delay much smaller than the span so state REALLY evicts
+    // mid-replay — the emission set must still equal the batch join
+    val left = (0L until 60L).map { i =>
+      val sec = (i * 173L) % 3000L
+      ((i % 7L) + 1L, sec, 100L + i, (sec / 750L).toInt)
+    }
+    val right = (0L until 60L).map { i =>
+      val sec = (i * 97L + 41L) % 3000L
+      ((i % 7L) + 1L, sec, 500L + i, (sec / 750L).toInt)
+    }
+    val got = replay(left, right, nChunks = 4, delay = "60 seconds")
+    val expected = (for {
+      (lk, ls, li, _) <- left
+      (rk, rs, ri, _) <- right
+      if lk == rk && rs >= ls && rs <= ls + 600L
+    } yield (li, ri, lk, (rs - ls) * 1000000L)).toSet
+    assert(got == expected)
+    assert(expected.size > 50) // the fixture is genuinely dense
+  }
+
+  test("epoch-0 event time is the one degenerate boundary (pinned)") {
+    // Spark's initial join watermark is 0 and the input filter is
+    // inclusive there: an event at exactly epoch 0 never buffers. This
+    // pin documents the boundary so a future Spark upgrade changing it
+    // is noticed; production event time (years past 1970) cannot hit it.
+    implicit val ss: SparkSession = spark
+    val s = spark
+    import s.implicits._
+    def at(rows: Seq[(Long, Long, Long, Int)]) =
+      rows.toDF("k", "sec", "id", "chunk")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = StreamingJoins.intervalJoinReplay(
+        at(Seq((1L, 0L, 10L, 0))), at(Seq((1L, 400L, 50L, 0))),
+        "ts", "k", "id", col("chunk"), 1, "300 seconds", "600 seconds")
+      .collect()
+    assert(got.isEmpty)
+  }
+}
