@@ -521,6 +521,27 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // LEFT-OUTER stream-stream interval join: same replay, plus the
+    // append-mode outer subtlety pinned in StreamingJoinsSpec — an
+    // unmatched click emits its null-padded row ONLY when the final
+    // watermark strictly passes click_ts + 2h (eviction is the proof
+    // that no purchase can come); unmatched clicks still alive in
+    // state at end-of-stream emit nothing. The oracle replays exactly
+    // that rule: batch join ∪ (unmatched ∧ evicted-by-final-watermark).
+    "q_stream_interval_join_left" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      val e = ev(s, d)
+      val chunk = graft.streaming.ReplayChunks.byTime(e, "ts", 4)
+      graft.streaming.StreamingJoins.intervalJoinReplay(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "purchase"),
+          "ts", "user_id", "event_id", chunk, 4, "1 hour", "2 hours",
+          joinType = "left_outer")
+        .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+          col("key").as("user_id"), col("lag_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // W5 map-shaped keyed output (reference emits map[key]agg,
     // windows.go:469-479). The map column itself is exercised via
     // toMapShape; for the driver's compare (which cannot hash map columns)
@@ -917,6 +938,20 @@ object SparkEntry {
           all.where(col("doc_id") % 3 === 0), "doc_id", "text", k = 0.5)
         .select(col("doc").as("doc_id"), col("n_bigrams"),
           col("n_unseen"), col("avg_lp"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet head/middle/tail: the held-out LM score partitioned into
+    // terciles on the DISCRETE integer grid (score×10^4), the same
+    // flip-immune cum-sum boundaries as q_length_buckets — the slice
+    // labels CCNet ships its crawl under
+    "q_ccnet_buckets" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Selection.perplexityBuckets(
+          all.where(col("doc_id") % 3 =!= 0),
+          all.where(col("doc_id") % 3 === 0), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_bigrams"),
+          col("n_unseen"), col("avg_lp"), col("bucket"))
         .orderBy("doc_id")
     }),
 
@@ -2859,6 +2894,32 @@ object SparkEntry {
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
 
+    // outer form: matches are the inner join; a null row appears iff
+    // the click has no match AND the final watermark (min over both
+    // inputs' ms-floored max ts, minus the 1 h delay) STRICTLY passes
+    // click_ts + 2 h — the spec-pinned eviction rule
+    "q_stream_interval_join_left" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+        |r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT epoch_ms(max(ts)) FROM l),
+        |                    (SELECT epoch_ms(max(ts)) FROM r))
+        |              - 3600000 AS wm_ms),
+        |m AS (SELECT l.event_id::BIGINT AS click_id,
+        |             r.event_id::BIGINT AS purchase_id,
+        |             l.user_id::BIGINT AS user_id,
+        |             (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS lag_us
+        |      FROM l JOIN r ON l.user_id = r.user_id
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR),
+        |u AS (SELECT l.event_id::BIGINT AS click_id,
+        |             NULL::BIGINT AS purchase_id,
+        |             l.user_id::BIGINT AS user_id,
+        |             NULL::BIGINT AS lag_us
+        |      FROM l, wm
+        |      WHERE l.event_id NOT IN (SELECT click_id FROM m)
+        |        AND epoch_us(l.ts) < (wm.wm_ms - 7200000) * 1000)
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "q_channel_fanin" ->
       """SELECT channel, count(*) AS n, round(sum(value), 4) AS sv FROM (
         |  SELECT 'clicks' AS channel, value FROM events WHERE event_type = 'click'
@@ -3494,6 +3555,53 @@ object SparkEntry {
          |LEFT JOIN ug ON split_part(bgsc.bg, ' ', 1) = ug.w
          |CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the heldout scoring verbatim, then terciles on the integer grid
+    // (score×10^4) via the q_length_buckets cum-sum construction; the
+    // 1/3 and 2/3 literals are the exact doubles Scala's 1.0/3 and
+    // 2.0/3 produce, so ceil(q*n) is the same IEEE multiply
+    "q_ccnet_buckets" ->
+      s"""WITH $tokCte,
+         |tr AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+         |sc AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+         |bgtr AS (SELECT bg FROM ${ngramRowsSql("tr", 2)}),
+         |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bgtr GROUP BY 1),
+         |ug AS (SELECT w, count(*)::BIGINT AS c1
+         |       FROM (SELECT unnest(tk) w FROM tr) GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS vv FROM ug),
+         |bgsc AS (SELECT doc_id, bg FROM ${ngramRowsSql("sc", 2)}),
+         |scd AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |            AS n_unseen,
+         |          round(avg(ln((coalesce(c2.c2, 0) + 0.5) /
+         |                       (coalesce(ug.c1, 0) + 0.5 * v.vv))), 4)
+         |            AS avg_lp
+         |        FROM bgsc
+         |        LEFT JOIN c2 USING (bg)
+         |        LEFT JOIN ug ON split_part(bgsc.bg, ' ', 1) = ug.w
+         |        CROSS JOIN v
+         |        GROUP BY doc_id),
+         |g AS (SELECT *, round(avg_lp * 10000)::BIGINT AS s FROM scd),
+         |vc AS (SELECT s AS v2, count(*) AS c FROM g GROUP BY s),
+         |cum AS (SELECT v2,
+         |          sum(c) OVER (ORDER BY v2
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum,
+         |          sum(c) OVER () AS n
+         |        FROM vc),
+         |b AS (SELECT
+         |        min(CASE WHEN cum >=
+         |              ceil(CAST(0.3333333333333333 AS DOUBLE) * n)
+         |            THEN v2 END) AS b0,
+         |        min(CASE WHEN cum >=
+         |              ceil(CAST(0.6666666666666666 AS DOUBLE) * n)
+         |            THEN v2 END) AS b1
+         |      FROM cum)
+         |SELECT doc_id, n_bigrams, n_unseen, avg_lp,
+         |       CASE WHEN s > b1 THEN 'head'
+         |            WHEN s > b0 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM g, b ORDER BY doc_id""".stripMargin,
 
     "q_ngram_freq" ->
       s"""WITH $tokCte

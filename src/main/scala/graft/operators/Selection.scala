@@ -87,4 +87,51 @@ object Selection {
             ((col("cr") + lit(k)) / (col("__nr") + kb)))), 4)
           .as("dsir_weight"))
   }
+
+  /** CCNet-style head/middle/tail partition (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020): score every document against a reference-
+    * corpus language model, then split the scored population into
+    * terciles — "head" (most reference-like) through "tail" (least) —
+    * so downstream mixing can keep head+middle, or sample the tail at
+    * a reduced rate, exactly as CCNet ships its crawl slices. The LM
+    * is [[CorpusStats.bigramLogProbAgainst]] (the engine's held-out
+    * bigram model — CCNet uses a 5-gram KenLM; same shape, same
+    * decision rule: mean log-probability per document, higher = more
+    * reference-like).
+    *
+    * Bucket boundaries are DISCRETE data values on an integer grid
+    * (the 4-decimal-rounded score scaled by 10^4), computed with the
+    * same cum-sum construction as [[Sampling.lengthBuckets]] — so the
+    * tercile edges are hash-stable across engines by construction,
+    * never subject to 1-ulp quantile-interpolation flips. Ties at a
+    * boundary all land on the same side (documents sharing a rounded
+    * score are indistinguishable to the filter, as they should be).
+    *
+    * Scale shape: scoring is bigramLogProbAgainst's (train counts
+    * shuffle once at vocabulary grain; scored bigrams shuffle to the
+    * count joins); the boundary frame is a 1-row broadcast over the
+    * distinct-score aggregate; the bucket label is a row-local
+    * comparison. Nothing new shuffles.
+    *
+    * Output: (doc, n_bigrams, n_unseen, avg_lp, bucket∈{head,middle,
+    * tail}). Documents with fewer than two tokens have no bigrams and
+    * drop out (bigramLogProbAgainst's contract). */
+  def perplexityBuckets(train: DataFrame, score: DataFrame, idCol: String,
+                        textCol: String, k: Double = 0.5): DataFrame = {
+    val scored = CorpusStats.bigramLogProbAgainst(train, score, idCol,
+      textCol, k)
+    // avg_lp is rounded to 4 decimals; x10^4 is integral up to FP dust,
+    // so round-to-nearest lands every score exactly on the long grid
+    val g = scored.withColumn("__s",
+      round(col("avg_lp") * 10000, 0).cast("long"))
+    val bounds = Sampling.discreteBounds(g, "__s", Seq(1.0 / 3, 2.0 / 3))
+    g.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("__s") > col("__b1"), lit("head"))
+          .when(col("__s") > col("__b0"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc"), col("n_bigrams"), col("n_unseen"),
+        col("avg_lp"), col("bucket"))
+  }
 }

@@ -45,16 +45,26 @@ object StreamingJoins {
     * (l_ts, l_key, l_id), `right` (r_ts, r_key, r_id) — fixed names so
     * the watermark/condition wiring is not caller-twistable into a
     * shape whose state never evicts. Null keys never match (SQL
-    * equality), mirroring the batch interval join. */
+    * equality), mirroring the batch interval join.
+    *
+    * `joinType` "inner" or "left_outer". The outer form adds the
+    * append-mode subtlety this engine pins in spec + oracle: an
+    * UNMATCHED left row's null-padded result is emitted only when its
+    * state is EVICTED (the watermark passes l_ts + within — only then
+    * is "no partner will come" provable), so left rows still alive in
+    * state when the stream ends have emitted nothing. Batch replay
+    * rule: null row iff no match AND l_ts + within < final watermark. */
   def intervalJoin(left: DataFrame, right: DataFrame, delay: String,
-                   within: String): DataFrame = {
+                   within: String, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.withWatermark("l_ts", delay)
     val r = right.withWatermark("r_ts", delay)
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$within'"),
-      "inner")
+      joinType)
   }
 
   /** Deterministic chunked replay of [[intervalJoin]] over two event
@@ -71,7 +81,8 @@ object StreamingJoins {
   def intervalJoinReplay(left: DataFrame, right: DataFrame, tsCol: String,
                          keyCol: String, idCol: String, chunk: Column,
                          nChunks: Int, delay: String, within: String,
-                         statePartitions: Int = 4)
+                         statePartitions: Int = 4,
+                         joinType: String = "inner")
                         (implicit spark: SparkSession): DataFrame = {
     def payload(p: String) = Seq(
       col(tsCol).as(s"${p}_ts"),
@@ -80,7 +91,7 @@ object StreamingJoins {
     ReplayHarness.replayToBatchN(spark,
       Seq((left, payload("l"), chunk), (right, payload("r"), chunk)),
       nChunks, statePartitions, "graft_ssj_") { streams =>
-      intervalJoin(streams.head, streams(1), delay, within)
+      intervalJoin(streams.head, streams(1), delay, within, joinType)
         .select(col("l_id"), col("r_id"), col("l_key").as("key"),
           (unix_micros(col("r_ts").cast("timestamp")) -
             unix_micros(col("l_ts").cast("timestamp"))).as("lag_us"))

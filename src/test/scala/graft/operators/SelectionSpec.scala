@@ -89,4 +89,39 @@ class SelectionSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(all0.nonEmpty && all0.forall(_ == 0.0))
   }
+
+  test("perplexityBuckets: terciles follow the LM score, labels ordered") {
+    val s = spark
+    import s.implicits._
+    // reference corpus: repetitive in-domain text; scored docs range
+    // from verbatim-in-domain to pure OOV junk — six scored docs so
+    // the tercile boundaries (ceil(n/3)=2, ceil(2n/3)=4) split 2/2/2
+    // unless rounded scores tie
+    val train = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug"),
+      (102L, "the cat ran to the dog")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat on the mat"),   // verbatim -> best
+      (2L, "the dog ran to the cat"),   // in-domain
+      (3L, "the cat sat quietly"),      // one OOV
+      (4L, "a cat under a tree"),       // mostly OOV transitions
+      (5L, "purple xylophone quantum"), // junk
+      (6L, "zz qq ww ee rr")).toDF("doc_id", "text") // junk
+    val got = Selection.perplexityBuckets(train, score, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // every head score >= every middle score >= every tail score
+    def scoresOf(b: String) =
+      got.values.collect { case (lp, `b`) => lp }.toSeq
+    for (hi <- scoresOf("head"); mid <- scoresOf("middle"))
+      assert(hi > mid, s"head $hi must outscore middle $mid: $got")
+    for (mid <- scoresOf("middle"); lo <- scoresOf("tail"))
+      assert(mid > lo, s"middle $mid must outscore tail $lo: $got")
+    // all three buckets are populated and junk lands in the tail
+    assert(Set("head", "middle", "tail").forall(b => scoresOf(b).nonEmpty))
+    assert(got(1L)._2 == "head" && got(5L)._2 == "tail" &&
+      got(6L)._2 == "tail")
+  }
 }

@@ -79,6 +79,32 @@ class StreamingJoinsSpec extends SparkSpec {
     assert(expected.size > 50) // the fixture is genuinely dense
   }
 
+  test("left-outer: null rows emit ONLY on eviction, strict boundary") {
+    // Append-mode outer semantics: an unmatched left row emits its
+    // null-padded result only when the watermark proves no partner can
+    // come — strictly past l_ts + within. Final watermark here is
+    // min(maxTs both inputs) - delay = B+1700:
+    //   id 10 (0+600  < 1700)  -> evicted, null row emitted
+    //   id 30 (1100+600 == 1700) -> boundary is STRICT: still in state
+    //   id 20/80 (alive)        -> nothing emitted
+    // and matches are exactly the inner join's.
+    implicit val ss: SparkSession = spark
+    val left = Seq(
+      (1L, 0L, 10L, 0), (3L, 1100L, 30L, 1), (2L, 1500L, 20L, 1),
+      (4L, 900L, 40L, 1), (8L, 2000L, 80L, 1))
+    val right = Seq((4L, 1000L, 44L, 1), (9L, 2000L, 90L, 1))
+    val got = StreamingJoins.intervalJoinReplay(mk(left), mk(right),
+        "ts", "k", "id", col("chunk"), 2, "300 seconds", "600 seconds",
+        joinType = "left_outer")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set((40L, 44L, 4L, 100000000L), (10L, -1L, 1L, -1L)))
+  }
+
   test("epoch-0 event time is the one degenerate boundary (pinned)") {
     // Spark's initial join watermark is 0 and the input filter is
     // inclusive there: an event at exactly epoch 0 never buffers. This
