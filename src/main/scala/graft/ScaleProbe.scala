@@ -314,6 +314,51 @@ object ScaleProbe {
     }
   }
 
+  /** Stream-stream join state probe — the SCALE.md claim "interval-join
+    * state is bounded by rate × (within + delay) per side, not stream
+    * length" as a measured number: clicks ⋈ purchases within 2 h under
+    * a 30 min delay, replayed in 6 time-ordered chunks. replicateEvents
+    * grows the event RATE k-fold over the same ~1-month span, so PEAK
+    * state rows must grow ~k (state ∝ rate) while staying a small
+    * fraction of total input (state ∝ the join window, not history) —
+    * and the END state must be near zero, because watermark eviction
+    * is the entire scale story. Both numbers are reported. */
+  private def streamJoinStateProbe(spark: SparkSession,
+                                   events: DataFrame): String = {
+    val nChunks = 6
+    val chunk = graft.streaming.ReplayChunks.byTime(events, "ts", nChunks)
+    def side(p: String, typ: String) = new graft.streaming.ChunkedReplay(
+      events.where(col("event_type") === typ),
+      Seq(col("ts").as(s"${p}_ts"),
+        col("user_id").cast("long").as(s"${p}_key"),
+        col("event_id").cast("long").as(s"${p}_id")), chunk, nChunks)
+    val l = side("l", "click")
+    val r = side("r", "purchase")
+    val ls = spark.readStream.schema(l.schema).parquet(l.streamDir.toString)
+    val rs = spark.readStream.schema(r.schema).parquet(r.streamDir.toString)
+    val q = graft.streaming.StreamingJoins
+      .intervalJoin(ls, rs, "30 minutes", "2 hours")
+      .writeStream.format("noop")
+      .option("checkpointLocation", l.root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      (0 until nChunks).foreach { k =>
+        l.moveChunk(k); r.moveChunk(k); q.processAllAvailable()
+      }
+      val progs = q.recentProgress
+      val dataProgs = progs.filter(_.numInputRows > 0)
+      val peakState = progs.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val endState = progs.lastOption.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(0L)
+      s""""stream_join_state":{"input_rows":${dataProgs.map(_.numInputRows).sum},""" +
+        s""""peak_state_rows":$peakState,""" +
+        s""""end_state_rows":$endState}"""
+    } finally {
+      q.stop(); l.cleanup(); r.cleanup()
+    }
+  }
+
   /** Compaction-decade probe: the SCALE.md claim "a many-times-extended
     * index accretes small files per bucket/cell until open/seek cost
     * dominates the probe, and blue/green compaction restores it" as a
@@ -917,6 +962,20 @@ object ScaleProbe {
         // case for the Zipf amortization (real corpora add occurrences
         // faster than words); the per-word walk + (doc, word, count)
         // shuffle are what is measured
+        // hashed-feature table is CONSTANT (512 buckets) while the
+        // vocabulary grows k-fold by replica construction: the
+        // (doc, bucket) aggregate must track the token scan, and the
+        // distribution joins stay one ~512-row broadcast each — wall
+        // growth beyond ~k here would mean the bucket cap leaked
+        "dsir_weights" -> (() =>
+          operators.Selection.dsirWeights(docs,
+            pmod(col("doc_id"), lit(3L)) === lit(0L), "doc_id", "text")
+            .count()),
+        // vocabulary (hence the word-total shuffle-hash join) grows
+        // k-fold — worst case; the output stays one row per source
+        "source_kl" -> (() =>
+          operators.CorpusStats.sourceDivergence(docs, "source", "text")
+            .count()),
         "subword" -> (() =>
           operators.Subword.pieceCounts(docs, "doc_id", "text",
             Seq("a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m",
@@ -979,6 +1038,14 @@ object ScaleProbe {
             f"[probe] scale=$k streaming_sessions ${(System.nanoTime() - t0) / 1e9}%7.2fs")
           "," + j
         } else ""
+      val streamJoinJson =
+        if (wanted("stream_join_state")) {
+          val t0 = System.nanoTime()
+          val j = streamJoinStateProbe(spark, events)
+          System.err.println(
+            f"[probe] scale=$k stream_join_state ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+          "," + j
+        } else ""
       val compactionJson =
         if (wanted("ivf_compaction")) {
           val t0 = System.nanoTime()
@@ -1011,7 +1078,7 @@ object ScaleProbe {
       }
       if (ivfPqIdx != null) Similarity.dropIvfPqIndex(spark, ivfPqIdx)
       if (chunkIdx != null) operators.Chunking.dropChunkIndex(spark, chunkIdx)
-      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$rateCapTtlJson$sessionsJson$compactionJson}""")
+      println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$rateCapTtlJson$sessionsJson$streamJoinJson$compactionJson}""")
     }
     spark.stop()
   }
