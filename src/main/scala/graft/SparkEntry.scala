@@ -4014,14 +4014,16 @@ object SparkEntry {
         |sw AS (SELECT source, w, count(*)::BIGINT AS c
         |       FROM (SELECT source, unnest(tk) AS w FROM t) GROUP BY 1, 2),
         |cw AS (SELECT w, sum(c)::BIGINT AS cw FROM sw GROUP BY 1),
-        |ns AS (SELECT source, sum(c)::BIGINT AS ns FROM sw GROUP BY 1),
+        |ns AS (SELECT source AS nsrc, sum(c)::BIGINT AS ns
+        |       FROM sw GROUP BY 1),
         |n AS (SELECT sum(c)::DOUBLE AS n FROM sw)
         |SELECT sw.source, sum(sw.c)::BIGINT AS n_tokens,
         |       round(sum((sw.c / ns.ns::DOUBLE) *
         |                 ln((sw.c / ns.ns::DOUBLE) / (cw.cw / n.n))), 4)
         |         AS kl
-        |FROM sw JOIN cw USING (w) JOIN ns USING (source), n
-        |GROUP BY sw.source ORDER BY source""".stripMargin,
+        |FROM sw JOIN cw USING (w)
+        |JOIN ns ON sw.source IS NOT DISTINCT FROM ns.nsrc, n
+        |GROUP BY sw.source ORDER BY sw.source""".stripMargin,
 
     // DSIR: same 24-bit md5 bucket as the engine ('0x'||substr(md5,1,6)
     // — Sampling.scala's documented replay convention), add-0.5

@@ -589,10 +589,15 @@ object CorpusStats {
       .groupBy("grp", "w").agg(count(lit(1)).as("c"))
     val sw = if (persistCounts) sw0.persist() else sw0
     val cw = sw.groupBy("w").agg(sum("c").as("cw"))
+    // a NULL stratum is a legitimate groupBy group (docs with no source
+    // tag are exactly the slice a drift report must not lose) — the
+    // totals join is null-safe so it survives; the word join needs no
+    // <=> (tokens() never yields null words)
     val ns = sw.groupBy("grp").agg(sum("c").as("ns"))
+      .select(col("grp").as("__g"), col("ns"))
     val n = sw.agg(sum("c").cast("double").as("__n"))
     sw.join(cw.hint("shuffle_hash"), Seq("w"))
-      .join(broadcast(ns), Seq("grp"))
+      .join(broadcast(ns), col("grp") <=> col("__g"))
       .crossJoin(broadcast(n))
       .groupBy("grp")
       .agg(sum("c").as("n_tokens"),

@@ -338,6 +338,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("B") == ((2L, r4(klB))))
   }
 
+  test("sourceDivergence keeps a NULL stratum (null-safe totals join)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((Some("A"), "a a b"), (None, "b c"))
+      .toDF("source", "text")
+    val got = CorpusStats.sourceDivergence(docs, "source", "text")
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the untagged slice is a real group, not silently dropped
+    assert(got == Map(Some("A") -> 3L, None -> 2L))
+  }
+
   test("sourceDivergence is zero iff the stratum matches the blend") {
     val s = spark
     import s.implicits._

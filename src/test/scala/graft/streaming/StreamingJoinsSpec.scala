@@ -105,6 +105,36 @@ class StreamingJoinsSpec extends SparkSpec {
     assert(got == Set((40L, 44L, 4L, 100000000L), (10L, -1L, 1L, -1L)))
   }
 
+  test("null-key rows never match but follow the same eviction rule") {
+    // SQL equality: a null key matches nothing on either side. In the
+    // left-outer form a null-key left row still buffers and emits its
+    // null-padded result on eviction — same strict l_ts+within < wm
+    // rule as keyed rows (the oracle's unmatched-set replay needs no
+    // key filter). Pinned here because the null sweep injects null
+    // user_ids into exactly this gate.
+    implicit val ss: SparkSession = spark
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Option.empty[Long], 0L, 10L, 0),    // evicted -> null row
+      (Option.empty[Long], 1500L, 20L, 1), // alive -> nothing
+      (Some(8L), 2000L, 80L, 1))           // wm flush; alive
+    val right = Seq((Some(9L), 2000L, 90L, 1))
+    def mkOpt(rows: Seq[(Option[Long], Long, Long, Int)]) =
+      rows.toDF("k", "sec", "id", "chunk")
+        .withColumn("ts", timestamp_seconds(col("sec") + B)).drop("sec")
+    val got = StreamingJoins.intervalJoinReplay(mkOpt(left), mkOpt(right),
+        "ts", "k", "id", col("chunk"), 2, "300 seconds", "600 seconds",
+        joinType = "left_outer")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set((10L, -1L, -1L, -1L)))
+  }
+
   test("epoch-0 event time is the one degenerate boundary (pinned)") {
     // Spark's initial join watermark is 0 and the input filter is
     // inclusive there: an event at exactly epoch 0 never buffers. This
