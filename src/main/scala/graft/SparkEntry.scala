@@ -542,6 +542,42 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // RIGHT-OUTER form: the eviction bound is ASYMMETRIC (the time
+    // condition r_ts ∈ [l_ts, l_ts+2h] is) — an unmatched purchase's
+    // null-padded row emits iff the final watermark strictly passes
+    // purchase_ts ITSELF (any later click sits above the watermark,
+    // hence past it). Spec-pinned in StreamingJoinsSpec; the oracle
+    // replays batch join ∪ (unmatched ∧ r_ts < final wm).
+    "q_stream_interval_join_right" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      val e = ev(s, d)
+      val chunk = graft.streaming.ReplayChunks.byTime(e, "ts", 4)
+      graft.streaming.StreamingJoins.intervalJoinReplay(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "purchase"),
+          "ts", "user_id", "event_id", chunk, 4, "1 hour", "2 hours",
+          joinType = "right_outer")
+        .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+          col("key").as("user_id"), col("lag_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    // FULL-OUTER form: both sides' eviction rules apply — the union of
+    // the left and right oracles' unmatched sets over one replay.
+    "q_stream_interval_join_full" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      val e = ev(s, d)
+      val chunk = graft.streaming.ReplayChunks.byTime(e, "ts", 4)
+      graft.streaming.StreamingJoins.intervalJoinReplay(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "purchase"),
+          "ts", "user_id", "event_id", chunk, 4, "1 hour", "2 hours",
+          joinType = "full_outer")
+        .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+          col("key").as("user_id"), col("lag_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // W5 map-shaped keyed output (reference emits map[key]agg,
     // windows.go:469-479). The map column itself is exercised via
     // toMapShape; for the driver's compare (which cannot hash map columns)
@@ -1162,6 +1198,21 @@ object SparkEntry {
     "q_dedup_passage" -> ((s, d) =>
       Dedup.passageDedup(docs(s, d), "doc_id", "text", width = 8, minDocs = 2)
         .orderBy("doc_id")),
+
+    // corpus-level LINE dedup (the RefinedWeb boilerplate rule: a line
+    // repeated across >= 2 DISTINCT documents is removed from ALL of
+    // them). The fixture's documents are single-line, so the gate
+    // first regroups each document's tokens into 8-token lines (the
+    // linear tokenSpans kernel — the fixture's 153 cross-doc duplicate
+    // passages become duplicate LINES) and then drives the real
+    // operator over the multi-line corpus; the oracle rebuilds the
+    // identical lines and replays the drop rule.
+    "q_dedup_lines" -> ((s, d) => {
+      val multi = docs(s, d).select(col("doc_id"),
+        array_join(graft.expressions.TextExprs.tokenSpans(
+          col("text"), 8, 8), "\n").as("text"))
+      Dedup.lineDedup(multi, "doc_id", "text").orderBy("doc_id")
+    }),
 
     // content-defined chunking: rolling-hash (gear/Rabin-family)
     // boundaries over codepoints — chunk edges move with the content, so
@@ -2920,6 +2971,63 @@ object SparkEntry {
         |SELECT * FROM m UNION ALL SELECT * FROM u
         |ORDER BY click_id, purchase_id""".stripMargin,
 
+    // right-outer: the purchase side's eviction bound is its OWN ts
+    // (asymmetric condition — see the gate comment); null row iff
+    // unmatched AND r_ts strictly below the final watermark
+    "q_stream_interval_join_right" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+        |r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT epoch_ms(max(ts)) FROM l),
+        |                    (SELECT epoch_ms(max(ts)) FROM r))
+        |              - 3600000 AS wm_ms),
+        |m AS (SELECT l.event_id::BIGINT AS click_id,
+        |             r.event_id::BIGINT AS purchase_id,
+        |             l.user_id::BIGINT AS user_id,
+        |             (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS lag_us
+        |      FROM l JOIN r ON l.user_id = r.user_id
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR),
+        |u AS (SELECT NULL::BIGINT AS click_id,
+        |             r.event_id::BIGINT AS purchase_id,
+        |             r.user_id::BIGINT AS user_id,
+        |             NULL::BIGINT AS lag_us
+        |      FROM r, wm
+        |      WHERE r.event_id NOT IN (SELECT purchase_id FROM m)
+        |        AND epoch_us(r.ts) < wm.wm_ms * 1000)
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // full-outer: both unmatched sets, each under its own side's
+    // eviction bound, over the one shared replay
+    "q_stream_interval_join_full" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+        |r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT epoch_ms(max(ts)) FROM l),
+        |                    (SELECT epoch_ms(max(ts)) FROM r))
+        |              - 3600000 AS wm_ms),
+        |m AS (SELECT l.event_id::BIGINT AS click_id,
+        |             r.event_id::BIGINT AS purchase_id,
+        |             l.user_id::BIGINT AS user_id,
+        |             (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS lag_us
+        |      FROM l JOIN r ON l.user_id = r.user_id
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR),
+        |ul AS (SELECT l.event_id::BIGINT AS click_id,
+        |              NULL::BIGINT AS purchase_id,
+        |              l.user_id::BIGINT AS user_id,
+        |              NULL::BIGINT AS lag_us
+        |       FROM l, wm
+        |       WHERE l.event_id NOT IN (SELECT click_id FROM m)
+        |         AND epoch_us(l.ts) < (wm.wm_ms - 7200000) * 1000),
+        |ur AS (SELECT NULL::BIGINT AS click_id,
+        |              r.event_id::BIGINT AS purchase_id,
+        |              r.user_id::BIGINT AS user_id,
+        |              NULL::BIGINT AS lag_us
+        |       FROM r, wm
+        |       WHERE r.event_id NOT IN (SELECT purchase_id FROM m)
+        |         AND epoch_us(r.ts) < wm.wm_ms * 1000)
+        |SELECT * FROM m UNION ALL SELECT * FROM ul
+        |UNION ALL SELECT * FROM ur
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "q_channel_fanin" ->
       """SELECT channel, count(*) AS n, round(sum(value), 4) AS sv FROM (
         |  SELECT 'clicks' AS channel, value FROM events WHERE event_type = 'click'
@@ -3687,6 +3795,42 @@ object SparkEntry {
         |  SELECT doc_id, string_agg(passage, ' ' ORDER BY cidx) AS kept_text,
         |         count(*) AS n_kept
         |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // line dedup over the 8-token regrouped corpus: lines ARE the
+    // tokenSpans passages (tokens cannot contain \n and spans carry no
+    // edge whitespace, so the engine's trim+split round-trips them
+    // exactly); remove-all-copies rule, per-doc reassembly in order
+    "q_dedup_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, ((p - 1) // 8)::BIGINT AS cidx,
+        |         string_agg(tok, ' ' ORDER BY p) AS line
+        |  FROM (SELECT doc_id, unnest(toks) AS tok,
+        |               unnest(range(1, len(toks) + 1)) AS p FROM base)
+        |  GROUP BY doc_id, ((p - 1) // 8)
+        |), f AS (
+        |  SELECT line FROM chunks GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), k AS (
+        |  SELECT c.doc_id, c.cidx, c.line, f.line IS NULL AS keep
+        |  FROM chunks c LEFT JOIN f ON c.line = f.line
+        |)
+        |SELECT b.doc_id,
+        |       coalesce(a.kept_text, '') AS kept_text,
+        |       coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+        |       coalesce(a.n_kept, 0)::BIGINT AS n_kept
+        |FROM base b LEFT JOIN (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(line, chr(10) ORDER BY cidx)
+        |                    FILTER (WHERE keep), '') AS kept_text,
+        |         count(*) AS n_lines,
+        |         count(*) FILTER (WHERE keep) AS n_kept
+        |  FROM k GROUP BY doc_id) a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
     // the identical gear-polynomial boundary arithmetic, replayed over

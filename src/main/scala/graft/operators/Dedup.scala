@@ -1221,4 +1221,76 @@ object Dedup {
         size(col("passages")).cast("long").as("n_chunks"),
         coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"))
   }
+
+  /** Corpus-level LINE dedup (the RefinedWeb boilerplate rule, distinct
+    * from [[graft.functions.TextFunctions.dupLineStats]]'s within-doc
+    * statistics): split each document on `\n`, drop every line whose
+    * TRIMMED content occurs in >= `minDocs` DISTINCT documents, and
+    * reassemble the survivors in order. Navigation chrome, cookie
+    * banners and share buttons repeat verbatim across pages that are
+    * not near-duplicates as wholes, which is exactly why the rule is
+    * line-grained and corpus-global. `keepFirst=false` (default)
+    * removes ALL copies — "Sign in" is boilerplate everywhere, there is
+    * no canonical owner; `keepFirst=true` keeps the lowest-doc-id
+    * document's occurrences ([[passageDedup]]'s convention).
+    *
+    * Line identity is the full-ASCII-whitespace trim of dupLineStats
+    * (CRLF corpora match across \r\n vs \n); the RE-ASSEMBLED text
+    * keeps each surviving line's ORIGINAL bytes. Blank (trim-empty)
+    * lines carry no content: never counted, never dropped.
+    *
+    * Scale shape, same discipline as [[passageDedup]]: the frequency
+    * stream is `(doc_id, lidx, xxhash64(trimmed))` — line TEXT never
+    * crosses a shuffle — the drop decision travels back as a per-doc
+    * list of line indexes (boilerplate-sized, not document-sized), and
+    * reassembly re-slices each document's own split locally via an
+    * O(n) hash-set `array_except`, so the only full-text shuffle is
+    * the doc_id-keyed reassembly join.
+    *
+    * Returns one row per input document:
+    * `(doc_id, kept_text, n_lines, n_kept)` — counts are NON-BLANK
+    * lines (dupLineStats' n_lines), kept_text preserves blank lines. */
+  def lineDedup(docs: DataFrame, id: String, text: String,
+                minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val trimRe = "^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$"
+    val withL = docs.select(col(id).cast("long").as("doc_id"),
+      coalesce(split(col(text), "\n"), array().cast("array<string>"))
+        .as("lines"))
+    // hash-only line stream, blanks excluded at the source
+    val keyed = withL
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("lidx", "l")))
+      .select(col("doc_id"), col("lidx"),
+        regexp_replace(col("l"), trimRe, "").as("ct"))
+      .where(length(col("ct")) > 0)
+      .select(col("doc_id"), col("lidx"), xxhash64(col("ct")).as("lfp"))
+    val freq = keyed.groupBy("lfp")
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        min(col("doc_id")).as("first_doc"))
+    // indexes to DROP per doc (the boilerplate-sized side of the
+    // decision; keep lists are document-sized). Corpus-by-corpus joins
+    // pinned shuffle-hash, passageDedup's rationale.
+    val dropIdx = keyed.join(freq.hint("shuffle_hash"), "lfp")
+      .where(col("ndocs") >= minDocs &&
+        (if (keepFirst) col("doc_id") =!= col("first_doc") else lit(true)))
+      .groupBy("doc_id")
+      .agg(collect_list(col("lidx")).as("drop"))
+    // local reassembly: surviving indexes = 0..n-1 minus drop
+    // (array_except is hash-set based, O(n); sequence() guarded — an
+    // empty lines array would otherwise generate a DESCENDING range)
+    val allIdx = when(size(col("lines")) > 0,
+      sequence(lit(0), size(col("lines")) - 1)).otherwise(
+      array().cast("array<int>"))
+    val kept = array_except(allIdx,
+      coalesce(col("drop"), array().cast("array<int>")))
+    val nLines = size(filter(col("lines"),
+      l => length(regexp_replace(l, trimRe, "")) > 0)).cast("long")
+    withL.join(dropIdx.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(transform(kept,
+          i => element_at(col("lines"), i + 1)), "\n").as("kept_text"),
+        nLines.as("n_lines"),
+        (nLines - coalesce(size(col("drop")), lit(0)).cast("long"))
+          .as("n_kept"))
+  }
 }

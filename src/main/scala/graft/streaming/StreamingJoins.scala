@@ -47,17 +47,24 @@ object StreamingJoins {
     * shape whose state never evicts. Null keys never match (SQL
     * equality), mirroring the batch interval join.
     *
-    * `joinType` "inner" or "left_outer". The outer form adds the
-    * append-mode subtlety this engine pins in spec + oracle: an
-    * UNMATCHED left row's null-padded result is emitted only when its
-    * state is EVICTED (the watermark passes l_ts + within — only then
-    * is "no partner will come" provable), so left rows still alive in
-    * state when the stream ends have emitted nothing. Batch replay
-    * rule: null row iff no match AND l_ts + within < final watermark. */
+    * `joinType` "inner", "left_outer", "right_outer" or "full_outer".
+    * The outer forms add the append-mode subtlety this engine pins in
+    * spec + oracle: an UNMATCHED row's null-padded result is emitted
+    * only when its state is EVICTED — only then is "no partner will
+    * come" provable — so rows still alive in state when the stream
+    * ends have emitted nothing. The eviction bound differs per side
+    * because the time condition is asymmetric (r_ts ∈ [l_ts,
+    * l_ts + within]): a LEFT row is unmatchable once the watermark
+    * strictly passes l_ts + within, a RIGHT row once it strictly
+    * passes r_ts itself (any later-arriving left row has l_ts above
+    * the watermark, i.e. past r_ts — pinned in StreamingJoinsSpec).
+    * Batch replay rule: null row iff no match AND that side's bound
+    * < final watermark; full_outer applies both rules. */
   def intervalJoin(left: DataFrame, right: DataFrame, delay: String,
                    within: String, joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")
+        .contains(joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer, got $joinType")
     val l = left.withWatermark("l_ts", delay)
     val r = right.withWatermark("r_ts", delay)
     l.join(r,
@@ -77,7 +84,9 @@ object StreamingJoins {
     *
     * Output: (l_id, r_id, key, lag_us) — the matched pair, its key,
     * and the event-time gap in exact integer microseconds (no
-    * floating-point timestamp math anywhere). */
+    * floating-point timestamp math anywhere). `key` is
+    * coalesce(l_key, r_key) so right-padded outer rows still carry
+    * their key (identical to l_key on every matched row). */
   def intervalJoinReplay(left: DataFrame, right: DataFrame, tsCol: String,
                          keyCol: String, idCol: String, chunk: Column,
                          nChunks: Int, delay: String, within: String,
@@ -92,7 +101,8 @@ object StreamingJoins {
       Seq((left, payload("l"), chunk), (right, payload("r"), chunk)),
       nChunks, statePartitions, "graft_ssj_") { streams =>
       intervalJoin(streams.head, streams(1), delay, within, joinType)
-        .select(col("l_id"), col("r_id"), col("l_key").as("key"),
+        .select(col("l_id"), col("r_id"),
+          coalesce(col("l_key"), col("r_key")).as("key"),
           (unix_micros(col("r_ts").cast("timestamp")) -
             unix_micros(col("l_ts").cast("timestamp"))).as("lag_us"))
     }

@@ -455,6 +455,46 @@ class DedupSpec extends SparkSpec {
     assert(got === Array((10L, "p q r s", 2L, 2L), (11L, "q r s", 1L, 1L)))
   }
 
+  test("line dedup: corpus-repeated lines removed from ALL docs by default") {
+    val s = spark
+    import s.implicits._
+    // "Sign in" repeats across docs 1/2 (with CRLF + indent variants —
+    // identity is the trimmed content, reassembly keeps original bytes);
+    // "unique ..." lines survive; doc 2's internal repeat of "only here"
+    // is within-ONE-doc and must NOT trip the corpus rule; blank lines
+    // are kept verbatim and never counted
+    val df = Seq(
+      (1L, "Sign in\nunique one\n\nclosing"),
+      (2L, "  Sign in\r\nonly here\nonly here\nunique two"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, "unique one\n\nclosing", 3L, 2L),
+      // "\r\n" split leaves "only here\r"... no: the \r\n sits after
+      // "Sign in", so "  Sign in\r" trims to the shared content and is
+      // dropped with its original bytes
+      (2L, "only here\nonly here\nunique two", 4L, 3L),
+      (3L, "", 0L, 0L)))
+  }
+
+  test("line dedup: keepFirst retains the lowest doc id's occurrences") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (5L, "header\nbody five"),
+      (7L, "header\nbody seven"),
+      (9L, "header")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(df, "doc_id", "text", keepFirst = true)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (5L, "header\nbody five", 2L, 2L),
+      (7L, "body seven", 2L, 1L),
+      (9L, "", 1L, 0L)))
+  }
+
   test("streaming dedup with history drops duplicates of indexed docs") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._

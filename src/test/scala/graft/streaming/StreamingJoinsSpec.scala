@@ -105,6 +105,62 @@ class StreamingJoinsSpec extends SparkSpec {
     assert(got == Set((40L, 44L, 4L, 100000000L), (10L, -1L, 1L, -1L)))
   }
 
+  test("right-outer: eviction bound is r_ts itself, strict boundary") {
+    // The time condition is asymmetric, so the right side's eviction
+    // bound differs from the left's: a buffered right row can only
+    // match left rows with l_ts ∈ [r_ts - within, r_ts], and any left
+    // row arriving after the watermark passes r_ts is above r_ts — so
+    // the null-padded right row emits iff unmatched AND r_ts < final
+    // watermark, STRICTLY. Final watermark = min(maxTs both) - delay
+    // = B+1700:
+    //   id 10 (ts 0    < 1700)  -> evicted, null row
+    //   id 20 (ts 1500 < 1700)  -> evicted, null row
+    //   id 30 (ts 1700 == 1700) -> strict: still in state, nothing
+    //   id 90 (ts 2000, alive)  -> nothing
+    implicit val ss: SparkSession = spark
+    val left = Seq((4L, 900L, 40L, 1), (8L, 2000L, 80L, 1))
+    val right = Seq(
+      (1L, 0L, 10L, 0), (2L, 1500L, 20L, 1), (3L, 1700L, 30L, 1),
+      (4L, 1000L, 44L, 1), (9L, 2000L, 90L, 1))
+    val got = StreamingJoins.intervalJoinReplay(mk(left), mk(right),
+        "ts", "k", "id", col("chunk"), 2, "300 seconds", "600 seconds",
+        joinType = "right_outer")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set((40L, 44L, 4L, 100000000L),
+      (-1L, 10L, 1L, -1L), (-1L, 20L, 2L, -1L)))
+  }
+
+  test("full-outer applies each side's own eviction rule") {
+    // Union of the two outer behaviors on one fixture: left id 10
+    // evicts at l_ts + within < wm, right id 55 at r_ts < wm, the
+    // matched pair emits once, and alive rows on both sides emit
+    // nothing. wm = min(B+2000, B+2000) - 300 = B+1700.
+    implicit val ss: SparkSession = spark
+    val left = Seq(
+      (1L, 0L, 10L, 0),     // 0+600 < 1700 -> left null row
+      (2L, 1500L, 20L, 1),  // 1500+600 > 1700 -> alive, nothing
+      (4L, 900L, 40L, 1), (8L, 2000L, 80L, 1))
+    val right = Seq(
+      (5L, 300L, 55L, 0),   // 300 < 1700 -> right null row
+      (6L, 1800L, 66L, 1),  // alive -> nothing
+      (4L, 1000L, 44L, 1), (9L, 2000L, 90L, 1))
+    val got = StreamingJoins.intervalJoinReplay(mk(left), mk(right),
+        "ts", "k", "id", col("chunk"), 2, "300 seconds", "600 seconds",
+        joinType = "full_outer")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set((40L, 44L, 4L, 100000000L),
+      (10L, -1L, 1L, -1L), (-1L, 55L, 5L, -1L)))
+  }
+
   test("null-key rows never match but follow the same eviction rule") {
     // SQL equality: a null key matches nothing on either side. In the
     // left-outer form a null-key left row still buffers and emits its
