@@ -885,6 +885,16 @@ object ScaleProbe {
         // with corpus rows, not passage-pair combinations
         "dedup_passage" -> (() =>
           Dedup.passageDedup(docs, "doc_id", "text", 8, 2).count()),
+        // same hash-only discipline at LINE grain: the multi-line
+        // corpus is rebuilt from tokenSpans (the gate's construction),
+        // token renaming keeps within-copy duplicate lines and
+        // decorrelates across copies — duplicate-line work must grow
+        // ~linearly with k, never with pair combinations
+        "dedup_lines" -> (() =>
+          Dedup.lineDedup(docs.select(col("doc_id"),
+            array_join(graft.expressions.TextExprs.tokenSpans(
+              col("text"), 8, 8), "\n").as("text")),
+            "doc_id", "text").count()),
         // codebook trained untimed (once-per-corpus by contract); the
         // timed probe is the byte-code scan + top-R refine
         "knn_sq8" -> (() =>

@@ -67,8 +67,23 @@ object StreamingJoins {
       s"joinType must be inner/left_outer/right_outer/full_outer, got $joinType")
     val l = left.withWatermark("l_ts", delay)
     val r = right.withWatermark("r_ts", delay)
+    // The null guard is load-bearing for FULL OUTER only: the
+    // streaming symmetric hash join matches buffered rows by BINARY
+    // key equality (grouping semantics — null == null), and unlike the
+    // inner/left/right plans, full outer cannot prune null-key inputs,
+    // so without it two null-key rows inside the time bound emit as a
+    // MATCH (caught by the null sweep; pinned in StreamingJoinsSpec).
+    // SQL equality must win: null keys never match, they surface as
+    // each side's null-padded EVICTION rows — which is why the guard
+    // must reference BOTH sides (binary equality already proves
+    // both-null or equal-non-null at match time, so this exactly
+    // rejects the null-null pair). A single-side `l_key.isNotNull`
+    // conjunct is split off as a pre-state filter and flips null-key
+    // rows to IMMEDIATE null emission, silently changing the pinned
+    // eviction timing.
     l.join(r,
       col("l_key") === col("r_key") &&
+        !(col("l_key").isNull && col("r_key").isNull) &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$within'"),
       joinType)

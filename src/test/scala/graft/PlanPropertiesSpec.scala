@@ -117,6 +117,20 @@ class PlanPropertiesSpec extends SparkSpec {
       s"smaller-side prefix rank filter missing:\n$p")
   }
 
+  test("q_dedup_lines: hash-only frequency joins, pinned shuffle-hash") {
+    val p = plan("q_dedup_lines")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"line-frequency lookups must be equi-joins:\n$p")
+    // both the freq lookup and the doc-keyed reassembly are
+    // corpus-by-corpus — a broadcast of either side is a corpus
+    // broadcast at scale
+    assert(p.contains("ShuffledHashJoin"),
+      s"corpus joins must be shuffle-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"no corpus-sized side may broadcast:\n$p")
+  }
+
   test("q_source_overlap: shuffle-hash self-join, sizes broadcast") {
     val p = plan("q_source_overlap")
     assert(!p.contains("CartesianProduct") &&

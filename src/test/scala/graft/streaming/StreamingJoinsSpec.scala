@@ -161,6 +161,35 @@ class StreamingJoinsSpec extends SparkSpec {
       (10L, -1L, 1L, -1L), (-1L, 55L, 5L, -1L)))
   }
 
+  test("full-outer: null keys never match each other (binary-match trap)") {
+    // Spark's symmetric hash join matches state rows by BINARY key
+    // equality, and full outer cannot prune null-key inputs the way
+    // inner/left/right do — without the explicit isNotNull residual in
+    // intervalJoin these two rows emit as a MATCH (found by the null
+    // sweep). SQL equality must hold in every mode: both surface as
+    // their own side's null-padded eviction rows instead.
+    // wm = min(B+2000, B+2000) - 300 = B+1700; 100+600 < 1700 and
+    // 200 < 1700, so both evict and emit.
+    implicit val ss: SparkSession = spark
+    val s = spark
+    import s.implicits._
+    def mkOpt(rows: Seq[(Option[Long], Long, Long, Int)]) =
+      rows.toDF("k", "sec", "id", "chunk")
+        .withColumn("ts", timestamp_seconds(col("sec") + B)).drop("sec")
+    val left = Seq((Option.empty[Long], 100L, 10L, 0), (Some(8L), 2000L, 80L, 1))
+    val right = Seq((Option.empty[Long], 200L, 50L, 0), (Some(9L), 2000L, 90L, 1))
+    val got = StreamingJoins.intervalJoinReplay(mkOpt(left), mkOpt(right),
+        "ts", "k", "id", col("chunk"), 2, "300 seconds", "600 seconds",
+        joinType = "full_outer")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set((10L, -1L, -1L, -1L), (-1L, 50L, -1L, -1L)))
+  }
+
   test("null-key rows never match but follow the same eviction rule") {
     // SQL equality: a null key matches nothing on either side. In the
     // left-outer form a null-key left row still buffers and emits its
