@@ -197,6 +197,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfPqIndex]()
   private val chunkIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ChunkIndex]()
+  private val lineIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.LineIndex]()
 
   // committed fixture of real PNG/BMP bytes + draw-time ground truth
   // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
@@ -250,8 +252,11 @@ object SparkEntry {
       graft.operators.Similarity.dropIvfPqIndex(spark, _))
     chunkIdxCache.values.asScala.foreach(
       graft.operators.Chunking.dropChunkIndex(spark, _))
+    lineIdxCache.values.asScala.foreach(
+      graft.operators.Dedup.dropLineIndex(spark, _))
     Seq(incIdxCache, ivfIdxCache, extIvfIdxCache, embIdxCache,
-      exactIdxCache, ivfPqIdxCache, chunkIdxCache).foreach(_.clear())
+      exactIdxCache, ivfPqIdxCache, chunkIdxCache, lineIdxCache)
+      .foreach(_.clear())
   }
 
   // orphan guard for every OTHER consumer (specs, shell probes, a
@@ -268,7 +273,8 @@ object SparkEntry {
         embIdxCache.values.asScala.map(_.path) ++
         exactIdxCache.values.asScala.map(_.path) ++
         ivfPqIdxCache.values.asScala.map(_.path) ++
-        chunkIdxCache.values.asScala.map(_.path))
+        chunkIdxCache.values.asScala.map(_.path) ++
+        lineIdxCache.values.asScala.map(_.path))
         .foreach(p => graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(p)))
     }, "graft-index-cleanup"))
@@ -1369,6 +1375,28 @@ object SparkEntry {
           s"graft_fp_idx_$tag",
           s"${sys.props("java.io.tmpdir")}/graft-fp-idx-$tag"))
       Dedup.exactAgainstIndex(delta, "doc_id", "text", idx)
+        .orderBy("doc_id")
+    }),
+
+    // incremental line dedup: the delta is rewritten against the
+    // PERSISTED corpus line-frequency index (additive distinct-doc
+    // slices, folded Exchange-free out of their lfp buckets) — equal
+    // by contract to lineDedup over corpus ∪ delta restricted to the
+    // delta's docs, which is exactly what the oracle replays. Same
+    // corpus/delta split and memo pattern as q_dedup_exact_incr; same
+    // 8-token line construction as q_dedup_lines.
+    "q_dedup_lines_incr" -> ((s, d) => {
+      val all = docs(s, d).select(col("doc_id"),
+        array_join(graft.expressions.TextExprs.tokenSpans(
+          col("text"), 8, 8), "\n").as("text"))
+      val corpus = all.where(col("doc_id") % 4 =!= 3)
+      val delta = all.where(col("doc_id") % 4 === 3)
+      val tag = idxTag(s, d)
+      val idx = lineIdxCache.computeIfAbsent(tag, _ =>
+        Dedup.buildLineIndex(corpus, "doc_id", "text",
+          s"graft_lf_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-lf-idx-$tag"))
+      Dedup.lineDedupAgainstIndex(delta, "doc_id", "text", idx)
         .orderBy("doc_id")
     }),
 
@@ -3825,6 +3853,43 @@ object SparkEntry {
         |       coalesce(a.n_lines, 0)::BIGINT AS n_lines,
         |       coalesce(a.n_kept, 0)::BIGINT AS n_kept
         |FROM base b LEFT JOIN (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(line, chr(10) ORDER BY cidx)
+        |                    FILTER (WHERE keep), '') AS kept_text,
+        |         count(*) AS n_lines,
+        |         count(*) FILTER (WHERE keep) AS n_kept
+        |  FROM k GROUP BY doc_id) a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // incremental form: combined corpus ∪ delta distinct-doc counts
+    // (disjoint halves make the engine's index + delta sum exact),
+    // output restricted to the delta's documents
+    "q_dedup_lines_incr" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, ((p - 1) // 8)::BIGINT AS cidx,
+        |         string_agg(tok, ' ' ORDER BY p) AS line
+        |  FROM (SELECT doc_id, unnest(toks) AS tok,
+        |               unnest(range(1, len(toks) + 1)) AS p FROM base)
+        |  GROUP BY doc_id, ((p - 1) // 8)
+        |), f AS (
+        |  SELECT line FROM chunks GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), k AS (
+        |  SELECT c.doc_id, c.cidx, c.line, f.line IS NULL AS keep
+        |  FROM chunks c LEFT JOIN f ON c.line = f.line
+        |  WHERE c.doc_id % 4 = 3
+        |)
+        |SELECT b.doc_id,
+        |       coalesce(a.kept_text, '') AS kept_text,
+        |       coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+        |       coalesce(a.n_kept, 0)::BIGINT AS n_kept
+        |FROM (SELECT doc_id FROM base WHERE doc_id % 4 = 3) b
+        |LEFT JOIN (
         |  SELECT doc_id,
         |         coalesce(string_agg(line, chr(10) ORDER BY cidx)
         |                    FILTER (WHERE keep), '') AS kept_text,

@@ -26,6 +26,19 @@ case class ExactIndex(name: String, path: String, numBuckets: Int) {
   def fpTable: String = s"${name}_fp"
 }
 
+/** Handle to a persisted corpus line-frequency index (see
+  * [[Dedup.buildLineIndex]]): two bucketed tables under `path` — the
+  * per-ingest line-frequency slices `(lfp, ndocs, first_doc)`
+  * bucketed+sorted by lfp (an extend APPENDS its own slice; distinct-
+  * doc counts are additive under the id-disjointness guard, so probes
+  * fold slices with sum/min and [[Dedup.compactLineIndex]] re-collapses
+  * to one row per lfp), plus the ingested-doc ledger `(doc_id)` backing
+  * that guard. */
+case class LineIndex(name: String, path: String, numBuckets: Int) {
+  def freqTable: String = s"${name}_lf"
+  def docsTable: String = s"${name}_docs"
+}
+
 /** Handle to a persisted embedding near-dup index (see
   * [[Dedup.buildEmbeddingIndex]]): hyperplane-LSH band keys
   * bucketed+sorted by `bkey` and the vectors (with precomputed norms)
@@ -1253,17 +1266,8 @@ object Dedup {
   def lineDedup(docs: DataFrame, id: String, text: String,
                 minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val trimRe = "^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$"
-    val withL = docs.select(col(id).cast("long").as("doc_id"),
-      coalesce(split(col(text), "\n"), array().cast("array<string>"))
-        .as("lines"))
-    // hash-only line stream, blanks excluded at the source
-    val keyed = withL
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("lidx", "l")))
-      .select(col("doc_id"), col("lidx"),
-        regexp_replace(col("l"), trimRe, "").as("ct"))
-      .where(length(col("ct")) > 0)
-      .select(col("doc_id"), col("lidx"), xxhash64(col("ct")).as("lfp"))
+    val withL = lineSplit(docs, id, text)
+    val keyed = lineKeys(withL)
     val freq = keyed.groupBy("lfp")
       .agg(countDistinct(col("doc_id")).as("ndocs"),
         min(col("doc_id")).as("first_doc"))
@@ -1275,16 +1279,41 @@ object Dedup {
         (if (keepFirst) col("doc_id") =!= col("first_doc") else lit(true)))
       .groupBy("doc_id")
       .agg(collect_list(col("lidx")).as("drop"))
-    // local reassembly: surviving indexes = 0..n-1 minus drop
-    // (array_except is hash-set based, O(n); sequence() guarded — an
-    // empty lines array would otherwise generate a DESCENDING range)
+    reassembleMinusDrops(withL, dropIdx)
+  }
+
+  private val lineTrimRe = "^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$"
+
+  /** (doc_id, lines) with the null-text contract: no document row is
+    * ever lost, a null text is an empty line array. */
+  private def lineSplit(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"),
+      coalesce(split(col(text), "\n"), array().cast("array<string>"))
+        .as("lines"))
+
+  /** The hash-only line stream `(doc_id, lidx, lfp)` — blanks excluded
+    * at the source, line TEXT never leaves the projection. */
+  private def lineKeys(withL: DataFrame): DataFrame =
+    withL
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("lidx", "l")))
+      .select(col("doc_id"), col("lidx"),
+        regexp_replace(col("l"), lineTrimRe, "").as("ct"))
+      .where(length(col("ct")) > 0)
+      .select(col("doc_id"), col("lidx"), xxhash64(col("ct")).as("lfp"))
+
+  /** Local reassembly from the document's own split: surviving indexes
+    * = 0..n-1 minus the per-doc `drop` list (array_except is hash-set
+    * based, O(n); sequence() guarded — an empty lines array would
+    * otherwise generate a DESCENDING range). */
+  private def reassembleMinusDrops(withL: DataFrame,
+                                   dropIdx: DataFrame): DataFrame = {
     val allIdx = when(size(col("lines")) > 0,
       sequence(lit(0), size(col("lines")) - 1)).otherwise(
       array().cast("array<int>"))
     val kept = array_except(allIdx,
       coalesce(col("drop"), array().cast("array<int>")))
     val nLines = size(filter(col("lines"),
-      l => length(regexp_replace(l, trimRe, "")) > 0)).cast("long")
+      l => length(regexp_replace(l, lineTrimRe, "")) > 0)).cast("long")
     withL.join(dropIdx.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(transform(kept,
@@ -1293,4 +1322,111 @@ object Dedup {
         (nLines - coalesce(size(col("drop")), lit(0)).cast("long"))
           .as("n_kept"))
   }
+
+  /** One ingest batch's line-frequency slice: `(lfp, ndocs, first_doc)`
+    * at DISTINCT-doc grain — the additive unit the index accumulates. */
+  private def lineFreqSlice(df: DataFrame, id: String,
+                            text: String): DataFrame =
+    lineKeys(lineSplit(df, id, text)).groupBy("lfp")
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        min(col("doc_id")).as("first_doc"))
+
+  /** Persist the corpus's line-frequency inventory — the incremental-
+    * crawl primitive behind [[lineDedup]]'s remove-all rule: a
+    * re-crawl's boilerplate lines match the ACCUMULATED corpus counts,
+    * not just the delta's own. 8-byte hashes + two longs per distinct
+    * line; line text never persists. The doc ledger backs the
+    * disjoint-ids guard every `extend*` in this file enforces. */
+  def buildLineIndex(df: DataFrame, id: String, text: String,
+                     name: String, path: String,
+                     numBuckets: Int = 32): LineIndex = {
+    val idx = LineIndex(name, path, numBuckets)
+    lineFreqSlice(df, id, text)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "lfp").sortBy("lfp")
+      .option("path", s"$path/${idx.freqTable}")
+      .format("parquet").saveAsTable(idx.freqTable)
+    df.select(col(id).cast("long").as("doc_id")).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/${idx.docsTable}")
+      .format("parquet").saveAsTable(idx.docsTable)
+    idx
+  }
+
+  /** Fold a delta into the line index: O(delta) — APPENDS the delta's
+    * own frequency slice (distinct-doc counts are additive exactly
+    * when ingests never share a document, hence the guard) plus its
+    * ledger ids. The freq table accumulates one row per (slice, lfp);
+    * probes fold with sum, [[compactLineIndex]] re-collapses. */
+  def extendLineIndex(delta: DataFrame, id: String, text: String,
+                      idx: LineIndex): Unit = {
+    IndexAdmin.requireDisjointIds(delta, id, idx.docsTable, "doc_id",
+      "extendLineIndex")
+    lineFreqSlice(delta, id, text)
+      .write.mode(SaveMode.Append)
+      .bucketBy(idx.numBuckets, "lfp").sortBy("lfp")
+      .format("parquet").saveAsTable(idx.freqTable)
+    delta.select(col(id).cast("long").as("doc_id")).distinct()
+      .write.mode(SaveMode.Append)
+      .bucketBy(idx.numBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(idx.docsTable)
+  }
+
+  /** [[lineDedup]]'s remove-all rule for a delta against the indexed
+    * corpus: a delta line is dropped iff its distinct-doc count across
+    * corpus ∪ delta reaches `minDocs` (indexed slices fold Exchange-
+    * free out of their lfp buckets; under the id-disjointness contract
+    * this EQUALS `lineDedup(corpus ∪ delta)` restricted to the delta's
+    * documents — spec-pinned). Only the delta is rewritten; keep-first
+    * is deliberately not offered here (history is not re-litigated —
+    * exactAgainstIndex's corpus-wins convention). */
+  def lineDedupAgainstIndex(delta: DataFrame, id: String, text: String,
+                            idx: LineIndex, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val spark = delta.sparkSession
+    val withL = lineSplit(delta, id, text)
+    val keyed = lineKeys(withL)
+    val idxFreq = spark.table(idx.freqTable)
+      .groupBy("lfp").agg(sum("ndocs").as("__in"))
+      .select(col("lfp").as("__ilfp"), col("__in"))
+    val deltaFreq = keyed.groupBy("lfp")
+      .agg(countDistinct(col("doc_id")).as("__dn"))
+    // index side is corpus-vocabulary-sized: never broadcast
+    val boiler = deltaFreq
+      .join(idxFreq.hint("shuffle_hash"), col("lfp") === col("__ilfp"),
+        "left")
+      .where(col("__dn") + coalesce(col("__in"), lit(0L)) >= minDocs)
+      .select(col("lfp"))
+    val dropIdx = keyed.join(boiler.hint("shuffle_hash"), Seq("lfp"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("lidx")).as("drop"))
+    reassembleMinusDrops(withL, dropIdx)
+  }
+
+  /** Blue/green compaction: collapse the accumulated per-ingest slices
+    * to one row per lfp in a NEW index, then drop the old one. */
+  def compactLineIndex(spark: org.apache.spark.sql.SparkSession,
+                       idx: LineIndex, name: String,
+                       path: String): LineIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = LineIndex(name, path, idx.numBuckets)
+    spark.table(idx.freqTable)
+      .groupBy("lfp").agg(sum("ndocs").as("ndocs"),
+        min("first_doc").as("first_doc"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(out.numBuckets, "lfp").sortBy("lfp")
+      .option("path", s"$path/${out.freqTable}")
+      .format("parquet").saveAsTable(out.freqTable)
+    copyBucketed(spark, s"${idx.path}/${idx.docsTable}", out.docsTable,
+      s"$path/${out.docsTable}", idx.numBuckets, "doc_id")
+    out
+  }
+
+  def dropLineIndex(spark: org.apache.spark.sql.SparkSession,
+                    idx: LineIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark,
+      Seq(idx.freqTable, idx.docsTable), idx.path)
 }

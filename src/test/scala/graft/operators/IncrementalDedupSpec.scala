@@ -244,6 +244,84 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("line index: delta dedup equals the batch operator on corpus ∪ delta") {
+    val s = spark
+    // the fixture's documents are single-line: regroup into 8-token
+    // lines (the q_dedup_lines construction) so cross-doc duplicate
+    // lines exist on both sides of the split
+    val all = Tables.documents(s, sf()).select(col("doc_id"),
+      array_join(graft.expressions.TextExprs.tokenSpans(
+        col("text"), 8, 8), "\n").as("text"))
+    val corpus = all.where(col("doc_id") % 4 =!= 3)
+    val delta = all.where(col("doc_id") % 4 === 3)
+    val idx = Dedup.buildLineIndex(corpus, "doc_id", "text",
+      "inc_spec_lf", tmpPath())
+    try {
+      def rows(df: DataFrame): Set[(Long, String, Long, Long)] =
+        df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val incr = rows(Dedup.lineDedupAgainstIndex(delta, "doc_id", "text", idx))
+      val batch = rows(Dedup.lineDedup(all, "doc_id", "text")
+        .where(col("doc_id") % 4 === 3))
+      assert(incr == batch,
+        s"mismatch: ${(incr -- batch).take(3)} vs ${(batch -- incr).take(3)}")
+      // the equality is non-vacuous only if the index actually dropped
+      // something from the delta
+      assert(incr.exists(r => r._4 < r._3),
+        "fixture must produce at least one cross-split duplicate line")
+      // fold the delta in; a re-keyed verbatim COPY of a delta doc now
+      // collides with the indexed counts on every line -> empty survivor
+      Dedup.extendLineIndex(delta, "doc_id", "text", idx)
+      val probe = delta.orderBy("doc_id").limit(1)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val v = Dedup.lineDedupAgainstIndex(probe, "doc_id", "text", idx)
+        .collect()
+      assert(v.length == 1 && v(0).getString(1) == "" &&
+        v(0).getLong(3) == 0L,
+        s"all lines of a re-crawled copy must drop: ${v.toSeq}")
+      // re-folding the same ids must fail loudly (additive counts would
+      // silently double)
+      intercept[IllegalArgumentException] {
+        Dedup.extendLineIndex(delta, "doc_id", "text", idx)
+      }
+    } finally {
+      Dedup.dropLineIndex(s, idx)
+    }
+  }
+
+  test("compactLineIndex collapses slices and preserves probe results") {
+    val s = spark
+    val all = Tables.documents(s, sf()).select(col("doc_id"),
+      array_join(graft.expressions.TextExprs.tokenSpans(
+        col("text"), 8, 8), "\n").as("text"))
+    val c0 = all.where(col("doc_id") % 4 === 0)
+    val c1 = all.where(col("doc_id") % 4 === 1)
+    val delta = all.where(col("doc_id") % 4 === 3)
+    val idx = Dedup.buildLineIndex(c0, "doc_id", "text",
+      "inc_spec_lfc", tmpPath())
+    try {
+      Dedup.extendLineIndex(c1, "doc_id", "text", idx)
+      // two slices appended: some lfp rows exist twice pre-compaction
+      val pre = s.table(idx.freqTable).count()
+      val distinctLfp = s.table(idx.freqTable)
+        .select("lfp").distinct().count()
+      assert(pre > distinctLfp,
+        "extend must append a second slice for shared lines")
+      val before = Dedup.lineDedupAgainstIndex(delta, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val out = Dedup.compactLineIndex(s, idx, "inc_spec_lfc2", tmpPath())
+      try {
+        assert(s.table(out.freqTable).count() == distinctLfp,
+          "compaction must collapse to one row per lfp")
+        val after = Dedup.lineDedupAgainstIndex(delta, "doc_id", "text", out)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(after == before, "compaction must not change verdicts")
+      } finally Dedup.dropLineIndex(s, out)
+    } finally {
+      Dedup.dropLineIndex(s, idx)
+    }
+  }
+
   test("extendIndex folds a delta in for the next round") {
     val s = spark
     val all = Tables.documents(s, sf())
