@@ -289,6 +289,38 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("line-index probe folds the freq buckets without an Exchange") {
+    val s = spark
+    val all = Tables.documents(s, sf()).select(col("doc_id"),
+      array_join(graft.expressions.TextExprs.tokenSpans(
+        col("text"), 8, 8), "\n").as("text"))
+    val idx = Dedup.buildLineIndex(all.where(col("doc_id") % 4 =!= 3),
+      "doc_id", "text", "inc_spec_lfp", tmpPath())
+    try {
+      val probe = Dedup.lineDedupAgainstIndex(
+        all.where(col("doc_id") % 4 === 3), "doc_id", "text", idx)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the slice fold (groupBy lfp over the bucketed table) must reuse
+      // the bucket partitioning: the index BRANCH — final sum agg →
+      // partial agg → freq-table scan, printed contiguously in tree
+      // order — contains no Exchange (the delta side repartitioning to
+      // the bucket count is expected and not this branch)
+      val branch = plan.linesIterator
+        .dropWhile(l => !l.contains("functions=[sum(ndocs"))
+        .takeWhile(l => !l.contains(idx.freqTable)).mkString("\n")
+      assert(branch.nonEmpty && plan.contains(idx.freqTable),
+        s"index fold branch not found in:\n$plan")
+      assert(!branch.contains("Exchange"),
+        s"Exchange between the freq-table scan and its fold:\n$branch")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"index joins must be shuffle-hash:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no corpus-sized side may broadcast:\n$plan")
+    } finally {
+      Dedup.dropLineIndex(s, idx)
+    }
+  }
+
   test("compactLineIndex collapses slices and preserves probe results") {
     val s = spark
     val all = Tables.documents(s, sf()).select(col("doc_id"),
