@@ -884,6 +884,18 @@ object SparkEntry {
           round(TF.repetitionScore(col("text"), 3), 6).as("rep3"))
         .orderBy("doc_id")),
 
+    // within-doc repeated-line REMOVAL (the transform behind the
+    // q_dup_lines measurement): keep-first over trimmed line content,
+    // single-pass codegen kernel, zero shuffle. Fixture docs are
+    // single-line, so the gate regroups tokens into 2-token lines —
+    // 181 docs carry real internal repeats at that width.
+    "q_drop_repeated_lines" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TF.dropRepeatedLines(array_join(
+          graft.expressions.TextExprs.tokenSpans(col("text"), 2, 2),
+          "\n")).as("kept_text"))
+        .orderBy("doc_id")),
+
     // lexical diversity: within-doc token Shannon entropy (bits), type/
     // token ratio — one row-local codegen kernel pass, zero shuffle
     "q_token_entropy" -> ((s, d) => {
@@ -3859,6 +3871,33 @@ object SparkEntry {
         |         count(*) AS n_lines,
         |         count(*) FILTER (WHERE keep) AS n_kept
         |  FROM k GROUP BY doc_id) a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // within-doc keep-first line removal over the 2-token regrouped
+    // corpus: keeper = min position per (doc, line content); regrouped
+    // lines are never blank, so the blank-survival branch is spec-only
+    "q_drop_repeated_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, ((p - 1) // 2)::BIGINT AS cidx,
+        |         string_agg(tok, ' ' ORDER BY p) AS line
+        |  FROM (SELECT doc_id, unnest(toks) AS tok,
+        |               unnest(range(1, len(toks) + 1)) AS p FROM base)
+        |  GROUP BY doc_id, ((p - 1) // 2)
+        |), k AS (
+        |  SELECT doc_id, cidx, line,
+        |         min(cidx) OVER (PARTITION BY doc_id, line) AS keeper
+        |  FROM chunks
+        |)
+        |SELECT b.doc_id, coalesce(a.kept_text, '') AS kept_text
+        |FROM base b LEFT JOIN (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY cidx)
+        |           AS kept_text
+        |  FROM k WHERE cidx = keeper GROUP BY doc_id) a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
     // incremental form: combined corpus ∪ delta distinct-doc counts

@@ -69,6 +69,47 @@ object TextKernels {
     UTF8String.fromString(out)
   }
 
+  /** Within-document repeated-line removal kernel (backs
+    * [[DropRepeatedLines]]): one pass over the \n-split, keeping a
+    * line iff its trimmed content is blank OR has not occurred EARLIER
+    * in the same document — the MassiveText/RefinedWeb within-doc
+    * repetition transform (dupLineStats is its measurement; the
+    * corpus-level rule is Dedup.lineDedup). Kept lines keep their
+    * ORIGINAL bytes; line identity is the full-ASCII-whitespace trim
+    * (`[ \t\x0B\f\r]` both ends — dupLineStats' class), blank lines
+    * carry no content and always survive. Seen-set memory is bounded
+    * by the document's own distinct lines; O(n) time — safe for the
+    * 10 MB long-document sweep by construction. */
+  def dropRepeatedLines(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val text = s.toString
+    // limit -1 matches Spark's split(): trailing empty lines survive
+    val lines = text.split("\n", -1)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(text.length)
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      var a = 0
+      var b = l.length
+      while (a < b && isLineWs(l.charAt(a))) a += 1
+      while (b > a && isLineWs(l.charAt(b - 1))) b -= 1
+      val keep = a == b || seen.add(l.substring(a, b))
+      if (keep) {
+        if (!first) sb.append('\n')
+        sb.append(l)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  // \s minus \n (the split already consumed \n) — dupLineStats' class
+  private def isLineWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Rolling content-defined-chunking boundary kernel (backs
     * [[CdcBoundaries]] / Chunking.cdcChunks): 1-based codepoint
     * positions i (window <= i < n) where the gear polynomial
@@ -269,6 +310,23 @@ case class NormalizeText(child: Expression, nfkc: Boolean,
         s"$c, $nfkc, $casefold, $collapseWs);")
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+/** Codegen'd within-doc repeated-line removal — see
+  * [[TextKernels.dropRepeatedLines]]. */
+case class DropRepeatedLines(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_drop_repeated_lines"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.dropRepeatedLines(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.dropRepeatedLines($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DropRepeatedLines =
     copy(child = newChild)
 }
 
@@ -1043,6 +1101,9 @@ object TextExprs {
 
   def normalizedMd5(text: Column): Column =
     ColumnBridge.column(NormalizedMd5(ColumnBridge.expression(text)))
+
+  def dropRepeatedLines(text: Column): Column =
+    ColumnBridge.column(DropRepeatedLines(ColumnBridge.expression(text)))
 
   def simhash64(tokens: Column, portable: Boolean = false): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens), portable))

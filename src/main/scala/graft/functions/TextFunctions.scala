@@ -159,6 +159,17 @@ object TextFunctions {
         .when(tot.isNotNull, lit(0.0)).as("dup_char_frac"))
   }
 
+  /** Within-document repeated-line REMOVAL (the transform
+    * [[dupLineStats]] measures — MassiveText/RefinedWeb's repetition
+    * rule): keep the FIRST occurrence of each trimmed line content
+    * with its original bytes, drop later repeats; blank lines carry no
+    * content and always survive. Single-pass codegen kernel
+    * (graft.expressions.TextKernels.dropRepeatedLines), O(doc) time
+    * and doc-bounded memory; the corpus-level counterpart is
+    * [[graft.operators.Dedup.lineDedup]]. */
+  def dropRepeatedLines(text: Column): Column =
+    graft.expressions.TextExprs.dropRepeatedLines(text)
+
   /** Word n-gram shingles ("a b c" style), distinct in first-occurrence
     * order; empty array when the document has fewer than n tokens.
     * Implemented as a single-pass codegen kernel

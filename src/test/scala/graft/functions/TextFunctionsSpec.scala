@@ -302,4 +302,30 @@ class TextFunctionsSpec extends SparkSpec {
       .getStruct(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("dropRepeatedLines: first occurrence keeps its bytes, blanks survive") {
+    def drl(t: String): String = {
+      val s = spark
+      import s.implicits._
+      Seq(t).toDF("text")
+        .select(dropRepeatedLines(col("text"))).collect()(0).getString(0)
+    }
+    // later repeats drop, first copy's ORIGINAL bytes (indent, \r) stay
+    assert(drl("ab\nc\nab") == "ab\nc")
+    assert(drl("  ab \nc\nab\r\nAB") == "  ab \nc\nAB")
+    // blank/whitespace-only lines carry no content: all survive, and
+    // they never unify with each other
+    assert(drl("x\n\n \nx\n") == "x\n\n \n")
+    // trimming identity: tab-only line is blank; "x\r" == "x"
+    assert(drl("\t\nx\r\nx") == "\t\nx\r")
+    // no repeats -> byte-identical round-trip
+    assert(drl("a\nbb\nccc") == "a\nbb\nccc")
+    assert(drl("") == "")
+    // null in, null out
+    val s = spark
+    import s.implicits._
+    val r = Seq[String](null).toDF("text")
+      .select(dropRepeatedLines(col("text"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
