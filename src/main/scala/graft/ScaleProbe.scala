@@ -511,6 +511,21 @@ object ScaleProbe {
           Dedup.buildIndex(docs, "doc_id", "text", s"probe_inc_idx_$k", path)
         } else null
 
+      // line-frequency-index probe: same contract — the k-fold corpus
+      // (regrouped into 8-token lines, the gate construction) is folded
+      // into the bucketed index untimed; a FIXED re-keyed copy-0 delta
+      // probes it, so the measurement is per-delta probe cost as the
+      // indexed line vocabulary grows k-fold
+      val lineIdx =
+        if (wanted("dedup_lines_incr")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-lfidx-$k").toString
+          Dedup.buildLineIndex(docs.select(col("doc_id"),
+            array_join(graft.expressions.TextExprs.tokenSpans(
+              col("text"), 8, 8), "\n").as("text")),
+            "doc_id", "text", s"probe_lf_idx_$k", path)
+        } else null
+
       // embedding-index probe: same contract as dedup_incremental — the
       // k-fold corpus is signed into the bucketed index untimed, a
       // FIXED shifted-copy delta (near-dups of copy-0 vectors) probes it
@@ -770,6 +785,14 @@ object ScaleProbe {
         "dedup_emb_incremental" -> (() =>
           Dedup.embeddingPairsAgainstIndex(embIncDelta, "vec_id",
             "embedding", embIncIdx).count()),
+        "dedup_lines_incr" -> (() =>
+          Dedup.lineDedupAgainstIndex(
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 250)
+              .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
+                array_join(graft.expressions.TextExprs.tokenSpans(
+                  col("text"), 8, 8), "\n").as("text")),
+            "doc_id", "text", lineIdx).count()),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),
