@@ -113,6 +113,13 @@ object GraftExtensions {
             flag(2, "casefold", dflt = true),
             flag(3, "collapseWs", dflt = true))
         }),
+      ("graft_drop_repeated_lines",
+        info(classOf[DropRepeatedLines].getName, "graft_drop_repeated_lines"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            "graft_drop_repeated_lines takes (text)")
+          DropRepeatedLines(args.head)
+        }),
       ("graft_cdc_boundaries",
         info(classOf[CdcBoundaries].getName, "graft_cdc_boundaries"),
         (args: Seq[Expression]) => {

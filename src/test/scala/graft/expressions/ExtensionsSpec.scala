@@ -69,6 +69,11 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.operators.Dedup.minhashSignature(col("toks"), 16))
       .collect()(0).getSeq[Long](0)
     assert(sqlSig.length == 16 && sqlSig == apiSig)
+    // within-doc repeated-line removal from SQL == the Scala API form
+    val drl = s.sql(
+      "SELECT graft_drop_repeated_lines('ab\nc\nab') AS k")
+      .collect()(0).getString(0)
+    assert(drl == "ab\nc")
     // CDC boundary kernel from SQL == the Scala API form
     val text = "the quick brown fox jumps over the lazy dog " * 8
     val sqlBnd = s.sql(
