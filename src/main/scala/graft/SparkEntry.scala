@@ -888,11 +888,16 @@ object SparkEntry {
     // q_dup_lines measurement): keep-first over trimmed line content,
     // single-pass codegen kernel, zero shuffle. Fixture docs are
     // single-line, so the gate regroups tokens into 2-token lines —
-    // 181 docs carry real internal repeats at that width.
+    // 181 docs carry real internal repeats at that width. The text
+    // coalesce pins the gate to the suite's null-doc convention
+    // (kept_text '' like q_dedup_lines — tokenSpans is null-in-null-out,
+    // so without it a null doc rides through as NULL while the oracle's
+    // no-chunk-rows replay says ''; caught by the composed sweep).
     "q_drop_repeated_lines" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TF.dropRepeatedLines(array_join(
-          graft.expressions.TextExprs.tokenSpans(col("text"), 2, 2),
+          graft.expressions.TextExprs.tokenSpans(
+            coalesce(col("text"), lit("")), 2, 2),
           "\n")).as("kept_text"))
         .orderBy("doc_id")),
 
