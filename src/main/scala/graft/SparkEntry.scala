@@ -1941,6 +1941,16 @@ object SparkEntry {
           "doc_id", "lang", 40, salt = "strat1")
         .orderBy("lang", "doc_id")),
 
+    // training-shard manifest: deterministic salted-hash shard
+    // assignment + the per-shard audit row a trainer checks before
+    // reading payloads (doc count, payload chars, order-invariant
+    // checksum = sum of per-doc hashes). Pure function of (ids, salt,
+    // nShards) — the oracle replays the md5 convention exactly.
+    "q_shard_manifest" -> ((s, d) =>
+      graft.operators.Sampling.shardManifest(docs(s, d), "doc_id",
+          "n_chars", 8)
+        .orderBy("shard")),
+
     // Efraimidis–Spirakis weighted sampling without replacement, weight
     // = n_chars: the oracle replays key = ln(u48)/w and takes the same
     // top 100. Membership (not key values) is compared — the measured
@@ -4648,6 +4658,21 @@ object SparkEntry {
         |           doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin,
+
+    // shard assignment + order-invariant checksum replayed with the
+    // same md5 convention (hash values are non-negative, so % == pmod)
+    "q_shard_manifest" ->
+      """SELECT shard, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS n_chars,
+        |       sum(ck)::BIGINT AS checksum
+        |FROM (SELECT
+        |        (('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |           % 8)::INT AS shard,
+        |        ('0x' || substr(md5('shard:ck' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |          AS ck,
+        |        n_chars
+        |      FROM documents)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
 
     // A-Res replay: same 48-bit md5 uniform, same ln(u)/w key, same
     // top-100 — membership compared, keys never emitted (libm ulp)

@@ -523,4 +523,57 @@ object Sampling {
       .where(col("__cum") <= col("__budget"))
       .drop("__h", "__budget")
   }
+
+  /** Deterministic training-shard assignment: `shard =
+    * orderHash(id, salt) mod nShards` — a pure function of (id, salt,
+    * nShards), so reruns and engines agree, appends never move an
+    * already-assigned document, and any worker can recompute a doc's
+    * shard with no lookup table. The salted hash decorrelates shard
+    * membership from id order (ids are usually crawl-ordered; an
+    * unsalted modulo would put temporally-adjacent documents in the
+    * same shard — exactly the correlation a training shuffle exists
+    * to break). Row-local projection, zero shuffle. */
+  def withShard(df: DataFrame, idCol: String, nShards: Int,
+                salt: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("shard",
+      pmod(orderHash(col(idCol), salt), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Shard manifest — the delivery audit table a downstream trainer
+    * checks before reading a single payload byte: per shard, the doc
+    * count, total payload size, and an ORDER-INVARIANT content
+    * checksum (the sum of per-doc salted hashes — commutative, so
+    * partition/file order cannot change it; exact BIGINT arithmetic
+    * on 32-bit hash values never overflows below ~2^31 docs/shard;
+    * engine-portable via the md5 convention, so the oracle replays
+    * it). One k-row aggregate over one scan. */
+  def shardManifest(df: DataFrame, idCol: String, charsCol: String,
+                    nShards: Int, salt: String = "shard"): DataFrame =
+    withShard(df, idCol, nShards, salt)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("n_chars"),
+        sum(orderHash(col(idCol), salt + ":ck")).as("checksum"))
+
+  /** Materialize the corpus as `nShards` hash-assigned parquet shard
+    * directories (one file per shard via the shard-keyed repartition)
+    * and return the manifest computed FROM THE WRITTEN FILES — the
+    * read-back certifies the artifact on disk, not the plan that
+    * produced it. Shard assignment is [[withShard]]'s, so re-running
+    * the writer on an appended corpus rewrites shards in place with
+    * every pre-existing doc in the same shard as before. */
+  def writeShards(df: DataFrame, idCol: String, charsCol: String,
+                  nShards: Int, path: String,
+                  salt: String = "shard"): DataFrame = {
+    withShard(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    back.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("n_chars"),
+        sum(orderHash(col(idCol), salt + ":ck")).as("checksum"))
+  }
 }

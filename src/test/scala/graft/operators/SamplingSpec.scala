@@ -513,4 +513,47 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"row_number<=k not planner-limited:\n$plan")
   }
+
+  test("shards: deterministic, append-stable, balanced; writer certifies") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 400L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n")
+    val a1 = Sampling.withShard(df, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val a2 = Sampling.withShard(df, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a1 == a2, "assignment must be deterministic")
+    // append stability: the grown corpus assigns every original doc
+    // to the SAME shard (pure function of id — no rebalancing)
+    val grown = (0L until 600L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n")
+    val a3 = Sampling.withShard(grown, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a1.forall { case (id, sh) => a3(id) == sh })
+    // salted-hash balance: no empty shard, max/min within a loose bound
+    val sizes = a1.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 8 && sizes.min > 20, s"unbalanced: $sizes")
+    // manifest totals == corpus totals; checksum is order-invariant
+    // (reversed input, same manifest)
+    def mrows(m: org.apache.spark.sql.DataFrame) =
+      m.orderBy("shard").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val m1 = mrows(Sampling.shardManifest(df, "doc_id", "n", 8))
+    assert(m1.map(_._2).sum == 400L && m1.map(_._3).sum ==
+      (0L until 400L).map(i => 10L + i % 7).sum)
+    val m2 = mrows(Sampling.shardManifest(df.orderBy(col("doc_id").desc),
+      "doc_id", "n", 8))
+    assert(m1 == m2, "manifest must be order-invariant")
+    // the writer's read-back manifest equals the direct one — the
+    // artifact on disk is certified, and each shard dir holds ONE file
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    val wm = mrows(Sampling.writeShards(df, "doc_id", "n", 8, path))
+    assert(wm == m1, s"read-back manifest diverges: $wm vs $m1")
+    val files = (0 until 8).map { sh =>
+      new java.io.File(s"$path/shard=$sh").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(files.forall(_ == 1), s"one file per shard expected: $files")
+    graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(path))
+  }
 }
