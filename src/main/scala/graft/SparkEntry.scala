@@ -1468,6 +1468,29 @@ object SparkEntry {
           col("dsir_weight"))
         .orderBy("doc_id")),
 
+    // THE DELIVERY CAPSTONE — this round's additions composed as ONE
+    // declarative plan: (1) within-doc repeated-line removal (codegen
+    // kernel), (2) corpus-level line dedup over the CLEANED docs
+    // (remove-all rule — after step 1 a line occurs at most once per
+    // doc, so distinct-doc counts are plain doc counts), (3) drop
+    // empty survivors, (4) deterministic shard manifest of the kept
+    // payloads. Line text crosses exactly one shuffle (the doc-keyed
+    // reassembly join); the frequency stream and the manifest are
+    // hash-only.
+    "q_delivery_pipeline" -> ((s, d) => {
+      val multi = docs(s, d).select(col("doc_id"),
+        TF.dropRepeatedLines(array_join(
+          graft.expressions.TextExprs.tokenSpans(
+            coalesce(col("text"), lit("")), 8, 8), "\n")).as("text"))
+      val kept = Dedup.lineDedup(multi, "doc_id", "text")
+        .where(col("n_kept") >= 1)
+        .select(col("doc_id"),
+          length(col("kept_text")).cast("long").as("n_chars"))
+      graft.operators.Sampling.shardManifest(kept, "doc_id", "n_chars",
+          4, salt = "deliver")
+        .orderBy("shard")
+    }),
+
     // THE CURATION CAPSTONE — a mixture-build pipeline in ONE
     // declarative plan: (1) per-source quality floor (discrete p25
     // length threshold, the flip-immune quantileFilter), (2) exact
@@ -4658,6 +4681,54 @@ object SparkEntry {
         |           doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin,
+
+    // the delivery capstone replayed stage by stage: within-doc
+    // keep-first (min-position keeper), corpus drop rule over the
+    // CLEANED lines, empty survivors dropped, md5-convention manifest
+    // over the kept payload lengths (code points, both engines)
+    "q_delivery_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, ((p - 1) // 8)::BIGINT AS cidx,
+        |         string_agg(tok, ' ' ORDER BY p) AS line
+        |  FROM (SELECT doc_id, unnest(toks) AS tok,
+        |               unnest(range(1, len(toks) + 1)) AS p FROM base)
+        |  GROUP BY doc_id, ((p - 1) // 8)
+        |), cleaned AS (
+        |  SELECT doc_id, cidx, line FROM (
+        |    SELECT doc_id, cidx, line,
+        |           min(cidx) OVER (PARTITION BY doc_id, line) AS keeper
+        |    FROM chunks)
+        |  WHERE cidx = keeper
+        |), f AS (
+        |  SELECT line FROM cleaned GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), r AS (
+        |  SELECT c.doc_id,
+        |         string_agg(c.line, chr(10) ORDER BY c.cidx)
+        |           FILTER (WHERE f.line IS NULL) AS kept_text,
+        |         count(*) FILTER (WHERE f.line IS NULL) AS n_kept
+        |  FROM cleaned c LEFT JOIN f ON c.line = f.line
+        |  GROUP BY c.doc_id
+        |), kd AS (
+        |  SELECT doc_id, length(kept_text)::BIGINT AS n_chars
+        |  FROM r WHERE n_kept >= 1
+        |)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS n_chars,
+        |       sum(ck)::BIGINT AS checksum
+        |FROM (SELECT
+        |        (('0x' || substr(md5('deliver' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |           % 4)::INT AS shard,
+        |        ('0x' || substr(md5('deliver:ck' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |          AS ck,
+        |        n_chars
+        |      FROM kd)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
 
     // shard assignment + order-invariant checksum replayed with the
     // same md5 convention (hash values are non-negative, so % == pmod)

@@ -131,6 +131,21 @@ class PlanPropertiesSpec extends SparkSpec {
       s"no corpus-sized side may broadcast:\n$p")
   }
 
+  test("q_delivery_pipeline: composed stages add no join pathologies") {
+    val p = plan("q_delivery_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-join only:\n$p")
+    // the corpus-by-corpus joins stay shuffle-hash through the
+    // composition; the single-pass kernel stays in the plan
+    assert(p.contains("ShuffledHashJoin"),
+      s"corpus joins must be shuffle-hash:\n$p")
+    assert(p.contains("graft_drop_repeated_lines"),
+      s"within-doc kernel missing from the composed plan:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"no corpus-sized side may broadcast:\n$p")
+  }
+
   test("q_source_overlap: shuffle-hash self-join, sizes broadcast") {
     val p = plan("q_source_overlap")
     assert(!p.contains("CartesianProduct") &&
