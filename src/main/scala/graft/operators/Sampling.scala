@@ -576,4 +576,33 @@ object Sampling {
         sum(col(charsCol)).as("n_chars"),
         sum(orderHash(col(idCol), salt + ":ck")).as("checksum"))
   }
+
+  /** Reader-side certification — what a trainer runs BEFORE touching
+    * payload bytes: recompute the manifest from the shard directories
+    * and diff it against the expected one, shard by shard. Output is
+    * one row per shard on EITHER side (full outer — a missing or
+    * extraneous shard directory is a failed row, not a silent drop):
+    * `(shard, ok, n_docs, n_docs_found, n_chars, n_chars_found,
+    * checksum, checksum_found)`; `ok` iff all three pairs match. The
+    * scan prunes to (idCol, charsCol, shard) — certification never
+    * reads a payload column. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                   expected: DataFrame, idCol: String, charsCol: String,
+                   salt: String = "shard"): DataFrame = {
+    val found = spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs_found"),
+        sum(col(charsCol)).as("n_chars_found"),
+        sum(orderHash(col(idCol), salt + ":ck")).as("checksum_found"))
+      .select(col("shard").as("__fsh"), col("n_docs_found"),
+        col("n_chars_found"), col("checksum_found"))
+    expected.join(found, col("shard") === col("__fsh"), "full_outer")
+      .select(coalesce(col("shard"), col("__fsh")).as("shard"),
+        (col("n_docs") <=> col("n_docs_found") &&
+          col("n_chars") <=> col("n_chars_found") &&
+          col("checksum") <=> col("checksum_found")).as("ok"),
+        col("n_docs"), col("n_docs_found"),
+        col("n_chars"), col("n_chars_found"),
+        col("checksum"), col("checksum_found"))
+  }
 }

@@ -554,6 +554,20 @@ class SamplingSpec extends SparkSpec {
         .count(_.getName.endsWith(".parquet"))
     }
     assert(files.forall(_ == 1), s"one file per shard expected: $files")
+    // reader-side certification: intact artifact verifies on every
+    // shard; a vanished shard directory fails ITS row (found side
+    // null) while the others stay ok — nothing silently drops
+    val manifest = Sampling.shardManifest(df, "doc_id", "n", 8)
+    val okAll = Sampling.verifyShards(s, path, manifest, "doc_id", "n")
+      .collect()
+    assert(okAll.length == 8 && okAll.forall(_.getBoolean(1)),
+      s"intact write must certify: ${okAll.mkString(", ")}")
+    graft.util.FsUtil.deleteRecursively(
+      java.nio.file.Paths.get(s"$path/shard=3"))
+    val broken = Sampling.verifyShards(s, path, manifest, "doc_id", "n")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(!broken(3) && (0 until 8).filter(_ != 3).forall(broken(_)),
+      s"only the vanished shard may fail: $broken")
     graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(path))
   }
 }
