@@ -55,4 +55,31 @@ class OracleConsistencySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("the 8-token line regrouping CTE is identical in every oracle copy") {
+    // base (tokenize) + chunks (8-token lines) are inlined in the three
+    // line-dedup oracles; the delivery capstone must keep replaying the
+    // SAME lines the standalone gates verify
+    val base = norm(
+      """list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+        |                     x -> x <> '') AS toks""".stripMargin)
+    val chunk8 = norm(
+      """SELECT doc_id, ((p - 1) // 8)::BIGINT AS cidx,
+        |         string_agg(tok, ' ' ORDER BY p) AS line""".stripMargin)
+    val carriers = Seq("q_dedup_lines", "q_dedup_lines_incr",
+      "q_delivery_pipeline")
+    carriers.foreach { name =>
+      val n = norm(SparkEntry.oracleSql(name))
+      assert(n.contains(base), s"$name's tokenize CTE drifted")
+      assert(n.contains(chunk8), s"$name's 8-token line CTE drifted")
+    }
+    // the within-doc keeper rule is shared by the capstone and the
+    // standalone removal gate (2-token there, but the keeper expression
+    // itself must stay identical)
+    val keeper = norm("min(cidx) OVER (PARTITION BY doc_id, line) AS keeper")
+    Seq("q_drop_repeated_lines", "q_delivery_pipeline").foreach { name =>
+      assert(norm(SparkEntry.oracleSql(name)).contains(keeper),
+        s"$name's keeper rule drifted")
+    }
+  }
 }
