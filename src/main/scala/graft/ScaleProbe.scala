@@ -521,8 +521,8 @@ object ScaleProbe {
           val path = java.nio.file.Files
             .createTempDirectory(s"graft-probe-lfidx-$k").toString
           Dedup.buildLineIndex(docs.select(col("doc_id"),
-            array_join(graft.expressions.TextExprs.tokenSpans(
-              col("text"), 8, 8), "\n").as("text")),
+            graft.functions.TextFunctions.tokenLines(
+              col("text"), 8).as("text")),
             "doc_id", "text", s"probe_lf_idx_$k", path)
         } else null
 
@@ -790,8 +790,8 @@ object ScaleProbe {
             engine.Tables.documents(spark, sfDir)
               .where(col("doc_id") < 250)
               .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
-                array_join(graft.expressions.TextExprs.tokenSpans(
-                  col("text"), 8, 8), "\n").as("text")),
+                graft.functions.TextFunctions.tokenLines(
+                  col("text"), 8).as("text")),
             "doc_id", "text", lineIdx).count()),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
@@ -915,8 +915,8 @@ object ScaleProbe {
         // ~linearly with k, never with pair combinations
         "dedup_lines" -> (() =>
           Dedup.lineDedup(docs.select(col("doc_id"),
-            array_join(graft.expressions.TextExprs.tokenSpans(
-              col("text"), 8, 8), "\n").as("text")),
+            graft.functions.TextFunctions.tokenLines(
+              col("text"), 8).as("text")),
             "doc_id", "text").count()),
         // codebook trained untimed (once-per-corpus by contract); the
         // timed probe is the byte-code scan + top-R refine
@@ -1111,6 +1111,7 @@ object ScaleProbe {
       }
       if (ivfPqIdx != null) Similarity.dropIvfPqIndex(spark, ivfPqIdx)
       if (chunkIdx != null) operators.Chunking.dropChunkIndex(spark, chunkIdx)
+      if (lineIdx != null) Dedup.dropLineIndex(spark, lineIdx)
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$rateCapTtlJson$sessionsJson$streamJoinJson$compactionJson}""")
     }
     spark.stop()

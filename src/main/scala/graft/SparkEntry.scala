@@ -895,10 +895,9 @@ object SparkEntry {
     // no-chunk-rows replay says ''; caught by the composed sweep).
     "q_drop_repeated_lines" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        TF.dropRepeatedLines(array_join(
-          graft.expressions.TextExprs.tokenSpans(
-            coalesce(col("text"), lit("")), 2, 2),
-          "\n")).as("kept_text"))
+        TF.dropRepeatedLines(
+          TF.tokenLines(coalesce(col("text"), lit("")), 2))
+          .as("kept_text"))
         .orderBy("doc_id")),
 
     // lexical diversity: within-doc token Shannon entropy (bits), type/
@@ -1232,8 +1231,7 @@ object SparkEntry {
     // identical lines and replays the drop rule.
     "q_dedup_lines" -> ((s, d) => {
       val multi = docs(s, d).select(col("doc_id"),
-        array_join(graft.expressions.TextExprs.tokenSpans(
-          col("text"), 8, 8), "\n").as("text"))
+        TF.tokenLines(col("text"), 8).as("text"))
       Dedup.lineDedup(multi, "doc_id", "text").orderBy("doc_id")
     }),
 
@@ -1404,8 +1402,7 @@ object SparkEntry {
     // 8-token line construction as q_dedup_lines.
     "q_dedup_lines_incr" -> ((s, d) => {
       val all = docs(s, d).select(col("doc_id"),
-        array_join(graft.expressions.TextExprs.tokenSpans(
-          col("text"), 8, 8), "\n").as("text"))
+        TF.tokenLines(col("text"), 8).as("text"))
       val corpus = all.where(col("doc_id") % 4 =!= 3)
       val delta = all.where(col("doc_id") % 4 === 3)
       val tag = idxTag(s, d)
@@ -1479,9 +1476,8 @@ object SparkEntry {
     // hash-only.
     "q_delivery_pipeline" -> ((s, d) => {
       val multi = docs(s, d).select(col("doc_id"),
-        TF.dropRepeatedLines(array_join(
-          graft.expressions.TextExprs.tokenSpans(
-            coalesce(col("text"), lit("")), 8, 8), "\n")).as("text"))
+        TF.dropRepeatedLines(
+          TF.tokenLines(coalesce(col("text"), lit("")), 8)).as("text"))
       val kept = Dedup.lineDedup(multi, "doc_id", "text")
         .where(col("n_kept") >= 1)
         .select(col("doc_id"),

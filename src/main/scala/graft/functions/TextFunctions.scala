@@ -159,6 +159,19 @@ object TextFunctions {
         .when(tot.isNotNull, lit(0.0)).as("dup_char_frac"))
   }
 
+  /** Regroup a document's tokens into fixed-width space-joined lines
+    * ("\n"-separated) — the multi-line construction the line-grain
+    * gates, probes, and specs share (the fixture's documents are
+    * single-line, so duplicated token spans become duplicated LINES).
+    * One compiled tokenSpans pass; null-in-null-out like the kernel it
+    * wraps (coalesce at the call site where the suite's ''-for-null-doc
+    * convention applies). ONE definition on purpose: a width/separator
+    * drift between gate, probe, and spec would silently decouple what
+    * they verify. */
+  def tokenLines(text: Column, width: Int): Column =
+    array_join(
+      graft.expressions.TextExprs.tokenSpans(text, width, width), "\n")
+
   /** Within-document repeated-line REMOVAL (the transform
     * [[dupLineStats]] measures — MassiveText/RefinedWeb's repetition
     * rule): keep the FIRST occurrence of each trimmed line content

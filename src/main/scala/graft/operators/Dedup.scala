@@ -28,12 +28,13 @@ case class ExactIndex(name: String, path: String, numBuckets: Int) {
 
 /** Handle to a persisted corpus line-frequency index (see
   * [[Dedup.buildLineIndex]]): two bucketed tables under `path` — the
-  * per-ingest line-frequency slices `(lfp, ndocs, first_doc)`
-  * bucketed+sorted by lfp (an extend APPENDS its own slice; distinct-
-  * doc counts are additive under the id-disjointness guard, so probes
-  * fold slices with sum/min and [[Dedup.compactLineIndex]] re-collapses
-  * to one row per lfp), plus the ingested-doc ledger `(doc_id)` backing
-  * that guard. */
+  * per-ingest line-frequency slices `(lfp, ndocs)` bucketed+sorted by
+  * lfp (an extend APPENDS its own slice; distinct-doc counts are
+  * additive under the id-disjointness guard, so probes fold slices
+  * with sum and [[Dedup.compactLineIndex]] re-collapses to one row per
+  * lfp — no keep-first metadata persists, because the probe
+  * deliberately does not re-litigate history), plus the ingested-doc
+  * ledger `(doc_id)` backing that guard. */
 case class LineIndex(name: String, path: String, numBuckets: Int) {
   def freqTable: String = s"${name}_lf"
   def docsTable: String = s"${name}_docs"
@@ -1323,13 +1324,12 @@ object Dedup {
           .as("n_kept"))
   }
 
-  /** One ingest batch's line-frequency slice: `(lfp, ndocs, first_doc)`
-    * at DISTINCT-doc grain — the additive unit the index accumulates. */
+  /** One ingest batch's line-frequency slice: `(lfp, ndocs)` at
+    * DISTINCT-doc grain — the additive unit the index accumulates. */
   private def lineFreqSlice(df: DataFrame, id: String,
                             text: String): DataFrame =
     lineKeys(lineSplit(df, id, text)).groupBy("lfp")
-      .agg(countDistinct(col("doc_id")).as("ndocs"),
-        min(col("doc_id")).as("first_doc"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
 
   /** Persist the corpus's line-frequency inventory — the incremental-
     * crawl primitive behind [[lineDedup]]'s remove-all rule: a
@@ -1414,8 +1414,7 @@ object Dedup {
         "then drop the old index")
     val out = LineIndex(name, path, idx.numBuckets)
     spark.table(idx.freqTable)
-      .groupBy("lfp").agg(sum("ndocs").as("ndocs"),
-        min("first_doc").as("first_doc"))
+      .groupBy("lfp").agg(sum("ndocs").as("ndocs"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(out.numBuckets, "lfp").sortBy("lfp")
       .option("path", s"$path/${out.freqTable}")

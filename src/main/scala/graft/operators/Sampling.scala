@@ -550,11 +550,18 @@ object Sampling {
     * it). One k-row aggregate over one scan. */
   def shardManifest(df: DataFrame, idCol: String, charsCol: String,
                     nShards: Int, salt: String = "shard"): DataFrame =
-    withShard(df, idCol, nShards, salt)
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(charsCol)).as("n_chars"),
-        sum(orderHash(col(idCol), salt + ":ck")).as("checksum"))
+    manifestAgg(withShard(df, idCol, nShards, salt), idCol, charsCol, salt)
+
+  // the ONE manifest aggregation — writer read-back and reader-side
+  // verification recompute it, so a convention change (salt suffix,
+  // hash width, column set) edited anywhere but here would silently
+  // fail every artifact's certification
+  private def manifestAgg(df: DataFrame, idCol: String, charsCol: String,
+                          salt: String, suffix: String = ""): DataFrame =
+    df.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs" + suffix),
+        sum(col(charsCol)).as("n_chars" + suffix),
+        sum(orderHash(col(idCol), salt + ":ck")).as("checksum" + suffix))
 
   /** Materialize the corpus as `nShards` hash-assigned parquet shard
     * directories (one file per shard via the shard-keyed repartition)
@@ -570,11 +577,7 @@ object Sampling {
       .repartition(nShards, col("shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)
-    val back = df.sparkSession.read.parquet(path)
-    back.groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(charsCol)).as("n_chars"),
-        sum(orderHash(col(idCol), salt + ":ck")).as("checksum"))
+    manifestAgg(df.sparkSession.read.parquet(path), idCol, charsCol, salt)
   }
 
   /** Reader-side certification — what a trainer runs BEFORE touching
@@ -589,11 +592,8 @@ object Sampling {
   def verifyShards(spark: org.apache.spark.sql.SparkSession, path: String,
                    expected: DataFrame, idCol: String, charsCol: String,
                    salt: String = "shard"): DataFrame = {
-    val found = spark.read.parquet(path)
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs_found"),
-        sum(col(charsCol)).as("n_chars_found"),
-        sum(orderHash(col(idCol), salt + ":ck")).as("checksum_found"))
+    val found = manifestAgg(spark.read.parquet(path), idCol, charsCol,
+        salt, suffix = "_found")
       .select(col("shard").as("__fsh"), col("n_docs_found"),
         col("n_chars_found"), col("checksum_found"))
     expected.join(found, col("shard") === col("__fsh"), "full_outer")

@@ -250,8 +250,7 @@ class IncrementalDedupSpec extends SparkSpec {
     // lines (the q_dedup_lines construction) so cross-doc duplicate
     // lines exist on both sides of the split
     val all = Tables.documents(s, sf()).select(col("doc_id"),
-      array_join(graft.expressions.TextExprs.tokenSpans(
-        col("text"), 8, 8), "\n").as("text"))
+      graft.functions.TextFunctions.tokenLines(col("text"), 8).as("text"))
     val corpus = all.where(col("doc_id") % 4 =!= 3)
     val delta = all.where(col("doc_id") % 4 === 3)
     val idx = Dedup.buildLineIndex(corpus, "doc_id", "text",
@@ -292,8 +291,7 @@ class IncrementalDedupSpec extends SparkSpec {
   test("line-index probe folds the freq buckets without an Exchange") {
     val s = spark
     val all = Tables.documents(s, sf()).select(col("doc_id"),
-      array_join(graft.expressions.TextExprs.tokenSpans(
-        col("text"), 8, 8), "\n").as("text"))
+      graft.functions.TextFunctions.tokenLines(col("text"), 8).as("text"))
     val idx = Dedup.buildLineIndex(all.where(col("doc_id") % 4 =!= 3),
       "doc_id", "text", "inc_spec_lfp", tmpPath())
     try {
@@ -324,8 +322,7 @@ class IncrementalDedupSpec extends SparkSpec {
   test("compactLineIndex collapses slices and preserves probe results") {
     val s = spark
     val all = Tables.documents(s, sf()).select(col("doc_id"),
-      array_join(graft.expressions.TextExprs.tokenSpans(
-        col("text"), 8, 8), "\n").as("text"))
+      graft.functions.TextFunctions.tokenLines(col("text"), 8).as("text"))
     val c0 = all.where(col("doc_id") % 4 === 0)
     val c1 = all.where(col("doc_id") % 4 === 1)
     val delta = all.where(col("doc_id") % 4 === 3)
