@@ -1040,6 +1040,27 @@ object SparkEntry {
         .select(col("piece"), col("n_occ"), col("rk").cast("bigint").as("rk"))
         .orderBy("rk")),
 
+    // unigram-LM (SentencePiece-style) Viterbi segmentation: per-doc
+    // piece/unk totals + the summed log-prob under a -ln(prime) scored
+    // vocab (tie-free by unique factorization). The DuckDB oracle
+    // replays the DP as a sliding-window recursive CTE — one code
+    // point per iteration, true linear DP, no path enumeration
+    "q_unigram" -> ((s, d) =>
+      graft.operators.Subword.unigramCounts(docs(s, d), "doc_id", "text",
+          unigramVocab.toMap, unigramUnkScore)
+        .select(col("doc").as("doc_id"), col("n_pieces"), col("n_unk"),
+          col("score"))
+        .orderBy("doc_id")),
+
+    // the Viterbi PATH itself: corpus piece frequencies pin piece
+    // identity across engines (agreeing totals could coincide; an
+    // agreeing distribution cannot) — and Viterbi genuinely diverges
+    // from greedy here ("value" -> val+ue, not va+lu+e)
+    "q_unigram_pieces" -> ((s, d) =>
+      graft.operators.Subword.unigramPieceFrequencies(docs(s, d), "text",
+          unigramVocab.toMap, unigramUnkScore)
+        .orderBy("piece")),
+
     // BPE ENCODE (inference by rank-ordered merges, the apply half of
     // q_bpe_merges): per-doc piece totals under a fixed 8-rule list
     // with composing rules — rank order matters and both engines must
@@ -2777,6 +2798,104 @@ object SparkEntry {
        |),
        |wp AS (SELECT w, np, nu, pieces FROM rec WHERE rest = '')""".stripMargin
 
+  /** Unigram-LM vocab shared by the Spark gates and the DuckDB
+    * oracles: piece -> log-prob score. Multi-char pieces take the
+    * SMALL primes (better scores, so Viterbi genuinely prefers them
+    * over single-char chains) and the full a-z floor takes the rest.
+    * Scores are -ln(prime) with distinct primes per piece: a path sum
+    * is -ln of a product of primes, unique per piece MULTISET by
+    * unique factorization (and the -10 unk penalty cannot cancel a
+    * prime ratio — e^10 is irrational), so the Viterbi argmax is
+    * TIE-FREE by construction on any input, not just the fixtures. */
+  private val unigramVocab: Seq[(String, Double)] = {
+    val multi = Seq(
+      "ta", "ab", "ble", "tab", "le", "able", "win", "dow", "ind", "ow",
+      "nd", "str", "eam", "tre", "re", "am", "ream", "val", "ue", "alu",
+      "lu", "va", "qu", "ery", "uer", "que", "cu", "ust", "omer", "tom",
+      "er", "cust", "me", "fil", "ter", "ilt", "lt", "fi", "col", "umn",
+      "olu", "mn", "co", "ord", "rd", "de", "rge", "erg", "ge", "ba",
+      "tch", "atc", "ch", "at", "gr", "oup", "rou", "ro", "ve", "ctor",
+      "ec", "tor", "ct", "sp", "ark", "par", "pa", "sm", "all", "ma",
+      "ll", "ha", "ash", "sh", "sc", "an", "can", "sl", "so", "rt",
+      "ort", "lin", "ine", "ne", "dat", "ata", "da", "jo", "oin", "oi",
+      "ke", "ey", "th", "he", "bi", "ig", "du", "up", "ag", "gg", "fa",
+      "ast", "st", "ar")
+    val pieces = multi ++ ('a' to 'z').map(_.toString)
+    require(pieces.distinct.length == pieces.length, "duplicate piece")
+    val primes = Iterator.from(2)
+      .filter(c => (2 until c).takeWhile(p => p * p <= c).forall(c % _ != 0))
+      .take(pieces.length).toSeq
+    pieces.zip(primes).map { case (p, pr) => (p, -math.log(pr.toDouble)) }
+  }
+  private val unigramUnkScore = -10.0
+  private val unigramMaxLen =
+    unigramVocab.map { case (p, _) => p.codePointCount(0, p.length) }.max
+
+  /** Shared oracle fragment: the unigram-LM Viterbi DP over every
+    * distinct corpus word, as a recursive CTE advancing ONE code point
+    * per iteration with a sliding window of the last `unigramMaxLen`
+    * states (true linear DP — no path enumeration). Vocab lookups are
+    * LEFT JOINs (at most one match per arm: pieces are unique), NOT
+    * correlated scalar subqueries, which DuckDB's binder rejects
+    * inside a recursive term. Score literals are rendered with an
+    * `e0` suffix so DuckDB parses them as DOUBLE directly — a bare
+    * decimal literal routes through DECIMAL(17,16) and lands one ulp
+    * off the JVM's double, breaking bit-parity of path sums. Prefixed
+    * by `WITH RECURSIVE` at the use site; expects `t` from tokCte. */
+  private def unigramRecCte: String = {
+    val vocabSql = unigramVocab.map { case (p, s) =>
+      val r = s.toString
+      require(!r.toLowerCase.contains("e"), s"score $r needs plain form")
+      s"('$p', ${r}e0)"
+    }.mkString(", ")
+    val L = unigramMaxLen
+    val nulls = (1 until L).map(i =>
+      s"NULL::STRUCT(sc DOUBLE, np BIGINT, nu BIGINT, ps VARCHAR[]) AS s$i")
+      .mkString(",\n       |         ").stripMargin
+    val joins = (2 to L).map(l =>
+      s"  LEFT JOIN uvocab v$l ON pos >= ${l - 1} " +
+        s"AND v$l.piece = substr(w, pos + ${2 - l}, $l)").mkString("\n")
+    val arms = (2 to L).map(l =>
+      s"""      CASE WHEN v$l.piece IS NOT NULL
+         |           THEN struct_pack(sc := s${l - 1}.sc + v$l.psc,
+         |                            np := s${l - 1}.np + 1, nu := s${l - 1}.nu,
+         |                            ps := list_append(s${l - 1}.ps, v$l.piece)) END""")
+      .mkString(",\n")
+    val shift = (0 until L - 1).map(i => s"s$i").mkString(", ")
+    s"""wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+       |       GROUP BY doc_id, w),
+       |uwords AS (SELECT DISTINCT w FROM wc),
+       |uvocab(piece, psc) AS (VALUES $vocabSql),
+       |urec AS (
+       |  SELECT w, len(w)::INT AS n, 0 AS pos,
+       |         struct_pack(sc := 0.0::DOUBLE, np := 0::BIGINT,
+       |                     nu := 0::BIGINT, ps := []::VARCHAR[]) AS s0,
+       |         $nulls
+       |  FROM uwords
+       |  UNION ALL
+       |  SELECT w, n, pos + 1,
+       |    list_max(list_filter([
+       |      CASE WHEN v1.piece IS NOT NULL
+       |           THEN struct_pack(sc := s0.sc + v1.psc, np := s0.np + 1,
+       |                            nu := s0.nu,
+       |                            ps := list_append(s0.ps, v1.piece))
+       |           ELSE struct_pack(sc := s0.sc + (${unigramUnkScore}e0),
+       |                            np := s0.np + 1, nu := s0.nu + 1,
+       |                            ps := list_append(s0.ps, '<unk>')) END,
+       |$arms
+       |    ], x -> x IS NOT NULL)) AS s0,
+       |    $shift
+       |  FROM urec
+       |  LEFT JOIN uvocab v1 ON v1.piece = substr(w, pos + 1, 1)
+       |$joins
+       |  WHERE pos < n
+       |),
+       |uwp AS (SELECT w, s0.np AS np, s0.nu AS nu, s0.sc AS sc,
+       |               s0.ps AS ps
+       |        FROM urec WHERE pos = n)""".stripMargin
+  }
+
   private val tokCte =
     """t AS (SELECT doc_id, text,
       |             list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
@@ -3229,6 +3348,29 @@ object SparkEntry {
          |pc AS (SELECT w, unnest(pieces) AS piece FROM wp)
          |SELECT piece, sum(c)::BIGINT AS n
          |FROM wcw JOIN pc USING (w)
+         |GROUP BY piece ORDER BY piece""".stripMargin,
+
+    // unigram-LM Viterbi DP replayed as a sliding-window recursive CTE
+    // (state structs for the last maxPieceLen positions; argmax via
+    // list_max over STRUCT(sc,np,nu,ps) — tie-free scores make the
+    // tail of that order defensive). Per-word results weight by
+    // occurrence, exactly like q_subword
+    "q_unigram" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$unigramRecCte
+         |SELECT doc_id, sum(c * np)::BIGINT AS n_pieces,
+         |       sum(c * nu)::BIGINT AS n_unk,
+         |       round(sum(c * sc), 4) AS score
+         |FROM wc JOIN uwp USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_pieces" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$unigramRecCte,
+         |uwcw AS (SELECT w, sum(c)::BIGINT AS c FROM wc GROUP BY w),
+         |upc AS (SELECT w, unnest(ps) AS piece FROM uwp)
+         |SELECT piece, sum(c)::BIGINT AS n
+         |FROM uwcw JOIN upc USING (w)
          |GROUP BY piece ORDER BY piece""".stripMargin,
 
     // occurrence-weighted char-ngram candidates via a correlated lateral

@@ -911,4 +911,180 @@ object Subword {
     wcw.join(pieces, "w")
       .groupBy("piece").agg(sum(col("c")).as("n"))
   }
+
+  // ----------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) Viterbi segmentation
+  // ----------------------------------------------------------------
+
+  /** One Viterbi-segmented word: `(pieces, score, nUnk)` — the
+    * segmentation maximizing the sum of per-piece log-probability
+    * scores from `vocab`, the THIRD tokenizer family next to greedy
+    * longest-match ([[tokenizeWord]]) and rank-ordered BPE
+    * ([[applyMergesRanked]]). This is the inference rule of a
+    * SentencePiece unigram model (Kudo 2018): pieces compete globally
+    * over the whole word instead of left-to-right greedily, so
+    * `value` can segment as `val+ue` even when a longer-at-position-0
+    * piece exists.
+    *
+    * A code point no vocab piece covers advances one position as
+    * [[Unk]] at `unkScore` (progress is guaranteed, segmentation is
+    * total); the unk arm applies ONLY where the single code point is
+    * itself out-of-vocab, matching SentencePiece's unk semantics.
+    * Positions, piece lengths, and the DP itself count CODE POINTS
+    * (the character model of Spark's `substr` and DuckDB's).
+    *
+    * Determinism across engines: the DuckDB oracle replays this DP
+    * with a sliding window of the last `maxPieceLen` states and picks
+    * the per-position argmax via `list_max` over
+    * `STRUCT(sc, np, nu, ps)` — DuckDB struct/list total order. This
+    * comparator mirrors that order exactly: score, then piece count,
+    * then unk count, then the piece list element-wise by UTF-8 BYTES
+    * (a shorter prefix sorts first). Path scores accumulate
+    * left-to-right along the path in both engines, so equal paths are
+    * BIT-equal and near-ties resolve identically; the gate vocabulary
+    * makes true ties impossible outright (scores are -ln(prime) with
+    * distinct primes — path sums are -ln of a product of primes,
+    * unique per piece multiset by unique factorization, and the fixed
+    * unk penalty cannot cancel a prime ratio since e^unkScore is
+    * irrational), so the tail of the comparator is defensive. */
+  def viterbiWord(word: String, vocab: Map[String, Double],
+                  maxPieceLen: Int,
+                  unkScore: Double): (List[String], Double, Long) = {
+    // offs(i) = UTF-16 offset of the i-th code point; offs(ncp) = end
+    val offs = new Array[Int](word.codePointCount(0, word.length) + 1)
+    var ci = 0
+    var off = 0
+    while (off < word.length) {
+      offs(ci) = off
+      ci += 1
+      off += Character.charCount(word.codePointAt(off))
+    }
+    offs(ci) = word.length
+    val ncp = ci
+    // best-per-position states; ps held REVERSED for O(1) extension
+    val sc = new Array[Double](ncp + 1)
+    val np = new Array[Long](ncp + 1)
+    val nu = new Array[Long](ncp + 1)
+    val ps = new Array[List[String]](ncp + 1)
+    ps(0) = Nil
+    var p = 1
+    while (p <= ncp) {
+      // l = 1 arm: vocab single code point, else the unk fallback —
+      // always present, so every position is reachable
+      val c1 = word.substring(offs(p - 1), offs(p))
+      var bSc = 0.0d
+      var bNp = 0L
+      var bNu = 0L
+      var bPs: List[String] = null
+      vocab.get(c1) match {
+        case Some(s) =>
+          bSc = sc(p - 1) + s; bNp = np(p - 1) + 1; bNu = nu(p - 1)
+          bPs = c1 :: ps(p - 1)
+        case None =>
+          bSc = sc(p - 1) + unkScore; bNp = np(p - 1) + 1
+          bNu = nu(p - 1) + 1; bPs = Unk :: ps(p - 1)
+      }
+      var l = 2
+      while (l <= maxPieceLen && l <= p) {
+        val cand = word.substring(offs(p - l), offs(p))
+        vocab.get(cand) match {
+          case Some(s) =>
+            val cSc = sc(p - l) + s
+            val cNp = np(p - l) + 1
+            val cNu = nu(p - l)
+            lazy val cPs = cand :: ps(p - l)
+            if (structGt(cSc, cNp, cNu, cPs, bSc, bNp, bNu, bPs)) {
+              bSc = cSc; bNp = cNp; bNu = cNu; bPs = cPs
+            }
+          case None => ()
+        }
+        l += 1
+      }
+      sc(p) = bSc; np(p) = bNp; nu(p) = bNu; ps(p) = bPs
+      p += 1
+    }
+    (ps(ncp).reverse, sc(ncp), nu(ncp))
+  }
+
+  /** DuckDB STRUCT(sc, np, nu, ps) total-order "a > b" — ps compared
+    * element-wise by unsigned UTF-8 bytes, FORWARD piece order (the
+    * stored lists are reversed, so compare reversed copies). Only the
+    * sc arm is reachable under a tie-free vocabulary; see
+    * [[viterbiWord]]. */
+  private def structGt(aSc: Double, aNp: Long, aNu: Long,
+                       aPs: => List[String], bSc: Double, bNp: Long,
+                       bNu: Long, bPs: List[String]): Boolean = {
+    if (aSc != bSc) return aSc > bSc
+    if (aNp != bNp) return aNp > bNp
+    if (aNu != bNu) return aNu > bNu
+    psCompare(aPs.reverse, bPs.reverse) > 0
+  }
+
+  /** Element-wise list comparison, strings by unsigned UTF-8 bytes —
+    * DuckDB's VARCHAR[] order. */
+  private def psCompare(a: List[String], b: List[String]): Int =
+    (a, b) match {
+      case (Nil, Nil)         => 0
+      case (Nil, _)           => -1
+      case (_, Nil)           => 1
+      case (x :: xs, y :: ys) =>
+        val c = utf8Compare(x, y)
+        if (c != 0) c else psCompare(xs, ys)
+    }
+
+  /** Per-word Viterbi results for every distinct corpus word:
+    * `(w, np, nu, sc, ps)` — the same Zipf amortization as
+    * [[pieceCounts]]: the DP runs once per DISTINCT word on the
+    * vocabulary-sized frame, never per occurrence. */
+  private def unigramWordPieces(wc: DataFrame,
+                                vocab: Map[String, Double],
+                                unkScore: Double): DataFrame = {
+    require(vocab.nonEmpty, "unigram vocab must not be empty")
+    require(vocab.keys.forall(_.nonEmpty), "vocab pieces must be non-empty")
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.keys.map(p => p.codePointCount(0, p.length)).max
+    val vocabSeq = vocab.toSeq // stable closure capture
+    wc.select(col("w")).distinct().as[String].mapPartitions { it =>
+      val vm = vocabSeq.toMap
+      it.map { w =>
+        val (pieces, score, nUnk) = viterbiWord(w, vm, maxLen, unkScore)
+        (w, pieces.length.toLong, nUnk, score, pieces)
+      }
+    }.toDF("w", "np", "nu", "sc", "ps")
+  }
+
+  /** Per-document unigram-segmentation totals:
+    * `(doc, n_pieces, n_unk, score)` with the score rounded to 4
+    * decimals (sums of per-word doubles; the per-word values are
+    * bit-identical across engines, the cross-word sum order is not —
+    * the suite's avg_lp rounding convention). One corpus-sized
+    * shuffle into (doc, word, count); everything else is
+    * vocabulary-sized. */
+  def unigramCounts(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: Map[String, Double],
+                    unkScore: Double): DataFrame = {
+    val wc = wordCounts(docs, idCol, textCol)
+    wc.join(unigramWordPieces(wc, vocab, unkScore), "w")
+      .groupBy("doc")
+      .agg(sum(col("c") * col("np")).as("n_pieces"),
+        sum(col("c") * col("nu")).as("n_unk"),
+        round(sum(col("c") * col("sc")), 4).as("score"))
+  }
+
+  /** Corpus-wide unigram piece frequencies: `(piece, n)`, unks
+    * collapsed into the `<unk>` row — pins PIECE IDENTITY of the
+    * Viterbi path across engines (agreeing totals could coincide; an
+    * agreeing distribution cannot). */
+  def unigramPieceFrequencies(docs: DataFrame, textCol: String,
+                              vocab: Map[String, Double],
+                              unkScore: Double): DataFrame = {
+    val wc = docs
+      .select(explode(
+          graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc.join(unigramWordPieces(wc, vocab, unkScore), "w")
+      .select(col("c"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum(col("c")).as("n"))
+  }
 }

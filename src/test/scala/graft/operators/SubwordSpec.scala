@@ -474,4 +474,74 @@ class SubwordSpec extends SparkSpec {
       Seq((1L, "ab ab")).toDF("doc_id", "text"), "text", 5).collect()
     assert(one.length == 1 && one.head.getString(3) == "ab")
   }
+
+  // ----- unigram-LM Viterbi segmentation -----
+
+  // -ln(prime) scores: path sums unique per piece multiset (unique
+  // factorization), so every argmax below is tie-free by construction
+  private def lp(prime: Int): Double = -math.log(prime.toDouble)
+  private val uniVocab: Map[String, Double] = Map(
+    "val" -> lp(2), "ue" -> lp(3), "va" -> lp(5), "lu" -> lp(7),
+    "e" -> lp(11), "a" -> lp(13), "l" -> lp(17), "u" -> lp(19),
+    "v" -> lp(23), "ab" -> lp(29), "b" -> lp(31), "able" -> lp(37),
+    "ta" -> lp(41), "ble" -> lp(43), "t" -> lp(47))
+  private def vit(w: String) =
+    Subword.viterbiWord(w, uniVocab, 4, -10.0)
+
+  test("viterbiWord maximizes summed score, not greedy longest-match") {
+    // greedy longest-match from the left would take "va" at pos 0 of
+    // "value" only after failing "valu"/"val"... greedy takes "val"
+    // then "ue": here they agree; force divergence on "able":
+    // greedy(maxLen=4) takes "able" (one piece, -ln 37); Viterbi
+    // prefers ab+le? "le" not in vocab -> a+ble (-ln 13 - ln 43 =
+    // -ln 559) vs able (-ln 37): able wins. ab+l+e = -ln(29*17*11) =
+    // -ln 5423 loses. So able it is — pinned against the hand argmax
+    assert(vit("able") == (List("able"), lp(37), 0L))
+    // "value": val+ue = -ln(2*3) = -ln 6 beats va+lu+e = -ln(5*7*11)
+    assert(vit("value") == (List("val", "ue"), lp(2) + lp(3), 0L))
+    // "tab": ta+b = -ln(41*31) vs t+ab = -ln(47*29) = -ln 1363 —
+    // ta+b = -ln 1271 wins (larger = less negative)
+    assert(vit("tab") == (List("ta", "b"), lp(41) + lp(31), 0L))
+    // empty word: empty path, score 0
+    assert(vit("") == (Nil, 0.0, 0L))
+  }
+
+  test("viterbiWord unk fallback is per-code-point and only when OOV") {
+    // 'z' uncovered: single-char unk advance at -10
+    val (ps, sc, nu) = vit("zvalz")
+    assert(ps == List(Subword.Unk, "val", Subword.Unk))
+    assert(sc == -10.0 + lp(2) + -10.0 && nu == 2L)
+    // an astral char is ONE unk, not two lone-surrogate unks
+    val rocket = new String(Character.toChars(0x1F680))
+    assert(vit(s"a${rocket}b") ==
+      (List("a", Subword.Unk, "b"), lp(13) - 10.0 + lp(31), 1L))
+    // a known char NEVER degrades to unk even when unk would score
+    // higher (it can't here: vocab scores beat -10), and a word of
+    // only unks still segments totally
+    assert(vit("zz") == (List(Subword.Unk, Subword.Unk), -20.0, 2L))
+  }
+
+  test("unigramCounts weights per-word Viterbi results by occurrence") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "value value able"), (2L, "zz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Subword.unigramCounts(docs, "doc_id", "text", uniVocab, -10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val d1 = BigDecimal(2 * (lp(2) + lp(3)) + lp(37))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set((1L, 5L, 0L, d1), (2L, 2L, 2L, -20.0)))
+  }
+
+  test("unigramPieceFrequencies pins the Viterbi path distribution") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "value able zz value")).toDF("doc_id", "text")
+    val got = Subword
+      .unigramPieceFrequencies(docs, "text", uniVocab, -10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("val" -> 2L, "ue" -> 2L, "able" -> 1L,
+      Subword.Unk -> 2L))
+  }
 }
