@@ -985,6 +985,31 @@ object SparkEntry {
           md5(col("__n").cast("binary")).as("norm_md5"))
         .orderBy("doc_id")),
 
+    // URL canonicalization — the crawl-dedup KEY: messy per-doc URLs
+    // (derived deterministically from the table so both engines start
+    // from identical bytes) normalize through scheme/host lowering,
+    // default-port drop, slash collapse, tracking-param strip, param
+    // sort, fragment drop. Row-local codegen; the md5 key is what a
+    // 100 TB crawl groups by BEFORE any content dedup
+    "q_url_canon" -> ((s, d) => {
+      val dn = docs(s, d)
+      val raw = when(col("doc_id") % 3 === 0, concat(
+          lit("HTTPS://WWW.ExAmple-"), (col("doc_id") % 7).cast("string"),
+          lit(".COM:443/Docs//"), col("source"),
+          lit("/?utm_source=feed&z=9&ref=x&a="), col("lang"),
+          lit("&utm_campaign=c&b=2#frag")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("HTTP://Host-"), (col("doc_id") % 5).cast("string"),
+          lit(".Org:80/A//B/c/"), col("source"),
+          lit("?b=2&a=1&a=0&gclid=g#x")))
+        .otherwise(concat(
+          lit("https://plain.example.net/"), col("source"),
+          lit("/page/"), col("doc_id").cast("string")))
+      dn.select(col("doc_id"), TF.canonicalUrl(raw).as("url_canon"))
+        .withColumn("url_key", md5(col("url_canon").cast("binary")))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style held-out LM quality score: the LM trains on 2/3 of
     // the corpus and scores the other third — likeness to the reference
     // split, not to itself; add-0.5 smoothing keeps unseen bigrams
@@ -3855,6 +3880,64 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(nfc_normalize(text)),
         |           '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the canonicalization rules of TextFunctions.canonicalUrl replayed
+    // rule-by-rule: NOTE || not concat (DuckDB concat IGNORES nulls; ||
+    // propagates them like Spark's concat), and the explicit 'g' flag
+    // on the slash collapse (DuckDB replaces first-match by default
+    // where Spark replaces all)
+    "q_url_canon" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |           'HTTPS://WWW.ExAmple-' || (doc_id % 7)::VARCHAR ||
+        |           '.COM:443/Docs//' || source ||
+        |           '/?utm_source=feed&z=9&ref=x&a=' || lang ||
+        |           '&utm_campaign=c&b=2#frag'
+        |         WHEN doc_id % 3 = 1 THEN
+        |           'HTTP://Host-' || (doc_id % 5)::VARCHAR ||
+        |           '.Org:80/A//B/c/' || source || '?b=2&a=1&a=0&gclid=g#x'
+        |         ELSE 'https://plain.example.net/' || source ||
+        |              '/page/' || doc_id::VARCHAR END AS u
+        |  FROM documents),
+        |parsed AS (
+        |  SELECT doc_id,
+        |    nullif(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+        |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM raw),
+        |hp AS (SELECT *, regexp_extract(rest, '^([^/?#]+)', 1) AS hostport
+        |       FROM parsed),
+        |parts AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    substr(rest, len(hostport) + 1) AS tail
+        |  FROM hp),
+        |pq AS (
+        |  SELECT doc_id, scheme, host, port,
+        |    regexp_replace(regexp_extract(tail, '^([^?#]*)', 1),
+        |                   '/{2,}', '/', 'g') AS p2,
+        |    regexp_extract(tail, '\?([^#]*)', 1) AS query
+        |  FROM parts),
+        |norm AS (
+        |  SELECT doc_id, scheme, host, port,
+        |    CASE WHEN p2 = '' THEN '/'
+        |         ELSE regexp_replace(p2, '(.)/$', '\1') END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |             '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS q
+        |  FROM pq),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |         THEN ':' || port ELSE '' END ||
+        |    path ||
+        |    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_canon
+        |  FROM norm)
+        |SELECT doc_id, url_canon, md5(url_canon) AS url_key
+        |FROM canon ORDER BY doc_id""".stripMargin,
 
     // the held-out replay: train counts from the 2/3 split only,
     // scored bigrams LEFT-join them, add-0.5 smoothing over V

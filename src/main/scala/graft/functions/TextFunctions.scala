@@ -380,4 +380,54 @@ object TextFunctions {
     lit(0.4) * least(tokenCount(text).cast("double") / 100.0, lit(1.0)) +
       lit(0.3) * (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) +
       lit(0.3) * least(stopwordRatio(text) * 4.0, lit(1.0))
+
+  /** Query params dropped by [[canonicalUrl]] — the cross-site
+    * tracking families every crawl canonicalizer strips (RE2 and Java
+    * regex compatible; anchored per-param). */
+  val TrackingParamPattern = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+  /** Canonical form of a URL — the dedup key a crawl pipeline groups
+    * by before content dedup (the same page arrives as
+    * `HTTP://Site.com:80/a//b/?utm_source=x&b=2&a=1#frag` and
+    * `http://site.com/a/b?a=1&b=2`). Rules, in order:
+    *
+    *  1. scheme and host lowercase; a non-URL (no `scheme://`) → NULL
+    *  2. default ports dropped (http:80, https:443); others kept
+    *  3. duplicate path slashes collapsed, trailing slash stripped
+    *     (root stays `/`; an empty path becomes `/`)
+    *  4. tracking params removed ([[TrackingParamPattern]]), remaining
+    *     params sorted byte-wise, empty fragments of the split dropped
+    *  5. the fragment is dropped entirely
+    *
+    * Pure composition of codegen'd built-ins (regexp + higher-order
+    * array functions) — row-local, zero shuffle, stays inside
+    * whole-stage codegen; NULL in → NULL out. The DuckDB oracle
+    * mirrors each rule with the same regexes (its `regexp_replace`
+    * needs the explicit `'g'` flag where Spark replaces all
+    * occurrences, and `||` not `concat`, which ignores NULLs). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = nullif(
+      lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+      lit(""))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?#]+)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val tail = rest.substr(length(hostport) + 1, length(rest))
+    val path0 = regexp_extract(tail, "^([^?#]*)", 1)
+    val path1 = regexp_replace(path0, "/{2,}", "/")
+    val path = when(path1 === "", lit("/"))
+      .otherwise(regexp_replace(path1, "(.)/$", "$1"))
+    val query = regexp_extract(tail, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val sortedQ = array_join(array_sort(params), "&")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
 }

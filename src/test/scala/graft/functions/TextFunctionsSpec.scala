@@ -328,4 +328,39 @@ class TextFunctionsSpec extends SparkSpec {
       .select(dropRepeatedLines(col("text"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("canonicalUrl: every rule, edge shapes, null propagation") {
+    val s = spark
+    import s.implicits._
+    def canon(u: String): Option[String] = {
+      val r = Seq(Option(u)).toDF("u")
+        .select(TextFunctions.canonicalUrl(col("u"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    // scheme+host lower, default port drop, slash collapse, trailing
+    // slash strip, tracking strip, param sort, fragment drop — at once
+    assert(canon("HTTP://Site.COM:80/a//b/?utm_source=x&b=2&a=1#frag")
+      == Some("http://site.com/a/b?a=1&b=2"))
+    assert(canon("HTTPS://X.org:443/") == Some("https://x.org/"))
+    // non-default port survives; path case preserved
+    assert(canon("https://x.org:8443/API/v1") ==
+      Some("https://x.org:8443/API/v1"))
+    // http default port on https scheme is NOT default -> kept
+    assert(canon("https://x.org:80/") == Some("https://x.org:80/"))
+    // empty path becomes /; query of only tracking params vanishes
+    assert(canon("http://x.org?utm_campaign=c&ref=r&fbclid=f&gclid=g")
+      == Some("http://x.org/"))
+    // bare tracking key without '=' is dropped too; dup params kept
+    // (byte-sorted), empty params from && splits dropped
+    assert(canon("http://x.org/p?ref&a=2&&a=1") ==
+      Some("http://x.org/p?a=1&a=2"))
+    // ref is anchored: a param NAMED refx (or prefix=ref) survives
+    assert(canon("http://x.org/p?refx=1&b=ref") ==
+      Some("http://x.org/p?b=ref&refx=1"))
+    // root slash is never stripped; fragment-only tail drops clean
+    assert(canon("http://x.org/#top") == Some("http://x.org/"))
+    // not a URL -> null; null -> null
+    assert(canon("no scheme here") == None)
+    assert(canon(null) == None)
+  }
 }
