@@ -2164,6 +2164,18 @@ object SparkEntry {
           "doc_id", "source", "n_tok", 2048L, salt = "pack1")
         .orderBy("doc_id", "seq")),
 
+    // fill-in-the-middle construction: a deterministic 60% of docs
+    // split at two salted-hash cuts and reassemble PSM
+    // (<PRE>p<SUF>s<MID>m); the rest pass through. Row-local, zero
+    // shuffle; lengths + md5 pin the exact reassembled bytes
+    "q_fim_split" -> ((s, d) =>
+      graft.operators.Sampling.fimSplit(docs(s, d), "doc_id", "text",
+          pct = 60, salt = "fim")
+        .select(col("doc_id"), col("fim_applied"), col("n_prefix"),
+          col("n_middle"), col("n_suffix"),
+          md5(col("fim_text").cast("binary")).as("fim_md5"))
+        .orderBy("doc_id")),
+
     // benchmark decontamination: docs sharing an 8-gram with the
     // "benchmark" (doc_id < 10 as a stand-in eval set)
     "q_decontaminate" -> ((s, d) => {
@@ -5293,6 +5305,41 @@ object SparkEntry {
          |       (least((seq + 1) * 2048 - off, n_tok)
          |        - greatest(seq * 2048 - off, 0))::BIGINT AS tok_len
          |FROM sl ORDER BY doc_id, seq""".stripMargin,
+
+    // the fimSplit recipe replayed: salted orderHash selection, two
+    // hash cuts into [1, n-1] (guarded behind `app` so the modulus is
+    // never zero), PSM reassembly. len/substr count code points in
+    // both engines; NULL text passes through to a NULL md5
+    "q_fim_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, len(text)::BIGINT AS n,
+        |    (text IS NOT NULL AND len(text) >= 2 AND
+        |     ('0x' || substr(md5('fim' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |       % 100 < 60) AS app
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n, app,
+        |    CASE WHEN app THEN least(
+        |      ('0x' || substr(md5('fim-a' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |        % (n - 1) + 1,
+        |      ('0x' || substr(md5('fim-b' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |        % (n - 1) + 1) END AS c1,
+        |    CASE WHEN app THEN greatest(
+        |      ('0x' || substr(md5('fim-a' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |        % (n - 1) + 1,
+        |      ('0x' || substr(md5('fim-b' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |        % (n - 1) + 1) END AS c2
+        |  FROM b)
+        |SELECT doc_id, app AS fim_applied,
+        |  c1 AS n_prefix,
+        |  (c2 - c1) AS n_middle,
+        |  (n - c2) AS n_suffix,
+        |  md5(CASE WHEN app THEN
+        |        '<PRE>' || substr(text, 1, c1) ||
+        |        '<SUF>' || substr(text, c2 + 1, n - c2) ||
+        |        '<MID>' || substr(text, c1 + 1, c2 - c1)
+        |      ELSE text END) AS fim_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
 

@@ -501,6 +501,54 @@ object Sampling {
         col("tok_start"), col("tok_len"))
   }
 
+  /** Fill-in-the-middle transform (the FIM data augmentation infilling
+    * models train on): a deterministic `pct`% of documents split into
+    * (prefix, middle, suffix) at two salted-hash cut points and
+    * reassemble in PSM sentinel order `pre+prefix+suf+suffix+mid+middle`
+    * — the model learns to emit the middle AFTER seeing both sides.
+    * The rest pass through unchanged (that mix ratio is the real
+    * training knob).
+    *
+    * Everything is a pure function of (id, salt): selection is
+    * `orderHash(id, salt) % 100 < pct`, the two cuts are independent
+    * salted hashes mapped into `[1, n-1]` (so prefix and suffix are
+    * never empty; the middle may be — cuts can coincide), and n counts
+    * CODE POINTS. Reruns, engines, and the DuckDB oracle agree
+    * byte-for-byte. Documents that are NULL or shorter than 2 code
+    * points pass through (`fim_applied = false`, length columns NULL).
+    *
+    * Scale shape: row-local (three hash computations + substrings),
+    * zero shuffle, stays inside whole-stage codegen — the 100 TB cost
+    * is the rewrite bandwidth itself.
+    *
+    * Output: input columns + `fim_applied`, `n_prefix`, `n_middle`,
+    * `n_suffix` (code points, NULL when not applied), `fim_text`. */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+               pct: Int = 60, salt: String = "fim",
+               pre: String = "<PRE>", suf: String = "<SUF>",
+               mid: String = "<MID>"): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    val t = col(textCol)
+    val n = length(t)
+    val applied = t.isNotNull && n >= 2 &&
+      orderHash(col(idCol), salt) % 100 < pct
+    // cuts in [1, n-1]: evaluated only under `applied` (n >= 2), so
+    // the modulus is never zero in either engine
+    val span = (n - 1).cast("bigint")
+    val ha = orderHash(col(idCol), salt + "-a") % span + 1L
+    val hb = orderHash(col(idCol), salt + "-b") % span + 1L
+    val c1 = least(ha, hb)
+    val c2 = greatest(ha, hb)
+    val psm = concat(lit(pre), t.substr(lit(1), c1),
+      lit(suf), t.substr(c2 + 1L, n - c2),
+      lit(mid), t.substr(c1 + 1L, c2 - c1))
+    df.withColumn("fim_applied", applied)
+      .withColumn("n_prefix", when(applied, c1))
+      .withColumn("n_middle", when(applied, c2 - c1))
+      .withColumn("n_suffix", when(applied, n.cast("bigint") - c2))
+      .withColumn("fim_text", when(applied, psm).otherwise(t))
+  }
+
   /** Keep, per stratum, the hash-ordered prefix of documents whose
     * running token total stays within that stratum's budget (strict:
     * the doc that would cross the budget is dropped). Strata absent

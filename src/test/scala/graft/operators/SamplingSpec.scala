@@ -570,4 +570,63 @@ class SamplingSpec extends SparkSpec {
       s"only the vanished shard may fail: $broken")
     graft.util.FsUtil.deleteRecursively(java.nio.file.Paths.get(path))
   }
+
+  test("fimSplit: PSM reassembly reconstructs the original exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 80L).map(i => (i, s"doc-$i-" + ("abcdef" * 6)))
+      .toDF("doc_id", "text")
+    val out = Sampling.fimSplit(docs, "doc_id", "text", pct = 60).collect()
+    assert(out.length == 81)
+    val applied = out.filter(_.getAs[Boolean]("fim_applied"))
+    // 60% selection is hash-driven: nontrivial both ways
+    assert(applied.length > 20 && applied.length < 70)
+    applied.foreach { r =>
+      val t = r.getAs[String]("text")
+      val f = r.getAs[String]("fim_text")
+      val (np, nm, ns) = (r.getAs[Long]("n_prefix"),
+        r.getAs[Long]("n_middle"), r.getAs[Long]("n_suffix"))
+      // prefix/suffix never empty, cuts interior, lengths partition n
+      assert(np >= 1 && ns >= 1 && nm >= 0 && np + nm + ns == t.length)
+      // parse <PRE>p<SUF>s<MID>m and restitch p+m+s == original
+      val m1 = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+      f match {
+        case m1(p, sx, mid) =>
+          assert(p.length == np && sx.length == ns && mid.length == nm)
+          assert(p + mid + sx == t, s"restitch failed for ${r}")
+        case _ => fail(s"bad PSM shape: $f")
+      }
+    }
+    // non-selected rows pass through byte-identical with NULL lengths
+    out.filter(!_.getAs[Boolean]("fim_applied")).foreach { r =>
+      assert(r.getAs[String]("fim_text") == r.getAs[String]("text"))
+      assert(r.isNullAt(r.fieldIndex("n_prefix")))
+    }
+  }
+
+  test("fimSplit: determinism, salts, degenerate and null docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab"), (2L, "x"), (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val a = Sampling.fimSplit(docs, "doc_id", "text", pct = 100).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // n=2: the only interior cut is 1|1 -> middle empty, both cuts = 1
+    assert(a(1L).getAs[Boolean]("fim_applied"))
+    assert(a(1L).getAs[String]("fim_text") == "<PRE>a<SUF>b<MID>")
+    // single char / null / empty: pass through even at pct=100
+    Seq(2L, 3L, 4L).foreach(i =>
+      assert(!a(i).getAs[Boolean]("fim_applied"), s"doc $i"))
+    assert(a(3L).isNullAt(a(3L).fieldIndex("fim_text")))
+    assert(a(4L).getAs[String]("fim_text") == "")
+    // pct=0 applies nowhere; same salt same draw, new salt new draw
+    val many = (0L to 200L).map((_, "abcdefghij")).toDF("doc_id", "text")
+    assert(Sampling.fimSplit(many, "doc_id", "text", pct = 0)
+      .where(col("fim_applied")).count() == 0)
+    def keys(salt: String) = Sampling
+      .fimSplit(many, "doc_id", "text", pct = 50, salt = salt)
+      .where(col("fim_applied")).select("doc_id").as[Long].collect().toSet
+    assert(keys("fim") == keys("fim"))
+    assert(keys("fim") != keys("other"))
+  }
 }
