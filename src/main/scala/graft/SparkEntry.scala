@@ -2176,6 +2176,24 @@ object SparkEntry {
           md5(col("fim_text").cast("binary")).as("fim_md5"))
         .orderBy("doc_id")),
 
+    // exact duplicate-SPAN detection (the Lee-et-al substring-dedup
+    // family): maximal character intervals whose every 20-gram repeats
+    // somewhere in the corpus. The fixture text is pool-words (nearly
+    // everything repeats), so a unique md5 island is spliced into each
+    // doc at char 61 — span boundaries then fall mid-document and the
+    // interval MERGE genuinely executes (two+ islands per doc)
+    "q_dedup_spans" -> ((s, d) => {
+      val t2 = concat(col("text").substr(lit(1), lit(60)), lit("["),
+        md5(concat(lit("u"), col("doc_id").cast("string")).cast("binary")),
+        lit("]"), col("text").substr(lit(61), length(col("text"))))
+      graft.operators.Dedup.duplicateSpans(
+          docs(s, d).select(col("doc_id"), t2.as("text")),
+          "doc_id", "text", 20)
+        .select(col("doc").as("doc_id"), col("span_start"),
+          col("span_end"), col("span_len"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // benchmark decontamination: docs sharing an 8-gram with the
     // "benchmark" (doc_id < 10 as a stand-in eval set)
     "q_decontaminate" -> ((s, d) => {
@@ -5305,6 +5323,37 @@ object SparkEntry {
          |       (least((seq + 1) * 2048 - off, n_tok)
          |        - greatest(seq * 2048 - off, 0))::BIGINT AS tok_len
          |FROM sl ORDER BY doc_id, seq""".stripMargin,
+
+    // every-position 20-gram md5s -> grams occurring >1x -> per-doc
+    // gaps-and-islands interval merge; the same unique-island splice
+    // as the Spark side, so both engines walk identical bytes
+    "q_dedup_spans" ->
+      """WITH t2 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || '[' || md5('u' || doc_id::VARCHAR) ||
+        |    ']' || substr(text, 61) AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, r.i::BIGINT AS pos, md5(substr(text, r.i, 20)) AS g
+        |  FROM t2, unnest(range(1, len(text) - 18)) AS r(i)
+        |  WHERE len(text) >= 20),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        |h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_end
+        |      FROM h),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |                   THEN 1 ELSE 0 END) OVER (
+        |            PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM m)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |       (max(pos) + 19)::BIGINT AS span_end,
+        |       (max(pos) + 19 - min(pos) + 1)::BIGINT AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // the fimSplit recipe replayed: salted orderHash selection, two
     // hash cuts into [1, n-1] (guarded behind `app` so the modulus is

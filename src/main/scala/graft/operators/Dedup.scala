@@ -245,6 +245,68 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Exact duplicate-SPAN detection (substring dedup)
+  // ------------------------------------------------------------------
+
+  /** Maximal duplicated character spans — the exact-substring dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", which removes repeated spans of >= 50 tokens via
+    * a suffix array; reference family also in Dolma's dedupe): every
+    * position whose `minLen`-character gram occurs more than once in
+    * the corpus (ANY doc, including its own) is duplicated, and runs
+    * of duplicated positions merge into maximal spans. Equivalent to
+    * the suffix-array formulation for spans >= minLen — a repeated
+    * substring of length m >= minLen contributes exactly its m-minLen+1
+    * gram positions, which merge back into the one maximal interval.
+    *
+    * Output: `(doc, span_start, span_end, span_len)` — 1-based
+    * inclusive CODE-POINT positions, ordered islands per doc. A
+    * curation pipeline cuts these spans (or drops docs whose
+    * dup_chars ratio is high); span accounting, not text rewriting, is
+    * the operator so the corpus never shuffles rewritten bodies.
+    *
+    * Scale shape: the shuffle carries (16-byte gram md5, doc, pos) —
+    * never text. Stage 1 is a map-side-combined count by gram hash;
+    * stage 2 re-shuffles the position stream once to join the >1
+    * grams (shuffle-hash: both sides are position-sized, neither
+    * broadcastable) and once by doc for the interval merge window.
+    * Every-position grams are the EXACT formulation (20x read
+    * amplification over the text, all pre-shuffle); the approximate
+    * relatives for when that is too hot are [[Chunking]]'s CDC chunks
+    * and [[passagePairs]]' fixed windows. */
+  def duplicateSpans(df: DataFrame, id: String, text: String,
+                     minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val grams = df
+      .select(col(id).as("doc"), col(text).as("__t"))
+      .where(length(col("__t")) >= minLen)
+      .withColumn("pos",
+        explode(sequence(lit(1), length(col("__t")) - (minLen - 1))))
+      .select(col("doc"), col("pos"),
+        md5(col("__t").substr(col("pos"), lit(minLen)).cast("binary"))
+          .as("g"))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("g")
+    // both sides are position-cardinality: pin shuffle-hash, never let
+    // a stale broadcast estimate pull 10^8 gram hashes to every task
+    val hits = grams.hint("shuffle_hash")
+      .join(dupG.hint("shuffle_hash"), "g")
+      .select(col("doc"), col("pos"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("__prev_end", max(col("pos") + (minLen - 1)).over(prev))
+      .withColumn("__new", when(col("__prev_end").isNull ||
+        col("pos") > col("__prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col("doc"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (minLen - 1)).cast("long").as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1L)
+      .select("doc", "span_start", "span_end", "span_len")
+  }
+
+  // ------------------------------------------------------------------
   // N-gram Jaccard via shingle inverted-index join
   // ------------------------------------------------------------------
 

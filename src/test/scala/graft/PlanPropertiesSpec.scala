@@ -260,13 +260,29 @@ class PlanPropertiesSpec extends SparkSpec {
     // shuffle_hash; this guard fails if a refactor (or a Spark upgrade
     // changing hint resolution) lets a broadcast back in.
     for (q <- Seq("q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-                  "q_dedup_embedding", "q_dedup_embedding_lsh")) {
+                  "q_dedup_embedding", "q_dedup_embedding_lsh",
+                  "q_dedup_spans")) {
       val p = plan(q)
       assert(!p.contains("BroadcastHashJoin") &&
              !p.contains("BroadcastNestedLoopJoin"),
         s"$q must not broadcast a corpus-derived side:\n$p")
       assert(p.contains("ShuffledHashJoin"),
         s"$q candidate generation must be a shuffled equi-join:\n$p")
+    }
+  }
+
+  test("q_dedup_spans: gram hashes shuffle, document text never does") {
+    // the dup-gram join carries (md5, doc, pos) — if a refactor lets
+    // the text column itself through the exchange, 100 TB of text
+    // crosses the wire 20x over
+    val p = physical("q_dedup_spans")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name.toLowerCase)
+      assert(!cols.exists(c => c == "text" || c == "__t"),
+        s"text must not cross a shuffle: $cols")
     }
   }
 

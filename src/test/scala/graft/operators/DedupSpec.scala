@@ -546,4 +546,33 @@ class DedupSpec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS ${idx.fpTable}")
     }
   }
+
+  test("duplicateSpans: overlap merge, adjacency, gaps, self-repeats") {
+    val s = spark
+    import s.implicits._
+    def spans(rows: (Long, String)*): Map[Long, Seq[(Long, Long, Long)]] =
+      Dedup.duplicateSpans(rows.toDF("doc_id", "text"), "doc_id", "text", 4)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    // cross-doc shared "abcdef": overlapping 4-grams at pos 3,4,5 merge
+    // into ONE maximal span [3,8] in each doc; the unique flanks don't
+    val a = spans((1L, "XXabcdefYY"), (2L, "ZZabcdefWW"))
+    assert(a == Map(1L -> Seq((3L, 8L, 6L)), 2L -> Seq((3L, 8L, 6L))))
+    // SELF-repeat in one doc: "abcd" at pos 1 and 5; intervals [1,4]
+    // and [5,8] are adjacent (5 = prev_end + 1) -> one span
+    assert(spans((1L, "abcdabcd")) == Map(1L -> Seq((1L, 8L, 8L))))
+    // a real gap keeps two islands
+    assert(spans((1L, "abcdMNOPQabcd")) ==
+      Map(1L -> Seq((1L, 4L, 4L), (10L, 13L, 4L))))
+    // nothing repeated / too short / null: no rows
+    assert(spans((1L, "abcdefgh"), (2L, "zz"),
+      (3L, null.asInstanceOf[String])).isEmpty)
+    // positions count CODE POINTS: shared 6-cp prefix with an astral
+    // head spans [1,6] in both docs
+    val rocket = new String(Character.toChars(0x1F680))
+    val b = spans((1L, s"${rocket}abcdZ1"), (2L, s"${rocket}abcdZ2"))
+    assert(b == Map(1L -> Seq((1L, 6L, 6L)), 2L -> Seq((1L, 6L, 6L))))
+  }
 }
