@@ -1017,7 +1017,25 @@ object ScaleProbe {
               "fast", "filt", "er", "gro", "join", "key", "str", "eam",
               "agg", "data", "sort", "scan", "slow", "small", "spark",
               "row", "hash", "lin", "col", "umn", "ord", "vect", "or",
-              "big", "part", "the")).count())
+              "big", "part", "the")).count()),
+        // every-position 20-grams: the measured costs are the hash-only
+        // content shuffle ((md5, doc, pos) — never text) and the
+        // per-doc island-merge window. Gram rows grow ~k with corpus
+        // chars, and renamed tokens keep cross-copy grams distinct, so
+        // dup-hit work grows ~k too — never pair-quadratically
+        "dedup_spans" -> (() =>
+          Dedup.duplicateSpans(docs, "doc_id", "text", 20).count()),
+        // unigram Viterbi DP once per DISTINCT word: replication grows
+        // the vocabulary k-fold (worst case for the Zipf amortization —
+        // real corpora add occurrences faster than words); renamed
+        // words walk the same DP through the unk arm
+        "unigram" -> (() =>
+          operators.Subword.unigramCounts(docs, "doc_id", "text",
+            Map("wind" -> -0.7, "ow" -> -1.1, "table" -> -1.4,
+              "fast" -> -1.6, "er" -> -1.9, "a" -> -2.5, "b" -> -2.6,
+              "c" -> -2.7, "d" -> -2.8, "e" -> -2.9, "t" -> -3.0,
+              "o" -> -3.1, "w" -> -3.2, "l" -> -3.3, "s" -> -3.4),
+            -10.0).count())
       )
 
       val selected = queries.filter(q => wanted(q._1))

@@ -27,6 +27,18 @@ object SparkEntry {
   private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** Documents with a unique md5 island spliced in at char 61 — the
+    * q_dedup_spans/_cut fixture derivation (pool-word fixture text
+    * repeats almost everywhere, so without the island every doc would
+    * be one full-length span and the interval merge would never branch;
+    * the oracle's `t2` CTE derives the same bytes). */
+  private def islandDocs(dn: DataFrame): DataFrame =
+    dn.select(col("doc_id"),
+      concat(col("text").substr(lit(1), lit(60)), lit("["),
+        md5(concat(lit("u"), col("doc_id").cast("string")).cast("binary")),
+        lit("]"), col("text").substr(lit(61), length(col("text"))))
+        .as("text"))
+
   // 31^j mod 2^20 for j < 16 — the CDC gear-polynomial constants shared
   // by the q_cdc_* oracles (Chunking.cdcChunks inlines the same values)
   private val cdcPows: Seq[Long] =
@@ -2182,16 +2194,25 @@ object SparkEntry {
     // everything repeats), so a unique md5 island is spliced into each
     // doc at char 61 — span boundaries then fall mid-document and the
     // interval MERGE genuinely executes (two+ islands per doc)
-    "q_dedup_spans" -> ((s, d) => {
-      val t2 = concat(col("text").substr(lit(1), lit(60)), lit("["),
-        md5(concat(lit("u"), col("doc_id").cast("string")).cast("binary")),
-        lit("]"), col("text").substr(lit(61), length(col("text"))))
+    "q_dedup_spans" -> ((s, d) =>
       graft.operators.Dedup.duplicateSpans(
-          docs(s, d).select(col("doc_id"), t2.as("text")),
-          "doc_id", "text", 20)
+          islandDocs(docs(s, d)), "doc_id", "text", 20)
         .select(col("doc").as("doc_id"), col("span_start"),
           col("span_end"), col("span_len"))
-        .orderBy("doc_id", "span_start")
+        .orderBy("doc_id", "span_start")),
+
+    // the rewrite half: the spans CUT out of the text (Lee et al.
+    // remove spans, not documents). Kept-length + md5 pin the exact
+    // surviving bytes; docs reassemble through ONE doc-keyed shuffle
+    "q_dedup_spans_cut" -> ((s, d) => {
+      val t2 = islandDocs(docs(s, d))
+      graft.operators.Dedup.cutSpans(t2,
+          graft.operators.Dedup.duplicateSpans(t2, "doc_id", "text", 20),
+          "doc_id", "text")
+        .select(col("doc").as("doc_id"),
+          length(col("kept_text")).cast("bigint").as("n_kept"),
+          md5(col("kept_text").cast("binary")).as("kept_md5"))
+        .orderBy("doc_id")
     }),
 
     // benchmark decontamination: docs sharing an 8-gram with the
@@ -2950,6 +2971,37 @@ object SparkEntry {
        |               s0.ps AS ps
        |        FROM urec WHERE pos = n)""".stripMargin
   }
+
+  /** Shared oracle fragment for q_dedup_spans/_cut: the island-text
+    * derivation (islandDocs), every-position 20-gram md5s, the >1x
+    * gram filter, and the per-doc gaps-and-islands interval merge
+    * ending in `spans(doc_id, span_start, span_end)` — plus `t2` for
+    * the cut replay to join back to. */
+  private val dupSpansCte =
+    """t2 AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 60) || '[' || md5('u' || doc_id::VARCHAR) ||
+      |    ']' || substr(text, 61) AS text
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, r.i::BIGINT AS pos, md5(substr(text, r.i, 20)) AS g
+      |  FROM t2, unnest(range(1, len(text) - 18)) AS r(i)
+      |  WHERE len(text) >= 20),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+      |h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS prev_end
+      |      FROM h),
+      |isl AS (SELECT doc_id, pos,
+      |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |                   THEN 1 ELSE 0 END) OVER (
+      |            PARTITION BY doc_id ORDER BY pos) AS island
+      |        FROM m),
+      |spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+      |                 (max(pos) + 19)::BIGINT AS span_end
+      |          FROM isl GROUP BY doc_id, island)""".stripMargin
 
   private val tokCte =
     """t AS (SELECT doc_id, text,
@@ -5328,32 +5380,33 @@ object SparkEntry {
     // gaps-and-islands interval merge; the same unique-island splice
     // as the Spark side, so both engines walk identical bytes
     "q_dedup_spans" ->
-      """WITH t2 AS (
-        |  SELECT doc_id,
-        |    substr(text, 1, 60) || '[' || md5('u' || doc_id::VARCHAR) ||
-        |    ']' || substr(text, 61) AS text
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, r.i::BIGINT AS pos, md5(substr(text, r.i, 20)) AS g
-        |  FROM t2, unnest(range(1, len(text) - 18)) AS r(i)
-        |  WHERE len(text) >= 20),
-        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
-        |h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
-        |m AS (SELECT doc_id, pos,
-        |        max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |          AS prev_end
-        |      FROM h),
-        |isl AS (SELECT doc_id, pos,
-        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
-        |                   THEN 1 ELSE 0 END) OVER (
-        |            PARTITION BY doc_id ORDER BY pos) AS island
-        |        FROM m)
-        |SELECT doc_id, min(pos)::BIGINT AS span_start,
-        |       (max(pos) + 19)::BIGINT AS span_end,
-        |       (max(pos) + 19 - min(pos) + 1)::BIGINT AS span_len
-        |FROM isl GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $dupSpansCte
+         |SELECT doc_id, span_start, span_end,
+         |       (span_end - span_start + 1)::BIGINT AS span_len
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // the cut replay: spans aggregate to a sorted (s, e) list per doc,
+    // LEFT JOIN back to the island text, and a list_transform over the
+    // complement boundaries stitches the kept segments
+    "q_dedup_spans_cut" ->
+      s"""WITH $dupSpansCte,
+         |spl AS (SELECT doc_id,
+         |          list_sort(list(struct_pack(s := span_start,
+         |                                     e := span_end))) AS sp
+         |        FROM spans GROUP BY doc_id),
+         |cutj AS (SELECT t2.doc_id, t2.text, spl.sp
+         |         FROM t2 LEFT JOIN spl USING (doc_id)),
+         |cut AS (SELECT doc_id,
+         |  CASE WHEN sp IS NULL THEN text ELSE
+         |    array_to_string(list_transform(range(0, len(sp) + 1), i ->
+         |      substr(text,
+         |        (CASE WHEN i = 0 THEN 0 ELSE sp[i].e END) + 1,
+         |        (CASE WHEN i = len(sp) THEN len(text)::BIGINT + 1
+         |              ELSE sp[i + 1].s END)
+         |          - (CASE WHEN i = 0 THEN 0 ELSE sp[i].e END) - 1)), '')
+         |  END AS kept FROM cutj)
+         |SELECT doc_id, len(kept)::BIGINT AS n_kept, md5(kept) AS kept_md5
+         |FROM cut ORDER BY doc_id""".stripMargin,
 
     // the fimSplit recipe replayed: salted orderHash selection, two
     // hash cuts into [1, n-1] (guarded behind `app` so the modulus is

@@ -306,6 +306,39 @@ object Dedup {
       .select("doc", "span_start", "span_end", "span_len")
   }
 
+  /** Apply a [[duplicateSpans]] result: cut every span out of the text
+    * and return `(doc, kept_text)` — the rewrite half of substring
+    * dedup (Lee et al. remove the repeated spans, not the documents).
+    * Docs with no spans pass through byte-identical; a doc that is one
+    * whole span becomes the empty string (a length floor downstream is
+    * the usual follow-up, as in the paper).
+    *
+    * The spans side aggregates to one sorted (start, end) array per
+    * doc and joins back by doc id — text crosses ONE doc-keyed
+    * shuffle for reassembly (the passage-dedup discipline: doc-keyed
+    * is fine, content-keyed never). The cut itself is a row-local
+    * zip_with over the span boundaries' complement. Spans must be
+    * disjoint and sorted ascending, which [[duplicateSpans]]
+    * guarantees by construction. */
+  def cutSpans(df: DataFrame, spans: DataFrame, id: String,
+               text: String): DataFrame = {
+    val sp = spans.groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__sp"))
+    df.select(col(id).as("doc"), col(text).as("__t"))
+      .join(sp, Seq("doc"), "left")
+      .select(col("doc"), when(col("__sp").isNull, col("__t"))
+        .otherwise(array_join(zip_with(
+          // segment lower bounds: 0, e_1, ..., e_n (exclusive)
+          concat(array(lit(0L)),
+            transform(col("__sp"), s => s.getField("e"))),
+          // segment upper bounds: s_1, ..., s_n, len+1 (exclusive)
+          concat(transform(col("__sp"), s => s.getField("s")),
+            array(length(col("__t")).cast("long") + 1L)),
+          (e, s) => col("__t").substr(e + 1L, s - e - 1L)), ""))
+        .as("kept_text"))
+  }
+
   // ------------------------------------------------------------------
   // N-gram Jaccard via shingle inverted-index join
   // ------------------------------------------------------------------

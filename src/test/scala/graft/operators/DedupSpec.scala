@@ -575,4 +575,29 @@ class DedupSpec extends SparkSpec {
     val b = spans((1L, s"${rocket}abcdZ1"), (2L, s"${rocket}abcdZ2"))
     assert(b == Map(1L -> Seq((1L, 6L, 6L)), 2L -> Seq((1L, 6L, 6L))))
   }
+
+  test("cutSpans removes exactly the spans and passes span-free docs") {
+    val s = spark
+    import s.implicits._
+    def cut(rows: (Long, String)*): Map[Long, String] = {
+      val df = rows.toDF("doc_id", "text")
+      val spans = Dedup.duplicateSpans(df, "doc_id", "text", 4)
+      Dedup.cutSpans(df, spans, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    // shared "abcdef" cut from both; unique flanks survive; the
+    // span-free doc 3 passes through byte-identical
+    assert(cut((1L, "XXabcdefYY"), (2L, "ZZabcdefWW"), (3L, "qrstuv")) ==
+      Map(1L -> "XXYY", 2L -> "ZZWW", 3L -> "qrstuv"))
+    // two islands in one doc both cut; head/tail spans handled
+    val m = cut((1L, "abcdXabcdYefghZ"), (2L, "abcd"), (3L, "efgh"))
+    // doc1: "abcd" repeats (docs 1x2 + self) -> spans [1,4],[6,9];
+    // "efgh" repeats vs doc3 -> [11,14]; kept = X + Y + Z
+    assert(m(1L) == "XYZ")
+    // docs 2 and 3 are each ONE whole span -> empty string, never null
+    assert(m(2L) == "" && m(3L) == "")
+    // null text passes through as null
+    val n = cut((1L, null.asInstanceOf[String]), (2L, "abcd"))
+    assert(n(1L) == null)
+  }
 }
