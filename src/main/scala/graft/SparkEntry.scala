@@ -2977,16 +2977,34 @@ object SparkEntry {
     * gram filter, and the per-doc gaps-and-islands interval merge
     * ending in `spans(doc_id, span_start, span_end)` — plus `t2` for
     * the cut replay to join back to. */
-  private val dupSpansCte =
-    """t2 AS (
+  private val dupSpansCte = {
+    // g = md5 of the 20-char window at pos, built LINEARLY: split the
+    // text into char rows ONCE, window-lead the next 19 chars, concat.
+    // The naive per-position substr(text, i, 20) pays an O(i) head
+    // scan per call in DuckDB exactly as in Spark (the SCALE.md
+    // round-15 quadratic class) — hours on a 10 MB document. The split
+    // must land in its OWN CTE (cl) so unnest consumes a COLUMN: with
+    // string_split inline under the unnest, DuckDB re-evaluates the
+    // split per output vector — 98 s -> 19 s at the 10 MB fixture
+    // (the cdcChunksSql __c/__p shape, same lesson).
+    val leads = (1 until 20).map(j => s"lead(c, $j) OVER w")
+      .mkString(" || ")
+    s"""t2 AS (
       |  SELECT doc_id,
       |    substr(text, 1, 60) || '[' || md5('u' || doc_id::VARCHAR) ||
       |    ']' || substr(text, 61) AS text
       |  FROM documents),
+      |cl AS (
+      |  SELECT doc_id, len(text) AS n, string_split(text, '') AS chs
+      |  FROM t2 WHERE len(text) >= 20),
+      |ch AS (
+      |  SELECT doc_id, unnest(range(1, n + 1)) AS pos, unnest(chs) AS c
+      |  FROM cl),
       |g AS (
-      |  SELECT doc_id, r.i::BIGINT AS pos, md5(substr(text, r.i, 20)) AS g
-      |  FROM t2, unnest(range(1, len(text) - 18)) AS r(i)
-      |  WHERE len(text) >= 20),
+      |  SELECT doc_id, pos::BIGINT AS pos, md5(c || $leads) AS g
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(c, 19) OVER w IS NOT NULL),
       |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
       |h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
       |m AS (SELECT doc_id, pos,
@@ -3002,6 +3020,7 @@ object SparkEntry {
       |spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
       |                 (max(pos) + 19)::BIGINT AS span_end
       |          FROM isl GROUP BY doc_id, island)""".stripMargin
+  }
 
   private val tokCte =
     """t AS (SELECT doc_id, text,
@@ -5385,26 +5404,24 @@ object SparkEntry {
          |       (span_end - span_start + 1)::BIGINT AS span_len
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
-    // the cut replay: spans aggregate to a sorted (s, e) list per doc,
-    // LEFT JOIN back to the island text, and a list_transform over the
-    // complement boundaries stitches the kept segments
+    // the cut replay, LINEAR: spans explode to their covered positions
+    // (total <= doc length), the char rows from `ch` anti-join them,
+    // and an ordered string_agg stitches the survivors — the per-
+    // segment substr form re-scans the string head per segment in
+    // DuckDB exactly as in Spark (quadratic at 17k spans on 10 MB)
     "q_dedup_spans_cut" ->
       s"""WITH $dupSpansCte,
-         |spl AS (SELECT doc_id,
-         |          list_sort(list(struct_pack(s := span_start,
-         |                                     e := span_end))) AS sp
-         |        FROM spans GROUP BY doc_id),
-         |cutj AS (SELECT t2.doc_id, t2.text, spl.sp
-         |         FROM t2 LEFT JOIN spl USING (doc_id)),
-         |cut AS (SELECT doc_id,
-         |  CASE WHEN sp IS NULL THEN text ELSE
-         |    array_to_string(list_transform(range(0, len(sp) + 1), i ->
-         |      substr(text,
-         |        (CASE WHEN i = 0 THEN 0 ELSE sp[i].e END) + 1,
-         |        (CASE WHEN i = len(sp) THEN len(text)::BIGINT + 1
-         |              ELSE sp[i + 1].s END)
-         |          - (CASE WHEN i = 0 THEN 0 ELSE sp[i].e END) - 1)), '')
-         |  END AS kept FROM cutj)
+         |cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+         |        FROM spans),
+         |keptc AS (SELECT doc_id, pos, c
+         |          FROM ch ANTI JOIN cov USING (doc_id, pos)),
+         |k AS (SELECT doc_id, string_agg(c, '' ORDER BY pos) AS kept
+         |      FROM keptc GROUP BY doc_id),
+         |cut AS (SELECT t2.doc_id,
+         |          CASE WHEN t2.text IS NULL THEN NULL
+         |               WHEN len(t2.text) < 20 THEN t2.text
+         |               ELSE coalesce(k.kept, '') END AS kept
+         |        FROM t2 LEFT JOIN k USING (doc_id))
          |SELECT doc_id, len(kept)::BIGINT AS n_kept, md5(kept) AS kept_md5
          |FROM cut ORDER BY doc_id""".stripMargin,
 

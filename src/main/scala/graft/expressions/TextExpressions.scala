@@ -1,12 +1,15 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass word-shingle kernel. Semantically identical to the
@@ -184,6 +187,46 @@ object TextKernels {
     }
     out(k) = UTF8String.fromString(str.substring(charStart))
     new GenericArrayData(out)
+  }
+
+  /** Cut sorted disjoint 1-based inclusive code-point spans
+    * `[(s,e),...]` out of `s` in ONE pass: offsets built once, kept
+    * ranges appended by UTF-16 offset. The composed
+    * `zip_with(bounds, bounds, substr)` form pays an O(position) head
+    * re-scan per SEGMENT (UTF8String.substring counts code points from
+    * 0 every call) — a 10 MB document with 17k duplicate spans ground
+    * for 9+ minutes; this kernel is O(n). Spans must be ascending and
+    * disjoint (Dedup.duplicateSpans guarantees both); violations fail
+    * loudly rather than silently mis-cut. */
+  def cutSpans(s: UTF8String, spans: ArrayData): UTF8String = {
+    if (s == null || spans == null) return null
+    val str = s.toString
+    val ncp = str.codePointCount(0, str.length)
+    val offs = new Array[Int](ncp + 1)
+    var ci = 0
+    var off = 0
+    while (off < str.length) {
+      offs(ci) = off
+      ci += 1
+      off += Character.charCount(str.codePointAt(off))
+    }
+    offs(ncp) = str.length
+    val k = spans.numElements()
+    val sb = new java.lang.StringBuilder(str.length)
+    var prev = 0 // 0-based cp index just past the last cut
+    var i = 0
+    while (i < k) {
+      val row = spans.getStruct(i, 2)
+      val st = row.getLong(0).toInt // 1-based inclusive
+      val en = row.getLong(1).toInt
+      require(st >= prev + 1 && en >= st && en <= ncp,
+        s"spans must be sorted, disjoint, in-bounds: ($st,$en) after $prev")
+      sb.append(str, offs(prev), offs(st - 1))
+      prev = en
+      i += 1
+    }
+    sb.append(str, offs(prev), str.length)
+    UTF8String.fromString(sb.toString)
   }
 
   /** Distinct character n-gram shingles in first-occurrence order over
@@ -1061,6 +1104,98 @@ case class TokenEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd span-cut — see [[TextKernels.cutSpans]]. */
+case class CutSpansExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_cut_spans"
+
+  override protected def nullSafeEval(text: Any, spans: Any): Any =
+    TextKernels.cutSpans(text.asInstanceOf[UTF8String],
+      spans.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, sp) =>
+      s"${ev.value} = graft.expressions.TextKernels.cutSpans($t, $sp);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutSpansExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Streaming positional gram-hash GENERATOR: one `(pos, g)` row per
+  * code-point position, `g` = lowercase md5 hex of the `n`-code-point
+  * window's UTF-8 bytes, `pos` 1-based — exactly
+  * `md5(substr(text, pos, n))` in both engines' semantics, WITHOUT the
+  * per-position head re-scan (UTF8String.substring counts code points
+  * from 0 every call — the O(n²)-per-document trap SCALE.md round-15
+  * documents; a 10 MB document stalls for hours under the composed
+  * `explode(sequence) + substr` form that this generator replaces in
+  * Dedup.duplicateSpans). One offsets pass, then O(windowLen) bytes +
+  * one MD5 per position, yielded LAZILY — a 10 MB document never
+  * materializes a 10M-element array in one row.
+  *
+  * CodegenFallback is deliberate: Generate evaluates non-codegen
+  * generators row-by-row and the per-row work here (MessageDigest over
+  * 10M windows) dwarfs the interpreted-dispatch overhead. */
+case class GramHashGen(child: Expression, n: Int)
+    extends Generator with CodegenFallback {
+  require(n >= 2, s"gram length must be >= 2, got $n")
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramHashGen =
+    copy(child = newChildren.head)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes needs a string column, got ${child.dataType}")
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("g", StringType, nullable = false)))
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val str = v.asInstanceOf[UTF8String].toString
+    val ncp = str.codePointCount(0, str.length)
+    if (ncp < n) return Iterator.empty
+    // offs(i) = UTF-16 offset of code point i — ONE head pass
+    val offs = new Array[Int](ncp + 1)
+    var ci = 0
+    var off = 0
+    while (off < str.length) {
+      offs(ci) = off
+      ci += 1
+      off += Character.charCount(str.codePointAt(off))
+    }
+    offs(ncp) = str.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gramLen = n
+    new Iterator[InternalRow] {
+      private var p = 0
+      override def hasNext: Boolean = p + gramLen <= ncp
+      override def next(): InternalRow = {
+        val bytes = str.substring(offs(p), offs(p + gramLen))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        md.reset()
+        val d = md.digest(bytes)
+        val hex = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          hex(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+          hex(2 * i + 1) = hexDigits(d(i) & 0xf)
+          i += 1
+        }
+        p += 1
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p.toLong, UTF8String.fromString(new String(hex))))
+      }
+    }
+  }
+}
+
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
@@ -1075,6 +1210,13 @@ object TextExprs {
 
   def charShingles(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(text), n))
+
+  def gramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(GramHashGen(ColumnBridge.expression(text), n))
+
+  def cutSpans(text: Column, spans: Column): Column =
+    ColumnBridge.column(CutSpansExpr(ColumnBridge.expression(text),
+      ColumnBridge.expression(spans)))
 
   def tokenSpans(text: Column, size: Int, stride: Int): Column =
     ColumnBridge.column(TokenSpans(ColumnBridge.expression(text), size, stride))

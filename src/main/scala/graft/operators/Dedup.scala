@@ -277,14 +277,16 @@ object Dedup {
   def duplicateSpans(df: DataFrame, id: String, text: String,
                      minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    // (doc, pos, md5-of-window) via the LAZY one-pass GramHashGen
+    // generator — semantically md5(substr(text, pos, minLen)) but
+    // without the O(n²)-per-document head re-scan substr pays per
+    // position, and without ever materializing a document's gram
+    // array in one row (10 MB doc = 10M windows)
     val grams = df
       .select(col(id).as("doc"), col(text).as("__t"))
       .where(length(col("__t")) >= minLen)
-      .withColumn("pos",
-        explode(sequence(lit(1), length(col("__t")) - (minLen - 1))))
-      .select(col("doc"), col("pos"),
-        md5(col("__t").substr(col("pos"), lit(minLen)).cast("binary"))
-          .as("g"))
+      .select(col("doc"), graft.expressions.TextExprs
+        .gramHashes(col("__t"), minLen).as(Seq("pos", "g")))
     val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("g")
     // both sides are position-cardinality: pin shuffle-hash, never let
@@ -328,14 +330,11 @@ object Dedup {
     df.select(col(id).as("doc"), col(text).as("__t"))
       .join(sp, Seq("doc"), "left")
       .select(col("doc"), when(col("__sp").isNull, col("__t"))
-        .otherwise(array_join(zip_with(
-          // segment lower bounds: 0, e_1, ..., e_n (exclusive)
-          concat(array(lit(0L)),
-            transform(col("__sp"), s => s.getField("e"))),
-          // segment upper bounds: s_1, ..., s_n, len+1 (exclusive)
-          concat(transform(col("__sp"), s => s.getField("s")),
-            array(length(col("__t")).cast("long") + 1L)),
-          (e, s) => col("__t").substr(e + 1L, s - e - 1L)), ""))
+        // ONE-pass compiled cut (TextKernels.cutSpans): the composed
+        // zip_with(bounds, substr) form re-scanned the string head per
+        // SEGMENT — quadratic on a 10 MB doc with 17k spans
+        .otherwise(graft.expressions.TextExprs.cutSpans(
+          col("__t"), col("__sp")))
         .as("kept_text"))
   }
 
