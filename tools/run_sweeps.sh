@@ -32,14 +32,17 @@ python3 tools/whitespace_sweep.py "$SF" "$WORK/ws"
 python3 tools/embedding_sweep.py  "$SF" "$WORK/emb"
 python3 tools/events_sweep.py     "$SF" "$WORK/ev"
 python3 tools/longdoc_sweep.py    "$SF" "$WORK/long"
+python3 tools/dup_sweep.py        "$SF" "$WORK/dup"
 # composed: chain every injection into one fixture (order matters only
 # in that unicode/whitespace/longdoc skip null text, so null goes first;
-# longdoc precedes unicode/ws so their injections land ON the long docs)
+# longdoc precedes unicode/ws so their injections land ON the long docs;
+# dup goes LAST so its exact copies duplicate fully-injected documents)
 python3 tools/longdoc_sweep.py    "$WORK/null" "$WORK/m0"
 python3 tools/unicode_sweep.py    "$WORK/m0"   "$WORK/m1"
 python3 tools/whitespace_sweep.py "$WORK/m1"   "$WORK/m2"
 python3 tools/embedding_sweep.py  "$WORK/m2"   "$WORK/m3"
-python3 tools/events_sweep.py     "$WORK/m3"   "$WORK/mega"
+python3 tools/events_sweep.py     "$WORK/m3"   "$WORK/m4"
+python3 tools/dup_sweep.py        "$WORK/m4"   "$WORK/mega"
 
 run_gate null     "$WORK/null"
 run_gate unicode  "$WORK/uni"
@@ -47,5 +50,6 @@ run_gate ws       "$WORK/ws"
 run_gate emb      "$WORK/emb"
 run_gate events   "$WORK/ev"
 run_gate longdoc  "$WORK/long"
+run_gate dup      "$WORK/dup"
 run_gate composed "$WORK/mega"
 echo "all sweeps green"
