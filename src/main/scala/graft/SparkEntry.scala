@@ -2215,6 +2215,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // span-curation CAPSTONE: substring dedup -> cut -> post-cut
+    // length floor (a doc reduced below 40 chars drops — the Lee-et-al
+    // follow-up) -> re-tokenize the surviving bytes -> salted-hash
+    // sequence packing per source. One composition, every stage
+    // separately gated; the curated token stream is what a trainer
+    // actually reads after substring dedup
+    "q_span_pipeline" -> ((s, d) => {
+      val t2 = islandDocs(docs(s, d))
+      val kept = graft.operators.Dedup.cutSpans(t2,
+          graft.operators.Dedup.duplicateSpans(t2, "doc_id", "text", 20),
+          "doc_id", "text")
+        .where(length(col("kept_text")) >= 40)
+        .select(col("doc").as("doc_id"), col("kept_text"))
+      val toks = kept
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("kept_text")).cast("bigint").as("n_tok"))
+      graft.operators.Sampling.packSequences(toks, "doc_id", "source",
+          "n_tok", 256L, salt = "span1")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("__offset").cast("bigint").as("off"),
+          col("__seq").cast("bigint").as("seq"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: docs sharing an 8-gram with the
     // "benchmark" (doc_id < 10 as a stand-in eval set)
     "q_decontaminate" -> ((s, d) => {
@@ -3021,6 +3046,25 @@ object SparkEntry {
       |                 (max(pos) + 19)::BIGINT AS span_end
       |          FROM isl GROUP BY doc_id, island)""".stripMargin
   }
+
+  /** [[dupSpansCte]] extended through the span CUT: covered positions
+    * explode from the spans (total <= doc length), the `ch` char rows
+    * anti-join them, and an ordered string_agg stitches the kept
+    * bytes into `cut(doc_id, kept)` — shared by q_dedup_spans_cut and
+    * the q_span_pipeline capstone so the cut replay cannot drift. */
+  private def spanCutCte: String =
+    s"""$dupSpansCte,
+       |cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+       |        FROM spans),
+       |keptc AS (SELECT doc_id, pos, c
+       |          FROM ch ANTI JOIN cov USING (doc_id, pos)),
+       |k AS (SELECT doc_id, string_agg(c, '' ORDER BY pos) AS kept
+       |      FROM keptc GROUP BY doc_id),
+       |cut AS (SELECT t2.doc_id,
+       |          CASE WHEN t2.text IS NULL THEN NULL
+       |               WHEN len(t2.text) < 20 THEN t2.text
+       |               ELSE coalesce(k.kept, '') END AS kept
+       |        FROM t2 LEFT JOIN k USING (doc_id))""".stripMargin
 
   private val tokCte =
     """t AS (SELECT doc_id, text,
@@ -5410,20 +5454,33 @@ object SparkEntry {
     // segment substr form re-scans the string head per segment in
     // DuckDB exactly as in Spark (quadratic at 17k spans on 10 MB)
     "q_dedup_spans_cut" ->
-      s"""WITH $dupSpansCte,
-         |cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
-         |        FROM spans),
-         |keptc AS (SELECT doc_id, pos, c
-         |          FROM ch ANTI JOIN cov USING (doc_id, pos)),
-         |k AS (SELECT doc_id, string_agg(c, '' ORDER BY pos) AS kept
-         |      FROM keptc GROUP BY doc_id),
-         |cut AS (SELECT t2.doc_id,
-         |          CASE WHEN t2.text IS NULL THEN NULL
-         |               WHEN len(t2.text) < 20 THEN t2.text
-         |               ELSE coalesce(k.kept, '') END AS kept
-         |        FROM t2 LEFT JOIN k USING (doc_id))
+      s"""WITH $spanCutCte
          |SELECT doc_id, len(kept)::BIGINT AS n_kept, md5(kept) AS kept_md5
          |FROM cut ORDER BY doc_id""".stripMargin,
+
+    // the span-curation capstone: cut text -> post-cut length floor
+    // (docs reduced below 40 chars drop, the Lee-et-al follow-up) ->
+    // re-tokenize the SURVIVING bytes -> salted-hash packing per
+    // source. Every stage reuses a separately-gated replay (the cut
+    // chain is the SHARED spanCutCte fragment; the pack is the
+    // q_pack_sequences orderHash window) so the composition cannot
+    // drift from its parts
+    "q_span_pipeline" ->
+      s"""WITH $spanCutCte,
+         |fl AS (SELECT doc_id, kept FROM cut WHERE len(kept) >= 40),
+         |tokp AS (SELECT fl.doc_id, d.source,
+         |           len(list_filter(regexp_split_to_array(trim(lower(kept)),
+         |             '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))::BIGINT AS n_tok
+         |         FROM fl JOIN documents d USING (doc_id)),
+         |hh AS (SELECT *,
+         |         ('0x' || substr(md5('span1' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+         |       FROM tokp),
+         |pk AS (SELECT doc_id, source, n_tok,
+         |         ((sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |            ROWS UNBOUNDED PRECEDING)) - n_tok)::BIGINT AS off
+         |       FROM hh)
+         |SELECT doc_id, source, n_tok, off, (off // 256)::BIGINT AS seq
+         |FROM pk ORDER BY doc_id""".stripMargin,
 
     // the fimSplit recipe replayed: salted orderHash selection, two
     // hash cuts into [1, n-1] (guarded behind `app` so the modulus is

@@ -131,6 +131,22 @@ class PlanPropertiesSpec extends SparkSpec {
       s"no corpus-sized side may broadcast:\n$p")
   }
 
+  test("q_span_pipeline: capstone stays equi-join, kernels in plan") {
+    val p = plan("q_span_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-join only:\n$p")
+    // the gram-dedup join inherits its shuffle-hash pin through the
+    // composition, and both compiled span kernels stay in the plan
+    assert(p.contains("ShuffledHashJoin"),
+      s"gram join must stay shuffle-hash:\n$p")
+    assert(p.contains("gram_hash_gen") || p.contains("gramhashgen") ||
+      p.toLowerCase.contains("gramhash"),
+      s"gram generator missing from the composed plan:\n$p")
+    assert(p.toLowerCase.contains("graft_cut_spans"),
+      s"cut kernel missing from the composed plan:\n$p")
+  }
+
   test("q_delivery_pipeline: composed stages add no join pathologies") {
     val p = plan("q_delivery_pipeline")
     assert(!p.contains("CartesianProduct") &&
