@@ -1025,6 +1025,23 @@ object ScaleProbe {
         // dup-hit work grows ~k too — never pair-quadratically
         "dedup_spans" -> (() =>
           Dedup.duplicateSpans(docs, "doc_id", "text", 20).count()),
+        // the span-curation capstone end-to-end: substring dedup ->
+        // cut -> length floor -> re-tokenize -> pack. Composes the
+        // dedup_spans probe's gram shuffle with a doc-keyed reassembly
+        // and the packSequences window — no new join shapes, so wall
+        // must track the dedup_spans row plus a packing epsilon
+        "span_pipeline" -> (() => {
+          val spans = Dedup.duplicateSpans(docs, "doc_id", "text", 20)
+          val kept = Dedup.cutSpans(docs, spans, "doc_id", "text")
+            .where(length(col("kept_text")) >= 40)
+          val toks = kept
+            .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+            .select(col("doc").as("doc_id"), col("source"),
+              graft.functions.TextFunctions.tokenCount(col("kept_text"))
+                .cast("bigint").as("n_tok"))
+          operators.Sampling.packSequences(toks, "doc_id", "source",
+            "n_tok", 256L, "span1").count()
+        }),
         // unigram Viterbi DP once per DISTINCT word: replication grows
         // the vocabulary k-fold (worst case for the Zipf amortization —
         // real corpora add occurrences faster than words); renamed
