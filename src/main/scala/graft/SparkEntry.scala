@@ -1011,7 +1011,7 @@ object SparkEntry {
           lit("/?utm_source=feed&z=9&ref=x&a="), col("lang"),
           lit("&utm_campaign=c&b=2#frag")))
         .when(col("doc_id") % 3 === 1, concat(
-          lit("HTTP://Host-"), (col("doc_id") % 5).cast("string"),
+          lit("HTTP://user:pw@Host-"), (col("doc_id") % 5).cast("string"),
           lit(".Org:80/A//B/c/"), col("source"),
           lit("?b=2&a=1&a=0&gclid=g#x")))
         .otherwise(concat(
@@ -4040,7 +4040,7 @@ object SparkEntry {
         |           '/?utm_source=feed&z=9&ref=x&a=' || lang ||
         |           '&utm_campaign=c&b=2#frag'
         |         WHEN doc_id % 3 = 1 THEN
-        |           'HTTP://Host-' || (doc_id % 5)::VARCHAR ||
+        |           'HTTP://user:pw@Host-' || (doc_id % 5)::VARCHAR ||
         |           '.Org:80/A//B/c/' || source || '?b=2&a=1&a=0&gclid=g#x'
         |         ELSE 'https://plain.example.net/' || source ||
         |              '/page/' || doc_id::VARCHAR END AS u
@@ -4052,12 +4052,14 @@ object SparkEntry {
         |  FROM raw),
         |hp AS (SELECT *, regexp_extract(rest, '^([^/?#]+)', 1) AS hostport
         |       FROM parsed),
+        |auth AS (SELECT *, regexp_replace(hostport, '^.*@', '') AS authority
+        |         FROM hp),
         |parts AS (
         |  SELECT doc_id, scheme,
-        |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    lower(regexp_extract(authority, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(authority, ':([0-9]+)$', 1) AS port,
         |    substr(rest, len(hostport) + 1) AS tail
-        |  FROM hp),
+        |  FROM auth),
         |pq AS (
         |  SELECT doc_id, scheme, host, port,
         |    regexp_replace(regexp_extract(tail, '^([^?#]*)', 1),
@@ -4070,7 +4072,7 @@ object SparkEntry {
         |         ELSE regexp_replace(p2, '(.)/$', '\1') END AS path,
         |    array_to_string(list_sort(list_filter(string_split(query, '&'),
         |      p -> p <> '' AND NOT regexp_matches(p,
-        |             '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS q
+        |             '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS q
         |  FROM pq),
         |canon AS (
         |  SELECT doc_id,

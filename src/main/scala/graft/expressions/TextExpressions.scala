@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass word-shingle kernel. Semantically identical to the
@@ -1124,9 +1124,13 @@ case class CutSpansExpr(left: Expression, right: Expression)
 }
 
 /** Streaming positional gram-hash GENERATOR: one `(pos, g)` row per
-  * code-point position, `g` = lowercase md5 hex of the `n`-code-point
-  * window's UTF-8 bytes, `pos` 1-based — exactly
-  * `md5(substr(text, pos, n))` in both engines' semantics, WITHOUT the
+  * code-point position, `g` = the RAW 16-byte md5 of the
+  * `n`-code-point window's UTF-8 bytes, `pos` 1-based — semantically
+  * `unhex(md5(substr(text, pos, n)))`: binary, not the 32-char hex
+  * rendering, because this column IS the shuffle key of
+  * Dedup.duplicateSpans and hex doubles the shuffled bytes of the
+  * operator whose whole pitch is shuffle-size discipline. Computed
+  * WITHOUT the
   * per-position head re-scan (UTF8String.substring counts code points
   * from 0 every call — the O(n²)-per-document trap SCALE.md round-15
   * documents; a 10 MB document stalls for hours under the composed
@@ -1151,9 +1155,7 @@ case class GramHashGen(child: Expression, n: Int)
       s"gram_hashes needs a string column, got ${child.dataType}")
   override def elementSchema: StructType = StructType(Seq(
     StructField("pos", LongType, nullable = false),
-    StructField("g", StringType, nullable = false)))
-
-  private val hexDigits = "0123456789abcdef".toCharArray
+    StructField("g", BinaryType, nullable = false)))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
@@ -1180,17 +1182,10 @@ case class GramHashGen(child: Expression, n: Int)
         val bytes = str.substring(offs(p), offs(p + gramLen))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         md.reset()
-        val d = md.digest(bytes)
-        val hex = new Array[Char](32)
-        var i = 0
-        while (i < 16) {
-          hex(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-          hex(2 * i + 1) = hexDigits(d(i) & 0xf)
-          i += 1
-        }
+        val d = md.digest(bytes) // fresh array per call — safe to hand off
         p += 1
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](p.toLong, UTF8String.fromString(new String(hex))))
+          Array[Any](p.toLong, d))
       }
     }
   }

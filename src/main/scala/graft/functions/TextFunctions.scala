@@ -381,10 +381,17 @@ object TextFunctions {
       lit(0.3) * (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) +
       lit(0.3) * least(stopwordRatio(text) * 4.0, lit(1.0))
 
-  /** Query params dropped by [[canonicalUrl]] — the cross-site
-    * tracking families every crawl canonicalizer strips (RE2 and Java
-    * regex compatible; anchored per-param). */
-  val TrackingParamPattern = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+  /** Query params dropped by [[canonicalUrl]] by default — the
+    * cross-site tracking families every crawl canonicalizer strips
+    * (RE2 and Java regex compatible; anchored per-param). Bare `ref`
+    * is deliberately NOT here: unlike the utm_ / gclid / fbclid
+    * families it is
+    * content-bearing on common sites (GitHub `?ref=branch` selects a
+    * different page), so stripping it would collapse distinct pages
+    * onto one dedup key and a group-by-key dedup would drop real
+    * content. Callers whose crawl is known ref-as-tracking can pass
+    * their own pattern to [[canonicalUrl]]. */
+  val TrackingParamPattern = "^(utm_[^=]*|gclid|fbclid)(=|$)"
 
   /** Canonical form of a URL — the dedup key a crawl pipeline groups
     * by before content dedup (the same page arrives as
@@ -392,12 +399,20 @@ object TextFunctions {
     * `http://site.com/a/b?a=1&b=2`). Rules, in order:
     *
     *  1. scheme and host lowercase; a non-URL (no `scheme://`) → NULL
-    *  2. default ports dropped (http:80, https:443); others kept
-    *  3. duplicate path slashes collapsed, trailing slash stripped
+    *  2. a `userinfo@` prefix in the authority is stripped (dedup
+    *     keys never carry credentials; the greedy `^.*@` takes
+    *     everything through the LAST `@`, per RFC 3986 the userinfo
+    *     boundary). Bracketed IPv6 authorities (`http://[::1]:8080/`)
+    *     are OUT OF SCOPE — the host:port split is first-colon and
+    *     would mangle them; crawl URL lists are hostname-keyed.
+    *  3. default ports dropped (http:80, https:443); others kept
+    *  4. duplicate path slashes collapsed, trailing slash stripped
     *     (root stays `/`; an empty path becomes `/`)
-    *  4. tracking params removed ([[TrackingParamPattern]]), remaining
-    *     params sorted byte-wise, empty fragments of the split dropped
-    *  5. the fragment is dropped entirely
+    *  5. tracking params removed (`trackingPattern`, default
+    *     [[TrackingParamPattern]] — see there for why bare `ref` is
+    *     excluded), remaining params sorted byte-wise, empty
+    *     fragments of the split dropped
+    *  6. the fragment is dropped entirely
     *
     * Pure composition of codegen'd built-ins (regexp + higher-order
     * array functions) — row-local, zero shuffle, stays inside
@@ -405,14 +420,16 @@ object TextFunctions {
     * mirrors each rule with the same regexes (its `regexp_replace`
     * needs the explicit `'g'` flag where Spark replaces all
     * occurrences, and `||` not `concat`, which ignores NULLs). */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column,
+                   trackingPattern: String = TrackingParamPattern): Column = {
     val scheme = nullif(
       lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
       lit(""))
     val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = regexp_extract(rest, "^([^/?#]+)", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val authority = regexp_replace(hostport, "^.*@", "")
+    val host = lower(regexp_extract(authority, "^([^:]*)", 1))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
     val tail = rest.substr(length(hostport) + 1, length(rest))
     val path0 = regexp_extract(tail, "^([^?#]*)", 1)
     val path1 = regexp_replace(path0, "/{2,}", "/")
@@ -420,7 +437,7 @@ object TextFunctions {
       .otherwise(regexp_replace(path1, "(.)/$", "$1"))
     val query = regexp_extract(tail, "\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
-      p => p =!= "" && !p.rlike(TrackingParamPattern))
+      p => p =!= "" && !p.rlike(trackingPattern))
     val sortedQ = array_join(array_sort(params), "&")
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&

@@ -265,8 +265,10 @@ object Dedup {
     * dup_chars ratio is high); span accounting, not text rewriting, is
     * the operator so the corpus never shuffles rewritten bodies.
     *
-    * Scale shape: the shuffle carries (16-byte gram md5, doc, pos) —
-    * never text. Stage 1 is a map-side-combined count by gram hash;
+    * Scale shape: the shuffle carries (16-byte BINARY gram md5, doc,
+    * pos) — never text, and never the 32-char hex rendering (which
+    * would double the dominant shuffle column; GramHashGen emits the
+    * raw digest bytes). Stage 1 is a map-side-combined count by gram hash;
     * stage 2 re-shuffles the position stream once to join the >1
     * grams (shuffle-hash: both sides are position-sized, neither
     * broadcastable) and once by doc for the interval merge window.
@@ -277,8 +279,8 @@ object Dedup {
   def duplicateSpans(df: DataFrame, id: String, text: String,
                      minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    // (doc, pos, md5-of-window) via the LAZY one-pass GramHashGen
-    // generator — semantically md5(substr(text, pos, minLen)) but
+    // (doc, pos, binary-md5-of-window) via the LAZY one-pass GramHashGen
+    // generator — semantically unhex(md5(substr(text, pos, minLen))) but
     // without the O(n²)-per-document head re-scan substr pays per
     // position, and without ever materializing a document's gram
     // array in one row (10 MB doc = 10M windows)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   * drift from the semantics the DuckDB oracles replay. */
 class GramSpanKernelsSpec extends SparkSpec {
 
-  test("gramHashes == composed md5(substr) form, code-point positions") {
+  test("gramHashes == composed unhex(md5(substr)) form, code-point positions") {
     val s = spark
     import s.implicits._
     val rocket = new String(Character.toChars(0x1F680))
@@ -24,8 +24,10 @@ class GramSpanKernelsSpec extends SparkSpec {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "t")
     val n = 3
+    // g is BINARY (the shuffle-key form); compare via lower(hex(g))
     val fast = df.select(col("id"),
         TextExprs.gramHashes(col("t"), n).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), lower(hex(col("g"))).as("g"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     val slow = df
       .where(length(col("t")) >= n)

@@ -347,16 +347,34 @@ class TextFunctionsSpec extends SparkSpec {
       Some("https://x.org:8443/API/v1"))
     // http default port on https scheme is NOT default -> kept
     assert(canon("https://x.org:80/") == Some("https://x.org:80/"))
-    // empty path becomes /; query of only tracking params vanishes
+    // empty path becomes /; query of only tracking params vanishes —
+    // but ref is CONTENT-BEARING (GitHub ?ref=branch) so the default
+    // pattern keeps it
     assert(canon("http://x.org?utm_campaign=c&ref=r&fbclid=f&gclid=g")
-      == Some("http://x.org/"))
+      == Some("http://x.org/?ref=r"))
     // bare tracking key without '=' is dropped too; dup params kept
     // (byte-sorted), empty params from && splits dropped
-    assert(canon("http://x.org/p?ref&a=2&&a=1") ==
+    assert(canon("http://x.org/p?utm_x&a=2&&a=1") ==
       Some("http://x.org/p?a=1&a=2"))
-    // ref is anchored: a param NAMED refx (or prefix=ref) survives
-    assert(canon("http://x.org/p?refx=1&b=ref") ==
-      Some("http://x.org/p?b=ref&refx=1"))
+    // utm_ is anchored: a param NAMED xutm_a (or b=utm_x) survives
+    assert(canon("http://x.org/p?xutm_a=1&b=utm_x") ==
+      Some("http://x.org/p?b=utm_x&xutm_a=1"))
+    // a caller whose crawl treats ref as tracking passes its own list
+    def canonRef(u: String): Option[String] = {
+      val r = Seq(Option(u)).toDF("u")
+        .select(TextFunctions.canonicalUrl(col("u"),
+          "^(utm_[^=]*|gclid|fbclid|ref)(=|$)")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(canonRef("http://x.org/p?ref=r&a=1") == Some("http://x.org/p?a=1"))
+    // userinfo is stripped — distinct credentials on the SAME host
+    // collapse, distinct HOSTS never do (the r15 false-merge hazard)
+    assert(canon("http://u:p@a.com/x") == Some("http://a.com/x"))
+    assert(canon("http://u:p@b.com/x") == Some("http://b.com/x"))
+    // greedy through the LAST @ (an @ inside userinfo is legal-ish in
+    // the wild); port split happens AFTER the strip
+    assert(canon("http://u@v:p@Site.COM:8080/x") ==
+      Some("http://site.com:8080/x"))
     // root slash is never stripped; fragment-only tail drops clean
     assert(canon("http://x.org/#top") == Some("http://x.org/"))
     // not a URL -> null; null -> null

@@ -1,8 +1,8 @@
 #!/usr/bin/env bash
-# Run the full robustness-sweep battery against HEAD: six single-axis
-# fixture sweeps plus the composed (all-injections-chained) sweep, each
-# a full 142-gate Verify + DuckDB oracle compare. ~2.5 min per sweep at
-# sf0.01 on local[32].
+# Run the full robustness-sweep battery against HEAD: seven single-axis
+# fixture sweeps plus the composed (six injection axes chained onto the
+# null fixture) sweep — eight gate runs, each a full-gate Verify +
+# DuckDB oracle compare. ~2.5 min per sweep at sf0.01 on local[32].
 #
 #   tools/run_sweeps.sh [sfdir]     # default /root/testdata/sf0.01
 #
