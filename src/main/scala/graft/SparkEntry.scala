@@ -1098,6 +1098,25 @@ object SparkEntry {
           unigramVocab.toMap, unigramUnkScore)
         .orderBy("piece")),
 
+    // unigram-LM TRAINING (SentencePiece hard EM, Kudo '18): 60 seed
+    // 2..4-gram candidates + every corpus code point, two Viterbi-EM
+    // rounds with a likelihood-loss prune to 40 multi-char pieces
+    // between them, gated through the APPLIED SEGMENTATION (the
+    // q_bpe_merges pattern): the learned vocab re-segments the corpus
+    // and the per-doc BIGINT totals must match the oracle's replay of
+    // seed + EM + prune + apply (three instances of the same generated
+    // DP CTE as q_unigram). round6 score quantization at every M-step
+    // is the cross-engine contract that makes DP path sums bit-equal.
+    "q_unigram_train" -> ((s, d) => {
+      val dd = docs(s, d)
+      val vocab = graft.operators.Subword.trainUnigram(
+        dd, "text", 60, 40, 2, 4, 2, unigramUnkScore).toMap
+      graft.operators.Subword.unigramCounts(dd, "doc_id", "text", vocab,
+          unigramUnkScore)
+        .select(col("doc").as("doc_id"), col("n_pieces"), col("n_unk"))
+        .orderBy("doc_id")
+    }),
+
     // BPE ENCODE (inference by rank-ordered merges, the apply half of
     // q_bpe_merges): per-doc piece totals under a fixed 8-rule list
     // with composing rules — rank order matters and both engines must
@@ -2949,12 +2968,29 @@ object SparkEntry {
       require(!r.toLowerCase.contains("e"), s"score $r needs plain form")
       s"('$p', ${r}e0)"
     }.mkString(", ")
-    val L = unigramMaxLen
+    s"""wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+       |       GROUP BY doc_id, w),
+       |uwords AS (SELECT DISTINCT w FROM wc),
+       |uvocab(piece, psc) AS (VALUES $vocabSql),
+       |${unigramDpSql("urec", "uwp", "uwords", "uvocab", unigramMaxLen)}"""
+      .stripMargin
+  }
+
+  /** One unigram-LM Viterbi DP instance as SQL text: recursive CTE
+    * `rec` + result CTE `out(w, np, nu, sc, ps)` over the words of
+    * `wordsCte` (column `w`) scored by `vocabCte(piece, psc)` with
+    * window `L`. Factored out of [[unigramRecCte]] verbatim so the
+    * trainer oracle ([[unigramTrainOracleSql]]) can instantiate the
+    * SAME DP three times (E-step 1, E-step 2, final apply) against
+    * DERIVED vocab CTEs — one DP codebase, zero drift. */
+  private def unigramDpSql(rec: String, out: String, wordsCte: String,
+                           vocabCte: String, L: Int): String = {
     val nulls = (1 until L).map(i =>
       s"NULL::STRUCT(sc DOUBLE, np BIGINT, nu BIGINT, ps VARCHAR[]) AS s$i")
       .mkString(",\n       |         ").stripMargin
     val joins = (2 to L).map(l =>
-      s"  LEFT JOIN uvocab v$l ON pos >= ${l - 1} " +
+      s"  LEFT JOIN $vocabCte v$l ON pos >= ${l - 1} " +
         s"AND v$l.piece = substr(w, pos + ${2 - l}, $l)").mkString("\n")
     val arms = (2 to L).map(l =>
       s"""      CASE WHEN v$l.piece IS NOT NULL
@@ -2963,17 +2999,12 @@ object SparkEntry {
          |                            ps := list_append(s${l - 1}.ps, v$l.piece)) END""")
       .mkString(",\n")
     val shift = (0 until L - 1).map(i => s"s$i").mkString(", ")
-    s"""wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
-       |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
-       |       GROUP BY doc_id, w),
-       |uwords AS (SELECT DISTINCT w FROM wc),
-       |uvocab(piece, psc) AS (VALUES $vocabSql),
-       |urec AS (
+    s"""$rec AS (
        |  SELECT w, len(w)::INT AS n, 0 AS pos,
        |         struct_pack(sc := 0.0::DOUBLE, np := 0::BIGINT,
        |                     nu := 0::BIGINT, ps := []::VARCHAR[]) AS s0,
        |         $nulls
-       |  FROM uwords
+       |  FROM $wordsCte
        |  UNION ALL
        |  SELECT w, n, pos + 1,
        |    list_max(list_filter([
@@ -2987,14 +3018,114 @@ object SparkEntry {
        |$arms
        |    ], x -> x IS NOT NULL)) AS s0,
        |    $shift
-       |  FROM urec
-       |  LEFT JOIN uvocab v1 ON v1.piece = substr(w, pos + 1, 1)
+       |  FROM $rec
+       |  LEFT JOIN $vocabCte v1 ON v1.piece = substr(w, pos + 1, 1)
        |$joins
        |  WHERE pos < n
        |),
-       |uwp AS (SELECT w, s0.np AS np, s0.nu AS nu, s0.sc AS sc,
+       |$out AS (SELECT w, s0.np AS np, s0.nu AS nu, s0.sc AS sc,
        |               s0.ps AS ps
-       |        FROM urec WHERE pos = n)""".stripMargin
+       |        FROM $rec WHERE pos = n)""".stripMargin
+  }
+
+  /** The q_unigram_train oracle: full replay of Subword.trainUnigram
+    * (seedSize seeds of lengths 2..4 + every corpus code point, two
+    * Viterbi-EM rounds, a likelihood-loss prune to targetMulti between
+    * them) and of the final apply — THREE instances of the same
+    * generated DP ([[unigramDpSql]]) against derived vocab CTEs.
+    * Cross-engine determinism leans on the trainer's round6 score
+    * quantization: every M-step score is `round(ln((c+1)/T), 6)` in
+    * both engines (ulp-different ln collapses under the rounding), so
+    * DP path sums — sums of bit-equal doubles in the same order — are
+    * bit-equal, and so are the loss products. The char-decomposition
+    * sum adds positions left-to-right with +0e0 for absent arms
+    * (exact identity on the all-negative scores), mirroring the
+    * trainer's foreach accumulation; loss is -0.0-canonicalized on
+    * both sides before the (l DESC, piece) rank. */
+  private def unigramTrainOracleSql(seedSize: Int, targetMulti: Int): String = {
+    val L = 4
+    // every vocab/word CTE a recursive DP joins is MATERIALIZED: DuckDB
+    // inlines single-reference CTEs, and an INLINED vocab inside a
+    // recursive term re-evaluates its whole upstream chain (including
+    // the PREVIOUS DP) on every iteration — the difference between
+    // seconds and unbounded
+    s"""WITH RECURSIVE $tokCte,
+       |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+       |       GROUP BY doc_id, w),
+       |wcw AS MATERIALIZED (SELECT w, sum(c)::BIGINT AS c FROM wc GROUP BY w),
+       |twords AS MATERIALIZED (SELECT w FROM wcw),
+       |seeds AS (
+       |  SELECT piece, n_occ FROM (
+       |    SELECT piece, n_occ,
+       |           row_number() OVER (ORDER BY n_occ DESC, piece) AS rk
+       |    FROM (SELECT substr(w, s + 1, n) AS piece,
+       |                 sum(c)::BIGINT AS n_occ
+       |          FROM wcw,
+       |               unnest(range(2, ${L + 1})) AS ln(n),
+       |               unnest(range(0, greatest(len(w) - n + 1, 0))) AS st(s)
+       |          GROUP BY piece))
+       |  WHERE rk <= $seedSize),
+       |sing AS (SELECT substr(w, s + 1, 1) AS piece, sum(c)::BIGINT AS n_occ
+       |         FROM wcw, unnest(range(0, len(w))) AS st(s)
+       |         GROUP BY piece),
+       |v0c AS (SELECT piece, n_occ, TRUE AS single FROM sing
+       |        UNION ALL SELECT piece, n_occ, FALSE FROM seeds),
+       |t0 AS (SELECT sum(n_occ + 1)::BIGINT AS tt FROM v0c),
+       |v0 AS MATERIALIZED (
+       |       SELECT piece, round(ln((n_occ + 1)::DOUBLE / tt::DOUBLE), 6)
+       |                AS psc
+       |       FROM v0c CROSS JOIN t0),
+       |${unigramDpSql("trec1", "tout1", "twords", "v0", L)},
+       |ec1 AS (SELECT piece, sum(c)::BIGINT AS n
+       |        FROM (SELECT w, unnest(ps) AS piece FROM tout1)
+       |        JOIN wcw USING (w) GROUP BY piece),
+       |c1 AS (SELECT v.piece, v.single, coalesce(e.n, 0)::BIGINT AS c
+       |       FROM v0c v LEFT JOIN ec1 e USING (piece)),
+       |t1 AS (SELECT sum(c + 1)::BIGINT AS tt FROM c1),
+       |m1 AS (SELECT c1.piece, c1.single, c1.c,
+       |              round(ln((c1.c + 1)::DOUBLE / t1.tt::DOUBLE), 6) AS psc
+       |       FROM c1 CROSS JOIN t1),
+       |lss AS (SELECT piece, CASE WHEN lraw = 0 THEN 0e0 ELSE lraw END AS l
+       |        FROM (
+       |          SELECT m.piece,
+       |                 round(m.c::DOUBLE * (m.psc -
+       |                   (coalesce(x1.psc, 0e0) + coalesce(x2.psc, 0e0)
+       |                    + coalesce(x3.psc, 0e0) + coalesce(x4.psc, 0e0))),
+       |                   6) AS lraw
+       |          FROM m1 m
+       |          LEFT JOIN m1 x1 ON x1.piece = substr(m.piece, 1, 1)
+       |          LEFT JOIN m1 x2 ON len(m.piece) >= 2
+       |                         AND x2.piece = substr(m.piece, 2, 1)
+       |          LEFT JOIN m1 x3 ON len(m.piece) >= 3
+       |                         AND x3.piece = substr(m.piece, 3, 1)
+       |          LEFT JOIN m1 x4 ON len(m.piece) >= 4
+       |                         AND x4.piece = substr(m.piece, 4, 1)
+       |          WHERE NOT m.single)),
+       |keep AS (SELECT piece FROM (
+       |           SELECT piece,
+       |                  row_number() OVER (ORDER BY l DESC, piece) AS rk
+       |           FROM lss)
+       |         WHERE rk <= $targetMulti),
+       |v1 AS MATERIALIZED (
+       |       SELECT piece, psc FROM m1
+       |       WHERE single OR piece IN (SELECT piece FROM keep)),
+       |${unigramDpSql("trec2", "tout2", "twords", "v1", L)},
+       |ec2 AS (SELECT piece, sum(c)::BIGINT AS n
+       |        FROM (SELECT w, unnest(ps) AS piece FROM tout2)
+       |        JOIN wcw USING (w) GROUP BY piece),
+       |c2 AS (SELECT v.piece, coalesce(e.n, 0)::BIGINT AS c
+       |       FROM v1 v LEFT JOIN ec2 e USING (piece)),
+       |t2 AS (SELECT sum(c + 1)::BIGINT AS tt FROM c2),
+       |v2 AS MATERIALIZED (
+       |       SELECT c2.piece,
+       |              round(ln((c2.c + 1)::DOUBLE / t2.tt::DOUBLE), 6) AS psc
+       |       FROM c2 CROSS JOIN t2),
+       |${unigramDpSql("trec3", "tout3", "twords", "v2", L)}
+       |SELECT doc_id, sum(c * np)::BIGINT AS n_pieces,
+       |       sum(c * nu)::BIGINT AS n_unk
+       |FROM wc JOIN tout3 USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Shared oracle fragment for q_dedup_spans/_cut: the island-text
@@ -3542,6 +3673,10 @@ object SparkEntry {
          |SELECT piece, sum(c)::BIGINT AS n
          |FROM uwcw JOIN upc USING (w)
          |GROUP BY piece ORDER BY piece""".stripMargin,
+
+    // the full trainer replay: seeds + singles -> EM1 -> loss prune ->
+    // EM2 -> apply, three generated DP CTEs (see unigramTrainOracleSql)
+    "q_unigram_train" -> unigramTrainOracleSql(60, 40),
 
     // occurrence-weighted char-ngram candidates via a correlated lateral
     // unnest over the distinct-word frame — same weighting as the Spark

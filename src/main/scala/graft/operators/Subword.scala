@@ -1087,4 +1087,198 @@ object Subword {
       .select(col("c"), explode(col("ps")).as("piece"))
       .groupBy("piece").agg(sum(col("c")).as("n"))
   }
+
+  // ----------------------------------------------------------------
+  // Unigram-LM TRAINING (SentencePiece-style hard EM)
+  // ----------------------------------------------------------------
+
+  /** Round-half-away-from-zero to 6 decimals — the score QUANTIZATION
+    * contract of [[trainUnigram]], shared bit-for-bit with the DuckDB
+    * oracle's `round(x, 6)`: both engines compute ln() within 1 ulp of
+    * each other, and quantizing to 1e-6 collapses that difference
+    * except on a measure-zero boundary set. Exact-decimal BigDecimal
+    * rounding, then IEEE division k/1e6, lands on the same double as
+    * DuckDB's integer-scaled round. */
+  private[graft] def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** M-step: add-one-smoothed log relative frequencies over the CURRENT
+    * vocabulary, quantized by [[round6]]. Add-one keeps pieces the
+    * E-step never used finite (they are pruned by loss, not by -inf);
+    * the smoothing total runs over the current vocab only. */
+  private def unigramMStep(counts: Map[String, Long],
+                           vocab: Seq[String]): Map[String, Double] = {
+    val total = vocab.iterator.map(p => counts.getOrElse(p, 0L) + 1L).sum
+    vocab.iterator.map { p =>
+      val c = counts.getOrElse(p, 0L) + 1L
+      p -> round6(math.log(c.toDouble / total.toDouble))
+    }.toMap
+  }
+
+  /** The shared EM loop of [[trainUnigram]] / [[trainUnigramLocal]] —
+    * everything after seed mining, parameterized by the E-step so the
+    * distributed and driver-local trainers are the SAME algorithm by
+    * construction. Per round: E (Viterbi counts under the current
+    * scores), M ([[unigramMStep]]); between rounds, multi-char pieces
+    * are PRUNED by likelihood loss — the corpus log-likelihood drop if
+    * the piece were replaced by its single-character decomposition,
+    * `loss(p) = count(p) * (score(p) - sum(score(char_i)))`, a closed
+    * form (no nested re-segmentation) because every corpus character
+    * is a never-pruned single piece, so the char path always exists.
+    * Loss is [[round6]]-quantized and -0.0-canonicalized before the
+    * (loss DESC, piece ASC) rank so both engines cut the same top
+    * `targetMulti`. After a prune the surviving pieces keep their
+    * M-step scores unrenormalized (the next E renormalizes implicitly;
+    * the oracle replays the same convention). */
+  private def unigramEmCore(seeds: Seq[(String, Long)],
+                            singles: Seq[(String, Long)], targetMulti: Int,
+                            emRounds: Int,
+                            eStep: Map[String, Double] => Map[String, Long])
+      : Seq[(String, Double)] = {
+    val singleSet = singles.map(_._1).toSet
+    var vocab: Seq[String] = (singles ++ seeds).map(_._1)
+    var scores = unigramMStep((singles ++ seeds).toMap, vocab)
+    var r = 1
+    while (r <= emRounds) {
+      val c = eStep(scores)
+      scores = unigramMStep(c, vocab)
+      if (r < emRounds) {
+        val kept = vocab.filterNot(singleSet).map { p =>
+          var charSum = 0.0
+          charSeg(p).foreach(ch => charSum += scores(ch))
+          val raw = round6(c.getOrElse(p, 0L).toDouble * (scores(p) - charSum))
+          (p, if (raw == 0.0) 0.0 else raw) // -0.0 -> +0.0: Scala's
+          // total order sorts -0.0 < 0.0 where SQL compares them equal
+        }.sortWith((a, b) => a._2 > b._2 ||
+            (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
+          .take(targetMulti).map(_._1)
+        vocab = singles.map(_._1) ++ kept
+        scores = scores.view.filterKeys(vocab.toSet).toMap
+      }
+      r += 1
+    }
+    vocab.map(p => (p, scores(p)))
+      .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
+  }
+
+  /** Unigram-LM vocabulary TRAINING (Kudo, ACL '18 — the SentencePiece
+    * unigram model; [[viterbiWord]]/[[unigramCounts]] are its apply
+    * half): learn a `(piece, log-prob)` vocabulary from the corpus by
+    * hard (Viterbi) EM over a seed candidate set, pruning toward
+    * `targetMulti` multi-character pieces by likelihood loss.
+    *
+    *  1. SEED: the top `seedSize` character n-grams (lengths
+    *     `minN..maxN`) by occurrence-weighted frequency over the
+    *     distinct-word frame (the [[topNgramPieces]] mining pass),
+    *     plus EVERY corpus code point as a never-pruned single piece —
+    *     full coverage, so `<unk>` cannot fire during training.
+    *  2. EM x `emRounds`: E = Viterbi-segment every distinct word
+    *     under the current scores and count pieces weighted by word
+    *     occurrence (hard EM — the forward-backward soft E-step is the
+    *     classic alternative; Viterbi counts keep every round exactly
+    *     replayable by the DuckDB oracle's DP CTE, and at corpus scale
+    *     the argmax path carries almost all the mass anyway); M =
+    *     add-one-smoothed log relative frequencies ([[unigramMStep]]).
+    *  3. PRUNE between rounds by closed-form likelihood loss vs the
+    *     piece's single-character decomposition (see
+    *     [[unigramEmCore]]).
+    *
+    * Scale shape: the corpus shuffles ONCE into the distinct-word
+    * frame, which is cached and re-walked by each E-step (per-word DP
+    * via the same `mapPartitions` family as [[unigramCounts]] — a
+    * vocabulary-sized closure broadcast, piece counts the only
+    * shuffle, bounded by |vocab| per partition after partial
+    * aggregation). Driver state is VOCABULARY-sized by construction
+    * (seedSize + corpus alphabet + per-round count maps) — no corpus
+    * cap needed, unlike the BPE trainer's word-frame collect: the
+    * per-word DP never leaves the executors.
+    *
+    * Scores are [[round6]]-quantized at every M-step — the
+    * cross-engine determinism contract (two engines' ln() differ by
+    * ulps; the quantized scores are bit-equal, so Viterbi path sums
+    * and the next round's argmaxes are too).
+    *
+    * Returns `(piece, score)` sorted by piece (UTF-8 byte order):
+    * `targetMulti` multi-char pieces plus every corpus code point. */
+  def trainUnigram(docs: DataFrame, textCol: String, seedSize: Int,
+                   targetMulti: Int, minN: Int = 2, maxN: Int = 4,
+                   emRounds: Int = 2, unkScore: Double = -10.0)
+      : Seq[(String, Double)] = {
+    require(minN >= 2 && maxN >= minN,
+      s"need 2 <= minN <= maxN, got $minN..$maxN")
+    require(seedSize >= targetMulti && targetMulti >= 1,
+      s"need seedSize >= targetMulti >= 1, got $seedSize/$targetMulti")
+    require(emRounds >= 1, s"emRounds must be positive, got $emRounds")
+    val wcw = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = wcw
+        .withColumn("n", explode(sequence(lit(minN), lit(maxN))))
+        .where(length(col("w")) >= col("n"))
+        .withColumn("s",
+          explode(sequence(lit(0), length(col("w")) - col("n"))))
+        .select(expr("substring(w, s + 1, n)").as("piece"), col("c"))
+        .groupBy("piece").agg(sum(col("c")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("piece").asc)
+        .limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val singles = wcw
+        .withColumn("s", explode(sequence(lit(0), length(col("w")) - 1)))
+        .select(expr("substring(w, s + 1, 1)").as("piece"), col("c"))
+        .groupBy("piece").agg(sum(col("c")).as("n_occ"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
+      def eStep(scores: Map[String, Double]): Map[String, Long] =
+        wcw.join(unigramWordPieces(wcw, scores, unkScore), "w")
+          .select(col("c"), explode(col("ps")).as("piece"))
+          .groupBy("piece").agg(sum(col("c")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      unigramEmCore(seeds, singles, targetMulti, emRounds, eStep)
+    } finally { wcw.unpersist(); () }
+  }
+
+  /** Driver-local twin of [[trainUnigram]] over an explicit
+    * `(distinct word, count)` frame — the local==distributed pin (the
+    * [[trainBpeMergesLocal]] discipline): both call [[unigramEmCore]],
+    * differing only in where the E-step's per-word DP runs, and
+    * SubwordSpec asserts identical vocabularies on adversarial
+    * corpora. */
+  private[graft] def trainUnigramLocal(words: Seq[(String, Long)],
+      seedSize: Int, targetMulti: Int, minN: Int, maxN: Int,
+      emRounds: Int, unkScore: Double): Seq[(String, Double)] = {
+    val cnt = collection.mutable.HashMap.empty[String, Long]
+    val scnt = collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words) {
+      val cs = charSeg(w)
+      var i = 0
+      while (i < cs.length) {
+        scnt.updateWith(cs(i))(o => Some(o.getOrElse(0L) + c))
+        var n = minN
+        while (n <= maxN && i + n <= cs.length) {
+          val p = cs.slice(i, i + n).mkString
+          cnt.updateWith(p)(o => Some(o.getOrElse(0L) + c))
+          n += 1
+        }
+        i += 1
+      }
+    }
+    val seeds = cnt.toSeq.sortWith((a, b) => a._2 > b._2 ||
+        (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
+      .take(seedSize)
+    val singles = scnt.toSeq
+      .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
+    def eStep(scores: Map[String, Double]): Map[String, Long] = {
+      val maxLen = scores.keys.map(p => p.codePointCount(0, p.length)).max
+      val m = collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words) {
+        val (ps, _, _) = viterbiWord(w, scores, maxLen, unkScore)
+        ps.foreach(p => m.updateWith(p)(o => Some(o.getOrElse(0L) + c)))
+      }
+      m.toMap
+    }
+    unigramEmCore(seeds, singles, targetMulti, emRounds, eStep)
+  }
 }

@@ -544,4 +544,63 @@ class SubwordSpec extends SparkSpec {
     assert(got == Map("val" -> 2L, "ue" -> 2L, "able" -> 1L,
       Subword.Unk -> 2L))
   }
+
+  test("trainUnigram: local == distributed on an adversarial corpus " +
+      "(repeats, unicode, near-tie seeds)") {
+    val s = spark
+    import s.implicits._
+    // repeats drive Zipf weighting; the rocket exercises code-point
+    // seg; 'abab'/'baba' create overlapping near-tie candidates whose
+    // loss rank must cut identically on both paths
+    val rocket = new String(Character.toChars(0x1F680))
+    val texts = Seq(
+      "the window stream value value", "the the window able",
+      s"abab baba abab ${rocket}ab", "stream window the able value",
+      "baba abab the the the")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dist = Subword.trainUnigram(docs, "text", seedSize = 20,
+      targetMulti = 8, minN = 2, maxN = 4, emRounds = 2, unkScore = -10.0)
+    val wcLocal = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val local = Subword.trainUnigramLocal(wcLocal, 20, 8, 2, 4, 2, -10.0)
+    assert(dist == local)
+    // contract shape: 8 multi-char pieces + every corpus code point
+    val (multi, single) = dist.partition { case (p, _) =>
+      p.codePointCount(0, p.length) > 1 }
+    assert(multi.length == 8)
+    val corpusChars = texts.flatMap(_.split(" ")).flatMap { w =>
+      var off = 0
+      val b = Seq.newBuilder[String]
+      while (off < w.length) {
+        val cp = w.codePointAt(off)
+        b += new String(Character.toChars(cp)); off += Character.charCount(cp)
+      }
+      b.result()
+    }.toSet
+    assert(single.map(_._1).toSet == corpusChars)
+    // scores are finite negative log-probs, quantized to 6 decimals
+    assert(dist.forall { case (_, sc) =>
+      sc < 0 && sc == BigDecimal(sc).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble })
+  }
+
+  test("trainUnigram: learned pieces beat greedy char splits on the " +
+      "corpus they trained on, and emRounds=1 skips the prune") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.tabulate(6)(i => (i.toLong, "window window stream"))
+      .toDF("doc_id", "text")
+    val vocab = Subword.trainUnigram(docs, "text", 10, 3, 2, 4, 2, -10.0)
+    val m = vocab.toMap
+    // the top repeated substrings must survive as multi-char pieces
+    assert(m.keys.exists(_.length >= 2))
+    // applying the trained vocab segments with fewer pieces than chars
+    val counts = Subword.unigramCounts(docs, "doc_id", "text", m, -10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts(0L) < "windowwindowstream".length)
+    // no prune pass when emRounds=1: all seeds survive to the output
+    val noPrune = Subword.trainUnigram(docs, "text", 10, 3, 2, 4, 1, -10.0)
+    assert(noPrune.count(_._1.length >= 2) > 3)
+  }
 }
