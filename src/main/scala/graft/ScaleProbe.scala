@@ -1025,6 +1025,13 @@ object ScaleProbe {
         // dup-hit work grows ~k too — never pair-quadratically
         "dedup_spans" -> (() =>
           Dedup.duplicateSpans(docs, "doc_id", "text", 20).count()),
+        // TOKEN-grain spans at a ~20-char-equivalent window (4 tokens
+        // x ~5-char mean token): the same two-shuffle plan, but the
+        // pre-shuffle gram volume is ~4 x the TOKEN stream instead of
+        // 20 x every CHAR — the decade row quantifies the
+        // amplification drop vs dedup_spans at matched coverage
+        "dedup_spans_tokens" -> (() =>
+          Dedup.duplicateTokenSpans(docs, "doc_id", "text", 4).count()),
         // the span-curation capstone end-to-end: substring dedup ->
         // cut -> length floor -> re-tokenize -> pack. Composes the
         // dedup_spans probe's gram shuffle with a doc-keyed reassembly

@@ -2220,6 +2220,20 @@ object SparkEntry {
           col("span_end"), col("span_len"))
         .orderBy("doc_id", "span_start")),
 
+    // TOKEN-grain duplicate spans (the grain Lee et al. actually use):
+    // maximal token intervals whose every 5-token window repeats,
+    // reported as char spans (cutSpans-ready) + token bounds. Same
+    // two-shuffle plan as the char form; pre-shuffle volume is
+    // ~minTokens x the TOKEN stream, ~mean-token-length cheaper than
+    // the every-char-position form
+    "q_dedup_spans_tokens" -> ((s, d) =>
+      graft.operators.Dedup.duplicateTokenSpans(
+          islandDocs(docs(s, d)), "doc_id", "text", 5)
+        .select(col("doc").as("doc_id"), col("span_start"),
+          col("span_end"), col("span_len"), col("tok_start"),
+          col("tok_end"), col("n_tok"))
+        .orderBy("doc_id", "span_start")),
+
     // the rewrite half: the spans CUT out of the text (Lee et al.
     // remove spans, not documents). Kept-length + md5 pin the exact
     // surviving bytes; docs reassemble through ONE doc-keyed shuffle
@@ -3176,6 +3190,73 @@ object SparkEntry {
       |spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
       |                 (max(pos) + 19)::BIGINT AS span_end
       |          FROM isl GROUP BY doc_id, island)""".stripMargin
+  }
+
+  /** The q_dedup_spans_tokens oracle: duplicateTokenSpans at
+    * minTokens=5 replayed linearly. Same char-row split as
+    * [[dupSpansCte]]; tokens derive from the char rows (run starts via
+    * lag, token ids via a cumulative sum, bytes + 1-based code-point
+    * bounds via an ordered string_agg + min/max), 5-token grams are
+    * space-joined window leads, and the island merge runs on TOKEN ids
+    * with the char bounds carried through — exactly the generator's
+    * (tpos, cs, ce, g) contract. */
+  private val dupTokenSpansCte = {
+    val n = 5
+    val gram = (1 until n)
+      .map(j => s"|| ' ' || lead(tok, $j) OVER w ").mkString
+    s"""t2 AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 60) || '[' || md5('u' || doc_id::VARCHAR) ||
+      |    ']' || substr(text, 61) AS text
+      |  FROM documents),
+      |cl AS (
+      |  SELECT doc_id, len(text) AS n, string_split(text, '') AS chs
+      |  FROM t2 WHERE len(text) >= 1),
+      |ch AS (
+      |  SELECT doc_id, unnest(range(1, n + 1)) AS pos, unnest(chs) AS c
+      |  FROM cl),
+      |tk1 AS (
+      |  SELECT doc_id, pos, c, it,
+      |    CASE WHEN it = 1 AND coalesce(lag(it) OVER (
+      |           PARTITION BY doc_id ORDER BY pos), 0) = 0
+      |         THEN 1 ELSE 0 END AS st
+      |  FROM (SELECT doc_id, pos, c,
+      |          CASE WHEN c IN (' ', chr(9), chr(10), chr(11), chr(12),
+      |                          chr(13)) THEN 0 ELSE 1 END AS it
+      |        FROM ch)),
+      |tk2 AS (
+      |  SELECT doc_id, pos, c, it,
+      |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS tid
+      |  FROM tk1),
+      |tok AS (
+      |  SELECT doc_id, tid, string_agg(c, '' ORDER BY pos) AS tok,
+      |         min(pos)::BIGINT AS ts, max(pos)::BIGINT AS te
+      |  FROM tk2 WHERE it = 1 GROUP BY doc_id, tid),
+      |tg AS (
+      |  SELECT doc_id, tid::BIGINT AS tpos, ts AS cs,
+      |         lead(te, ${n - 1}) OVER w AS ce,
+      |         md5(tok $gram) AS g
+      |  FROM tok
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY tid)
+      |  QUALIFY lead(tok, ${n - 1}) OVER w IS NOT NULL),
+      |tdup AS (SELECT g FROM tg GROUP BY g HAVING count(*) > 1),
+      |th AS (SELECT doc_id, tpos, cs, ce FROM tg JOIN tdup USING (g)),
+      |tm AS (SELECT doc_id, tpos, cs, ce,
+      |         max(tpos + ${n - 1}) OVER (PARTITION BY doc_id
+      |           ORDER BY tpos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS prev_end
+      |       FROM th),
+      |tisl AS (SELECT doc_id, tpos, cs, ce,
+      |           sum(CASE WHEN prev_end IS NULL OR tpos > prev_end + 1
+      |                    THEN 1 ELSE 0 END) OVER (
+      |             PARTITION BY doc_id ORDER BY tpos) AS island
+      |         FROM tm),
+      |tspans AS (SELECT doc_id, min(cs)::BIGINT AS span_start,
+      |                  max(ce)::BIGINT AS span_end,
+      |                  min(tpos)::BIGINT AS tok_start,
+      |                  (max(tpos) + ${n - 1})::BIGINT AS tok_end
+      |           FROM tisl GROUP BY doc_id, island)""".stripMargin
   }
 
   /** [[dupSpansCte]] extended through the span CUT: covered positions
@@ -5584,6 +5665,14 @@ object SparkEntry {
          |SELECT doc_id, span_start, span_end,
          |       (span_end - span_start + 1)::BIGINT AS span_len
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dedup_spans_tokens" ->
+      s"""WITH $dupTokenSpansCte
+         |SELECT doc_id, span_start, span_end,
+         |       (span_end - span_start + 1)::BIGINT AS span_len,
+         |       tok_start, tok_end,
+         |       (tok_end - tok_start + 1)::BIGINT AS n_tok
+         |FROM tspans ORDER BY doc_id, span_start""".stripMargin,
 
     // the cut replay, LINEAR: spans explode to their covered positions
     // (total <= doc length), the char rows from `ch` anti-join them,

@@ -1191,6 +1191,102 @@ case class GramHashGen(child: Expression, n: Int)
   }
 }
 
+/** TOKEN-grain positional gram-hash generator — the token twin of
+  * [[GramHashGen]] for Dedup.duplicateTokenSpans (Lee et al. 2021
+  * operate on TOKEN spans, >= 50 tokens; the char form is the
+  * every-position exact grain). One `(tpos, cs, ce, g)` row per token
+  * position `tpos` (1-based): `g` = raw 16-byte md5 of tokens
+  * `tpos..tpos+n-1` joined by a single space (tokens are maximal runs
+  * of non-whitespace over the suite's whitespace class, taken RAW —
+  * case-sensitive, so cut offsets are faithful to the original
+  * bytes), `cs`/`ce` = 1-based CODE-POINT positions of the window's
+  * first and last characters in the ORIGINAL text — exactly what the
+  * span cut needs. The join separator is a space, which cannot occur
+  * inside a token, so gram identity equals token-sequence identity.
+  *
+  * Read-amplification: each token is hashed into at most `n` grams of
+  * ~n tokens, so the pre-shuffle volume is ~n x the TOKEN stream —
+  * vs the char form's window x every CHAR position; at n-token grain
+  * the honest exact-dedup cost drops by roughly the mean token length
+  * (measured in ScaleProbe's span decade table).
+  *
+  * Same lazy one-pass discipline as [[GramHashGen]]: one offsets scan
+  * finds token boundaries; each yield hashes only its window's bytes;
+  * nothing document-sized materializes per row. CodegenFallback for
+  * the same reason. */
+case class TokenGramHashGen(child: Expression, n: Int)
+    extends Generator with CodegenFallback {
+  require(n >= 1, s"token gram length must be >= 1, got $n")
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TokenGramHashGen =
+    copy(child = newChildren.head)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_gram_hashes needs a string column, got ${child.dataType}")
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("tpos", LongType, nullable = false),
+    StructField("cs", LongType, nullable = false),
+    StructField("ce", LongType, nullable = false),
+    StructField("g", BinaryType, nullable = false)))
+
+  private def isWs(cp: Int): Boolean = cp == ' ' || cp == '\t' ||
+    cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val str = v.asInstanceOf[UTF8String].toString
+    // token boundaries in ONE pass: (utf16 start, utf16 end-excl,
+    // 1-based code-point start, code-point end-incl) per token
+    val starts = new java.util.ArrayList[Array[Int]]()
+    var off = 0
+    var cp1 = 1 // 1-based code-point position of `off`
+    var tokStartOff = -1
+    var tokStartCp = -1
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      val w = isWs(cp)
+      if (!w && tokStartOff < 0) { tokStartOff = off; tokStartCp = cp1 }
+      val nxt = off + Character.charCount(cp)
+      if (w && tokStartOff >= 0) {
+        starts.add(Array(tokStartOff, off, tokStartCp, cp1 - 1))
+        tokStartOff = -1
+      }
+      off = nxt
+      cp1 += 1
+    }
+    if (tokStartOff >= 0)
+      starts.add(Array(tokStartOff, str.length, tokStartCp, cp1 - 1))
+    val ntok = starts.size()
+    if (ntok < n) return Iterator.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gramLen = n
+    new Iterator[InternalRow] {
+      private var p = 0
+      override def hasNext: Boolean = p + gramLen <= ntok
+      override def next(): InternalRow = {
+        val first = starts.get(p)
+        val last = starts.get(p + gramLen - 1)
+        md.reset()
+        var i = p
+        while (i < p + gramLen) {
+          val t = starts.get(i)
+          md.update(str.substring(t(0), t(1))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (i < p + gramLen - 1) md.update(' '.toByte)
+          i += 1
+        }
+        val d = md.digest()
+        p += 1
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p.toLong, first(2).toLong, last(3).toLong, d))
+      }
+    }
+  }
+}
+
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
@@ -1208,6 +1304,9 @@ object TextExprs {
 
   def gramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashGen(ColumnBridge.expression(text), n))
+
+  def tokenGramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(TokenGramHashGen(ColumnBridge.expression(text), n))
 
   def cutSpans(text: Column, spans: Column): Column =
     ColumnBridge.column(CutSpansExpr(ColumnBridge.expression(text),

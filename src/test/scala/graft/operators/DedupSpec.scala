@@ -576,6 +576,56 @@ class DedupSpec extends SparkSpec {
     assert(b == Map(1L -> Seq((1L, 6L, 6L)), 2L -> Seq((1L, 6L, 6L))))
   }
 
+  test("duplicateTokenSpans: token islands, char bounds, case " +
+      "sensitivity, cutSpans composition") {
+    val s = spark
+    import s.implicits._
+    def spans(rows: (Long, String)*)
+        : Map[Long, Seq[(Long, Long, Long, Long, Long, Long)]] =
+      Dedup.duplicateTokenSpans(rows.toDF("doc_id", "text"),
+          "doc_id", "text", 2)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    // "big cat sat" shared: token 2-grams (big,cat),(cat,sat) overlap
+    // and merge into ONE token island [1,3] — char span covers first
+    // char of "big" to last of "sat" in EACH doc's own offsets
+    val a = spans((1L, "big cat sat here"), (2L, "xx big cat sat"))
+    assert(a == Map(
+      1L -> Seq((1L, 11L, 11L, 1L, 3L, 3L)),
+      2L -> Seq((4L, 14L, 11L, 2L, 4L, 3L))))
+    // runs of whitespace collapse into one boundary; tabs/newlines are
+    // token separators; char bounds EXCLUDE the flanking whitespace
+    val b = spans((1L, "aa  bb\tcc"), (2L, "aa bb\ncc dd"))
+    assert(b == Map(
+      1L -> Seq((1L, 9L, 9L, 1L, 3L, 3L)),
+      2L -> Seq((1L, 8L, 8L, 1L, 3L, 3L)))) // dd unique -> excluded
+    // case-SENSITIVE: "Big cat" does not match "big cat"
+    assert(spans((1L, "Big cat one"), (2L, "big cat two")).isEmpty)
+    // token-boundary identity: "ab cd" never matches "a bcd" even
+    // though the concatenated bytes agree
+    assert(spans((1L, "ab cd xx"), (2L, "a bcd yy")).isEmpty)
+    // gaps keep two islands; self-repeat within one doc counts
+    val c = spans((1L, "u v GAP1 u v"), (2L, "nothing shared here"))
+    assert(c == Map(1L -> Seq((1L, 3L, 3L, 1L, 2L, 2L),
+      (10L, 12L, 3L, 4L, 5L, 2L))))
+    // code points: astral-plane token positions count correctly
+    val rocket = new String(Character.toChars(0x1F680))
+    val d = spans((1L, s"$rocket pad tail1"), (2L, s"$rocket pad tail2"))
+    assert(d == Map(1L -> Seq((1L, 5L, 5L, 1L, 2L, 2L)),
+      2L -> Seq((1L, 5L, 5L, 1L, 2L, 2L))))
+    // char spans feed cutSpans directly (columns are span_start/end)
+    val df = Seq((1L, "big cat sat here"), (2L, "xx big cat sat"))
+      .toDF("doc_id", "text")
+    val cut = Dedup.cutSpans(df,
+        Dedup.duplicateTokenSpans(df, "doc_id", "text", 2),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut == Map(1L -> " here", 2L -> "xx "))
+  }
+
   test("cutSpans removes exactly the spans and passes span-free docs") {
     val s = spark
     import s.implicits._
