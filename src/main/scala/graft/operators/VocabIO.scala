@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Tokenizer-vocabulary INTERCHANGE — export/import of the two public
+  * artifact formats a user brings from (or ships to) an existing
+  * tokenizer, so vocabularies trained here ([[Subword.trainBpeMerges]],
+  * [[Subword.trainUnigram]]) interoperate with the standard tooling and
+  * external vocabularies drive this engine's apply paths
+  * ([[Subword.bpeEncode]], [[Subword.unigramCounts]], `vocabTable` /
+  * `encodeToIds`):
+  *
+  *  - HuggingFace `tokenizer.json`, `model.type = "BPE"` subset —
+  *    `{"model": {"vocab": {piece: id}, "merges": [...]}}`. Export
+  *    writes the classic `"l r"` string merge form; import accepts
+  *    both that and the newer `["l", "r"]` pair form, so files from
+  *    any tokenizers version load.
+  *  - SentencePiece `.vocab` text — one `piece<TAB>score` line per
+  *    piece in id order (the human-readable artifact `spm_train`
+  *    emits next to its model; scores are log-probs, exactly
+  *    [[Subword.trainUnigram]]'s output unit).
+  *
+  * Round-trips are BYTE-stable by construction (spec-pinned):
+  * exports render fields in fixed order with `Double.toString`'s
+  * shortest-exact form, so export-import-export reproduces the file
+  * and import-export-import reproduces the structures. Everything is
+  * driver-local by contract — a tokenizer vocabulary is a
+  * driver-sized artifact (the same bound as the trainers' collected
+  * state), never a distributed frame. */
+object VocabIO {
+
+  /** HuggingFace tokenizer.json (BPE model subset): `vocab` pieces in
+    * id order (id = position), `merges` in rank order. Pieces
+    * containing a space are not representable in the classic string
+    * merge form — refused loudly rather than silently corrupted. */
+  def toHfBpeJson(vocab: Seq[String],
+                  merges: Seq[(String, String)]): String = {
+    require(vocab.distinct.length == vocab.length,
+      "duplicate piece in vocab")
+    merges.foreach { case (l, r) =>
+      require(!l.contains(" ") && !r.contains(" "),
+        s"space inside merge symbol ('$l', '$r') is not representable " +
+          "in the HF string merge form") }
+    val json = JObject(
+      "version" -> JString("1.0"),
+      "model" -> JObject(
+        "type" -> JString("BPE"),
+        "vocab" -> JObject(vocab.zipWithIndex.map { case (p, i) =>
+          p -> (JInt(i): JValue) }.toList),
+        "merges" -> JArray(merges.map { case (l, r) =>
+          JString(s"$l $r"): JValue }.toList)))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  /** Parse a HuggingFace tokenizer.json BPE model: returns (pieces in
+    * id order, merges in rank order). Ids must be exactly 0..n-1 (the
+    * dense assignment every real tokenizer ships); both merge
+    * encodings are accepted. */
+  def fromHfBpeJson(s: String): (Seq[String], Seq[(String, String)]) = {
+    val model = JsonMethods.parse(s) \ "model"
+    model \ "type" match {
+      case JString("BPE") => ()
+      case other => throw new IllegalArgumentException(
+        s"expected model.type BPE, got $other")
+    }
+    val pairs = model \ "vocab" match {
+      case JObject(fields) => fields.map {
+        case (p, JInt(i)) => (p, i.toLong)
+        case (p, other) => throw new IllegalArgumentException(
+          s"vocab id for '$p' is not an integer: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"model.vocab is not an object: $other")
+    }
+    val ids = pairs.map(_._2).sorted
+    require(ids == (0L until pairs.length.toLong).toList,
+      s"vocab ids must be dense 0..${pairs.length - 1}")
+    val pieces = pairs.sortBy(_._2).map(_._1)
+    val merges = model \ "merges" match {
+      case JArray(xs) => xs.map {
+        case JString(m) =>
+          val i = m.indexOf(' ')
+          require(i > 0 && i < m.length - 1,
+            s"merge '$m' is not 'left right'")
+          (m.substring(0, i), m.substring(i + 1))
+        case JArray(List(JString(l), JString(r))) => (l, r)
+        case other => throw new IllegalArgumentException(
+          s"merge entry is neither 'l r' nor [l, r]: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"model.merges is not an array: $other")
+    }
+    (pieces, merges)
+  }
+
+  /** SentencePiece `.vocab` text: one `piece<TAB>score` line per piece
+    * in the given order, trailing newline. Tab/newline inside a piece
+    * has no representation in the format — refused loudly. */
+  def toSentencePieceVocab(vocab: Seq[(String, Double)]): String = {
+    vocab.foreach { case (p, _) =>
+      require(!p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"piece ${p.map(_.toInt).mkString("[", ",", "]")} contains a " +
+          "tab/newline — not representable in the .vocab line format") }
+    vocab.map { case (p, sc) => s"$p\t$sc" }.mkString("", "\n", "\n")
+  }
+
+  /** Parse SentencePiece `.vocab` text (the inverse of
+    * [[toSentencePieceVocab]]; also reads spm_train's own output —
+    * its scores are plain decimals). Blank lines are ignored. */
+  def fromSentencePieceVocab(text: String): Seq[(String, Double)] =
+    text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('\t')
+      require(i > 0, s"not a piece<TAB>score line: '$line'")
+      (line.substring(0, i), line.substring(i + 1).toDouble)
+    }.toSeq
+}

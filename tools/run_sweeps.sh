@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
-# Run the full robustness-sweep battery against HEAD: seven single-axis
-# fixture sweeps plus the composed (six injection axes chained onto the
-# null fixture) sweep — eight gate runs, each a full-gate Verify +
+# Run the full robustness-sweep battery against HEAD: eight single-axis
+# fixture sweeps plus the composed (seven injection axes chained onto
+# the null fixture) sweep — nine gate runs, each a full-gate Verify +
 # DuckDB oracle compare. ~2.5 min per sweep at sf0.01 on local[32].
 #
 #   tools/run_sweeps.sh [sfdir]     # default /root/testdata/sf0.01
@@ -33,16 +33,20 @@ python3 tools/embedding_sweep.py  "$SF" "$WORK/emb"
 python3 tools/events_sweep.py     "$SF" "$WORK/ev"
 python3 tools/longdoc_sweep.py    "$SF" "$WORK/long"
 python3 tools/dup_sweep.py        "$SF" "$WORK/dup"
+python3 tools/skew_sweep.py       "$SF" "$WORK/skew"
 # composed: chain every injection into one fixture (order matters only
 # in that unicode/whitespace/longdoc skip null text, so null goes first;
 # longdoc precedes unicode/ws so their injections land ON the long docs;
-# dup goes LAST so its exact copies duplicate fully-injected documents)
+# dup goes late so its exact copies duplicate fully-injected documents;
+# skew goes LAST so the whale key owns already-duplicated, already-
+# injected rows — hot key x value collision is the composed case)
 python3 tools/longdoc_sweep.py    "$WORK/null" "$WORK/m0"
 python3 tools/unicode_sweep.py    "$WORK/m0"   "$WORK/m1"
 python3 tools/whitespace_sweep.py "$WORK/m1"   "$WORK/m2"
 python3 tools/embedding_sweep.py  "$WORK/m2"   "$WORK/m3"
 python3 tools/events_sweep.py     "$WORK/m3"   "$WORK/m4"
-python3 tools/dup_sweep.py        "$WORK/m4"   "$WORK/mega"
+python3 tools/dup_sweep.py        "$WORK/m4"   "$WORK/m5"
+python3 tools/skew_sweep.py       "$WORK/m5"   "$WORK/mega"
 
 run_gate null     "$WORK/null"
 run_gate unicode  "$WORK/uni"
@@ -51,5 +55,6 @@ run_gate emb      "$WORK/emb"
 run_gate events   "$WORK/ev"
 run_gate longdoc  "$WORK/long"
 run_gate dup      "$WORK/dup"
+run_gate skew     "$WORK/skew"
 run_gate composed "$WORK/mega"
 echo "all sweeps green"
