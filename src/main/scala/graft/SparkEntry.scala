@@ -211,6 +211,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ChunkIndex]()
   private val lineIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.LineIndex]()
+  private val spanIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.SpanIndex]()
 
   // committed fixture of real PNG/BMP bytes + draw-time ground truth
   // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
@@ -302,9 +304,12 @@ object SparkEntry {
       graft.operators.Chunking.dropChunkIndex(spark, _))
     lineIdxCache.values.asScala.foreach(
       graft.operators.Dedup.dropLineIndex(spark, _))
+    spanIdxCache.values.asScala.foreach(
+      graft.operators.Dedup.dropSpanIndex(spark, _))
     Seq(incIdxCache, ivfIdxCache, extIvfIdxCache, embIdxCache,
       exactIdxCache, ivfPqIdxCache, chunkIdxCache, lineIdxCache)
       .foreach(_.clear())
+    spanIdxCache.clear()
     ssjCache.values.asScala.foreach(df => { df.unpersist(); () })
     ssjCache.clear()
   }
@@ -324,7 +329,8 @@ object SparkEntry {
         exactIdxCache.values.asScala.map(_.path) ++
         ivfPqIdxCache.values.asScala.map(_.path) ++
         chunkIdxCache.values.asScala.map(_.path) ++
-        lineIdxCache.values.asScala.map(_.path))
+        lineIdxCache.values.asScala.map(_.path) ++
+        spanIdxCache.values.asScala.map(_.path))
         .foreach(p => graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(p)))
     }, "graft-index-cleanup"))
@@ -1502,6 +1508,29 @@ object SparkEntry {
           s"${sys.props("java.io.tmpdir")}/graft-lf-idx-$tag"))
       Dedup.lineDedupAgainstIndex(delta, "doc_id", "text", idx)
         .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL substring dedup: the delta quarter probes a persisted
+    // gram-frequency index of the frozen three quarters — only delta
+    // text is scanned, corpus history contributes 16-byte hashes +
+    // counts folded Exchange-free out of the bucketed table
+    // (IncrementalDedupSpec pins the plan). Under the disjoint-ids
+    // guard the result EQUALS duplicateSpans(corpus ∪ delta) restricted
+    // to delta docs — which is exactly what the oracle computes, so the
+    // incremental==batch contract is ORACLE-gated, not just spec-pinned
+    "q_dedup_spans_incr" -> ((s, d) => {
+      val all = islandDocs(docs(s, d))
+      val corpus = all.where(col("doc_id") % 4 =!= 3)
+      val delta = all.where(col("doc_id") % 4 === 3)
+      val tag = idxTag(s, d)
+      val idx = spanIdxCache.computeIfAbsent(tag, _ =>
+        Dedup.buildSpanIndex(corpus, "doc_id", "text", 20,
+          s"graft_span_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-span-idx-$tag"))
+      Dedup.duplicateSpansAgainstIndex(delta, "doc_id", "text", idx)
+        .select(col("doc").as("doc_id"), col("span_start"),
+          col("span_end"), col("span_len"))
+        .orderBy("doc_id", "span_start")
     }),
 
     "q_dedup_jaccard" -> ((s, d) =>
@@ -5678,6 +5707,16 @@ object SparkEntry {
          |SELECT doc_id, span_start, span_end,
          |       (span_end - span_start + 1)::BIGINT AS span_len
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // incremental == batch-restricted-to-delta, by the span-index
+    // contract — the oracle replays the BATCH form over the full
+    // fixture and keeps the delta quarter
+    "q_dedup_spans_incr" ->
+      s"""WITH $dupSpansCte
+         |SELECT doc_id, span_start, span_end,
+         |       (span_end - span_start + 1)::BIGINT AS span_len
+         |FROM spans WHERE doc_id % 4 = 3
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_dedup_spans_tokens" ->
       s"""WITH $dupTokenSpansCte

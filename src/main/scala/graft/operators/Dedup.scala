@@ -40,6 +40,21 @@ case class LineIndex(name: String, path: String, numBuckets: Int) {
   def docsTable: String = s"${name}_docs"
 }
 
+/** Handle to a persisted substring-dedup GRAM index (see
+  * [[Dedup.buildSpanIndex]]): per-ingest gram-frequency slices
+  * `(g, n)` — the 16-byte binary md5 of every minLen-char window,
+  * OCCURRENCE-counted — bucketed+sorted by g (extends append their
+  * slice; occurrence counts are additive over disjoint ingests, and
+  * the id-disjointness guard keeps incremental == batch honest), plus
+  * the ingested-doc ledger. `minLen` is baked into the handle so a
+  * probe can never gram at a different grain than the index. Text
+  * never persists — 16-byte hashes and counts only. */
+case class SpanIndex(name: String, path: String, numBuckets: Int,
+                     minLen: Int) {
+  def freqTable: String = s"${name}_gf"
+  def docsTable: String = s"${name}_docs"
+}
+
 /** Handle to a persisted embedding near-dup index (see
   * [[Dedup.buildEmbeddingIndex]]): hyperplane-LSH band keys
   * bucketed+sorted by `bkey` and the vectors (with precomputed norms)
@@ -279,16 +294,7 @@ object Dedup {
   def duplicateSpans(df: DataFrame, id: String, text: String,
                      minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    // (doc, pos, binary-md5-of-window) via the LAZY one-pass GramHashGen
-    // generator — semantically unhex(md5(substr(text, pos, minLen))) but
-    // without the O(n²)-per-document head re-scan substr pays per
-    // position, and without ever materializing a document's gram
-    // array in one row (10 MB doc = 10M windows)
-    val grams = df
-      .select(col(id).as("doc"), col(text).as("__t"))
-      .where(length(col("__t")) >= minLen)
-      .select(col("doc"), graft.expressions.TextExprs
-        .gramHashes(col("__t"), minLen).as(Seq("pos", "g")))
+    val grams = spanGrams(df, id, text, minLen)
     val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("g")
     // both sides are position-cardinality: pin shuffle-hash, never let
@@ -296,6 +302,27 @@ object Dedup {
     val hits = grams.hint("shuffle_hash")
       .join(dupG.hint("shuffle_hash"), "g")
       .select(col("doc"), col("pos"))
+    mergeSpanIslands(hits, minLen)
+  }
+
+  /** (doc, pos, binary-md5-of-window) via the LAZY one-pass GramHashGen
+    * generator — semantically unhex(md5(substr(text, pos, minLen))) but
+    * without the O(n²)-per-document head re-scan substr pays per
+    * position, and without ever materializing a document's gram
+    * array in one row (10 MB doc = 10M windows). Shared by
+    * [[duplicateSpans]] and the [[SpanIndex]] family so batch and
+    * incremental gram at the identical grain. */
+  private def spanGrams(df: DataFrame, id: String, text: String,
+                        minLen: Int): DataFrame =
+    df.select(col(id).as("doc"), col(text).as("__t"))
+      .where(length(col("__t")) >= minLen)
+      .select(col("doc"), graft.expressions.TextExprs
+        .gramHashes(col("__t"), minLen).as(Seq("pos", "g")))
+
+  /** Gaps-and-islands merge of duplicated gram positions into maximal
+    * spans — the shared tail of [[duplicateSpans]] /
+    * [[duplicateSpansAgainstIndex]]: one doc-keyed window pass. */
+  private def mergeSpanIslands(hits: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
     val prev = w.rowsBetween(Window.unboundedPreceding, -1)
     hits
@@ -309,6 +336,107 @@ object Dedup {
       .withColumn("span_len", col("span_end") - col("span_start") + 1L)
       .select("doc", "span_start", "span_end", "span_len")
   }
+
+  /** Persist the corpus's gram-frequency inventory — the incremental-
+    * crawl primitive for SUBSTRING dedup: a new crawl's duplicated
+    * spans against a frozen corpus compute without rescanning history
+    * ([[duplicateSpansAgainstIndex]]), the span twin of
+    * [[buildLineIndex]]/[[buildExactIndex]]. One row per distinct
+    * gram hash per ingest slice: (16-byte g, occurrence count),
+    * bucketed+sorted by g so probes fold Exchange-free out of the
+    * buckets. The doc ledger backs the disjoint-ids guard. */
+  def buildSpanIndex(df: DataFrame, id: String, text: String,
+                     minLen: Int, name: String, path: String,
+                     numBuckets: Int = 32): SpanIndex = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val idx = SpanIndex(name, path, numBuckets, minLen)
+    spanGrams(df, id, text, minLen)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "g").sortBy("g")
+      .option("path", s"$path/${idx.freqTable}")
+      .format("parquet").saveAsTable(idx.freqTable)
+    df.select(col(id).cast("long").as("doc_id")).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/${idx.docsTable}")
+      .format("parquet").saveAsTable(idx.docsTable)
+    idx
+  }
+
+  /** Fold a delta into the span index: O(delta) — appends the delta's
+    * own gram-frequency slice plus its ledger ids. Occurrence counts
+    * are additive over disjoint ingests; probes fold slices with sum
+    * and [[compactSpanIndex]] re-collapses. */
+  def extendSpanIndex(delta: DataFrame, id: String, text: String,
+                      idx: SpanIndex): Unit = {
+    IndexAdmin.requireDisjointIds(delta, id, idx.docsTable, "doc_id",
+      "extendSpanIndex")
+    spanGrams(delta, id, text, idx.minLen)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(idx.numBuckets, "g").sortBy("g")
+      .format("parquet").saveAsTable(idx.freqTable)
+    delta.select(col(id).cast("long").as("doc_id")).distinct()
+      .write.mode(SaveMode.Append)
+      .bucketBy(idx.numBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(idx.docsTable)
+  }
+
+  /** [[duplicateSpans]] for a delta against the indexed corpus: a
+    * delta position is duplicated iff its gram occurs ANYWHERE in
+    * corpus ∪ delta more than once — indexed slices fold Exchange-free
+    * out of their g buckets, the delta's own counts add, and under the
+    * id-disjointness contract the result EQUALS
+    * `duplicateSpans(corpus ∪ delta)` restricted to the delta's
+    * documents (spec-pinned). Only delta text is ever scanned; corpus
+    * history contributes 16-byte hashes + counts from the bucketed
+    * table. Output spans are [[cutSpans]]-ready, so the incremental
+    * curation loop is index-probe -> cut -> extend. */
+  def duplicateSpansAgainstIndex(delta: DataFrame, id: String,
+                                 text: String, idx: SpanIndex): DataFrame = {
+    val spark = delta.sparkSession
+    val grams = spanGrams(delta, id, text, idx.minLen)
+    val idxFreq = spark.table(idx.freqTable)
+      .groupBy("g").agg(sum("n").as("__in"))
+      .select(col("g").as("__ig"), col("__in"))
+    val deltaFreq = grams.groupBy("g").agg(count(lit(1)).as("__dn"))
+    // index side is corpus-gram-cardinality: never broadcast
+    val dupG = deltaFreq
+      .join(idxFreq.hint("shuffle_hash"), col("g") === col("__ig"),
+        "left")
+      .where(col("__dn") + coalesce(col("__in"), lit(0L)) > 1L)
+      .select("g")
+    val hits = grams.hint("shuffle_hash")
+      .join(dupG.hint("shuffle_hash"), "g")
+      .select(col("doc"), col("pos"))
+    mergeSpanIslands(hits, idx.minLen)
+  }
+
+  /** Blue/green compaction: collapse the accumulated per-ingest gram
+    * slices to one row per g in a NEW index, then drop the old one. */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                       idx: SpanIndex, name: String,
+                       path: String): SpanIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = SpanIndex(name, path, idx.numBuckets, idx.minLen)
+    spark.table(idx.freqTable)
+      .groupBy("g").agg(sum("n").as("n"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(out.numBuckets, "g").sortBy("g")
+      .option("path", s"$path/${out.freqTable}")
+      .format("parquet").saveAsTable(out.freqTable)
+    copyBucketed(spark, s"${idx.path}/${idx.docsTable}", out.docsTable,
+      s"$path/${out.docsTable}", idx.numBuckets, "doc_id")
+    out
+  }
+
+  def dropSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                    idx: SpanIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark,
+      Seq(idx.freqTable, idx.docsTable), idx.path)
 
   /** Maximal duplicated TOKEN spans — [[duplicateSpans]] at the grain
     * Lee et al. 2021 actually use (repeated spans of >= `minTokens`

@@ -555,4 +555,97 @@ class IncrementalDedupSpec extends SparkSpec {
       Similarity.dropIvfIndex(s, iIdx)
     }
   }
+
+  private def spanSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("span-index probe equals batch duplicateSpans restricted to " +
+      "the delta; re-fold refused") {
+    val s = spark
+    val all = Tables.documents(s, sf())
+    val corpus = all.where(col("doc_id") % 4 =!= 3)
+    val delta = all.where(col("doc_id") % 4 === 3)
+    val idx = Dedup.buildSpanIndex(corpus, "doc_id", "text", 20,
+      "inc_spec_sp", tmpPath())
+    try {
+      val batch = spanSet(Dedup.duplicateSpans(all, "doc_id", "text", 20))
+        .filter(_._1 % 4 == 3)
+      val incr = spanSet(
+        Dedup.duplicateSpansAgainstIndex(delta, "doc_id", "text", idx))
+      assert(incr.nonEmpty, "vector is vacuous — no delta spans at sf0.001")
+      assert(incr == batch,
+        s"incremental != batch|delta: missing=${batch -- incr} " +
+          s"extra=${incr -- batch}")
+      // additive counts would silently double — re-folding refused
+      intercept[IllegalArgumentException] {
+        Dedup.extendSpanIndex(corpus, "doc_id", "text", idx)
+      }
+    } finally Dedup.dropSpanIndex(s, idx)
+  }
+
+  test("span-index: delta-internal duplicates count without the corpus," +
+      " extend folds, compact preserves, probe folds buckets " +
+      "Exchange-free") {
+    val s = spark
+    import s.implicits._
+    // corpus shares nothing with the delta; the delta repeats a 20+
+    // char phrase across its own two docs — the probe must find it
+    // from the delta's own counts alone
+    val corpus = Seq((1L, "unique corpus content nothing repeats here at all"))
+      .toDF("doc_id", "text")
+    val phrase = "the exact same twenty-plus character phrase"
+    val delta = Seq((3L, s"A $phrase A"), (7L, s"B $phrase B"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildSpanIndex(corpus, "doc_id", "text", 20,
+      "inc_spec_sp2", tmpPath())
+    try {
+      val probe = Dedup.duplicateSpansAgainstIndex(delta, "doc_id",
+        "text", idx)
+      val got = spanSet(probe)
+      assert(got.map(_._1) == Set(3L, 7L),
+        s"delta-internal phrase must span both delta docs: $got")
+      // plan properties: the slice fold (groupBy g over the bucketed
+      // table) reuses the bucket partitioning — the index branch has
+      // no Exchange; all index joins shuffle-hash, nothing broadcasts
+      val plan = probe.queryExecution.executedPlan.toString
+      val branch = plan.linesIterator
+        .dropWhile(l => !l.contains("functions=[sum(n"))
+        .takeWhile(l => !l.contains(idx.freqTable)).mkString("\n")
+      assert(branch.nonEmpty && plan.contains(idx.freqTable),
+        s"index fold branch not found in:\n$plan")
+      assert(!branch.contains("Exchange"),
+        s"Exchange between the gram-table scan and its fold:\n$branch")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"index joins must be shuffle-hash:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no corpus-sized side may broadcast:\n$plan")
+      // extend a second slice (shared grams -> duplicate g rows), then
+      // blue/green compact: one row per g, identical probe verdicts
+      val c1 = Seq((9L, "unique corpus content nothing repeats here at all"))
+        .toDF("doc_id", "text")
+      Dedup.extendSpanIndex(c1, "doc_id", "text", idx)
+      val pre = s.table(idx.freqTable).count()
+      val distinctG = s.table(idx.freqTable).select("g").distinct().count()
+      assert(pre > distinctG, "extend must append a second slice")
+      // doc 1 == doc 9 now: a delta copy of that text would be fully
+      // duplicated; and our old probe result must be unchanged
+      val before = spanSet(Dedup.duplicateSpansAgainstIndex(delta,
+        "doc_id", "text", idx))
+      val out = Dedup.compactSpanIndex(s, idx, "inc_spec_sp3", tmpPath())
+      try {
+        assert(s.table(out.freqTable).count() == distinctG)
+        assert(spanSet(Dedup.duplicateSpansAgainstIndex(delta, "doc_id",
+          "text", out)) == before)
+        // the indexed corpus duplicate is visible to a NEW delta
+        val ctext = "unique corpus content nothing repeats here at all"
+        val d2 = Seq((11L, ctext)).toDF("doc_id", "text")
+        val full = spanSet(Dedup.duplicateSpansAgainstIndex(d2, "doc_id",
+          "text", out))
+        val L = ctext.length.toLong
+        assert(full == Set((11L, 1L, L, L)),
+          s"whole-doc corpus duplicate must span fully: $full")
+      } finally Dedup.dropSpanIndex(s, out)
+    } finally Dedup.dropSpanIndex(s, idx)
+  }
 }
