@@ -526,6 +526,19 @@ object ScaleProbe {
             "doc_id", "text", s"probe_lf_idx_$k", path)
         } else null
 
+      // gram-frequency (span) index probe: same contract — the k-fold
+      // corpus's every-position 20-grams fold into the bucketed index
+      // untimed; a FIXED re-keyed copy-0 delta probes it, so the
+      // measurement is per-delta substring-dedup cost as the indexed
+      // gram inventory grows k-fold (the delta never rescans history)
+      val spanIdx =
+        if (wanted("dedup_spans_incr")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-spidx-$k").toString
+          Dedup.buildSpanIndex(docs, "doc_id", "text", 20,
+            s"probe_sp_idx_$k", path)
+        } else null
+
       // embedding-index probe: same contract as dedup_incremental — the
       // k-fold corpus is signed into the bucketed index untimed, a
       // FIXED shifted-copy delta (near-dups of copy-0 vectors) probes it
@@ -793,6 +806,19 @@ object ScaleProbe {
                 graft.functions.TextFunctions.tokenLines(
                   col("text"), 8).as("text")),
             "doc_id", "text", lineIdx).count()),
+        "dedup_spans_incr" -> (() =>
+          Dedup.duplicateSpansAgainstIndex(
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 250)
+              .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
+                col("text")),
+            "doc_id", "text", spanIdx).count()),
+        // trainer probe: TWO Viterbi-EM rounds + seed mining over the
+        // distinct-word frame, which the renamed replicas grow k-fold
+        // (amortization worst case); driver state stays vocab-sized
+        "unigram_train" -> (() =>
+          operators.Subword.trainUnigram(docs, "text", 60, 40,
+            2, 4, 2, -10.0).length.toLong),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),
@@ -1154,6 +1180,7 @@ object ScaleProbe {
       if (ivfPqIdx != null) Similarity.dropIvfPqIndex(spark, ivfPqIdx)
       if (chunkIdx != null) operators.Chunking.dropChunkIndex(spark, chunkIdx)
       if (lineIdx != null) Dedup.dropLineIndex(spark, lineIdx)
+      if (spanIdx != null) Dedup.dropSpanIndex(spark, spanIdx)
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$rateCapTtlJson$sessionsJson$streamJoinJson$compactionJson}""")
     }
     spark.stop()
