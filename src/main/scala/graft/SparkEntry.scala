@@ -2276,6 +2276,21 @@ object SparkEntry {
           col("tok_end"), col("n_tok"))
         .orderBy("doc_id", "span_start")),
 
+    // the token-grain rewrite half: token spans carry char bounds, so
+    // cutSpans consumes them unchanged — kept-length + md5 pin the
+    // exact surviving bytes of the paper-faithful grain
+    "q_dedup_spans_tokens_cut" -> ((s, d) => {
+      val t2 = islandDocs(docs(s, d))
+      graft.operators.Dedup.cutSpans(t2,
+          graft.operators.Dedup.duplicateTokenSpans(t2, "doc_id",
+            "text", 5),
+          "doc_id", "text")
+        .select(col("doc").as("doc_id"),
+          length(col("kept_text")).cast("bigint").as("n_kept"),
+          md5(col("kept_text").cast("binary")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     // the rewrite half: the spans CUT out of the text (Lee et al.
     // remove spans, not documents). Kept-length + md5 pin the exact
     // surviving bytes; docs reassemble through ONE doc-keyed shuffle
@@ -3300,6 +3315,27 @@ object SparkEntry {
       |                  (max(tpos) + ${n - 1})::BIGINT AS tok_end
       |           FROM tisl GROUP BY doc_id, island)""".stripMargin
   }
+
+  /** [[dupTokenSpansCte]] extended through the same cut replay shape
+    * as [[spanCutCte]] — covered positions explode from the TOKEN
+    * spans' char bounds, the token CTE's own `ch` rows anti-join them,
+    * ordered string_agg stitches `tcut(doc_id, kept)`. No length
+    * guard needed: the token char-split keeps every len>=1 doc, so a
+    * span-free doc reassembles byte-identical and only the empty-text
+    * doc falls through to coalesce(''). */
+  private def tokenSpanCutCte: String =
+    s"""$dupTokenSpansCte,
+       |tcov AS (SELECT doc_id,
+       |           unnest(range(span_start, span_end + 1)) AS pos
+       |         FROM tspans),
+       |tkeptc AS (SELECT doc_id, pos, c
+       |           FROM ch ANTI JOIN tcov USING (doc_id, pos)),
+       |tkk AS (SELECT doc_id, string_agg(c, '' ORDER BY pos) AS kept
+       |        FROM tkeptc GROUP BY doc_id),
+       |tcut AS (SELECT t2.doc_id,
+       |           CASE WHEN t2.text IS NULL THEN NULL
+       |                ELSE coalesce(tkk.kept, '') END AS kept
+       |         FROM t2 LEFT JOIN tkk USING (doc_id))""".stripMargin
 
   /** [[dupSpansCte]] extended through the span CUT: covered positions
     * explode from the spans (total <= doc length), the `ch` char rows
@@ -5735,6 +5771,11 @@ object SparkEntry {
       s"""WITH $spanCutCte
          |SELECT doc_id, len(kept)::BIGINT AS n_kept, md5(kept) AS kept_md5
          |FROM cut ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_spans_tokens_cut" ->
+      s"""WITH $tokenSpanCutCte
+         |SELECT doc_id, len(kept)::BIGINT AS n_kept, md5(kept) AS kept_md5
+         |FROM tcut ORDER BY doc_id""".stripMargin,
 
     // the span-curation capstone: cut text -> post-cut length floor
     // (docs reduced below 40 chars drop, the Lee-et-al follow-up) ->

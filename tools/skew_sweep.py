@@ -31,7 +31,6 @@ sweep gates CORRECTNESS under skew.)
 import sys, os, shutil
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 def main():
@@ -44,16 +43,16 @@ def main():
     te = pq.read_table(f"{src}/events.parquet")
     eid = te.column("event_id").to_numpy()
     uid_col = te.column("user_id")
-    uid = uid_col.to_numpy(zero_copy_only=False).copy()
-    # the whale: smallest existing user id (NaN-safe if a null sweep
-    # already ran over this dir)
-    finite = uid[~np.isnan(np.asarray(uid, dtype=np.float64))] \
-        if uid.dtype.kind == "f" else uid
-    whale_uid = int(np.min(finite))
+    # null-safe (the composed chain runs this AFTER the null sweep):
+    # NaN-backed nulls stay null unless the row goes to the whale
+    uidf = np.asarray(uid_col.to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    whale_uid = int(np.nanmin(uidf))
     hot = (eid % 10) < 3
-    uid[hot] = whale_uid
+    vals = [whale_uid if h else (None if np.isnan(v) else int(v))
+            for h, v in zip(hot, uidf)]
     te = te.set_column(te.schema.get_field_index("user_id"), "user_id",
-                       pc.cast(pa.array(uid), uid_col.type))
+                       pa.array(vals, type=uid_col.type))
     pq.write_table(te, f"{dst}/events.parquet")
 
     td = pq.read_table(f"{src}/documents.parquet")
