@@ -1584,6 +1584,24 @@ object SparkEntry {
           col("dsir_weight"))
         .orderBy("doc_id")),
 
+    // quality-classifier TRAINING (the CCNet/fastText surrogate):
+    // 6 rounds of batch-GD logistic regression on hashed-unigram
+    // presence features, gated through the scores of EVERY doc under
+    // the learned weights. Integer micro-unit weights make training
+    // bit-replayable (margins are exact BIGINT sums; the only
+    // order-dependent float sums collapse at the integer update
+    // rounding) — the oracle replays all 6 rounds. BIGINT+BOOL output.
+    "q_quality_classifier" -> ((s, d) => {
+      val dd = docs(s, d)
+      val (w, b) = graft.operators.Selection.trainQualityClassifier(
+        dd, col("source") === "src1", "doc_id", "text",
+        iters = 6, lr = 0.5, buckets = 512)
+      graft.operators.Selection.scoreQualityClassifier(dd, "doc_id",
+          "text", w, b)
+        .select(col("doc").as("doc_id"), col("score_micro"), col("pred"))
+        .orderBy("doc_id")
+    }),
+
     // THE DELIVERY CAPSTONE — this round's additions composed as ONE
     // declarative plan: (1) within-doc repeated-line removal (codegen
     // kernel), (2) corpus-level line dedup over the CLEANED docs
@@ -3356,6 +3374,69 @@ object SparkEntry {
        |               ELSE coalesce(k.kept, '') END AS kept
        |        FROM t2 LEFT JOIN k USING (doc_id))""".stripMargin
 
+  /** The q_quality_classifier oracle: ALL `iters` logistic-GD rounds
+    * replayed bit-exactly. The integer-quantization contract makes
+    * this possible (see Selection.trainQualityClassifier): margins are
+    * BIGINT sums (order-free), probabilities round to the 1e-6 grid,
+    * and each weight update rounds to integer micro-units, so the only
+    * order-dependent float sums (per-bucket gradients) collapse at the
+    * update rounding. Per-round CTEs mirror the Scala loop 1:1;
+    * multi-referenced frames are MATERIALIZED (the unigram-train
+    * lesson: an inlined CTE re-evaluates its upstream chain per
+    * reference). Scoring runs over the UNLABELED feature frame —
+    * null-source docs train nothing but still score. */
+  private def qualityClassifierOracleSql(iters: Int, buckets: Int,
+                                         lrMicro: Long): String = {
+    val lr = s"${lrMicro}e0"
+    val rounds = (1 to iters).map { t =>
+      s"""m$t AS (SELECT f.doc, f.y,
+         |          (SELECT bi FROM bias${t - 1}) + sum(w.w) AS mg
+         |        FROM feats f JOIN w${t - 1} w USING (b)
+         |        GROUP BY f.doc, f.y),
+         |r$t AS MATERIALIZED (
+         |        SELECT doc,
+         |          y - round(1.0e0 / (1.0e0 +
+         |                exp(-(mg::DOUBLE / 1000000e0))), 6) AS r
+         |        FROM m$t),
+         |g$t AS (SELECT f.b, sum(r.r) AS g
+         |        FROM feats f JOIN r$t r USING (doc) GROUP BY f.b),
+         |w$t AS MATERIALIZED (
+         |        SELECT p.b,
+         |          (p.w + round($lr * coalesce(g.g, 0e0) / n.n)::BIGINT)
+         |            AS w
+         |        FROM w${t - 1} p LEFT JOIN g$t g USING (b)
+         |        CROSS JOIN nn n),
+         |bias$t AS MATERIALIZED (
+         |        SELECT (p.bi + round($lr * (SELECT sum(r) FROM r$t)
+         |                              / n.n)::BIGINT) AS bi
+         |        FROM bias${t - 1} p CROSS JOIN nn n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tokCte,
+       |feats AS MATERIALIZED (
+       |  SELECT DISTINCT q.doc_id AS doc,
+       |         (d.source = 'src1')::INT::DOUBLE AS y,
+       |         ('0x' || substr(md5(w), 1, 6))::BIGINT % $buckets AS b
+       |  FROM (SELECT doc_id, unnest(tk) AS w FROM t) q
+       |  JOIN documents d USING (doc_id)
+       |  WHERE d.source IS NOT NULL),
+       |sfeats AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS doc,
+       |         ('0x' || substr(md5(w), 1, 6))::BIGINT % $buckets AS b
+       |  FROM (SELECT doc_id, unnest(tk) AS w FROM t)),
+       |nn AS MATERIALIZED (
+       |  SELECT count(DISTINCT doc)::BIGINT AS n FROM feats),
+       |w0 AS MATERIALIZED (
+       |  SELECT unnest(range(0, $buckets))::BIGINT AS b, 0::BIGINT AS w),
+       |bias0 AS MATERIALIZED (SELECT 0::BIGINT AS bi),
+       |$rounds
+       |SELECT f.doc AS doc_id,
+       |       ((SELECT bi FROM bias$iters) + sum(w.w))::BIGINT
+       |         AS score_micro,
+       |       ((SELECT bi FROM bias$iters) + sum(w.w)) > 0 AS pred
+       |FROM sfeats f JOIN w$iters w USING (b)
+       |GROUP BY f.doc ORDER BY doc_id""".stripMargin
+  }
+
   private val tokCte =
     """t AS (SELECT doc_id, text,
       |             list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
@@ -4976,6 +5057,9 @@ object SparkEntry {
     // DSIR: same 24-bit md5 bucket as the engine ('0x'||substr(md5,1,6)
     // — Sampling.scala's documented replay convention), add-0.5
     // smoothed bucket multinomials, per-doc sum of c * ln(pt/pr)
+    // the full 6-round logistic-GD replay (see qualityClassifierOracleSql)
+    "q_quality_classifier" -> qualityClassifierOracleSql(6, 512, 500000L),
+
     "q_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang,
         |  list_filter(regexp_split_to_array(trim(lower(text)),

@@ -88,6 +88,170 @@ object Selection {
           .as("dsir_weight"))
   }
 
+  /** The [[trainQualityClassifier]] feature frame: one row per
+    * DISTINCT (doc, bucket) with the doc's 0/1 label — presence of a
+    * hashed unigram (the hashing-trick linear text classifier; same
+    * md5-prefix bucket convention as [[dsirWeights]], so any SQL
+    * engine replays it). Rows with a NULL label are excluded (no
+    * training signal); docs with no tokens have no features and drop,
+    * the engine's per-token convention. */
+  private def presenceFeatures(docs: DataFrame, isTarget: Column,
+                               idCol: String, textCol: String,
+                               buckets: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .where(isTarget.isNotNull)
+      .select(col(idCol).as("doc"),
+        isTarget.cast("int").cast("double").as("y"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .select("doc", "y", "b").distinct()
+  }
+
+  /** Round half away from zero to a Long — DuckDB's `round(x)::BIGINT`
+    * on doubles, exactly (Math.round would disagree on negative
+    * halves: Math.round(-2.5) = -2, DuckDB -3). */
+  private def roundAway(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Quality-classifier TRAINING — the CCNet/fastText-surrogate every
+    * crawl pipeline runs (Wenzek et al. train a linear classifier on
+    * hashed features to rank pages by reference-likeness; fastText's
+    * supervised mode is the usual tool): batch-gradient-descent
+    * logistic regression on hashed-unigram PRESENCE features, returning
+    * `(bucket weights, bias)` in integer MICRO-UNITS (w x 1e6).
+    *
+    * Integer quantization is the cross-engine determinism design, one
+    * step stricter than the unigram trainer's round6 scores:
+    *
+    *  - margins are INTEGER dot products (sums of Longs — exact and
+    *    order-free, so two engines cannot drift no matter how their
+    *    aggregates schedule),
+    *  - the per-doc probability is a pure row function of that integer
+    *    (`round(sigmoid(margin/1e6), 6)` — ulp noise from exp collapses
+    *    at the 1e-6 grid),
+    *  - residuals live exactly on that grid,
+    *  - per-bucket gradient sums are the ONLY order-dependent floats,
+    *    and their ~1e-13 association noise is absorbed by the
+    *    round-to-integer weight update (flip odds ~1e-10 per weight
+    *    per iteration).
+    *
+    * The DuckDB oracle replays ALL `iters` iterations bit-exactly
+    * (generated CTE chain, one margin/probability/gradient/update
+    * block per round). Driver state is (buckets+1) Longs; each
+    * iteration is two aggregations of the persisted (doc, bucket)
+    * frame — the only corpus-sized shuffle is building that frame
+    * once. Labels: `isTarget` null rows are excluded; tokenless docs
+    * drop (no features). */
+  def trainQualityClassifier(docs: DataFrame, isTarget: Column,
+                             idCol: String, textCol: String,
+                             iters: Int = 8, lr: Double = 0.5,
+                             buckets: Int = 512): (Array[Long], Long) = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = presenceFeatures(docs, isTarget, idCol, textCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.select("doc").distinct().count()
+      require(n > 0, "no labeled documents with tokens to train on")
+      val lrMicro = lr * 1e6
+      val w = Array.fill(buckets)(0L)
+      var bias = 0L
+      var it = 0
+      while (it < iters) {
+        val wDf = w.toIndexedSeq.zipWithIndex
+          .map { case (wt, b) => (b.toLong, wt) }.toDF("b", "w")
+        // integer margin; residual on the 1e-6 grid
+        val r = feats.join(broadcast(wDf), "b")
+          .groupBy("doc", "y").agg(sum("w").as("mg0"))
+          .select(col("doc"),
+            (col("y") - round(lit(1.0) / (lit(1.0) +
+              exp(-(col("mg0") + bias).cast("double") / 1e6)), 6))
+              .as("r"))
+        val grads = feats.join(r, "doc")
+          .groupBy("b").agg(sum("r").as("g"))
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+        val gBias = r.agg(sum("r")).collect()(0).getDouble(0)
+        var b = 0
+        while (b < buckets) {
+          w(b) += roundAway(lrMicro * grads.getOrElse(b.toLong, 0.0) / n)
+          b += 1
+        }
+        bias += roundAway(lrMicro * gBias / n)
+        it += 1
+      }
+      (w, bias)
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Score documents under a trained classifier: integer micro-unit
+    * margin (`score_micro` — BIGINT, exact, no rounding surface) and
+    * the decision `pred = margin > 0`. Same feature derivation as
+    * training; label-null docs score too (pass `lit(0)` as isTarget's
+    * stand-in via the y column being unused here). */
+  def scoreQualityClassifier(docs: DataFrame, idCol: String,
+                             textCol: String, weights: Array[Long],
+                             bias: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = presenceFeatures(docs, lit(0), idCol, textCol,
+      weights.length)
+    val wDf = weights.toIndexedSeq.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toDF("b", "w")
+    feats.join(broadcast(wDf), "b")
+      .groupBy("doc").agg((sum("w") + bias).as("score_micro"))
+      .select(col("doc"), col("score_micro"),
+        (col("score_micro") > 0L).as("pred"))
+  }
+
+  /** Driver-local twin of [[trainQualityClassifier]] — the same
+    * integer-quantized GD over an explicit (doc, y, bucketSet) frame;
+    * SelectionSpec pins local == distributed. */
+  private[graft] def trainQualityClassifierLocal(
+      rows: Seq[(Long, Double, Set[Long])], iters: Int, lr: Double,
+      buckets: Int): (Array[Long], Long) = {
+    val n = rows.length
+    require(n > 0, "no labeled documents")
+    val lrMicro = lr * 1e6
+    val w = Array.fill(buckets)(0L)
+    var bias = 0L
+    var it = 0
+    while (it < iters) {
+      val grads = Array.fill(buckets)(0.0)
+      var gBias = 0.0
+      for ((_, y, bs) <- rows) {
+        var mg = bias
+        bs.foreach(b => mg += w(b.toInt))
+        val p = BigDecimal(1.0 / (1.0 + math.exp(-mg.toDouble / 1e6)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val r = y - p
+        bs.foreach(b => grads(b.toInt) += r)
+        gBias += r
+      }
+      var b = 0
+      while (b < buckets) {
+        w(b) += roundAway(lrMicro * grads(b) / n)
+        b += 1
+      }
+      bias += roundAway(lrMicro * gBias / n)
+      it += 1
+    }
+    (w, bias)
+  }
+
+  /** Hashed bucket of one token — the md5-prefix convention, for
+    * driver-local feature construction in specs. */
+  private[graft] def tokenBucket(w: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(3).map(b => f"$b%02x").mkString // first 6 hex chars
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
   /** CCNet-style head/middle/tail partition (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", LREC 2020): score every document against a reference-

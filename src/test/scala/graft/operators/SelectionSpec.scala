@@ -124,4 +124,46 @@ class SelectionSpec extends SparkSpec {
     assert(got(1L)._2 == "head" && got(5L)._2 == "tail" &&
       got(6L)._2 == "tail")
   }
+
+  test("trainQualityClassifier: local == distributed, separable corpus " +
+      "learned, null labels train nothing but still score") {
+    val s = spark
+    import s.implicits._
+    // separable: positives contain 'excellent prose', negatives
+    // 'garbled spam'; shared filler words force real weighting
+    val pos = Seq.tabulate(10)(i =>
+      (i.toLong, "excellent prose with careful structure and detail",
+        Some(true)))
+    val neg = Seq.tabulate(10)(i =>
+      (100L + i, "garbled spam tokens with careful filler and detail",
+        Some(false)))
+    val unl = Seq((900L, "excellent prose again",
+      None: Option[Boolean]))
+    val docs = (pos ++ neg ++ unl).toDF("doc_id", "text", "is_good")
+    val (w, b) = Selection.trainQualityClassifier(docs, col("is_good"),
+      "doc_id", "text", iters = 6, lr = 0.5, buckets = 64)
+    // driver-local twin over the same feature sets
+    val rows = (pos ++ neg).map { case (id, text, lab) =>
+      (id, if (lab.get) 1.0 else 0.0,
+        text.split(" ").map(t => Selection.tokenBucket(t, 64)).toSet)
+    }
+    val (wl, bl) = Selection.trainQualityClassifierLocal(rows, 6, 0.5, 64)
+    assert(w.toSeq == wl.toSeq && b == bl,
+      s"distributed != local: bias $b vs $bl")
+    // the learned model separates the corpus AND scores the unlabeled
+    // doc (which trained nothing) on the positive side
+    val scored = Selection.scoreQualityClassifier(docs, "doc_id", "text",
+        w, b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(pos.forall { case (id, _, _) => scored(id)._2 },
+      s"positives misclassified: $scored")
+    assert(neg.forall { case (id, _, _) => !scored(id)._2 },
+      s"negatives misclassified: $scored")
+    assert(scored(900L)._2, "unlabeled positive-looking doc must score > 0")
+    // determinism: a second training run is bit-identical
+    val (w2, b2) = Selection.trainQualityClassifier(docs, col("is_good"),
+      "doc_id", "text", iters = 6, lr = 0.5, buckets = 64)
+    assert(w2.toSeq == w.toSeq && b2 == b)
+  }
 }
