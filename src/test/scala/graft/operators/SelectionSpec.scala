@@ -166,4 +166,25 @@ class SelectionSpec extends SparkSpec {
       "doc_id", "text", iters = 6, lr = 0.5, buckets = 64)
     assert(w2.toSeq == w.toSeq && b2 == b)
   }
+
+  test("scoreQualityClassifier plan: weights broadcast, margins are " +
+      "long sums") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.tabulate(20)(i => (i.toLong, "some text tokens here"))
+      .toDF("doc_id", "text")
+    val scored = Selection.scoreQualityClassifier(docs, "doc_id", "text",
+      Array.fill(64)(1000L), 5L)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the vocab-sized weight table must broadcast — a shuffled join
+    // here would shuffle the corpus-sized feature stream against 64
+    // rows
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast:\n$plan")
+    // score is the exact integer margin: LongType end to end
+    assert(scored.schema("score_micro").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = scored.collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(got.forall { case (m, p) => m == 4L * 1000L + 5L && p })
+  }
 }
