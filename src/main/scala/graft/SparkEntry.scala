@@ -3376,18 +3376,19 @@ object SparkEntry {
 
   /** The q_quality_classifier oracle: ALL `iters` logistic-GD rounds
     * replayed bit-exactly. The integer-quantization contract makes
-    * this possible (see Selection.trainQualityClassifier): margins are
-    * BIGINT sums (order-free), probabilities round to the 1e-6 grid,
-    * and each weight update rounds to integer micro-units, so the only
-    * order-dependent float sums (per-bucket gradients) collapse at the
-    * update rounding. Per-round CTEs mirror the Scala loop 1:1;
+    * this possible (see Selection.trainQualityClassifier): margins,
+    * probabilities, residuals and gradients are ALL integers — BIGINT
+    * sums are order-free, so no float aggregation exists anywhere —
+    * and the weight update rounds a double both engines derive from
+    * the same integers with the same two operations (bit-identical
+    * even on exact .5 boundaries, which grid-valued gradients make
+    * common). Per-round CTEs mirror the Scala loop 1:1;
     * multi-referenced frames are MATERIALIZED (the unigram-train
     * lesson: an inlined CTE re-evaluates its upstream chain per
     * reference). Scoring runs over the UNLABELED feature frame —
     * null-source docs train nothing but still score. */
   private def qualityClassifierOracleSql(iters: Int, buckets: Int,
-                                         lrMicro: Long): String = {
-    val lr = s"${lrMicro}e0"
+                                         lr: String): String = {
     val rounds = (1 to iters).map { t =>
       s"""m$t AS (SELECT f.doc, f.y,
          |          (SELECT bi FROM bias${t - 1}) + sum(w.w) AS mg
@@ -3395,19 +3396,22 @@ object SparkEntry {
          |        GROUP BY f.doc, f.y),
          |r$t AS MATERIALIZED (
          |        SELECT doc,
-         |          y - round(1.0e0 / (1.0e0 +
-         |                exp(-(mg::DOUBLE / 1000000e0))), 6) AS r
+         |          (y::BIGINT * 1000000 -
+         |           round(1000000e0 / (1.0e0 +
+         |                 exp(-(mg::DOUBLE / 1000000e0))), 0)::BIGINT)
+         |            AS r
          |        FROM m$t),
-         |g$t AS (SELECT f.b, sum(r.r) AS g
+         |g$t AS (SELECT f.b, sum(r.r)::BIGINT AS g
          |        FROM feats f JOIN r$t r USING (doc) GROUP BY f.b),
          |w$t AS MATERIALIZED (
          |        SELECT p.b,
-         |          (p.w + round($lr * coalesce(g.g, 0e0) / n.n)::BIGINT)
+         |          (p.w + round($lr * coalesce(g.g, 0) / n.n)::BIGINT)
          |            AS w
          |        FROM w${t - 1} p LEFT JOIN g$t g USING (b)
          |        CROSS JOIN nn n),
          |bias$t AS MATERIALIZED (
-         |        SELECT (p.bi + round($lr * (SELECT sum(r) FROM r$t)
+         |        SELECT (p.bi + round($lr * (SELECT sum(r)::BIGINT
+         |                                    FROM r$t)
          |                              / n.n)::BIGINT) AS bi
          |        FROM bias${t - 1} p CROSS JOIN nn n)""".stripMargin
     }.mkString(",\n")
@@ -5054,12 +5058,13 @@ object SparkEntry {
         |JOIN ns ON sw.source IS NOT DISTINCT FROM ns.nsrc, n
         |GROUP BY sw.source ORDER BY sw.source""".stripMargin,
 
+    // the full 6-round logistic-GD training replay (generated CTE
+    // chain — see qualityClassifierOracleSql)
+    "q_quality_classifier" -> qualityClassifierOracleSql(6, 512, "0.5e0"),
+
     // DSIR: same 24-bit md5 bucket as the engine ('0x'||substr(md5,1,6)
     // — Sampling.scala's documented replay convention), add-0.5
     // smoothed bucket multinomials, per-doc sum of c * ln(pt/pr)
-    // the full 6-round logistic-GD replay (see qualityClassifierOracleSql)
-    "q_quality_classifier" -> qualityClassifierOracleSql(6, 512, 500000L),
-
     "q_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang,
         |  list_filter(regexp_split_to_array(trim(lower(text)),

@@ -319,23 +319,34 @@ object Dedup {
       .select(col("doc"), graft.expressions.TextExprs
         .gramHashes(col("__t"), minLen).as(Seq("pos", "g")))
 
-  /** Gaps-and-islands merge of duplicated gram positions into maximal
-    * spans — the shared tail of [[duplicateSpans]] /
-    * [[duplicateSpansAgainstIndex]]: one doc-keyed window pass. */
-  private def mergeSpanIslands(hits: DataFrame, minLen: Int): DataFrame = {
+  /** Gaps-and-islands LABELING of duplicated gram positions — the ONE
+    * definition of the adjacency convention (`pos > prev_end + 1`
+    * starts a new island; windows of length `window` starting at
+    * `pos`): a `__island` column over (doc, pos), one doc-keyed window
+    * pass. Shared by the char-grain ([[duplicateSpans]] /
+    * [[duplicateSpansAgainstIndex]]) and token-grain
+    * ([[duplicateTokenSpans]]) merges so the convention — which the
+    * cutSpans contract and both DuckDB oracle families replay — can
+    * never drift between grains. */
+  private def islandize(hits: DataFrame, window: Int): DataFrame = {
     val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
     val prev = w.rowsBetween(Window.unboundedPreceding, -1)
     hits
-      .withColumn("__prev_end", max(col("pos") + (minLen - 1)).over(prev))
+      .withColumn("__prev_end", max(col("pos") + (window - 1)).over(prev))
       .withColumn("__new", when(col("__prev_end").isNull ||
         col("pos") > col("__prev_end") + 1, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__new")).over(w))
+  }
+
+  /** [[islandize]] + the char-grain span aggregation — the shared tail
+    * of [[duplicateSpans]] / [[duplicateSpansAgainstIndex]]. */
+  private def mergeSpanIslands(hits: DataFrame, minLen: Int): DataFrame =
+    islandize(hits, minLen)
       .groupBy(col("doc"), col("__island"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + (minLen - 1)).cast("long").as("span_end"))
       .withColumn("span_len", col("span_end") - col("span_start") + 1L)
       .select("doc", "span_start", "span_end", "span_len")
-  }
 
   /** Persist the corpus's gram-frequency inventory — the incremental-
     * crawl primitive for SUBSTRING dedup: a new crawl's duplicated
@@ -472,20 +483,15 @@ object Dedup {
       .where(col("c") > 1).select("g")
     val hits = grams.hint("shuffle_hash")
       .join(dupG.hint("shuffle_hash"), "g")
-      .select(col("doc"), col("tpos"), col("cs"), col("ce"))
-    val w = Window.partitionBy(col("doc")).orderBy(col("tpos"))
-    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    hits
-      .withColumn("__prev_end",
-        max(col("tpos") + (minTokens - 1)).over(prev))
-      .withColumn("__new", when(col("__prev_end").isNull ||
-        col("tpos") > col("__prev_end") + 1, 1L).otherwise(0L))
-      .withColumn("__island", sum(col("__new")).over(w))
+      .select(col("doc"), col("tpos").as("pos"), col("cs"), col("ce"))
+    // islands over TOKEN positions — same labeling as the char grain
+    // (one shared convention, see islandize); char bounds ride along
+    islandize(hits, minTokens)
       .groupBy(col("doc"), col("__island"))
       .agg(min(col("cs")).as("span_start"),
         max(col("ce")).as("span_end"),
-        min(col("tpos")).as("tok_start"),
-        (max(col("tpos")) + (minTokens - 1)).as("tok_end"))
+        min(col("pos")).as("tok_start"),
+        (max(col("pos")) + (minTokens - 1)).as("tok_end"))
       .withColumn("span_len", col("span_end") - col("span_start") + 1L)
       .withColumn("n_tok", col("tok_end") - col("tok_start") + 1L)
       .select("doc", "span_start", "span_end", "span_len",

@@ -123,20 +123,24 @@ object Selection {
     * logistic regression on hashed-unigram PRESENCE features, returning
     * `(bucket weights, bias)` in integer MICRO-UNITS (w x 1e6).
     *
-    * Integer quantization is the cross-engine determinism design, one
-    * step stricter than the unigram trainer's round6 scores:
+    * FULL integer quantization is the cross-engine determinism design,
+    * one step stricter than the unigram trainer's round6 scores —
+    * every order-dependent sum in the loop is a sum of LONGS:
     *
-    *  - margins are INTEGER dot products (sums of Longs — exact and
-    *    order-free, so two engines cannot drift no matter how their
-    *    aggregates schedule),
-    *  - the per-doc probability is a pure row function of that integer
-    *    (`round(sigmoid(margin/1e6), 6)` — ulp noise from exp collapses
-    *    at the 1e-6 grid),
-    *  - residuals live exactly on that grid,
-    *  - per-bucket gradient sums are the ONLY order-dependent floats,
-    *    and their ~1e-13 association noise is absorbed by the
-    *    round-to-integer weight update (flip odds ~1e-10 per weight
-    *    per iteration).
+    *  - margins are integer dot products (exact, order-free),
+    *  - the per-doc probability quantizes to integer micro-units
+    *    (`round(1e6 / (1 + exp(-margin/1e6)))` — ulp noise from exp
+    *    collapses at the integer grid),
+    *  - residuals are integer micro-units (`y*1e6 - p_micro`), so
+    *    per-bucket gradient sums are EXACT integers — no float
+    *    aggregation order anywhere,
+    *  - the weight update `roundAway(lr * grad_micro / n)` rounds a
+    *    double both engines compute from the SAME integers with the
+    *    same two operations — bit-identical even when it lands exactly
+    *    on a .5 boundary (which grid-valued gradients make common:
+    *    an earlier float-gradient form was caught by the
+    *    local==distributed spec flipping one weight by 1 micro-unit
+    *    when a persist changed partition sum order).
     *
     * The DuckDB oracle replays ALL `iters` iterations bit-exactly
     * (generated CTE chain, one margin/probability/gradient/update
@@ -158,30 +162,37 @@ object Selection {
     try {
       val n = feats.select("doc").distinct().count()
       require(n > 0, "no labeled documents with tokens to train on")
-      val lrMicro = lr * 1e6
       val w = Array.fill(buckets)(0L)
       var bias = 0L
       var it = 0
       while (it < iters) {
         val wDf = w.toIndexedSeq.zipWithIndex
           .map { case (wt, b) => (b.toLong, wt) }.toDF("b", "w")
-        // integer margin; residual on the 1e-6 grid
+        // integer margin -> integer micro-unit residual. Persisted:
+        // both the per-bucket gradient job and the bias job consume
+        // it, and without the persist each re-runs the margin
+        // aggregation — doubling the round's dominant cost
         val r = feats.join(broadcast(wDf), "b")
           .groupBy("doc", "y").agg(sum("w").as("mg0"))
           .select(col("doc"),
-            (col("y") - round(lit(1.0) / (lit(1.0) +
-              exp(-(col("mg0") + bias).cast("double") / 1e6)), 6))
+            (col("y").cast("long") * 1000000L -
+              round(lit(1e6) / (lit(1.0) +
+                exp(-(col("mg0") + bias).cast("double") / 1e6)), 0)
+                .cast("long"))
               .as("r"))
-        val grads = feats.join(r, "doc")
-          .groupBy("b").agg(sum("r").as("g"))
-          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-        val gBias = r.agg(sum("r")).collect()(0).getDouble(0)
-        var b = 0
-        while (b < buckets) {
-          w(b) += roundAway(lrMicro * grads.getOrElse(b.toLong, 0.0) / n)
-          b += 1
-        }
-        bias += roundAway(lrMicro * gBias / n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val grads = feats.join(r, "doc")
+            .groupBy("b").agg(sum("r").as("g"))
+            .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          val gBias = r.agg(sum("r")).collect()(0).getLong(0)
+          var b = 0
+          while (b < buckets) {
+            w(b) += roundAway(lr * grads.getOrElse(b.toLong, 0L) / n)
+            b += 1
+          }
+          bias += roundAway(lr * gBias / n)
+        } finally { r.unpersist(); () }
         it += 1
       }
       (w, bias)
@@ -216,28 +227,27 @@ object Selection {
       buckets: Int): (Array[Long], Long) = {
     val n = rows.length
     require(n > 0, "no labeled documents")
-    val lrMicro = lr * 1e6
     val w = Array.fill(buckets)(0L)
     var bias = 0L
     var it = 0
     while (it < iters) {
-      val grads = Array.fill(buckets)(0.0)
-      var gBias = 0.0
+      val grads = Array.fill(buckets)(0L)
+      var gBias = 0L
       for ((_, y, bs) <- rows) {
         var mg = bias
         bs.foreach(b => mg += w(b.toInt))
-        val p = BigDecimal(1.0 / (1.0 + math.exp(-mg.toDouble / 1e6)))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val r = y - p
+        val pMicro = BigDecimal(1e6 / (1.0 + math.exp(-mg.toDouble / 1e6)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val r = y.toLong * 1000000L - pMicro
         bs.foreach(b => grads(b.toInt) += r)
         gBias += r
       }
       var b = 0
       while (b < buckets) {
-        w(b) += roundAway(lrMicro * grads(b) / n)
+        w(b) += roundAway(lr * grads(b) / n)
         b += 1
       }
-      bias += roundAway(lrMicro * gBias / n)
+      bias += roundAway(lr * gBias / n)
       it += 1
     }
     (w, bias)

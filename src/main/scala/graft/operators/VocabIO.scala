@@ -73,6 +73,10 @@ object VocabIO {
       case other => throw new IllegalArgumentException(
         s"model.vocab is not an object: $other")
     }
+    // json4s preserves duplicate JSON object fields — catch a repeated
+    // vocab key at the boundary instead of exporting duplicates later
+    require(pairs.map(_._1).distinct.length == pairs.length,
+      "duplicate piece key in model.vocab")
     val ids = pairs.map(_._2).sorted
     require(ids == (0L until pairs.length.toLong).toList,
       s"vocab ids must be dense 0..${pairs.length - 1}")

@@ -48,6 +48,10 @@ class VocabIOSpec extends SparkSpec {
     // non-dense ids refused
     intercept[IllegalArgumentException](VocabIO.fromHfBpeJson(
       """{"model":{"type":"BPE","vocab":{"a":0,"b":2},"merges":[]}}"""))
+    // duplicate vocab keys refused at the boundary (json4s keeps
+    // repeated JSON object fields)
+    intercept[IllegalArgumentException](VocabIO.fromHfBpeJson(
+      """{"model":{"type":"BPE","vocab":{"a":0,"a":1},"merges":[]}}"""))
     // a space inside a merge symbol cannot round-trip the string form
     intercept[IllegalArgumentException](
       VocabIO.toHfBpeJson(Seq("a b"), Seq(("a b", "c"))))

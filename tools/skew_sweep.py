@@ -43,14 +43,17 @@ def main():
     te = pq.read_table(f"{src}/events.parquet")
     eid = te.column("event_id").to_numpy()
     uid_col = te.column("user_id")
-    # null-safe (the composed chain runs this AFTER the null sweep):
-    # NaN-backed nulls stay null unless the row goes to the whale
-    uidf = np.asarray(uid_col.to_numpy(zero_copy_only=False),
-                      dtype=np.float64)
-    whale_uid = int(np.nanmin(uidf))
+    # null-safe (the composed chain runs this AFTER the null sweep) and
+    # EXACT: to_pylist keeps ints/None as-is — no float64 round-trip
+    # that would corrupt ids above 2^53
+    uids = uid_col.to_pylist()
+    nonnull = [v for v in uids if v is not None]
+    if not nonnull:
+        raise SystemExit("skew_sweep: user_id is entirely null — "
+                         "no whale key to assign")
+    whale_uid = min(nonnull)
     hot = (eid % 10) < 3
-    vals = [whale_uid if h else (None if np.isnan(v) else int(v))
-            for h, v in zip(hot, uidf)]
+    vals = [whale_uid if h else v for h, v in zip(hot, uids)]
     te = te.set_column(te.schema.get_field_index("user_id"), "user_id",
                        pa.array(vals, type=uid_col.type))
     pq.write_table(te, f"{dst}/events.parquet")
