@@ -157,7 +157,13 @@ object Selection {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted DOC-partitioned: every iteration's two jobs aggregate
+    // or join this frame BY DOC (margins groupBy doc; gradients join r
+    // on doc, r itself doc-partitioned by its aggregation) — caching
+    // the partitioning removes one corpus-frame exchange from each of
+    // the 2 x iters jobs
     val feats = presenceFeatures(docs, isTarget, idCol, textCol, buckets)
+      .repartition(col("doc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = feats.select("doc").distinct().count()
