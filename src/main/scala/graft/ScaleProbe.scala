@@ -819,6 +819,17 @@ object ScaleProbe {
         "unigram_train" -> (() =>
           operators.Subword.trainUnigram(docs, "text", 60, 40,
             2, 4, 2, -10.0).length.toLong),
+        // classifier probe: the hashed feature space is CONSTANT (512
+        // buckets) while the corpus grows k-fold, so the (doc, bucket)
+        // frame — and with it every GD iteration's two aggregations —
+        // must track the corpus linearly; driver state stays 513 longs
+        "quality_classifier" -> (() => {
+          val (w, b) = operators.Selection.trainQualityClassifier(docs,
+            col("source") === "src1", "doc_id", "text",
+            iters = 4, lr = 0.5, buckets = 512)
+          operators.Selection.scoreQualityClassifier(docs, "doc_id",
+            "text", w, b).count()
+        }),
         "dedup_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
             persistShingles = false).count()),
