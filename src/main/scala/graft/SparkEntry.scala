@@ -264,8 +264,9 @@ object SparkEntry {
   // gates; result is small (pairs + evictions), persisted in memory.
   private val ssjCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def ssjFullReplay(s: SparkSession, d: String): DataFrame =
-    ssjCache.computeIfAbsent(idxTag(s, d), _ => {
+  private def ssjReplay(s: SparkSession, d: String,
+                        joinType: String): DataFrame =
+    ssjCache.computeIfAbsent(joinType + "|" + idxTag(s, d), _ => {
       implicit val ss: SparkSession = s
       val e = ev(s, d)
       val chunk = graft.streaming.ReplayChunks.byTime(e, "ts", 4)
@@ -273,16 +274,25 @@ object SparkEntry {
           e.where(col("event_type") === "click"),
           e.where(col("event_type") === "purchase"),
           "ts", "user_id", "event_id", chunk, 4, "1 hour", "2 hours",
-          joinType = "full_outer")
+          joinType = joinType)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count() // materialize once, inside the compute
       out
     })
-  /** Bench warm-up hook: pre-fill the shared replay so the four timed
+  private def ssjFullReplay(s: SparkSession, d: String): DataFrame =
+    ssjReplay(s, d, "full_outer")
+  /** Bench warm-up hook: pre-fill the shared replays so the timed
     * gates measure their steady-state projections (the established
-    * index-gate discipline — warm-up wall is reported separately). */
-  def warmStreamJoinReplay(s: SparkSession, d: String): Unit =
-    { ssjFullReplay(s, d); () }
+    * index-gate discipline — warm-up wall is reported separately).
+    * Warms BOTH the full-outer replay (serving inner/right/full) and
+    * the left-outer one (its gate runs the REAL left_outer streaming
+    * plan — r16 ADVICE: keep a second join-type code path live in
+    * Verify, not just in StreamingJoinsSpec). */
+  def warmStreamJoinReplay(s: SparkSession, d: String): Unit = {
+    ssjFullReplay(s, d)
+    ssjReplay(s, d, "left_outer")
+    ()
+  }
 
   /** Drop every memoized index table and delete its backing /tmp
     * directory, then forget the handles. Verify/Bench call this before
@@ -579,16 +589,18 @@ object SparkEntry {
           col("key").as("user_id"), col("lag_us"))
         .orderBy("click_id", "purchase_id")),
 
-    // LEFT-OUTER stream-stream interval join: same replay, plus the
-    // append-mode outer subtlety pinned in StreamingJoinsSpec — an
-    // unmatched click emits its null-padded row ONLY when the final
-    // watermark strictly passes click_ts + 2h (eviction is the proof
-    // that no purchase can come); unmatched clicks still alive in
-    // state at end-of-stream emit nothing. The oracle replays exactly
-    // that rule: batch join ∪ (unmatched ∧ evicted-by-final-watermark).
+    // LEFT-OUTER stream-stream interval join: its OWN real left_outer
+    // chunked replay (NOT a projection of the shared full-outer one —
+    // r16 ADVICE: the gate battery keeps a second join-type code path
+    // running through the actual streaming plan), plus the append-mode
+    // outer subtlety pinned in StreamingJoinsSpec — an unmatched click
+    // emits its null-padded row ONLY when the final watermark strictly
+    // passes click_ts + 2h (eviction is the proof that no purchase can
+    // come); unmatched clicks still alive in state at end-of-stream
+    // emit nothing. The oracle replays exactly that rule: batch join ∪
+    // (unmatched ∧ evicted-by-final-watermark).
     "q_stream_interval_join_left" -> ((s, d) =>
-      ssjFullReplay(s, d)
-        .where(col("l_id").isNotNull)
+      ssjReplay(s, d, "left_outer")
         .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
           col("key").as("user_id"), col("lag_us"))
         .orderBy("click_id", "purchase_id")),

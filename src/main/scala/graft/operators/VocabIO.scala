@@ -85,8 +85,12 @@ object VocabIO {
       case JArray(xs) => xs.map {
         case JString(m) =>
           val i = m.indexOf(' ')
-          require(i > 0 && i < m.length - 1,
-            s"merge '$m' is not 'left right'")
+          // exactly ONE space: "a b c" is ambiguous in the classic
+          // string form (export refuses space-bearing symbols, so no
+          // legitimate file contains it) — refuse rather than silently
+          // parsing ("a", "b c") (r16 ADVICE)
+          require(i > 0 && i < m.length - 1 && i == m.lastIndexOf(' '),
+            s"merge '$m' is not 'left right' (exactly one space)")
           (m.substring(0, i), m.substring(i + 1))
         case JArray(List(JString(l), JString(r))) => (l, r)
         case other => throw new IllegalArgumentException(
@@ -111,9 +115,12 @@ object VocabIO {
 
   /** Parse SentencePiece `.vocab` text (the inverse of
     * [[toSentencePieceVocab]]; also reads spm_train's own output —
-    * its scores are plain decimals). Blank lines are ignored. */
+    * its scores are plain decimals). Blank lines are ignored; CRLF
+    * line endings are accepted (the trailing '\r' is stripped per
+    * line — r16 ADVICE: a CRLF file used to surface as a raw
+    * NumberFormatException on the score field). */
   def fromSentencePieceVocab(text: String): Seq[(String, Double)] =
-    text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+    text.split("\r?\n", -1).iterator.filter(_.nonEmpty).map { line =>
       val i = line.lastIndexOf('\t')
       require(i > 0, s"not a piece<TAB>score line: '$line'")
       (line.substring(0, i), line.substring(i + 1).toDouble)

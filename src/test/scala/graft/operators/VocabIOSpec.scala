@@ -55,6 +55,10 @@ class VocabIOSpec extends SparkSpec {
     // a space inside a merge symbol cannot round-trip the string form
     intercept[IllegalArgumentException](
       VocabIO.toHfBpeJson(Seq("a b"), Seq(("a b", "c"))))
+    // a string merge with MORE than one space is ambiguous — refused
+    // loudly instead of silently parsing ("a", "b c") (r16 ADVICE)
+    intercept[IllegalArgumentException](VocabIO.fromHfBpeJson(
+      """{"model":{"type":"BPE","vocab":{"a":0},"merges":["a b c"]}}"""))
   }
 
   test("trained unigram vocab round-trips through the SentencePiece " +
@@ -78,6 +82,10 @@ class VocabIOSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VocabIO.toSentencePieceVocab(Seq(("a\tb", -1.0))))
     assert(VocabIO.fromSentencePieceVocab("a\t-1.5\n\nb\t-2.5\n") ==
+      Seq(("a", -1.5), ("b", -2.5)))
+    // CRLF files parse to the same structures (r16 ADVICE: the '\r'
+    // used to reach Double.parseDouble as part of the score)
+    assert(VocabIO.fromSentencePieceVocab("a\t-1.5\r\nb\t-2.5\r\n") ==
       Seq(("a", -1.5), ("b", -2.5)))
   }
 }

@@ -62,7 +62,11 @@ def main():
     did = td.column("doc_id").to_numpy()
     srccol = td.column("source")
     srcs = srccol.to_pylist()
-    whale_src = min(s for s in srcs if s is not None)
+    nonnull_srcs = [s for s in srcs if s is not None]
+    if not nonnull_srcs:
+        raise SystemExit("documents.source is entirely null — "
+                         "no whale source to pick")
+    whale_src = min(nonnull_srcs)
     hot_d = (did % 10) < 3
     srcs = [whale_src if h else s for h, s in zip(hot_d, srcs)]
     td = td.set_column(td.schema.get_field_index("source"), "source",
