@@ -1006,6 +1006,20 @@ object ScaleProbe {
               .where(col("doc_id") < 250)
               .withColumn("doc_id", col("doc_id") + lit(1300000000L)),
             "doc_id", "text").count()),
+        // order-5 stupid backoff, same fixed-scored/growing-train
+        // shape: the FIVE per-order count tables are what is measured.
+        // Replica token-renaming grows every j-gram vocabulary k-fold
+        // (worst case — real corpora repeat grams); the count-table
+        // shuffles must grow ~k and the scored side stays fixed, so
+        // wall beyond ~k would mean a count join stopped being
+        // vocabulary-shaped
+        "ngram_lm" -> (() =>
+          operators.CorpusStats.ngramLogProbAgainst(
+            docs,
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 250)
+              .withColumn("doc_id", col("doc_id") + lit(1300000000L)),
+            "doc_id", "text", order = 5).count()),
         // stage cascade: per-stage keyed min-ts aggregates over a user
         // population growing with scale — reach frames stay 1 row/user
         "funnel" -> (() =>

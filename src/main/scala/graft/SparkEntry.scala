@@ -1081,6 +1081,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // order-3 held-out LM with STUPID BACKOFF (Brants et al. 2007):
+    // every token scored at its longest available history, alpha=0.4
+    // penalty per backoff step, add-0.5 unigram floor over V. The
+    // oracle replays every branch of the backoff CASE (the alpha
+    // powers are the same multiply-chain literals in both plans);
+    // n_oov and n_backed are the junk signals
+    "q_ngram_lm" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.CorpusStats.ngramLogProbAgainst(
+          all.where(col("doc_id") % 3 =!= 0),
+          all.where(col("doc_id") % 3 === 0), "doc_id", "text",
+          order = 3, alpha = 0.4, k = 0.5)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_backed"), col("avg_lp"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet buckets at the PAPER's grain — 5-gram scoring (Wenzek et
+    // al.'s KenLM order) via stupid backoff, then the same flip-immune
+    // integer-grid terciles as q_ccnet_buckets
+    "q_ccnet_buckets_5gram" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Selection.perplexityBuckets(
+          all.where(col("doc_id") % 3 =!= 0),
+          all.where(col("doc_id") % 3 === 0), "doc_id", "text",
+          order = 5, alpha = 0.4, k = 0.5)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_backed"), col("avg_lp"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // subword tokenization (greedy longest-match against an explicit
     // vocab): per-doc piece/unk totals. Tokenization runs once per
     // DISTINCT word (Zipf amortization); counts join back by word. The
@@ -1119,6 +1150,26 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_pieces"), col("n_unk"),
           col("score"))
         .orderBy("doc_id")),
+
+    // HF Unigram tokenizer.json interchange gated through APPLIED
+    // segmentation (the q_unigram contract): the scored vocab travels
+    // export -> import -> re-export (byte-equality required in-gate)
+    // and the IMPORTED copy drives unigramCounts — any piece or score
+    // the JSON layer corrupts changes a Viterbi path and breaks the
+    // oracle hash
+    "q_unigram_vocab_io" -> ((s, d) => {
+      val json = graft.operators.VocabIO.toHfUnigramJson(
+        unigramVocab, unkId = Some(0))
+      val (imported, unk) = graft.operators.VocabIO.fromHfUnigramJson(json)
+      require(imported == unigramVocab && unk.contains(0) &&
+        graft.operators.VocabIO.toHfUnigramJson(imported, unk) == json,
+        "unigram tokenizer.json round-trip drifted")
+      graft.operators.Subword.unigramCounts(docs(s, d), "doc_id", "text",
+          imported.toMap, unigramUnkScore)
+        .select(col("doc").as("doc_id"), col("n_pieces"), col("n_unk"),
+          col("score"))
+        .orderBy("doc_id")
+    }),
 
     // the Viterbi PATH itself: corpus piece frequencies pin piece
     // identity across engines (agreeing totals could coincide; an
@@ -2914,6 +2965,83 @@ object SparkEntry {
        |   QUALIFY $gram IS NOT NULL)""".stripMargin
   }
 
+  /** CTE chain replaying [[graft.operators.CorpusStats.ngramLogProbAgainst]]
+    * at `order` over the doc_id%3 train/score split, ending in a
+    * `scored(doc_id, n_tokens, n_oov, n_backed, avg_lp)` relation —
+    * shared by q_ngram_lm and q_ccnet_buckets_5gram. Every backoff
+    * branch is replayed: per-order count CTEs, lag-built grams, the
+    * a_j count joins, contexts as lag(a_j) (the count of the j-gram
+    * ending at p-1 IS the denominator of the (j+1)-gram branch), and
+    * the alpha-power penalties as CAST(...AS DOUBLE) literals of the
+    * SAME multiply-chain doubles the Spark plan embeds
+    * (CorpusStats.alphaPowers — bare fractional literals are DECIMAL
+    * in DuckDB, so every one is cast to keep each arithmetic step the
+    * identical IEEE op). */
+  private def ngramLmScoredSql(order: Int, alpha: Double,
+                               k: Double): String = {
+    val apows = graft.operators.CorpusStats.alphaPowers(alpha, order - 1)
+    val kd = s"CAST($k AS DOUBLE)"
+    def apow(e: String) =
+      (1 until order).map(i =>
+        s"WHEN ($e) = $i THEN CAST(${apows(i)} AS DOUBLE)")
+        .mkString("CASE ", " ", " ELSE CAST(1.0 AS DOUBLE) END")
+    val m = s"least(p, $order)"
+    val countCtes = (1 to order).map { j =>
+      if (j == 1)
+        "c1 AS (SELECT w AS g, count(*)::BIGINT AS c FROM " +
+          "(SELECT unnest(tk) w FROM tr) GROUP BY 1)"
+      else
+        s"c$j AS (SELECT bg AS g, count(*)::BIGINT AS c FROM " +
+          s"${ngramRowsSql("tr", j)} GROUP BY 1)"
+    }.mkString(",\n")
+    val lagCols = (1 until order)
+      .map(j => s"lag(tok, $j) OVER w AS t$j").mkString(", ")
+    val gramCols = (1 to order).map { j =>
+      if (j == 1) "tok AS g1"
+      else ((j - 1) to 1 by -1).map(d => s"t$d")
+        .mkString("", " || ' ' || ", " || ' ' || tok") + s" AS g$j"
+    }.mkString(", ")
+    val aJoins = (1 to order)
+      .map(j => s"LEFT JOIN c$j ON g.g$j = c$j.g").mkString(" ")
+    val aCols = (1 to order).map(j => s"c$j.c AS a$j").mkString(", ")
+    val aList = (1 to order).map(j => s"a$j").mkString(", ")
+    val bCols = (1 until order)
+      .map(j => s"lag(a$j, 1) OVER w AS b$j").mkString(", ")
+    val branches = (order to 2 by -1).map { j =>
+      s"WHEN a$j IS NOT NULL THEN (${apow(s"$m - $j")}) * a$j / b${j - 1}"
+    }.mkString(" ")
+    val base = s"(${apow(s"$m - 1")}) * (coalesce(a1, 0) + $kd) / " +
+      s"(nv.n + $kd * nv.v)"
+    val fullA = (s"WHEN p >= $order THEN a$order" +:
+      ((order - 1) to 2 by -1).map(j => s"WHEN p = $j THEN a$j"))
+      .mkString("CASE ", " ", " END")
+    s"""$tokCte,
+       |tr AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+       |sc AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+       |$countCtes,
+       |nv AS (SELECT (SELECT coalesce(sum(len(tk)), 0) FROM tr)::BIGINT AS n,
+       |              (SELECT count(*) FROM c1)::BIGINT AS v),
+       |pos AS (SELECT doc_id, p, tok, $lagCols
+       |        FROM (SELECT doc_id, unnest(tk) AS tok,
+       |                     unnest(range(1, len(tk) + 1)) AS p FROM sc)
+       |        WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |g AS (SELECT doc_id, p, $gramCols FROM pos),
+       |jx AS (SELECT g.doc_id, g.p, $aCols FROM g $aJoins),
+       |x AS (SELECT doc_id, p, $aList, $bCols
+       |      FROM jx WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |lpp AS (SELECT doc_id,
+       |         CASE WHEN a1 IS NULL THEN 1 ELSE 0 END AS oov,
+       |         CASE WHEN p >= 2 AND ($fullA) IS NULL
+       |              THEN 1 ELSE 0 END AS backed,
+       |         ln(CASE $branches ELSE $base END) AS lp
+       |       FROM x CROSS JOIN nv),
+       |scored AS (SELECT doc_id, count(*) AS n_tokens,
+       |             sum(oov)::BIGINT AS n_oov,
+       |             sum(backed)::BIGINT AS n_backed,
+       |             round(avg(lp), 4) AS avg_lp
+       |           FROM lpp GROUP BY doc_id)""".stripMargin
+  }
+
   /** Shared SQL fragment: distinct 3-gram shingles per doc (list-valued,
     * first-occurrence order, like the engine's WordShingles). Documents
     * with fewer than 3 tokens or null text produce NO row (the old
@@ -3930,6 +4058,19 @@ object SparkEntry {
          |FROM uwcw JOIN upc USING (w)
          |GROUP BY piece ORDER BY piece""".stripMargin,
 
+    // identical DP to q_unigram — the gate's Spark side segments with
+    // the vocab AFTER an export->import round-trip through the HF
+    // Unigram tokenizer.json layer, so a hash match here certifies the
+    // JSON layer preserved every piece and score bit-exactly
+    "q_unigram_vocab_io" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$unigramRecCte
+         |SELECT doc_id, sum(c * np)::BIGINT AS n_pieces,
+         |       sum(c * nu)::BIGINT AS n_unk,
+         |       round(sum(c * sc), 4) AS score
+         |FROM wc JOIN uwp USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // the full trainer replay: seeds + singles -> EM1 -> loss prune ->
     // EM2 -> apply, three generated DP CTEs (see unigramTrainOracleSql)
     "q_unigram_train" -> unigramTrainOracleSql(60, 40),
@@ -4547,6 +4688,39 @@ object SparkEntry {
          |            WHEN s > b0 THEN 'middle'
          |            ELSE 'tail' END AS bucket
          |FROM g, b ORDER BY doc_id""".stripMargin,
+
+    // order-3 stupid backoff, every branch replayed (generated CTE
+    // chain — see ngramLmScoredSql)
+    "q_ngram_lm" ->
+      s"""WITH ${ngramLmScoredSql(3, 0.4, 0.5)}
+         |SELECT doc_id, n_tokens, n_oov, n_backed, avg_lp
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the 5-gram scoring chain + the q_ccnet_buckets tercile
+    // construction on the integer grid (score x 10^4)
+    "q_ccnet_buckets_5gram" ->
+      s"""WITH ${ngramLmScoredSql(5, 0.4, 0.5)},
+         |gg AS (SELECT *, round(avg_lp * 10000)::BIGINT AS s FROM scored),
+         |vc AS (SELECT s AS v2, count(*) AS c FROM gg GROUP BY s),
+         |cum AS (SELECT v2,
+         |          sum(c) OVER (ORDER BY v2
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum,
+         |          sum(c) OVER () AS n
+         |        FROM vc),
+         |b AS (SELECT
+         |        min(CASE WHEN cum >=
+         |              ceil(CAST(0.3333333333333333 AS DOUBLE) * n)
+         |            THEN v2 END) AS b0,
+         |        min(CASE WHEN cum >=
+         |              ceil(CAST(0.6666666666666666 AS DOUBLE) * n)
+         |            THEN v2 END) AS b1
+         |      FROM cum)
+         |SELECT doc_id, n_tokens, n_oov, n_backed, avg_lp,
+         |       CASE WHEN s > b1 THEN 'head'
+         |            WHEN s > b0 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM gg, b ORDER BY doc_id""".stripMargin,
 
     "q_ngram_freq" ->
       s"""WITH $tokCte

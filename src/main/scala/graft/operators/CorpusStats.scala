@@ -246,6 +246,155 @@ object CorpusStats {
         round(avg(col("__lp")), 4).as("avg_lp"))
   }
 
+  /** Exact powers alpha^0..alpha^maxExp by repeated MULTIPLICATION
+    * (never Math.pow — libm pow results differ across engines at the
+    * last ulp; a chain of IEEE multiplies from the same literal does
+    * not). SparkEntry's oracle generator embeds these same doubles as
+    * shortest-round-trip literals, so both engines score with
+    * bit-identical backoff penalties. */
+  private[graft] def alphaPowers(alpha: Double,
+                                 maxExp: Int): IndexedSeq[Double] =
+    Iterator.iterate(1.0)(_ * alpha).take(maxExp + 1).toIndexedSeq
+
+  /** Held-out ORDER-n LM scoring with STUPID BACKOFF (Brants et al.,
+    * "Large Language Models in Machine Translation", EMNLP 2007) — the
+    * CCNet quality filter at its actual grain (Wenzek et al. bucket on
+    * a 5-gram KenLM; [[bigramLogProbAgainst]] is the order-2
+    * surrogate). Stupid backoff is the one n-gram smoothing DESIGNED
+    * for this engine's execution model: the score
+    *
+    * {{{ S(w | h) = count(h w)/count(h)          if count(h w) > 0
+    *              = alpha * S(w | shorter h)      otherwise }}}
+    *
+    * needs only raw count tables — no discounting state, no
+    * normalization pass, no held-out tuning — which is exactly why
+    * Brants et al. chose it for their distributed LM; Kneser-Ney's
+    * continuation counts would add a per-history aggregate at every
+    * order for ~no filtering benefit. Every token is scored at the
+    * LONGEST history available (min(position, order-1) words — a
+    * document's first token scores as a unigram with no penalty;
+    * alpha penalizes only genuine backoff, i.e. using a shorter
+    * history than the position offers). The unigram floor is add-k
+    * over the training vocabulary, `(c1 + k)/(N + k·V)`, so OOV words
+    * stay finite — the same convention as the bigram model.
+    *
+    * Determinism contract (the DuckDB oracle replays every branch):
+    * backoff penalties are [[alphaPowers]]' exact multiply chain
+    * embedded as literals in both plans; each branch's arithmetic is
+    * `(apow * c) / c_ctx` over BIGINT counts — two IEEE ops from
+    * identical inputs; only the final `round(avg(ln(s)), 4)` has a
+    * summation-order surface, the engine-wide avg-of-logs convention.
+    *
+    * Plan shape at 100 TB — and why the count tables stay affordable:
+    *
+    *  - TRAIN side: `order` count tables C_1..C_order, each ONE
+    *    map-side-combined shuffle at j-gram-vocabulary cardinality
+    *    (Heaps-law growth, probed in ScaleProbe's ngram_lm decade
+    *    branch — the 5-gram table grows with DISTINCT 5-grams, far
+    *    sublinear in corpus tokens). They join shuffle-hash, never
+    *    broadcast: at scale each is corpus-vocabulary-sized.
+    *  - SCORE side: ONE doc-keyed window builds all `order` gram
+    *    columns from lagged tokens (no token-array duplication — the
+    *    r14 longdoc lesson: any per-position slice of a kept array is
+    *    O(len²) per document), then the position stream shuffles once
+    *    per count-table join carrying (doc, p, grams). Context counts
+    *    are NOT joined: the count of the j-gram ending at p-1 IS
+    *    lag(c_j) — a second doc-keyed window replaces order-1 more
+    *    corpus-wide join shuffles, and the final groupBy(doc) reuses
+    *    its partitioning exchange-free.
+    *
+    * Output per scored doc: (doc, n_tokens, n_oov, n_backed, avg_lp):
+    * `n_oov` = tokens absent from the training vocabulary, `n_backed`
+    * = positions that could not use their full available history —
+    * both junk signals, like the bigram model's n_unseen. Docs with
+    * ≥1 token appear (the unigram floor scores even 1-token docs). */
+  def ngramLogProbAgainst(train: DataFrame, score: DataFrame,
+                          idCol: String, textCol: String, order: Int,
+                          alpha: Double = 0.4,
+                          k: Double = 0.5): DataFrame = {
+    require(order >= 2 && order <= 8,
+      s"order must be in 2..8, got $order")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"backoff alpha must be in (0, 1], got $alpha")
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    import graft.functions.TextFunctions
+    val apows = alphaPowers(alpha, order - 1)
+    // exponent ∈ {0..order-1} selects its precomputed literal — the
+    // conditions are disjoint, so the chain order is immaterial
+    def alphaPow(e: org.apache.spark.sql.Column) =
+      (1 until order).foldLeft(lit(1.0)) { (acc, i) =>
+        when(e === i, lit(apows(i))).otherwise(acc) }
+
+    // train count tables C_1..C_order, keyed g$j -> c$j
+    val counts = (1 to order).map { j =>
+      val grams =
+        if (j == 1)
+          train.select(explode(TextFunctions.tokens(col(textCol)))
+            .as(s"g$j"))
+        else
+          train.select(explode(
+            TextFunctions.wordNgramsAll(col(textCol), j)).as(s"g$j"))
+      grams.groupBy(s"g$j").agg(count(lit(1)).as(s"c$j"))
+        .hint("shuffle_hash")
+    }
+    // one-row broadcasts: N = train token count, V = train vocabulary
+    val nv = broadcast(
+      train.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .agg(count(lit(1)).as("__n"),
+          count_distinct(col("w")).as("__v")))
+
+    val w = Window.partitionBy("doc").orderBy("p")
+    // grams ending at p for each length: concat null-propagates, so a
+    // position with a too-short history gets NULL (concat_ws would
+    // silently collapse it onto the shorter gram)
+    val gramCols = (1 to order).map { j =>
+      val parts = ((j - 1) to 1 by -1).flatMap(d =>
+        Seq(lag(col("tok"), d).over(w), lit(" "))) :+ col("tok")
+      (if (j == 1) col("tok") else concat(parts: _*)).as(s"g$j")
+    }
+    val pos = score
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("doc"), (col("p0") + 1).as("p"), col("tok"))
+      .select(Seq(col("doc"), col("p")) ++ gramCols: _*)
+    val joined = counts.zipWithIndex.foldLeft(pos) { case (df, (c, i)) =>
+      df.join(c, Seq(s"g${i + 1}"), "left_outer")
+    }
+    // context counts via lag: count of the j-gram ending at p-1 is the
+    // denominator for the (j+1)-gram branch (a prefix of an observed
+    // gram is observed at least as often, so the division is safe)
+    val w2 = Window.partitionBy("doc").orderBy("p")
+    val withCtx = joined.select(
+      Seq(col("doc"), col("p")) ++
+        (1 to order).map(j => col(s"c$j")) ++
+        (1 until order).map(j => lag(col(s"c$j"), 1).over(w2).as(s"b$j")): _*)
+    val m = least(col("p"), lit(order)) // longest history available
+    val base = alphaPow(m - 1) *
+      (coalesce(col("c1"), lit(0L)) + lit(k)) /
+      (col("__n") + lit(k) * col("__v"))
+    val s = (2 to order).foldLeft(base) { (acc, j) =>
+      when(col(s"c$j").isNotNull,
+        alphaPow(m - j) * col(s"c$j") / col(s"b${j - 1}"))
+        .otherwise(acc)
+    }
+    // the full-available-order count at this position — null means the
+    // position backed off below what its history allowed
+    val fullA = (2 until order).foldLeft(
+      when(col("p") >= order, col(s"c$order"))) { (acc, j) =>
+      acc.when(col("p") === j, col(s"c$j"))
+    }
+    withCtx.crossJoin(nv)
+      .select(col("doc"),
+        when(col("c1").isNull, 1L).otherwise(0L).as("__oov"),
+        when(col("p") >= 2 && fullA.isNull, 1L).otherwise(0L)
+          .as("__backed"),
+        log(s).as("__lp"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("__oov").as("n_oov"),
+        sum("__backed").as("n_backed"),
+        round(avg(col("__lp")), 4).as("avg_lp"))
+  }
+
   /** BM25 ranked retrieval: for each named query, the top-`k` documents
     * by the Robertson/Lucene BM25 score
     *

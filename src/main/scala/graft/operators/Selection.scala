@@ -314,4 +314,32 @@ object Selection {
       .select(col("doc"), col("n_bigrams"), col("n_unseen"),
         col("avg_lp"), col("bucket"))
   }
+
+  /** CCNet buckets at the PAPER's grain — order-n scoring (Wenzek et
+    * al. use a 5-gram KenLM; this is the engine's 5-gram with stupid
+    * backoff, [[CorpusStats.ngramLogProbAgainst]]) instead of the
+    * order-2 surrogate above. Same flip-immune tercile construction
+    * on the integer grid; the scoring plan is the n-gram model's (one
+    * count-table shuffle per order, doc-windowed contexts), the
+    * bucketing adds only the 1-row bounds broadcast.
+    *
+    * Output: (doc, n_tokens, n_oov, n_backed, avg_lp, bucket) —
+    * every doc with ≥1 token appears (the unigram floor scores even
+    * 1-token docs, unlike the bigram form's ≥2). */
+  def perplexityBuckets(train: DataFrame, score: DataFrame, idCol: String,
+                        textCol: String, order: Int, alpha: Double,
+                        k: Double): DataFrame = {
+    val scored = CorpusStats.ngramLogProbAgainst(train, score, idCol,
+      textCol, order, alpha, k)
+    val g = scored.withColumn("__s",
+      round(col("avg_lp") * 10000, 0).cast("long"))
+    val bounds = Sampling.discreteBounds(g, "__s", Seq(1.0 / 3, 2.0 / 3))
+    g.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("__s") > col("__b1"), lit("head"))
+          .when(col("__s") > col("__b0"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc"), col("n_tokens"), col("n_oov"),
+        col("n_backed"), col("avg_lp"), col("bucket"))
+  }
 }

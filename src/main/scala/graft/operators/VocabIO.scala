@@ -16,6 +16,11 @@ import org.json4s.jackson.JsonMethods
   *    writes the classic `"l r"` string merge form; import accepts
   *    both that and the newer `["l", "r"]` pair form, so files from
   *    any tokenizers version load.
+  *  - HuggingFace `tokenizer.json`, `model.type = "Unigram"` subset —
+  *    `{"model": {"type": "Unigram", "unk_id": i?, "vocab": [[piece,
+  *    score], …]}}`, the array-of-pairs layout the tokenizers library
+  *    stores scored vocabularies in (and the format
+  *    [[Subword.trainUnigram]]'s output ships to real tooling).
   *  - SentencePiece `.vocab` text — one `piece<TAB>score` line per
   *    piece in id order (the human-readable artifact `spm_train`
   *    emits next to its model; scores are log-probs, exactly
@@ -100,6 +105,67 @@ object VocabIO {
         s"model.merges is not an array: $other")
     }
     (pieces, merges)
+  }
+
+  /** HuggingFace tokenizer.json, `model.type = "Unigram"` subset —
+    * `{"model": {"type": "Unigram", "unk_id": i?, "vocab": [[piece,
+    * score], …]}}` with double log-prob scores: the format
+    * [[Subword.trainUnigram]]'s output actually ships in (HF
+    * tokenizers' Unigram model stores the vocab as an ARRAY of
+    * [piece, score] pairs, id = position — not the BPE form's
+    * piece→id object). `unk_id` is optional, as in the tooling's own
+    * files, and round-trips when present. */
+  def toHfUnigramJson(vocab: Seq[(String, Double)],
+                      unkId: Option[Int] = None): String = {
+    require(vocab.map(_._1).distinct.length == vocab.length,
+      "duplicate piece in vocab")
+    unkId.foreach(i => require(i >= 0 && i < vocab.length,
+      s"unk_id $i is outside the vocab (size ${vocab.length})"))
+    val fields: List[JField] =
+      List("type" -> (JString("Unigram"): JValue)) :::
+        unkId.map(i => "unk_id" -> (JInt(i): JValue)).toList :::
+        List("vocab" -> (JArray(vocab.map { case (p, s) =>
+          JArray(List(JString(p), JDouble(s))): JValue }.toList): JValue))
+    val json = JObject(
+      "version" -> JString("1.0"),
+      "model" -> JObject(fields))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  /** Parse a HuggingFace tokenizer.json Unigram model: returns (pieces
+    * with scores in id order, optional unk_id). Integer-rendered
+    * scores (a foreign writer's `-10` for `-10.0`) are accepted;
+    * duplicate pieces and an out-of-range unk_id are refused loudly,
+    * the same boundary discipline as the BPE form. */
+  def fromHfUnigramJson(s: String): (Seq[(String, Double)], Option[Int]) = {
+    val model = JsonMethods.parse(s) \ "model"
+    model \ "type" match {
+      case JString("Unigram") => ()
+      case other => throw new IllegalArgumentException(
+        s"expected model.type Unigram, got $other")
+    }
+    val unk = model \ "unk_id" match {
+      case JInt(i) => Some(i.toInt)
+      case JNothing | JNull => None
+      case other => throw new IllegalArgumentException(
+        s"model.unk_id is not an integer: $other")
+    }
+    val vocab = model \ "vocab" match {
+      case JArray(xs) => xs.map {
+        case JArray(List(JString(p), JDouble(sc))) => (p, sc)
+        case JArray(List(JString(p), JInt(i))) => (p, i.toDouble)
+        case JArray(List(JString(p), JDecimal(d))) => (p, d.toDouble)
+        case other => throw new IllegalArgumentException(
+          s"vocab entry is not [piece, score]: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"model.vocab is not an array: $other")
+    }
+    require(vocab.map(_._1).distinct.length == vocab.length,
+      "duplicate piece in model.vocab")
+    unk.foreach(i => require(i >= 0 && i < vocab.length,
+      s"unk_id $i is outside the vocab (size ${vocab.length})"))
+    (vocab, unk)
   }
 
   /** SentencePiece `.vocab` text: one `piece<TAB>score` line per piece

@@ -320,6 +320,44 @@ class CorpusStatsSpec extends SparkSpec {
       s"in-distribution must outscore junk: $scores")
   }
 
+  test("ngram stupid backoff: every branch on a hand-computed vector") {
+    val s = spark
+    import s.implicits._
+    // train: tokens a b c a b d -> N=6, V=4 (a:2 b:2 c:1 d:1);
+    // bigrams "a b"x2 "b c" "b d"; trigrams "a b c" "a b d"
+    val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // scored "a b c x b" walks all five cases:
+    //  p1 'a': 1-token history available -> unigram, NO penalty
+    //  p2 'b': bigram "a b" seen at its full available order
+    //  p3 'c': trigram "a b c" seen (ctx count = c2("a b") = 2)
+    //  p4 'x': OOV -> backs to the alpha^2-penalized unigram floor
+    //  p5 'b': in-vocab but both grams unseen -> alpha^2 * unigram
+    val score = Seq((10L, "a b c x b")).toDF("doc_id", "text")
+    val got = CorpusStats.ngramLogProbAgainst(train, score,
+      "doc_id", "text", order = 3, alpha = 0.4, k = 0.5).collect().head
+    val a2 = 0.4 * 0.4 // the exact multiply-chain literal
+    val uni = (2 + 0.5) / (6 + 0.5 * 4) // c1=2 tokens a/b
+    val lp = Seq(math.log(uni), math.log(2.0 / 2),
+      math.log(1.0 / 2), math.log(a2 * (0 + 0.5) / (6 + 0.5 * 4)),
+      math.log(a2 * uni))
+    assert(got.getLong(1) == 5L, "n_tokens")
+    assert(got.getLong(2) == 1L, "n_oov: only 'x'")
+    assert(got.getLong(3) == 2L, "n_backed: 'x' and final 'b'")
+    assert(math.abs(got.getDouble(4) -
+      BigDecimal(lp.sum / 5).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // a 1-token doc scores at the unpenalized unigram floor (the
+    // bigram model would drop it)
+    val one = CorpusStats.ngramLogProbAgainst(train,
+      Seq((11L, "a")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().head
+    assert(one.getLong(1) == 1L && one.getLong(3) == 0L)
+    assert(math.abs(one.getDouble(4) - BigDecimal(math.log(uni))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    intercept[IllegalArgumentException](CorpusStats.ngramLogProbAgainst(
+      train, score, "doc_id", "text", order = 1))
+  }
+
   test("sourceDivergence matches the exact driver KL on a hand vector") {
     val s = spark
     import s.implicits._

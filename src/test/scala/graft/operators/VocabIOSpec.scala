@@ -88,4 +88,43 @@ class VocabIOSpec extends SparkSpec {
     assert(VocabIO.fromSentencePieceVocab("a\t-1.5\r\nb\t-2.5\r\n") ==
       Seq(("a", -1.5), ("b", -2.5)))
   }
+
+  test("trained unigram vocab round-trips through the HF Unigram " +
+      "tokenizer.json byte-stably and re-segments identically") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, "value window value stream able window"))
+      .toDF("doc_id", "text")
+    val vocab = Subword.trainUnigram(docs, "text", 20, 8, 2, 4, 2, -10.0)
+    val json = VocabIO.toHfUnigramJson(vocab, unkId = Some(0))
+    val (vocab2, unk) = VocabIO.fromHfUnigramJson(json)
+    assert(vocab2 == vocab && unk.contains(0))
+    assert(VocabIO.toHfUnigramJson(vocab2, unk) == json) // byte-stable
+    def seg(v: Map[String, Double]): Map[Long, (Long, Long)] =
+      Subword.unigramCounts(docs, "doc_id", "text", v, -10.0)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(seg(vocab2.toMap) == seg(vocab.toMap))
+    // unk_id omitted -> absent from the JSON and from the parse
+    val noUnk = VocabIO.toHfUnigramJson(Seq(("a", -1.5)))
+    assert(!noUnk.contains("unk_id") &&
+      VocabIO.fromHfUnigramJson(noUnk) == ((Seq(("a", -1.5)), None)))
+    // a foreign writer's integer-rendered score parses as its double
+    val (v3, _) = VocabIO.fromHfUnigramJson(
+      """{"model":{"type":"Unigram","vocab":[["a",-10]]}}""")
+    assert(v3 == Seq(("a", -10.0)))
+    // wrong model type, duplicate pieces, malformed entries and an
+    // out-of-range unk_id are refused loudly
+    intercept[IllegalArgumentException](VocabIO.fromHfUnigramJson(
+      """{"model":{"type":"BPE","vocab":[["a",-1.0]]}}"""))
+    intercept[IllegalArgumentException](VocabIO.fromHfUnigramJson(
+      """{"model":{"type":"Unigram","vocab":[["a",-1.0],["a",-2.0]]}}"""))
+    intercept[IllegalArgumentException](VocabIO.fromHfUnigramJson(
+      """{"model":{"type":"Unigram","vocab":[["a"]]}}"""))
+    intercept[IllegalArgumentException](VocabIO.fromHfUnigramJson(
+      """{"model":{"type":"Unigram","unk_id":5,"vocab":[["a",-1.0]]}}"""))
+    intercept[IllegalArgumentException](
+      VocabIO.toHfUnigramJson(Seq(("a", -1.0)), unkId = Some(3)))
+  }
 }
