@@ -1112,6 +1112,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DoReMi-style mixture-weight LEARNING (Xie et al. 2023): excess
+    // loss per domain = global-generalist minus own-specialist
+    // held-out bigram loss; 4 integer multiplicative-weights rounds +
+    // uniform smoothing. The oracle replays ALL rounds (generated CTE
+    // chain, the quality-classifier pattern) — every loss, every
+    // renormalization, bit-exact
+    "q_doremi_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Selection.doremiWeights(
+        all.where(col("doc_id") % 3 =!= 0),
+        all.where(col("doc_id") % 3 === 0), "doc_id", "text", "source",
+        rounds = 4, eta = 0.5, smoothMicro = 200000L)
+    }),
+
     // subword tokenization (greedy longest-match against an explicit
     // vocab): per-doc piece/unk totals. Tokenization runs once per
     // DISTINCT word (Zipf amortization); counts join back by word. The
@@ -1789,6 +1803,30 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", 0.4)
         .orderBy("id1", "id2")),
+
+    // SemDeDup composed at the paper's shape (Abbas et al. 2023):
+    // assign cells against 10 fixed centroids (the ivf-gate
+    // convention), find >= 0.85 pairs WITHIN cells only, keep each
+    // duplicate group's member least similar to its centroid. Shifted
+    // copies (the q_dedup_embedding_lsh construction) provide real
+    // duplicate groups; copies landing in a different cell than their
+    // original are MISSED by design — the paper's recall trade, and
+    // the oracle replays the same assignment so the miss set is
+    // deterministic
+    "q_semdedup" -> ((s, d) => {
+      val base = emb(s, d)
+        .select(col("vec_id"), VF.asDoubles(col("embedding")).as("embedding"))
+      val shifted = base.where(col("vec_id") < 250)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
+      val centroids = base.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Dedup.semDedup(base.unionAll(shifted), "vec_id", "embedding",
+          centroids, "cid", "cvec", 0.85)
+        .select(col("vid").as("vec_id"), col("cell"), col("cent_sim"),
+          col("component"), col("keep"))
+        .orderBy("vec_id")
+    }),
 
     // same operator at a near-dup threshold: 0.85 dispatches to the
     // banded-LSH branch (embeddingPairsLsh), so BOTH candidate-generation
@@ -3040,6 +3078,86 @@ object SparkEntry {
        |             sum(backed)::BIGINT AS n_backed,
        |             round(avg(lp), 4) AS avg_lp
        |           FROM lpp GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The q_doremi_weights oracle: full replay of
+    * [[graft.operators.Selection.doremiWeights]] — global + per-domain
+    * held-out bigram losses on the 1e-4 grid, then every
+    * multiplicative-weights round unrolled as one CTE each (the
+    * quality-classifier oracle pattern). All weight arithmetic is
+    * BIGINT except the one renormalizing division per (domain, round),
+    * CAST-ed exactly as the Scala loop computes it. */
+  private def doremiOracleSql(rounds: Int, eta: Double,
+                              smoothMicro: Long): String = {
+    val etaD = s"CAST($eta AS DOUBLE)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""r$r AS (SELECT source, n_docs, lg, lo, ex,
+         |  round(CAST(raw AS DOUBLE) / CAST(sum(raw) OVER () AS DOUBLE)
+         |        * CAST(1000000 AS DOUBLE))::BIGINT AS w
+         |  FROM (SELECT *, w * (1000000 +
+         |          round($etaD * (ex * 100))::BIGINT) AS raw
+         |        FROM r${r - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tds AS (SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |              x -> x <> '') tk
+       |  FROM documents WHERE source IS NOT NULL),
+       |trd AS (SELECT * FROM tds WHERE doc_id % 3 <> 0),
+       |scd AS (SELECT * FROM tds WHERE doc_id % 3 = 0),
+       |c2g AS (SELECT bg, count(*)::BIGINT AS c2
+       |        FROM ${ngramRowsSql("trd", 2)} GROUP BY 1),
+       |ugg AS (SELECT w, count(*)::BIGINT AS c1
+       |        FROM (SELECT unnest(tk) w FROM trd) GROUP BY 1),
+       |vg AS (SELECT count(*)::BIGINT AS vv FROM ugg),
+       |bgsc AS (SELECT doc_id, bg FROM ${ngramRowsSql("scd", 2)}),
+       |gsc AS (SELECT doc_id,
+       |          round(avg(ln((coalesce(c2g.c2, 0) + 0.5) /
+       |                       (coalesce(ugg.c1, 0) + 0.5 * vg.vv))), 4)
+       |            AS avg_lp
+       |        FROM bgsc LEFT JOIN c2g USING (bg)
+       |        LEFT JOIN ugg ON split_part(bgsc.bg, ' ', 1) = ugg.w
+       |        CROSS JOIN vg GROUP BY doc_id),
+       |bgtro AS (SELECT t.source, r.bg
+       |          FROM ${ngramRowsSql("trd", 2)} r JOIN trd t USING (doc_id)),
+       |c2o AS (SELECT source, bg, count(*)::BIGINT AS c2
+       |        FROM bgtro GROUP BY 1, 2),
+       |ugo AS (SELECT source, w, count(*)::BIGINT AS c1
+       |        FROM (SELECT source, unnest(tk) w FROM trd) GROUP BY 1, 2),
+       |vdo AS (SELECT source, count(*)::BIGINT AS vv FROM ugo GROUP BY 1),
+       |bgsco AS (SELECT r.doc_id, t.source, r.bg
+       |          FROM ${ngramRowsSql("scd", 2)} r JOIN scd t USING (doc_id)),
+       |osc AS (SELECT b.doc_id,
+       |          round(avg(ln((coalesce(c.c2, 0) + 0.5) /
+       |                       (coalesce(u.c1, 0) + 0.5 * v.vv))), 4)
+       |            AS avg_lp
+       |        FROM bgsco b
+       |        LEFT JOIN c2o c ON b.source = c.source AND b.bg = c.bg
+       |        LEFT JOIN ugo u ON b.source = u.source
+       |                       AND split_part(b.bg, ' ', 1) = u.w
+       |        JOIN vdo v ON b.source = v.source
+       |        GROUP BY b.doc_id),
+       |per AS (SELECT t.source, count(*)::BIGINT AS n_docs,
+       |          sum(round(g.avg_lp * 10000)::BIGINT)::BIGINT AS sg,
+       |          sum(round(o.avg_lp * 10000)::BIGINT)::BIGINT AS so
+       |        FROM scd t JOIN gsc g USING (doc_id) JOIN osc o USING (doc_id)
+       |        GROUP BY 1),
+       |lx AS (SELECT source, n_docs,
+       |         round(CAST(-sg AS DOUBLE) / n_docs)::BIGINT AS lg,
+       |         round(CAST(-so AS DOUBLE) / n_docs)::BIGINT AS lo
+       |       FROM per),
+       |r0 AS (SELECT source, n_docs, lg, lo,
+       |         greatest(0, lg - lo)::BIGINT AS ex,
+       |         1000000::BIGINT AS w
+       |       FROM lx),
+       |$roundCtes,
+       |kk AS (SELECT count(*)::BIGINT AS kd FROM r0)
+       |SELECT source, n_docs, lg AS loss_global_i4, lo AS loss_own_i4,
+       |       ex AS excess_i4, w AS weight_micro,
+       |       round(CAST((1000000 - $smoothMicro) * w AS DOUBLE) /
+       |             CAST(1000000 AS DOUBLE))::BIGINT +
+       |       round(CAST($smoothMicro AS DOUBLE) / kk.kd)::BIGINT
+       |         AS alpha_micro
+       |FROM r$rounds CROSS JOIN kk ORDER BY source""".stripMargin
   }
 
   /** Shared SQL fragment: distinct 3-gram shingles per doc (list-valued,
@@ -4689,6 +4807,10 @@ object SparkEntry {
          |            ELSE 'tail' END AS bucket
          |FROM g, b ORDER BY doc_id""".stripMargin,
 
+    // the full mixture-learning replay: per-domain losses + every MW
+    // round unrolled (see doremiOracleSql)
+    "q_doremi_weights" -> doremiOracleSql(4, 0.5, 200000L),
+
     // order-3 stupid backoff, every branch replayed (generated CTE
     // chain — see ngramLmScoredSql)
     "q_ngram_lm" ->
@@ -6137,6 +6259,50 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |                             b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+
+    // full SemDeDup replay: same shifted-copy corpus, same 10-centroid
+    // argmax assignment as the ivf oracles (zero-norm rows excluded —
+    // the engine convention), within-cell pairs only, recursive-CTE
+    // closure (the q_dedup_clusters pattern), keep = least
+    // centroid-similar per component on the 6-decimal grid
+    "q_semdedup" ->
+      """WITH RECURSIVE
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.08)
+        |  FROM base WHERE vec_id < 250),
+        |e AS (SELECT vec_id, v FROM corpus
+        |      WHERE list_dot_product(v, v) > 0),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < 10),
+        |asg AS MATERIALIZED (SELECT vec_id, v, cell,
+        |         round(sim, 6) + 0.0 AS cent_sim FROM (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         list_cosine_similarity(e.v, c.cv) AS sim,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+        |           AS rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        |      FROM asg a JOIN asg b
+        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.85),
+        |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM p
+        |          UNION SELECT d2, d1 FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+        |comp AS (SELECT u AS vec_id, least(min(v), u) AS component
+        |         FROM reach GROUP BY u)
+        |SELECT a.vec_id, a.cell, a.cent_sim,
+        |       coalesce(c.component, a.vec_id) AS component,
+        |       row_number() OVER (
+        |         PARTITION BY coalesce(c.component, a.vec_id)
+        |         ORDER BY a.cent_sim ASC, a.vec_id ASC) = 1 AS keep
+        |FROM asg a LEFT JOIN comp c USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     // exact quadratic oracle for the LSH branch: valid because the banded
     // candidate generation is deterministic with a 1e-9 per-pair miss

@@ -1134,6 +1134,85 @@ object Dedup {
   /** Pairs of vectors with cosine similarity >= threshold, by brute-force
     * pairwise comparison. Quadratic — the exactness oracle the LSH path
     * is verified against in DedupSpec. */
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster
+    * embeddings, find near-duplicate pairs WITHIN each cluster only,
+    * and keep one representative per duplicate group — the paper keeps
+    * the member LEAST similar to its cluster centroid (pruning toward
+    * diversity), ties by id. This composes the engine's own gated
+    * parts — [[Similarity.assignCells]] (or [[Similarity.trainCentroids]]
+    * upstream), the within-cell cosine join, and
+    * [[Clustering.connectedComponents]] — into the paper's ONE plan.
+    *
+    * Why this scales where all-pairs cannot: the pair join's equi-key
+    * IS the cell, so no cross-cell pair is ever formed and the
+    * quadratic term is Σ_cells |cell|² — bounded by choosing k so
+    * cells stay small (the paper's own cost model; at 100 TB, k grows
+    * with the corpus and [[Similarity.trainCentroids]]'s byte-capped
+    * sampling trains it). Cross-cell duplicates are MISSED by design —
+    * the paper's documented recall trade — and both engines replay the
+    * same assignment, so the miss set is deterministic, not noise.
+    * Components run on within-cell edges (large-star/small-star, the
+    * cluster-resolution machinery); centroid similarity rounds to 6
+    * decimals so the keep pick is grid-deterministic across engines.
+    *
+    * Zero-norm vectors have no cosine (the engine-wide convention:
+    * the sim is NULL and the row falls out) — they are dropped here
+    * up front, never silently assigned to a cell.
+    *
+    * Output: one verdict row per surviving input vector —
+    * (vid, cell, cent_sim, component, keep); singletons (no duplicate
+    * above `tau` in their cell) are their own component and survive. */
+  def semDedup(df: DataFrame, id: String, vec: String,
+               centroids: DataFrame, cid: String, cvec: String,
+               tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v0 = df.select(col(id).cast("long").as("vid"),
+        asDoubles(col(vec)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .where(col("nrm") > 0.0)
+    val asg = Similarity.assignCells(v0, "vid", "v", centroids, cid, cvec)
+      .select(col("vid"), col("v"), col("nrm"), col("cell"),
+        round(col("cell_sim"), 6).as("cent_sim"))
+    semDedupAssigned(asg, tau)
+  }
+
+  /** The within-cell half of [[semDedup]] over an ALREADY-assigned
+    * frame `(vid, v, nrm, cell, cent_sim)` — the entry point a 100 TB
+    * run actually uses: cell assignment is a once-per-corpus artifact
+    * (persist it bucketed by cell, or read it straight out of the
+    * persisted IVF index, whose cell-partitioned layout is exactly
+    * this frame), amortized across every consumer, while the argmax
+    * scan in [[semDedup]]'s convenience form re-pays corpus × k every
+    * call. Separating the halves also separates the scale arguments:
+    * assignment is the IVF family's probed concern; THIS stage's work
+    * is Σ|cell|² dot products + the component closure — it must scale
+    * with cell sizes, never corpus². */
+  def semDedupAssigned(asg: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val a = asg.select(col("cell"), col("vid").as("d1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = asg.select(col("cell"), col("vid").as("d2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    // within-cell pairs only; shuffle-hash pinned (both sides are
+    // corpus-sized — a stats misestimate must never try to broadcast)
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("cell"))
+      .where(col("d1") < col("d2"))
+      .withColumn("sim",
+        cosineFrom(dot(col("v1"), col("v2")), col("n1"), col("n2")))
+      .where(col("sim") >= tau)
+      .select(col("cell"), col("d1"), col("d2"))
+    val comp = Clustering.connectedComponents(pairs, "d1", "d2")
+      .select(col("id").as("vid"), col("component"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("cent_sim").asc, col("vid").asc)
+    asg.join(comp, Seq("vid"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("vid")))
+      .select(col("vid"), col("cell"), col("cent_sim"), col("component"),
+        (row_number().over(w) === 1).as("keep"))
+  }
+
   def embeddingPairsExact(df: DataFrame, id: String, vec: String,
                           threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._

@@ -342,4 +342,145 @@ object Selection {
       .select(col("doc"), col("n_tokens"), col("n_oov"),
         col("n_backed"), col("avg_lp"), col("bucket"))
   }
+
+  /** The DoReMi multiplicative-weights loop over STATIC per-domain
+    * excess losses — shared verbatim between [[doremiWeights]]'s
+    * driver path and SelectionSpec's local twin (the unigramEmCore
+    * discipline: one loop implementation, zero drift). All state is
+    * integer: weights in micro-units, the per-round multiplier
+    * `1e6 + roundAway(eta · excess_i4 · 100)` (excess is on the 1e-4
+    * loss grid, ×100 lifts it to micro-units), and renormalization
+    * `roundAway(raw/total · 1e6)` — the one double division per
+    * (domain, round), computed from exact longs, so any engine
+    * replays every round bit-identically. Input rows:
+    * (source, n_docs, loss_global_i4, loss_own_i4). Returns
+    * (source → (excess_i4, weight_micro, alpha_micro)). */
+  private[graft] def doremiLoop(perSource: Seq[(String, Long, Long, Long)],
+                                rounds: Int, eta: Double,
+                                smoothMicro: Long): Map[String, (Long, Long, Long)] = {
+    val kDom = perSource.length
+    require(kDom >= 1, "no domains to weight")
+    val ex = perSource.map { case (src, _, lg, lo) =>
+      src -> math.max(0L, lg - lo) }.toMap
+    var w = perSource.map { case (src, _, _, _) => src -> 1000000L }.toMap
+    var r = 0
+    while (r < rounds) {
+      val raw = perSource.map { case (src, _, _, _) =>
+        src -> w(src) * (1000000L + roundAway(eta * (ex(src) * 100L).toDouble))
+      }.toMap
+      val total = raw.values.sum
+      w = perSource.map { case (src, _, _, _) =>
+        src -> roundAway(raw(src).toDouble / total.toDouble * 1000000.0)
+      }.toMap
+      r += 1
+    }
+    perSource.map { case (src, _, _, _) =>
+      val alpha = roundAway(((1000000L - smoothMicro) * w(src)).toDouble /
+          1000000.0) + roundAway(smoothMicro.toDouble / kDom)
+      src -> ((ex(src), w(src), alpha))
+    }.toMap
+  }
+
+  /** DoReMi-style domain-weight LEARNING (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023): learn per-source mixture weights by exponentiated-
+    * gradient ascent on per-domain EXCESS loss, then smooth with the
+    * uniform distribution — the paper's Algorithm 1 with this engine's
+    * held-out bigram LM standing in for the proxy/reference model
+    * pair. The loss surrogate: the REFERENCE loss of domain d is its
+    * own specialist model (held-out docs of d scored by counts trained
+    * on d's train split — the best a model of this family achieves on
+    * d), the PROXY loss is the global generalist (same docs under
+    * counts trained on ALL domains); the excess
+    * `max(0, L_global(d) − L_own(d))` upweights domains the
+    * generalist underserves relative to their intrinsic entropy —
+    * exactly the paper's argument for excess over raw loss. The
+    * multiplicative update uses the Hedge-style linear multiplier
+    * `(1 + eta·excess)` rather than `exp(eta·excess)` (both are the
+    * public MW recipe — Freund & Schapire 1997) because it keeps the
+    * whole loop on the integer grid: no transcendental whose last ulp
+    * could differ across engines.
+    *
+    * Determinism: per-doc scores land on the 1e-4 grid (the engine's
+    * round-4 avg-of-logs convention); per-domain sums of those grid
+    * values are exact integer arithmetic, the per-domain mean is one
+    * double division of exact longs, and [[doremiLoop]] replays in
+    * any engine bit-exactly — the quality classifier's quantization
+    * discipline applied to mixture learning.
+    *
+    * Plan shape at 100 TB: the global model is
+    * [[CorpusStats.bigramLogProbAgainst]]'s (count tables shuffle once
+    * at vocabulary grain); the per-domain model re-keys the same
+    * streams by (source, gram) — same volume, one extra key column —
+    * and the per-source vocabulary frame broadcasts (#domains rows).
+    * Driver state is #domains × 4 longs (the mixture-component count —
+    * tens, by the same bounded-collect contract as the classifier's
+    * 513 gradient rows). Docs with a NULL source carry no domain label
+    * and are excluded; a held-out domain absent from train has no
+    * specialist model and drops (both loudly documented here rather
+    * than silently mis-scored).
+    *
+    * Output: (source, n_docs, loss_global_i4, loss_own_i4, excess_i4,
+    * weight_micro, alpha_micro) — losses in 1e-4 nats, weights/alpha
+    * in micro-units summing to ~1e6 (±1 per domain of rounding dust),
+    * ready for [[Sampling]]'s byWeight/temperature mixers. */
+  def doremiWeights(train: DataFrame, heldout: DataFrame, idCol: String,
+                    textCol: String, sourceCol: String, rounds: Int = 4,
+                    eta: Double = 0.5, smoothMicro: Long = 200000L,
+                    k: Double = 0.5): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    require(eta > 0.0, s"eta must be positive, got $eta")
+    require(smoothMicro >= 0L && smoothMicro <= 1000000L,
+      s"smoothMicro must be in [0, 1e6], got $smoothMicro")
+    import graft.functions.TextFunctions
+    val spark = train.sparkSession
+    import spark.implicits._
+    val tr = train.where(col(sourceCol).isNotNull)
+    val ho = heldout.where(col(sourceCol).isNotNull)
+    // proxy loss: the global generalist
+    val g = CorpusStats.bigramLogProbAgainst(tr, ho, idCol, textCol, k)
+      .select(col("doc"),
+        round(col("avg_lp") * 10000, 0).cast("long").as("gi"))
+    // reference loss: each domain's own specialist — the same count
+    // joins re-keyed by (src, gram); per-source vocab broadcasts
+    val c2 = tr.select(col(sourceCol).as("src"),
+        explode(TextFunctions.wordNgramsAll(col(textCol), 2)).as("bg"))
+      .groupBy("src", "bg").agg(count(lit(1)).as("c2"))
+      .hint("shuffle_hash")
+    val ug = tr.select(col(sourceCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c1"))
+      .hint("shuffle_hash")
+    val vd = ug.groupBy("src").agg(count(lit(1)).as("__v"))
+    val o = ho.select(col(idCol).as("doc"), col(sourceCol).as("src"),
+        explode(TextFunctions.wordNgramsAll(col(textCol), 2)).as("bg"))
+      .join(c2, Seq("src", "bg"), "left_outer")
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(ug, Seq("src", "w"), "left_outer")
+      .join(broadcast(vd), Seq("src")) // train-absent domains drop
+      .withColumn("__lp", log(
+        (coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("__v"))))
+      .groupBy("doc")
+      .agg(round(avg(col("__lp")), 4).as("avg_lp"))
+      .select(col("doc"),
+        round(col("avg_lp") * 10000, 0).cast("long").as("oi"))
+    val perSource = ho.select(col(idCol).as("doc"),
+        col(sourceCol).as("src"))
+      .join(g, "doc").join(o, "doc")
+      .groupBy("src").agg(count(lit(1)).as("n"),
+        sum("gi").as("sg"), sum("oi").as("so"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        roundAway((-r.getLong(2)).toDouble / r.getLong(1)),
+        roundAway((-r.getLong(3)).toDouble / r.getLong(1))))
+      .toSeq.sortBy(_._1)
+    val learned = doremiLoop(perSource, rounds, eta, smoothMicro)
+    perSource.map { case (src, n, lg, lo) =>
+      val (ex, wm, am) = learned(src)
+      (src, n, lg, lo, ex, wm, am)
+    }.toDF("source", "n_docs", "loss_global_i4", "loss_own_i4",
+      "excess_i4", "weight_micro", "alpha_micro")
+      .orderBy("source")
+  }
 }

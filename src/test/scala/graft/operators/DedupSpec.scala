@@ -650,4 +650,41 @@ class DedupSpec extends SparkSpec {
     val n = cut((1L, null.asInstanceOf[String]), (2L, "abcd"))
     assert(n(1L) == null)
   }
+
+  test("semDedup: within-cell groups resolved to the least " +
+      "centroid-similar member; cross-cell dups missed by design; " +
+      "zero vectors dropped") {
+    val s = spark
+    import s.implicits._
+    // centroids along the two axes; a1/a2 nearly colinear with c0 (a
+    // dup pair in cell 0 — a2 is FARTHER from the centroid, so a2
+    // survives), a3 alone in cell 1, b1/b2 a near-dup pair that lands
+    // in DIFFERENT cells (cos(b1,b2) ≈ 0.976 > 0.85) — missed, both
+    // keep. The zero vector has no cosine and must not appear.
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.01)), (11L, Seq(1.0, 0.02)),
+      (20L, Seq(0.02, 1.0)),
+      (30L, Seq(1.0, 0.8)), (31L, Seq(0.8, 1.0)),
+      (99L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(vecs, "vec_id", "embedding", cents,
+        "cid", "cvec", 0.85)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+    assert(!got.contains(99L), "zero vector must drop")
+    assert(got(10L)._1 == 0L && got(11L)._1 == 0L && got(20L)._1 == 1L)
+    assert(got(30L)._1 == 0L && got(31L)._1 == 1L)
+    // the duplicate group {10, 11}: component = min id, survivor = 11
+    // (least similar to c0)
+    assert(got(10L)._2 == 10L && got(11L)._2 == 10L)
+    assert(!got(10L)._3 && got(11L)._3,
+      s"keep must pick the least centroid-similar member: $got")
+    // singletons and the missed cross-cell pair all survive
+    assert(got(20L)._3 && got(30L)._3 && got(31L)._3)
+    assert(got(30L)._2 == 30L && got(31L)._2 == 31L,
+      "cross-cell pair must NOT share a component")
+  }
 }

@@ -167,6 +167,107 @@ class SelectionSpec extends SparkSpec {
     assert(w2.toSeq == w.toSeq && b2 == b)
   }
 
+  test("doremiWeights: local == distributed; the underserved domain " +
+      "gains weight; null sources and train-absent domains drop") {
+    val s = spark
+    import s.implicits._
+    // domain A has a rich vocabulary, B a tiny one: the GLOBAL model's
+    // bigger V smooths every score down, and the hit is relatively
+    // larger for B (its own V is 4 vs the global 12), so B's excess
+    // loss — hence its learned weight — must exceed A's
+    val train = Seq(
+      (1L, Some("A"), "red fox jumps over lazy dog near old barn"),
+      (2L, Some("A"), "old dog jumps near red barn over fox"),
+      (3L, Some("B"), "beep boop beep blip"),
+      (4L, Some("B"), "boop blip beep boop"),
+      (5L, None: Option[String], "noise noise noise"), // null: excluded
+      (6L, Some("C"), "ghost domain with no heldout docs"))
+      .toDF("doc_id", "source", "text")
+    val ho = Seq(
+      (10L, Some("A"), "red fox jumps over lazy dog"),
+      (11L, Some("A"), "old barn near red fox"),
+      (12L, Some("B"), "beep boop blip beep"),
+      (13L, Some("B"), "blip boop beep"),
+      (14L, None: Option[String], "noise"),
+      (15L, Some("Z"), "domain absent from train must drop"))
+      .toDF("doc_id", "source", "text")
+    val got = Selection.doremiWeights(train, ho, "doc_id", "text",
+        "source", rounds = 4, eta = 0.5, smoothMicro = 200000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set("A", "B"),
+      s"null/train-absent domains must drop: ${got.keySet}")
+
+    // driver-local twin: same tokenization, same add-k bigram scoring,
+    // same grids — then the SHARED doremiLoop (one loop, zero drift)
+    def toks(t: String) = t.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    def bgs(ws: Seq[String]) =
+      ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val trRows = Seq(("A", toks("red fox jumps over lazy dog near old barn")),
+      ("A", toks("old dog jumps near red barn over fox")),
+      ("B", toks("beep boop beep blip")),
+      ("B", toks("boop blip beep boop")),
+      ("C", toks("ghost domain with no heldout docs")))
+    val hoRows = Seq((10L, "A", toks("red fox jumps over lazy dog")),
+      (11L, "A", toks("old barn near red fox")),
+      (12L, "B", toks("beep boop blip beep")),
+      (13L, "B", toks("blip boop beep")))
+    def lm(c2: Map[String, Int], c1: Map[String, Int], v: Int,
+           doc: Seq[String]): Option[Long] = {
+      val gs = bgs(doc)
+      if (gs.isEmpty) None
+      else {
+        val lps = gs.map { g =>
+          val w1 = g.substring(0, g.indexOf(' '))
+          math.log((c2.getOrElse(g, 0) + 0.5) /
+            (c1.getOrElse(w1, 0) + 0.5 * v))
+        }
+        val avg4 = BigDecimal(lps.sum / lps.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        Some((avg4 * 10000).toLongExact)
+      }
+    }
+    def counts(rows: Seq[(String, Seq[String])]) = (
+      rows.flatMap(r => bgs(r._2)).groupBy(identity)
+        .map { case (g, xs) => g -> xs.size },
+      rows.flatMap(_._2).groupBy(identity)
+        .map { case (w, xs) => w -> xs.size })
+    val (gc2, gc1) = counts(trRows)
+    val perSource = hoRows.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (src, docs) =>
+        val (oc2, oc1) = counts(trRows.filter(_._1 == src))
+        val scored = docs.flatMap { case (_, _, ws) =>
+          for (gi <- lm(gc2, gc1, gc1.size, ws);
+               oi <- lm(oc2, oc1, oc1.size, ws)) yield (gi, oi)
+        }
+        def away(x: Double) = BigDecimal(x)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (src, scored.size.toLong,
+          away((-scored.map(_._1).sum).toDouble / scored.size),
+          away((-scored.map(_._2).sum).toDouble / scored.size))
+      }
+    val learned = Selection.doremiLoop(perSource, 4, 0.5, 200000L)
+    perSource.foreach { case (src, n, lg, lo) =>
+      val (ex, wm, am) = learned(src)
+      assert(got(src) == ((n, lg, lo, ex, wm, am)),
+        s"$src: distributed ${got(src)} != local ${(n, lg, lo, ex, wm, am)}")
+    }
+    // B is the underserved domain: bigger excess, more learned weight
+    assert(got("B")._4 > got("A")._4, s"excess: $got")
+    assert(got("B")._6 > got("A")._6, s"alpha: $got")
+    // weights + smoothing stay a distribution up to rounding dust
+    assert(math.abs(got("A")._6 + got("B")._6 - 1000000L) <= 2)
+    // determinism: a second run is bit-identical
+    val again = Selection.doremiWeights(train, ho, "doc_id", "text",
+        "source", rounds = 4, eta = 0.5, smoothMicro = 200000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(again == got)
+  }
+
   test("scoreQualityClassifier plan: weights broadcast, margins are " +
       "long sums") {
     val s = spark
