@@ -114,7 +114,16 @@ object VocabIO {
     * tokenizers' Unigram model stores the vocab as an ARRAY of
     * [piece, score] pairs, id = position — not the BPE form's
     * piece→id object). `unk_id` is optional, as in the tooling's own
-    * files, and round-trips when present. */
+    * files, and round-trips when present.
+    *
+    * Provenance note for shipped vocabularies: scores from
+    * [[Subword.trainUnigram]] come from a HARD-EM (Viterbi-count)
+    * E-step, a documented divergence from SentencePiece's soft
+    * forward-backward expectations — segmentation at APPLY time is
+    * identical machinery (Viterbi in both), but the score values for
+    * the same corpus can differ from an spm_train run's, so compare
+    * segmentations, not raw scores, when validating an export against
+    * SentencePiece's own artifact. */
   def toHfUnigramJson(vocab: Seq[(String, Double)],
                       unkId: Option[Int] = None): String = {
     require(vocab.map(_._1).distinct.length == vocab.length,
