@@ -189,6 +189,21 @@ object SparkEntry {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** The DoReMi gates' corpus: documents plus a deterministically
+    * TRANSLATED 'synth' domain (vowels → digits over docs with id <
+    * 150, re-keyed +500000) — the fixture corpus is homogeneous
+    * (every source shares one vocabulary), so without a genuinely
+    * distinct domain every excess loss is zero and the MW loop would
+    * be degenerate. Replayed verbatim in the oracle's `corp` CTE. */
+  private def doremiCorpus(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    all.select(col("doc_id"), col("source"), col("text"))
+      .unionAll(all.where(col("doc_id") < 150)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          lit("synth").as("source"),
+          translate(col("text"), "aeiou", "01234").as("text")))
+  }
+
   // one persisted dedup / IVF index per (session, sf-dir) — see
   // q_dedup_incremental's comment; table names and paths carry the same
   // key so a second sf-dir can never overwrite a cached handle's tables
@@ -1115,15 +1130,51 @@ object SparkEntry {
     // DoReMi-style mixture-weight LEARNING (Xie et al. 2023): excess
     // loss per domain = global-generalist minus own-specialist
     // held-out bigram loss; 4 integer multiplicative-weights rounds +
-    // uniform smoothing. The oracle replays ALL rounds (generated CTE
-    // chain, the quality-classifier pattern) — every loss, every
-    // renormalization, bit-exact
+    // uniform smoothing. The fixture corpus is HOMOGENEOUS (every
+    // source shares one 31-token vocabulary, so pooling always beats
+    // the tiny specialists and every excess is 0 — a degenerate loop),
+    // so the gate augments it with a deterministically TRANSLATED
+    // 'synth' domain (vowels -> digits, the shifted-copy convention on
+    // the text side): its specialist genuinely beats the diluted
+    // generalist, the MW rounds move real weight, and the oracle
+    // replays ALL of it (generated CTE chain, the quality-classifier
+    // pattern) — every loss, every renormalization, bit-exact
     "q_doremi_weights" -> ((s, d) => {
-      val all = docs(s, d)
+      val aug = doremiCorpus(s, d)
       graft.operators.Selection.doremiWeights(
-        all.where(col("doc_id") % 3 =!= 0),
-        all.where(col("doc_id") % 3 === 0), "doc_id", "text", "source",
+        aug.where(col("doc_id") % 3 =!= 0),
+        aug.where(col("doc_id") % 3 === 0), "doc_id", "text", "source",
         rounds = 4, eta = 0.5, smoothMicro = 200000L)
+    }),
+
+    // the learned mixture APPLIED — DoReMi alpha composed into
+    // Sampling.byWeight (the capstone the two operators advertise):
+    // mixing weight w_d = round(alpha_d/1e6 · N/n_d, 6) converts the
+    // learned target SHARE into a per-doc copy count over the corpus'
+    // CURRENT shares; every step (the MW rounds, the weight grid,
+    // byWeight's floor/round(frac·1e6) decomposition, the md5 draw) is
+    // replayed in the oracle. Driver state: #domains doubles
+    "q_doremi_mixture" -> ((s, d) => {
+      val aug = doremiCorpus(s, d)
+      val learned = graft.operators.Selection.doremiWeights(
+          aug.where(col("doc_id") % 3 =!= 0),
+          aug.where(col("doc_id") % 3 === 0), "doc_id", "text", "source",
+          rounds = 4, eta = 0.5, smoothMicro = 200000L)
+        .select("source", "alpha_micro").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val labeled = aug.where(col("source").isNotNull)
+      val counts = labeled.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum
+      val w = learned.map { case (src, am) =>
+        src -> BigDecimal(am.toDouble / 1000000.0 * n / counts(src))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      graft.operators.Sampling.byWeight(
+          labeled.select(col("doc_id"), col("source")),
+          "doc_id", "source", w, salt = "doremi")
+        .select(col("doc_id"), col("source"), col("__rep"))
+        .orderBy("doc_id", "__rep")
     }),
 
     // subword tokenization (greedy longest-match against an explicit
@@ -1952,6 +2003,28 @@ object SparkEntry {
           e.where(col("vec_id").between(100, 104)),
           "vec_id", "embedding", idx, 3)
         .orderBy("qid", "rank")
+    }),
+
+    // SemDeDup READ FROM THE PERSISTED IVF INDEX — the 100 TB path
+    // semDedupAssigned's scaladoc promises, gated: the index's
+    // cell-partitioned corpus table is consumed as the assigned frame
+    // (same memoized index as q_knn_ivf_indexed — assignment is a
+    // once-per-corpus artifact), the own-centroid similarity recovered
+    // with ONE dot per row against the broadcast centroid table. Raw
+    // corpus (near-random vectors), so tau = 0.4 — q_dedup_embedding's
+    // threshold — yields 13 real within-cell pairs
+    "q_semdedup_index" -> ((s, d) => {
+      val e = emb(s, d)
+      val tag = idxTag(s, d)
+      val idx = ivfIdxCache.computeIfAbsent(tag, _ =>
+        Similarity.buildIvfIndex(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding",
+          s"graft_ivf_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-ivf-idx-$tag"))
+      Dedup.semDedupFromIndex(s, idx, 0.4)
+        .select(col("vid").as("vec_id"), col("cell"), col("cent_sim"),
+          col("component"), col("keep"))
+        .orderBy("vec_id")
     }),
 
     // incremental IVF: the index is built over 3/4 of the corpus, the
@@ -3086,7 +3159,10 @@ object SparkEntry {
     * multiplicative-weights round unrolled as one CTE each (the
     * quality-classifier oracle pattern). All weight arithmetic is
     * BIGINT except the one renormalizing division per (domain, round),
-    * CAST-ed exactly as the Scala loop computes it. */
+    * CAST-ed exactly as the Scala loop computes it. Emits a WITH chain
+    * ENDING in `dal(source, n_docs, lg, lo, ex, w, alpha_micro)` — the
+    * caller appends its own final SELECT (q_doremi_weights projects it;
+    * q_doremi_mixture chains the byWeight replay on top). */
   private def doremiOracleSql(rounds: Int, eta: Double,
                               smoothMicro: Long): String = {
     val etaD = s"CAST($eta AS DOUBLE)"
@@ -3098,10 +3174,15 @@ object SparkEntry {
          |          round($etaD * (ex * 100))::BIGINT) AS raw
          |        FROM r${r - 1}))""".stripMargin
     }.mkString(",\n")
-    s"""WITH tds AS (SELECT doc_id, source,
+    s"""WITH corp AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000, 'synth', translate(text, 'aeiou', '01234')
+       |  FROM documents WHERE doc_id < 150),
+       |tds AS (SELECT doc_id, source,
        |  list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
        |              x -> x <> '') tk
-       |  FROM documents WHERE source IS NOT NULL),
+       |  FROM corp WHERE source IS NOT NULL),
        |trd AS (SELECT * FROM tds WHERE doc_id % 3 <> 0),
        |scd AS (SELECT * FROM tds WHERE doc_id % 3 = 0),
        |c2g AS (SELECT bg, count(*)::BIGINT AS c2
@@ -3150,14 +3231,13 @@ object SparkEntry {
        |         1000000::BIGINT AS w
        |       FROM lx),
        |$roundCtes,
-       |kk AS (SELECT count(*)::BIGINT AS kd FROM r0)
-       |SELECT source, n_docs, lg AS loss_global_i4, lo AS loss_own_i4,
-       |       ex AS excess_i4, w AS weight_micro,
-       |       round(CAST((1000000 - $smoothMicro) * w AS DOUBLE) /
-       |             CAST(1000000 AS DOUBLE))::BIGINT +
-       |       round(CAST($smoothMicro AS DOUBLE) / kk.kd)::BIGINT
-       |         AS alpha_micro
-       |FROM r$rounds CROSS JOIN kk ORDER BY source""".stripMargin
+       |kk AS (SELECT count(*)::BIGINT AS kd FROM r0),
+       |dal AS (SELECT source, n_docs, lg, lo, ex, w,
+       |          round(CAST((1000000 - $smoothMicro) * w AS DOUBLE) /
+       |                CAST(1000000 AS DOUBLE))::BIGINT +
+       |          round(CAST($smoothMicro AS DOUBLE) / kk.kd)::BIGINT
+       |            AS alpha_micro
+       |        FROM r$rounds CROSS JOIN kk)""".stripMargin
   }
 
   /** Shared SQL fragment: distinct 3-gram shingles per doc (list-valued,
@@ -4809,7 +4889,38 @@ object SparkEntry {
 
     // the full mixture-learning replay: per-domain losses + every MW
     // round unrolled (see doremiOracleSql)
-    "q_doremi_weights" -> doremiOracleSql(4, 0.5, 200000L),
+    "q_doremi_weights" ->
+      s"""${doremiOracleSql(4, 0.5, 200000L)}
+         |SELECT source, n_docs, lg AS loss_global_i4,
+         |       lo AS loss_own_i4, ex AS excess_i4, w AS weight_micro,
+         |       alpha_micro
+         |FROM dal ORDER BY source""".stripMargin,
+
+    // the learned mixture APPLIED: alpha -> per-domain mixing weight
+    // round(alpha/1e6 * N/n_d, 6) -> byWeight's floor/round(frac*1e6)
+    // decomposition -> the md5 copy draw — the full doremi chain plus
+    // the q_corpus_upsample machinery in one replay
+    "q_doremi_mixture" ->
+      s"""${doremiOracleSql(4, 0.5, 200000L)},
+         |cnt AS (SELECT source, count(*)::BIGINT AS ndd
+         |        FROM corp WHERE source IS NOT NULL GROUP BY 1),
+         |nnn AS (SELECT sum(ndd)::BIGINT AS nn FROM cnt),
+         |mw AS (SELECT c.source,
+         |         round(CAST(a.alpha_micro AS DOUBLE) /
+         |               CAST(1000000 AS DOUBLE) * nnn.nn / c.ndd, 6) AS w
+         |       FROM cnt c JOIN dal a USING (source) CROSS JOIN nnn),
+         |wdec AS (SELECT source, floor(w)::BIGINT AS n_base,
+         |           round((w - floor(w)) * 1000000)::BIGINT AS thresh
+         |         FROM mw),
+         |dd AS (SELECT doc_id, source,
+         |         n_base + CASE WHEN
+         |           (('0x' || substr(md5('doremi' || doc_id::VARCHAR),
+         |                            1, 8))::BIGINT % 1000000) < thresh
+         |           THEN 1 ELSE 0 END AS n_copies
+         |       FROM corp JOIN wdec USING (source))
+         |SELECT doc_id, source, unnest(range(n_copies))::BIGINT AS __rep
+         |FROM dd WHERE n_copies > 0
+         |ORDER BY doc_id, __rep""".stripMargin,
 
     // order-3 stupid backoff, every branch replayed (generated CTE
     // chain — see ngramLmScoredSql)
@@ -6477,6 +6588,44 @@ object SparkEntry {
 
     // identical semantics through the persisted cell-partitioned index
     "q_knn_ivf_indexed" -> ivfSql,
+
+    // same assignment as ivfSql (the index build), then the q_semdedup
+    // machinery at tau 0.4 over the RAW corpus — cent_sim carried from
+    // the argmax row (identical to the gate's one-dot recomputation
+    // against the assigned cell's centroid)
+    "q_semdedup_index" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |      WHERE list_dot_product(embedding::DOUBLE[],
+        |                             embedding::DOUBLE[]) > 0),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 10),
+        |asg AS MATERIALIZED (SELECT vec_id, v, cell,
+        |         round(sim, 6) + 0.0 AS cent_sim FROM (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         list_cosine_similarity(e.v, c.cv) AS sim,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+        |           AS rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        |      FROM asg a JOIN asg b
+        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM p
+        |          UNION SELECT d2, d1 FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+        |comp AS (SELECT u AS vec_id, least(min(v), u) AS component
+        |         FROM reach GROUP BY u)
+        |SELECT a.vec_id, a.cell, a.cent_sim,
+        |       coalesce(c.component, a.vec_id) AS component,
+        |       row_number() OVER (
+        |         PARTITION BY coalesce(c.component, a.vec_id)
+        |         ORDER BY a.cent_sim ASC, a.vec_id ASC) = 1 AS keep
+        |FROM asg a LEFT JOIN comp c USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     // fold-in equivalence: subset-build + extend must equal full-corpus
     // IVF at the same centroids, so the oracle is ivfSql unchanged

@@ -1213,6 +1213,31 @@ object Dedup {
         (row_number().over(w) === 1).as("keep"))
   }
 
+  /** [[semDedupAssigned]] fed straight from a persisted IVF index —
+    * the composition the scaladoc above promises, as code: the index's
+    * cell-partitioned corpus table ALREADY IS the assigned frame
+    * (cid, cv, cell, cn), so the only added work is one broadcast join
+    * against the #cells-row centroid table and ONE dot product per row
+    * to recover the own-centroid similarity the keep rule ranks on —
+    * O(1) per row, never the O(k) argmax the convenience form re-pays.
+    * Zero-norm rows (which the index stores but every probe path
+    * excludes — the engine convention) are filtered here too. */
+  def semDedupFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        idx: IvfIndex, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents = broadcast(spark.table(idx.centroidsTable)
+      .select(col("cell"), col("centroid"),
+        l2Norm(col("centroid")).as("__cnm")))
+    val asg = spark.table(idx.corpusTable)
+      .where(col("cn") > 0.0)
+      .join(cents, Seq("cell"))
+      .select(col("cid").cast("long").as("vid"), col("cv").as("v"),
+        col("cn").as("nrm"), col("cell"),
+        round(cosineFrom(dot(col("cv"), col("centroid")), col("cn"),
+          col("__cnm")), 6).as("cent_sim"))
+    semDedupAssigned(asg, tau)
+  }
+
   def embeddingPairsExact(df: DataFrame, id: String, vec: String,
                           threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._

@@ -687,4 +687,28 @@ class DedupSpec extends SparkSpec {
     assert(got(30L)._2 == 30L && got(31L)._2 == 31L,
       "cross-cell pair must NOT share a component")
   }
+
+  test("semDedupFromIndex: the persisted-IVF path equals the direct " +
+      "operator on the same corpus and centroids") {
+    val s = spark
+    val emb = graft.engine.Tables.embeddings(s, sf())
+    val cents0 = emb.where(col("vec_id") < 10)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      cents0, "vec_id", "embedding", "semdedup_spec_idx",
+      java.nio.file.Files.createTempDirectory("graft-sdd-spec").toString)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+      val direct = rows(Dedup.semDedup(emb, "vec_id", "embedding",
+        cents0.select(col("vec_id").as("cid"),
+          col("embedding").as("cvec")), "cid", "cvec", 0.4))
+      val indexed = rows(Dedup.semDedupFromIndex(s, idx, 0.4))
+      assert(indexed == direct,
+        "index-fed semDedup must equal the direct operator")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${idx.corpusTable}")
+      s.sql(s"DROP TABLE IF EXISTS ${idx.centroidsTable}")
+    }
+  }
 }
