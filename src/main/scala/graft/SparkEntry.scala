@@ -204,6 +204,27 @@ object SparkEntry {
           translate(col("text"), "aeiou", "01234").as("text")))
   }
 
+  /** Memoized DoReMi learning per (session, sf-dir) — q_doremi_weights
+    * and q_doremi_mixture consume the SAME learned frame (review
+    * finding: the mixture gate used to re-run the two held-out scoring
+    * passes the weights gate had just paid for; the ssjCache
+    * discipline). Rows: (source, n_docs, lg, lo, ex, w, alpha). */
+  private val doremiCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long, Long, Long, Long, Long)]]()
+  private def doremiLearned(s: SparkSession, d: String)
+      : Seq[(String, Long, Long, Long, Long, Long, Long)] =
+    doremiCache.computeIfAbsent(idxTag(s, d), _ => {
+      val aug = doremiCorpus(s, d)
+      graft.operators.Selection.doremiWeights(
+          aug.where(col("doc_id") % 3 =!= 0),
+          aug.where(col("doc_id") % 3 === 0), "doc_id", "text", "source",
+          rounds = 4, eta = 0.5, smoothMicro = 200000L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSeq
+    })
+
   // one persisted dedup / IVF index per (session, sf-dir) — see
   // q_dedup_incremental's comment; table names and paths carry the same
   // key so a second sf-dir can never overwrite a cached handle's tables
@@ -1140,11 +1161,11 @@ object SparkEntry {
     // replays ALL of it (generated CTE chain, the quality-classifier
     // pattern) — every loss, every renormalization, bit-exact
     "q_doremi_weights" -> ((s, d) => {
-      val aug = doremiCorpus(s, d)
-      graft.operators.Selection.doremiWeights(
-        aug.where(col("doc_id") % 3 =!= 0),
-        aug.where(col("doc_id") % 3 === 0), "doc_id", "text", "source",
-        rounds = 4, eta = 0.5, smoothMicro = 200000L)
+      import s.implicits._
+      doremiLearned(s, d)
+        .toDF("source", "n_docs", "loss_global_i4", "loss_own_i4",
+          "excess_i4", "weight_micro", "alpha_micro")
+        .orderBy("source")
     }),
 
     // the learned mixture APPLIED — DoReMi alpha composed into
@@ -1155,14 +1176,9 @@ object SparkEntry {
     // byWeight's floor/round(frac·1e6) decomposition, the md5 draw) is
     // replayed in the oracle. Driver state: #domains doubles
     "q_doremi_mixture" -> ((s, d) => {
-      val aug = doremiCorpus(s, d)
-      val learned = graft.operators.Selection.doremiWeights(
-          aug.where(col("doc_id") % 3 =!= 0),
-          aug.where(col("doc_id") % 3 === 0), "doc_id", "text", "source",
-          rounds = 4, eta = 0.5, smoothMicro = 200000L)
-        .select("source", "alpha_micro").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val labeled = aug.where(col("source").isNotNull)
+      val learned = doremiLearned(s, d)
+        .map { case (src, _, _, _, _, _, alpha) => src -> alpha }.toMap
+      val labeled = doremiCorpus(s, d).where(col("source").isNotNull)
       val counts = labeled.groupBy("source").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val n = counts.values.sum

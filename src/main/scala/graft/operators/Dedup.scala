@@ -1188,9 +1188,15 @@ object Dedup {
     * assignment is the IVF family's probed concern; THIS stage's work
     * is Σ|cell|² dot products + the component closure — it must scale
     * with cell sizes, never corpus². */
-  def semDedupAssigned(asg: DataFrame, tau: Double): DataFrame = {
+  def semDedupAssigned(asg0: DataFrame, tau: Double): DataFrame = {
     import graft.functions.VectorFunctions._
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    // cell -1 is assignCells' wrong-dimension sentinel (excluded from
+    // every ANN path by convention) — without this filter such rows
+    // would dedup against EACH OTHER inside the pseudo-cell and emit
+    // verdicts on vectors that were never validly assigned (review
+    // finding); centroid id -1 is reserved by the sentinel itself
+    val asg = asg0.where(col("cell") =!= -1L)
     val a = asg.select(col("cell"), col("vid").as("d1"),
       col("v").as("v1"), col("nrm").as("n1"))
     val b = asg.select(col("cell"), col("vid").as("d2"),

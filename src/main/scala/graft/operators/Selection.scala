@@ -297,12 +297,15 @@ object Selection {
     * Output: (doc, n_bigrams, n_unseen, avg_lp, bucket∈{head,middle,
     * tail}). Documents with fewer than two tokens have no bigrams and
     * drop out (bigramLogProbAgainst's contract). */
-  def perplexityBuckets(train: DataFrame, score: DataFrame, idCol: String,
-                        textCol: String, k: Double = 0.5): DataFrame = {
-    val scored = CorpusStats.bigramLogProbAgainst(train, score, idCol,
-      textCol, k)
-    // avg_lp is rounded to 4 decimals; x10^4 is integral up to FP dust,
-    // so round-to-nearest lands every score exactly on the long grid
+  /** Tercile labels over a scored frame's `avg_lp` — the shared back
+    * half of both [[perplexityBuckets]] overloads (one copy of the
+    * bucket rule, zero drift — review finding): avg_lp is rounded to
+    * 4 decimals, so ×10^4 is integral up to FP dust and
+    * round-to-nearest lands every score exactly on the long grid;
+    * boundaries are discrete data values via the shared
+    * `discreteBounds` cum-sum, 1-row broadcast, row-local label. */
+  private def tercileBuckets(scored: DataFrame,
+                             passthrough: Seq[String]): DataFrame = {
     val g = scored.withColumn("__s",
       round(col("avg_lp") * 10000, 0).cast("long"))
     val bounds = Sampling.discreteBounds(g, "__s", Seq(1.0 / 3, 2.0 / 3))
@@ -311,9 +314,15 @@ object Selection {
         when(col("__s") > col("__b1"), lit("head"))
           .when(col("__s") > col("__b0"), lit("middle"))
           .otherwise(lit("tail")))
-      .select(col("doc"), col("n_bigrams"), col("n_unseen"),
-        col("avg_lp"), col("bucket"))
+      .select((Seq("doc") ++ passthrough ++
+        Seq("avg_lp", "bucket")).map(col): _*)
   }
+
+  def perplexityBuckets(train: DataFrame, score: DataFrame, idCol: String,
+                        textCol: String, k: Double = 0.5): DataFrame =
+    tercileBuckets(
+      CorpusStats.bigramLogProbAgainst(train, score, idCol, textCol, k),
+      Seq("n_bigrams", "n_unseen"))
 
   /** CCNet buckets at the PAPER's grain — order-n scoring (Wenzek et
     * al. use a 5-gram KenLM; this is the engine's 5-gram with stupid
@@ -328,20 +337,11 @@ object Selection {
     * 1-token docs, unlike the bigram form's ≥2). */
   def perplexityBuckets(train: DataFrame, score: DataFrame, idCol: String,
                         textCol: String, order: Int, alpha: Double,
-                        k: Double): DataFrame = {
-    val scored = CorpusStats.ngramLogProbAgainst(train, score, idCol,
-      textCol, order, alpha, k)
-    val g = scored.withColumn("__s",
-      round(col("avg_lp") * 10000, 0).cast("long"))
-    val bounds = Sampling.discreteBounds(g, "__s", Seq(1.0 / 3, 2.0 / 3))
-    g.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        when(col("__s") > col("__b1"), lit("head"))
-          .when(col("__s") > col("__b0"), lit("middle"))
-          .otherwise(lit("tail")))
-      .select(col("doc"), col("n_tokens"), col("n_oov"),
-        col("n_backed"), col("avg_lp"), col("bucket"))
-  }
+                        k: Double): DataFrame =
+    tercileBuckets(
+      CorpusStats.ngramLogProbAgainst(train, score, idCol, textCol,
+        order, alpha, k),
+      Seq("n_tokens", "n_oov", "n_backed"))
 
   /** The DoReMi multiplicative-weights loop over STATIC per-domain
     * excess losses — shared verbatim between [[doremiWeights]]'s

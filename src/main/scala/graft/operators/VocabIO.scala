@@ -128,6 +128,13 @@ object VocabIO {
                       unkId: Option[Int] = None): String = {
     require(vocab.map(_._1).distinct.length == vocab.length,
       "duplicate piece in vocab")
+    // NaN/Infinity have no JSON representation — json4s would render
+    // the bare token `NaN` and the failure would surface later as a
+    // foreign parser error instead of here (review finding: the same
+    // loud-refusal boundary as the sibling exporters)
+    vocab.foreach { case (p, sc) =>
+      require(!sc.isNaN && !sc.isInfinity,
+        s"score for piece '$p' is $sc — not representable in JSON") }
     unkId.foreach(i => require(i >= 0 && i < vocab.length,
       s"unk_id $i is outside the vocab (size ${vocab.length})"))
     val fields: List[JField] =
@@ -153,8 +160,11 @@ object VocabIO {
       case other => throw new IllegalArgumentException(
         s"expected model.type Unigram, got $other")
     }
-    val unk = model \ "unk_id" match {
-      case JInt(i) => Some(i.toInt)
+    // bounds-check the BigInt BEFORE .toInt: a malformed unk_id like
+    // 2^32 would otherwise wrap to 0 and slip past the range guard
+    // (review finding)
+    val unkRaw = model \ "unk_id" match {
+      case JInt(i) => Some(i)
       case JNothing | JNull => None
       case other => throw new IllegalArgumentException(
         s"model.unk_id is not an integer: $other")
@@ -172,9 +182,9 @@ object VocabIO {
     }
     require(vocab.map(_._1).distinct.length == vocab.length,
       "duplicate piece in model.vocab")
-    unk.foreach(i => require(i >= 0 && i < vocab.length,
+    unkRaw.foreach(i => require(i >= 0 && i < vocab.length,
       s"unk_id $i is outside the vocab (size ${vocab.length})"))
-    (vocab, unk)
+    (vocab, unkRaw.map(_.toInt))
   }
 
   /** SentencePiece `.vocab` text: one `piece<TAB>score` line per piece

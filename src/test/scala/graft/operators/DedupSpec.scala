@@ -663,11 +663,15 @@ class DedupSpec extends SparkSpec {
     // keep. The zero vector has no cosine and must not appear.
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
       .toDF("cid", "cvec")
+    // 98/97: wrong-dimension vectors — assignCells lands them in the
+    // cell = -1 sentinel; without the sentinel filter they would dedup
+    // against EACH OTHER and emit a verdict (review finding)
     val vecs = Seq(
       (10L, Seq(1.0, 0.01)), (11L, Seq(1.0, 0.02)),
       (20L, Seq(0.02, 1.0)),
       (30L, Seq(1.0, 0.8)), (31L, Seq(0.8, 1.0)),
-      (99L, Seq(0.0, 0.0)))
+      (99L, Seq(0.0, 0.0)),
+      (98L, Seq(1.0, 0.0, 0.0)), (97L, Seq(1.0, 0.0, 0.0)))
       .toDF("vec_id", "embedding")
     val got = Dedup.semDedup(vecs, "vec_id", "embedding", cents,
         "cid", "cvec", 0.85)
@@ -675,6 +679,9 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
     assert(!got.contains(99L), "zero vector must drop")
+    assert(!got.contains(98L) && !got.contains(97L),
+      "wrong-dimension vectors (assignCells' cell = -1 sentinel) " +
+        "must drop, never dedup against each other")
     assert(got(10L)._1 == 0L && got(11L)._1 == 0L && got(20L)._1 == 1L)
     assert(got(30L)._1 == 0L && got(31L)._1 == 1L)
     // the duplicate group {10, 11}: component = min id, survivor = 11

@@ -126,5 +126,16 @@ class VocabIOSpec extends SparkSpec {
       """{"model":{"type":"Unigram","unk_id":5,"vocab":[["a",-1.0]]}}"""))
     intercept[IllegalArgumentException](
       VocabIO.toHfUnigramJson(Seq(("a", -1.0)), unkId = Some(3)))
+    // an unk_id beyond Int range must be refused, not wrapped: 2^32
+    // .toInt is 0, which would slip past a post-truncation range check
+    intercept[IllegalArgumentException](VocabIO.fromHfUnigramJson(
+      """{"model":{"type":"Unigram","unk_id":4294967296,
+        |"vocab":[["a",-1.0]]}}""".stripMargin))
+    // non-finite scores have no JSON representation — refused at the
+    // export boundary instead of surfacing as a foreign parse error
+    intercept[IllegalArgumentException](
+      VocabIO.toHfUnigramJson(Seq(("a", Double.NaN))))
+    intercept[IllegalArgumentException](
+      VocabIO.toHfUnigramJson(Seq(("a", Double.PositiveInfinity))))
   }
 }
