@@ -543,7 +543,7 @@ object ScaleProbe {
           val a = Similarity.assignCells(v0, "vid", "v", cents,
               "cid", "cvec")
             .select(col("vid"), col("v"), col("nrm"), col("cell"),
-              round(col("cell_sim"), 6).as("cent_sim"))
+              (round(col("cell_sim"), 6) + lit(0.0)).as("cent_sim"))
             .persist()
           a.count(); a
         } else null

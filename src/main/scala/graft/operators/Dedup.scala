@@ -1173,7 +1173,7 @@ object Dedup {
       .where(col("nrm") > 0.0)
     val asg = Similarity.assignCells(v0, "vid", "v", centroids, cid, cvec)
       .select(col("vid"), col("v"), col("nrm"), col("cell"),
-        round(col("cell_sim"), 6).as("cent_sim"))
+        (round(col("cell_sim"), 6) + lit(0.0)).as("cent_sim"))
     semDedupAssigned(asg, tau)
   }
 
@@ -1239,8 +1239,8 @@ object Dedup {
       .join(cents, Seq("cell"))
       .select(col("cid").cast("long").as("vid"), col("cv").as("v"),
         col("cn").as("nrm"), col("cell"),
-        round(cosineFrom(dot(col("cv"), col("centroid")), col("cn"),
-          col("__cnm")), 6).as("cent_sim"))
+        (round(cosineFrom(dot(col("cv"), col("centroid")), col("cn"),
+          col("__cnm")), 6) + lit(0.0)).as("cent_sim"))
     semDedupAssigned(asg, tau)
   }
 

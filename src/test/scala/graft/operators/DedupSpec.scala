@@ -714,8 +714,7 @@ class DedupSpec extends SparkSpec {
       assert(indexed == direct,
         "index-fed semDedup must equal the direct operator")
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS ${idx.corpusTable}")
-      s.sql(s"DROP TABLE IF EXISTS ${idx.centroidsTable}")
+      Similarity.dropIvfIndex(s, idx)
     }
   }
 }
