@@ -561,6 +561,19 @@ object ScaleProbe {
             s"probe_sp_idx_$k", path)
         } else null
 
+      // n-gram count-table index probe: the k-fold corpus's per-order
+      // counts fold into the bucketed index untimed (once-per-corpus
+      // by contract); the timed probe scores a FIXED 250-doc delta
+      // against it — per-scoring-run cost as the indexed gram
+      // inventory grows k-fold, never a train-side re-count
+      val ngIdx =
+        if (wanted("ngram_lm_incr")) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-ngidx-$k").toString
+          operators.CorpusStats.buildNgramIndex(docs, "doc_id", "text",
+            5, s"probe_ng_idx_$k", path)
+        } else null
+
       // embedding-index probe: same contract as dedup_incremental — the
       // k-fold corpus is signed into the bucketed index untimed, a
       // FIXED shifted-copy delta (near-dups of copy-0 vectors) probes it
@@ -1056,6 +1069,16 @@ object ScaleProbe {
               .where(col("doc_id") < 250)
               .withColumn("doc_id", col("doc_id") + lit(1300000000L)),
             "doc_id", "text", order = 5).count()),
+        // the incremental twin: same fixed scored side, but the train
+        // counts fold Exchange-free out of the persisted 5-order index
+        // instead of being re-counted — the pair measures what the
+        // index buys per nightly scoring run as history grows k-fold
+        "ngram_lm_incr" -> (() =>
+          operators.CorpusStats.ngramLogProbAgainstIndex(
+            engine.Tables.documents(spark, sfDir)
+              .where(col("doc_id") < 250)
+              .withColumn("doc_id", col("doc_id") + lit(1300000000L)),
+            "doc_id", "text", ngIdx).count()),
         // stage cascade: per-stage keyed min-ts aggregates over a user
         // population growing with scale — reach frames stay 1 row/user
         "funnel" -> (() =>
@@ -1242,6 +1265,7 @@ object ScaleProbe {
       if (chunkIdx != null) operators.Chunking.dropChunkIndex(spark, chunkIdx)
       if (lineIdx != null) Dedup.dropLineIndex(spark, lineIdx)
       if (spanIdx != null) Dedup.dropSpanIndex(spark, spanIdx)
+      if (ngIdx != null) operators.CorpusStats.dropNgramIndex(spark, ngIdx)
       println(s"""{"scale":$k,"times":{${times.mkString(",")}}$streamingJson$rateCapJson$rateCapTtlJson$sessionsJson$streamJoinJson$compactionJson}""")
     }
     spark.stop()

@@ -249,6 +249,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.LineIndex]()
   private val spanIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.SpanIndex]()
+  private val ngramIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.NgramIndex]()
 
   // committed fixture of real PNG/BMP bytes + draw-time ground truth
   // (regenerate: sbt "runMain graft.tools.ImageFixture"); referenced by
@@ -352,10 +354,13 @@ object SparkEntry {
       graft.operators.Dedup.dropLineIndex(spark, _))
     spanIdxCache.values.asScala.foreach(
       graft.operators.Dedup.dropSpanIndex(spark, _))
+    ngramIdxCache.values.asScala.foreach(
+      graft.operators.CorpusStats.dropNgramIndex(spark, _))
     Seq(incIdxCache, ivfIdxCache, extIvfIdxCache, embIdxCache,
       exactIdxCache, ivfPqIdxCache, chunkIdxCache, lineIdxCache)
       .foreach(_.clear())
     spanIdxCache.clear()
+    ngramIdxCache.clear()
     ssjCache.values.asScala.foreach(df => { df.unpersist(); () })
     ssjCache.clear()
   }
@@ -376,7 +381,8 @@ object SparkEntry {
         ivfPqIdxCache.values.asScala.map(_.path) ++
         chunkIdxCache.values.asScala.map(_.path) ++
         lineIdxCache.values.asScala.map(_.path) ++
-        spanIdxCache.values.asScala.map(_.path))
+        spanIdxCache.values.asScala.map(_.path) ++
+        ngramIdxCache.values.asScala.map(_.path))
         .foreach(p => graft.util.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(p)))
     }, "graft-index-cleanup"))
@@ -1129,6 +1135,35 @@ object SparkEntry {
           all.where(col("doc_id") % 3 =!= 0),
           all.where(col("doc_id") % 3 === 0), "doc_id", "text",
           order = 3, alpha = 0.4, k = 0.5)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_backed"), col("avg_lp"))
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL n-gram LM: the train side comes out of a persisted
+    // count-table index built from HALF the training corpus and
+    // EXTENDED with the other half — under the disjoint-ids contract
+    // scoring against the folded index EQUALS a full retrain on the
+    // union, so the oracle is literally q_ngram_lm's (same split,
+    // order, alpha, k): the incremental==batch contract is
+    // ORACLE-gated, the q_dedup_spans_incr pattern. Only the delta
+    // was ever re-counted; history contributed 16-byte digests +
+    // counts folded Exchange-free out of the bucketed tables
+    "q_ngram_lm_incr" -> ((s, d) => {
+      val all = docs(s, d)
+      val tag = idxTag(s, d)
+      val idx = ngramIdxCache.computeIfAbsent(tag, _ => {
+        val built = graft.operators.CorpusStats.buildNgramIndex(
+          all.where(col("doc_id") % 3 === 1), "doc_id", "text", 3,
+          s"graft_ng_idx_$tag",
+          s"${sys.props("java.io.tmpdir")}/graft-ng-idx-$tag")
+        graft.operators.CorpusStats.extendNgramIndex(
+          all.where(col("doc_id") % 3 === 2), "doc_id", "text", built)
+        built
+      })
+      graft.operators.CorpusStats.ngramLogProbAgainstIndex(
+          all.where(col("doc_id") % 3 === 0), "doc_id", "text", idx,
+          alpha = 0.4, k = 0.5)
         .select(col("doc").as("doc_id"), col("n_tokens"), col("n_oov"),
           col("n_backed"), col("avg_lp"))
         .orderBy("doc_id")
@@ -4941,6 +4976,14 @@ object SparkEntry {
     // order-3 stupid backoff, every branch replayed (generated CTE
     // chain — see ngramLmScoredSql)
     "q_ngram_lm" ->
+      s"""WITH ${ngramLmScoredSql(3, 0.4, 0.5)}
+         |SELECT doc_id, n_tokens, n_oov, n_backed, avg_lp
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the incremental==batch contract, oracle-gated: build-from-third
+    // + fold-in-third must EQUAL the full retrain, so the oracle IS
+    // q_ngram_lm's full-retrain replay over the same split
+    "q_ngram_lm_incr" ->
       s"""WITH ${ngramLmScoredSql(3, 0.4, 0.5)}
          |SELECT doc_id, n_tokens, n_oov, n_backed, avg_lp
          |FROM scored ORDER BY doc_id""".stripMargin,

@@ -1,8 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Handle to a persisted incremental n-gram COUNT-TABLE index — the
+  * corpus-shaped artifact behind the CCNet-style quality signal
+  * ([[CorpusStats.ngramLogProbAgainst]]), given the same
+  * build/extend/compact/drop lifecycle as every other index family
+  * (the [[SpanIndex]] template: gram-keyed counts are exactly its
+  * shape). One bucketed table per order j: (16-byte BINARY gram
+  * digest g, occurrence count n), one row per distinct j-gram per
+  * ingest slice — counts are additive over id-disjoint ingests, so a
+  * nightly crawl folds in O(delta) instead of re-counting the corpus,
+  * and scoring folds slices Exchange-free out of the g buckets. N and
+  * V (token total, vocabulary) are DERIVED from the folded unigram
+  * table, so no side state can drift from the counts. The doc ledger
+  * backs the disjoint-ids guard. */
+case class NgramIndex(name: String, path: String, numBuckets: Int,
+                      order: Int) {
+  def gramsTable(j: Int): String = s"${name}_g$j"
+  def docsTable: String = s"${name}_docs"
+  def allTables: Seq[String] = (1 to order).map(gramsTable) :+ docsTable
+}
 
 /** Corpus-level frequency and cardinality statistics for training-data
   * curation at scale: exact heavy hitters without shuffling the full item
@@ -314,6 +334,104 @@ object CorpusStats {
                           k: Double = 0.5): DataFrame = {
     require(order >= 2 && order <= 8,
       s"order must be in 2..8, got $order")
+    import graft.functions.TextFunctions
+    val counts = ngramCounts(train, textCol, order, None)
+    // one-row broadcast: N = train token count, V = train vocabulary
+    val nv = broadcast(
+      train.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .agg(count(lit(1)).as("__n"),
+          count_distinct(col("w")).as("__v")))
+    ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
+      None)
+  }
+
+  /** md5 digest (16 raw bytes) of a gram string — the engine's
+    * shuffle-key convention for gram-shaped joins (the span-dedup
+    * family established it for exactly this reason,
+    * [[graft.expressions.TextExprs.gramHashes]]): count tables and the
+    * score-side position stream join on fixed 16-byte BINARY keys
+    * instead of up-to-`order` space-joined words, so every score-side
+    * shuffle carries 16 bytes per gram column regardless of order.
+    * Collision-safe at 128 bits; a NULL gram (too-short history)
+    * digests to NULL and keeps its no-match join semantics. Digests
+    * are internal — no output column ever renders one. */
+  private def gdig(g: org.apache.spark.sql.Column) = unhex(md5(g))
+
+  /** The order-1..order gram count frames over `train`, keyed by
+    * 16-byte gram digest (`g\$j` -> `c\$j`) — each is ONE map-side-
+    * combined shuffle at j-gram-vocabulary cardinality, shuffle-hash
+    * pinned for its score-side join (never broadcast: at scale each is
+    * corpus-vocabulary-sized). With `srcCol` set, keys are
+    * (src, g\$j): the per-domain specialist tables the order-n DoReMi
+    * form scores against. Shared by [[ngramLogProbAgainst]] and
+    * [[buildNgramIndex]]/[[extendNgramIndex]] so batch and incremental
+    * count at the identical grain. */
+  private[graft] def ngramCounts(train: DataFrame, textCol: String,
+                                 order: Int,
+                                 srcCol: Option[String]): Seq[DataFrame] = {
+    import graft.functions.TextFunctions
+    (1 to order).map { j =>
+      val g =
+        if (j == 1) explode(TextFunctions.tokens(col(textCol)))
+        else explode(TextFunctions.wordNgramsAll(col(textCol), j))
+      val keyed = srcCol match {
+        case Some(s) => train.select(col(s).as("src"), g.as("__g"))
+          .select(col("src"), gdig(col("__g")).as(s"g$j"))
+        case None => train.select(g.as("__g"))
+          .select(gdig(col("__g")).as(s"g$j"))
+      }
+      keyed
+        .groupBy((srcCol.map(_ => "src").toSeq :+ s"g$j").map(col): _*)
+        .agg(count(lit(1)).as(s"c$j"))
+        .hint("shuffle_hash")
+    }
+  }
+
+  /** The score-side position stream: (doc, p, g1..g`order`) with every
+    * gram column a 16-byte digest of the gram ending at p — ONE
+    * doc-keyed window builds all `order` columns from lagged tokens
+    * (no token-array duplication — the r14 longdoc lesson: any
+    * per-position slice of a kept array is O(len²) per document).
+    * concat null-propagates, so a position with a too-short history
+    * gets NULL (concat_ws would silently collapse it onto the shorter
+    * gram); the digest is taken row-locally BEFORE any shuffle, so
+    * only 16-byte keys ever move. Shared by [[ngramScoreTail]] and
+    * [[ArpaIO.scoreAgainst]] so the position grain can never drift
+    * between the count-table and imported-model scorers. */
+  private[graft] def gramPositions(score: DataFrame, idCol: String,
+                                   textCol: String, order: Int,
+                                   srcCol: Option[String]): DataFrame = {
+    import graft.functions.TextFunctions
+    val srcCols = srcCol.map(_ => "src").toSeq
+    val w = Window.partitionBy("doc").orderBy("p")
+    val gramCols = (1 to order).map { j =>
+      val parts = ((j - 1) to 1 by -1).flatMap(d =>
+        Seq(lag(col("tok"), d).over(w), lit(" "))) :+ col("tok")
+      gdig(if (j == 1) col("tok") else concat(parts: _*)).as(s"g$j")
+    }
+    score
+      .select(srcCol.map(s => Seq(col(s).as("src"))).getOrElse(Nil) ++
+        Seq(col(idCol).as("doc"),
+          posexplode(TextFunctions.tokens(col(textCol)))
+            .as(Seq("p0", "tok"))): _*)
+      .select((srcCols :+ "doc").map(col) ++
+        Seq((col("p0") + 1).as("p"), col("tok")): _*)
+      .select((srcCols :+ "doc").map(col) ++ (col("p") +: gramCols): _*)
+  }
+
+  /** The scoring tail shared by every stupid-backoff entry point
+    * (direct [[ngramLogProbAgainst]], index-fed
+    * [[ngramLogProbAgainstIndex]], and the by-source DoReMi form):
+    * joins the position stream against digest-keyed count frames
+    * `counts` (g\$j -> c\$j, optionally (src, g\$j)-keyed) and the
+    * `nv` (N, V) frame (one row, or one row per src), then replays
+    * every backoff branch. See [[ngramLogProbAgainst]] for the model
+    * and determinism contract. */
+  private[graft] def ngramScoreTail(counts: Seq[DataFrame], nv: DataFrame,
+                                    score: DataFrame, idCol: String,
+                                    textCol: String, order: Int,
+                                    alpha: Double, k: Double,
+                                    srcCol: Option[String]): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must be in (0, 1], got $alpha")
     require(k > 0.0, s"smoothing k must be positive, got $k")
@@ -324,48 +442,17 @@ object CorpusStats {
     def alphaPow(e: org.apache.spark.sql.Column) =
       (1 until order).foldLeft(lit(1.0)) { (acc, i) =>
         when(e === i, lit(apows(i))).otherwise(acc) }
-
-    // train count tables C_1..C_order, keyed g$j -> c$j
-    val counts = (1 to order).map { j =>
-      val grams =
-        if (j == 1)
-          train.select(explode(TextFunctions.tokens(col(textCol)))
-            .as(s"g$j"))
-        else
-          train.select(explode(
-            TextFunctions.wordNgramsAll(col(textCol), j)).as(s"g$j"))
-      grams.groupBy(s"g$j").agg(count(lit(1)).as(s"c$j"))
-        .hint("shuffle_hash")
-    }
-    // one-row broadcasts: N = train token count, V = train vocabulary
-    val nv = broadcast(
-      train.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-        .agg(count(lit(1)).as("__n"),
-          count_distinct(col("w")).as("__v")))
-
-    val w = Window.partitionBy("doc").orderBy("p")
-    // grams ending at p for each length: concat null-propagates, so a
-    // position with a too-short history gets NULL (concat_ws would
-    // silently collapse it onto the shorter gram)
-    val gramCols = (1 to order).map { j =>
-      val parts = ((j - 1) to 1 by -1).flatMap(d =>
-        Seq(lag(col("tok"), d).over(w), lit(" "))) :+ col("tok")
-      (if (j == 1) col("tok") else concat(parts: _*)).as(s"g$j")
-    }
-    val pos = score
-      .select(col(idCol).as("doc"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p0", "tok")))
-      .select(col("doc"), (col("p0") + 1).as("p"), col("tok"))
-      .select(Seq(col("doc"), col("p")) ++ gramCols: _*)
+    val srcCols = srcCol.map(_ => "src").toSeq
+    val pos = gramPositions(score, idCol, textCol, order, srcCol)
     val joined = counts.zipWithIndex.foldLeft(pos) { case (df, (c, i)) =>
-      df.join(c, Seq(s"g${i + 1}"), "left_outer")
+      df.join(c, srcCols :+ s"g${i + 1}", "left_outer")
     }
     // context counts via lag: count of the j-gram ending at p-1 is the
     // denominator for the (j+1)-gram branch (a prefix of an observed
     // gram is observed at least as often, so the division is safe)
     val w2 = Window.partitionBy("doc").orderBy("p")
     val withCtx = joined.select(
-      Seq(col("doc"), col("p")) ++
+      (srcCols :+ "doc").map(col) ++ Seq(col("p")) ++
         (1 to order).map(j => col(s"c$j")) ++
         (1 until order).map(j => lag(col(s"c$j"), 1).over(w2).as(s"b$j")): _*)
     val m = least(col("p"), lit(order)) // longest history available
@@ -383,7 +470,13 @@ object CorpusStats {
       when(col("p") >= order, col(s"c$order"))) { (acc, j) =>
       acc.when(col("p") === j, col(s"c$j"))
     }
-    withCtx.crossJoin(nv)
+    val withNv = srcCol match {
+      // per-src (N, V): broadcast #domains rows; inner join drops
+      // held-out domains absent from train (no specialist model)
+      case Some(_) => withCtx.join(broadcast(nv), Seq("src"))
+      case None => withCtx.crossJoin(nv)
+    }
+    withNv
       .select(col("doc"),
         when(col("c1").isNull, 1L).otherwise(0L).as("__oov"),
         when(col("p") >= 2 && fullA.isNull, 1L).otherwise(0L)
@@ -394,6 +487,112 @@ object CorpusStats {
         sum("__backed").as("n_backed"),
         round(avg(col("__lp")), 4).as("avg_lp"))
   }
+
+  /** Persist the corpus's order-1..order gram counts as a scorable
+    * index — see [[NgramIndex]]. Each order's table is ONE map-side-
+    * combined count shuffle (the same [[ngramCounts]] frames the
+    * direct scorer builds), written bucketed+sorted by digest. */
+  def buildNgramIndex(df: DataFrame, id: String, text: String,
+                      order: Int, name: String, path: String,
+                      numBuckets: Int = 32): NgramIndex = {
+    require(order >= 2 && order <= 8,
+      s"order must be in 2..8, got $order")
+    val idx = NgramIndex(name, path, numBuckets, order)
+    ngramCounts(df, text, order, None).zipWithIndex.foreach {
+      case (c, i) =>
+        val j = i + 1
+        c.select(col(s"g$j").as("g"), col(s"c$j").as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(numBuckets, "g").sortBy("g")
+          .option("path", s"$path/${idx.gramsTable(j)}")
+          .format("parquet").saveAsTable(idx.gramsTable(j))
+    }
+    df.select(col(id).cast("long").as("doc_id")).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/${idx.docsTable}")
+      .format("parquet").saveAsTable(idx.docsTable)
+    idx
+  }
+
+  /** Fold a crawl delta into the index: O(delta) — appends the delta's
+    * own per-order gram-count slices plus its ledger ids; history is
+    * never rescanned. Counts are additive over id-disjoint ingests
+    * (guarded); probes fold slices with sum and [[compactNgramIndex]]
+    * re-collapses. */
+  def extendNgramIndex(delta: DataFrame, id: String, text: String,
+                       idx: NgramIndex): Unit = {
+    IndexAdmin.requireDisjointIds(delta, id, idx.docsTable, "doc_id",
+      "extendNgramIndex")
+    ngramCounts(delta, text, idx.order, None).zipWithIndex.foreach {
+      case (c, i) =>
+        val j = i + 1
+        c.select(col(s"g$j").as("g"), col(s"c$j").as("n"))
+          .write.mode(SaveMode.Append)
+          .bucketBy(idx.numBuckets, "g").sortBy("g")
+          .format("parquet").saveAsTable(idx.gramsTable(j))
+    }
+    delta.select(col(id).cast("long").as("doc_id")).distinct()
+      .write.mode(SaveMode.Append)
+      .bucketBy(idx.numBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(idx.docsTable)
+  }
+
+  /** [[ngramLogProbAgainst]] with the TRAIN side read out of a
+    * persisted index instead of re-counted from text: per-order slices
+    * fold Exchange-free out of their g buckets, N and V derive from
+    * the folded unigram table (one row, broadcast), and the scoring
+    * tail is byte-identical to the direct form — under the
+    * id-disjointness contract the result EQUALS scoring against a
+    * full retrain on corpus ∪ every folded delta (oracle-gated, the
+    * q_dedup_spans_incr pattern). This is what makes the CCNet
+    * quality signal delta-sized on a nightly crawl: the index is a
+    * once-per-corpus artifact, extended in O(delta), and a scoring
+    * run's train-side cost is a bucket fold, not an order-wide
+    * re-count of 100 TB of history. */
+  def ngramLogProbAgainstIndex(score: DataFrame, idCol: String,
+                               textCol: String, idx: NgramIndex,
+                               alpha: Double = 0.4,
+                               k: Double = 0.5): DataFrame = {
+    val spark = score.sparkSession
+    val counts = (1 to idx.order).map { j =>
+      spark.table(idx.gramsTable(j))
+        .groupBy("g").agg(sum("n").as(s"c$j"))
+        .select(col("g").as(s"g$j"), col(s"c$j"))
+        .hint("shuffle_hash")
+    }
+    val nv = broadcast(
+      spark.table(idx.gramsTable(1))
+        .groupBy("g").agg(sum("n").as("n"))
+        .agg(sum("n").as("__n"), count(lit(1)).as("__v")))
+    ngramScoreTail(counts, nv, score, idCol, textCol, idx.order, alpha,
+      k, None)
+  }
+
+  /** Blue/green compaction: collapse each order's accumulated
+    * per-ingest slices to one row per gram in a NEW index, then the
+    * caller cuts over and drops the old one. */
+  def compactNgramIndex(spark: SparkSession, idx: NgramIndex,
+                        name: String, path: String): NgramIndex = {
+    require(name != idx.name && path != idx.path,
+      "compaction is blue/green: compact into a NEW name and path, " +
+        "then drop the old index")
+    val out = NgramIndex(name, path, idx.numBuckets, idx.order)
+    (1 to idx.order).foreach { j =>
+      spark.table(idx.gramsTable(j))
+        .groupBy("g").agg(sum("n").as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(out.numBuckets, "g").sortBy("g")
+        .option("path", s"$path/${out.gramsTable(j)}")
+        .format("parquet").saveAsTable(out.gramsTable(j))
+    }
+    Dedup.copyBucketed(spark, s"${idx.path}/${idx.docsTable}",
+      out.docsTable, s"$path/${out.docsTable}", idx.numBuckets, "doc_id")
+    out
+  }
+
+  def dropNgramIndex(spark: SparkSession, idx: NgramIndex): Unit =
+    IndexAdmin.dropTablesAndPath(spark, idx.allTables, idx.path)
 
   /** BM25 ranked retrieval: for each named query, the top-`k` documents
     * by the Robertson/Lucene BM25 score
