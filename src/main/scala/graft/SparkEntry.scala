@@ -1140,6 +1140,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ARPA/KenLM model interchange gated through APPLIED scoring (the
+    // q_unigram_vocab_io contract): the engine's count-derived stupid-
+    // backoff model travels export -> import -> re-export (byte
+    // equality required in-gate) and the IMPORTED copy — log-probs and
+    // backoff weights read back from ARPA text, exactly what a user
+    // does with a real pretrained KenLM artifact — drives the standard
+    // ARPA backoff-walk scorer. The oracle rebuilds the same round-6
+    // log10 tables from counts and replays every branch of the walk,
+    // so any value the text layer corrupts breaks the hash
+    "q_arpa_score" -> ((s, d) => {
+      val all = docs(s, d)
+      val arpa = graft.operators.ArpaIO.toArpa(
+        all.where(col("doc_id") % 3 =!= 0), "text", 3, alpha = 0.4,
+        k = 0.5)
+      val model = graft.operators.ArpaIO.fromArpa(arpa)
+      require(graft.operators.ArpaIO.render(model) == arpa,
+        "ARPA round-trip drifted")
+      graft.operators.ArpaIO.scoreAgainst(s, model,
+          all.where(col("doc_id") % 3 === 0), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_backed"), col("avg_lp10"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL n-gram LM: the train side comes out of a persisted
     // count-table index built from HALF the training corpus and
     // EXTENDED with the other half — under the disjoint-ids contract
@@ -3204,6 +3228,94 @@ object SparkEntry {
        |           FROM lpp GROUP BY doc_id)""".stripMargin
   }
 
+  /** CTE chain replaying [[graft.operators.ArpaIO]]'s export + the
+    * standard ARPA backoff walk over the doc_id%3 train/score split,
+    * ending in `scored(doc_id, n_tokens, n_oov, n_backed, avg_lp10)`.
+    * The oracle rebuilds exactly what toArpa serializes — round-6
+    * log10 of the MLE conditionals c_j/c_{j-1}, the add-k unigram
+    * floor with its `<unk>` entry, and the constant backoff
+    * log10(alpha) (embedded as the SAME round-6 double the export
+    * writes, via the shared ArpaIO.round6) — then walks: longest
+    * present gram wins, each level backed off adds the context's
+    * backoff weight, absent contexts add exactly 0.0, absent unigrams
+    * score as `<unk>`. Context presence at p-1 comes from lag(l_j)
+    * over the doc window, the count oracle's lag trick. */
+  private def arpaScoredSql(order: Int, alpha: Double,
+                            k: Double): String = {
+    val lbD = graft.operators.ArpaIO.round6(math.log10(alpha))
+    val lb = s"CAST($lbD AS DOUBLE)"
+    val kd = s"CAST($k AS DOUBLE)"
+    val countCtes = (1 to order).map { j =>
+      if (j == 1)
+        "c1 AS (SELECT w AS g, count(*)::BIGINT AS c FROM " +
+          "(SELECT unnest(tk) w FROM tr) GROUP BY 1)"
+      else
+        s"c$j AS (SELECT bg AS g, count(*)::BIGINT AS c FROM " +
+          s"${ngramRowsSql("tr", j)} GROUP BY 1)"
+    }.mkString(",\n")
+    val probCtes = (1 to order).map { j =>
+      if (j == 1)
+        s"p1 AS (SELECT g, round(log10((c + $kd) / (nv.n + $kd * nv.v)), 6)" +
+          " AS lp FROM c1, nv)"
+      else
+        s"p$j AS (SELECT c$j.g AS g, round(log10(CAST(c$j.c AS DOUBLE)" +
+          s" / c${j - 1}.c), 6) AS lp FROM c$j JOIN c${j - 1}" +
+          s" ON regexp_replace(c$j.g, ' [^ ]+$$', '') = c${j - 1}.g)"
+    }.mkString(",\n")
+    val lagCols = (1 until order)
+      .map(j => s"lag(tok, $j) OVER w AS t$j").mkString(", ")
+    val gramCols = (1 to order).map { j =>
+      if (j == 1) "tok AS g1"
+      else ((j - 1) to 1 by -1).map(d => s"t$d")
+        .mkString("", " || ' ' || ", " || ' ' || tok") + s" AS g$j"
+    }.mkString(", ")
+    val lJoins = (1 to order)
+      .map(j => s"LEFT JOIN p$j ON g.g$j = p$j.g").mkString(" ")
+    val lCols = (1 to order).map(j => s"p$j.lp AS l$j").mkString(", ")
+    val lList = (1 to order).map(j => s"l$j").mkString(", ")
+    val bCols = (1 until order).map(j =>
+      s"CASE WHEN lag(l$j, 1) OVER w IS NOT NULL THEN $lb" +
+        s" ELSE CAST(0.0 AS DOUBLE) END AS b$j").mkString(", ")
+    def cbSql(j: Int) = (j until order).map(i => s"b$i").mkString(" + ")
+    val branches = (order to 2 by -1).map { j =>
+      if (j == order) s"WHEN l$j IS NOT NULL THEN l$j"
+      else s"WHEN l$j IS NOT NULL THEN ${cbSql(j)} + l$j"
+    }.mkString(" ")
+    val walk = s"CASE $branches" +
+      s" WHEN l1 IS NOT NULL THEN ${cbSql(1)} + l1" +
+      s" ELSE ${cbSql(1)} + unk.lp END"
+    val fullA = (s"WHEN p >= $order THEN l$order" +:
+      ((order - 1) to 2 by -1).map(j => s"WHEN p = $j THEN l$j"))
+      .mkString("CASE ", " ", " END")
+    s"""$tokCte,
+       |tr AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+       |sc AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+       |$countCtes,
+       |nv AS (SELECT (SELECT coalesce(sum(len(tk)), 0) FROM tr)::BIGINT AS n,
+       |              (SELECT count(*) FROM c1)::BIGINT AS v),
+       |$probCtes,
+       |unk AS (SELECT round(log10($kd / (n + $kd * v)), 6) AS lp FROM nv),
+       |pos AS (SELECT doc_id, p, tok, $lagCols
+       |        FROM (SELECT doc_id, unnest(tk) AS tok,
+       |                     unnest(range(1, len(tk) + 1)) AS p FROM sc)
+       |        WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |g AS (SELECT doc_id, p, $gramCols FROM pos),
+       |jx AS (SELECT g.doc_id, g.p, $lCols FROM g $lJoins),
+       |x AS (SELECT doc_id, p, $lList, $bCols
+       |      FROM jx WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |lpp AS (SELECT doc_id,
+       |         CASE WHEN l1 IS NULL THEN 1 ELSE 0 END AS oov,
+       |         CASE WHEN p >= 2 AND ($fullA) IS NULL
+       |              THEN 1 ELSE 0 END AS backed,
+       |         $walk AS lp
+       |       FROM x CROSS JOIN unk),
+       |scored AS (SELECT doc_id, count(*) AS n_tokens,
+       |             sum(oov)::BIGINT AS n_oov,
+       |             sum(backed)::BIGINT AS n_backed,
+       |             round(avg(lp), 4) AS avg_lp10
+       |           FROM lpp GROUP BY doc_id)""".stripMargin
+  }
+
   /** The q_doremi_weights oracle: full replay of
     * [[graft.operators.Selection.doremiWeights]] — global + per-domain
     * held-out bigram losses on the 1e-4 grid, then every
@@ -4978,6 +5090,13 @@ object SparkEntry {
     "q_ngram_lm" ->
       s"""WITH ${ngramLmScoredSql(3, 0.4, 0.5)}
          |SELECT doc_id, n_tokens, n_oov, n_backed, avg_lp
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the ARPA export rebuilt from counts + the standard backoff walk
+    // replayed branch by branch (generated CTE chain — arpaScoredSql)
+    "q_arpa_score" ->
+      s"""WITH ${arpaScoredSql(3, 0.4, 0.5)}
+         |SELECT doc_id, n_tokens, n_oov, n_backed, avg_lp10
          |FROM scored ORDER BY doc_id""".stripMargin,
 
     // the incremental==batch contract, oracle-gated: build-from-third
