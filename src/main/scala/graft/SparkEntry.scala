@@ -1227,6 +1227,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // DoReMi at CCNet's ACTUAL grain: both loss passes routed through
+    // the order-5 stupid-backoff LM (global generalist + per-source
+    // specialists re-keyed by (source, gram)) instead of the add-k
+    // bigram surrogate; the MW loop and grid are byte-identical to
+    // q_doremi_weights. The oracle generalizes the same round-CTE
+    // chain — the losses CTE swaps, the loop replay does not
+    "q_doremi_weights_5gram" -> ((s, d) => {
+      val aug = doremiCorpus(s, d)
+      graft.operators.Selection.doremiWeights(
+          aug.where(col("doc_id") % 3 =!= 0),
+          aug.where(col("doc_id") % 3 === 0), "doc_id", "text",
+          "source", order = 5, alpha = 0.4, rounds = 4, eta = 0.5,
+          smoothMicro = 200000L, k = 0.5)
+        .orderBy("source")
+    }),
+
     // the learned mixture APPLIED — DoReMi alpha composed into
     // Sampling.byWeight (the capstone the two operators advertise):
     // mixing weight w_d = round(alpha_d/1e6 · N/n_d, 6) converts the
@@ -3326,7 +3342,29 @@ object SparkEntry {
     * ENDING in `dal(source, n_docs, lg, lo, ex, w, alpha_micro)` — the
     * caller appends its own final SELECT (q_doremi_weights projects it;
     * q_doremi_mixture chains the byWeight replay on top). */
-  private def doremiOracleSql(rounds: Int, eta: Double,
+  /** The synth-augmented DoReMi corpus + tokenization + train/score
+    * split — shared by both mixture-learning grains' oracles (bigram
+    * q_doremi_weights/q_doremi_mixture and the order-n
+    * q_doremi_weights_5gram). Ends with trd/scd(doc_id, source, tk). */
+  private val doremiCorpusCtes =
+    """corp AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, 'synth', translate(text, 'aeiou', '01234')
+      |  FROM documents WHERE doc_id < 150),
+      |tds AS (SELECT doc_id, source,
+      |  list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+      |              x -> x <> '') tk
+      |  FROM corp WHERE source IS NOT NULL),
+      |trd AS (SELECT * FROM tds WHERE doc_id % 3 <> 0),
+      |scd AS (SELECT * FROM tds WHERE doc_id % 3 = 0)""".stripMargin
+
+  /** The multiplicative-weights + smoothing tail (r0..dal) over a
+    * relation `lx(source, n_docs, lg, lo)` — every MW round unrolled
+    * as one CTE, all-BIGINT except the one renormalizing division per
+    * (domain, round). Shared by both grains so the loop replay can
+    * never drift from [[graft.operators.Selection.doremiLoop]]. */
+  private def doremiMwTailSql(rounds: Int, eta: Double,
                               smoothMicro: Long): String = {
     val etaD = s"CAST($eta AS DOUBLE)"
     val roundCtes = (1 to rounds).map { r =>
@@ -3337,17 +3375,23 @@ object SparkEntry {
          |          round($etaD * (ex * 100))::BIGINT) AS raw
          |        FROM r${r - 1}))""".stripMargin
     }.mkString(",\n")
-    s"""WITH corp AS (
-       |  SELECT doc_id, source, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 500000, 'synth', translate(text, 'aeiou', '01234')
-       |  FROM documents WHERE doc_id < 150),
-       |tds AS (SELECT doc_id, source,
-       |  list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
-       |              x -> x <> '') tk
-       |  FROM corp WHERE source IS NOT NULL),
-       |trd AS (SELECT * FROM tds WHERE doc_id % 3 <> 0),
-       |scd AS (SELECT * FROM tds WHERE doc_id % 3 = 0),
+    s"""r0 AS (SELECT source, n_docs, lg, lo,
+       |         greatest(0, lg - lo)::BIGINT AS ex,
+       |         1000000::BIGINT AS w
+       |       FROM lx),
+       |$roundCtes,
+       |kk AS (SELECT count(*)::BIGINT AS kd FROM r0),
+       |dal AS (SELECT source, n_docs, lg, lo, ex, w,
+       |          round(CAST((1000000 - $smoothMicro) * w AS DOUBLE) /
+       |                CAST(1000000 AS DOUBLE))::BIGINT +
+       |          round(CAST($smoothMicro AS DOUBLE) / kk.kd)::BIGINT
+       |            AS alpha_micro
+       |        FROM r$rounds CROSS JOIN kk)""".stripMargin
+  }
+
+  private def doremiOracleSql(rounds: Int, eta: Double,
+                              smoothMicro: Long): String = {
+    s"""WITH $doremiCorpusCtes,
        |c2g AS (SELECT bg, count(*)::BIGINT AS c2
        |        FROM ${ngramRowsSql("trd", 2)} GROUP BY 1),
        |ugg AS (SELECT w, count(*)::BIGINT AS c1
@@ -3389,18 +3433,114 @@ object SparkEntry {
        |         round(CAST(-sg AS DOUBLE) / n_docs)::BIGINT AS lg,
        |         round(CAST(-so AS DOUBLE) / n_docs)::BIGINT AS lo
        |       FROM per),
-       |r0 AS (SELECT source, n_docs, lg, lo,
-       |         greatest(0, lg - lo)::BIGINT AS ex,
-       |         1000000::BIGINT AS w
-       |       FROM lx),
-       |$roundCtes,
-       |kk AS (SELECT count(*)::BIGINT AS kd FROM r0),
-       |dal AS (SELECT source, n_docs, lg, lo, ex, w,
-       |          round(CAST((1000000 - $smoothMicro) * w AS DOUBLE) /
-       |                CAST(1000000 AS DOUBLE))::BIGINT +
-       |          round(CAST($smoothMicro AS DOUBLE) / kk.kd)::BIGINT
-       |            AS alpha_micro
-       |        FROM r$rounds CROSS JOIN kk)""".stripMargin
+       |${doremiMwTailSql(rounds, eta, smoothMicro)}""".stripMargin
+  }
+
+  /** Order-n stupid-backoff scored CTEs over the pre-tokenized
+    * trd/scd relations (doc_id, source, tk) — the DoReMi-grain replay
+    * of the [[ngramLmScoredSql]] chain (which owns q_ngram_lm's split
+    * and junk columns; this one emits only `${"$"}{pfx}sc(doc_id,
+    * avg_lp)`). With `bySource`, every count table and the (N, V)
+    * frame re-key by source and each held-out doc joins its OWN
+    * domain's tables — the inner nv join drops train-absent domains,
+    * exactly as the engine's by-source scorer does. */
+  private def ngramScoredCtes(pfx: String, order: Int, alpha: Double,
+                              k: Double, bySource: Boolean): String = {
+    val apows = graft.operators.CorpusStats.alphaPowers(alpha, order - 1)
+    val kd = s"CAST($k AS DOUBLE)"
+    def apow(e: String) =
+      (1 until order).map(i =>
+        s"WHEN ($e) = $i THEN CAST(${apows(i)} AS DOUBLE)")
+        .mkString("CASE ", " ", " ELSE CAST(1.0 AS DOUBLE) END")
+    val m = s"least(p, $order)"
+    val srcSel = if (bySource) "source, " else ""
+    val countCtes = (1 to order).map { j =>
+      if (j == 1)
+        s"${pfx}c1 AS (SELECT ${srcSel}w AS g, count(*)::BIGINT AS c " +
+          s"FROM (SELECT ${srcSel}unnest(tk) w FROM trd) GROUP BY " +
+          (if (bySource) "1, 2)" else "1)")
+      else if (bySource)
+        s"${pfx}c$j AS (SELECT t.source, r.bg AS g, " +
+          s"count(*)::BIGINT AS c FROM ${ngramRowsSql("trd", j)} r " +
+          "JOIN trd t USING (doc_id) GROUP BY 1, 2)"
+      else
+        s"${pfx}c$j AS (SELECT bg AS g, count(*)::BIGINT AS c FROM " +
+          s"${ngramRowsSql("trd", j)} GROUP BY 1)"
+    }.mkString(",\n")
+    val nvCte =
+      if (bySource)
+        s"${pfx}nv AS (SELECT source, sum(c)::BIGINT AS n, " +
+          s"count(*)::BIGINT AS v FROM ${pfx}c1 GROUP BY 1)"
+      else
+        s"${pfx}nv AS (SELECT (SELECT coalesce(sum(len(tk)), 0) " +
+          s"FROM trd)::BIGINT AS n, (SELECT count(*) FROM " +
+          s"${pfx}c1)::BIGINT AS v)"
+    val lagCols = (1 until order)
+      .map(j => s"lag(tok, $j) OVER w AS t$j").mkString(", ")
+    val gramCols = (1 to order).map { j =>
+      if (j == 1) "tok AS g1"
+      else ((j - 1) to 1 by -1).map(d => s"t$d")
+        .mkString("", " || ' ' || ", " || ' ' || tok") + s" AS g$j"
+    }.mkString(", ")
+    val aJoins = (1 to order).map { j =>
+      val cond =
+        if (bySource) s"${pfx}g.source = ${pfx}c$j.source AND " +
+          s"${pfx}g.g$j = ${pfx}c$j.g"
+        else s"${pfx}g.g$j = ${pfx}c$j.g"
+      s"LEFT JOIN ${pfx}c$j ON $cond"
+    }.mkString(" ")
+    val aCols = (1 to order).map(j => s"${pfx}c$j.c AS a$j")
+      .mkString(", ")
+    val aList = (1 to order).map(j => s"a$j").mkString(", ")
+    val bCols = (1 until order)
+      .map(j => s"lag(a$j, 1) OVER w AS b$j").mkString(", ")
+    val branches = (order to 2 by -1).map { j =>
+      s"WHEN a$j IS NOT NULL THEN (${apow(s"$m - $j")}) * a$j / b${j - 1}"
+    }.mkString(" ")
+    val base = s"(${apow(s"$m - 1")}) * (coalesce(a1, 0) + $kd) / " +
+      s"(nv.n + $kd * nv.v)"
+    val nvJoin =
+      if (bySource) s"JOIN ${pfx}nv nv USING (source)"
+      else s"CROSS JOIN ${pfx}nv nv"
+    s"""$countCtes,
+       |$nvCte,
+       |${pfx}pos AS (SELECT doc_id, ${srcSel}p, tok, $lagCols
+       |        FROM (SELECT doc_id, ${srcSel}unnest(tk) AS tok,
+       |                     unnest(range(1, len(tk) + 1)) AS p FROM scd)
+       |        WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |${pfx}g AS (SELECT doc_id, ${srcSel}p, $gramCols FROM ${pfx}pos),
+       |${pfx}jx AS (SELECT ${pfx}g.doc_id, ${
+      if (bySource) s"${pfx}g.source, " else ""}${pfx}g.p, $aCols
+       |             FROM ${pfx}g $aJoins),
+       |${pfx}x AS (SELECT doc_id, ${srcSel}p, $aList, $bCols
+       |      FROM ${pfx}jx WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |${pfx}lpp AS (SELECT doc_id, ln(CASE $branches ELSE $base END) AS lp
+       |       FROM ${pfx}x $nvJoin),
+       |${pfx}sc AS (SELECT doc_id, round(avg(lp), 4) AS avg_lp
+       |       FROM ${pfx}lpp GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The q_doremi_weights_5gram oracle: the same corpus fixture and
+    * MW-round chain as [[doremiOracleSql]], with BOTH loss passes at
+    * the order-n stupid-backoff grain (global generalist + by-source
+    * specialists) instead of the add-k bigram surrogate. */
+  private def doremiNgramOracleSql(order: Int, alpha: Double, k: Double,
+                                   rounds: Int, eta: Double,
+                                   smoothMicro: Long): String = {
+    s"""WITH $doremiCorpusCtes,
+       |${ngramScoredCtes("g5", order, alpha, k, bySource = false)},
+       |${ngramScoredCtes("o5", order, alpha, k, bySource = true)},
+       |per AS (SELECT t.source, count(*)::BIGINT AS n_docs,
+       |          sum(round(g.avg_lp * 10000)::BIGINT)::BIGINT AS sg,
+       |          sum(round(o.avg_lp * 10000)::BIGINT)::BIGINT AS so
+       |        FROM scd t JOIN g5sc g USING (doc_id)
+       |        JOIN o5sc o USING (doc_id)
+       |        GROUP BY 1),
+       |lx AS (SELECT source, n_docs,
+       |         round(CAST(-sg AS DOUBLE) / n_docs)::BIGINT AS lg,
+       |         round(CAST(-so AS DOUBLE) / n_docs)::BIGINT AS lo
+       |       FROM per),
+       |${doremiMwTailSql(rounds, eta, smoothMicro)}""".stripMargin
   }
 
   /** Shared SQL fragment: distinct 3-gram shingles per doc (list-valued,
@@ -5054,6 +5194,14 @@ object SparkEntry {
     // round unrolled (see doremiOracleSql)
     "q_doremi_weights" ->
       s"""${doremiOracleSql(4, 0.5, 200000L)}
+         |SELECT source, n_docs, lg AS loss_global_i4,
+         |       lo AS loss_own_i4, ex AS excess_i4, w AS weight_micro,
+         |       alpha_micro
+         |FROM dal ORDER BY source""".stripMargin,
+
+    // the same MW-round chain fed by order-5 stupid-backoff losses
+    "q_doremi_weights_5gram" ->
+      s"""${doremiNgramOracleSql(5, 0.4, 0.5, 4, 0.5, 200000L)}
          |SELECT source, n_docs, lg AS loss_global_i4,
          |       lo AS loss_own_i4, ex AS excess_i4, w AS weight_micro,
          |       alpha_micro

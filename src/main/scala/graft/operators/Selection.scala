@@ -465,6 +465,56 @@ object Selection {
       .agg(round(avg(col("__lp")), 4).as("avg_lp"))
       .select(col("doc"),
         round(col("avg_lp") * 10000, 0).cast("long").as("oi"))
+    doremiFromDocScores(ho, idCol, sourceCol, g, o, rounds, eta,
+      smoothMicro)
+  }
+
+  /** DoReMi at the ORDER-n grain — [[doremiWeights]] with both loss
+    * passes routed through the stupid-backoff LM
+    * ([[CorpusStats.ngramLogProbAgainst]] for the global generalist,
+    * [[CorpusStats.ngramLogProbAgainstBySource]] for each domain's
+    * specialist) instead of the add-k bigram surrogate: the paper's
+    * excess-loss signal at CCNet's actual 5-gram grain is just
+    * `order = 5` here. Everything downstream of the two scoring
+    * passes — the 1e-4 loss grid, the integer MW rounds, the uniform
+    * smoothing — is the SAME [[doremiLoop]] engine, so the learned
+    * mixture remains bit-reproducible on any cluster; the distributed
+    * work is two vocabulary-shaped order-n scoring plans (each: one
+    * count shuffle per order + the doc-windowed score side), both
+    * already decade-probed. */
+  def doremiWeights(train: DataFrame, heldout: DataFrame, idCol: String,
+                    textCol: String, sourceCol: String, order: Int,
+                    alpha: Double, rounds: Int, eta: Double,
+                    smoothMicro: Long, k: Double): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    require(eta > 0.0, s"eta must be positive, got $eta")
+    require(smoothMicro >= 0L && smoothMicro <= 1000000L,
+      s"smoothMicro must be in [0, 1e6], got $smoothMicro")
+    val tr = train.where(col(sourceCol).isNotNull)
+    val ho = heldout.where(col(sourceCol).isNotNull)
+    val g = CorpusStats.ngramLogProbAgainst(tr, ho, idCol, textCol,
+        order, alpha, k)
+      .select(col("doc"),
+        round(col("avg_lp") * 10000, 0).cast("long").as("gi"))
+    val o = CorpusStats.ngramLogProbAgainstBySource(tr, ho, idCol,
+        textCol, sourceCol, order, alpha, k)
+      .select(col("doc"),
+        round(col("avg_lp") * 10000, 0).cast("long").as("oi"))
+    doremiFromDocScores(ho, idCol, sourceCol, g, o, rounds, eta,
+      smoothMicro)
+  }
+
+  /** The shared back half of both [[doremiWeights]] grains (one copy
+    * of the aggregation + loop + output shape, zero drift): per-domain
+    * integer loss means from the per-doc 1e-4-grid scores, the
+    * [[doremiLoop]] MW rounds, and the output frame. Driver state is
+    * #domains × 4 longs by the bounded-collect contract. */
+  private def doremiFromDocScores(ho: DataFrame, idCol: String,
+                                  sourceCol: String, g: DataFrame,
+                                  o: DataFrame, rounds: Int, eta: Double,
+                                  smoothMicro: Long): DataFrame = {
+    val spark = ho.sparkSession
+    import spark.implicits._
     val perSource = ho.select(col(idCol).as("doc"),
         col(sourceCol).as("src"))
       .join(g, "doc").join(o, "doc")

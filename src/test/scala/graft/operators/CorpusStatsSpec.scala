@@ -407,4 +407,39 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(even == Map("A" -> 0.0, "B" -> 0.0))
   }
+
+  test("by-source n-gram scoring equals per-domain plain scoring, and " +
+      "train-absent domains drop") {
+    // the specialist-model equivalence DoReMi's order-n form rests on:
+    // scoring domain d's held-out docs through the (src, gram)-keyed
+    // tables must EQUAL training a plain model on d's slice alone
+    val s = spark
+    val all = graft.engine.Tables.documents(s, sf())
+      .where(col("source").isNotNull)
+    val tr = all.where(col("doc_id") % 3 =!= 0)
+    val ho = all.where(col("doc_id") % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc", "n_tokens", "n_oov", "n_backed", "avg_lp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val bySrc = rows(CorpusStats.ngramLogProbAgainstBySource(
+      tr, ho, "doc_id", "text", "source", 3))
+    val domains = ho.select("source").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val perDomain = domains.flatMap { dom =>
+      rows(CorpusStats.ngramLogProbAgainst(
+        tr.where(col("source") === dom),
+        ho.where(col("source") === dom), "doc_id", "text", 3))
+    }.sortBy(_._1)
+    assert(bySrc == perDomain,
+      "by-source scoring diverged from per-domain plain scoring")
+    // a held-out-only domain has no specialist and must DROP, not
+    // silently score against someone else's tables
+    val hoExtra = ho.select(
+      (col("doc_id") + 900000L).as("doc_id"),
+      lit("never_in_train").as("source"), col("text"))
+    val dropped = CorpusStats.ngramLogProbAgainstBySource(
+      tr, hoExtra, "doc_id", "text", "source", 3)
+    assert(dropped.count() == 0L)
+  }
 }
