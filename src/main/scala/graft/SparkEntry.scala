@@ -1970,6 +1970,27 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup's ε-sweep mode: prune each CELL to a 35% keep fraction
+    // ranked by centroid similarity (least-central kept — diversity),
+    // the boundary on the integer micro-grid so it can never flip on
+    // FP dust. Same corpus/centroid fixture as q_semdedup, so the two
+    // modes' keep sets are directly comparable; no pair join — one
+    // window over the assigned frame
+    "q_semdedup_frac" -> ((s, d) => {
+      val base = emb(s, d)
+        .select(col("vec_id"), VF.asDoubles(col("embedding")).as("embedding"))
+      val shifted = base.where(col("vec_id") < 250)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.08)).as("embedding"))
+      val centroids = base.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Dedup.semDedupFraction(base.unionAll(shifted), "vec_id",
+          "embedding", centroids, "cid", "cvec", 0.35)
+        .select(col("vid").as("vec_id"), col("cell"), col("cent_sim"),
+          col("rk"), col("n_cell"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // same operator at a near-dup threshold: 0.85 dispatches to the
     // banded-LSH branch (embeddingPairsLsh), so BOTH candidate-generation
     // strategies are oracle-gated. The testdata embeddings are near-random
@@ -6740,6 +6761,36 @@ object SparkEntry {
         |         ORDER BY a.cent_sim ASC, a.vec_id ASC) = 1 AS keep
         |FROM asg a LEFT JOIN comp c USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+
+    // the ε-sweep replay: same assignment CTE as q_semdedup, then one
+    // per-cell rank window and the all-BIGINT keep boundary
+    // (rk-1)*1e6 < keep_micro * n_cell with keep_micro = round(.35e6)
+    "q_semdedup_frac" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.08)
+        |  FROM base WHERE vec_id < 250),
+        |e AS (SELECT vec_id, v FROM corpus
+        |      WHERE list_dot_product(v, v) > 0),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < 10),
+        |asg AS (SELECT vec_id, cell,
+        |         round(sim, 6) + 0.0 AS cent_sim FROM (
+        |  SELECT e.vec_id, c.cell,
+        |         list_cosine_similarity(e.v, c.cv) AS sim,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+        |           AS rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |rk AS (SELECT vec_id, cell, cent_sim,
+        |         row_number() OVER (PARTITION BY cell
+        |           ORDER BY cent_sim ASC, vec_id ASC)::BIGINT AS rk,
+        |         count(*) OVER (PARTITION BY cell)::BIGINT AS n_cell
+        |       FROM asg)
+        |SELECT vec_id, cell, cent_sim, rk, n_cell,
+        |       (rk - 1) * 1000000 < 350000 * n_cell AS keep
+        |FROM rk ORDER BY vec_id""".stripMargin,
 
     // exact quadratic oracle for the LSH branch: valid because the banded
     // candidate generation is deterministic with a 1e-9 per-pair miss

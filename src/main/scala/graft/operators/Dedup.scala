@@ -1165,16 +1165,24 @@ object Dedup {
     * above `tau` in their cell) are their own component and survive. */
   def semDedup(df: DataFrame, id: String, vec: String,
                centroids: DataFrame, cid: String, cvec: String,
-               tau: Double): DataFrame = {
+               tau: Double): DataFrame =
+    semDedupAssigned(semAssign(df, id, vec, centroids, cid, cvec), tau)
+
+  /** The shared assignment half of the semantic-dedup convenience
+    * forms: zero-norm rows dropped up front (no cosine), cells
+    * assigned by argmax centroid similarity, cent_sim on the round-6
+    * grid with the engine-wide negative-zero normalization. */
+  private def semAssign(df: DataFrame, id: String, vec: String,
+                        centroids: DataFrame, cid: String,
+                        cvec: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val v0 = df.select(col(id).cast("long").as("vid"),
         asDoubles(col(vec)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .where(col("nrm") > 0.0)
-    val asg = Similarity.assignCells(v0, "vid", "v", centroids, cid, cvec)
+    Similarity.assignCells(v0, "vid", "v", centroids, cid, cvec)
       .select(col("vid"), col("v"), col("nrm"), col("cell"),
         (round(col("cell_sim"), 6) + lit(0.0)).as("cent_sim"))
-    semDedupAssigned(asg, tau)
   }
 
   /** The within-cell half of [[semDedup]] over an ALREADY-assigned
@@ -1218,6 +1226,53 @@ object Dedup {
       .select(col("vid"), col("cell"), col("cent_sim"), col("component"),
         (row_number().over(w) === 1).as("keep"))
   }
+
+  /** SemDeDup at a target KEEP FRACTION per cell — the paper's ε-sweep
+    * mode (Abbas et al. 2023 tune their threshold so each cluster
+    * keeps a target share, rather than fixing one cosine cut): rank
+    * each cell's members by centroid similarity ascending
+    * (least-central first — the same keep-toward-diversity rule as
+    * [[semDedupAssigned]]'s per-component pick, same round-6 grid,
+    * ties by id) and keep the first ceil(keepFrac · |cell|). The
+    * boundary is evaluated on the integer micro-grid — keep iff
+    * `(rank − 1) · 10^6 < keepMicro · |cell|` with `keepMicro =
+    * round(keepFrac · 10^6)` — so it can never flip between engines on
+    * floating-point dust, and every cell keeps at least its single
+    * least-central member.
+    *
+    * Scale shape: NO pair join at all — this mode is ONE window over
+    * the assigned frame (the ranking IS the verdict), strictly cheaper
+    * than the τ form's Σ|cell|² dot products, which is exactly why the
+    * paper sweeps it at web scale. Input is an assigned frame
+    * (vid, cell, cent_sim, …) — from [[Similarity.assignCells]], the
+    * persisted IVF index's cell-partitioned layout, or [[semDedup]]'s
+    * assignment half; the cell −1 wrong-dimension sentinel is excluded
+    * as everywhere. Output: (vid, cell, cent_sim, rk, n_cell, keep). */
+  def semDedupFraction(asg0: DataFrame, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val keepMicro = BigDecimal(keepFrac * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val asg = asg0.where(col("cell") =!= -1L)
+    val w = Window.partitionBy("cell")
+      .orderBy(col("cent_sim").asc, col("vid").asc)
+    asg.select(col("vid"), col("cell"), col("cent_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_cell",
+        count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("keep",
+        (col("rk") - 1L) * 1000000L < lit(keepMicro) * col("n_cell"))
+  }
+
+  /** [[semDedupFraction]] from raw vectors + centroids — the
+    * convenience form, paying the same corpus × k argmax as
+    * [[semDedup]]; at scale feed the assigned frame (or the IVF
+    * index) to the overload above instead. */
+  def semDedupFraction(df: DataFrame, id: String, vec: String,
+                       centroids: DataFrame, cid: String, cvec: String,
+                       keepFrac: Double): DataFrame =
+    semDedupFraction(semAssign(df, id, vec, centroids, cid, cvec),
+      keepFrac)
 
   /** [[semDedupAssigned]] fed straight from a persisted IVF index —
     * the composition the scaladoc above promises, as code: the index's

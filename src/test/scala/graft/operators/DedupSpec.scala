@@ -695,6 +695,70 @@ class DedupSpec extends SparkSpec {
       "cross-cell pair must NOT share a component")
   }
 
+  test("semDedupFraction: per-cell ceil(frac*n) least-central keep, " +
+      "sentinel/zero rows dropped, >=1 kept per cell") {
+    val s = spark
+    import s.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    // cell 0 gets 5 members at increasing angle from c0 (vid order =
+    // similarity order, most-central first); cell 1 gets 2; plus a
+    // zero vector and a wrong-dimension sentinel row
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.01)), (11L, Seq(1.0, 0.1)), (12L, Seq(1.0, 0.2)),
+      (13L, Seq(1.0, 0.3)), (14L, Seq(1.0, 0.4)),
+      (20L, Seq(0.01, 1.0)), (21L, Seq(0.3, 1.0)),
+      (99L, Seq(0.0, 0.0)), (98L, Seq(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedupFraction(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec", 0.4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(!got.contains(99L) && !got.contains(98L))
+    // cell 0: ceil(0.4*5) = 2 kept, the two LEAST central (14, 13)
+    assert(got(14L)._4 && got(13L)._4)
+    assert(!got(12L)._4 && !got(11L)._4 && !got(10L)._4)
+    assert(got(14L)._2 == 1L && got(13L)._2 == 2L, "rank order")
+    assert(got(10L)._3 == 5L, "n_cell")
+    // cell 1: ceil(0.4*2) = 1 kept — the less central member
+    assert(got(21L)._4 && !got(20L)._4)
+    // a tiny fraction still keeps one per cell (the integer ceil rule)
+    val one = Dedup.semDedupFraction(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec", 0.000001)
+      .where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(one == Set(14L, 21L))
+  }
+
+  test("semDedupFraction composes with the persisted IVF assignment") {
+    val s = spark
+    val emb = graft.engine.Tables.embeddings(s, sf())
+    val cents0 = emb.where(col("vec_id") < 10)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      cents0, "vec_id", "embedding", "semfrac_spec_idx",
+      java.nio.file.Files.createTempDirectory("graft-sdf-spec").toString)
+    try {
+      import graft.functions.VectorFunctions._
+      val cents = broadcast(s.table(idx.centroidsTable)
+        .select(col("cell"), col("centroid"),
+          l2Norm(col("centroid")).as("__cnm")))
+      val asg = s.table(idx.corpusTable).where(col("cn") > 0.0)
+        .join(cents, Seq("cell"))
+        .select(col("cid").cast("long").as("vid"), col("cell"),
+          (round(cosineFrom(dot(col("cv"), col("centroid")), col("cn"),
+            col("__cnm")), 6) + lit(0.0)).as("cent_sim"))
+      val viaIndex = Dedup.semDedupFraction(asg, 0.5)
+        .collect().map(r => (r.getLong(0), r.getBoolean(5))).sortBy(_._1)
+      val direct = Dedup.semDedupFraction(emb, "vec_id", "embedding",
+          cents0.select(col("vec_id").as("cid"),
+            col("embedding").as("cvec")), "cid", "cvec", 0.5)
+        .collect().map(r => (r.getLong(0), r.getBoolean(5))).sortBy(_._1)
+      assert(viaIndex.toSeq == direct.toSeq,
+        "index-fed fraction mode must equal the direct operator")
+    } finally Similarity.dropIvfIndex(s, idx)
+  }
+
   test("semDedupFromIndex: the persisted-IVF path equals the direct " +
       "operator on the same corpus and centroids") {
     val s = spark
