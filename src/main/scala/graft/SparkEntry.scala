@@ -1355,6 +1355,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the SOFT-EM trainer (Kudo '18's actual E-step, closing the
+    // documented hard-EM divergence): two forward-backward EM rounds —
+    // expected piece counts on the 1e-6 micro-occurrence grid, every
+    // alpha/beta cell round-6 log-sum-exp-quantized — then the same
+    // prune and the same hard-Viterbi APPLY as q_unigram_train. The
+    // oracle replays both soft E-steps as recursive forward+backward
+    // CTEs plus the final Viterbi DP
+    "q_unigram_train_soft" -> ((s, d) => {
+      val dd = docs(s, d)
+      val vocab = graft.operators.Subword.trainUnigram(
+        dd, "text", 60, 40, 2, 4, 2, unigramUnkScore, soft = true).toMap
+      graft.operators.Subword.unigramCounts(dd, "doc_id", "text", vocab,
+          unigramUnkScore)
+        .select(col("doc").as("doc_id"), col("n_pieces"), col("n_unk"))
+        .orderBy("doc_id")
+    }),
+
     // BPE ENCODE (inference by rank-ordered merges, the apply half of
     // q_bpe_merges): per-doc piece totals under a fixed 8-rule list
     // with composing rules — rank order matters and both engines must
@@ -3879,6 +3896,193 @@ object SparkEntry {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** One SOFT (forward-backward) E-step instance as SQL: recursive
+    * forward/backward DPs over `twords` scored by `vocabCte(piece,
+    * psc)`, ending in `${"$"}{id}ec(piece, n)` — expected piece counts
+    * in MICRO-occurrences weighted by word occurrence, replaying
+    * [[graft.operators.Subword.softWordCounts]] term by term: each α/β
+    * cell is the round-6 log-sum-exp of its ≤ L arm terms combined in
+    * ascending piece length with absent arms coalesced to the −10^9
+    * sentinel (exp underflows to exactly 0.0), the l = 1 arm falling
+    * back to the unk score; per-occurrence posteriors
+    * `exp(α(s) + psc + β(s+l) − Z)` round to the 10^-6 grid BEFORE the
+    * exact-integer cross-word aggregation. Substr windows and guards
+    * mirror [[unigramDpSql]]'s joins (and the right-end guards keep a
+    * truncated tail substr from matching a shorter piece). */
+  private def unigramSoftEStepSql(id: String, vocabCte: String,
+                                  L: Int): String = {
+    val unk = s"(${unigramUnkScore}e0)"
+    val sent = "(-1000000000e0)"
+    // forward: computing alpha(pos+1); a0..a{L-1} = alpha(pos-i)
+    val fJoins = (2 to L).map(l =>
+      s"  LEFT JOIN $vocabCte v$l ON pos >= ${l - 1} " +
+        s"AND v$l.piece = substr(w, pos + ${2 - l}, $l)").mkString("\n")
+    val fTerms = (1 to L).map { l =>
+      if (l == 1) s"coalesce(a0 + coalesce(v1.psc, $unk), $sent)"
+      else s"coalesce(a${l - 1} + v$l.psc, $sent)"
+    }
+    // backward: computing beta(pos-1); b0..b{L-1} = beta(pos-1+i+1)
+    val bJoins = (1 to L).map(l =>
+      s"  LEFT JOIN $vocabCte u$l ON pos + ${l - 1} <= n " +
+        s"AND u$l.piece = substr(w, pos, $l)").mkString("\n")
+    val bTerms = (1 to L).map { l =>
+      if (l == 1) s"coalesce(coalesce(u1.psc, $unk) + b0, $sent)"
+      else s"coalesce(u$l.psc + b${l - 1}, $sent)"
+    }
+    def lse(ts: Seq[String], mx: String): String =
+      s"round($mx + ln(" +
+        ts.map(t => s"exp($t - $mx)").mkString(" + ") + "), 6)"
+    val aShift = (0 until L - 1).map(i => s"a$i").mkString(", ")
+    val bShift = (0 until L - 1).map(i => s"b$i").mkString(", ")
+    val aNulls = (1 until L).map(i => s"NULL::DOUBLE AS a$i")
+      .mkString(", ")
+    val bNulls = (1 until L).map(i => s"NULL::DOUBLE AS b$i")
+      .mkString(", ")
+    // weight arms: posterior micro-mass of the in-vocab piece at
+    // (pos, l); right-end guard so a truncated substr cannot match
+    val wArms = (1 to L).map { l =>
+      s"""  SELECT fa.w, v.piece,
+         |    round(exp(fa.a0 + v.psc + fb.b0 - fz.z) * 1000000e0)::BIGINT
+         |      AS micro
+         |  FROM ${id}fa fa
+         |  JOIN $vocabCte v ON fa.pos + $l <= fa.n
+         |                  AND v.piece = substr(fa.w, fa.pos + 1, $l)
+         |  JOIN ${id}fb fb ON fb.w = fa.w AND fb.pos = fa.pos + $l
+         |  JOIN ${id}fz fz ON fz.w = fa.w""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val tList = (1 to L).map(i => s"t$i").mkString(", ")
+    val fTermCols = fTerms.zipWithIndex
+      .map { case (t, i) => s"$t AS t${i + 1}" }.mkString(", ")
+    val bTermCols = bTerms.zipWithIndex
+      .map { case (t, i) => s"$t AS t${i + 1}" }.mkString(", ")
+    val aList = (0 until L).map(i => s"a$i").mkString(", ")
+    val bList = (0 until L).map(i => s"b$i").mkString(", ")
+    s"""${id}fr AS (
+       |  SELECT w, len(w)::INT AS n, 0 AS pos, 0e0::DOUBLE AS a0, $aNulls
+       |  FROM twords
+       |  UNION ALL
+       |  SELECT w, n, pos + 1,
+       |    ${lse((1 to L).map(i => s"t$i"), "mx")} AS a0,
+       |    $aShift
+       |  FROM (SELECT w, n, pos, $aList, $tList,
+       |               greatest($tList) AS mx
+       |        FROM (SELECT fr.w, fr.n, fr.pos, $aList, $fTermCols
+       |              FROM ${id}fr fr
+       |  LEFT JOIN $vocabCte v1 ON v1.piece = substr(w, pos + 1, 1)
+       |$fJoins
+       |              WHERE pos < n))
+       |),""".stripMargin + "\n" +
+      s"""${id}br AS (
+       |  SELECT w, len(w)::INT AS n, len(w)::INT AS pos,
+       |         0e0::DOUBLE AS b0, $bNulls
+       |  FROM twords
+       |  UNION ALL
+       |  SELECT w, n, pos - 1,
+       |    ${lse((1 to L).map(i => s"t$i"), "mx")} AS b0,
+       |    $bShift
+       |  FROM (SELECT w, n, pos, $bList, $tList,
+       |               greatest($tList) AS mx
+       |        FROM (SELECT br.w, br.n, br.pos, $bList, $bTermCols
+       |              FROM ${id}br br
+       |$bJoins
+       |              WHERE pos > 0))
+       |),
+       |${id}fa AS MATERIALIZED (SELECT w, n, pos, a0 FROM ${id}fr),
+       |${id}fb AS MATERIALIZED (SELECT w, pos, b0 FROM ${id}br),
+       |${id}fz AS MATERIALIZED (SELECT w, a0 AS z FROM ${id}fr
+       |                         WHERE pos = n),
+       |${id}wg AS (
+       |$wArms),
+       |${id}ec AS (SELECT piece, sum(c * micro)::BIGINT AS n
+       |        FROM ${id}wg JOIN wcw USING (w) GROUP BY piece)"""
+        .stripMargin
+  }
+
+  /** The q_unigram_train_soft oracle: [[unigramTrainOracleSql]] with
+    * both E-steps SOFT ([[unigramSoftEStepSql]] — forward-backward
+    * expected counts in micro-occurrences, M-steps and the prune loss
+    * at the 10^6 count unit) and the final apply still the hard
+    * Viterbi DP (training is soft; application is always Viterbi, as
+    * in SentencePiece). */
+  private def unigramTrainSoftOracleSql(seedSize: Int,
+                                        targetMulti: Int): String = {
+    val L = 4
+    s"""WITH RECURSIVE $tokCte,
+       |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       |       FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+       |       GROUP BY doc_id, w),
+       |wcw AS MATERIALIZED (SELECT w, sum(c)::BIGINT AS c FROM wc GROUP BY w),
+       |twords AS MATERIALIZED (SELECT w FROM wcw),
+       |seeds AS (
+       |  SELECT piece, n_occ FROM (
+       |    SELECT piece, n_occ,
+       |           row_number() OVER (ORDER BY n_occ DESC, piece) AS rk
+       |    FROM (SELECT substr(w, s + 1, n) AS piece,
+       |                 sum(c)::BIGINT AS n_occ
+       |          FROM wcw,
+       |               unnest(range(2, ${L + 1})) AS ln(n),
+       |               unnest(range(0, greatest(len(w) - n + 1, 0))) AS st(s)
+       |          GROUP BY piece))
+       |  WHERE rk <= $seedSize),
+       |sing AS (SELECT substr(w, s + 1, 1) AS piece, sum(c)::BIGINT AS n_occ
+       |         FROM wcw, unnest(range(0, len(w))) AS st(s)
+       |         GROUP BY piece),
+       |v0c AS (SELECT piece, n_occ, TRUE AS single FROM sing
+       |        UNION ALL SELECT piece, n_occ, FALSE FROM seeds),
+       |t0 AS (SELECT sum((n_occ + 1) * 1000000)::BIGINT AS tt FROM v0c),
+       |v0 AS MATERIALIZED (
+       |       SELECT piece,
+       |              round(ln(((n_occ + 1) * 1000000)::DOUBLE / tt::DOUBLE),
+       |                    6) AS psc
+       |       FROM v0c CROSS JOIN t0),
+       |${unigramSoftEStepSql("s1", "v0", L)},
+       |c1 AS (SELECT v.piece, v.single, coalesce(e.n, 0)::BIGINT AS c
+       |       FROM v0c v LEFT JOIN s1ec e USING (piece)),
+       |t1 AS (SELECT sum(c + 1000000)::BIGINT AS tt FROM c1),
+       |m1 AS (SELECT c1.piece, c1.single, c1.c,
+       |              round(ln((c1.c + 1000000)::DOUBLE / t1.tt::DOUBLE), 6)
+       |                AS psc
+       |       FROM c1 CROSS JOIN t1),
+       |lss AS (SELECT piece, CASE WHEN lraw = 0 THEN 0e0 ELSE lraw END AS l
+       |        FROM (
+       |          SELECT m.piece,
+       |                 round((m.c::DOUBLE / 1000000e0) * (m.psc -
+       |                   (coalesce(x1.psc, 0e0) + coalesce(x2.psc, 0e0)
+       |                    + coalesce(x3.psc, 0e0) + coalesce(x4.psc, 0e0))),
+       |                   6) AS lraw
+       |          FROM m1 m
+       |          LEFT JOIN m1 x1 ON x1.piece = substr(m.piece, 1, 1)
+       |          LEFT JOIN m1 x2 ON len(m.piece) >= 2
+       |                         AND x2.piece = substr(m.piece, 2, 1)
+       |          LEFT JOIN m1 x3 ON len(m.piece) >= 3
+       |                         AND x3.piece = substr(m.piece, 3, 1)
+       |          LEFT JOIN m1 x4 ON len(m.piece) >= 4
+       |                         AND x4.piece = substr(m.piece, 4, 1)
+       |          WHERE NOT m.single)),
+       |keep AS (SELECT piece FROM (
+       |           SELECT piece,
+       |                  row_number() OVER (ORDER BY l DESC, piece) AS rk
+       |           FROM lss)
+       |         WHERE rk <= $targetMulti),
+       |v1 AS MATERIALIZED (
+       |       SELECT piece, psc FROM m1
+       |       WHERE single OR piece IN (SELECT piece FROM keep)),
+       |${unigramSoftEStepSql("s2", "v1", L)},
+       |c2 AS (SELECT v.piece, coalesce(e.n, 0)::BIGINT AS c
+       |       FROM v1 v LEFT JOIN s2ec e USING (piece)),
+       |t2 AS (SELECT sum(c + 1000000)::BIGINT AS tt FROM c2),
+       |v2 AS MATERIALIZED (
+       |       SELECT c2.piece,
+       |              round(ln((c2.c + 1000000)::DOUBLE / t2.tt::DOUBLE), 6)
+       |                AS psc
+       |       FROM c2 CROSS JOIN t2),
+       |${unigramDpSql("strec3", "stout3", "twords", "v2", L)}
+       |SELECT doc_id, sum(c * np)::BIGINT AS n_pieces,
+       |       sum(c * nu)::BIGINT AS n_unk
+       |FROM wc JOIN stout3 USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared oracle fragment for q_dedup_spans/_cut: the island-text
     * derivation (islandDocs), every-position 20-gram md5s, the >1x
     * gram filter, and the per-doc gaps-and-islands interval merge
@@ -4596,6 +4800,11 @@ object SparkEntry {
     // the full trainer replay: seeds + singles -> EM1 -> loss prune ->
     // EM2 -> apply, three generated DP CTEs (see unigramTrainOracleSql)
     "q_unigram_train" -> unigramTrainOracleSql(60, 40),
+
+    // seed -> soft-EM1 -> prune -> soft-EM2 -> hard apply: two
+    // generated forward-backward E-steps + one Viterbi DP (see
+    // unigramTrainSoftOracleSql)
+    "q_unigram_train_soft" -> unigramTrainSoftOracleSql(60, 40),
 
     // occurrence-weighted char-ngram candidates via a correlated lateral
     // unnest over the distinct-word frame — same weighting as the Spark

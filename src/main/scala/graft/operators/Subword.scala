@@ -1054,6 +1054,131 @@ object Subword {
     }.toDF("w", "np", "nu", "sc", "ps")
   }
 
+  /** Soft (forward-backward) expected piece counts for ONE word, in
+    * integer MICRO-occurrences — the E-step of the soft-EM trainer
+    * (Kudo '18 §3.2 trains with full EM; [[viterbiWord]] is the hard
+    * surrogate). Every path through the word contributes its posterior
+    * mass to every piece it uses:
+    *
+    * {{{ E[count(piece at s..s+l)] = α(s) · p(piece) · β(s+l) / Z }}}
+    *
+    * computed in LOG space so long words cannot underflow, with the
+    * engine's cross-engine determinism contract applied at every DP
+    * cell: each α/β value is the [[round6]]-quantized log-sum-exp of
+    * its (at most maxPieceLen) arm terms, combined in ascending piece
+    * length with absent arms at the −10^9 sentinel (whose exp
+    * underflows to exactly 0.0, an exact-identity addition) — so both
+    * engines' ulp-different exp/ln collapse onto the same grid before
+    * the next cell consumes them, and the DuckDB oracle replays the
+    * recursion term by term. Posteriors quantize to the 10^-6
+    * occurrence grid (HALF_UP, DuckDB's round) before any cross-word
+    * aggregation, so sums are exact integer arithmetic in any order.
+    * The l = 1 arm falls back to `unkScore` when the single code point
+    * is out-of-vocab (totality, as in [[viterbiWord]]; unreachable in
+    * training, where every corpus code point is seeded) — unk mass
+    * normalizes the posterior but is never counted, matching the
+    * M-step's vocab-only lookups. Positions count CODE POINTS. */
+  private[graft] def softWordCounts(word: String,
+                                    vocab: Map[String, Double],
+                                    maxPieceLen: Int, unkScore: Double)
+      : Seq[(String, Long)] = {
+    val offs = new Array[Int](word.codePointCount(0, word.length) + 1)
+    var ci = 0
+    var off = 0
+    while (off < word.length) {
+      offs(ci) = off
+      ci += 1
+      off += Character.charCount(word.codePointAt(off))
+    }
+    offs(ci) = word.length
+    val ncp = ci
+    if (ncp == 0) return Nil
+    val Absent = -1e9
+    // fixed-order LSE over the maxPieceLen arm slots (l ascending)
+    def lse(terms: Array[Double]): Double = {
+      var m = terms(0)
+      var i = 1
+      while (i < terms.length) { if (terms(i) > m) m = terms(i); i += 1 }
+      var s = 0.0
+      i = 0
+      while (i < terms.length) { s += math.exp(terms(i) - m); i += 1 }
+      round6(m + math.log(s))
+    }
+    val aLog = new Array[Double](ncp + 1)
+    aLog(0) = 0.0
+    var p = 1
+    while (p <= ncp) {
+      val terms = Array.fill(maxPieceLen)(Absent)
+      val c1 = word.substring(offs(p - 1), offs(p))
+      terms(0) = aLog(p - 1) + vocab.getOrElse(c1, unkScore)
+      var l = 2
+      while (l <= maxPieceLen && l <= p) {
+        vocab.get(word.substring(offs(p - l), offs(p))).foreach(s =>
+          terms(l - 1) = aLog(p - l) + s)
+        l += 1
+      }
+      aLog(p) = lse(terms)
+      p += 1
+    }
+    val bLog = new Array[Double](ncp + 1)
+    bLog(ncp) = 0.0
+    var s0 = ncp - 1
+    while (s0 >= 0) {
+      val terms = Array.fill(maxPieceLen)(Absent)
+      val c1 = word.substring(offs(s0), offs(s0 + 1))
+      terms(0) = vocab.getOrElse(c1, unkScore) + bLog(s0 + 1)
+      var l = 2
+      while (l <= maxPieceLen && s0 + l <= ncp) {
+        vocab.get(word.substring(offs(s0), offs(s0 + l))).foreach(s =>
+          terms(l - 1) = s + bLog(s0 + l))
+        l += 1
+      }
+      bLog(s0) = lse(terms)
+      s0 -= 1
+    }
+    val z = aLog(ncp)
+    val out = collection.mutable.HashMap.empty[String, Long]
+    s0 = 0
+    while (s0 < ncp) {
+      var l = 1
+      while (l <= maxPieceLen && s0 + l <= ncp) {
+        val cand = word.substring(offs(s0), offs(s0 + l))
+        vocab.get(cand).foreach { sc =>
+          val micro = BigDecimal(
+            math.exp(aLog(s0) + sc + bLog(s0 + l) - z) * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          if (micro > 0L)
+            out.updateWith(cand)(o => Some(o.getOrElse(0L) + micro))
+        }
+        l += 1
+      }
+      s0 += 1
+    }
+    out.toSeq
+  }
+
+  /** Per-word soft expected counts for every distinct corpus word:
+    * `(w, piece, micro)` — the soft twin of [[unigramWordPieces]],
+    * same Zipf amortization (the forward-backward runs once per
+    * DISTINCT word, never per occurrence, and never leaves the
+    * executors). */
+  private def unigramWordSoftCounts(wc: DataFrame,
+                                    vocab: Map[String, Double],
+                                    unkScore: Double): DataFrame = {
+    require(vocab.nonEmpty, "unigram vocab must not be empty")
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.keys.map(p => p.codePointCount(0, p.length)).max
+    val vocabSeq = vocab.toSeq
+    wc.select(col("w")).distinct().as[String].mapPartitions { it =>
+      val vm = vocabSeq.toMap
+      it.flatMap { w =>
+        softWordCounts(w, vm, maxLen, unkScore)
+          .map { case (piece, micro) => (w, piece, micro) }
+      }
+    }.toDF("w", "piece", "micro")
+  }
+
   /** Per-document unigram-segmentation totals:
     * `(doc, n_pieces, n_unk, score)` with the score rounded to 4
     * decimals (sums of per-word doubles; the per-word values are
@@ -1105,12 +1230,20 @@ object Subword {
   /** M-step: add-one-smoothed log relative frequencies over the CURRENT
     * vocabulary, quantized by [[round6]]. Add-one keeps pieces the
     * E-step never used finite (they are pruned by loss, not by -inf);
-    * the smoothing total runs over the current vocab only. */
+    * the smoothing total runs over the current vocab only. `unit` is
+    * the count scale — 1 for hard (Viterbi) occurrence counts, 10^6
+    * for the soft E-step's micro-occurrence expected counts — so the
+    * smoothing stays "add one occurrence" at either scale and the two
+    * E-steps produce IDENTICAL scores when their counts agree
+    * (`(c·u + u) / (T·u)` and `(c + 1) / T` are the same real number,
+    * both exactly representable, so their IEEE quotients are the same
+    * double). */
   private def unigramMStep(counts: Map[String, Long],
-                           vocab: Seq[String]): Map[String, Double] = {
-    val total = vocab.iterator.map(p => counts.getOrElse(p, 0L) + 1L).sum
+                           vocab: Seq[String],
+                           unit: Long = 1L): Map[String, Double] = {
+    val total = vocab.iterator.map(p => counts.getOrElse(p, 0L) + unit).sum
     vocab.iterator.map { p =>
-      val c = counts.getOrElse(p, 0L) + 1L
+      val c = counts.getOrElse(p, 0L) + unit
       p -> round6(math.log(c.toDouble / total.toDouble))
     }.toMap
   }
@@ -1133,20 +1266,28 @@ object Subword {
   private def unigramEmCore(seeds: Seq[(String, Long)],
                             singles: Seq[(String, Long)], targetMulti: Int,
                             emRounds: Int,
-                            eStep: Map[String, Double] => Map[String, Long])
+                            eStep: Map[String, Double] => Map[String, Long],
+                            unit: Long = 1L)
       : Seq[(String, Double)] = {
     val singleSet = singles.map(_._1).toSet
     var vocab: Seq[String] = (singles ++ seeds).map(_._1)
-    var scores = unigramMStep((singles ++ seeds).toMap, vocab)
+    // seed counts are occurrences; lift them to the E-step's count
+    // scale so the initial scores are identical across E-step kinds
+    var scores = unigramMStep(
+      (singles ++ seeds).map { case (p, c) => p -> c * unit }.toMap,
+      vocab, unit)
     var r = 1
     while (r <= emRounds) {
       val c = eStep(scores)
-      scores = unigramMStep(c, vocab)
+      scores = unigramMStep(c, vocab, unit)
       if (r < emRounds) {
         val kept = vocab.filterNot(singleSet).map { p =>
           var charSum = 0.0
           charSeg(p).foreach(ch => charSum += scores(ch))
-          val raw = round6(c.getOrElse(p, 0L).toDouble * (scores(p) - charSum))
+          // loss in OCCURRENCES at either scale (c/unit; exact
+          // identity for unit = 1, one IEEE division otherwise)
+          val raw = round6(c.getOrElse(p, 0L).toDouble / unit.toDouble *
+            (scores(p) - charSum))
           (p, if (raw == 0.0) 0.0 else raw) // -0.0 -> +0.0: Scala's
           // total order sorts -0.0 < 0.0 where SQL compares them equal
         }.sortWith((a, b) => a._2 > b._2 ||
@@ -1174,11 +1315,14 @@ object Subword {
     *     full coverage, so `<unk>` cannot fire during training.
     *  2. EM x `emRounds`: E = Viterbi-segment every distinct word
     *     under the current scores and count pieces weighted by word
-    *     occurrence (hard EM — the forward-backward soft E-step is the
-    *     classic alternative; Viterbi counts keep every round exactly
-    *     replayable by the DuckDB oracle's DP CTE, and at corpus scale
-    *     the argmax path carries almost all the mass anyway); M =
-    *     add-one-smoothed log relative frequencies ([[unigramMStep]]).
+    *     occurrence (hard EM by default — cheapest, and at corpus
+    *     scale the argmax path carries almost all the mass), or with
+    *     `soft = true` the forward-backward EXPECTED counts Kudo '18
+    *     actually trains with ([[softWordCounts]] — micro-occurrence
+    *     grid, so exported scores are comparable to spm_train's; both
+    *     E-steps are exactly replayable by the DuckDB oracles); M =
+    *     add-one-smoothed log relative frequencies ([[unigramMStep]])
+    *     at the E-step's count unit.
     *  3. PRUNE between rounds by closed-form likelihood loss vs the
     *     piece's single-character decomposition (see
     *     [[unigramEmCore]]).
@@ -1202,7 +1346,8 @@ object Subword {
     * `targetMulti` multi-char pieces plus every corpus code point. */
   def trainUnigram(docs: DataFrame, textCol: String, seedSize: Int,
                    targetMulti: Int, minN: Int = 2, maxN: Int = 4,
-                   emRounds: Int = 2, unkScore: Double = -10.0)
+                   emRounds: Int = 2, unkScore: Double = -10.0,
+                   soft: Boolean = false)
       : Seq[(String, Double)] = {
     require(minN >= 2 && maxN >= minN,
       s"need 2 <= minN <= maxN, got $minN..$maxN")
@@ -1236,7 +1381,17 @@ object Subword {
           .select(col("c"), explode(col("ps")).as("piece"))
           .groupBy("piece").agg(sum(col("c")).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      unigramEmCore(seeds, singles, targetMulti, emRounds, eStep)
+      // soft E-step: micro-occurrence expected counts, weighted by
+      // word occurrence — exact integer aggregation in any order
+      def eStepSoft(scores: Map[String, Double]): Map[String, Long] =
+        wcw.join(unigramWordSoftCounts(wcw, scores, unkScore), "w")
+          .select(col("piece"), (col("c") * col("micro")).as("cm"))
+          .groupBy("piece").agg(sum(col("cm")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (soft)
+        unigramEmCore(seeds, singles, targetMulti, emRounds, eStepSoft,
+          unit = 1000000L)
+      else unigramEmCore(seeds, singles, targetMulti, emRounds, eStep)
     } finally { wcw.unpersist(); () }
   }
 
@@ -1248,7 +1403,8 @@ object Subword {
     * corpora. */
   private[graft] def trainUnigramLocal(words: Seq[(String, Long)],
       seedSize: Int, targetMulti: Int, minN: Int, maxN: Int,
-      emRounds: Int, unkScore: Double): Seq[(String, Double)] = {
+      emRounds: Int, unkScore: Double,
+      soft: Boolean = false): Seq[(String, Double)] = {
     val cnt = collection.mutable.HashMap.empty[String, Long]
     val scnt = collection.mutable.HashMap.empty[String, Long]
     for ((w, c) <- words) {
@@ -1279,6 +1435,19 @@ object Subword {
       }
       m.toMap
     }
-    unigramEmCore(seeds, singles, targetMulti, emRounds, eStep)
+    def eStepSoft(scores: Map[String, Double]): Map[String, Long] = {
+      val maxLen = scores.keys.map(p => p.codePointCount(0, p.length)).max
+      val m = collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words)
+        softWordCounts(w, scores, maxLen, unkScore).foreach {
+          case (p, micro) =>
+            m.updateWith(p)(o => Some(o.getOrElse(0L) + c * micro))
+        }
+      m.toMap
+    }
+    if (soft)
+      unigramEmCore(seeds, singles, targetMulti, emRounds, eStepSoft,
+        unit = 1000000L)
+    else unigramEmCore(seeds, singles, targetMulti, emRounds, eStep)
   }
 }

@@ -117,13 +117,15 @@ object VocabIO {
     * files, and round-trips when present.
     *
     * Provenance note for shipped vocabularies: scores from
-    * [[Subword.trainUnigram]] come from a HARD-EM (Viterbi-count)
-    * E-step, a documented divergence from SentencePiece's soft
-    * forward-backward expectations — segmentation at APPLY time is
-    * identical machinery (Viterbi in both), but the score values for
-    * the same corpus can differ from an spm_train run's, so compare
-    * segmentations, not raw scores, when validating an export against
-    * SentencePiece's own artifact. */
+    * [[Subword.trainUnigram]]'s DEFAULT hard-EM (Viterbi-count)
+    * E-step diverge from SentencePiece's soft forward-backward
+    * expectations — segmentation at APPLY time is identical machinery
+    * (Viterbi in both), but the score values for the same corpus can
+    * differ from an spm_train run's, so compare segmentations, not raw
+    * scores, when validating a hard-EM export against SentencePiece's
+    * own artifact. Train with `soft = true` (the forward-backward
+    * E-step, gate q_unigram_train_soft) when score comparability to
+    * spm_train matters. */
   def toHfUnigramJson(vocab: Seq[(String, Double)],
                       unkId: Option[Int] = None): String = {
     require(vocab.map(_._1).distinct.length == vocab.length,

@@ -603,4 +603,58 @@ class SubwordSpec extends SparkSpec {
     val noPrune = Subword.trainUnigram(docs, "text", 10, 3, 2, 4, 1, -10.0)
     assert(noPrune.count(_._1.length >= 2) > 3)
   }
+
+  test("soft EM == hard EM where they provably agree (single-path " +
+      "corpus), local == distributed on the soft path") {
+    val s = spark
+    import s.implicits._
+    // every word is ONE code point -> exactly one segmentation path
+    // per word, so the posterior puts all mass on the Viterbi path and
+    // expected counts are EXACTLY 1e6 x the hard counts; the M-steps
+    // then produce the same doubles ((c*u + u)/(T*u) and (c+1)/T are
+    // the same real number, both from exact operands), so the learned
+    // vocabularies must be IDENTICAL, scores included
+    val texts = Seq("a b a c", "b b a", "c a a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hard = Subword.trainUnigram(docs, "text", 3, 1, 2, 4, 2, -10.0)
+    val soft = Subword.trainUnigram(docs, "text", 3, 1, 2, 4, 2, -10.0,
+      soft = true)
+    assert(soft == hard, s"single-path corpus must agree: $soft vs $hard")
+    // and the soft path keeps the local == distributed discipline on
+    // an AMBIGUOUS corpus
+    val texts2 = Seq("abab baba abab", "baba abab ab", "ab ab abab")
+    val docs2 = texts2.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dist = Subword.trainUnigram(docs2, "text", 10, 3, 2, 4, 2,
+      -10.0, soft = true)
+    val wcLocal = texts2.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val local = Subword.trainUnigramLocal(wcLocal, 10, 3, 2, 4, 2,
+      -10.0, soft = true)
+    assert(dist == local)
+  }
+
+  test("softWordCounts: posteriors spread over ALL paths and " +
+      "normalize per position") {
+    // vocab where "ab" competes with a+b: hard EM counts only the
+    // argmax path; soft must give BOTH segmentations positive mass
+    val vocab = Map("a" -> -1.0, "b" -> -1.2, "ab" -> -1.5)
+    val soft = Subword.softWordCounts("ab", vocab, 2, -10.0).toMap
+    assert(soft.keySet == Set("a", "b", "ab"),
+      s"soft counts must cover every path: $soft")
+    assert(soft.values.forall(m => m > 0L && m < 1000000L),
+      s"competing paths must split the mass strictly: $soft")
+    // a and b ride the same path: identical posterior mass
+    assert(soft("a") == soft("b"))
+    // the two segmentations tile the word: their masses sum to ~1
+    // occurrence (1e6 micro, +-1 of rounding dust)
+    assert(math.abs(soft("ab") + soft("a") - 1000000L) <= 1L)
+    // the argmax path (a+b: -2.2 vs ab: -1.5 — ab wins) carries the
+    // larger share, matching what hard EM would have picked
+    assert(soft("ab") > soft("a"))
+    // unambiguous word: all mass on the single path, exactly 1e6 each
+    val single = Subword.softWordCounts("ba", vocab, 2, -10.0).toMap
+    assert(single == Map("b" -> 1000000L, "a" -> 1000000L))
+  }
 }
