@@ -1254,16 +1254,9 @@ object SparkEntry {
       val learned = doremiLearned(s, d)
         .map { case (src, _, _, _, _, _, alpha) => src -> alpha }.toMap
       val labeled = doremiCorpus(s, d).where(col("source").isNotNull)
-      val counts = labeled.groupBy("source").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val n = counts.values.sum
-      val w = learned.map { case (src, am) =>
-        src -> BigDecimal(am.toDouble / 1000000.0 * n / counts(src))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }
-      graft.operators.Sampling.byWeight(
+      graft.operators.Sampling.byAlphaMicro(
           labeled.select(col("doc_id"), col("source")),
-          "doc_id", "source", w, salt = "doremi")
+          "doc_id", "source", learned, salt = "doremi")
         .select(col("doc_id"), col("source"), col("__rep"))
         .orderBy("doc_id", "__rep")
     }),

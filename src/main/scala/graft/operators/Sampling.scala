@@ -240,6 +240,44 @@ object Sampling {
       .drop("__base", "__thresh", "__n")
   }
 
+  /** Apply LEARNED target shares (e.g. [[Selection.doremiWeights]]'
+    * alpha_micro column) as a [[byWeight]] resample: each stratum's
+    * mixing weight is its target SHARE divided by its CURRENT share,
+    *
+    * {{{ w_d = round(alpha_d / 10^6 · N / n_d, 6) }}}
+    *
+    * so over-represented strata thin toward their target (w < 1:
+    * fractional keep) and under-represented ones upsample (w > 1:
+    * copy counts) — both byWeight branches. The conversion lands on
+    * the 6-decimal grid via one driver-side HALF_UP round per stratum
+    * (the engine-wide grid convention), and the per-stratum counts are
+    * a #strata-row bounded collect — the same contract as the learning
+    * loop that produced the alphas. Strata present in `df` but absent
+    * from `alphaMicro` are REFUSED (a silent zero weight would drop a
+    * whole domain; pass an explicit 0 to mean that). */
+  def byAlphaMicro(df: DataFrame, idCol: String, stratumCol: String,
+                   alphaMicro: Map[String, Long],
+                   salt: String = "graft"): DataFrame = {
+    require(alphaMicro.nonEmpty, "byAlphaMicro needs at least one share")
+    require(alphaMicro.valuesIterator.forall(_ >= 0L),
+      s"alpha shares must be >= 0, got $alphaMicro")
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = counts.keySet -- alphaMicro.keySet
+    require(missing.isEmpty,
+      s"strata present in the frame but absent from alphaMicro: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — a silent zero " +
+        "weight would drop whole domains; pass explicit 0 shares")
+    val n = counts.values.sum
+    val w = counts.map { case (stratum, nd) =>
+      stratum -> BigDecimal(
+        alphaMicro(stratum).toDouble / 1000000.0 * n / nd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    byWeight(df, idCol, stratumCol, w, salt)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirakis A-Res draw (IPL 97(5), 2006): each row gets
     * key = ln(u) / w for a per-row uniform u, and the k largest keys

@@ -101,6 +101,30 @@ class SamplingSpec extends SparkSpec {
     assert(src0.exists(id => got(id) == 2L) && src0.exists(id => got(id) == 3L))
   }
 
+  test("byAlphaMicro: learned shares convert to current-share-relative " +
+      "weights on the 6-dp grid; absent strata refused") {
+    val docs = mkDocs(corpus)
+    val counts = corpus.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = counts.values.sum
+    // uniform target shares over the 3 sources
+    val alpha = counts.keys.map(_ -> 333333L).toMap
+    val got = Sampling.byAlphaMicro(docs, "doc_id", "source", alpha, "w1")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: the same grid conversion + the byWeight draw
+    val w = counts.map { case (src, nd) =>
+      src -> BigDecimal(333333L.toDouble / 1000000.0 * n / nd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val want = copies(docs, w)
+    assert(got == want)
+    // a stratum missing from the shares must refuse, not silently drop
+    val e = intercept[IllegalArgumentException] {
+      Sampling.byAlphaMicro(docs, "doc_id", "source",
+        alpha - counts.keys.head, "w1").collect()
+    }
+    assert(e.getMessage.contains("absent from alphaMicro"))
+  }
+
   test("byWeight: every __rep ordinal 0..n-1 is present exactly once") {
     val out = Sampling.byWeight(mkDocs(corpus), "doc_id", "source",
         Map("src0" -> 3.0), "w1")
