@@ -570,6 +570,25 @@ object Md5Kernel {
     * big-endian as a long (= big-endian of little-endian A then B). */
   private def md5Half64SingleBlock(bytes: Array[Byte], from: Int,
                                    n: Int): Long = {
+    val st = stBuf.get()
+    md5SingleBlockState(bytes, from, n, st)
+    val ha = st(0)
+    val hb = st(1)
+    // digest bytes 0..7 are LE(ha) then LE(hb); assemble them big-endian
+    ((ha & 0xffL) << 56) | ((ha >>> 8 & 0xffL) << 48) |
+      ((ha >>> 16 & 0xffL) << 40) | ((ha >>> 24 & 0xffL) << 32) |
+      ((hb & 0xffL) << 24) | ((hb >>> 8 & 0xffL) << 16) |
+      ((hb >>> 16 & 0xffL) << 8) | (hb >>> 24 & 0xffL)
+  }
+
+  // per-thread scratch for the four 32-bit digest words — the 64-round
+  // core exists ONCE and writes here; each caller consumes immediately
+  private val stBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](4)
+  }
+
+  private def md5SingleBlockState(bytes: Array[Byte], from: Int,
+                                  n: Int, out: Array[Int]): Unit = {
     val m = new Array[Int](16)
     var i = 0
     while (i < n) {
@@ -598,14 +617,73 @@ object Md5Kernel {
       a = tmp
       r += 1
     }
-    val ha = a + 0x67452301
-    val hb = b + 0xefcdab89
-    // digest bytes 0..7 are LE(ha) then LE(hb); assemble them big-endian
-    ((ha & 0xffL) << 56) | ((ha >>> 8 & 0xffL) << 48) |
-      ((ha >>> 16 & 0xffL) << 40) | ((ha >>> 24 & 0xffL) << 32) |
-      ((hb & 0xffL) << 24) | ((hb >>> 8 & 0xffL) << 16) |
-      ((hb >>> 16 & 0xffL) << 8) | (hb >>> 24 & 0xffL)
+    out(0) = a + 0x67452301
+    out(1) = b + 0xefcdab89
+    out(2) = c + 0x98badcfe
+    out(3) = d + 0x10325476
   }
+
+  /** Full 16-byte md5 digest of `s`'s UTF-8 bytes — the gram-key
+    * kernel behind [[GramDigest]]: bit-identical to `unhex(md5(s))`
+    * (property-pinned in TextExpressionsSpec) but without the builtin
+    * path's per-call MessageDigest + 32-hex-char render/unrender
+    * round-trip. Inputs <= 55 bytes (virtually every word n-gram)
+    * take the single-block round function; longer inputs fall back to
+    * the thread-local MessageDigest. */
+  def md5Digest16(s: UTF8String): Array[Byte] = {
+    val bytes = s.getBytes
+    if (bytes.length <= 55) {
+      val st = stBuf.get()
+      md5SingleBlockState(bytes, 0, bytes.length, st)
+      val out = new Array[Byte](16)
+      var w = 0
+      while (w < 4) {
+        val h = st(w)
+        out(4 * w) = h.toByte
+        out(4 * w + 1) = (h >>> 8).toByte
+        out(4 * w + 2) = (h >>> 16).toByte
+        out(4 * w + 3) = (h >>> 24).toByte
+        w += 1
+      }
+      out
+    } else {
+      val md = md5.get()
+      md.reset()
+      md.digest(bytes)
+    }
+  }
+}
+
+/** 16-byte md5 digest as BINARY — semantically `unhex(md5(child))`
+  * (property-pinned) but through [[Md5Kernel.md5Digest16]]'s
+  * single-block fast path: the builtin md5() routes every call
+  * through a fresh commons-codec MessageDigest and renders 32 hex
+  * chars that unhex immediately unrenders. The n-gram family's
+  * shuffle keys ([[graft.operators.CorpusStats]]) are the hot
+  * caller — this is the same digests, cheaper. */
+case class GramDigest(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gram_digest"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Kernel.md5Digest16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Md5Kernel.md5Digest16($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramDigest =
+    copy(child = newChild)
 }
 
 case class NormalizedMd5(child: Expression) extends UnaryExpression {
@@ -1304,6 +1382,9 @@ object TextExprs {
 
   def gramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashGen(ColumnBridge.expression(text), n))
+
+  def gramDigest(gram: Column): Column =
+    ColumnBridge.column(GramDigest(ColumnBridge.expression(gram)))
 
   def tokenGramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(TokenGramHashGen(ColumnBridge.expression(text), n))

@@ -345,6 +345,25 @@ object CorpusStats {
       None)
   }
 
+  /** [[ngramLogProbAgainst]] with RAW gram-string join keys instead of
+    * 16-byte digests — the pre-digest formulation, kept ONLY as the
+    * ScaleProbe A/B twin so "digests shrink the shuffle" is a measured
+    * bytes-and-wall decade comparison, never prose. Not a public
+    * contract; output is identical to the digest path. */
+  private[graft] def ngramLogProbAgainstStrKeys(
+      train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, order: Int, alpha: Double = 0.4,
+      k: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    val counts = ngramCounts(train, textCol, order, None, digest = false)
+    val nv = broadcast(
+      train.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .agg(count(lit(1)).as("__n"),
+          count_distinct(col("w")).as("__v")))
+    ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
+      None, digest = false)
+  }
+
   /** md5 digest (16 raw bytes) of a gram string — the engine's
     * shuffle-key convention for gram-shaped joins (the span-dedup
     * family established it for exactly this reason,
@@ -354,8 +373,13 @@ object CorpusStats {
     * shuffle carries 16 bytes per gram column regardless of order.
     * Collision-safe at 128 bits; a NULL gram (too-short history)
     * digests to NULL and keeps its no-match join semantics. Digests
-    * are internal — no output column ever renders one. */
-  private def gdig(g: org.apache.spark.sql.Column) = unhex(md5(g))
+    * are internal — no output column ever renders one. Computed by the
+    * [[graft.expressions.GramDigest]] kernel — bit-identical to
+    * `unhex(md5(g))` but through the single-block fast path, so the
+    * fixed-width-key trade costs a hash, not a MessageDigest + hex
+    * round-trip per gram (the A/B decade probe prices both sides). */
+  private def gdig(g: org.apache.spark.sql.Column) =
+    graft.expressions.TextExprs.gramDigest(g)
 
   /** The order-1..order gram count frames over `train`, keyed by
     * 16-byte gram digest (`g\$j` -> `c\$j`) — each is ONE map-side-
@@ -368,17 +392,19 @@ object CorpusStats {
     * count at the identical grain. */
   private[graft] def ngramCounts(train: DataFrame, textCol: String,
                                  order: Int,
-                                 srcCol: Option[String]): Seq[DataFrame] = {
+                                 srcCol: Option[String],
+                                 digest: Boolean = true): Seq[DataFrame] = {
     import graft.functions.TextFunctions
+    def key(c: org.apache.spark.sql.Column) = if (digest) gdig(c) else c
     (1 to order).map { j =>
       val g =
         if (j == 1) explode(TextFunctions.tokens(col(textCol)))
         else explode(TextFunctions.wordNgramsAll(col(textCol), j))
       val keyed = srcCol match {
         case Some(s) => train.select(col(s).as("src"), g.as("__g"))
-          .select(col("src"), gdig(col("__g")).as(s"g$j"))
+          .select(col("src"), key(col("__g")).as(s"g$j"))
         case None => train.select(g.as("__g"))
-          .select(gdig(col("__g")).as(s"g$j"))
+          .select(key(col("__g")).as(s"g$j"))
       }
       keyed
         .groupBy((srcCol.map(_ => "src").toSeq :+ s"g$j").map(col): _*)
@@ -400,14 +426,16 @@ object CorpusStats {
     * between the count-table and imported-model scorers. */
   private[graft] def gramPositions(score: DataFrame, idCol: String,
                                    textCol: String, order: Int,
-                                   srcCol: Option[String]): DataFrame = {
+                                   srcCol: Option[String],
+                                   digest: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions
     val srcCols = srcCol.map(_ => "src").toSeq
     val w = Window.partitionBy("doc").orderBy("p")
     val gramCols = (1 to order).map { j =>
       val parts = ((j - 1) to 1 by -1).flatMap(d =>
         Seq(lag(col("tok"), d).over(w), lit(" "))) :+ col("tok")
-      gdig(if (j == 1) col("tok") else concat(parts: _*)).as(s"g$j")
+      val g = if (j == 1) col("tok") else concat(parts: _*)
+      (if (digest) gdig(g) else g).as(s"g$j")
     }
     score
       .select(srcCol.map(s => Seq(col(s).as("src"))).getOrElse(Nil) ++
@@ -431,7 +459,8 @@ object CorpusStats {
                                     score: DataFrame, idCol: String,
                                     textCol: String, order: Int,
                                     alpha: Double, k: Double,
-                                    srcCol: Option[String]): DataFrame = {
+                                    srcCol: Option[String],
+                                    digest: Boolean = true): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must be in (0, 1], got $alpha")
     require(k > 0.0, s"smoothing k must be positive, got $k")
@@ -443,7 +472,7 @@ object CorpusStats {
       (1 until order).foldLeft(lit(1.0)) { (acc, i) =>
         when(e === i, lit(apows(i))).otherwise(acc) }
     val srcCols = srcCol.map(_ => "src").toSeq
-    val pos = gramPositions(score, idCol, textCol, order, srcCol)
+    val pos = gramPositions(score, idCol, textCol, order, srcCol, digest)
     val joined = counts.zipWithIndex.foldLeft(pos) { case (df, (c, i)) =>
       df.join(c, srcCols :+ s"g${i + 1}", "left_outer")
     }
