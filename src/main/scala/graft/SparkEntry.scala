@@ -3302,8 +3302,14 @@ object SparkEntry {
     }.mkString(",\n")
     val probCtes = (1 to order).map { j =>
       if (j == 1)
+        // the '<unk>' row rides IN p1 exactly as it does in the
+        // exported model's unigram table: a literal '<unk>' token in
+        // SCORED text matches the entry (KenLM's vocabulary mapping,
+        // and what ArpaIO.scoreAgainst's digest join does) — without
+        // it the oracle would count such a token OOV (review finding)
         s"p1 AS (SELECT g, round(log10((c + $kd) / (nv.n + $kd * nv.v)), 6)" +
-          " AS lp FROM c1, nv)"
+          " AS lp FROM c1, nv" +
+          " UNION ALL SELECT '<unk>', lp FROM unk)"
       else
         s"p$j AS (SELECT c$j.g AS g, round(log10(CAST(c$j.c AS DOUBLE)" +
           s" / c${j - 1}.c), 6) AS lp FROM c$j JOIN c${j - 1}" +
@@ -3340,8 +3346,8 @@ object SparkEntry {
        |$countCtes,
        |nv AS (SELECT (SELECT coalesce(sum(len(tk)), 0) FROM tr)::BIGINT AS n,
        |              (SELECT count(*) FROM c1)::BIGINT AS v),
-       |$probCtes,
        |unk AS (SELECT round(log10($kd / (n + $kd * v)), 6) AS lp FROM nv),
+       |$probCtes,
        |pos AS (SELECT doc_id, p, tok, $lagCols
        |        FROM (SELECT doc_id, unnest(tk) AS tok,
        |                     unnest(range(1, len(tk) + 1)) AS p FROM sc)

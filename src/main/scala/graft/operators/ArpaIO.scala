@@ -57,12 +57,11 @@ case class ArpaModel(order: Int,
   * extension, the artifact boundary of [[CorpusStats]]'s LM family. */
 object ArpaIO {
 
-  /** Round-6 quantization, HALF_UP on the decimal value — the same
-    * grid Spark's `round(_, 6)` and DuckDB's `round(_, 6)` land on,
-    * shared with SparkEntry's oracle generator so the two sides can
-    * never embed different grid conventions. */
-  private[graft] def round6(d: Double): Double =
-    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** Round-6 quantization — ONE definition engine-wide:
+    * [[Subword.round6]] (the unigram trainer's grid), re-exported here
+    * for SparkEntry's oracle generator so the two sides can never
+    * embed different grid conventions. */
+  private[graft] def round6(d: Double): Double = Subword.round6(d)
 
   /** Fixed 6-decimal rendering — the canonical float spelling. Every
     * engine-produced value is round-6 quantized first, so the decimal
@@ -95,44 +94,51 @@ object ArpaIO {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must be in (0, 1], got $alpha")
     require(k > 0.0, s"smoothing k must be positive, got $k")
-    import graft.functions.TextFunctions
-    val counts = (1 to order).map { j =>
-      val g =
-        if (j == 1) explode(TextFunctions.tokens(col(textCol)))
-        else explode(TextFunctions.wordNgramsAll(col(textCol), j))
-      train.select(g.as("g")).groupBy("g")
-        .agg(count(lit(1)).as("c"))
-    }
-    val total = counts.map(_.count()).sum
-    require(total <= maxGrams,
-      s"$total grams exceed the driver-local ARPA bound $maxGrams — " +
-        "ship corpus-scale counts via NgramIndex, not ARPA text")
-    val uni = counts.head.collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    require(!uni.exists(_._1 == Unk),
-      s"train corpus contains a literal '$Unk' token — it would " +
-        "collide with the OOV entry; filter or rename it upstream")
-    val n = uni.map(_._2).sum
-    val v = uni.length.toLong
-    val denom = n + k * v
-    val lb = round6(math.log10(alpha))
-    val g1 = (uni.map { case (w, c) =>
-      (w, round6(math.log10((c + k) / denom)), lb)
-    } :+ ((Unk, round6(math.log10(k / denom)), lb)))
-      .sortBy(_._1).toVector
-    val higher = (2 to order).map { j =>
-      val prefix = substring_index(col("g"), " ", j - 1)
-      counts(j - 1)
-        .join(counts(j - 2).select(col("g").as("__pg"),
-          col("c").as("__pc")), prefix === col("__pg"))
-        .select("g", "c", "__pc").collect()
-        .map { r =>
-          val lp = round6(math.log10(
-            r.getLong(1).toDouble / r.getLong(2).toDouble))
-          (r.getString(0), lp, if (j == order) 0.0 else lb)
-        }.sortBy(_._1).toVector
-    }
-    render(ArpaModel(order, g1 +: higher.toIndexedSeq))
+    // one tokenize+count pass per order (CorpusStats.ngramCounts with
+    // raw string keys — the export needs gram TEXT, not digests),
+    // persisted: each frame is consumed up to three times (the size
+    // guard, its own collect, and the next order's MLE-denominator
+    // join) and the driver-local contract does not excuse re-counting
+    // the corpus ~3x per order (review finding)
+    val counts = CorpusStats
+      .ngramCounts(train, textCol, order, None, digest = false)
+      .zipWithIndex.map { case (c, i) =>
+        val j = i + 1
+        c.select(col(s"g$j").as("g"), col(s"c$j").as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    try {
+      val total = counts.map(_.count()).sum
+      require(total <= maxGrams,
+        s"$total grams exceed the driver-local ARPA bound $maxGrams — " +
+          "ship corpus-scale counts via NgramIndex, not ARPA text")
+      val uni = counts.head.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      require(!uni.exists(_._1 == Unk),
+        s"train corpus contains a literal '$Unk' token — it would " +
+          "collide with the OOV entry; filter or rename it upstream")
+      val n = uni.map(_._2).sum
+      val v = uni.length.toLong
+      val denom = n + k * v
+      val lb = round6(math.log10(alpha))
+      val g1 = (uni.map { case (w, c) =>
+        (w, round6(math.log10((c + k) / denom)), lb)
+      } :+ ((Unk, round6(math.log10(k / denom)), lb)))
+        .sortBy(_._1).toVector
+      val higher = (2 to order).map { j =>
+        val prefix = substring_index(col("g"), " ", j - 1)
+        counts(j - 1)
+          .join(counts(j - 2).select(col("g").as("__pg"),
+            col("c").as("__pc")), prefix === col("__pg"))
+          .select("g", "c", "__pc").collect()
+          .map { r =>
+            val lp = round6(math.log10(
+              r.getLong(1).toDouble / r.getLong(2).toDouble))
+            (r.getString(0), lp, if (j == order) 0.0 else lb)
+          }.sortBy(_._1).toVector
+      }
+      render(ArpaModel(order, g1 +: higher.toIndexedSeq))
+    } finally counts.foreach { c => c.unpersist(); () }
   }
 
   /** Render a model as canonical ARPA text (see the byte-stability
@@ -233,12 +239,14 @@ object ArpaIO {
     ArpaModel(order, sections.toIndexedSeq)
   }
 
-  /** md5 digest of a gram, driver-side — MUST byte-match Spark's
-    * `unhex(md5(gram))` ([[CorpusStats.gramPositions]]' keys): both
-    * are MD5 over the UTF-8 bytes. */
+  /** md5 digest of a gram, driver-side — MUST byte-match
+    * [[CorpusStats.gramPositions]]' keys; both sides now go through
+    * the SAME [[graft.expressions.Md5Kernel.md5Digest16]] kernel, so
+    * the match holds by construction (and a model-sized map doesn't
+    * pay a fresh MessageDigest per gram — review finding). */
   private def dig(g: String): Array[Byte] =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.expressions.Md5Kernel.md5Digest16(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g))
 
   /** Score a corpus with an imported ARPA model under the standard
     * backoff-walk semantics: each token scores at its longest

@@ -1253,6 +1253,12 @@ object Dedup {
       s"keepFrac must be in (0, 1], got $keepFrac")
     val keepMicro = BigDecimal(keepFrac * 1000000.0)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // a fraction below the grid (< 5e-7) would round to 0 micro and
+    // silently drop EVERY cell's members — refuse instead; the
+    // ">= 1 kept per cell" guarantee needs at least one micro-unit
+    require(keepMicro >= 1L,
+      s"keepFrac $keepFrac rounds to 0 on the 1e-6 grid — the " +
+        "smallest expressible keep fraction is 1e-6")
     val asg = asg0.where(col("cell") =!= -1L)
     val w = Window.partitionBy("cell")
       .orderBy(col("cent_sim").asc, col("vid").asc)

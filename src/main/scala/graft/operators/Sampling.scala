@@ -261,9 +261,14 @@ object Sampling {
     require(alphaMicro.nonEmpty, "byAlphaMicro needs at least one share")
     require(alphaMicro.valuesIterator.forall(_ >= 0L),
       s"alpha shares must be >= 0, got $alphaMicro")
-    val counts = df.where(col(stratumCol).isNotNull)
-      .groupBy(stratumCol).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grouped = df.groupBy(stratumCol).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // a NULL stratum would silently vanish in byWeight's weights join —
+    // the exact silent-drop this operator exists to refuse
+    require(!grouped.contains(None),
+      s"${grouped.getOrElse(None, 0L)} rows carry a NULL $stratumCol — " +
+        "filter or label them explicitly before mixing")
+    val counts = grouped.map { case (k, n) => k.get -> n }
     val missing = counts.keySet -- alphaMicro.keySet
     require(missing.isEmpty,
       s"strata present in the frame but absent from alphaMicro: " +

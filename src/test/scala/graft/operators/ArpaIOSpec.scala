@@ -130,4 +130,20 @@ class ArpaIOSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaArpa == viaCounts)
   }
+
+  test("a literal '<unk>' token in SCORED text matches the model entry " +
+      "(KenLM's vocabulary mapping), not OOV") {
+    val s = spark
+    import s.implicits._
+    val m = ArpaModel(2, IndexedSeq(
+      Vector(("<unk>", -2.0, -0.4), ("a", -0.5, -0.3)),
+      Vector(("a a", -0.1, 0.0))))
+    val out = ArpaIO.scoreAgainst(s, m,
+        Seq((1L, "a <unk>")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getLong(2) == 0, "literal <unk> is IN the vocabulary")
+    // p2: bigram 'a <unk>' absent -> backoff(a) + lp(<unk>)
+    assert(math.abs(out.getDouble(4) - ((-0.5) + (-0.3 - 2.0)) / 2.0)
+      < 5e-4)
+  }
 }

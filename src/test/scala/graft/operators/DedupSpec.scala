@@ -729,6 +729,12 @@ class DedupSpec extends SparkSpec {
         cents, "cid", "cvec", 0.000001)
       .where(col("keep")).collect().map(_.getLong(0)).toSet
     assert(one == Set(14L, 21L))
+    // below the 1e-6 grid the fraction would round to 0 micro and
+    // silently drop every cell — refused instead (review finding)
+    val e = intercept[IllegalArgumentException](
+      Dedup.semDedupFraction(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec", 2e-7))
+    assert(e.getMessage.contains("1e-6"))
   }
 
   test("semDedupFraction composes with the persisted IVF assignment") {

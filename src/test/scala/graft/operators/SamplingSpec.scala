@@ -123,6 +123,16 @@ class SamplingSpec extends SparkSpec {
         alpha - counts.keys.head, "w1").collect()
     }
     assert(e.getMessage.contains("absent from alphaMicro"))
+    // NULL strata would vanish in byWeight's weights join — refused
+    // too (review finding: the silent drop this operator exists to
+    // prevent)
+    val withNull = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, lit(null: String))
+        .otherwise(col("source")).as("source"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.byAlphaMicro(withNull, "doc_id", "source", alpha, "w1")
+    }
+    assert(e2.getMessage.contains("NULL"))
   }
 
   test("byWeight: every __rep ordinal 0..n-1 is present exactly once") {
