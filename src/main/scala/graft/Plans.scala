@@ -1,0 +1,44 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+/** Optimization-round tooling: dump `.explain("formatted")` for named
+  * queries (or all) to `<outDir>/<name>.txt`, so plan-shape claims in
+  * OPTIMIZATION_r*.md are checkable without running Spark.
+  *
+  * Usage: runMain graft.Plans <sfDir> <outDir> [q_a,q_b,...]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-plans-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), txt)
+          System.err.println(s"[plans] wrote $name")
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[plans] $name failed: ${e.getMessage}")
+        }
+      }
+    SparkEntry.dropCachedIndexes(spark)
+    spark.stop()
+  }
+}

@@ -710,7 +710,17 @@ object SparkEntry {
     "q_channel_file_fanin" -> ((s, d) => {
       import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
       implicit val ss: SparkSession = s
-      val root = java.nio.file.Files.createTempDirectory("graft-chanfile-")
+      // ephemeral run artifacts (staged source, channel files,
+      // checkpoints) on tmpfs when available — the ChunkedReplay
+      // discipline: every micro-batch pays walCommit+commitOffsets
+      // fsyncs, which on disk under contention dominate the gate
+      val root = {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft-chanfile-")
+        else java.nio.file.Files.createTempDirectory("graft-chanfile-")
+      }
       graft.streaming.Channels.useFileBackend(root.toString)
       try {
         // Spark's file stream source watches a DIRECTORY; the testdata
@@ -730,27 +740,44 @@ object SparkEntry {
         val pb = graft.streaming.Channels.publish("mix",
           src.where(col("event_type") === "purchase")
             .select(lit("purchases").as("channel"), col("value")))
+        // The stateful subscriber aggregation runs in a SCOPED session
+        // with few state partitions — the ReplayHarness discipline:
+        // micro-batch cost scales with state-store partition count
+        // (measured here: at the caller's 32 shuffle partitions, each
+        // of 3 drain batches paid 32 state-store open/commit tasks of
+        // ~0.6-0.9 s pure wait, ~70 s of task time for a 2-group
+        // aggregation), and the scoped conf can never be observed by
+        // queries planned concurrently on the caller's session
+        val scoped = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          if (!scoped.conf.getOption(k).contains(v) &&
+              scoped.conf.isModifiable(k))
+            scoped.conf.set(k, v)
+        }
+        scoped.conf.set("spark.sql.shuffle.partitions", "4")
         val agg = graft.streaming.Channels.subscribe("mix",
             StructType(Seq(StructField("channel", StringType),
-              StructField("value", DoubleType))))
+              StructField("value", DoubleType))))(scoped)
           .groupBy("channel")
           .agg(count(lit(1)).as("n"), sum("value").as("sv"))
         val name = "graft_chan_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
+          .outputMode("complete")
+          .option("checkpointLocation", root.resolve("ckpt-sub").toString)
+          .start()
         try {
           pa.processAllAvailable(); pb.processAllAvailable()
           q.processAllAvailable()
         } finally { pa.stop(); pb.stop(); q.stop() }
         // materialize (2 rows) and drop the per-invocation memory-sink
         // view so repeated runs don't accumulate registered tables
-        val sink = s.table(name)
+        val sink = scoped.table(name)
           .select(col("channel"), col("n"), round(col("sv"), 4).as("sv"))
           .orderBy("channel")
         val out = s.createDataFrame(
           java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-        s.catalog.dropTempView(name)
+        scoped.catalog.dropTempView(name)
         out
       } finally {
         graft.streaming.Channels.useMemoryBackend()

@@ -94,51 +94,63 @@ object ArpaIO {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must be in (0, 1], got $alpha")
     require(k > 0.0, s"smoothing k must be positive, got $k")
-    // one tokenize+count pass per order (CorpusStats.ngramCounts with
-    // raw string keys — the export needs gram TEXT, not digests),
-    // persisted: each frame is consumed up to three times (the size
-    // guard, its own collect, and the next order's MLE-denominator
-    // join) and the driver-local contract does not excuse re-counting
-    // the corpus ~3x per order (review finding)
+    // One tokenize+count pass per order (CorpusStats.ngramCounts with
+    // raw string keys — the export needs gram TEXT, not digests), each
+    // collected EXACTLY ONCE: the model is driver-local by contract,
+    // so the MLE denominator c(h) is a driver-side map lookup over the
+    // already-collected (j-1)-gram counts instead of a distributed
+    // prefix join (which forced a persist + an extra count pass + a
+    // shuffle per order — measured at ~2x the export's executor time).
+    // The size guard rides IN the collect: limit(budget+1) bounds the
+    // driver transfer before any row lands, so an over-bound corpus is
+    // refused without the old standalone count jobs. A prefix of an
+    // observed j-gram is itself an observed (j-1)-gram, so the map
+    // lookup total like the join it replaces (asserted below).
     val counts = CorpusStats
       .ngramCounts(train, textCol, order, None, digest = false)
       .zipWithIndex.map { case (c, i) =>
         val j = i + 1
         c.select(col(s"g$j").as("g"), col(s"c$j").as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    try {
-      val total = counts.map(_.count()).sum
-      require(total <= maxGrams,
-        s"$total grams exceed the driver-local ARPA bound $maxGrams — " +
-          "ship corpus-scale counts via NgramIndex, not ARPA text")
-      val uni = counts.head.collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      require(!uni.exists(_._1 == Unk),
-        s"train corpus contains a literal '$Unk' token — it would " +
-          "collide with the OOV entry; filter or rename it upstream")
-      val n = uni.map(_._2).sum
-      val v = uni.length.toLong
-      val denom = n + k * v
-      val lb = round6(math.log10(alpha))
-      val g1 = (uni.map { case (w, c) =>
-        (w, round6(math.log10((c + k) / denom)), lb)
-      } :+ ((Unk, round6(math.log10(k / denom)), lb)))
-        .sortBy(_._1).toVector
-      val higher = (2 to order).map { j =>
-        val prefix = substring_index(col("g"), " ", j - 1)
-        counts(j - 1)
-          .join(counts(j - 2).select(col("g").as("__pg"),
-            col("c").as("__pc")), prefix === col("__pg"))
-          .select("g", "c", "__pc").collect()
-          .map { r =>
-            val lp = round6(math.log10(
-              r.getLong(1).toDouble / r.getLong(2).toDouble))
-            (r.getString(0), lp, if (j == order) 0.0 else lb)
-          }.sortBy(_._1).toVector
-      }
-      render(ArpaModel(order, g1 +: higher.toIndexedSeq))
-    } finally counts.foreach { c => c.unpersist(); () }
+    var budget = maxGrams
+    def collectBounded(df: DataFrame, j: Int): Array[(String, Long)] = {
+      val rows = df.limit(math.min(budget, Int.MaxValue - 1).toInt + 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(rows.length <= budget,
+        s"the $j-gram inventory pushes the model past the " +
+          s"driver-local ARPA bound $maxGrams — ship corpus-scale " +
+          "counts via NgramIndex, not ARPA text")
+      budget -= rows.length
+      rows
+    }
+    val uni = collectBounded(counts.head, 1)
+    require(!uni.exists(_._1 == Unk),
+      s"train corpus contains a literal '$Unk' token — it would " +
+        "collide with the OOV entry; filter or rename it upstream")
+    val n = uni.map(_._2).sum
+    val v = uni.length.toLong
+    val denom = n + k * v
+    val lb = round6(math.log10(alpha))
+    val g1 = (uni.map { case (w, c) =>
+      (w, round6(math.log10((c + k) / denom)), lb)
+    } :+ ((Unk, round6(math.log10(k / denom)), lb)))
+      .sortBy(_._1).toVector
+    var prev: Map[String, Long] = uni.toMap
+    val higher = (2 to order).map { j =>
+      val cur = collectBounded(counts(j - 1), j)
+      val sec = cur.map { case (g, c) =>
+        val cut = g.lastIndexOf(' ')
+        val pc = prev.getOrElse(g.substring(0, cut),
+          throw new IllegalStateException(
+            s"observed $j-gram '$g' has an unobserved prefix — " +
+              "count tables disagree"))
+        (g, round6(math.log10(c.toDouble / pc.toDouble)),
+          if (j == order) 0.0 else lb)
+      }.sortBy(_._1).toVector
+      prev = cur.toMap
+      sec
+    }
+    render(ArpaModel(order, g1 +: higher.toIndexedSeq))
   }
 
   /** Render a model as canonical ARPA text (see the byte-stability

@@ -63,7 +63,7 @@ object Contamination {
                             threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val c = corpus
+    val c = graft.util.Parallelism.spread(corpus)
       .select(col(id).as("doc"),
         TextFunctions.wordShingles(col(text), n).as("csh"))
       .select(col("doc"), size(col("csh")).as("c_size"),
@@ -124,7 +124,11 @@ object Contamination {
   def flagContaminated(corpus: DataFrame, id: String, text: String,
                        benchmark: DataFrame, benchId: String,
                        benchText: String, n: Int): DataFrame = {
-    val corpusShingles = shingles(corpus, id, text, n)
+    // spread the CORPUS side before its shingle fan-out (guard: no-op
+    // at cluster scale); the benchmark side is small by contract and
+    // the stream variant must stay untouched (no .rdd on a stream)
+    val corpusShingles =
+      shingles(graft.util.Parallelism.spread(corpus), id, text, n)
     val benchShingles = shingles(benchmark, benchId, benchText, n)
       .select(col("s")).distinct()
     val benchIds = benchmark.select(col(benchId).as("doc"))
@@ -162,15 +166,31 @@ object Contamination {
     val benchShinglesRaw = shingles(benchmark, benchId, benchText, n)
       .select(col("s"))
     val benchShingles = benchShinglesRaw.distinct()
+    // Size the sketch to the benchmark's ACTUAL shingle volume, not the
+    // caller's ceiling: `expectedItems` is an upper bound for the
+    // millions-of-items case, but a sketch sized to it unconditionally
+    // embeds a multi-MB binary as a plan literal even for a small eval
+    // set — and that literal rides in every task closure and every
+    // plan-tree walk (measured at sf0.1: a 4.6 MB literal put ~2 s of
+    // driver-side wall on a query whose executor work is 0.4 s). One
+    // cheap counting pass over the bench side (the guide's §3.2
+    // scan-the-small-side-twice trade, already paid by the build pass)
+    // bounds the bit count honestly; the raw (non-distinct) count can
+    // only oversize, never undersize, the fpp target. False positives
+    // remain correctness-free either way — the exact verify join
+    // discards them (spec-pinned with a deliberately undersized
+    // sketch).
+    val sizedItems = math.max(1L,
+      math.min(expectedItems, benchShinglesRaw.count()))
     // optimal bit count for the target fpp, capped to bound the binary
     // the driver holds (cap/8 bytes); past the cap the sketch degrades
     // to a higher fpp, never to incorrectness
     val numBits = math.min(maxNumBits, math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) /
+      math.ceil(-sizedItems * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong))
     val buildHash = ColumnBridge.expression(xxhash64(col("s")))
     val bloomAgg = ColumnBridge.column(
-      new BloomFilterAggregate(buildHash, Literal(expectedItems),
+      new BloomFilterAggregate(buildHash, Literal(sizedItems),
         Literal(numBits)).toAggregateExpression())
     // BloomFilterAggregate SILENTLY clamps its arguments to the session
     // confs runtime.bloomFilter.maxNumItems (default 4e6) and
@@ -195,7 +215,7 @@ object Contamination {
     }
     scoped.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-      expectedItems.toString)
+      sizedItems.toString)
     scoped.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
       numBits.toString)
@@ -203,7 +223,8 @@ object Contamination {
         benchShinglesRaw.select(bloomAgg.as("bf")))
       .head().getAs[Array[Byte]](0)
 
-    val corpusShingles = shingles(corpus, id, text, n)
+    val corpusShingles =
+      shingles(graft.util.Parallelism.spread(corpus), id, text, n)
     val out =
       if (bin == null) {
         // empty benchmark: nothing can overlap

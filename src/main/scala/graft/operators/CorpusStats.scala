@@ -336,11 +336,13 @@ object CorpusStats {
       s"order must be in 2..8, got $order")
     import graft.functions.TextFunctions
     val counts = ngramCounts(train, textCol, order, None)
-    // one-row broadcast: N = train token count, V = train vocabulary
-    val nv = broadcast(
-      train.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-        .agg(count(lit(1)).as("__n"),
-          count_distinct(col("w")).as("__v")))
+    // one-row broadcast: N and V DERIVED from the unigram count table
+    // (sum of counts / row count — exact long sums, digest keys are the
+    // engine-wide collision-free contract, and the same derivation the
+    // index path uses), instead of a second full tokenize+explode pass
+    // over the train corpus
+    val nv = broadcast(counts.head
+      .agg(sum("c1").as("__n"), count(lit(1)).as("__v")))
     ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
       None)
   }
@@ -356,10 +358,8 @@ object CorpusStats {
       k: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions
     val counts = ngramCounts(train, textCol, order, None, digest = false)
-    val nv = broadcast(
-      train.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-        .agg(count(lit(1)).as("__n"),
-          count_distinct(col("w")).as("__v")))
+    val nv = broadcast(counts.head
+      .agg(sum("c1").as("__n"), count(lit(1)).as("__v")))
     ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
       None, digest = false)
   }
@@ -390,12 +390,18 @@ object CorpusStats {
     * form scores against. Shared by [[ngramLogProbAgainst]] and
     * [[buildNgramIndex]]/[[extendNgramIndex]] so batch and incremental
     * count at the identical grain. */
-  private[graft] def ngramCounts(train: DataFrame, textCol: String,
+  private[graft] def ngramCounts(train0: DataFrame, textCol: String,
                                  order: Int,
                                  srcCol: Option[String],
                                  digest: Boolean = true): Seq[DataFrame] = {
     import graft.functions.TextFunctions
     def key(c: org.apache.spark.sql.Column) = if (digest) gdig(c) else c
+    // NOT spread (Parallelism.spread) deliberately: tokenize+explode is
+    // cheap per input byte (regex split), and the count aggregates are
+    // map-side combined — measured at sf0.1, a pre-explode repartition
+    // added two exchanges and ~30 ms/task of fixed cost per 32-task
+    // stage for zero wall win on every ngram-family gate
+    val train = train0
     (1 to order).map { j =>
       val g =
         if (j == 1) explode(TextFunctions.tokens(col(textCol)))
@@ -424,11 +430,15 @@ object CorpusStats {
     * only 16-byte keys ever move. Shared by [[ngramScoreTail]] and
     * [[ArpaIO.scoreAgainst]] so the position grain can never drift
     * between the count-table and imported-model scorers. */
-  private[graft] def gramPositions(score: DataFrame, idCol: String,
+  private[graft] def gramPositions(score0: DataFrame, idCol: String,
                                    textCol: String, order: Int,
                                    srcCol: Option[String],
                                    digest: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions
+    // not spread — same measured reasoning as ngramCounts: the
+    // posexplode is regex-split cheap and the doc window re-shuffles
+    // right above it anyway
+    val score = score0
     val srcCols = srcCol.map(_ => "src").toSeq
     val w = Window.partitionBy("doc").orderBy("p")
     val gramCols = (1 to order).map { j =>
@@ -460,11 +470,27 @@ object CorpusStats {
                                     textCol: String, order: Int,
                                     alpha: Double, k: Double,
                                     srcCol: Option[String],
-                                    digest: Boolean = true): DataFrame = {
+                                    digest: Boolean = true): DataFrame =
+    ngramScoreTailFromPos(counts, nv,
+      gramPositions(score, idCol, textCol, order, srcCol, digest),
+      order, alpha, k, srcCol)
+
+  /** [[ngramScoreTail]] over a PREBUILT position stream — the seam that
+    * lets two scoring passes over the same held-out corpus (DoReMi's
+    * generalist + specialist losses) share ONE [[gramPositions]]
+    * subtree: within one plan the doc-keyed window exchange under the
+    * positions canonicalizes identically on both sides, so the
+    * tokenize + posexplode + digest work runs once and the second
+    * consumer reads the reused exchange. */
+  private[graft] def ngramScoreTailFromPos(counts: Seq[DataFrame],
+                                           nv: DataFrame, pos: DataFrame,
+                                           order: Int, alpha: Double,
+                                           k: Double,
+                                           srcCol: Option[String])
+      : DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must be in (0, 1], got $alpha")
     require(k > 0.0, s"smoothing k must be positive, got $k")
-    import graft.functions.TextFunctions
     val apows = alphaPowers(alpha, order - 1)
     // exponent ∈ {0..order-1} selects its precomputed literal — the
     // conditions are disjoint, so the chain order is immaterial
@@ -472,7 +498,6 @@ object CorpusStats {
       (1 until order).foldLeft(lit(1.0)) { (acc, i) =>
         when(e === i, lit(apows(i))).otherwise(acc) }
     val srcCols = srcCol.map(_ => "src").toSeq
-    val pos = gramPositions(score, idCol, textCol, order, srcCol, digest)
     val joined = counts.zipWithIndex.foldLeft(pos) { case (df, (c, i)) =>
       df.join(c, srcCols :+ s"g${i + 1}", "left_outer")
     }
@@ -536,10 +561,10 @@ object CorpusStats {
       s"order must be in 2..8, got $order")
     import graft.functions.TextFunctions
     val counts = ngramCounts(train, textCol, order, Some(srcCol))
-    val nv = train.select(col(srcCol).as("src"),
-        explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("src")
-      .agg(count(lit(1)).as("__n"), count_distinct(col("w")).as("__v"))
+    // per-src (N, V) derived from the per-src unigram table — same
+    // exact-derivation argument as the global form, one less corpus pass
+    val nv = counts.head.groupBy("src")
+      .agg(sum("c1").as("__n"), count(lit(1)).as("__v"))
     ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
       Some(srcCol))
   }

@@ -314,8 +314,12 @@ object Dedup {
     * incremental gram at the identical grain. */
   private def spanGrams(df: DataFrame, id: String, text: String,
                         minLen: Int): DataFrame =
-    df.select(col(id).as("doc"), col(text).as("__t"))
-      .where(length(col("__t")) >= minLen)
+    // spread before the per-position gram generator (one digest per
+    // CHARACTER): the fan-out factor is the largest in the engine, so
+    // a 2-task scan serializes the whole family (guard: no-op at scale)
+    graft.util.Parallelism.spread(
+        df.select(col(id).as("doc"), col(text).as("__t"))
+          .where(length(col("__t")) >= minLen))
       .select(col("doc"), graft.expressions.TextExprs
         .gramHashes(col("__t"), minLen).as(Seq("pos", "g")))
 
@@ -534,6 +538,12 @@ object Dedup {
 
   /** (id, shingles) with distinct word n-gram shingles. */
   def withShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    // NOT spread (Parallelism.spread) deliberately: an A/B at sf0.1
+    // measured a pre-explode repartition of the shingle input making
+    // every cached-table consumer WORSE (jaccard +34%, minhash +75%,
+    // containment +40% wall) — the cache's downstream stages are
+    // per-task-fixed-cost bound, not compute bound, so widening the
+    // cached partitioning just multiplies that fixed cost
     df.select(col(id).as("doc"), TextFunctions.wordShingles(col(text), n).as("sh"))
 
   /** Candidate pairs sharing at least one shingle, with exact Jaccard

@@ -188,10 +188,19 @@ object Selection {
               .as("r"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // per-bucket gradients AND the bias gradient in ONE action:
+          // the bias is the sum of residuals over docs, i.e. exactly a
+          // pseudo-bucket (-1, r) row per doc unioned into the same
+          // groupBy — halves the scheduler round-trips per iteration
+          // (2 jobs -> 1; the margin aggregation is computed once
+          // either way, r is persisted). Bucket ids are >= 0 by
+          // construction, so -1 can never collide.
           val grads = feats.join(r, "doc")
+            .select(col("b"), col("r"))
+            .unionAll(r.select(lit(-1L).as("b"), col("r")))
             .groupBy("b").agg(sum("r").as("g"))
             .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-          val gBias = r.agg(sum("r")).collect()(0).getLong(0)
+          val gBias = grads.getOrElse(-1L, 0L)
           var b = 0
           while (b < buckets) {
             w(b) += roundAway(lr * grads.getOrElse(b.toLong, 0L) / n)
@@ -492,12 +501,38 @@ object Selection {
       s"smoothMicro must be in [0, 1e6], got $smoothMicro")
     val tr = train.where(col(sourceCol).isNotNull)
     val ho = heldout.where(col(sourceCol).isNotNull)
-    val g = CorpusStats.ngramLogProbAgainst(tr, ho, idCol, textCol,
-        order, alpha, k)
+    // Both loss passes in ONE fused plan (optimization guide §2.4:
+    // share exchanges instead of recomputing): the specialist pass
+    // needs per-source count tables C_j(src, g_j) — and the
+    // generalist's global tables are exactly those summed over src
+    // (counts are additive), its (N, V) row is (sum c1, #rows) of the
+    // summed unigram table (the ngramLogProbAgainstIndex derivation),
+    // and its position stream is the specialist's minus the src
+    // column. Spark's ReuseExchange then runs every corpus-sized
+    // subtree once: measured at sf0.1 this replaced the generalist's
+    // five tokenize+explode count scans, both nv token scans, and its
+    // own position build with vocabulary-shaped aggregates over the
+    // specialist pass's exchanges. Scores are bit-identical: long
+    // count sums are exact and the 128-bit gram digests are the
+    // engine-wide collision-free join-key contract.
+    val srcCounts = CorpusStats.ngramCounts(tr, textCol, order,
+      Some(sourceCol))
+    val globalCounts = srcCounts.zipWithIndex.map { case (c, i) =>
+      val j = i + 1
+      c.groupBy(s"g$j").agg(sum(s"c$j").as(s"c$j")).hint("shuffle_hash")
+    }
+    val nvGlobal = broadcast(globalCounts.head
+      .agg(sum("c1").as("__n"), count(lit(1)).as("__v")))
+    val nvSrc = srcCounts.head.groupBy("src")
+      .agg(sum("c1").as("__n"), count(lit(1)).as("__v"))
+    val pos = CorpusStats.gramPositions(ho, idCol, textCol, order,
+      Some(sourceCol))
+    val g = CorpusStats.ngramScoreTailFromPos(globalCounts, nvGlobal,
+        pos.drop("src"), order, alpha, k, None)
       .select(col("doc"),
         round(col("avg_lp") * 10000, 0).cast("long").as("gi"))
-    val o = CorpusStats.ngramLogProbAgainstBySource(tr, ho, idCol,
-        textCol, sourceCol, order, alpha, k)
+    val o = CorpusStats.ngramScoreTailFromPos(srcCounts, nvSrc, pos,
+        order, alpha, k, Some(sourceCol))
       .select(col("doc"),
         round(col("avg_lp") * 10000, 0).cast("long").as("oi"))
     doremiFromDocScores(ho, idCol, sourceCol, g, o, rounds, eta,

@@ -146,4 +146,14 @@ class ArpaIOSpec extends SparkSpec {
     assert(math.abs(out.getDouble(4) - ((-0.5) + (-0.3 - 2.0)) / 2.0)
       < 5e-4)
   }
+
+  test("toArpa: over-bound corpora are refused by the bounded collect, " +
+      "never shipped to the driver") {
+    val s = spark
+    val train = Tables.documents(s, sf()).where(col("doc_id") % 3 =!= 0)
+    val e = intercept[IllegalArgumentException] {
+      ArpaIO.toArpa(train, "text", 2, maxGrams = 8)
+    }
+    assert(e.getMessage.contains("ARPA bound"), e.getMessage)
+  }
 }

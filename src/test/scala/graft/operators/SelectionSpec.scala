@@ -288,4 +288,68 @@ class SelectionSpec extends SparkSpec {
     val got = scored.collect().map(r => (r.getLong(1), r.getBoolean(2)))
     assert(got.forall { case (m, p) => m == 4L * 1000L + 5L && p })
   }
+
+  test("doremiWeights(order): the fused single-plan form equals the " +
+      "unfused two-pass scoring (global tables derived from per-source " +
+      "tables, shared position stream)") {
+    val s = spark
+    import s.implicits._
+    // rich-vs-poor vocabulary domains at order 3 so every backoff
+    // branch and the (N, V) derivation are exercised; C has train but
+    // no heldout docs, Z is heldout-only (must drop), nulls excluded
+    val train = Seq(
+      (1L, Some("A"), "red fox jumps over lazy dog near old barn"),
+      (2L, Some("A"), "old dog jumps near red barn over fox"),
+      (3L, Some("B"), "beep boop beep blip beep boop"),
+      (4L, Some("B"), "boop blip beep boop blip"),
+      (5L, None: Option[String], "noise noise noise"),
+      (6L, Some("C"), "ghost domain with no heldout docs"))
+      .toDF("doc_id", "source", "text")
+    val ho = Seq(
+      (10L, Some("A"), "red fox jumps over lazy dog"),
+      (11L, Some("A"), "old barn near red fox"),
+      (12L, Some("B"), "beep boop blip beep"),
+      (13L, Some("B"), "blip boop beep"),
+      (14L, None: Option[String], "noise"),
+      (15L, Some("Z"), "domain absent from train must drop"))
+      .toDF("doc_id", "source", "text")
+    val got = Selection.doremiWeights(train, ho, "doc_id", "text",
+      "source", order = 3, alpha = 0.4, rounds = 4, eta = 0.5,
+      smoothMicro = 200000L, k = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // the UNFUSED reference: the two public scoring entry points the
+    // pre-fusion implementation called, aggregated the same way
+    val tr = train.where(col("source").isNotNull)
+    val hnn = ho.where(col("source").isNotNull)
+    val g = CorpusStats.ngramLogProbAgainst(tr, hnn, "doc_id", "text",
+        3, 0.4, 0.5)
+      .select(col("doc"), round(col("avg_lp") * 10000, 0)
+        .cast("long").as("gi"))
+    val o = CorpusStats.ngramLogProbAgainstBySource(tr, hnn, "doc_id",
+        "text", "source", 3, 0.4, 0.5)
+      .select(col("doc"), round(col("avg_lp") * 10000, 0)
+        .cast("long").as("oi"))
+    def away(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val perSource = hnn
+      .select(col("doc_id").as("doc"), col("source").as("src"))
+      .join(g, "doc").join(o, "doc")
+      .groupBy("src").agg(count(lit(1)).as("n"),
+        sum("gi").as("sg"), sum("oi").as("so"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        away((-r.getLong(2)).toDouble / r.getLong(1)),
+        away((-r.getLong(3)).toDouble / r.getLong(1))))
+      .toSeq.sortBy(_._1)
+    val learned = Selection.doremiLoop(perSource, 4, 0.5, 200000L)
+    val expected = perSource.map { case (src, n, lg, lo) =>
+      val (ex, wm, am) = learned(src)
+      src -> ((n, lg, lo, ex, wm, am))
+    }.toMap
+    assert(got == expected,
+      s"fused $got != unfused reference $expected")
+    assert(got.keySet == Set("A", "B"),
+      s"null/train-absent/heldout-only domains must drop: ${got.keySet}")
+  }
 }
