@@ -1605,9 +1605,16 @@ object Dedup {
     val (bits, bands) = Similarity.bandingFor(threshold, maxBands)
     val vBase = df.select(col(id).as("vid"), asDoubles(col(vec)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val binned = vBase.select(col("vid"), posexplode(
-      Similarity.cosineLshBandKeys(col("v"), d, bits, bands))
-      .as(Seq("band", "bkey")))
+    // spread before the band-key kernel ONLY (bits x bands hyperplane
+    // dots per row — measured at sf0.1: 3.4 s of pure CPU on the
+    // 2 tasks a bytes-sized scan yields, with 30 cores idle; guard
+    // makes it a no-op at cluster scale). The verify lookups x/y stay
+    // on the unspread base: they are re-shuffled by id regardless, so
+    // a spread there would only add an exchange.
+    val binned = graft.util.Parallelism.spread(vBase)
+      .select(col("vid"), posexplode(
+        Similarity.cosineLshBandKeys(col("v"), d, bits, bands))
+        .as(Seq("band", "bkey")))
     // the exploded band table is `bands`x the source rows, but Catalyst
     // sizes it from the parquet scan and happily BROADCASTS it (a 1M-row
     // single-threaded HashedRelation build at sf0.1; at corpus scale the
