@@ -14,6 +14,16 @@ object Bench {
       // spark-warehouse/ dir into the repo cwd
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-bench-warehouse")
+      // let AQE size CACHED-plan partitions by bytes (default false):
+      // iteration loops re-read persisted frames every round, and a
+      // vocabulary-sized cache materialized at the session's full
+      // shuffle width re-pays per-task fixed cost x width per job
+      // (measured: unigram trainer -30%, warm jaccard -20% from this
+      // alone). Scale-adaptive by construction — AQE's parallelism-
+      // first coalescing keeps corpus-sized caches at full width on a
+      // cluster; only byte-small caches narrow.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A failed warm-up must be VISIBLE (as forensics on stderr, never in
