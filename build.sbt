@@ -11,6 +11,23 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's stdout contract is "the verdict JSON is the last stdout
+// line", and the driver's JSON extractor has come back empty for 5+
+// rounds (parsed: null in BENCH_r14..r18). Two sbt behaviors break the
+// contract when stdout is not a TTY: the forked JVM's output is routed
+// through sbt's logger (every line gets an `[info] ` prefix), and the
+// `[success] Total time: ...` footer lands after the program's last
+// line. StdoutOutput inherits the parent's stdout directly (no prefix,
+// no reordering); showSuccess drops the footer (the exit code still
+// reflects success). Bench additionally writes BENCH_RESULT.json as a
+// parse-free channel.
+run / connectInput := false
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by another task —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
