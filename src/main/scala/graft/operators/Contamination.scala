@@ -149,6 +149,14 @@ object Contamination {
     * `fpp` fraction of false positives — then verify against the bench
     * shingles in an ordinary shuffled equi-join sized by the sliver,
     * not the corpus.
+    *
+    * NOTE this builder is EAGER twice (not lazy like most operators):
+    * constructing the returned DataFrame runs one counting job over the
+    * bench shingles (sizing the sketch to the actual volume instead of
+    * `expectedItems`' ceiling — a multi-MB plan literal otherwise rides
+    * in every task closure) and then the bloom-build aggregation
+    * itself. Callers composing or retrying pay those two bench-side
+    * jobs at build time.
     */
   def flagContaminatedBloom(corpus: DataFrame, id: String, text: String,
                             benchmark: DataFrame, benchId: String,

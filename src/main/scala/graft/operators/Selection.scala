@@ -175,9 +175,13 @@ object Selection {
     // (measured at sf0.1: 4.0 s at 32 cached partitions vs 2.7 s at
     // 8); at cluster scale the scan carries >= the session width and
     // the cap keeps full parallelism.
+    // scanPartitions (not a bare .rdd peek): a caller-supplied frame
+    // containing shuffles — or a stream — must not run jobs at
+    // operator-build time (r18 ADVICE); such inputs fall back to the
+    // session's shuffle width, the pre-r18 sizing
     val featParts = math.max(4, math.min(
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      docs.rdd.getNumPartitions))
+      graft.util.Parallelism.scanPartitions(docs).getOrElse(Int.MaxValue)))
     val feats = presenceFeatures(docs, isTarget, idCol, textCol, buckets)
       .repartition(featParts, col("doc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

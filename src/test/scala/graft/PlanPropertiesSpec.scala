@@ -308,12 +308,18 @@ class PlanPropertiesSpec extends SparkSpec {
         s"text may only cross the guarded round-robin spread, " +
           s"never a keyed exchange: ${e.outputPartitioning}")
     }
-    // No count assertion: the dup-gram aggregate and the position join
-    // each reference the spread with their own column pruning (one
-    // keeps (doc, pos, __t), the other just __t), so the instances
-    // canonicalize differently — but every one is the guarded
-    // input-sized round-robin redistribution, which is the invariant
-    // that matters (content-keyed text movement stays forbidden).
+    // The dup-gram aggregate and the position join each reference the
+    // spread with their own column pruning (one keeps (doc, pos, __t),
+    // the other just __t), so the instances canonicalize differently
+    // and an exact count would be brittle — but the NUMBER of
+    // round-robin text exchanges must stay bounded (r18 ADVICE: the
+    // relaxed test must still bound how many text-carrying exchanges
+    // may appear): one spread site, at most one pruning variant each
+    // for the two consumers.
+    assert(textCarrying.size <= 3,
+      s"${textCarrying.size} text-carrying round-robin exchanges — " +
+        s"the single guarded spread should canonicalize to at most 3 " +
+        s"pruning variants:\n$p")
   }
 
   private def physical(q: String): org.apache.spark.sql.execution.SparkPlan =

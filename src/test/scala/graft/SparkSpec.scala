@@ -20,5 +20,10 @@ object SparkSpec {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
+    // same optimizer config as the Bench/Verify/Plans sessions (r18
+    // ADVICE): plan-shape assertions (PlanPropertiesSpec) and operator
+    // tests must exercise the configuration that is benched and shipped
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     .getOrCreate()
 }
