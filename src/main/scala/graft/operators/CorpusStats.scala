@@ -335,15 +335,16 @@ object CorpusStats {
     require(order >= 2 && order <= 8,
       s"order must be in 2..8, got $order")
     import graft.functions.TextFunctions
-    val counts = ngramCounts(train, textCol, order, None)
-    // one-row broadcast: N and V DERIVED from the unigram count table
-    // (sum of counts / row count — exact long sums, digest keys are the
-    // engine-wide collision-free contract, and the same derivation the
-    // index path uses), instead of a second full tokenize+explode pass
-    // over the train corpus
-    val nv = broadcast(counts.head
-      .agg(sum("c1").as("__n"), count(lit(1)).as("__v")))
-    ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
+    val countsU = ngramCountsUnified(train, textCol, order, None)
+    // one-row broadcast: N and V DERIVED from the unigram slice of the
+    // unified count table (sum of counts / row count — exact long sums,
+    // digest keys are the engine-wide collision-free contract, and the
+    // same derivation the index path uses), instead of a second full
+    // tokenize+explode pass over the train corpus; ReuseExchange feeds
+    // it from the count shuffle the scoring join already pays for
+    val nv = broadcast(countsU.where(col("j") === 1)
+      .agg(sum("c").as("__n"), count(lit(1)).as("__v")))
+    ngramScoreTail(countsU, nv, score, idCol, textCol, order, alpha, k,
       None)
   }
 
@@ -357,10 +358,11 @@ object CorpusStats {
       textCol: String, order: Int, alpha: Double = 0.4,
       k: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions
-    val counts = ngramCounts(train, textCol, order, None, digest = false)
-    val nv = broadcast(counts.head
-      .agg(sum("c1").as("__n"), count(lit(1)).as("__v")))
-    ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
+    val countsU = ngramCountsUnified(train, textCol, order, None,
+      digest = false)
+    val nv = broadcast(countsU.where(col("j") === 1)
+      .agg(sum("c").as("__n"), count(lit(1)).as("__v")))
+    ngramScoreTail(countsU, nv, score, idCol, textCol, order, alpha, k,
       None, digest = false)
   }
 
@@ -457,21 +459,57 @@ object CorpusStats {
       .select((srcCols :+ "doc").map(col) ++ (col("p") +: gramCols): _*)
   }
 
+  /** All `order` gram-count grains in ONE frame, keyed (src?, j, g):
+    * one scan pass over `train` (each row concatenates its per-j gram
+    * arrays tagged with j, exploded once) and ONE map-side-combined
+    * count shuffle replace the `order` separate tokenize+explode+
+    * groupBy plans of [[ngramCounts]] (guide §2.4: fewer exchanges,
+    * same shuffled bytes — the per-order shuffles were disjoint slices
+    * of exactly this one). Counts are identical to the per-order
+    * tables: j rides in the key, so grams of different orders can
+    * never merge. Used by every scoring path; [[ngramCounts]] stays
+    * for the persisted per-order index layout (build/extend) and the
+    * ARPA export, whose artifacts are per-order by contract. */
+  private[graft] def ngramCountsUnified(train: DataFrame, textCol: String,
+                                        order: Int, srcCol: Option[String],
+                                        digest: Boolean = true): DataFrame = {
+    import graft.functions.TextFunctions
+    def key(c: org.apache.spark.sql.Column) = if (digest) gdig(c) else c
+    val gramsAll = explode(concat((1 to order).map { j =>
+      val arr =
+        if (j == 1) TextFunctions.tokens(col(textCol))
+        else TextFunctions.wordNgramsAll(col(textCol), j)
+      transform(arr, g => struct(lit(j).as("j"), g.as("g")))
+    }: _*))
+    val keyed = srcCol match {
+      case Some(s) => train.select(col(s).as("src"), gramsAll.as("__jg"))
+        .select(col("src"), col("__jg.j").as("j"),
+          key(col("__jg.g")).as("g"))
+      case None => train.select(gramsAll.as("__jg"))
+        .select(col("__jg.j").as("j"), key(col("__jg.g")).as("g"))
+    }
+    // no builder-level join hint: the tail applies shuffle_hash at its
+    // join site (a frame-level hint here would also ride into the nv
+    // aggregate consumers, where it is not part of a join and warns)
+    keyed
+      .groupBy((srcCol.map(_ => "src").toSeq ++ Seq("j", "g")).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** The scoring tail shared by every stupid-backoff entry point
     * (direct [[ngramLogProbAgainst]], index-fed
     * [[ngramLogProbAgainstIndex]], and the by-source DoReMi form):
-    * joins the position stream against digest-keyed count frames
-    * `counts` (g\$j -> c\$j, optionally (src, g\$j)-keyed) and the
-    * `nv` (N, V) frame (one row, or one row per src), then replays
-    * every backoff branch. See [[ngramLogProbAgainst]] for the model
-    * and determinism contract. */
-  private[graft] def ngramScoreTail(counts: Seq[DataFrame], nv: DataFrame,
+    * joins the position stream against the unified (src?, j, g)-keyed
+    * count frame `countsU` and the `nv` (N, V) frame (one row, or one
+    * row per src), then replays every backoff branch. See
+    * [[ngramLogProbAgainst]] for the model and determinism contract. */
+  private[graft] def ngramScoreTail(countsU: DataFrame, nv: DataFrame,
                                     score: DataFrame, idCol: String,
                                     textCol: String, order: Int,
                                     alpha: Double, k: Double,
                                     srcCol: Option[String],
                                     digest: Boolean = true): DataFrame =
-    ngramScoreTailFromPos(counts, nv,
+    ngramScoreTailFromPos(countsU, nv,
       gramPositions(score, idCol, textCol, order, srcCol, digest),
       order, alpha, k, srcCol)
 
@@ -481,8 +519,23 @@ object CorpusStats {
     * subtree: within one plan the doc-keyed window exchange under the
     * positions canonicalizes identically on both sides, so the
     * tokenize + posexplode + digest work runs once and the second
-    * consumer reads the reused exchange. */
-  private[graft] def ngramScoreTailFromPos(counts: Seq[DataFrame],
+    * consumer reads the reused exchange.
+    *
+    * Join shape (r19 restructure, guide §2.3/§2.4 — equivalence pinned
+    * by NgramTailEquivalenceSpec against [[ngramScoreTailFromPosSeq]]):
+    * the wide position row (doc, p, g1..g_order) is UNPIVOTED to one
+    * slim (src?, doc, p, j, g) row per available order (g_j is NULL
+    * iff p < j — those rows join to nothing by construction, so they
+    * are dropped before the shuffle and the pivot rebuild reads the
+    * missing cell back as NULL), joined ONCE against the unified
+    * (src?, j, g) count frame, then repartitioned by doc so the pivot
+    * rebuild groupBy(doc, p), the lag window (doc) and the final
+    * groupBy(doc) all reuse one exchange. Versus the previous `order`
+    * sequential left joins this is 2 score-side exchanges instead of
+    * order+1, and each shuffled row carries one 16-byte key instead of
+    * the up-to-order-wide gram row with accumulated count columns
+    * (~60% fewer score-side shuffle bytes at order 5). */
+  private[graft] def ngramScoreTailFromPos(countsU: DataFrame,
                                            nv: DataFrame, pos: DataFrame,
                                            order: Int, alpha: Double,
                                            k: Double,
@@ -491,6 +544,37 @@ object CorpusStats {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must be in (0, 1], got $alpha")
     require(k > 0.0, s"smoothing k must be positive, got $k")
+    val srcCols = srcCol.map(_ => "src").toSeq
+    val jg = explode(array((1 to order).map(j =>
+      struct(lit(j).as("j"), col(s"g$j").as("g"))): _*)).as("__jg")
+    val stacked = pos
+      .select((srcCols ++ Seq("doc", "p")).map(col) :+ jg: _*)
+      .select((srcCols ++ Seq("doc", "p")).map(col) ++
+        Seq(col("__jg.j").as("j"), col("__jg.g").as("g")): _*)
+      .where(col("g").isNotNull)
+    val joined = stacked
+      .join(countsU.hint("shuffle_hash"),
+        srcCols ++ Seq("j", "g"), "left_outer")
+    // the pivot rebuild is a plain groupBy so its PARTIAL aggregate
+    // collapses the `order` per-level rows back to one per position on
+    // the map side — the (doc, p) exchange then carries P wide rows,
+    // not order x P slim ones (an explicit repartition(doc) here was
+    // measured 2x task time: it shipped every unpivoted row and
+    // demoted the pivot to a single complete-mode aggregation)
+    val cAggs = (1 to order).map(j =>
+      max(when(col("j") === j, col("c"))).as(s"c$j"))
+    val wide = joined
+      .groupBy((srcCols ++ Seq("doc", "p")).map(col): _*)
+      .agg(cAggs.head, cAggs.tail: _*)
+    ngramBackoffFromWide(wide, nv, order, alpha, k, srcCol)
+  }
+
+  /** The backoff-branch replay over a wide (src?, doc, p, c1..c_order)
+    * per-position frame — shared by the unified tail above and the
+    * sequential reference below so the model arithmetic exists once. */
+  private def ngramBackoffFromWide(wide: DataFrame, nv: DataFrame,
+                                   order: Int, alpha: Double, k: Double,
+                                   srcCol: Option[String]): DataFrame = {
     val apows = alphaPowers(alpha, order - 1)
     // exponent ∈ {0..order-1} selects its precomputed literal — the
     // conditions are disjoint, so the chain order is immaterial
@@ -498,14 +582,11 @@ object CorpusStats {
       (1 until order).foldLeft(lit(1.0)) { (acc, i) =>
         when(e === i, lit(apows(i))).otherwise(acc) }
     val srcCols = srcCol.map(_ => "src").toSeq
-    val joined = counts.zipWithIndex.foldLeft(pos) { case (df, (c, i)) =>
-      df.join(c, srcCols :+ s"g${i + 1}", "left_outer")
-    }
     // context counts via lag: count of the j-gram ending at p-1 is the
     // denominator for the (j+1)-gram branch (a prefix of an observed
     // gram is observed at least as often, so the division is safe)
     val w2 = Window.partitionBy("doc").orderBy("p")
-    val withCtx = joined.select(
+    val withCtx = wide.select(
       (srcCols :+ "doc").map(col) ++ Seq(col("p")) ++
         (1 to order).map(j => col(s"c$j")) ++
         (1 until order).map(j => lag(col(s"c$j"), 1).over(w2).as(s"b$j")): _*)
@@ -542,6 +623,30 @@ object CorpusStats {
         round(avg(col("__lp")), 4).as("avg_lp"))
   }
 
+  /** The pre-r19 sequential tail — `order` left joins of the wide
+    * position row against per-order count frames (g\$j -> c\$j,
+    * optionally (src, g\$j)-keyed). Kept as the reference
+    * implementation NgramTailEquivalenceSpec pins the unified
+    * [[ngramScoreTailFromPos]] against; not on any query path. */
+  private[graft] def ngramScoreTailFromPosSeq(counts: Seq[DataFrame],
+                                              nv: DataFrame, pos: DataFrame,
+                                              order: Int, alpha: Double,
+                                              k: Double,
+                                              srcCol: Option[String])
+      : DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"backoff alpha must be in (0, 1], got $alpha")
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    val srcCols = srcCol.map(_ => "src").toSeq
+    val joined = counts.zipWithIndex.foldLeft(pos) { case (df, (c, i)) =>
+      df.join(c, srcCols :+ s"g${i + 1}", "left_outer")
+    }
+    ngramBackoffFromWide(joined.select(
+      (srcCols :+ "doc").map(col) ++ Seq(col("p")) ++
+        (1 to order).map(j => col(s"c$j")): _*),
+      nv, order, alpha, k, srcCol)
+  }
+
   /** [[ngramLogProbAgainst]] per SOURCE — the specialist models
     * DoReMi's order-n loss passes score against: count tables re-keyed
     * by (src, gram digest) (same stream volume, one extra key column —
@@ -560,12 +665,12 @@ object CorpusStats {
     require(order >= 2 && order <= 8,
       s"order must be in 2..8, got $order")
     import graft.functions.TextFunctions
-    val counts = ngramCounts(train, textCol, order, Some(srcCol))
-    // per-src (N, V) derived from the per-src unigram table — same
+    val countsU = ngramCountsUnified(train, textCol, order, Some(srcCol))
+    // per-src (N, V) derived from the per-src unigram slice — same
     // exact-derivation argument as the global form, one less corpus pass
-    val nv = counts.head.groupBy("src")
-      .agg(sum("c1").as("__n"), count(lit(1)).as("__v"))
-    ngramScoreTail(counts, nv, score, idCol, textCol, order, alpha, k,
+    val nv = countsU.where(col("j") === 1).groupBy("src")
+      .agg(sum("c").as("__n"), count(lit(1)).as("__v"))
+    ngramScoreTail(countsU, nv, score, idCol, textCol, order, alpha, k,
       Some(srcCol))
   }
 
@@ -636,17 +741,20 @@ object CorpusStats {
                                alpha: Double = 0.4,
                                k: Double = 0.5): DataFrame = {
     val spark = score.sparkSession
-    val counts = (1 to idx.order).map { j =>
+    // the per-order slice folds stay Exchange-free out of their g
+    // buckets; tagging with j and unioning into the unified (j, g)
+    // frame costs one vocabulary-sized re-key the slim unpivoted tail
+    // (order-1 fewer score-side exchanges) more than pays for
+    val countsU = (1 to idx.order).map { j =>
       spark.table(idx.gramsTable(j))
-        .groupBy("g").agg(sum("n").as(s"c$j"))
-        .select(col("g").as(s"g$j"), col(s"c$j"))
-        .hint("shuffle_hash")
-    }
+        .groupBy("g").agg(sum("n").as("c"))
+        .select(lit(j).as("j"), col("g"), col("c"))
+    }.reduce(_.unionAll(_))
     val nv = broadcast(
       spark.table(idx.gramsTable(1))
         .groupBy("g").agg(sum("n").as("n"))
         .agg(sum("n").as("__n"), count(lit(1)).as("__v")))
-    ngramScoreTail(counts, nv, score, idCol, textCol, idx.order, alpha,
+    ngramScoreTail(countsU, nv, score, idCol, textCol, idx.order, alpha,
       k, None)
   }
 

@@ -535,16 +535,14 @@ object Selection {
     // specialist pass's exchanges. Scores are bit-identical: long
     // count sums are exact and the 128-bit gram digests are the
     // engine-wide collision-free join-key contract.
-    val srcCounts = CorpusStats.ngramCounts(tr, textCol, order,
+    val srcCounts = CorpusStats.ngramCountsUnified(tr, textCol, order,
       Some(sourceCol))
-    val globalCounts = srcCounts.zipWithIndex.map { case (c, i) =>
-      val j = i + 1
-      c.groupBy(s"g$j").agg(sum(s"c$j").as(s"c$j")).hint("shuffle_hash")
-    }
-    val nvGlobal = broadcast(globalCounts.head
-      .agg(sum("c1").as("__n"), count(lit(1)).as("__v")))
-    val nvSrc = srcCounts.head.groupBy("src")
-      .agg(sum("c1").as("__n"), count(lit(1)).as("__v"))
+    val globalCounts = srcCounts
+      .groupBy("j", "g").agg(sum("c").as("c"))
+    val nvGlobal = broadcast(globalCounts.where(col("j") === 1)
+      .agg(sum("c").as("__n"), count(lit(1)).as("__v")))
+    val nvSrc = srcCounts.where(col("j") === 1).groupBy("src")
+      .agg(sum("c").as("__n"), count(lit(1)).as("__v"))
     val pos = CorpusStats.gramPositions(ho, idCol, textCol, order,
       Some(sourceCol))
     val g = CorpusStats.ngramScoreTailFromPos(globalCounts, nvGlobal,
