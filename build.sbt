@@ -44,4 +44,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ {
+  // Ephemeral run artifacts (spark.local.dir shuffle/broadcast blocks,
+  // scratch warehouses, session-keyed index tables, replay staging)
+  // default under java.io.tmpdir; on this host /tmp is disk-backed
+  // while /dev/shm is RAM. Rooting the JVM's tmpdir on tmpfs when
+  // present extends the r18 ChunkedReplay discipline (checkpoint
+  // fsyncs dominated under contention) to every ephemeral artifact —
+  // it changes where intermediates live, never what is computed; a
+  // real cluster provisions local dirs explicitly (spark.local.dir),
+  // which this default does not override.
+  val shm = new File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = new File(shm, "graft-tmp"); d.mkdirs()
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
+  } else Seq.empty
+}

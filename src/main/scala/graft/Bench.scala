@@ -24,6 +24,12 @@ object Bench {
       // cluster; only byte-small caches narrow.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // the generated-class cache defaults to 100 entries; a 186-query
+      // suite cycles hundreds of distinct codegen units through it, so
+      // later queries re-pay Janino compilation for classes the warm-up
+      // already built (driver-side fixed cost in every stage). Sized to
+      // hold the whole suite; memory cost is the class metadata only.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // THE TIMED ACTION (optimization guide §1.4): the noop sink

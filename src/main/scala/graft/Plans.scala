@@ -31,6 +31,9 @@ object Plans {
       // cluster; only byte-small caches narrow.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // same codegen-cache sizing as the bench session (Bench.scala) so
+      // correctness and plan dumps run the configuration that is timed
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -958,8 +958,10 @@ object SparkEntry {
 
     // Gopher rule-set verdicts (Rae et al. 2021 App. A) — the published
     // heuristic filter battery; every metric and the conjunction pass
+    // spread: gopherFlags is a regex-heavy per-document kernel that ran
+    // serialized on the 2-task scan (task 1.3 s ~= wall under noop)
     "q_quality_gopher" -> ((s, d) =>
-      docs(s, d)
+      graft.util.Parallelism.spread(docs(s, d))
         .select(col("doc_id"), TF.gopherFlags(col("text")).as("g"))
         .select(col("doc_id"), col("g.n_words").as("n_words"),
           col("g.mean_word_len").as("mean_word_len"),
@@ -1508,9 +1510,14 @@ object SparkEntry {
     // form at 100 TB — fixed-size registers, map-side mergeable, item
     // stream never shuffles) lands within 5%. Oracle emits the exact
     // count and TRUE.
+    // spread before the bigram explode: the certificate's per-row work
+    // (HLL register updates at rsd 0.01 + the countDistinct Expand
+    // duplication) ran on the 2-task documents scan — 3.8 s of task
+    // time serialized into 4.6 s of wall (measured under the noop
+    // action; count() had pruned both aggregates, hiding it)
     "q_approx_distinct" -> ((s, d) =>
       operators.CorpusStats.distinctCertificate(
-        docs(s, d).select(col("source"),
+        graft.util.Parallelism.spread(docs(s, d)).select(col("source"),
           explode(TF.wordNgramsAll(col("text"), 2)).as("item")),
         "source", "item")
         .orderBy("source")),

@@ -27,6 +27,9 @@ object Verify {
       // cluster; only byte-small caches narrow.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // same codegen-cache sizing as the bench session (Bench.scala) so
+      // correctness and plan dumps run the configuration that is timed
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

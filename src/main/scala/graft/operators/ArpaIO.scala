@@ -94,36 +94,32 @@ object ArpaIO {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must be in (0, 1], got $alpha")
     require(k > 0.0, s"smoothing k must be positive, got $k")
-    // One tokenize+count pass per order (CorpusStats.ngramCounts with
-    // raw string keys — the export needs gram TEXT, not digests), each
-    // collected EXACTLY ONCE: the model is driver-local by contract,
-    // so the MLE denominator c(h) is a driver-side map lookup over the
-    // already-collected (j-1)-gram counts instead of a distributed
-    // prefix join (which forced a persist + an extra count pass + a
-    // shuffle per order — measured at ~2x the export's executor time).
-    // The size guard rides IN the collect: limit(budget+1) bounds the
-    // driver transfer before any row lands, so an over-bound corpus is
-    // refused without the old standalone count jobs. A prefix of an
-    // observed j-gram is itself an observed (j-1)-gram, so the map
-    // lookup total like the join it replaces (asserted below).
-    val counts = CorpusStats
-      .ngramCounts(train, textCol, order, None, digest = false)
-      .zipWithIndex.map { case (c, i) =>
-        val j = i + 1
-        c.select(col(s"g$j").as("g"), col(s"c$j").as("c"))
-      }
-    var budget = maxGrams
-    def collectBounded(df: DataFrame, j: Int): Array[(String, Long)] = {
-      val rows = df.limit(math.min(budget, Int.MaxValue - 1).toInt + 1)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      require(rows.length <= budget,
-        s"the $j-gram inventory pushes the model past the " +
-          s"driver-local ARPA bound $maxGrams — ship corpus-scale " +
-          "counts via NgramIndex, not ARPA text")
-      budget -= rows.length
-      rows
-    }
-    val uni = collectBounded(counts.head, 1)
+    // ONE tokenize+count pass for ALL orders (the r19 unified
+    // (j, g, c) frame, raw string keys — the export needs gram TEXT,
+    // not digests), collected in ONE bounded job: the model is
+    // driver-local by contract, so the MLE denominator c(h) is a
+    // driver-side map lookup over the (j-1)-gram slice instead of a
+    // distributed prefix join, and the per-order collect jobs the
+    // previous form paid (one scan + one action per order) collapse to
+    // a single scan + single action. The size guard rides IN the
+    // collect: limit(maxGrams+1) bounds the driver transfer before any
+    // row lands — the total gram inventory is exactly what the old
+    // cumulative per-order budget bounded, so the refusal condition is
+    // unchanged. A prefix of an observed j-gram is itself an observed
+    // (j-1)-gram, so the map lookup totals like the join it replaces
+    // (asserted below).
+    val allRows = CorpusStats
+      .ngramCountsUnified(train, textCol, order, None, digest = false)
+      .limit(math.min(maxGrams, Int.MaxValue - 2).toInt + 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    require(allRows.length <= maxGrams,
+      s"the gram inventory pushes the model past the " +
+        s"driver-local ARPA bound $maxGrams — ship corpus-scale " +
+        "counts via NgramIndex, not ARPA text")
+    val byOrder = allRows.groupBy(_._1)
+    def slice(j: Int): Array[(String, Long)] =
+      byOrder.getOrElse(j, Array.empty).map { case (_, g, c) => (g, c) }
+    val uni = slice(1)
     require(!uni.exists(_._1 == Unk),
       s"train corpus contains a literal '$Unk' token — it would " +
         "collide with the OOV entry; filter or rename it upstream")
@@ -137,7 +133,7 @@ object ArpaIO {
       .sortBy(_._1).toVector
     var prev: Map[String, Long] = uni.toMap
     val higher = (2 to order).map { j =>
-      val cur = collectBounded(counts(j - 1), j)
+      val cur = slice(j)
       val sec = cur.map { case (g, c) =>
         val cut = g.lastIndexOf(' ')
         val pc = prev.getOrElse(g.substring(0, cut),

@@ -909,13 +909,30 @@ object CorpusStats {
     */
   def distinctCertificate(df: DataFrame, groupCol: String, itemCol: String,
                           rsd: Double = 0.01,
-                          relTol: Double = 0.05): DataFrame =
-    df.groupBy(col(groupCol))
-      .agg(countDistinct(col(itemCol)).as("exact_distinct"),
-        approx_count_distinct(col(itemCol), rsd).as("approx"))
+                          relTol: Double = 0.05): DataFrame = {
+    // The two aggregates run as SEPARATE subplans joined on the group
+    // (r19): a single groupBy carrying both a distinct aggregate and
+    // the HLL sketch plans as Expand (every row duplicated) + a partial
+    // aggregate at the (group, item, gid) grain — i.e. one multi-KB HLL
+    // register buffer per DISTINCT ITEM on the map side. Measured at
+    // sf0.1 under the noop action: GC-locker thrash on the register
+    // allocations, 4.6 s wall / 3.8 s task for work that takes 0.4 s
+    // split. Split, the sketch arm holds one register set per GROUP and
+    // merges map-side (the contract the scaladoc above promises), the
+    // exact arm is the standard two-level distinct, and the join is
+    // #groups-sized. The join is null-safe: a null group is its own
+    // stratum and keeps its certificate row (the Features.zscore
+    // discipline). Estimates are unchanged — HLL register state is a
+    // pure function of the multiset, however partitioned.
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(itemCol)).as("exact_distinct"))
+    val approx = df.groupBy(col(groupCol).as("__ag"))
+      .agg(approx_count_distinct(col(itemCol), rsd).as("approx"))
+    exact.join(approx, col(groupCol) <=> col("__ag"))
       .select(col(groupCol), col("exact_distinct"),
         (abs(col("approx") - col("exact_distinct")) <=
           col("exact_distinct") * relTol).as("approx_ok"))
+  }
 
   /** Quantile certificate: per group, the EXACT interpolated p50/p90 of
     * `valCol` (matching `quantile_cont` semantics, so an external SQL

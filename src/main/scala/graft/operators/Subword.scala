@@ -823,9 +823,14 @@ object Subword {
     require(merges.nonEmpty, "merge list must not be empty")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col(idCol).as("doc"),
-      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
-        .as(Seq("tp", "w")))
+    // spread: the tokenize + posexplode fan-out feeds the corpus-sized
+    // word join's shuffle write — on the 2-task bench scan that map
+    // side serialized (q_encode_ids task 6.4 s / wall 2.4 s under the
+    // noop action); guarded no-op at cluster scale
+    val toks = graft.util.Parallelism.spread(docs)
+      .select(col(idCol).as("doc"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("tp", "w")))
     val mergesSeq = merges
     val words = toks.select(col("w")).distinct().as[String]
       .mapPartitions { it =>
