@@ -437,10 +437,14 @@ object CorpusStats {
                                    srcCol: Option[String],
                                    digest: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions
-    // not spread — same measured reasoning as ngramCounts: the
-    // posexplode is regex-split cheap and the doc window re-shuffles
-    // right above it anyway
-    val score = score0
+    // spread (re-measured r19): under the count()-pruned r18 bench the
+    // posexplode stage looked cheap; the noop-timed plans show it as a
+    // 1-2 task stage of ~1-2 s pure CPU (tokenize + posexplode + order
+    // digest kernels per position) feeding the doc-window exchange —
+    // the gramPositions digests are row-local work BEFORE the shuffle,
+    // so the guarded redistribution parallelizes them at bench scale
+    // and is a no-op at corpus scale
+    val score = graft.util.Parallelism.spread(score0)
     val srcCols = srcCol.map(_ => "src").toSeq
     val w = Window.partitionBy("doc").orderBy("p")
     val gramCols = (1 to order).map { j =>
@@ -481,11 +485,18 @@ object CorpusStats {
         else TextFunctions.wordNgramsAll(col(textCol), j)
       transform(arr, g => struct(lit(j).as("j"), g.as("g")))
     }: _*))
+    // spread: unlike the r18 per-order counts (5 regex-cheap scans the
+    // count() action mostly pruned, where a pre-explode repartition
+    // measured pure overhead), the unified scan does ALL orders' gram
+    // construction + digests in one pass — a 1-2 task stage of >1 s
+    // pure CPU at bench scale (stage profile in OPTIMIZATION_r19.md);
+    // guarded no-op at corpus scale
+    val spreadTrain = graft.util.Parallelism.spread(train)
     val keyed = srcCol match {
-      case Some(s) => train.select(col(s).as("src"), gramsAll.as("__jg"))
+      case Some(s) => spreadTrain.select(col(s).as("src"), gramsAll.as("__jg"))
         .select(col("src"), col("__jg.j").as("j"),
           key(col("__jg.g")).as("g"))
-      case None => train.select(gramsAll.as("__jg"))
+      case None => spreadTrain.select(gramsAll.as("__jg"))
         .select(col("__jg.j").as("j"), key(col("__jg.g")).as("g"))
     }
     // no builder-level join hint: the tail applies shuffle_hash at its
@@ -910,25 +921,28 @@ object CorpusStats {
   def distinctCertificate(df: DataFrame, groupCol: String, itemCol: String,
                           rsd: Double = 0.01,
                           relTol: Double = 0.05): DataFrame = {
-    // The two aggregates run as SEPARATE subplans joined on the group
-    // (r19): a single groupBy carrying both a distinct aggregate and
-    // the HLL sketch plans as Expand (every row duplicated) + a partial
-    // aggregate at the (group, item, gid) grain — i.e. one multi-KB HLL
-    // register buffer per DISTINCT ITEM on the map side. Measured at
-    // sf0.1 under the noop action: GC-locker thrash on the register
-    // allocations, 4.6 s wall / 3.8 s task for work that takes 0.4 s
-    // split. Split, the sketch arm holds one register set per GROUP and
-    // merges map-side (the contract the scaladoc above promises), the
-    // exact arm is the standard two-level distinct, and the join is
-    // #groups-sized. The join is null-safe: a null group is its own
-    // stratum and keeps its certificate row (the Features.zscore
-    // discipline). Estimates are unchanged — HLL register state is a
-    // pure function of the multiset, however partitioned.
-    val exact = df.groupBy(col(groupCol))
-      .agg(countDistinct(col(itemCol)).as("exact_distinct"))
-    val approx = df.groupBy(col(groupCol).as("__ag"))
-      .agg(approx_count_distinct(col(itemCol), rsd).as("approx"))
-    exact.join(approx, col(groupCol) <=> col("__ag"))
+    // ONE deduplicating pass feeds BOTH aggregates (r19): the naive
+    // single groupBy carrying countDistinct + the sketch plans as
+    // Expand (every row duplicated) + a partial aggregate at the
+    // (group, item, gid) grain — i.e. one multi-KB HLL register buffer
+    // per DISTINCT ITEM on the map side (measured at sf0.1 under the
+    // noop action: GC-locker thrash on the register allocations, 4.6 s
+    // wall / 3.8 s task for work worth ~0.5 s). Instead the item
+    // stream is deduplicated once at the (group, item) grain (partial
+    // map-side combine, the same shuffle countDistinct's rewrite pays
+    // anyway), and the per-group aggregate computes the exact count as
+    // a plain count AND the sketch over the deduplicated stream — one
+    // HLL register set per GROUP. The estimate is BIT-IDENTICAL to a
+    // sketch over the raw stream: HLL register state is
+    // max-of-hashes, a pure function of the distinct SET, so
+    // deduplication cannot change it. Null handling matches
+    // countDistinct/approx_count_distinct exactly: a (group, null) row
+    // survives the distinct so an all-null group keeps its certificate
+    // row, and both count(col) and the sketch skip the null itself.
+    df.select(col(groupCol), col(itemCol)).distinct()
+      .groupBy(col(groupCol))
+      .agg(count(col(itemCol)).as("exact_distinct"),
+        approx_count_distinct(col(itemCol), rsd).as("approx"))
       .select(col(groupCol), col("exact_distinct"),
         (abs(col("approx") - col("exact_distinct")) <=
           col("exact_distinct") * relTol).as("approx_ok"))

@@ -208,14 +208,21 @@ class PlanPropertiesSpec extends SparkSpec {
       s"the corpus must never shuffle for the target join:\n$p")
   }
 
-  test("q_quality_gopher: row-local — zero exchanges above the scan") {
+  test("q_quality_gopher: row-local — no aggregation, no keyed shuffle " +
+      "beyond the final sort") {
     val p = plan("q_quality_gopher")
-    // orderBy adds one range exchange for output ordering; the rule
-    // battery itself must be projection-only (no aggregation shuffle)
+    // orderBy adds one range exchange for output ordering, and the r19
+    // guarded spread adds one ROUND-ROBIN redistribution under the
+    // regex kernel (byte-gated, no-op at corpus scale); the rule
+    // battery itself must stay projection-only — no aggregation
+    // shuffle, no content-keyed exchange
     assert(!p.contains("HashAggregate"),
       s"gopher rules must not aggregate:\n$p")
-    assert("Exchange".r.findAllIn(p).size <= 1,
-      s"only the final sort may exchange:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gopher must never shuffle by content:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"only the final sort and the guarded round-robin spread may " +
+        s"exchange:\n$p")
   }
 
   test("q_token_entropy / q_dup_lines: row-local — zero exchanges above the scan") {
