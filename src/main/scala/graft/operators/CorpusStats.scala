@@ -921,13 +921,17 @@ object CorpusStats {
   def distinctCertificate(df: DataFrame, groupCol: String, itemCol: String,
                           rsd: Double = 0.01,
                           relTol: Double = 0.05): DataFrame = {
-    // ONE deduplicating pass feeds BOTH aggregates (r19): the naive
-    // single groupBy carrying countDistinct + the sketch plans as
-    // Expand (every row duplicated) + a partial aggregate at the
-    // (group, item, gid) grain — i.e. one multi-KB HLL register buffer
-    // per DISTINCT ITEM on the map side (measured at sf0.1 under the
-    // noop action: GC-locker thrash on the register allocations, 4.6 s
-    // wall / 3.8 s task for work worth ~0.5 s). Instead the item
+    // ONE deduplicating pass feeds BOTH aggregates (r19): a single
+    // groupBy carrying countDistinct + the sketch triggers Spark's
+    // single-distinct rewrite — a first aggregation at the
+    // (group, item) grain that carries partial_approx_count_distinct
+    // state, i.e. one multi-KB HLL register buffer PER DISTINCT ITEM,
+    // through the exchange (plan evidence: the partial-merge node's
+    // input row was 1641 columns wide — MS[0..1638] register words —
+    // per (source, item); plans/r19/q_approx_distinct_before.txt).
+    // Measured at sf0.1 under the noop action: GC-locker thrash on the
+    // register allocations, 4.6 s wall / 3.8 s task for work worth
+    // ~0.5 s. Instead the item
     // stream is deduplicated once at the (group, item) grain (partial
     // map-side combine, the same shuffle countDistinct's rewrite pays
     // anyway), and the per-group aggregate computes the exact count as
